@@ -1,0 +1,155 @@
+"""Exact k-NN operators — the reference's core query surface.
+
+Reference behavior being re-expressed (SURVEY.md §2):
+- O3  exact brute-force top-k scan        (src/faiss_index.cc:32-58)
+- O5  L2 (squared) / IP metrics           (src/index_factory.cc:16-18)
+- O6  equality filter ``field = v``       (src/filter_index.cc:63-69)
+- O7  inequality ``field != v`` == "field IS NOT NULL AND field != v"
+      (union of all other values' bitmaps, src/filter_index.cc:70-79)
+- O8  PRE-filter semantics: the bitmap is pushed into the index
+      traversal so exactly k *valid* results come back
+      (src/faiss_index.cc:40-47, include/hnswlib_index.h:20-30)
+- O9  top-k ascending by distance         (src/http_server.cc:129-143)
+- O15 multi-query batch search            (src/faiss_index.cc:35-47)
+
+Spark mapping: ``corpus.filter(pred)`` THEN distance THEN rank — the
+declarative filter-before-rank ordering IS pre-filter semantics, and
+Catalyst pushes the predicate into the Parquet scan (PushedFilters).
+
+Physical plan at scale (the 100-TB design point):
+- Single query: ``orderBy(dist, id).limit(k)`` compiles to
+  ``TakeOrderedAndProject`` — per-partition top-k heaps, only k rows per
+  partition move to the driver-side merge.  No shuffle of the corpus.
+- Batch of queries: broadcast the (small) query side, evaluate the
+  distance inside the corpus scan stage, then a
+  ``Window.partitionBy(query_id)`` rank-limit.  Spark >= 3.5 inserts
+  ``WindowGroupLimit`` (partial per-partition top-k) BEFORE the
+  shuffle, so only |queries| * k * #partitions candidate rows shuffle —
+  linear in corpus size, never materializing |Q| x |N|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import (
+    as_double_array,
+    cosine_similarity,
+    dot_product,
+    squared_l2,
+)
+
+# metric -> (score expression, ascending?)  Squared-L2 is a distance
+# (smaller better, FAISS convention); IP and cosine are similarities
+# (larger better) — SURVEY.md §4.2.
+METRICS = {
+    "sqL2": (squared_l2, True),
+    "ip": (dot_product, False),
+    "cosine": (cosine_similarity, False),
+}
+
+
+def eq_filter(field: str, value) -> Column:
+    """O6: ``field = v`` — a bitmap fetch in the reference, a pushed-down
+    Parquet predicate here."""
+    return F.col(field) == F.lit(value)
+
+
+def ne_filter(field: str, value) -> Column:
+    """O7: reference ``!=`` unions the bitmaps of all OTHER values of the
+    field, so records lacking the field match neither ``=`` nor ``!=``.
+    The explicit ``isNotNull`` preserves that semantic."""
+    return F.col(field).isNotNull() & (F.col(field) != F.lit(value))
+
+
+def score_col(metric: str, vec_a: Column, vec_b: Column) -> tuple[Column, bool]:
+    fn, asc = METRICS[metric]
+    return fn(vec_a, vec_b), asc
+
+
+def knn_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int,
+    metric: str = "sqL2",
+    pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-query exact k-NN (O3/O9): pre-filter -> score -> top-k.
+
+    ``query`` is a ONE-row DataFrame holding the query vector (the
+    reference's request body as a relation) — broadcast, never
+    collected.  Output: (vec_id, label, dist|sim) ranked ascending for
+    distances, descending for similarities, vec_id tiebreak
+    (FIXTURES.md §C).
+    """
+    df = corpus.filter(pred) if pred is not None else corpus
+    q = F.broadcast(query.select(as_double_array(F.col(vec_col)).alias("__q_vec")))
+    score, asc = score_col(metric, as_double_array(F.col(vec_col)), F.col("__q_vec"))
+    name = "dist" if asc else "sim"
+    scored = df.crossJoin(q).select(
+        F.col(id_col),
+        F.col("label"),
+        F.round(score, 6).alias(name),
+    )
+    order = [F.col(name).asc(), F.col(id_col).asc()] if asc else [
+        F.col(name).desc(),
+        F.col(id_col).asc(),
+    ]
+    # orderBy().limit(k) => TakeOrderedAndProject: per-partition heaps,
+    # no corpus shuffle.
+    return scored.orderBy(*order).limit(k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "sqL2",
+    pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch k-NN join (O15): every query row gets its k nearest corpus
+    rows.  The query side is broadcast (it is the small side by
+    construction — the reference caps a request at one JSON body);
+    the corpus is scanned once, map-side, with the distance evaluated
+    inside the scan stage.  Rank-limit via row_number window; Spark's
+    WindowGroupLimit keeps the shuffle at O(|Q| * k) per partition.
+
+    Output: (query_id, vec_id, dist|sim, rnk).
+    """
+    df = corpus.filter(pred) if pred is not None else corpus
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            as_double_array(F.col(vec_col)).alias("__q_vec"),
+        )
+    )
+    score, asc = score_col(metric, as_double_array(F.col(vec_col)), F.col("__q_vec"))
+    name = "dist" if asc else "sim"
+    scored = df.crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(score, 6).alias(name),
+    )
+    order = [F.col(name).asc(), F.col(id_col).asc()] if asc else [
+        F.col(name).desc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def point_lookup(corpus: DataFrame, ids: list[int], id_col: str = "vec_id") -> DataFrame:
+    """O10: fetch full records by id — a RocksDB get in the reference
+    (src/scalar_storage.cc:34-53), an id-predicate scan here.  At scale
+    the table is bucketed/Z-ordered by id so this prunes to a handful of
+    files."""
+    return corpus.filter(F.col(id_col).isin(ids))

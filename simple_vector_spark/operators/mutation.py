@@ -1,0 +1,83 @@
+"""Mutation semantics: upsert (latest-wins merge), delete, snapshot.
+
+Reference behavior (SURVEY.md §2):
+- O13 upsert: WAL-append then read-modify-write of index + filter
+  bitmaps + scalar store (src/vector_database.cc:51-141).
+- O12 delete: ``IndexIDMap::remove_ids`` (src/faiss_index.cc:22-30).
+- O16-O19 WAL/snapshot/replay (src/persistence.cc:50-164).
+- O20 monotonic version ids driving replay order
+  (src/persistence.cc:43-48).
+
+Spark mapping: mutations become *declarative merges* over an immutable
+log.  The upsert stream is a DataFrame with a sequence column (the
+reference's WAL log id); "current state" is the latest row per key —
+a single window dedup.  Delete is an anti-filter.  Snapshot/restore is
+a Parquet write/read (the commit IS the snapshot); WAL replay is
+re-running the merge from the log, so there is no recovery code.
+
+Scale: latest-wins is ONE shuffle by key (the window), and Spark >= 3.5
+applies WindowGroupLimit so each map partition forwards only its local
+latest row per key.  With Delta in production this is MERGE INTO; the
+pure-DataFrame form here has identical semantics and an exact SQL
+oracle (row_number() dedup in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_wins(
+    log: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+) -> DataFrame:
+    """Collapse an upsert log to current state: newest row per key wins.
+
+    ``seq_cols`` break ties deterministically (the reference's WAL log
+    id is strictly monotonic, src/persistence.cc:43-48; our fixtures use
+    (ts, event_id)).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in seq_cols])
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_upserts(
+    state: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+) -> DataFrame:
+    """O13 as a pure-DataFrame merge: union the batch onto the current
+    state and keep the latest per key — last-write-wins, identical to
+    the reference's delete-old/insert-new sequence but atomic."""
+    return latest_wins(state.unionByName(batch), key_cols, seq_cols)
+
+
+def delete_ids(corpus: DataFrame, pred: Column) -> DataFrame:
+    """O12: delete = anti-filter.  ``pred`` selects the rows to REMOVE."""
+    return corpus.filter(~pred)
+
+
+def delete_ids_anti(corpus: DataFrame, tombstones: DataFrame, key: str) -> DataFrame:
+    """O12 at scale: tombstone table + broadcast anti-join (never
+    ``isin`` over a collected list)."""
+    return corpus.join(F.broadcast(tombstones), on=key, how="left_anti")
+
+
+def snapshot(df: DataFrame, path: str) -> None:
+    """O18: persist current state.  A Parquet/Delta commit is the
+    snapshot — atomic at the commit level, no bespoke file format."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def restore(spark, path: str) -> DataFrame:
+    """O19: load a snapshot.  Replay (O17) is unnecessary: re-running
+    the latest-wins merge from the source-of-truth log reproduces any
+    state; streaming jobs get exactly-once from checkpointLocation."""
+    return spark.read.parquet(path)

@@ -1,0 +1,58 @@
+"""Parquet sources for the driver fixtures.
+
+The reference's only ingress is HTTP JSON (src/http_server.cc:14-38) and
+its store is RocksDB (src/scalar_storage.cc:20-53); in the Spark engine
+the source of truth is a columnar Parquet table per collection — the
+scan IS the index input and the doc store at once (SURVEY.md §1.4).
+
+At 100 TB the same loaders point at a partitioned table; everything
+downstream is expressed against the DataFrame so partition pruning,
+predicate pushdown and column pruning reach the scan via Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is a nanosecond parquet timestamp, which the Spark
+        # reader rejects; read it as a raw long (nanos since epoch) and
+        # truncate to microseconds with INTEGER division (float division
+        # loses sub-microsecond bits at 1e18 magnitudes).  DuckDB's
+        # reader truncates ns->us the same way, so oracle comparisons on
+        # ts are exact.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (for the SQL API)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

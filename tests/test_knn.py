@@ -1,0 +1,113 @@
+"""k-NN operator semantics, mirroring the reference's e2e scenarios
+(test/filter_upsert/test.sh): filtered eq/ne and unfiltered searches.
+Here with a tiny inline corpus of 1-dim vectors matching the
+reference fixtures (ids 1-4,6; vectors .1-.4,.9; int_field 1-4,47)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_vector_spark.operators import knn as K
+
+REF_ROWS = [
+    (1, [0.1], 1),
+    (2, [0.2], 2),
+    (3, [0.3], 3),
+    (4, [0.4], 4),
+    (6, [0.9], 47),
+]
+
+
+@pytest.fixture(scope="module")
+def ref_corpus(spark):
+    return spark.createDataFrame(
+        REF_ROWS, "vec_id long, embedding array<float>, label int"
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_query(spark):
+    # the reference's search_normal.json queries [0] with k=5
+    return spark.createDataFrame([(0, [0.0])], "vec_id long, embedding array<float>")
+
+
+def test_search_equal(ref_corpus, ref_query):
+    """filter int_field = 47 -> only id 6 (search_equal.json scenario)."""
+    out = K.knn_topk(
+        ref_corpus, ref_query, 5, "sqL2", pred=K.eq_filter("label", 47)
+    ).collect()
+    assert [r.vec_id for r in out] == [6]
+
+
+def test_search_unequal(ref_corpus, ref_query):
+    """filter int_field != 47 -> ids 1-4, never 6 (search_unequal.json)."""
+    out = K.knn_topk(
+        ref_corpus, ref_query, 5, "sqL2", pred=K.ne_filter("label", 47)
+    ).collect()
+    assert [r.vec_id for r in out] == [1, 2, 3, 4]
+
+
+def test_ne_excludes_null_field(spark, ref_query):
+    """O7 fidelity: a record whose filter field is absent (NULL) matches
+    neither = nor != (src/filter_index.cc:70-79)."""
+    corpus = spark.createDataFrame(
+        [(1, [0.1], 1), (2, [0.2], None)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    ne = K.knn_topk(corpus, ref_query, 5, "sqL2", pred=K.ne_filter("label", 1))
+    eq = K.knn_topk(corpus, ref_query, 5, "sqL2", pred=K.eq_filter("label", 1))
+    assert [r.vec_id for r in ne.collect()] == []
+    assert [r.vec_id for r in eq.collect()] == [1]
+
+
+def test_search_normal_ascending_distance(ref_corpus, ref_query):
+    """no filter: all ids by ascending squared L2 from [0]."""
+    out = K.knn_topk(ref_corpus, ref_query, 5, "sqL2").collect()
+    assert [r.vec_id for r in out] == [1, 2, 3, 4, 6]
+    dists = [r.dist for r in out]
+    assert dists == sorted(dists)
+    assert dists[0] == pytest.approx(0.01, abs=1e-6)  # squared, not plain L2
+
+
+def test_ip_orders_descending(ref_corpus, spark):
+    q = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
+    out = K.knn_topk(ref_corpus, q, 5, "ip").collect()
+    assert [r.vec_id for r in out] == [6, 4, 3, 2, 1]  # larger IP first
+    sims = [r.sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_batch_join_topk(spark, sf_dir):
+    from simple_vector_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = K.knn_join(emb, emb.filter(F.col("vec_id") < 3), 4, "sqL2")
+    rows = out.collect()
+    assert len(rows) == 12  # 3 queries x k=4
+    # self-match is always rank 1 at distance 0
+    self_hits = [r for r in rows if r.query_id == r.vec_id]
+    assert all(r.rnk == 1 and r.dist == 0.0 for r in self_hits)
+    assert len(self_hits) == 3
+
+
+def test_knn_join_is_broadcast_no_corpus_shuffle(spark, sf_dir):
+    """The query side must broadcast; the corpus must not shuffle before
+    scoring (100-TB posture)."""
+    from simple_vector_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = K.knn_join(emb, emb.filter(F.col("vec_id") < 3), 4, "sqL2")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_single_knn_take_ordered(spark, sf_dir):
+    """Single-query top-k should compile to TakeOrderedAndProject
+    (per-partition heaps), not a global sort."""
+    from simple_vector_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = K.knn_topk(emb, emb.filter(F.col("vec_id") == 0), 10, "sqL2")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
