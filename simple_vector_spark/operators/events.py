@@ -1,0 +1,74 @@
+"""Event-log operators: JSON extraction, tumbling/sliding window aggs.
+
+The reference's WAL is an append-only upsert log consumed only for
+crash recovery (src/persistence.cc:50-135, doc/wal.md).  The Spark
+engine treats the same shape — the ``events`` table — as a first-class
+analytic input: semi-structured props via JSON path extraction, and
+time-window aggregation in both batch (here) and Structured Streaming
+(streaming/jobs.py; the batch form below is the oracle for the
+availableNow streaming run).
+
+Scale: window aggs shuffle once on (bucket, keys) with map-side
+partial aggregation; JSON extraction is a JVM intrinsic inside the
+scan stage (no UDF).  Sliding windows expand each row into
+size/slide assignments BEFORE the partial agg — the blow-up factor is
+the overlap count, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def json_kv_stats(events: DataFrame, key: str = "k") -> DataFrame:
+    """Extract an int member from the free-form JSON props — the analog
+    of the reference auto-indexing any int-valued JSON member
+    (src/vector_database.cc:119-138) — and aggregate per event_type."""
+    kv = events.withColumn("k", F.get_json_object("props", f"$.{key}").cast("long"))
+    return kv.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("avg_k"),
+    )
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling time window (epoch-aligned, same alignment as DuckDB's
+    date_trunc for hour/day widths)."""
+    return (
+        events.groupBy(
+            F.window("ts", width).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding window: each event lands in width/slide overlapping
+    windows.  Oracle form: unnest the offset list and date_trunc."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("bucket"),
+            "n",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,181 @@
+"""Relational operators: aggregation, joins, windows, set ops, as-of.
+
+The reference has NO joins/aggregations/windows (SURVEY.md §2.2) — its
+only relational act is projecting stored JSON back (O21).  These are
+the capability extensions the Spark engine gets "for free" from
+Catalyst, declared as first-class queries so the engine covers what a
+100-TB training-data pipeline needs around the vector core.
+
+Determinism: monetary aggregates are computed in DECIMAL (exact,
+order-insensitive — double summation order differs between Spark's
+partial aggregates and DuckDB), then cast to DOUBLE and ROUNDed for a
+stable cross-engine hash.  Rounding doubles to >=1 decimal is tie-free
+(odd multiples of 5e-k are not binary-representable).
+
+Scale notes per operator are in the docstrings; the common themes:
+dimension tables broadcast, fact tables aggregate map-side first
+(partial aggregation), windows shuffle once by their partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Exact money type: double -> DECIMAL(15,2)/(8,6) casts are tie-free
+# (doubles never land exactly on half-cent boundaries).
+DEC_PRICE = "decimal(15,2)"
+DEC_RATE = "decimal(8,6)"
+
+
+def _dec(col: str, typ: str = DEC_PRICE) -> Column:
+    return F.col(col).cast(typ)
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: scan -> pushed-down date filter -> partial agg ->
+    final agg.  One shuffle on (l_returnflag, l_linestatus); all money
+    math in DECIMAL so partial-agg order cannot perturb results."""
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC_RATE) - _dec("l_discount", DEC_RATE))
+    charge = disc_price * (F.lit(1).cast(DEC_RATE) + _dec("l_tax", DEC_RATE))
+    agg = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("_sum_base"),
+            F.sum(disc_price).alias("_sum_disc"),
+            F.sum(charge).alias("_sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("_sum_qty").cast("double"), 2).alias("sum_qty"),
+        F.round(F.col("_sum_base").cast("double"), 2).alias("sum_base_price"),
+        F.round(F.col("_sum_disc").cast("double"), 4).alias("sum_disc_price"),
+        F.round(F.col("_sum_charge").cast("double"), 4).alias("sum_charge"),
+        F.round(F.col("_sum_qty").cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.col("_sum_base").cast("double") / n, 6).alias("avg_price"),
+        n,
+    )
+
+
+def revenue_by_nation(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Star join: fact (orders) joined through customer to broadcast
+    dims.  Catalyst/AQE picks broadcast-hash for nation/region
+    (25/5 rows); customer<->orders is the only real shuffle, and at
+    scale both sides would be bucketed by custkey to remove it."""
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def rollup_revenue(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Grouping-set rollup (region -> nation -> grand total) — the
+    hierarchy the reference cannot express at all."""
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Per-group top-k window — the same rank-limit pattern the k-NN
+    join uses; WindowGroupLimit keeps the shuffle at k rows/key/task."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set difference (EXCEPT): distinct custkeys minus order custkeys.
+    Compiles to a left-anti aggregate; at scale prefer the anti-join
+    form directly (identical result, no distinct shuffle of both sides)."""
+    return customer.select(F.col("c_custkey").alias("custkey")).exceptAll(
+        orders.select(F.col("o_custkey").alias("custkey"))
+    ).distinct()
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set intersection (INTERSECT DISTINCT)."""
+    return customer.select(F.col("c_custkey").alias("custkey")).intersect(
+        orders.select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Keyed as-of join: each left row gets the payload of the latest
+    right row with ``right.ts <= left.ts`` within the same ``by`` keys
+    (Spark has no native ASOF; DuckDB does — the oracle).
+
+    Implementation: tag + union + per-key running ``last(ignoreNulls)``
+    window ordered by (ts, tag) so a right row at the exact same
+    timestamp is visible (>= semantics).  ONE shuffle by key — never a
+    range cross-join — so it scales with the key cardinality; skewed
+    keys fall to AQE.  Reference analog: none (WAL replay O17 is the
+    closest temporal concept).
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        *by,
+        F.col(ts_col),
+        F.lit(0).alias("__tag"),
+        *[F.col(c) for c in payload_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in by and c != ts_col],
+    )
+    tagged_l = left.select(
+        *by,
+        F.col(ts_col),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+        *[F.col(c) for c in lcols if c not in by and c != ts_col],
+    )
+    u = tagged_r.unionByName(tagged_l)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in payload_cols],
+    )
+    return (
+        filled.filter(F.col("__tag") == 1)
+        .select(
+            *by,
+            F.col(ts_col),
+            *[F.col(c) for c in lcols if c not in by and c != ts_col],
+            *[F.col(f"__asof_{c}").alias(c) for c in payload_cols],
+        )
+    )

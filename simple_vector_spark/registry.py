@@ -243,3 +243,218 @@ def delete_then_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     alive = M.delete_ids(emb, F.col("vec_id") % DELETE_MOD == 0)
     return alive.groupBy("label").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Relational extensions (SURVEY.md §2.2: joins/aggs/windows/set-ops are
+# absent from the reference; first-class here).
+# --------------------------------------------------------------------------
+from .operators import events as E  # noqa: E402
+from .operators import relational as R  # noqa: E402
+
+_DEC_PRICE_SQL = "CAST(l_extendedprice AS DECIMAL(15,2))"
+_DEC_DISC_SQL = "(CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))"
+_DEC_TAX_SQL = "(CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))"
+
+
+@query(
+    "tpch_q1_pricing",
+    f"""
+WITH src AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(15,2)) AS qty,
+         {_DEC_PRICE_SQL} AS price,
+         CAST({_DEC_PRICE_SQL} * {_DEC_DISC_SQL} AS DECIMAL(28,8)) AS disc_price,
+         CAST({_DEC_PRICE_SQL} * {_DEC_DISC_SQL} AS DECIMAL(28,8)) * {_DEC_TAX_SQL} AS charge
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(qty) AS DOUBLE), 2) AS sum_qty,
+  ROUND(CAST(SUM(price) AS DOUBLE), 2) AS sum_base_price,
+  ROUND(CAST(SUM(disc_price) AS DOUBLE), 4) AS sum_disc_price,
+  ROUND(CAST(SUM(charge) AS DOUBLE), 4) AS sum_charge,
+  ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM src GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing(spark, sf_dir):
+    """TPC-H Q1 shape: pushed-down date filter + two-key agg, exact
+    DECIMAL money math (order-insensitive under partial aggregation)."""
+    return R.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "revenue_by_nation",
+    """
+SELECT r_name, n_name,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE), 2) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def revenue_by_nation(spark, sf_dir):
+    """Star join with broadcast dims (nation/region)."""
+    return R.revenue_by_nation(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "rollup_revenue",
+    """
+SELECT r_name, n_name,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE), 2) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+)
+def rollup_revenue(spark, sf_dir):
+    """Grouping-set rollup: region -> nation -> grand total."""
+    return R.rollup_revenue(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+)
+def top_orders_per_customer(spark, sf_dir):
+    """Per-group top-k window (rank-limit; WindowGroupLimit partials)."""
+    return R.top_orders_per_customer(load_table(spark, sf_dir, "orders"), 3)
+
+
+@query(
+    "customers_without_orders",
+    "SELECT c_custkey AS custkey FROM customer "
+    "EXCEPT SELECT o_custkey AS custkey FROM orders",
+)
+def customers_without_orders(spark, sf_dir):
+    """Set difference (EXCEPT DISTINCT)."""
+    return R.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "customers_with_orders",
+    "SELECT c_custkey AS custkey FROM customer "
+    "INTERSECT SELECT o_custkey AS custkey FROM orders",
+)
+def customers_with_orders(spark, sf_dir):
+    """Set intersection (INTERSECT DISTINCT)."""
+    return R.customers_with_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "asof_join_checkpoints",
+    """
+WITH cp AS (
+  SELECT user_id, ts, event_id AS cp_event_id, value AS cp_value
+  FROM events WHERE event_id % 5 = 0
+)
+SELECT e.user_id, e.event_id, cp.cp_event_id, cp.cp_value
+FROM events e ASOF LEFT JOIN cp
+  ON e.user_id = cp.user_id AND e.ts >= cp.ts
+""",
+)
+def asof_join_checkpoints(spark, sf_dir):
+    """Keyed as-of join (Spark has no native ASOF; composed as
+    tag+union+running last(ignoreNulls) — ONE shuffle by key).  Every
+    event is matched to its user's latest checkpoint event at-or-before
+    its timestamp; DuckDB's native ASOF JOIN is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_id") % 5 == 0).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("cp_event_id"),
+        F.col("value").alias("cp_value"),
+    )
+    out = R.asof_join(left, right, ["user_id"], "ts", ["cp_event_id", "cp_value"])
+    return out.select("user_id", "event_id", "cp_event_id", "cp_value")
+
+
+# --------------------------------------------------------------------------
+# Event-log extensions: JSON extraction + time windows
+# --------------------------------------------------------------------------
+@query(
+    "events_json_kv",
+    """
+WITH kv AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
+FROM kv GROUP BY event_type
+""",
+)
+def events_json_kv(spark, sf_dir):
+    """JSON path extraction over free-form props (the reference's
+    auto-indexed int JSON members, src/vector_database.cc:119-138)."""
+    return E.json_kv_stats(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_tumbling_1h",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_tumbling_1h(spark, sf_dir):
+    """Tumbling 1h window agg (batch form; the availableNow streaming
+    run in streaming/jobs.py must produce exactly this)."""
+    return E.tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "events_sliding_2h",
+    """
+WITH expanded AS (
+  SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS bucket_ts, value
+  FROM events, unnest([0, 1]) AS t(o)
+)
+SELECT strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM expanded GROUP BY 1
+""",
+)
+def events_sliding_2h(spark, sf_dir):
+    """Sliding window (2h width, 1h slide): each event in 2 windows."""
+    return E.sliding_agg(load_table(spark, sf_dir, "events"), "2 hours", "1 hour")

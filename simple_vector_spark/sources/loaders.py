@@ -32,6 +32,11 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The engine's timestamp semantics are UTC (FIXTURES.md §C: the
+    # DuckDB oracle sees naive/UTC timestamps).  The driver brings its
+    # own session, so pin the session timezone here — every declared
+    # query loads through this function.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is a nanosecond parquet timestamp, which the Spark
