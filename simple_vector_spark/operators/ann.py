@@ -1,0 +1,194 @@
+"""Approximate nearest-neighbor operators — the HNSW-capability analog.
+
+The reference's approximate path is an in-process HNSW graph
+(src/hnswlib_index.cc:7-53, M=16 ef_construction=200 ef_search=50).
+A traversal-at-query-time graph doesn't fit Spark's execution model;
+the Spark-native equivalents that preserve the capability (sub-linear
+candidate generation, then exact re-rank) are:
+
+- **Random-projection sign LSH**: bucket = sign-bit pattern of dot
+  products against a small set of hyperplanes.  Assignment is a pure
+  per-row expression over broadcast plane literals — zero shuffle,
+  linear scan, embarrassingly parallel at 100 TB.  Candidates = the
+  query's bucket; re-rank exactly within it.
+- **IVF (inverted-file) cells**: assign every vector to its nearest
+  centroid (argmin over broadcast centroid literals — zero shuffle);
+  queries probe the nprobe nearest cells and re-rank exactly inside
+  them.  At scale the table is *written partitioned by cell* so a
+  probe prunes to nprobe partitions — the Parquet layout plays the
+  role of FAISS's inverted lists.
+
+Both are deterministic (data-derived planes/centroids, f64 math,
+round-6 ranking) and therefore DuckDB-oracle-checkable — unlike a
+graph ANN whose result depends on traversal order.  MLlib's
+BucketedRandomProjectionLSH is also wrapped (mllib_lsh_join) as the
+library path; its hyperplanes are seed-dependent, so it is checked by
+containment against exact results (tests/), not by oracle.
+
+"Fitting" (collecting plane/centroid vectors) pulls a handful of
+request-sized rows to the driver — model parameters, like an MLlib
+model; the corpus itself is never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double_array, squared_l2
+
+PLANE_IDS = [0, 1, 2, 3]
+CENTROID_IDS = [0, 50, 100, 150, 200, 250, 300, 350, 400, 450]
+
+
+def fit_vectors(emb: DataFrame, ids: list[int], id_col: str = "vec_id", vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Model-parameter extraction: the plane/centroid vectors (a few
+    rows), ordered by id.  float32 -> Python float is exact, so the
+    literals below reproduce the oracle's f64 arithmetic bit-for-bit."""
+    rows = (
+        emb.filter(F.col(id_col).isin(ids))
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+
+def rp_bucket(vec: Column, planes: list[tuple[int, list[float]]]) -> Column:
+    """Sign-LSH bucket id: bit i set iff dot(vec, plane_i) > 0.
+    Pure expression — evaluated inside the scan, no shuffle."""
+    bucket = F.lit(0).cast("long")
+    for i, (_, pv) in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec, F.lit(pv).cast("array<double>"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ivf_cell(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """IVF cell assignment: argmin over centroid distances (rounded to
+    6, ties to the smaller centroid id — struct ordering).  Pure
+    expression, no shuffle; at 100 TB, write the table partitioned by
+    this column so probes prune at the file level."""
+    entries = [
+        F.struct(
+            F.round(squared_l2(vec, F.lit(cv).cast("array<double>")), 6).alias("dist"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cv in centroids
+    ]
+    return F.array_min(F.array(*entries)).getField("cid")
+
+
+def rp_lsh_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    planes: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search: same-bucket candidates, exact squared-L2 re-rank.
+    Returns (vec_id, dist) ascending — may return < k rows if the
+    bucket is small (the ANN recall trade, same as ef_search capping
+    HNSW's candidate pool)."""
+    c = corpus.withColumn("__bucket", rp_bucket(as_double_array(F.col(vec_col)), planes))
+    q = F.broadcast(
+        query.select(
+            as_double_array(F.col(vec_col)).alias("__q_vec"),
+        ).withColumn("__bucket", rp_bucket(F.col("__q_vec"), planes))
+    )
+    return (
+        c.join(q, "__bucket")
+        .select(
+            F.col(id_col),
+            F.round(squared_l2(as_double_array(F.col(vec_col)), F.col("__q_vec")), 6).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search: rank cells by centroid distance to the query,
+    take nprobe cells, exact re-rank within them.  The probe-cell
+    selection is computed distributed (tiny DF) with the same rounded
+    arithmetic as the oracle — nothing order-dependent crosses the
+    engine boundary."""
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, cv) for cid, cv in centroids], f"cid int, cvec array<double>"
+    )
+    q = F.broadcast(query.select(as_double_array(F.col(vec_col)).alias("__q_vec")))
+    probe = F.broadcast(
+        cdf.crossJoin(q)
+        .select(
+            F.col("cid").alias("__cell"),
+            F.round(squared_l2(F.col("cvec"), F.col("__q_vec")), 6).alias("cdist"),
+        )
+        .orderBy(F.col("cdist").asc(), F.col("__cell").asc())
+        .limit(nprobe)
+        .select("__cell")
+    )
+    c = corpus.withColumn("__cell", ivf_cell(as_double_array(F.col(vec_col)), centroids))
+    return (
+        c.join(probe, "__cell")
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.col("__cell").alias("cell"),
+            F.round(squared_l2(as_double_array(F.col(vec_col)), F.col("__q_vec")), 6).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def mllib_lsh_join(
+    emb: DataFrame,
+    threshold: float,
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approxSimilarityJoin: all pairs
+    within ``threshold`` EUCLIDEAN distance that collide in any hash
+    table.  Candidate generation shuffles on (table, bucket) — the
+    library-provided version of rp_lsh_search's strategy.  Hyperplanes
+    are drawn from ``seed``, so results are run-deterministic but not
+    SQL-expressible: checked by containment vs exact (tests)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(
+        F.col(id_col), array_to_vector(as_double_array(F.col(vec_col))).alias("features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    ).fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, threshold, distCol="euclid")
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("ia"),
+            F.col(f"datasetB.{id_col}").alias("ib"),
+            F.round(F.col("euclid"), 6).alias("euclid"),
+        )
+    )

@@ -1,0 +1,189 @@
+"""Deduplication operators — the LLM-data-pipeline extension suite.
+
+Not in the reference (its store trivially "dedups" by id overwrite,
+src/scalar_storage.cc:20-32); mandated by the north star for 100-TB
+training-data curation.  Five strategies, cheapest-first:
+
+- exact: hash-groupBy on content digest.  One shuffle on the digest.
+- minhash LSH: shingle -> 8 universal hashes -> 2-row bands ->
+  bucket-join.  Candidate generation never compares all pairs: the
+  shuffle key is the band bucket, so cost is O(sum of bucket^2) —
+  at 100 TB this is THE near-dup strategy.
+- simhash: 16-bit fingerprint per doc, linear scan, no shuffle;
+  hamming-ball lookup joins on fingerprint bands.
+- n-gram jaccard: exact set similarity for candidate verification,
+  blocked by a grouping key to bound the pair space.
+- embedding cosine: semantic near-dup via the vector column —
+  brute-force pairs here (oracle-checkable); LSH/IVF (operators/ann.py)
+  is the scale path.
+
+All deterministic cross-engine: md5-prefix integer hashing, integer
+minhash arithmetic, f64 cosine rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    MINHASH_A,
+    minhash_signature,
+    simhash,
+    tokens,
+    word_shingles,
+)
+from ..functions.vector import as_double_array, cosine_similarity
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: groups of byte-identical texts (md5 digest key).
+    Returns one row per duplicate group: digest, copy count, keeper id
+    (min).  At scale: one shuffle on the digest; the digest itself is
+    computed map-side."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(F.col(id_col)).alias("keeper"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature (8 hashes over 3-word shingles).
+    Pure per-row array expressions: zero shuffles, linear scan."""
+    sh = word_shingles(tokens(F.col(text_col)))
+    return docs.filter(F.size(tokens(F.col(text_col))) >= 3).select(
+        F.col(id_col), *minhash_signature(sh)
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", rows_per_band: int = 2
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs agreeing on ALL hashes of
+    at least one band.  Implementation: explode signature into
+    (band, bucket_key) rows, self-join per band bucket, distinct pairs.
+    The shuffle key is (band, bucket) — never all-pairs."""
+    sigs = minhash_signatures(docs, text_col, id_col)
+    n_bands = len(MINHASH_A) // rows_per_band
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for pairs within a blocking key
+    (same crawl shard / source).  intersection via shingle equi-join,
+    union = |A| + |B| - intersection.  Shuffle keys: (block, shingle)
+    then (doc_a, doc_b) — pair space bounded by block sizes."""
+    sh = (
+        docs.select(
+            F.col(id_col),
+            F.col(block_col).alias("blk"),
+            F.explode(F.array_distinct(word_shingles(tokens(F.col(text_col))))).alias("sh"),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= threshold)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc 16-bit SimHash fingerprint — linear scan, no shuffle."""
+    return docs.select(
+        F.col(id_col), simhash(tokens(F.col(text_col))).alias("simhash")
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Semantic near-dup: all pairs with cosine >= threshold.
+    Brute-force O(n^2) pair generation (broadcast nested-loop) — the
+    oracle-checkable baseline; at 100 TB use LSH bucketing
+    (operators/ann.py) to generate candidates, then this as verifier
+    on the candidate set only."""
+    a = emb.select(
+        F.col(id_col).alias("ia"), as_double_array(F.col(vec_col)).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("ib"), as_double_array(F.col(vec_col)).alias("vb")
+    )
+    return (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,78 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+North-star extension: at 100 TB a training-data table carries
+image/audio/video as ``binary`` columns with typed metadata alongside.
+The Spark-side plumbing here is real — schemas, Arrow-batched
+mapInPandas decode pipeline, partition-friendly metadata extraction —
+while the actual codec step is STUBBED with a deterministic fake
+(the image/audio libraries are not in this container; the stub is
+clearly marked and swaps out for PIL/librosa by replacing ONE
+function).
+
+The fixture has no binary column, so payloads are manufactured from
+``documents.text`` (UTF-8 encode) — deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, byte_len long, width int, height int, checksum long, feat array<double>"
+)
+FEAT_DIM = 8
+
+
+def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the opaque binary column + typed metadata the way an
+    ingest pipeline would: payload bytes, byte length, content digest,
+    declared mime.  All JVM intrinsics — computed inside the scan."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.sha2(payload, 256).alias("sha256"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB codec: a real build calls PIL.Image.open here.  The fake is
+    deterministic: pretend the payload is a (w, h) raster derived from
+    its length, plus a byte checksum.  NotImplementedError path kept
+    for formats a real codec would reject."""
+    if payload is None:
+        raise NotImplementedError("no codec for NULL payload")
+    n = len(payload)
+    width = (n % 97) + 16
+    height = (n // 97) + 16
+    checksum = sum(payload) % 2_147_483_647
+    return width, height, checksum
+
+
+def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batches in, decoded metadata +
+    fixed-dim feature vector out.  This is the real 100-TB shape:
+    per-partition batched decode, no driver involvement, output schema
+    fixed so downstream joins/aggregations stay columnar."""
+    for pdf in it:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, ck = _fake_decode(bytes(payload))
+            feat = [float((ck >> i) & 0xFF) / 255.0 for i in range(0, FEAT_DIM * 8, 8)]
+            rows.append((doc_id, len(payload), w, h, ck, feat))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "byte_len", "width", "height", "checksum", "feat"]
+        )
+
+
+def decode_features(docs_with_payload: DataFrame) -> DataFrame:
+    """Decode + feature-extract pipeline over the binary column."""
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        decode_batch, schema=DECODED_SCHEMA
+    )

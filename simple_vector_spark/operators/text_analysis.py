@@ -1,0 +1,130 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+North-star extensions for training-data curation (not in the
+reference, whose only text handling is opaque JSON storage,
+src/scalar_storage.cc:20-32).  All pure string/array expressions —
+JVM-side, zero shuffles for the per-doc computations; only final
+aggregations shuffle.
+
+Cross-engine determinism: integer counts compared exactly; ratios are
+single f64 divisions of exact ints (deterministic IEEE); NO
+transcendentals (exp/log differ in ulps across libm implementations —
+the quality score is a linear blend instead of a sigmoid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_int, tokens
+
+ROLL_P = 2_147_483_647
+PUNCT_CLASS = "[.,!?;:]"
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# Tiny function-word profiles for the language-ID heuristic.  Scored on
+# raw occurrence counts (exact ints); argmax ties resolve in the fixed
+# order en > de > fr > es (mirrored as a CASE chain in the oracle SQL).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+
+
+def _count_in(toks: Column, words: list[str]) -> Column:
+    return F.size(
+        F.filter(toks, lambda x: F.array_contains(F.lit(words).cast("array<string>"), x))
+    ).cast("long")
+
+
+def token_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counts + quality signals:
+    - n_tokens: whitespace tokens
+    - n_bpe: BPE-ish subword count (letter runs / digit runs / single
+      punctuation — the standard pre-tokenizer regex)
+    - punct_ratio, stop_ratio: fraction of punctuation chars / stopword
+      tokens
+    - quality: linear blend in [0,1]-ish — higher = longer, more
+      stopword-natural, less punctuation-dense text."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    n_char = F.length(F.col(text_col)).cast("long")
+    n_punct = (
+        n_char - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, "")).cast("long")
+    )
+    n_stop = _count_in(toks, LANG_PROFILES["en"])
+    punct_ratio = F.round(n_punct.cast("double") / n_char, 6)
+    stop_ratio = F.round(n_stop.cast("double") / n_tok, 6)
+    quality = F.round(
+        F.lit(0.5) * (n_stop.cast("double") / n_tok)
+        + F.lit(0.3) * (F.least(n_tok, F.lit(200)).cast("double") / 200.0)
+        - F.lit(0.2) * (n_punct.cast("double") / n_char),
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("long").alias("n_bpe"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def langid_predict(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc language prediction: argmax of profile-word occurrence
+    counts, 'unk' when no profile word occurs.  Exact-integer argmax
+    with fixed tie order — deterministic."""
+    toks = tokens(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        F.col("lang"),
+        *[
+            _count_in(toks, words).alias(f"s_{lang}")
+            for lang, words in LANG_PROFILES.items()
+        ],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_PROFILES}
+    predicted = (
+        F.when(F.greatest(*s.values()) == 0, F.lit("unk"))
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), F.lit("en"))
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
+        .when(s["fr"] >= s["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return scored.select(F.col(id_col), F.col("lang"), predicted.alias("predicted"))
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Label-vs-predicted confusion counts (the fixture's ``lang``
+    labels are synthetic, so this measures the heuristic's behavior,
+    not real accuracy)."""
+    return (
+        langid_predict(docs)
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc rolling polynomial hash over characters:
+    h = fold(chars, h*31 + codepoint mod P).  The order-sensitive
+    char fold is a per-row expression (aggregate over split chars);
+    DuckDB mirrors it with list_reduce.  Also emits a shard key
+    (fp % 64) — the fingerprint's use at scale is sharding/bucketing
+    near-identical docs together."""
+    chars = F.split(F.col(text_col), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(ROLL_P),
+    )
+    return docs.select(
+        F.col(id_col),
+        fp.alias("fp"),
+        (fp % 64).alias("shard"),
+    )

@@ -458,3 +458,470 @@ FROM expanded GROUP BY 1
 def events_sliding_2h(spark, sf_dir):
     """Sliding window (2h width, 1h slide): each event in 2 windows."""
     return E.sliding_agg(load_table(spark, sf_dir, "events"), "2 hours", "1 hour")
+
+
+# --------------------------------------------------------------------------
+# Dedup suite (north-star extension: training-data curation at 100 TB).
+# The fixture corpus has no duplicate texts, so the text-dedup queries
+# plant deterministic copies (doc_id % 100 == 0, shifted by 1e6) inside
+# the query — identically in Spark and the oracle.
+# --------------------------------------------------------------------------
+from .functions.text import MINHASH_A, MINHASH_B, MINHASH_P  # noqa: E402
+from .operators import dedup as D  # noqa: E402
+
+COSINE_DUP_THRESHOLD = 0.4
+PLANT_MOD = 100
+PLANT_SHIFT = 1_000_000
+
+_DOCS_PLUS_SQL = f"""
+docs_plus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_SHIFT} AS doc_id, text, source
+  FROM documents WHERE doc_id % {PLANT_MOD} = 0
+)
+"""
+
+_TOKS_SQL = """
+toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS tk
+  FROM docs_plus
+),
+sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(tk) >= 3
+      THEN list_transform(range(len(tk) - 2),
+                          i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+      ELSE [] END AS shingles,
+    len(tk) AS n_tk
+  FROM toks
+)
+"""
+
+_H_SQL = "CAST(concat('0x', substr(md5({v}), 1, 8)) AS BIGINT)"
+
+_SIG_COLS_SQL = ",\n  ".join(
+    f"list_aggregate(list_transform(shingles, s -> ({a} * "
+    + _H_SQL.format(v="s")
+    + f" + {b}) % {MINHASH_P}), 'min') AS mh{i}"
+    for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+)
+
+
+def _docs_plus_spark(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    planted = docs.filter(F.col("doc_id") % PLANT_MOD == 0).select(
+        (F.col("doc_id") + PLANT_SHIFT).alias("doc_id"), "text", "source"
+    )
+    return docs.unionByName(planted)
+
+
+@query(
+    "dedup_exact",
+    f"""
+WITH {_DOCS_PLUS_SQL}
+SELECT md5(text) AS text_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS keeper
+FROM docs_plus GROUP BY 1 HAVING COUNT(*) > 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-digest groupBy (one shuffle on digest)."""
+    return D.exact_dedup_groups(_docs_plus_spark(spark, sf_dir))
+
+
+@query(
+    "dedup_minhash_signatures",
+    f"""
+WITH docs_plus AS (SELECT doc_id, text, source FROM documents),
+{_TOKS_SQL}
+SELECT doc_id,
+  {_SIG_COLS_SQL}
+FROM sh WHERE n_tk >= 3
+""",
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """Per-doc MinHash signature: 8 universal hashes over 3-word
+    shingles — zero-shuffle linear scan (pure array expressions)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return D.minhash_signatures(docs)
+
+
+@query(
+    "dedup_minhash_pairs",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+sigs AS (
+  SELECT doc_id,
+  {_SIG_COLS_SQL}
+  FROM sh WHERE n_tk >= 3
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: agreement on any 2-hash band.
+    Shuffle key = (band, bucket) — never all-pairs."""
+    return D.minhash_candidate_pairs(_docs_plus_spark(spark, sf_dir))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+shx AS (SELECT DISTINCT doc_id, source, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM shx a JOIN shx b
+    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jacc
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard >= 0.5 within a source block."""
+    return D.ngram_jaccard_pairs(_docs_plus_spark(spark, sf_dir), 0.5)
+
+
+@query(
+    "dedup_simhash",
+    """
+WITH docs_plus AS (SELECT doc_id, text, source FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS tk
+  FROM docs_plus
+),
+tokh AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(2 * (CAST(floor(h / pow(2, b)) AS BIGINT) % 2) - 1) AS w
+  FROM tokh, unnest(range(16)) AS bb(b)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN w > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprint per doc — linear scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return D.simhash_fingerprints(docs)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+WITH p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(b.embedding AS DOUBLE[])) AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+d AS (
+  SELECT ia, ib,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS sim
+  FROM p GROUP BY ia, ib
+)
+SELECT ia, ib, sim FROM d WHERE sim >= {COSINE_DUP_THRESHOLD}
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Semantic near-dup pairs (cosine >= threshold), brute-force
+    baseline; ann.py LSH/IVF is the candidate generator at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_pairs(emb, COSINE_DUP_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# ANN (approximate search — the HNSW-capability analog, O4) and
+# text analysis (north-star extensions).
+# --------------------------------------------------------------------------
+from .operators import ann as A  # noqa: E402
+from .operators import text_analysis as T  # noqa: E402
+
+ANN_QUERY_ID = 9
+ANN_K = 10
+IVF_NPROBE = 3
+_PLANES_SQL = ", ".join(str(i) for i in A.PLANE_IDS)
+_CENTS_SQL = ", ".join(str(i) for i in A.CENTROID_IDS)
+
+
+@query(
+    "ann_rp_lsh",
+    f"""
+WITH planes AS (
+  SELECT vec_id AS p, CAST(embedding AS DOUBLE[]) AS pv
+  FROM embeddings WHERE vec_id IN ({_PLANES_SQL})
+),
+pp AS (
+  SELECT e.vec_id, p.p,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(p.pv) AS y
+  FROM embeddings e CROSS JOIN planes p
+),
+dots AS (SELECT vec_id, p, SUM(x * y) AS dot FROM pp GROUP BY vec_id, p),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN pow(2, p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = {ANN_QUERY_ID}),
+cand AS (SELECT b.vec_id FROM buckets b, qb WHERE b.bucket = qb.bucket),
+qp AS (
+  SELECT c.vec_id,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(q.embedding AS DOUBLE[])) AS y
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {ANN_QUERY_ID}) q
+),
+d AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM qp GROUP BY vec_id)
+SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT {ANN_K}
+""",
+)
+def ann_rp_lsh(spark, sf_dir):
+    """Sign-LSH ANN: same-bucket candidates (4 data-derived
+    hyperplanes -> 16 buckets), exact re-rank.  Zero-shuffle bucket
+    assignment; recall < 1 by construction (like HNSW ef_search)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = A.fit_vectors(emb, A.PLANE_IDS)
+    return A.rp_lsh_search(emb, emb.filter(F.col("vec_id") == ANN_QUERY_ID), planes, ANN_K)
+
+
+@query(
+    "ann_ivf",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({_CENTS_SQL})
+),
+pc AS (
+  SELECT e.vec_id, c.cid,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(c.cv) AS y
+  FROM embeddings e CROSS JOIN cents c
+),
+cd AS (SELECT vec_id, cid, ROUND(SUM((x - y) * (x - y)), 6) AS d FROM pc GROUP BY vec_id, cid),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cd
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid AS cell FROM cd WHERE vec_id = {ANN_QUERY_ID} ORDER BY d, cid LIMIT {IVF_NPROBE}
+),
+cand AS (SELECT a.vec_id, a.cell FROM assign a JOIN probe p ON a.cell = p.cell),
+qp AS (
+  SELECT cand.vec_id, cand.cell,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(q.embedding AS DOUBLE[])) AS y
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {ANN_QUERY_ID}) q
+),
+d2 AS (SELECT vec_id, cell, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM qp GROUP BY vec_id, cell)
+SELECT vec_id, CAST(cell AS INT) AS cell, dist FROM d2 ORDER BY dist, vec_id LIMIT {ANN_K}
+""",
+)
+def ann_ivf(spark, sf_dir):
+    """IVF ANN: nearest-centroid cell assignment (zero-shuffle argmin
+    over broadcast centroids), nprobe-cell probe, exact re-rank.  At
+    scale the table is written partitioned by cell => file-level
+    pruning, the Parquet analog of FAISS inverted lists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = A.fit_vectors(emb, A.CENTROID_IDS)
+    return A.ivf_search(
+        emb, emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, IVF_NPROBE
+    )
+
+
+@query("ann_mllib_lsh_join")  # rows-only: hyperplanes are seed-random
+def ann_mllib_lsh_join(spark, sf_dir):
+    """MLlib BucketedRandomProjectionLSH approxSimilarityJoin (library
+    LSH path).  Seed-random hyperplanes => not oracle-expressible;
+    containment-vs-exact is asserted in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return A.mllib_lsh_join(emb, threshold=1.2)
+
+
+# --------------------------------------------------------------------------
+# Text analysis (north-star extensions)
+# --------------------------------------------------------------------------
+_TK_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+_PROFILE_SQL = {
+    lang: "', '".join(words) for lang, words in T.LANG_PROFILES.items()
+}
+
+
+@query(
+    "text_quality",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_TK_SQL} AS tk FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe,
+    CAST(length(text) AS BIGINT) AS n_char,
+    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+    CAST(len(list_filter(tk, x -> list_contains(['{_PROFILE_SQL["en"]}'], x))) AS BIGINT) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_tokens, n_bpe,
+  ROUND(CAST(n_punct AS DOUBLE) / n_char, 6) AS punct_ratio,
+  ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+  ROUND(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+      + 0.3 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+      - 0.2 * (CAST(n_punct AS DOUBLE) / n_char), 6) AS quality
+FROM m
+""",
+)
+def text_quality(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) and quality scoring
+    (length/punct/stopword signals, linear blend — no transcendentals
+    so both engines agree bit-for-bit)."""
+    return T.token_quality(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_langid_confusion",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TK_SQL} AS tk FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    len(list_filter(tk, x -> list_contains(['{_PROFILE_SQL["en"]}'], x))) AS s_en,
+    len(list_filter(tk, x -> list_contains(['{_PROFILE_SQL["de"]}'], x))) AS s_de,
+    len(list_filter(tk, x -> list_contains(['{_PROFILE_SQL["fr"]}'], x))) AS s_fr,
+    len(list_filter(tk, x -> list_contains(['{_PROFILE_SQL["es"]}'], x))) AS s_es
+  FROM t
+),
+p AS (
+  SELECT lang,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unk'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es' END AS predicted
+  FROM s
+)
+SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2
+""",
+)
+def text_langid_confusion(spark, sf_dir):
+    """n-gram/function-word language-ID heuristic, reported as a
+    label-vs-predicted confusion matrix (fixture langs are synthetic)."""
+    return T.langid_confusion(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % {T.ROLL_P}) AS fp,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % {T.ROLL_P}) % 64 AS shard
+FROM documents
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling char hash per doc + shard key (fp % 64)
+    — the bucketing primitive for near-identical doc colocation."""
+    return T.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing + Structured Streaming (north-star extensions)
+# --------------------------------------------------------------------------
+from .operators import multimodal as MM  # noqa: E402
+from .streaming import jobs as SJ  # noqa: E402
+
+
+@query(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256,
+       'application/octet-stream' AS mime
+FROM documents
+""",
+)
+def multimodal_meta(spark, sf_dir):
+    """Binary-column ingest metadata: payload bytes (UTF-8 of text, the
+    fixture's stand-in), byte length, content digest, mime tag."""
+    return MM.with_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "byte_len", "sha256", "mime"
+    )
+
+
+@query("multimodal_decode")  # rows-only: mapInPandas stub codec
+def multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode pipeline over the binary column
+    (codec STUBBED deterministically — container has no image libs);
+    schema/partitioning/batch shape are the real 100-TB plumbing."""
+    docs = MM.with_payload(load_table(spark, sf_dir, "documents"))
+    return MM.decode_features(docs).select(
+        "doc_id", "byte_len", "width", "height", "checksum"
+    )
+
+
+@query(
+    "stream_tumbling_1h",
+    _ORACLES["events_tumbling_1h"],
+)
+def stream_tumbling_1h(spark, sf_dir):
+    """Structured Streaming tumbling-window agg (availableNow,
+    30-minute watermark, memory sink) — must equal the batch
+    events_tumbling_1h, and shares its oracle."""
+    return SJ.tumbling_agg_stream(spark, sf_dir, "1 hour")
+
+
+@query(
+    "stream_dedup_counts",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_dedup_counts(spark, sf_dir):
+    """Streaming stateful dedup: stream unioned with itself (100% dups)
+    -> watermarked dropDuplicates emits each event once; per-type
+    totals equal the batch distinct."""
+    return SJ.dedup_stream(spark, sf_dir)

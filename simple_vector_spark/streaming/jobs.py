@@ -1,0 +1,110 @@
+"""Structured Streaming jobs with batch-equivalent semantics.
+
+The reference's only "streaming" is its WAL: an append-only upsert log
+consumed at boot (src/persistence.cc:84-135, doc/wal.md).  The Spark
+engine treats the log as a live stream: ``readStream`` over the events
+table, watermarks for late data, windowed aggregation, stateful dedup.
+
+Each job runs with ``trigger(availableNow=True)`` into a memory sink
+and drains synchronously, so its result equals the corresponding batch
+query (events_tumbling_1h / distinct events) — which is exactly how the
+DuckDB oracle checks it.  In production the same code points at a file/
+Kafka source with a durable checkpointLocation; the checkpoint replaces
+the reference's snapshot-id bookkeeping (O16-O19).
+
+Scale: windowed agg state is partitioned by (window, keys); dedup state
+by event_id; watermarks bound both.  availableNow processes the backlog
+in rate-limited batches — the same plan a 100-TB backfill would run.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.events import TS_FMT
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table.  Same nanos handling as the
+    batch loader: read ts as long nanos, integer-truncate to micros."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the streaming file source wants a directory; glob-filter the
+    # events file out of the fixture dir
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(stream: DataFrame, mode: str) -> DataFrame:
+    """Run to completion (availableNow) into a memory sink; return the
+    sink as a batch DataFrame."""
+    name = f"snk_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="svs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream.sparkSession
+    return spark.table(name)
+
+
+def tumbling_agg_stream(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> DataFrame:
+    """Streaming tumbling-window aggregate with a 30-minute watermark.
+    availableNow + complete-result read-back == the batch
+    events_tumbling_1h query (same oracle)."""
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _drain(agg, "complete")
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the event stream unioned with itself
+    (every record a duplicate) -> watermarked dropDuplicates(event_id)
+    emits each event exactly once.  Returns per-type counts of the
+    deduped stream — equal to the batch distinct."""
+    a = _read_events_stream(spark, sf_dir)
+    b = _read_events_stream(spark, sf_dir)
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+    )
+    out = _drain(deduped.select("event_id", "event_type", "value"), "append")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+            "sum_value"
+        ),
+    )

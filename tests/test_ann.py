@@ -1,0 +1,79 @@
+"""ANN operators: recall vs exact, bucket/cell determinism, MLlib LSH
+containment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_vector_spark.operators import ann as A
+from simple_vector_spark.operators import knn as K
+from simple_vector_spark.sources.loaders import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _exact_ids(emb, qid, k):
+    q = emb.filter(F.col("vec_id") == qid)
+    return [r.vec_id for r in K.knn_topk(emb, q, k, "sqL2").collect()]
+
+
+def test_rp_lsh_results_subset_of_corpus_and_sorted(emb):
+    planes = A.fit_vectors(emb, A.PLANE_IDS)
+    q = emb.filter(F.col("vec_id") == 9)
+    out = A.rp_lsh_search(emb, q, planes, 10).collect()
+    assert 0 < len(out) <= 10
+    dists = [r.dist for r in out]
+    assert dists == sorted(dists)
+    # self-match: query is in its own bucket at distance 0
+    assert out[0].vec_id == 9 and out[0].dist == 0.0
+
+
+def test_ivf_probe_recall(emb):
+    """nprobe cells must contain the query's own cell -> self-match,
+    and IVF top-k should overlap heavily with exact top-k."""
+    cents = A.fit_vectors(emb, A.CENTROID_IDS)
+    q = emb.filter(F.col("vec_id") == 9)
+    out = A.ivf_search(emb, q, cents, 10, nprobe=3).collect()
+    assert out[0].vec_id == 9 and out[0].dist == 0.0
+    got = {r.vec_id for r in out}
+    exact = set(_exact_ids(emb, 9, 10))
+    # approximate: demand >= 40% recall at nprobe=3 of 10 cells
+    assert len(got & exact) >= 4
+
+
+def test_ivf_cell_assignment_total(emb):
+    """Every vector gets exactly one cell, and cells partition the corpus."""
+    from simple_vector_spark.functions.vector import as_double_array
+
+    cents = A.fit_vectors(emb, A.CENTROID_IDS)
+    cells = emb.withColumn("cell", A.ivf_cell(as_double_array(F.col("embedding")), cents))
+    n = emb.count()
+    assert cells.filter(F.col("cell").isNotNull()).count() == n
+    per_cell = cells.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in per_cell) == n
+    assert len(per_cell) <= len(A.CENTROID_IDS)
+
+
+def test_mllib_lsh_join_contained_in_exact(emb):
+    """approxSimilarityJoin post-filters by TRUE distance, so its pairs
+    must be a subset of the exact threshold pairs; demand decent recall."""
+    approx = {
+        (r.ia, r.ib) for r in A.mllib_lsh_join(emb, threshold=1.2).collect()
+    }
+    from simple_vector_spark.functions.vector import as_double_array, squared_l2
+
+    a = emb.select(F.col("vec_id").alias("ia"), as_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), as_double_array("embedding").alias("vb"))
+    exact = {
+        (r.ia, r.ib)
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", F.sqrt(squared_l2(F.col("va"), F.col("vb"))).alias("d"))
+        .filter(F.col("d") < 1.2)
+        .collect()
+    }
+    assert approx <= exact
+    assert len(approx) >= 0.5 * len(exact)  # recall with 3 hash tables
