@@ -28,12 +28,14 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     MINHASH_A,
-    minhash_signature,
-    simhash,
+    md5_int,
+    minhash_from_hashes,
+    simhash_from_hashes,
     tokens,
     word_shingles,
 )
-from ..functions.vector import as_double_array, cosine_similarity
+from ..functions.vector import as_double_array, dot_product, l2_norm
+from ..sources.loaders import fan_out
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -53,11 +55,18 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc MinHash signature (8 hashes over 3-word shingles).
-    Pure per-row array expressions: zero shuffles, linear scan."""
-    sh = word_shingles(tokens(F.col(text_col)))
-    return docs.filter(F.size(tokens(F.col(text_col))) >= 3).select(
-        F.col(id_col), *minhash_signature(sh)
+    Pure per-row array expressions: zero shuffles, linear scan.  Two
+    projections: (1) shingle + md5-hash once, (2) the 8 affine mins —
+    see ``minhash_from_hashes`` for the codegen-CSE rationale."""
+    hashed = (
+        fan_out(docs)
+        .filter(F.size(tokens(F.col(text_col))) >= 3)
+        .select(
+            F.col(id_col),
+            F.transform(word_shingles(tokens(F.col(text_col))), md5_int).alias("_h"),
+        )
     )
+    return hashed.select(F.col(id_col), *minhash_from_hashes(F.col("_h")))
 
 
 def minhash_candidate_pairs(
@@ -66,7 +75,13 @@ def minhash_candidate_pairs(
     """MinHash-LSH near-dup candidates: docs agreeing on ALL hashes of
     at least one band.  Implementation: explode signature into
     (band, bucket_key) rows, self-join per band bucket, distinct pairs.
-    The shuffle key is (band, bucket) — never all-pairs."""
+    The shuffle key is (band, bucket) — never all-pairs.
+
+    The band table is materialized (``localCheckpoint``) before the
+    self-join: without it Catalyst would recompute the full
+    shingle->md5->minhash derivation on BOTH join branches — at 100 TB
+    the signature table (#docs x 8 longs) is orders of magnitude
+    smaller than the corpus, so persisting it is the only sane plan."""
     sigs = minhash_signatures(docs, text_col, id_col)
     n_bands = len(MINHASH_A) // rows_per_band
     bands = sigs.select(
@@ -88,7 +103,7 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket").localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -116,14 +131,18 @@ def ngram_jaccard_pairs(
     """Exact 3-gram Jaccard similarity for pairs within a blocking key
     (same crawl shard / source).  intersection via shingle equi-join,
     union = |A| + |B| - intersection.  Shuffle keys: (block, shingle)
-    then (doc_a, doc_b) — pair space bounded by block sizes."""
+    then (doc_a, doc_b) — pair space bounded by block sizes.
+
+    The exploded shingle table is materialized once (``localCheckpoint``)
+    — it feeds three plan branches (sizes + both self-join sides), which
+    would otherwise re-shingle the corpus three times."""
     sh = (
-        docs.select(
+        fan_out(docs).select(
             F.col(id_col),
             F.col(block_col).alias("blk"),
             F.explode(F.array_distinct(word_shingles(tokens(F.col(text_col))))).alias("sh"),
         )
-    )
+    ).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -158,9 +177,13 @@ def ngram_jaccard_pairs(
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc 16-bit SimHash fingerprint — linear scan, no shuffle."""
-    return docs.select(
-        F.col(id_col), simhash(tokens(F.col(text_col))).alias("simhash")
+    """Per-doc 16-bit SimHash fingerprint — linear scan, no shuffle.
+    Token hashes materialized once, then 16 bit-votes over the column."""
+    hashed = fan_out(docs).select(
+        F.col(id_col), F.transform(tokens(F.col(text_col)), md5_int).alias("_h")
+    )
+    return hashed.select(
+        F.col(id_col), simhash_from_hashes(F.col("_h")).alias("simhash")
     )
 
 
@@ -171,19 +194,29 @@ def embedding_cosine_pairs(
     Brute-force O(n^2) pair generation (broadcast nested-loop) — the
     oracle-checkable baseline; at 100 TB use LSH bucketing
     (operators/ann.py) to generate candidates, then this as verifier
-    on the candidate set only."""
-    a = emb.select(
-        F.col(id_col).alias("ia"), as_double_array(F.col(vec_col)).alias("va")
-    )
+    on the candidate set only.
+
+    Plan shape: each vector's L2 norm is computed ONCE per row (n ops),
+    not once per pair (n^2 ops); per-pair work is the dot product only.
+    The streamed side is fanned out to all cores — a broadcast
+    nested-loop join's parallelism equals the streamed side's partition
+    count, and the fixture parquet scans as a single split."""
+    a = fan_out(
+        emb.select(
+            F.col(id_col).alias("ia"), as_double_array(F.col(vec_col)).alias("va")
+        )
+    ).withColumn("na", l2_norm(F.col("va")))
     b = emb.select(
         F.col(id_col).alias("ib"), as_double_array(F.col(vec_col)).alias("vb")
-    )
+    ).withColumn("nb", l2_norm(F.col("vb")))
     return (
-        a.join(b, F.col("ia") < F.col("ib"))
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
         .select(
             "ia",
             "ib",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("sim"),
+            F.round(
+                dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -51,6 +51,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+    """Round-robin repartition to full core count when the scan produced
+    too few splits to keep the cluster busy.
+
+    The driver fixtures are single-row-group parquet files, so Spark's
+    split planner (``spark.sql.files.maxPartitionBytes``) can only give
+    1-2 tasks — per-row heavy work (MinHash, shingling, distance exprs)
+    would then run on 2 of 32 cores.  On a real 100-TB table the scan
+    itself yields thousands of splits and this is a no-op (the
+    ``min_ratio`` guard), so no extra shuffle is paid at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(target * min_ratio)):
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
