@@ -55,6 +55,32 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events within ``gap`` of the previous
+    event merge into one session; session end = last event + gap
+    (Spark ``session_window`` semantics).  One shuffle on user_id;
+    state is bounded per key.  The same expression runs under
+    Structured Streaming with a watermark (streaming/jobs.py).
+
+    Oracle form: gaps-and-islands — lag + cumulative island sum."""
+    return (
+        events.groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT).alias("session_start"),
+            F.date_format(F.col("w.end"), TS_FMT).alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def sliding_agg(
     events: DataFrame, width: str = "2 hours", slide: str = "1 hour"
 ) -> DataFrame:

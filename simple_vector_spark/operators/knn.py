@@ -147,6 +147,54 @@ def knn_join(
     )
 
 
+def knn_shard_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN via per-partition NumPy kernels + global re-merge —
+    the vectorized scale path for when the expression form (knn_topk)
+    is compute-bound.
+
+    Physical shape: the corpus is scanned shard-by-shard; each Arrow
+    batch computes all its squared-L2 distances in one vectorized
+    ``((M - q)**2).sum(axis=1)`` and forwards only its local top-k, so
+    at most k * #batches candidate rows leave the scan stage; a final
+    ``TakeOrderedAndProject`` merges them.  Exactly the reference's
+    FLAT search (src/faiss_index.cc:32-58) — FAISS's SIMD kernel
+    becomes a NumPy kernel per shard, its result heap becomes the
+    global top-k merge.  Semantics (and the oracle) are identical to
+    knn_topk: ascending rounded distance, id tiebreak.
+
+    The query vector rides in the task closure (request-sized, like an
+    MLlib model broadcast) — the corpus is never collected."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.loaders import fan_out
+
+    qrow = query.select(vec_col).head()
+    qv = [float(x) for x in qrow[0]]
+
+    def local_topk(it):
+        q = np.asarray(qv, dtype=np.float64)
+        for pdf in it:
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d = np.round(((m - q) ** 2).sum(axis=1), 6)
+            ids = pdf[id_col].to_numpy()
+            sel = np.lexsort((ids, d))[:k]
+            yield pd.DataFrame({id_col: ids[sel], "dist": d[sel]})
+
+    local = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        local_topk, schema=f"{id_col} long, dist double"
+    )
+    return local.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
+
+
 def point_lookup(corpus: DataFrame, ids: list[int], id_col: str = "vec_id") -> DataFrame:
     """O10: fetch full records by id — a RocksDB get in the reference
     (src/scalar_storage.cc:34-53), an id-predicate scan here.  At scale

@@ -72,7 +72,11 @@ def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def decode_features(docs_with_payload: DataFrame) -> DataFrame:
-    """Decode + feature-extract pipeline over the binary column."""
-    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+    """Decode + feature-extract pipeline over the binary column.
+    Fanned out first: decode cost is per-row Python work, so the
+    pipeline's parallelism is exactly the input partition count."""
+    from ..sources.loaders import fan_out
+
+    return fan_out(docs_with_payload.select("doc_id", "payload")).mapInPandas(
         decode_batch, schema=DECODED_SCHEMA
     )

@@ -70,10 +70,51 @@ def delete_ids_anti(corpus: DataFrame, tombstones: DataFrame, key: str) -> DataF
     return corpus.join(F.broadcast(tombstones), on=key, how="left_anti")
 
 
-def snapshot(df: DataFrame, path: str) -> None:
+def wal_replay(
+    log: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str,
+    delete_op: str,
+) -> DataFrame:
+    """O17 (intended semantics, doc/wal.md:7): reconstruct current
+    state by replaying an op log in sequence order.  Declaratively:
+    the newest op per key wins (O13's window), and keys whose newest
+    op is a delete have no current row (O12 tombstone).
+
+    The reference replays by re-calling upsert() per record serially
+    (src/vector_database.cc:21-50); here replay is one shuffle-by-key
+    window over the whole log regardless of log length — recovery time
+    is O(log/partitions), not O(log) serial."""
+    latest = latest_wins(log, key_cols, seq_cols)
+    return latest.filter(F.col(op_col) != F.lit(delete_op))
+
+
+def allocate_ids(
+    df: DataFrame, order_cols: list[str], id_name: str = "new_id"
+) -> DataFrame:
+    """O20: monotonic id allocation.  The reference hands out
+    ``increaseID_++`` per WAL record (src/persistence.cc:43-48) — a
+    serial counter.  Deterministic distributed equivalent: dense ranks
+    over a total order.
+
+    Scale note: a global row_number needs a single-partition window —
+    fine for dimension-sized tables; for corpus-scale id assignment use
+    ``zipWithIndex``-style (partition offsets + local ranks) or
+    ``monotonically_increasing_id`` when density is not required."""
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(id_name, F.row_number().over(w).cast("long"))
+
+
+def snapshot(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """O18: persist current state.  A Parquet/Delta commit is the
-    snapshot — atomic at the commit level, no bespoke file format."""
-    df.write.mode("overwrite").parquet(path)
+    snapshot — atomic at the commit level, no bespoke file format.
+    ``partition_by`` lays the snapshot out for partition pruning on
+    the hot filter columns (the filter-index analog, O14)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
 
 
 def restore(spark, path: str) -> DataFrame:

@@ -111,6 +111,44 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1997-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: double-filtered 3-way join (customer segment,
+    order date, ship date), revenue agg per order, global top-k.
+    Plan: both date filters push to the fact scans; the customer
+    filter shrinks the dim before the join; the final top-k is
+    TakeOrderedAndProject (no full sort).  Revenue in DECIMAL."""
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast(DEC_RATE) - _dec("l_discount", DEC_RATE)
+    )
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit(cutoff))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
 def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Set difference (EXCEPT): distinct custkeys minus order custkeys.
     Compiles to a left-anti aggregate; at scale prefer the anti-join

@@ -110,6 +110,65 @@ def langid_confusion(docs: DataFrame) -> DataFrame:
     )
 
 
+def vocab_topn(docs: DataFrame, n: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: token -> frequency, top-n by (count desc,
+    token asc).  The BPE-training / tokenizer-audit primitive.  Plan:
+    explode inside the scan, partial count map-side, one shuffle on
+    token, global top-n via TakeOrderedAndProject — at 100 TB the
+    shuffle carries one row per distinct token per partition, not one
+    per occurrence."""
+    from ..sources.loaders import fan_out
+
+    toks = fan_out(docs.select(text_col)).select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(n)
+    )
+
+
+def length_histogram(
+    docs: DataFrame, bucket_width: int = 100, n_buckets: int = 20
+) -> DataFrame:
+    """Document-length histogram: n_chars bucketed into fixed-width
+    bins (last bin open-ended).  One map-side-combined shuffle on the
+    bucket id — the distribution-audit primitive for curation."""
+    b = F.least(
+        F.floor(F.col("n_chars") / bucket_width), F.lit(n_buckets - 1)
+    ).cast("long")
+    return (
+        docs.groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def hash_sample(
+    docs: DataFrame,
+    rates: dict[str, int],
+    default_rate: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    md5-hash(id) % 100 < rate(stratum).  Unlike ``df.sample`` (seeded
+    RNG, partition-dependent), the hash gate is a pure row predicate —
+    reproducible across engines, runs, and repartitionings, which is
+    what a 100-TB curation pipeline needs for auditable subsets.
+    ``rates`` maps stratum value -> percentage [0,100]."""
+    h = md5_int(F.col(id_col).cast("string")) % 100
+    rate = F.lit(default_rate)
+    for v, r in rates.items():
+        rate = F.when(F.col(strata_col) == v, F.lit(r)).otherwise(rate)
+    return docs.filter(h < rate)
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc rolling polynomial hash over characters:
     h = fold(chars, h*31 + codepoint mod P).  The order-sensitive

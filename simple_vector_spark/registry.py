@@ -185,6 +185,30 @@ def knn_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "dist", "rnk")
 
 
+@query(
+    "knn_shard_topk",
+    f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+pairs AS (
+  SELECT e.vec_id,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+         unnest(q.qv) AS y
+  FROM embeddings e CROSS JOIN q
+),
+d AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM pairs GROUP BY vec_id)
+SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT {KNN_K}
+""",
+)
+def knn_shard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 scale path: per-partition NumPy top-k (Arrow batches) +
+    global TakeOrderedAndProject merge — exact, same oracle as the
+    expression form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.knn_shard_topk(emb, emb.filter(F.col("vec_id") == 0), KNN_K)
+
+
 # --------------------------------------------------------------------------
 # Point lookup + metadata projection (O10/O21)
 # --------------------------------------------------------------------------
@@ -243,6 +267,71 @@ def delete_then_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     alive = M.delete_ids(emb, F.col("vec_id") % DELETE_MOD == 0)
     return alive.groupBy("label").agg(F.count("*").alias("n"))
+
+
+@query(
+    "wal_replay_state",
+    """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type != 'error'
+""",
+)
+def wal_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17+O12: WAL replay with tombstones — latest op per key wins,
+    keys whose latest op is a delete ('error' here) have no row.  One
+    shuffle-by-key window regardless of log length."""
+    events = load_table(spark, sf_dir, "events")
+    state = M.wal_replay(events, ["user_id"], ["ts", "event_id"], "event_type", "error")
+    return state.select("user_id", "event_id", "event_type", "value")
+
+
+@query(
+    "allocate_doc_ids",
+    """
+SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) AS BIGINT) AS new_id
+FROM documents
+""",
+)
+def allocate_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O20: deterministic dense id allocation over a total order (the
+    reference's increaseID_ counter, distributed)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return M.allocate_ids(docs, ["source", "doc_id"]).select("doc_id", "new_id")
+
+
+@query(
+    "snapshot_roundtrip",
+    """
+SELECT CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_id
+FROM embeddings WHERE label < 5 GROUP BY 1
+""",
+)
+def snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16/O18/O19: snapshot = Parquet write partitioned by the hot
+    filter column (the filter-index analog), restore = read back; the
+    label predicate after restore prunes at the directory level.
+    Values must round-trip losslessly — checked by the oracle reading
+    the ORIGINAL table."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/snap_embeddings_{tag}"
+    M.snapshot(emb, path, partition_by=["label"])
+    back = M.restore(spark, path)
+    return (
+        back.filter(F.col("label") < 5)
+        .groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("vec_id").alias("sum_id"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -347,6 +436,35 @@ FROM (
 def top_orders_per_customer(spark, sf_dir):
     """Per-group top-k window (rank-limit; WindowGroupLimit partials)."""
     return R.top_orders_per_customer(load_table(spark, sf_dir, "orders"), 3)
+
+
+@query(
+    "tpch_q3_shipping",
+    f"""
+WITH j AS (
+  SELECT l.l_orderkey, o.o_orderdate,
+         {_DEC_PRICE_SQL} * {_DEC_DISC_SQL} AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1997-06-01'
+    AND l.l_shipdate > TIMESTAMP '1997-06-01'
+)
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       ROUND(CAST(SUM(rev) AS DOUBLE), 4) AS revenue
+FROM j GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def tpch_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape: double-filtered 3-way join + revenue top-k."""
+    return R.shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
 
 
 @query(
@@ -458,6 +576,38 @@ FROM expanded GROUP BY 1
 def events_sliding_2h(spark, sf_dir):
     """Sliding window (2h width, 1h slide): each event in 2 windows."""
     return E.sliding_agg(load_table(spark, sf_dir, "events"), "2 hours", "1 hour")
+
+
+_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts, value, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM g GROUP BY user_id, sid
+"""
+
+
+@query("events_sessionize", _SESSION_ORACLE)
+def events_sessionize(spark, sf_dir):
+    """Session windows per user (30-min gap) — batch form; the
+    streaming run (stream_sessionize) must produce exactly this.
+    Oracle: gaps-and-islands."""
+    return E.sessionize(load_table(spark, sf_dir, "events"), "30 minutes")
 
 
 # --------------------------------------------------------------------------
@@ -864,6 +1014,60 @@ def text_fingerprint(spark, sf_dir):
     return T.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "vocab_top100",
+    f"""
+WITH tk AS (
+  SELECT unnest({_TK_SQL}) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM tk GROUP BY token ORDER BY n DESC, token LIMIT 100
+""",
+)
+def vocab_top100(spark, sf_dir):
+    """Corpus vocabulary top-100: explode -> partial count -> one
+    shuffle on token -> TakeOrderedAndProject."""
+    return T.vocab_topn(load_table(spark, sf_dir, "documents"), 100)
+
+
+@query(
+    "doc_length_histogram",
+    """
+SELECT CAST(least(floor(n_chars / 100), 19) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents GROUP BY 1
+""",
+)
+def doc_length_histogram(spark, sf_dir):
+    """Length-distribution audit: fixed-width buckets, one map-side-
+    combined shuffle."""
+    return T.length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+SAMPLE_RATES = {"en": 25}
+SAMPLE_DEFAULT = 60
+
+
+@query(
+    "sample_hash_stratified",
+    f"""
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      < CASE WHEN lang = 'en' THEN {SAMPLE_RATES["en"]} ELSE {SAMPLE_DEFAULT} END
+""",
+)
+def sample_hash_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: md5-hash gate per stratum —
+    reproducible across engines/runs/partitionings (unlike seeded
+    df.sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.hash_sample(docs, SAMPLE_RATES, SAMPLE_DEFAULT).select(
+        "doc_id", "lang", "source"
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing + Structured Streaming (north-star extensions)
 # --------------------------------------------------------------------------
@@ -909,6 +1113,28 @@ def stream_tumbling_1h(spark, sf_dir):
     30-minute watermark, memory sink) — must equal the batch
     events_tumbling_1h, and shares its oracle."""
     return SJ.tumbling_agg_stream(spark, sf_dir, "1 hour")
+
+
+@query("stream_sessionize", _SESSION_ORACLE)
+def stream_sessionize(spark, sf_dir):
+    """Streaming session windows (availableNow, 1h watermark) — must
+    equal the batch events_sessionize, and shares its oracle."""
+    return SJ.sessionize_stream(spark, sf_dir, "30 minutes")
+
+
+@query(
+    "stream_stateful_user_totals",
+    """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_user_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running (count, total); final emission equals the batch
+    GROUP BY."""
+    return SJ.stateful_user_totals(spark, sf_dir)
 
 
 @query(

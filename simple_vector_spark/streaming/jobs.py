@@ -89,6 +89,66 @@ def tumbling_agg_stream(spark: SparkSession, sf_dir: str, width: str = "1 hour")
     return _drain(agg, "complete")
 
 
+def sessionize_stream(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Streaming session windows: per-user sessions close when no event
+    arrives within ``gap``; the 1-hour watermark bounds session state.
+    availableNow + complete read-back == the batch sessionize query
+    (same oracle)."""
+    from ..operators.events import sessionize
+
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return _drain(sessionize(ev, gap), "complete")
+
+
+STATE_SCHEMA = "n long, total double"
+USER_TOTALS_SCHEMA = "user_id long, n long, total double"
+
+
+def _user_totals_fn(key, pdfs, state):
+    """applyInPandasWithState worker: running (count, sum) per user.
+    Emits the updated running totals each micro-batch."""
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running event count + value total — the arbitrary-state
+    API the reference's WAL-tailing recovery loop would need to become
+    a live materialized view.  State is one (long, double) per user,
+    partitioned by user_id.  With availableNow the final emission per
+    user equals the batch GROUP BY (the oracle); the groupBy(max)
+    collapse below keeps that true even if the backlog splits into
+    multiple micro-batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = _read_events_stream(spark, sf_dir)
+    out = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_totals_fn,
+            outputStructType=USER_TOTALS_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = _drain(out, "update")
+    return drained.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.round(F.max_by("total", "n"), 6).alias("sum_value"),
+    )
+
+
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: the event stream unioned with itself
     (every record a duplicate) -> watermarked dropDuplicates(event_id)
