@@ -195,6 +195,45 @@ def knn_shard_topk(
     return local.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def label_centroid_topk(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid rollup + the k members closest to their
+    centroid — the cluster-quality / medoid-selection primitive (and
+    the relational answer to 'hypertable rollup' over a vector column).
+
+    Plan: posexplode to (id, label, pos, x) -> centroid = avg per
+    (label, pos) (map-side partial agg, shuffle is |labels| * dim
+    rows) -> rejoin on (label, pos) -> per-id distance agg -> per-label
+    rank-limit window (WindowGroupLimit partials).  The explode
+    multiplies rows by dim but every stage after the first agg is
+    label-dim- or id-sized, never corpus-x-corpus."""
+    ex = emb.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x"),
+    )
+    cent = ex.groupBy(label_col, "pos").agg(F.avg("x").alias("c"))
+    d = (
+        ex.join(cent, [label_col, "pos"])
+        .groupBy(id_col, label_col)
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 6
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy(label_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        d.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def point_lookup(corpus: DataFrame, ids: list[int], id_col: str = "vec_id") -> DataFrame:
     """O10: fetch full records by id — a RocksDB get in the reference
     (src/scalar_storage.cc:34-53), an id-predicate scan here.  At scale

@@ -1,0 +1,53 @@
+"""End-to-end curation pipeline composite — the north-star showcase.
+
+One declared query chaining the curation stages a 100-TB training-data
+build actually runs, in the order that minimizes work per stage:
+
+  exact dedup (keep group keeper)           -- shuffle on content digest
+  -> quality scoring + threshold            -- map-side expressions
+  -> deterministic hash sampling            -- map-side predicate
+  -> join to the embedding table            -- the only key shuffle
+
+Each stage drops rows BEFORE the next pays for them: dedup halves
+first, the quality gate is a pure scan-stage filter, sampling gates
+before the join moves any data.  Every stage is an operator declared
+elsewhere (dedup.py / text_analysis.py) — this module only composes,
+proving the operators are pipeline-ready rather than demo-shaped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text_analysis import hash_sample, token_quality
+
+
+def exact_dedup_keepers(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct text: the group keeper (min id).
+    Window form (rank over digest) so the full row survives without a
+    self-join back."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def curate(
+    docs: DataFrame,
+    emb: DataFrame,
+    quality_floor: float = 0.15,
+    sample_pct: int = 50,
+) -> DataFrame:
+    """dedup -> quality gate -> hash sample -> embedding join.
+    Output: (doc_id, label, n_tokens, quality) — the curated training
+    subset with its vectors attached."""
+    uniq = exact_dedup_keepers(docs)
+    scored = token_quality(uniq).filter(F.col("quality") >= quality_floor)
+    sampled = hash_sample(scored, rates={}, default_rate=sample_pct, strata_col="doc_id")
+    return (
+        sampled.join(emb, sampled.doc_id == emb.vec_id)
+        .select("doc_id", "label", "n_tokens", "quality")
+    )

@@ -1,0 +1,56 @@
+"""Ingest validation — the reference's request-validation layer (O2).
+
+The reference checks presence/type of ``id`` and ``vectors`` per HTTP
+request (src/http_server.cc:43-64 ``isRequestValid``) but never checks
+vector dimension against the index (SURVEY.md §1.2 flags this gap: dim
+is fixed at init and unvalidated).  The Spark engine makes validation a
+first-class scan-stage operator: classify every record, report counts,
+and let the pipeline route rejects to quarantine instead of corrupting
+the corpus.
+
+Scale: a single map-side classification expression + one tiny
+aggregation — no shuffle of the data itself; the classified frame can
+be written out partitioned by status for quarantine handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def classify(
+    emb_df: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> Column:
+    """Validation status expression: 'ok' | 'null_id' | 'null_vec' |
+    'bad_dim'.  Evaluation order mirrors the reference's check order
+    (id first, then vectors — src/http_server.cc:46-60)."""
+    return (
+        F.when(F.col(id_col).isNull(), F.lit("null_id"))
+        .when(F.col(vec_col).isNull(), F.lit("null_vec"))
+        .when(F.size(F.col(vec_col)) != dim, F.lit("bad_dim"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+def validation_report(
+    emb_df: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-status counts + smallest offending id (for triage)."""
+    return (
+        emb_df.withColumn("status", classify(emb_df, dim, id_col, vec_col))
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(id_col).alias("min_id"),
+        )
+    )
+
+
+def valid_rows(
+    emb_df: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The pass-through side: rows safe to index."""
+    return emb_df.filter(
+        classify(emb_df, dim, id_col, vec_col) == F.lit("ok")
+    )

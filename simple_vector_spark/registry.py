@@ -55,6 +55,8 @@ N_QUERIES = 8  # batch search: query vectors = embeddings with vec_id < 8
 FILTER_LABEL = 7  # the int_field analog (FIXTURES.md: label == int_field)
 LOOKUP_IDS = [7, 42, 99]
 DELETE_MOD = 10  # tombstones: vec_id % 10 == 0
+PLANT_MOD = 100  # planted duplicates: doc_id % 100 == 0 ...
+PLANT_SHIFT = 1_000_000  # ... copied to doc_id + 1e6
 
 # DuckDB fragment: per-(corpus row, query row) parallel-unnest of the two
 # double-cast vectors; DuckDB zips parallel unnests positionally, giving
@@ -209,6 +211,43 @@ def knn_shard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.knn_shard_topk(emb, emb.filter(F.col("vec_id") == 0), KNN_K)
 
 
+@query(
+    "knn_batch_filtered",
+    f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(q.embedding AS DOUBLE[])) AS y
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < {N_QUERIES}
+    AND e.label IS NOT NULL AND e.label != {FILTER_LABEL}
+),
+d AS (
+  SELECT query_id, vec_id, {_PAIR_L2} AS dist
+  FROM pairs GROUP BY query_id, vec_id
+),
+r AS (
+  SELECT query_id, vec_id, dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS INT) AS rnk
+  FROM d
+)
+SELECT query_id, vec_id, dist, rnk FROM r WHERE rnk <= {BATCH_K}
+""",
+)
+def knn_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15+O7+O8: the flagship entry() plan as a declared query —
+    batch k-NN join with the != pre-filter pushed below the ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = K.knn_join(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        BATCH_K,
+        "sqL2",
+        pred=K.ne_filter("label", FILTER_LABEL),
+    )
+    return out.select("query_id", "vec_id", "dist", "rnk")
+
+
 # --------------------------------------------------------------------------
 # Point lookup + metadata projection (O10/O21)
 # --------------------------------------------------------------------------
@@ -267,6 +306,75 @@ def delete_then_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     alive = M.delete_ids(emb, F.col("vec_id") % DELETE_MOD == 0)
     return alive.groupBy("label").agg(F.count("*").alias("n"))
+
+
+EMB_DIM = 64
+BAD_MOD = 50
+
+
+@query(
+    "validate_ingest",
+    f"""
+WITH emb_plus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_SHIFT}, embedding[1:32]
+  FROM embeddings WHERE vec_id % {BAD_MOD} = 0
+),
+c AS (
+  SELECT vec_id,
+         CASE WHEN vec_id IS NULL THEN 'null_id'
+              WHEN embedding IS NULL THEN 'null_vec'
+              WHEN len(embedding) != {EMB_DIM} THEN 'bad_dim'
+              ELSE 'ok' END AS status
+  FROM emb_plus
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS min_id
+FROM c GROUP BY status
+""",
+)
+def validate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: request-validation as a scan-stage classifier (the reference
+    never dim-checks, SURVEY.md §1.2 — we close that gap).  Bad rows
+    are planted in-query (sliced vectors at shifted ids), identically
+    in the oracle."""
+    from .operators import validate as V
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bad = emb.filter(F.col("vec_id") % BAD_MOD == 0).select(
+        (F.col("vec_id") + PLANT_SHIFT).alias("vec_id"),
+        F.slice("embedding", 1, 32).alias("embedding"),
+    )
+    return V.validation_report(emb.unionByName(bad), EMB_DIM)
+
+
+@query(
+    "label_centroid_topk",
+    """
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+cent AS (SELECT label, pos, AVG(x) AS c FROM ex GROUP BY label, pos),
+d AS (
+  SELECT e.vec_id, e.label, ROUND(SUM((e.x - c.c) * (e.x - c.c)), 6) AS dist
+  FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id, label, dist, CAST(rnk AS INT) AS rnk FROM (
+  SELECT vec_id, label, dist,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist, vec_id) AS rnk
+  FROM d
+) WHERE rnk <= 3
+""",
+)
+def label_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid rollup + 3 closest members (medoid-ish) —
+    posexplode -> per-dim avg -> rejoin -> rank-limit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.label_centroid_topk(emb, 3)
 
 
 @query(
@@ -620,8 +728,6 @@ from .functions.text import MINHASH_A, MINHASH_B, MINHASH_P  # noqa: E402
 from .operators import dedup as D  # noqa: E402
 
 COSINE_DUP_THRESHOLD = 0.4
-PLANT_MOD = 100
-PLANT_SHIFT = 1_000_000
 
 _DOCS_PLUS_SQL = f"""
 docs_plus AS (
@@ -1066,6 +1172,57 @@ def sample_hash_stratified(spark, sf_dir):
     return T.hash_sample(docs, SAMPLE_RATES, SAMPLE_DEFAULT).select(
         "doc_id", "lang", "source"
     )
+
+
+QUALITY_FLOOR = 0.15
+SAMPLE_PCT = 50
+
+
+@query(
+    "curation_pipeline",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+uniq AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM docs_plus
+  ) WHERE rn = 1
+),
+t AS (SELECT doc_id, text, {_TK_SQL} AS tk FROM uniq),
+m AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_char,
+    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+    CAST(len(list_filter(tk, x -> list_contains(['{_PROFILE_SQL["en"]}'], x))) AS BIGINT) AS n_stop
+  FROM t
+),
+q AS (
+  SELECT doc_id, n_tokens,
+    ROUND(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+        + 0.3 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+        - 0.2 * (CAST(n_punct AS DOUBLE) / n_char), 6) AS quality
+  FROM m
+),
+s AS (
+  SELECT * FROM q
+  WHERE quality >= {QUALITY_FLOOR}
+    AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < {SAMPLE_PCT}
+)
+SELECT s.doc_id, e.label, s.n_tokens, s.quality
+FROM s JOIN embeddings e ON e.vec_id = s.doc_id
+""",
+)
+def curation_pipeline(spark, sf_dir):
+    """North-star composite: exact dedup -> quality gate -> hash
+    sample -> embedding join, each stage dropping rows before the next
+    pays for them.  Composes the declared operators end-to-end."""
+    from .operators import pipeline as P
+
+    docs = _docs_plus_spark(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return P.curate(docs, emb, QUALITY_FLOOR, SAMPLE_PCT)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,64 @@
+"""Physical-plan audits: the scale properties claimed in operator
+docstrings must actually appear in the executed plan.  These are the
+regressions that matter at 100 TB — a missing pushed filter or a lost
+WindowGroupLimit is invisible at sf0.001 and fatal at scale."""
+
+from __future__ import annotations
+
+from simple_vector_spark.registry import queries
+
+QS = queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return QS[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_knn_filter_pushed_below_ranking(spark, sf_dir):
+    """O8 pre-filter semantics: the label predicate reaches the parquet
+    scan (DataFilters), and top-k is TakeOrderedAndProject (per-
+    partition heaps, no corpus shuffle)."""
+    plan = plan_of(spark, sf_dir, "knn_filtered_eq")
+    assert "TakeOrderedAndProject" in plan
+    assert "(label" in plan and "= 7)" in plan  # pushed, not post-filtered
+
+
+def test_knn_batch_join_has_partial_group_limit(spark, sf_dir):
+    """O15: rank-limit must insert WindowGroupLimit Partial before the
+    shuffle so only k rows per query per partition move."""
+    plan = plan_of(spark, sf_dir, "knn_batch_join")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # query side broadcast
+
+
+def test_q1_scan_prunes_columns_and_pushes_date(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q1_pricing")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_shipdate" in scan and "<=" in scan  # pushed date filter
+    assert "l_partkey" not in scan  # column pruning reached the scan
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_point_lookup_pushes_in_filter_to_both_sides(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "point_lookup")
+    assert plan.count("IN (7,42,99)") >= 2  # propagated through the join
+
+
+def test_top_orders_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top_orders_per_customer")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q3_filters_pushed_to_fact_scans(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q3_shipping")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    li = next(s for s in scans if "lineitem" in s)
+    od = next(s for s in scans if "orders.parquet" in s)
+    assert "l_shipdate" in li  # date filter at the lineitem scan
+    assert "o_orderdate" in od  # date filter at the orders scan
+    assert "TakeOrderedAndProject" in plan
