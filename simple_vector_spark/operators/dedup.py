@@ -53,6 +53,21 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def dedup_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dedup audit row: total rows, exact distinct texts, and the HLL
+    sketch estimate (approx_count_distinct, default 5% rsd).  At
+    100 TB the exact distinct is the expensive one (full shuffle of
+    digests); the sketch is map-side mergeable and is what a
+    monitoring pipeline actually runs — this operator exists to
+    measure that trade."""
+    digest = F.md5(F.col(text_col))
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(digest).alias("exact_distinct"),
+        F.approx_count_distinct(digest).alias("approx_distinct"),
+    )
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc MinHash signature (8 hashes over 3-word shingles).
     Pure per-row array expressions: zero shuffles, linear scan.  Two

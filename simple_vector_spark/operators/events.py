@@ -55,6 +55,32 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running event count + value total ordered by (ts,
+    event_id) — the continuous-aggregation view of the WAL (what O17
+    replay would materialize after every log record).  One shuffle on
+    user_id; the frame is ROWS UNBOUNDED PRECEDING so state is a
+    single accumulator per key."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .cast("long")
+        .alias("run_n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 6
+        ).alias("run_value"),
+    )
+
+
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user: events within ``gap`` of the previous
     event merge into one session; session end = last event + gap

@@ -98,6 +98,38 @@ def rollup_revenue(
     )
 
 
+def cube_revenue(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Full CUBE over (region, order status): every grouping-set
+    combination in one pass (Spark expands to a union of aggregates
+    over one shuffle)."""
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.cube("r_name", "o_orderstatus").agg(
+        F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def order_value_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of order value per priority
+    class (SQL PERCENTILE_CONT semantics — matches DuckDB
+    quantile_cont).  Exact percentiles need the group sorted; at
+    100 TB switch to approx_percentile (t-digest sketch, map-side
+    mergeable, no sort) and accept the documented error bound."""
+    return orders.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(q)), 4).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ],
+        F.count("*").alias("n"),
+    )
+
+
 def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     """Per-group top-k window — the same rank-limit pattern the k-NN
     join uses; WindowGroupLimit keeps the shuffle at k rows/key/task."""

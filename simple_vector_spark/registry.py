@@ -442,6 +442,34 @@ def snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "json_source_roundtrip",
+    """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+""",
+)
+def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: the reference's only ingress is HTTP JSON
+    (src/http_server.cc:14-38); the Spark analog is the JSON
+    source/sink.  Write the doc table as JSON lines, read it back with
+    an explicit schema (schema inference is a full extra pass at
+    100 TB — never rely on it), aggregate; the oracle reads the
+    ORIGINAL parquet, so the check proves lossless JSON round-trip."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/docs_json_{tag}"
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
 # --------------------------------------------------------------------------
 # Relational extensions (SURVEY.md §2.2: joins/aggs/windows/set-ops are
 # absent from the reference; first-class here).
@@ -526,6 +554,47 @@ def rollup_revenue(spark, sf_dir):
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "region"),
     )
+
+
+@query(
+    "cube_revenue",
+    """
+SELECT r_name, o_orderstatus,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE), 2) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY CUBE(r_name, o_orderstatus)
+""",
+)
+def cube_revenue(spark, sf_dir):
+    """Full CUBE grouping sets over (region, order status)."""
+    return R.cube_revenue(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "order_value_percentiles",
+    """
+SELECT o_orderpriority,
+  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+  ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def order_value_percentiles(spark, sf_dir):
+    """Exact PERCENTILE_CONT per priority class (approx_percentile is
+    the 100-TB path — see operator docstring)."""
+    return R.order_value_percentiles(load_table(spark, sf_dir, "orders"))
 
 
 @query(
@@ -686,6 +755,22 @@ def events_sliding_2h(spark, sf_dir):
     return E.sliding_agg(load_table(spark, sf_dir, "events"), "2 hours", "1 hour")
 
 
+@query(
+    "events_running_totals",
+    """
+SELECT user_id, event_id,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS run_n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS run_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+""",
+)
+def events_running_totals(spark, sf_dir):
+    """Per-user running aggregates — the continuously-materialized WAL
+    view (running frame window, one shuffle by key)."""
+    return E.running_totals(load_table(spark, sf_dir, "events"))
+
+
 _SESSION_ORACLE = """
 WITH o AS (
   SELECT user_id, ts, value, event_id,
@@ -786,6 +871,13 @@ FROM docs_plus GROUP BY 1 HAVING COUNT(*) > 1
 def dedup_exact(spark, sf_dir):
     """Exact dedup via content-digest groupBy (one shuffle on digest)."""
     return D.exact_dedup_groups(_docs_plus_spark(spark, sf_dir))
+
+
+@query("dedup_audit_approx")  # rows-only: HLL sketch is engine-specific
+def dedup_audit_approx(spark, sf_dir):
+    """Dedup monitoring row: exact distinct vs HLL estimate (the sketch
+    is the 100-TB path; tests assert <5% relative error)."""
+    return D.dedup_audit(_docs_plus_spark(spark, sf_dir))
 
 
 @query(

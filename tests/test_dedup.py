@@ -69,3 +69,15 @@ def test_embedding_cosine_pairs(spark):
     out = {(r.ia, r.ib): r.sim for r in D.embedding_cosine_pairs(emb, 0.9).collect()}
     assert (1, 2) in out and (1, 3) not in out
     assert out[(1, 2)] > 0.99
+
+
+def test_dedup_audit_hll_within_error_bound(spark, sf_dir):
+    """The HLL estimate must stay within ~5% of exact distinct."""
+    from simple_vector_spark.operators import dedup as D
+    from simple_vector_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    row = D.dedup_audit(docs).collect()[0]
+    assert row.n_rows == docs.count()
+    rel_err = abs(row.approx_distinct - row.exact_distinct) / row.exact_distinct
+    assert rel_err < 0.05
