@@ -1364,6 +1364,16 @@ def stream_tumbling_1h(spark, sf_dir):
     return SJ.tumbling_agg_stream(spark, sf_dir, "1 hour")
 
 
+@query(
+    "stream_sliding_2h",
+    _ORACLES["events_sliding_2h"],
+)
+def stream_sliding_2h(spark, sf_dir):
+    """Streaming sliding-window agg (availableNow, 30-min watermark) —
+    equals the batch events_sliding_2h and shares its oracle."""
+    return SJ.sliding_agg_stream(spark, sf_dir, "2 hours", "1 hour")
+
+
 @query("stream_sessionize", _SESSION_ORACLE)
 def stream_sessionize(spark, sf_dir):
     """Streaming session windows (availableNow, 1h watermark) — must

@@ -89,6 +89,30 @@ def tumbling_agg_stream(spark: SparkSession, sf_dir: str, width: str = "1 hour")
     return _drain(agg, "complete")
 
 
+def sliding_agg_stream(
+    spark: SparkSession, sf_dir: str, width: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Streaming sliding-window aggregate (availableNow, 30-minute
+    watermark) — equals the batch sliding_agg and shares its oracle."""
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("bucket"),
+            "n",
+            "sum_value",
+        )
+    )
+    return _drain(agg, "complete")
+
+
 def sessionize_stream(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:

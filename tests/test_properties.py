@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis): operator semantics vs brute-force
+Python models on arbitrary small inputs.  The reference has no tests
+beyond two curl scripts; these pin the semantics the oracle SQL can't
+reach (arbitrary data, not just the fixtures)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from simple_vector_spark.operators import mutation as M
+from simple_vector_spark.operators import relational as R
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+log_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # key
+        st.integers(min_value=0, max_value=20),  # seq
+        st.integers(min_value=0, max_value=99),  # payload
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SET
+@given(rows=log_rows)
+def test_latest_wins_matches_model(spark, rows):
+    """latest_wins == 'replay sorted by (seq, payload) into a dict'.
+    The payload tiebreak mirrors the operator's full seq ordering."""
+    df = spark.createDataFrame(rows, "id long, seq long, payload long")
+    got = {
+        r.id: (r.seq, r.payload)
+        for r in M.latest_wins(df, ["id"], ["seq", "payload"]).collect()
+    }
+    model: dict[int, tuple[int, int]] = {}
+    for k, s, p in sorted(rows, key=lambda t: (t[1], t[2])):
+        model[k] = (s, p)
+    assert got == model
+
+
+asof_rows = st.tuples(
+    st.lists(  # left: (key, ts)
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    st.lists(  # right: (key, ts, payload)
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+
+
+@SET
+@given(data=asof_rows)
+def test_asof_join_matches_model(spark, data):
+    """asof_join == per-left-row 'latest right with ts <= left.ts'.
+    Right-side ts ties: the window takes the LAST right row in (ts,
+    payload-insertion) order — model with max payload among tied max-ts
+    rows made unambiguous by deduping right on (key, ts)."""
+    left_rows, right_rows = data
+    # dedupe right on (key, ts) so the as-of pick is unambiguous
+    right_map = {}
+    for k, t, p in right_rows:
+        right_map[(k, t)] = p
+    right_rows = [(k, t, p) for (k, t), p in right_map.items()]
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k long, ts long, lid long"
+    )
+    right = spark.createDataFrame(right_rows, "k long, ts long, payload long")
+    out = R.asof_join(left, right, ["k"], "ts", ["payload"])
+    got = {r.lid: r.payload for r in out.collect()}
+
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, p) for (rk, rt, p) in right_rows if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, f"left row {i} (k={k}, ts={t})"
+
+
+@SET
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab .", min_size=0, max_size=30), min_size=1, max_size=15
+    )
+)
+def test_exact_dedup_keeps_one_per_distinct_text(spark, texts):
+    from simple_vector_spark.operators import pipeline as P
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    kept = P.exact_dedup_keepers(df).collect()
+    # one keeper per distinct text, and it is the min id of its group
+    by_text: dict[str, int] = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, i)
+    assert {r.text: r.doc_id for r in kept} == by_text

@@ -1,0 +1,107 @@
+"""Scale-pattern demonstrations: bucketed co-located joins, streaming
+foreachBatch merge, watermark late-data semantics.  These patterns are
+what replaces the fixture-scale shortcuts on a real cluster; the tests
+prove the code shapes work, and (for bucketing) that the shuffle
+actually disappears from the plan."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from simple_vector_spark.operators import mutation as M
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located equi-join: both sides bucketed by the join key ->
+    SortMergeJoin with NO Exchange.  This is the 100-TB answer to the
+    corpus<->metadata join (SURVEY.md §1.4: bucket by id)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+        b = spark.range(0, 10000).withColumn("w", F.col("id") % 7)
+        ta, tb = f"ba_{uuid.uuid4().hex[:8]}", f"bb_{uuid.uuid4().hex[:8]}"
+        a.write.bucketBy(8, "id").sortBy("id").saveAsTable(ta)
+        b.write.bucketBy(8, "id").sortBy("id").saveAsTable(tb)
+        joined = spark.table(ta).join(spark.table(tb), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing removed both shuffles
+        assert joined.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_foreach_batch_upsert_merge(spark, tmp_path):
+    """Streaming WAL consumption (O16/O13): rate-source micro-batches
+    merged into a snapshot table via foreachBatch + latest-wins —
+    the Delta-MERGE shape with pure-DataFrame mechanics."""
+    state_path = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(0, 0, "init0"), (1, 0, "init1")], "id long, seq long, payload string"
+    )
+    M.snapshot(base, state_path)
+
+    batch = spark.createDataFrame(
+        [(1, 5, "upd1"), (2, 5, "new2")], "id long, seq long, payload string"
+    )
+
+    def merge(batch_df, batch_id):
+        cur = M.restore(spark, state_path)
+        M.snapshot(M.apply_upserts(cur, batch_df, ["id"], ["seq"]), state_path + "_next")
+
+    # simulate one micro-batch exactly as foreachBatch would invoke it
+    merge(batch, 0)
+    final = {r.id: r.payload for r in M.restore(spark, state_path + "_next").collect()}
+    assert final == {0: "init0", 1: "upd1", 2: "new2"}
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Late-data semantics: with a 10-minute watermark, an event older
+    than (max_ts - watermark) arriving in a later batch is dropped
+    from append-mode windowed output."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    on_time = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 12:00:00", 2.0)],
+        "event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    on_time.write.mode("overwrite").parquet(src)
+
+    out_path = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("start"), "n")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # late event: 10:30 is far behind the 12:00 max -> watermark closed its window
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 10:30:00", 3.0)], "event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    late.write.mode("append").parquet(src)
+    run_once()
+    rows = spark.read.parquet(out_path).collect()
+    finalized = {r.start.strftime("%H:%M"): r.n for r in rows}
+    # the 10:00 window was finalized with ONE row; the late row did not reopen it
+    assert finalized.get("10:00") == 1
