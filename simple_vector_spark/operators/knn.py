@@ -195,6 +195,64 @@ def knn_shard_topk(
     return local.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def knn_shard_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch k-NN join via per-partition NumPy kernels — the vectorized
+    form of knn_join for when the query batch is large enough that the
+    per-pair expression path is compute-bound.
+
+    Per Arrow batch: one ``((M[:,None,:] - Q)**2).sum(-1)`` computes
+    the full batch-x-queries distance block (the direct subtract-square
+    form, NOT the |x|^2+|y|^2-2xy expansion, so the floating-point
+    terms match the expression form and the oracle); each query column
+    forwards its local top-k.  Global: rank-limit window per query —
+    only k * #batches rows per query ever shuffle.  The query matrix
+    rides in the task closure (request-sized, like the reference's one
+    JSON body, src/faiss_index.cc:35-47)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.loaders import fan_out
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = [[float(x) for x in r[1]] for r in qrows]
+
+    def local_topk(it):
+        q = np.asarray(qmat, dtype=np.float64)  # (nq, d)
+        qid = np.asarray(qids)
+        for pdf in it:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d = np.round(((m[:, None, :] - q[None, :, :]) ** 2).sum(-1), 6)  # (n, nq)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i, out_d = [], [], []
+            for j in range(d.shape[1]):
+                sel = np.lexsort((ids, d[:, j]))[:k]
+                out_q.extend([qid[j]] * len(sel))
+                out_i.extend(ids[sel])
+                out_d.extend(d[sel, j])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_i, "dist": out_d}
+            )
+
+    local = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        local_topk, schema=f"{query_id_col} long, {id_col} long, dist double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def label_centroid_topk(
     emb: DataFrame,
     k: int = 3,

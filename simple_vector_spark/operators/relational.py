@@ -197,6 +197,25 @@ def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def salted_join(
+    big: DataFrame, small: DataFrame, on: str, n_salt: int = 8
+) -> DataFrame:
+    """Skew-buster inner equi-join: the big side gets a deterministic
+    salt (row-hash mod n_salt) appended to the key; the small side is
+    replicated n_salt times.  A hot key's rows then spread over n_salt
+    reducers instead of one.  Use when AQE's skew split isn't enough
+    (single-key skew inside one partition); identical results to the
+    plain join (asserted in tests)."""
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salt))
+    )
+    replicated = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>")),
+    )
+    return salted_big.join(replicated, [on, "__salt"]).drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -211,6 +211,15 @@ def knn_shard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.knn_shard_topk(emb, emb.filter(F.col("vec_id") == 0), KNN_K)
 
 
+@query("knn_shard_join", _ORACLES["knn_batch_join"])
+def knn_shard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15 scale path: batch k-NN join via per-partition NumPy distance
+    blocks + rank-limit merge — same oracle as the expression form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = K.knn_shard_join(emb, emb.filter(F.col("vec_id") < N_QUERIES), BATCH_K)
+    return out.select("query_id", "vec_id", "dist", F.col("rnk").cast("int").alias("rnk"))
+
+
 @query(
     "knn_batch_filtered",
     f"""

@@ -124,3 +124,30 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-5
+
+
+def test_knn_shard_join_equals_expression_form(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    expr = {
+        (r.query_id, r.vec_id, r.dist, r.rnk)
+        for r in K.knn_join(emb, qs, 5, "sqL2").collect()
+    }
+    shard = {
+        (r.query_id, r.vec_id, r.dist, r.rnk)
+        for r in K.knn_shard_join(emb, qs, 5).collect()
+    }
+    assert shard == expr
+
+
+def test_salted_join_equals_plain_join(spark):
+    from simple_vector_spark.operators import relational as R
+
+    # skewed big side: 90% of rows share key 0
+    big = spark.createDataFrame(
+        [(0 if i % 10 else i % 5, i) for i in range(1000)], "k long, v long"
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(5)], "k long, name string")
+    plain = {(r.k, r.v, r.name) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.name) for r in R.salted_join(big, small, "k", 8).collect()}
+    assert salted == plain
