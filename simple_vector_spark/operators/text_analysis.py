@@ -169,6 +169,68 @@ def hash_sample(
     return docs.filter(h < rate)
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus — the lexical complement
+    to the engine's vector k-NN (hybrid search = fuse both rankings).
+
+    Plan: one explode pass computes term frequencies (shuffle keyed on
+    (doc, term) with map-side combine), df/avgdl are term- and
+    corpus-level aggregates broadcast back, final score is a per-doc
+    sum — at 100 TB this is the classic two-pass distributed BM25 with
+    nothing driver-side.  Scores ROUND(...,4): idf uses ln(), whose
+    last-ulp can differ across libm implementations, so we keep two
+    guard digits more than the usual 6-decimal rule would give.
+    Output: (doc_id, score) top-k, score desc, id tiebreak."""
+    n_docs = docs.count()
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+
+    tf = (
+        toks.filter(F.col("t").isin(query_terms))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            F.col(id_col),
+            (
+                idf
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc rolling polynomial hash over characters:
     h = fold(chars, h*31 + codepoint mod P).  The order-sensitive

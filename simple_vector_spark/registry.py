@@ -1275,6 +1275,42 @@ def sample_hash_stratified(spark, sf_dir):
     )
 
 
+BM25_TERMS = ["vector", "hash", "scan"]
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "text_bm25_search",
+    f"""
+WITH tk AS (SELECT doc_id, unnest({_TK_SQL}) AS t FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM tk
+  WHERE t IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, t
+),
+df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+s AS (
+  SELECT tf.doc_id,
+         ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * (1.2 + 1))
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl)) AS term_score
+  FROM tf
+  JOIN df USING (t)
+  JOIN dl USING (doc_id)
+  CROSS JOIN avgdl CROSS JOIN n
+)
+SELECT doc_id, ROUND(SUM(term_score), 4) AS score
+FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+def text_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval — the lexical complement to vector k-NN
+    (hybrid search fuses both rankings)."""
+    return T.bm25_search(load_table(spark, sf_dir, "documents"), BM25_TERMS, 20)
+
+
 QUALITY_FLOOR = 0.15
 SAMPLE_PCT = 50
 
