@@ -35,6 +35,49 @@ def exact_dedup_keepers(docs: DataFrame, text_col: str = "text", id_col: str = "
     )
 
 
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    query: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    pool: int = 100,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the vector k-NN list
+    and the BM25 keyword list — score(id) = sum over lists of
+    1/(c + rank), missing from a list contributes 0.
+
+    Plan: both candidate lists are pool-sized (top-100), so the rank
+    windows and the full-outer fusion join run on request-sized data —
+    the corpus-scale work is exactly one k-NN scan + one BM25 pass,
+    both already distributed.  This is the standard hybrid-search
+    shape (vector recall + lexical precision) a retrieval stack runs
+    on top of this engine."""
+    from .knn import knn_topk
+    from .text_analysis import bm25_search
+
+    vec = knn_topk(emb, query, pool, "sqL2")
+    wv = Window.orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    vecrank = vec.select(
+        F.col("vec_id").alias("id"), F.row_number().over(wv).alias("rv")
+    )
+    bm = bm25_search(docs, terms, pool)
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bmrank = bm.select(
+        F.col("doc_id").alias("id"), F.row_number().over(wb).alias("rb")
+    )
+    fused = vecrank.join(bmrank, "id", "full_outer").select(
+        "id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rv")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rb")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("id").asc()).limit(k)
+
+
 def curate(
     docs: DataFrame,
     emb: DataFrame,

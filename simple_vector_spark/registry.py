@@ -1278,11 +1278,10 @@ def sample_hash_stratified(spark, sf_dir):
 BM25_TERMS = ["vector", "hash", "scan"]
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-
-@query(
-    "text_bm25_search",
-    f"""
-WITH tk AS (SELECT doc_id, unnest({_TK_SQL}) AS t FROM documents),
+# BM25 CTE chain ending in a `bm(doc_id, score)` relation — shared by
+# the standalone query and the RRF hybrid fusion.
+_BM25_CTES = f"""
+tk AS (SELECT doc_id, unnest({_TK_SQL}) AS t FROM documents),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
 avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
@@ -1300,15 +1299,65 @@ s AS (
   JOIN df USING (t)
   JOIN dl USING (doc_id)
   CROSS JOIN avgdl CROSS JOIN n
+),
+bm AS (
+  SELECT doc_id, ROUND(SUM(term_score), 4) AS score
+  FROM s GROUP BY doc_id
 )
-SELECT doc_id, ROUND(SUM(term_score), 4) AS score
-FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@query(
+    "text_bm25_search",
+    f"""
+WITH {_BM25_CTES}
+SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 20
 """,
 )
 def text_bm25_search(spark, sf_dir):
     """BM25 keyword retrieval — the lexical complement to vector k-NN
     (hybrid search fuses both rankings)."""
     return T.bm25_search(load_table(spark, sf_dir, "documents"), BM25_TERMS, 20)
+
+
+@query(
+    "hybrid_rrf_search",
+    f"""
+WITH {_BM25_CTES},
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+pairs AS (
+  SELECT e.vec_id,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+         unnest(q.qv) AS y
+  FROM embeddings e CROSS JOIN q
+),
+d AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM pairs GROUP BY vec_id),
+vtop AS (SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 100),
+vecrank AS (
+  SELECT vec_id AS id, ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rv FROM vtop
+),
+btop AS (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 100),
+bmrank AS (
+  SELECT doc_id AS id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb FROM btop
+),
+f AS (
+  SELECT COALESCE(v.id, b.id) AS id,
+         ROUND(COALESCE(1.0 / (60 + v.rv), 0) + COALESCE(1.0 / (60 + b.rb), 0), 6) AS rrf
+  FROM vecrank v FULL OUTER JOIN bmrank b ON v.id = b.id
+)
+SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 20
+""",
+)
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval: RRF fusion of vector top-100 and BM25 top-100
+    — the composite that ties the engine's two retrieval pillars."""
+    from .operators import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return P.hybrid_rrf(docs, emb, emb.filter(F.col("vec_id") == 0), BM25_TERMS)
 
 
 QUALITY_FLOOR = 0.15
