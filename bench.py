@@ -29,7 +29,9 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for wq in ("knn_exact_topk", "knn_batch_join", "tpch_q1_pricing"):
+        # knn_shard_topk also pre-spawns the Python worker pool for
+        # every later mapInPandas/pandas-UDF query
+        for wq in ("knn_exact_topk", "knn_batch_join", "tpch_q1_pricing", "knn_shard_topk"):
             if wq in qs:
                 qs[wq](spark, warm_dir).count()
 

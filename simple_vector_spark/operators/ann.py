@@ -162,6 +162,25 @@ def ivf_search(
     )
 
 
+def recall_report(
+    ann_hits: DataFrame, exact_hits: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Recall@k of an ANN result against the exact top-k: one row
+    (k, n_hit, recall).  The ANN trade (ef_search / nprobe / #planes
+    vs recall) is only manageable if it is MEASURED — this is the
+    audit the reference cannot run (its two indexes never cross-check,
+    SURVEY.md §5).  Semi-join on pool-sized lists — request-sized
+    work, nothing driver-side."""
+    hit = exact_hits.select(id_col).join(
+        ann_hits.select(id_col), id_col, "left_semi"
+    )
+    return hit.agg(F.count("*").alias("n_hit")).select(
+        F.lit(k).alias("k"),
+        F.col("n_hit"),
+        F.round(F.col("n_hit") / F.lit(k), 6).alias("recall"),
+    )
+
+
 def mllib_lsh_join(
     emb: DataFrame,
     threshold: float,

@@ -1030,10 +1030,10 @@ _PLANES_SQL = ", ".join(str(i) for i in A.PLANE_IDS)
 _CENTS_SQL = ", ".join(str(i) for i in A.CENTROID_IDS)
 
 
-@query(
-    "ann_rp_lsh",
-    f"""
-WITH planes AS (
+# RP-LSH CTE chain ending in `rp(vec_id, dist)` (the ANN top-k) —
+# shared by the standalone query and the recall report.
+_RP_LSH_CTES = f"""
+planes AS (
   SELECT vec_id AS p, CAST(embedding AS DOUBLE[]) AS pv
   FROM embeddings WHERE vec_id IN ({_PLANES_SQL})
 ),
@@ -1058,9 +1058,14 @@ qp AS (
   JOIN embeddings e ON e.vec_id = c.vec_id
   CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {ANN_QUERY_ID}) q
 ),
-d AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM qp GROUP BY vec_id)
-SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT {ANN_K}
-""",
+d AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM qp GROUP BY vec_id),
+rp AS (SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT {ANN_K})
+"""
+
+
+@query(
+    "ann_rp_lsh",
+    f"WITH {_RP_LSH_CTES}\nSELECT vec_id, dist FROM rp",
 )
 def ann_rp_lsh(spark, sf_dir):
     """Sign-LSH ANN: same-bucket candidates (4 data-derived
@@ -1117,6 +1122,40 @@ def ann_ivf(spark, sf_dir):
     return A.ivf_search(
         emb, emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, IVF_NPROBE
     )
+
+
+@query(
+    "ann_recall_report",
+    f"""
+WITH {_RP_LSH_CTES},
+exact_d AS (
+  SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+  FROM (
+    SELECT e.vec_id,
+           unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+           unnest(CAST(q.embedding AS DOUBLE[])) AS y
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {ANN_QUERY_ID}) q
+  )
+  GROUP BY vec_id
+),
+exact_top AS (SELECT vec_id FROM exact_d ORDER BY dist, vec_id LIMIT {ANN_K}),
+hits AS (SELECT vec_id FROM exact_top WHERE vec_id IN (SELECT vec_id FROM rp))
+SELECT {ANN_K} AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       ROUND(COUNT(*) / CAST({ANN_K} AS DOUBLE), 6) AS recall
+FROM hits
+""",
+)
+def ann_recall_report(spark, sf_dir):
+    """Recall@10 of RP-LSH vs the exact top-10 — the measured ANN
+    trade, fully oracle-checked because both sides are deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == ANN_QUERY_ID)
+    planes = A.fit_vectors(emb, A.PLANE_IDS)
+    ann_hits = A.rp_lsh_search(emb, q, planes, ANN_K)
+    exact_hits = K.knn_topk(emb, q, ANN_K, "sqL2")
+    return A.recall_report(ann_hits, exact_hits, ANN_K)
 
 
 @query("ann_mllib_lsh_join")  # rows-only: hyperplanes are seed-random

@@ -48,20 +48,32 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _drain(stream: DataFrame, mode: str) -> DataFrame:
+def _drain(stream: DataFrame, mode: str, state_partitions: int = 8) -> DataFrame:
     """Run to completion (availableNow) into a memory sink; return the
-    sink as a batch DataFrame."""
-    name = f"snk_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="svs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sink as a batch DataFrame.
+
+    The streaming plan captures spark.sql.shuffle.partitions at start()
+    and creates one state store per partition; the fixture backlog
+    needs nowhere near the batch session's count, so it is lowered for
+    the stream and restored immediately (on a production cluster this
+    is sized to state volume / HDFS-backed store throughput, and is
+    fixed for the checkpoint's lifetime)."""
     spark = stream.sparkSession
+    name = f"snk_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="svs_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
