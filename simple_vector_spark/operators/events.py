@@ -55,6 +55,64 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def type_pivot(events: DataFrame, types: list[str]) -> DataFrame:
+    """Per-user wide counts: one column per event type (PIVOT with an
+    EXPLICIT value list — never the infer-values form, which needs an
+    extra distinct pass over the corpus at scale).  One shuffle on
+    user_id with map-side partial aggregation."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def monthly_value_growth(events: DataFrame) -> DataFrame:
+    """Month-over-month value totals with absolute growth vs the
+    previous month (date_trunc rollup + lag window).  The time-series
+    staple: one shuffle for the monthly agg; the lag window runs on
+    #months rows."""
+    from pyspark.sql import Window
+
+    monthly = (
+        events.groupBy(F.date_trunc("month", "ts").alias("month_ts"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
+        )
+    )
+    w = Window.orderBy("month_ts")
+    return monthly.select(
+        F.date_format("month_ts", "yyyy-MM").alias("month"),
+        "n",
+        F.round(F.col("_sum").cast("double"), 6).alias("sum_value"),
+        F.round(
+            (F.col("_sum") - F.lag("_sum").over(w)).cast("double"), 6
+        ).alias("growth"),
+    )
+
+
+def props_typed_extract(events: DataFrame) -> DataFrame:
+    """Schema-full JSON parsing: props -> MAP<STRING,BIGINT> via
+    from_json (vs get_json_object's per-path extraction in
+    json_kv_stats), exploded to (key, value) rows and aggregated per
+    key.  The map parse is a JVM intrinsic in the scan stage; the
+    explode happens before the partial agg so the shuffle carries one
+    row per (key, partition)."""
+    kv = events.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,bigint>")
+        ).alias("k", "v")
+    )
+    return kv.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
 def running_totals(events: DataFrame) -> DataFrame:
     """Per-user running event count + value total ordered by (ts,
     event_id) — the continuous-aggregation view of the WAL (what O17

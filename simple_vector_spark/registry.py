@@ -764,6 +764,64 @@ def events_sliding_2h(spark, sf_dir):
     return E.sliding_agg(load_table(spark, sf_dir, "events"), "2 hours", "1 hour")
 
 
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "events_type_pivot",
+    f"""
+SELECT user_id,
+  {", ".join(f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY user_id
+""",
+)
+def events_type_pivot(spark, sf_dir):
+    """PIVOT to per-user wide counts (explicit value list — no
+    infer-values distinct pass)."""
+    return E.type_pivot(load_table(spark, sf_dir, "events"), EVENT_TYPES)
+
+
+@query(
+    "events_monthly_growth",
+    """
+WITH m AS (
+  SELECT date_trunc('month', ts) AS month_ts,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1
+)
+SELECT strftime(month_ts, '%Y-%m') AS month, n,
+       ROUND(CAST(s AS DOUBLE), 6) AS sum_value,
+       ROUND(CAST(s - lag(s) OVER (ORDER BY month_ts) AS DOUBLE), 6) AS growth
+FROM m
+""",
+)
+def events_monthly_growth(spark, sf_dir):
+    """Monthly rollup + MoM growth via lag window."""
+    return E.monthly_value_growth(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_props_typed",
+    """
+WITH keys AS (
+  SELECT unnest(json_keys(props)) AS k, props FROM events
+),
+kv AS (
+  SELECT k, CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v FROM keys
+)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       MIN(v) AS min_v, MAX(v) AS max_v
+FROM kv GROUP BY k
+""",
+)
+def events_props_typed(spark, sf_dir):
+    """Schema-full JSON map parse (from_json -> MAP<STRING,BIGINT>) +
+    explode + per-key aggregate."""
+    return E.props_typed_extract(load_table(spark, sf_dir, "events"))
+
+
 @query(
     "events_running_totals",
     """
