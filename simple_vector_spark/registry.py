@@ -479,6 +479,66 @@ def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "csv_source_roundtrip",
+    """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source
+""",
+)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema'd read-back (quote/escape handling proven by
+    the oracle reading the ORIGINAL parquet — the fixture text contains
+    commas).  Explicit schema, never inferSchema (a full extra pass at
+    100 TB)."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/docs_csv_{tag}"
+    docs.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("header", True)
+        .csv(path)
+    )
+    return back.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "sql_api_revenue",
+    """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: fixture tables registered as temp views,
+    query expressed as raw spark.sql — same Catalyst plan as the
+    DataFrame form (the engine's two APIs are one planner)."""
+    from .sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Relational extensions (SURVEY.md §2.2: joins/aggs/windows/set-ops are
 # absent from the reference; first-class here).
