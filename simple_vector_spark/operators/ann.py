@@ -162,6 +162,64 @@ def ivf_search(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Bulk IVF index build (the north star's 'DataFrame ops for bulk
+    index build'): assign cells map-side, write Parquet PARTITIONED BY
+    cell.  The directory layout IS the inverted-list structure —
+    FAISS's `invlists` become `cell=N/` directories
+    (src/faiss_index.cc / IndexIVF analog), and a probe becomes a
+    partition-pruned scan."""
+    corpus.withColumn(
+        "cell", ivf_cell(as_double_array(F.col(vec_col)), centroids)
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_probe_partitioned(
+    spark,
+    path: str,
+    query: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a built IVF index: rank cells by centroid distance to the
+    query (driver-side over the model-sized centroid list), then scan
+    ONLY those `cell=` directories — the literal IN-filter reaches the
+    scan as PartitionFilters, so IO is nprobe/ncells of the corpus.
+    Exact re-rank within the probed cells; same output as ivf_search."""
+    qrow = query.select(vec_col).head()
+    qv = [float(x) for x in qrow[0]]
+
+    def sq(a: list[float], b: list[float]) -> float:
+        return round(sum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    probe = [
+        cid for cid, _ in sorted(centroids, key=lambda c: (sq(c[1], qv), c[0]))[:nprobe]
+    ]
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    q = F.broadcast(query.select(as_double_array(F.col(vec_col)).alias("__q_vec")))
+    return (
+        idx.crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.round(
+                squared_l2(as_double_array(F.col(vec_col)), F.col("__q_vec")), 6
+            ).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def recall_report(
     ann_hits: DataFrame, exact_hits: DataFrame, k: int, id_col: str = "vec_id"
 ) -> DataFrame:

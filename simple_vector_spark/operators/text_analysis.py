@@ -169,6 +169,38 @@ def hash_sample(
     return docs.filter(h < rate)
 
 
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Generic one-pass data profiler: per column — non-null count,
+    null count, distinct count, min/max (stringified for a uniform
+    schema).  The first thing a curation pipeline runs on a new 100-TB
+    drop.  One aggregate pass over the scan (all columns' stats in a
+    single row), then a constant-size explode to long form."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").alias("n"),
+                F.col(f"__nn_{c}").alias("n_null"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_v"),
+                F.col(f"__max_{c}").alias("max_v"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("p")).select("p.*")
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 

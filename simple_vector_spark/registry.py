@@ -1276,6 +1276,23 @@ def ann_recall_report(spark, sf_dir):
     return A.recall_report(ann_hits, exact_hits, ANN_K)
 
 
+@query("ann_ivf_partitioned", _ORACLES["ann_ivf"])
+def ann_ivf_partitioned(spark, sf_dir):
+    """O4 at its 100-TB layout: bulk-build the IVF index as Parquet
+    partitioned by cell, probe via partition-pruned scan — identical
+    results to ann_ivf (same oracle)."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = A.fit_vectors(emb, A.CENTROID_IDS)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/ivf_index_{tag}"
+    A.build_ivf_index(emb, cents, path)
+    return A.ivf_probe_partitioned(
+        spark, path, emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, IVF_NPROBE
+    )
+
+
 @query("ann_mllib_lsh_join")  # rows-only: hyperplanes are seed-random
 def ann_mllib_lsh_join(spark, sf_dir):
     """MLlib BucketedRandomProjectionLSH approxSimilarityJoin (library
@@ -1408,6 +1425,28 @@ def doc_length_histogram(spark, sf_dir):
     """Length-distribution audit: fixed-width buckets, one map-side-
     combined shuffle."""
     return T.length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+@query(
+    "profile_documents",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column",
+  CAST(COUNT({c}) AS BIGINT) AS n,
+  CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_v,
+  CAST(MAX({c}) AS VARCHAR) AS max_v
+FROM documents"""
+        for c in PROFILE_COLS
+    ),
+)
+def profile_documents(spark, sf_dir):
+    """One-pass per-column data profile of the doc table — the first
+    audit a curation pipeline runs on a new data drop."""
+    return T.profile_table(load_table(spark, sf_dir, "documents"), PROFILE_COLS)
 
 
 SAMPLE_RATES = {"en": 25}

@@ -62,3 +62,14 @@ def test_q3_filters_pushed_to_fact_scans(spark, sf_dir):
     assert "l_shipdate" in li  # date filter at the lineitem scan
     assert "o_orderdate" in od  # date filter at the orders scan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_partitioned_probe_prunes_directories(spark, sf_dir):
+    """The built IVF index is probed via PartitionFilters — only the
+    nprobe cell= directories are scanned (the FAISS inverted-list
+    analog at the file-layout level)."""
+    plan = plan_of(spark, sf_dir, "ann_ivf_partitioned")
+    scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "ivf_index" in l
+    )
+    assert "PartitionFilters: [cell" in scan and " IN " in scan
