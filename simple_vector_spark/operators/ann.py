@@ -220,6 +220,33 @@ def ivf_probe_partitioned(
     )
 
 
+def quantize_int8_report(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization + reconstruction audit: per vector,
+    scale = max|x| / 127, q_i = round(x_i/scale) as TINYINT, error =
+    max|x_i - q_i*scale|.  4x memory reduction for the index payload
+    (float32 -> int8) — the compression FAISS gets from
+    IndexScalarQuantizer, here as pure array expressions computed
+    inside the scan (zero shuffle; the quantized column is what a
+    built index would persist).  Zero vectors quantize to zeros with
+    scale 0."""
+    e = as_double_array(F.col(vec_col))
+    amax = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    qv = F.transform(e, lambda x: F.round(x / scale, 0).cast("tinyint"))
+    err = F.array_max(
+        F.zip_with(
+            e, qv, lambda x, q: F.abs(x - q.cast("double") * scale)
+        )
+    )
+    return emb.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.when(amax == 0, F.lit(0.0)).otherwise(F.round(err, 6)).alias("max_err"),
+    )
+
+
 def recall_report(
     ann_hits: DataFrame, exact_hits: DataFrame, k: int, id_col: str = "vec_id"
 ) -> DataFrame:

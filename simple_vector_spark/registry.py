@@ -1276,6 +1276,35 @@ def ann_recall_report(spark, sf_dir):
     return A.recall_report(ann_hits, exact_hits, ANN_K)
 
 
+@query(
+    "quantize_int8_audit",
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> CAST(round(x / scale) AS TINYINT)) AS qv
+  FROM s
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       CASE WHEN scale = 0 THEN 0.0
+            ELSE ROUND(list_max(list_transform(range(len(e)),
+                   i -> abs(e[i+1] - CAST(qv[i+1] AS DOUBLE) * scale))), 6)
+       END AS max_err
+FROM q
+""",
+)
+def quantize_int8_audit(spark, sf_dir):
+    """Int8 scalar quantization + reconstruction-error audit (4x index
+    payload compression, computed inside the scan)."""
+    return A.quantize_int8_report(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("ann_ivf_partitioned", _ORACLES["ann_ivf"])
 def ann_ivf_partitioned(spark, sf_dir):
     """O4 at its 100-TB layout: bulk-build the IVF index as Parquet
