@@ -247,6 +247,31 @@ def quantize_int8_report(
     )
 
 
+def dequantized_view(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The corpus as an int8-quantized index would serve it: quantize
+    then dequantize (q_i * scale).  Searching this view measures what
+    the 4x compression costs in ranking quality (see
+    quantize_int8_report for the code layout)."""
+    passthrough = [c for c in emb.columns if c != vec_col]
+    staged = emb.select(
+        *passthrough, as_double_array(F.col(vec_col)).alias("__e")
+    ).withColumn(
+        "__scale",
+        F.array_max(F.transform(F.col("__e"), lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    # scale materialized in its own projection: inlining it into the
+    # per-element lambda would recompute the array_max per element
+    # (the HOF codegen-CSE gap — see functions/text.minhash_from_hashes)
+    deq = F.transform(
+        F.col("__e"),
+        lambda x: F.round(x / F.col("__scale"), 0).cast("tinyint").cast("double")
+        * F.col("__scale"),
+    )
+    return staged.select(*passthrough, deq.alias(vec_col))
+
+
 def recall_report(
     ann_hits: DataFrame, exact_hits: DataFrame, k: int, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -202,6 +202,68 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = 
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over candidate-pair edges: near-dup PAIRS
+    become near-dup CLUSTERS (the keep-one-per-cluster step that
+    actually shrinks a corpus).  Iterative min-label propagation:
+    every node's label becomes min(own, neighbors') until fixpoint —
+    O(cluster diameter) rounds, and dup clusters are near-cliques so
+    diameter is tiny.  Each round is one join + one groupBy;
+    localCheckpoint truncates the growing lineage (mandatory in
+    iterative DataFrame algorithms).  At web scale swap in the
+    alternating large-star/small-star variant; the loop shape is
+    identical.  Output: (node, cluster) with cluster = min id of the
+    component — matched by a recursive-CTE transitive closure in the
+    oracle."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, labels.node == prop.src, "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster"))
+
+
 def embedding_cosine_pairs(
     emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

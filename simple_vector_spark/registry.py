@@ -1055,6 +1055,51 @@ def dedup_minhash_pairs(spark, sf_dir):
 
 
 @query(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+sigs AS (
+  SELECT doc_id,
+  {_SIG_COLS_SQL}
+  FROM sh WHERE n_tk >= 3
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS node, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """MinHash candidate pairs -> connected components (iterative
+    min-label propagation; recursive-CTE transitive closure as the
+    oracle) — near-dup CLUSTERS, the keep-one-per-cluster step."""
+    pairs = D.minhash_candidate_pairs(_docs_plus_spark(spark, sf_dir))
+    return D.dup_clusters(pairs)
+
+
+@query(
     "dedup_ngram_jaccard",
     f"""
 WITH {_DOCS_PLUS_SQL},
@@ -1303,6 +1348,44 @@ def quantize_int8_audit(spark, sf_dir):
     """Int8 scalar quantization + reconstruction-error audit (4x index
     payload compression, computed inside the scan)."""
     return A.quantize_int8_report(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "ann_quantized_recall",
+    """
+WITH deq AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(CAST(round(x / scale) AS TINYINT) AS DOUBLE) * scale) AS e
+  FROM (
+    SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+  )
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qpairs AS (SELECT d.vec_id, unnest(d.e) AS x, unnest(q.qv) AS y FROM deq d CROSS JOIN q),
+qd AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM qpairs GROUP BY vec_id),
+qtop AS (SELECT vec_id FROM qd ORDER BY dist, vec_id LIMIT 10),
+epairs AS (
+  SELECT e.vec_id, unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(q.qv) AS y
+  FROM embeddings e CROSS JOIN q
+),
+ed AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM epairs GROUP BY vec_id),
+etop AS (SELECT vec_id FROM ed ORDER BY dist, vec_id LIMIT 10),
+hits AS (SELECT vec_id FROM etop WHERE vec_id IN (SELECT vec_id FROM qtop))
+SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM hits
+""",
+)
+def ann_quantized_recall(spark, sf_dir):
+    """Recall@10 of search over the int8-dequantized corpus vs the
+    full-precision exact top-10 — what the 4x compression costs in
+    ranking quality, fully oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    deq_hits = K.knn_topk(A.dequantized_view(emb), q, KNN_K, "sqL2")
+    exact_hits = K.knn_topk(emb, q, KNN_K, "sqL2")
+    return A.recall_report(deq_hits, exact_hits, KNN_K)
 
 
 @query("ann_ivf_partitioned", _ORACLES["ann_ivf"])
@@ -1713,6 +1796,36 @@ def stream_stateful_user_totals(spark, sf_dir):
     per-user running (count, total); final emission equals the batch
     GROUP BY."""
     return SJ.stateful_user_totals(spark, sf_dir)
+
+
+@query(
+    "stream_stream_click_purchase",
+    """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def stream_stream_click_purchase(spark, sf_dir):
+    """Stream-stream inner join (clicks x same-user purchases within
+    1h), watermark-bounded state — equals the batch range join."""
+    return SJ.stream_stream_join(spark, sf_dir, "1 hour")
+
+
+@query(
+    "stream_static_enrich",
+    """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events e JOIN nation ON e.user_id % 25 = n_nationkey
+GROUP BY n_name
+""",
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment + windowless agg."""
+    return SJ.stream_static_enrich(spark, sf_dir)
 
 
 @query(

@@ -185,6 +185,67 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_join(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases within the following ``horizon``.  Both sides carry
+    watermarks and the join has a two-sided time-range constraint, so
+    Spark can expire join state — the unbounded-state hazard of
+    stream-stream joins is bounded to watermark + horizon per side.
+    availableNow + append == the equivalent batch range join (the
+    oracle)."""
+    ev = _read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return _drain(joined.select("user_id", "click_id", "purchase_id"), "append")
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension table (nation, keyed by user_id mod 25) and aggregated.
+    The static side is planned per micro-batch (broadcast here), no
+    state needed for the join itself — the standard dimension-
+    enrichment shape for a streaming ingest pipeline."""
+    from ..sources.loaders import load_table
+
+    ev = _read_events_stream(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    joined = ev.join(
+        F.broadcast(nation), (F.col("user_id") % 25) == F.col("n_nationkey")
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
+    return _drain(agg, "complete")
+
+
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: the event stream unioned with itself
     (every record a duplicate) -> watermarked dropDuplicates(event_id)

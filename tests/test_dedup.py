@@ -81,3 +81,16 @@ def test_dedup_audit_hll_within_error_bound(spark, sf_dir):
     assert row.n_rows == docs.count()
     rel_err = abs(row.approx_distinct - row.exact_distinct) / row.exact_distinct
     assert rel_err < 0.05
+
+
+def test_dup_clusters_chain_and_islands(spark):
+    """A 5-node chain (diameter > 1 iteration) plus a separate pair and
+    an untouched pair must resolve to min-id cluster labels."""
+    from simple_vector_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.node: r.cluster for r in D.dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
