@@ -264,6 +264,32 @@ def dup_clusters(
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
+def keep_canonical_summary(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus-shrink accounting for keep-one-per-cluster dedup:
+    given the full corpus and (node, cluster) labels from dup_clusters,
+    report how many docs exist, how many sit in a dup cluster, how many
+    clusters there are, and the surviving count (every doc minus the
+    non-canonical cluster members).  One row; drives the "we removed
+    X% of the corpus" decision before committing a filtered rewrite.
+    Both inputs aggregate independently (no join needed — survivors =
+    total - members + clusters), so this costs two tiny reductions."""
+    totals = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    cl = clusters.agg(
+        F.count("*").cast("bigint").alias("n_dup_members"),
+        F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+    )
+    return totals.crossJoin(cl).select(
+        "n_docs",
+        "n_dup_members",
+        "n_clusters",
+        (F.col("n_docs") - F.col("n_dup_members") + F.col("n_clusters")).alias(
+            "n_surviving"
+        ),
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -197,6 +197,63 @@ def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join — revenue from orders where the
+    customer and the line's supplier share a nation, one region, one
+    year.  Plan: the region filter prunes nation, nation prunes
+    supplier/customer, and all four dims broadcast — so the only
+    shuffle is lineitem⋈orders on orderkey (two fact tables, the one
+    genuinely unavoidable shuffle).  The same-nation constraint rides
+    the supplier join as an extra equi-key, never a post-filter over a
+    wider join."""
+    nations = F.broadcast(
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    cust = F.broadcast(
+        customer.join(
+            nations, F.col("c_nationkey") == F.col("n_nationkey")
+        ).select("c_custkey", "c_nationkey")
+    )
+    supp = F.broadcast(
+        supplier.join(
+            nations, F.col("s_nationkey") == F.col("n_nationkey")
+        ).select("s_suppkey", "s_nationkey", "n_name")
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(year_start))
+        & (F.col("o_orderdate") < F.lit(year_end))
+    ).select("o_orderkey", "o_custkey")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast(DEC_RATE) - _dec("l_discount", DEC_RATE)
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
 def salted_join(
     big: DataFrame, small: DataFrame, on: str, n_salt: int = 8
 ) -> DataFrame:

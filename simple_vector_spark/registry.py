@@ -154,6 +154,30 @@ def knn_filtered_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_filtered_range",
+    _single_query_oracle(
+        _PAIR_L2,
+        "dist ASC",
+        where="e.label BETWEEN 3 AND 12 AND e.vec_id % 2 = 1",
+    ),
+)
+def knn_filtered_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension of O6-O8: compound predicate (range AND parity)
+    pre-filtered below the ranking.  The reference supports exactly one
+    int `=`/`!=` per query (src/vector_database.cc:186-202); full
+    boolean algebra is free in Spark and the range half still pushes to
+    the parquet scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.knn_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        KNN_K,
+        "sqL2",
+        pred=F.col("label").between(3, 12) & (F.col("vec_id") % 2 == 1),
+    )
+
+
 # --------------------------------------------------------------------------
 # Batch k-NN join (O15)
 # --------------------------------------------------------------------------
@@ -510,6 +534,31 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_source_roundtrip",
+    """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang, source
+""",
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + read-back (the third columnar interchange format
+    after Parquet/JSON/CSV; same predicate-pushdown/column-pruning
+    contract as Parquet).  Oracle reads the ORIGINAL parquet, proving
+    the round-trip lossless."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/docs_orc_{tag}"
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
     "sql_api_revenue",
     """
 SELECT n_name,
@@ -710,6 +759,37 @@ def tpch_q3_shipping(spark, sf_dir):
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    f"""
+SELECT n_name,
+       ROUND(CAST(SUM({_DEC_PRICE_SQL} * {_DEC_DISC_SQL}) AS DOUBLE), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join, same-nation constraint as an
+    extra join key, all dims broadcast — the only shuffle is
+    lineitem⋈orders (the two facts)."""
+    return R.local_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
     )
 
 
@@ -1097,6 +1177,60 @@ def dedup_clusters(spark, sf_dir):
     oracle) — near-dup CLUSTERS, the keep-one-per-cluster step."""
     pairs = D.minhash_candidate_pairs(_docs_plus_spark(spark, sf_dir))
     return D.dup_clusters(pairs)
+
+
+@query(
+    "dedup_keep_canonical",
+    f"""
+WITH RECURSIVE {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+sigs AS (
+  SELECT doc_id,
+  {_SIG_COLS_SQL}
+  FROM sh WHERE n_tk >= 3
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+labels AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM docs_plus) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_members,
+       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(*) FROM docs_plus) - COUNT(*)
+            + COUNT(DISTINCT cluster) AS BIGINT) AS n_surviving
+FROM labels
+""",
+)
+def dedup_keep_canonical(spark, sf_dir):
+    """The corpus-shrink step: MinHash pairs -> clusters -> keep-one-
+    per-cluster accounting (docs / dup members / clusters / survivors,
+    one row)."""
+    docs = _docs_plus_spark(spark, sf_dir)
+    clusters = D.dup_clusters(D.minhash_candidate_pairs(docs))
+    return D.keep_canonical_summary(docs, clusters)
 
 
 @query(

@@ -94,3 +94,20 @@ def test_dup_clusters_chain_and_islands(spark):
     )
     out = {r.node: r.cluster for r in D.dup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_keep_canonical_accounting(spark):
+    """Two clusters (sizes 3 and 2) in a 10-doc corpus: survivors =
+    10 - 5 members + 2 clusters = 7."""
+    from simple_vector_spark.operators import dedup as D
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    row = D.keep_canonical_summary(
+        docs, D.dup_clusters(pairs)
+    ).collect()[0]
+    assert (row.n_docs, row.n_dup_members, row.n_clusters, row.n_surviving) == (
+        10, 5, 2, 7,
+    )

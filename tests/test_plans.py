@@ -73,3 +73,25 @@ def test_ivf_partitioned_probe_prunes_directories(spark, sf_dir):
         l for l in plan.splitlines() if "FileScan" in l and "ivf_index" in l
     )
     assert "PartitionFilters: [cell" in scan and " IN " in scan
+
+
+def test_q5_single_fact_shuffle_dims_broadcast(spark, sf_dir):
+    """Q5's only exchange pair should feed lineitem⋈orders; the four
+    dims (customer, supplier, nation, region) must all broadcast."""
+    plan = plan_of(spark, sf_dir, "tpch_q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    od = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "orders.parquet" in l
+    )
+    assert "o_orderdate" in od  # year filter pushed to the orders scan
+
+
+def test_knn_filtered_range_pushes_compound_predicate(spark, sf_dir):
+    """Range+parity pre-filter: the BETWEEN half must reach the parquet
+    scan; ranking stays TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "knn_filtered_range")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "label" in scan and ">= 3" in scan and "<= 12" in scan
+    assert "TakeOrderedAndProject" in plan
