@@ -61,3 +61,32 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity = IP / (|a||b|); the reference approximates this
     by normalizing at ingest and using IP — we compute it directly."""
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_pandas_udf():
+    """Arrow-batched cosine kernel for the SQL UDF surface (the
+    reference has no extension point at all — SURVEY.md §2.2 UDF row).
+    Whole batches cross the JVM/Python boundary as Arrow arrays and the
+    math is one stacked NumPy einsum per batch, never a per-row Python
+    call.  Built-in zip_with/aggregate (cosine_similarity above) stays
+    the default hot path; this is the escape hatch users register for
+    kernels Catalyst can't express."""
+    import numpy as np
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: the annotations below must reference a module-level name
+    # ("pandas.Series", not an alias imported into this closure) —
+    # PEP 563 turns them into strings and pyspark resolves them against
+    # the function's __globals__ when inferring the UDF eval type.
+    globals()["pandas"] = pandas
+
+    @pandas_udf("double")
+    def cos_sim(a: pandas.Series, b: pandas.Series) -> pandas.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pandas.Series(num / den)
+
+    return cos_sim

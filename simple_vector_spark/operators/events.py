@@ -182,3 +182,28 @@ def sliding_agg(
             "sum_value",
         )
     )
+
+
+def rolling_range_avg(events: DataFrame, seconds: int = 3600) -> DataFrame:
+    """Per-user trailing average over a TIME range, not a row count:
+    avg(value) over the last ``seconds`` of each user's history (RANGE
+    frame on epoch seconds — row frames are wrong under uneven event
+    spacing).  One shuffle on user_id; the frame state is a sliding
+    aggregate per key.  avg is computed as exact DECIMAL sum / exact
+    count, divided in f64 and rounded, so both engines fold identical
+    terms."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-seconds, 0)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(
+            (F.sum(dec).over(w).cast("double") / F.count("*").over(w)), 6
+        ).alias("trail_avg"),
+    )

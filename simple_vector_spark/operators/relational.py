@@ -325,3 +325,50 @@ def asof_join(
             *[F.col(f"__asof_{c}").alias(c) for c in payload_cols],
         )
     )
+
+
+def orders_with_returns(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS decorrelated to LEFT SEMI): count orders
+    per priority having at least one returned line.  The semi join
+    never materializes the match — one probe bit per order row, and
+    the returnflag filter pushes to the lineitem scan."""
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+
+
+def orders_without_returns(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """NOT EXISTS as LEFT ANTI over the same shape."""
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+
+
+def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
+    """Correlated scalar subquery (order > its customer's average
+    order value), decorrelated to ONE window pass: per-custkey sum and
+    count ride a window, and the comparison is the exact integer-ish
+    form price * n > sum (DECIMAL both sides) — no float average whose
+    last-ulp could flip boundary rows between engines."""
+    w = Window.partitionBy("o_custkey")
+    price = _dec("o_totalprice")
+    return (
+        orders.withColumn("__sum", F.sum(price).over(w))
+        .withColumn("__n", F.count("*").over(w))
+        .filter(price * F.col("__n") > F.col("__sum"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
+        )
+    )

@@ -154,6 +154,30 @@ def knn_filtered_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("knn_udf_cosine_sql", _single_query_oracle(_PAIR_COS, "sim DESC"))
+def knn_udf_cosine_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDF/extension surface (SURVEY.md §2.2 UDF row — the
+    reference has none): an Arrow-batched pandas UDF registered into
+    the SQL namespace and invoked from raw SQL.  Same result set as
+    knn_cosine_topk's built-in-expression path; the two routes differ
+    only in where the kernel runs (JVM codegen vs NumPy per Arrow
+    batch)."""
+    from .functions.vector import cosine_pandas_udf
+    from .sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    spark.udf.register("cos_sim", cosine_pandas_udf())
+    return spark.sql(
+        f"""
+        SELECT e.vec_id, e.label,
+               ROUND(cos_sim(e.embedding, q.embedding), 6) AS sim
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY sim DESC, e.vec_id LIMIT {KNN_K}
+        """
+    )
+
+
 @query(
     "knn_filtered_range",
     _single_query_oracle(
@@ -818,6 +842,91 @@ def customers_with_orders(spark, sf_dir):
 
 
 @query(
+    "orders_with_returns",
+    """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def orders_with_returns(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to LEFT SEMI join."""
+    return R.orders_with_returns(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@query(
+    "orders_without_returns",
+    """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def orders_without_returns(spark, sf_dir):
+    """NOT EXISTS as LEFT ANTI join over the Q4 shape."""
+    return R.orders_without_returns(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@query(
+    "orders_above_customer_avg",
+    """
+WITH s AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER (PARTITION BY o_custkey) AS csum,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS cn
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+FROM s WHERE CAST(o_totalprice AS DECIMAL(15,2)) * cn > csum
+""",
+)
+def orders_above_customer_avg(spark, sf_dir):
+    """Correlated scalar subquery (order above its customer's average),
+    decorrelated to one window pass; comparison in exact DECIMAL."""
+    return R.orders_above_customer_avg(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "skew_salted_enrich",
+    """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events e JOIN nation ON e.user_id % 25 = n_nationkey
+GROUP BY n_name
+""",
+)
+def skew_salted_enrich(spark, sf_dir):
+    """The salted-join skew buster as a declared query: events keyed by
+    user_id%25 joined to nation through an 8-way salt (hot key spread
+    over 8 reducers), then aggregated — identical results to the plain
+    join (the oracle IS the plain join)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "nkey", F.col("user_id") % 25
+    )
+    dim = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nkey"), "n_name"
+    )
+    return (
+        R.salted_join(ev, dim, "nkey")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+    )
+
+
+@query(
     "asof_join_checkpoints",
     """
 WITH cp AS (
@@ -976,6 +1085,23 @@ def events_running_totals(spark, sf_dir):
     """Per-user running aggregates — the continuously-materialized WAL
     view (running frame window, one shuffle by key)."""
     return E.running_totals(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_rolling_1h_avg",
+    """
+SELECT user_id, event_id,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        / COUNT(*) OVER w, 6) AS trail_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_rolling_1h_avg(spark, sf_dir):
+    """Per-user trailing-hour average on a RANGE frame (time-based, not
+    row-count — correct under uneven event spacing)."""
+    return E.rolling_range_avg(load_table(spark, sf_dir, "events"))
 
 
 _SESSION_ORACLE = """

@@ -90,3 +90,61 @@ def test_set_ops(spark):
     withord = R.customers_with_orders(cust, orders)
     assert sorted(r.custkey for r in without.collect()) == [0, 2, 4]
     assert sorted(r.custkey for r in withord.collect()) == [1, 3]
+
+
+def test_semi_anti_partition_orders(spark, sf_dir):
+    """Every order is in exactly one of EXISTS / NOT EXISTS — the
+    semi+anti pair partitions the orders table."""
+    from simple_vector_spark.operators import relational as R
+    from simple_vector_spark.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    semi = R.orders_with_returns(orders, li)
+    anti = R.orders_without_returns(orders, li)
+    both = {
+        r.o_orderpriority: r.total
+        for r in semi.unionByName(anti)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n_orders").alias("total"))
+        .collect()
+    }
+    expect = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    assert both == expect
+
+
+def test_above_avg_excludes_singletons(spark):
+    """A customer with one order can never beat their own average
+    (strict >), and within a group only above-average orders survive."""
+    from simple_vector_spark.operators import relational as R
+
+    orders = spark.createDataFrame(
+        [(1, 100, 10.0), (2, 100, 20.0), (3, 100, 30.0), (4, 200, 55.5)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    got = sorted(r.o_orderkey for r in R.orders_above_customer_avg(orders).collect())
+    assert got == [3]
+
+
+def test_rolling_range_avg_time_frame_not_row_frame(spark):
+    """Events at +0min, +30min, +2h: the third event's trailing-hour
+    window holds only itself — a 2-row ROWS frame would wrongly
+    include the +30min event."""
+    from datetime import datetime
+
+    from simple_vector_spark.operators import events as E
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, 7, t0.replace(minute=0), 1.0),
+            (2, 7, t0.replace(minute=30), 2.0),
+            (3, 7, t0.replace(hour=14), 4.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {r.event_id: r.trail_avg for r in E.rolling_range_avg(ev).collect()}
+    assert got == {1: 1.0, 2: 1.5, 3: 4.0}
