@@ -372,3 +372,49 @@ def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
             F.round(F.col("o_totalprice").cast("double"), 2).alias("totalprice"),
         )
     )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation — promo revenue as a
+    share of total revenue for one ship-month.  sum(CASE WHEN) and the
+    total ride the SAME aggregate pass (one scan, one shuffle of two
+    partial sums); part broadcasts.  Share is exact-DECIMAL sums
+    divided in f64 and rounded."""
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast(DEC_RATE) - _dec("l_discount", DEC_RATE)
+    )
+    # no otherwise: non-promo rows contribute NULL, which sum() skips —
+    # same as CASE WHEN ... ELSE 0 but keeps the DECIMAL type of rev
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev)
+    joined = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            (
+                F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            )
+            * 100.0,
+            6,
+        ).alias("promo_share_pct"),
+        F.round(F.sum(rev).cast("double"), 4).alias("total_revenue"),
+    )
+
+
+def order_value_quartiles(orders: DataFrame) -> DataFrame:
+    """ntile(4) bucketing per priority class: quartile membership plus
+    per-quartile aggregates — the distribution-audit window shape
+    (equal-count buckets, unlike percentile cutpoints)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("q", F.ntile(4).over(w).cast("int"))
+        .groupBy("o_orderpriority", "q")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("sum_value"),
+        )
+    )

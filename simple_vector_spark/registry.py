@@ -842,6 +842,49 @@ def customers_with_orders(spark, sf_dir):
 
 
 @query(
+    "tpch_q14_promo_share",
+    f"""
+SELECT ROUND(100.0 * (
+         CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN {_DEC_PRICE_SQL} * {_DEC_DISC_SQL} END) AS DOUBLE)
+         / CAST(SUM({_DEC_PRICE_SQL} * {_DEC_DISC_SQL}) AS DOUBLE)), 6)
+         AS promo_share_pct,
+       ROUND(CAST(SUM({_DEC_PRICE_SQL} * {_DEC_DISC_SQL}) AS DOUBLE), 4)
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+""",
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation (promo revenue share),
+    one scan, both sums in the same aggregate pass, part broadcast."""
+    return R.promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "order_value_quartiles",
+    """
+WITH t AS (
+  SELECT o_orderpriority,
+         CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS INT) AS q,
+         o_totalprice
+  FROM orders
+)
+SELECT o_orderpriority, q, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE), 2) AS sum_value
+FROM t GROUP BY o_orderpriority, q
+""",
+)
+def order_value_quartiles(spark, sf_dir):
+    """ntile(4) equal-count buckets per priority + per-quartile aggs."""
+    return R.order_value_quartiles(load_table(spark, sf_dir, "orders"))
+
+
+@query(
     "orders_with_returns",
     """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders

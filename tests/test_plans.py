@@ -95,3 +95,13 @@ def test_knn_filtered_range_pushes_compound_predicate(spark, sf_dir):
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "label" in scan and ">= 3" in scan and "<= 12" in scan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q14_pushes_month_filter_and_broadcasts_part(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q14_promo_share")
+    li = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "lineitem" in l
+    )
+    assert "l_shipdate" in li  # month filter at the fact scan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
