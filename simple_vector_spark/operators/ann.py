@@ -328,3 +328,100 @@ def mllib_lsh_join(
             F.round(F.col("euclid"), 6).alias("euclid"),
         )
     )
+
+
+# -- Product quantization (PQ) ------------------------------------------------
+# Codebooks are the subvectors of the same fixed corpus rows IVF uses as
+# centroids (CENTROID_IDS) — a deterministic stand-in for k-means per
+# subspace, so encode/search are exactly reproducible in the oracle.
+PQ_M = 8  # subspaces; 64-dim fixture -> 8 dims per subspace
+
+
+def pq_codebooks(
+    emb: DataFrame, centroid_ids: list[int] | None = None, m: int = PQ_M
+) -> list[list[tuple[int, list[float]]]]:
+    """One codebook per subspace: [(cid, codeword[dsub]), ...] in cid
+    order.  Model-sized (m × ncode × dsub floats) — rides into
+    expressions as literals, like the IVF centroid matrix."""
+    cents = fit_vectors(emb, centroid_ids or CENTROID_IDS)
+    dsub = len(cents[0][1]) // m
+    return [
+        [(cid, cv[s * dsub : (s + 1) * dsub]) for cid, cv in cents]
+        for s in range(m)
+    ]
+
+
+def pq_encode(vec: Column, codebooks: list[list[tuple[int, list[float]]]]) -> Column:
+    """PQ encode: per subspace, the 1-based index of the nearest
+    codeword (rounded dist, smaller index on ties — array_min struct
+    ordering).  Pure expression, evaluated inside the corpus scan: the
+    8-byte code column is the 32x-compressed corpus a PQ index stores.
+    Per-subspace codebooks are single array<array<double>> literals
+    iterated by one transform each (the literal-tree codegen rule —
+    see ivf_cell)."""
+    dsub = len(codebooks[0][0][1])
+    codes = []
+    for s, cb in enumerate(codebooks):
+        mat = F.lit([cw for _, cw in cb]).cast("array<array<double>>")
+        sub = F.slice(vec, s * dsub + 1, dsub)
+        entries = F.transform(
+            mat,
+            lambda cw, i: F.struct(
+                F.round(squared_l2(sub, cw), 6).alias("dist"),
+                (i + F.lit(1)).alias("idx"),
+            ),
+        )
+        codes.append(F.array_min(entries).getField("idx"))
+    return F.array(*codes)
+
+
+def pq_adc_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation: the query is NOT encoded — its
+    exact distance to every codeword is precomputed (m × ncode table,
+    model-sized, driver-side like fit_vectors), and a corpus vector's
+    distance is the sum of m table lookups by its code.  The scan never
+    touches the float vectors beyond encoding — at 100 TB the codes are
+    a materialized 8-byte column and ADC reads ONLY that.  Table
+    entries and the sum are DECIMAL(18,6) so the 8-term fold is exact
+    and order-insensitive in both engines."""
+    qrow = query.select(as_double_array(F.col(vec_col)).alias("v")).head()
+    qv = [float(x) for x in qrow[0]]
+    dsub = len(codebooks[0][0][1])
+    dtab = []
+    for s, cb in enumerate(codebooks):
+        qs = qv[s * dsub : (s + 1) * dsub]
+        row = []
+        for _, cw in cb:
+            d = 0.0
+            for x, y in zip(qs, cw):
+                d += (x - y) * (x - y)
+            row.append(round(d, 6))
+        dtab.append(row)
+    tab = F.lit(dtab).cast("array<array<decimal(18,6)>>")
+    enc = corpus.select(
+        F.col(id_col),
+        pq_encode(as_double_array(F.col(vec_col)), codebooks).alias("__codes"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.lit(list(range(1, len(codebooks) + 1))),
+            F.col("__codes"),
+            lambda s, c: F.element_at(F.element_at(tab, s), c),
+        ),
+        F.lit(0).cast("decimal(20,6)"),
+        # decimal + widens precision each step; cast back so the fold
+        # lambda returns the accumulator's type (aggregate() requires it)
+        lambda acc, v: (acc + v).cast("decimal(20,6)"),
+    )
+    return (
+        enc.select(F.col(id_col), adc.cast("double").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

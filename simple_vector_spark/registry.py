@@ -1708,6 +1708,95 @@ def ann_ivf_partitioned(spark, sf_dir):
     )
 
 
+_PQ_SQL = f"""
+cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({_CENTS_SQL})
+),
+sub AS (SELECT CAST(s AS INT) AS s FROM range(8) t(s)),
+cb AS (
+  SELECT cid, s, cv[s*8+1 : s*8+8] AS cw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY cid) AS INT) AS idx
+  FROM cents CROSS JOIN sub
+),
+corp AS (
+  SELECT vec_id, s, CAST(embedding AS DOUBLE[])[s*8+1 : s*8+8] AS sv
+  FROM embeddings CROSS JOIN sub
+),
+encdist AS (
+  SELECT corp.vec_id, corp.s, cb.idx,
+         ROUND(list_aggregate(list_transform(range(1,9),
+               i -> (sv[i]-cw[i])*(sv[i]-cw[i])), 'sum'), 6) AS d
+  FROM corp JOIN cb ON corp.s = cb.s
+),
+enc AS (
+  SELECT vec_id, s, idx FROM (
+    SELECT vec_id, s, idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, idx) AS rn
+    FROM encdist
+  ) WHERE rn = 1
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+dq AS (
+  SELECT cb.s, cb.idx,
+         CAST(ROUND(list_aggregate(list_transform(range(1,9),
+              i -> (qv[cb.s*8+i]-cw[i])*(qv[cb.s*8+i]-cw[i])), 'sum'), 6)
+              AS DECIMAL(18,6)) AS d
+  FROM cb CROSS JOIN q
+),
+adc AS (
+  SELECT enc.vec_id, CAST(SUM(dq.d) AS DOUBLE) AS adc_dist
+  FROM enc JOIN dq ON enc.s = dq.s AND enc.idx = dq.idx
+  GROUP BY enc.vec_id
+)
+"""
+
+
+@query(
+    "ann_pq_adc",
+    f"WITH {_PQ_SQL} "
+    "SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10",
+)
+def ann_pq_adc(spark, sf_dir):
+    """Product quantization with asymmetric distance: 8 subspaces, a
+    deterministic codebook per subspace (subvectors of the fixed IVF
+    centroid rows), corpus encoded to an 8-byte code column map-side,
+    search = sum of m query-to-codeword table lookups.  The 32x-
+    compressed scan path of a PQ index (FAISS IndexPQ analog), fully
+    oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = A.pq_codebooks(emb)
+    return A.pq_adc_search(emb, emb.filter(F.col("vec_id") == 0), cbs, KNN_K)
+
+
+@query(
+    "ann_pq_recall",
+    f"""
+WITH {_PQ_SQL},
+qtop AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 10),
+epairs AS (
+  SELECT e.vec_id, unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(q.qv) AS y
+  FROM embeddings e CROSS JOIN q
+),
+ed AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM epairs GROUP BY vec_id),
+etop AS (SELECT vec_id FROM ed ORDER BY dist, vec_id LIMIT 10),
+hits AS (SELECT vec_id FROM etop WHERE vec_id IN (SELECT vec_id FROM qtop))
+SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       ROUND(COUNT(*) / 10.0, 6) AS recall
+FROM hits
+""",
+)
+def ann_pq_recall(spark, sf_dir):
+    """Recall@10 of PQ-ADC vs exact — what 32x compression costs in
+    ranking quality (compare ann_quantized_recall's 4x int8 point)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    cbs = A.pq_codebooks(emb)
+    pq_hits = A.pq_adc_search(emb, q, cbs, KNN_K)
+    exact_hits = K.knn_topk(emb, q, KNN_K, "sqL2")
+    return A.recall_report(pq_hits, exact_hits, KNN_K)
+
+
 @query("ann_mllib_lsh_join")  # rows-only: hyperplanes are seed-random
 def ann_mllib_lsh_join(spark, sf_dir):
     """MLlib BucketedRandomProjectionLSH approxSimilarityJoin (library
