@@ -2221,6 +2221,24 @@ def stream_static_enrich(spark, sf_dir):
 
 
 @query(
+    "stream_foreach_batch_merge",
+    """
+SELECT user_id, event_id AS last_event_id, ROUND(value, 6) AS last_value
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def stream_foreach_batch_merge(spark, sf_dir):
+    """foreachBatch MERGE sink: micro-batches merged latest-wins into a
+    versioned Parquet snapshot with atomic cut-over; final state equals
+    the batch latest-per-user window (the oracle)."""
+    return SJ.foreach_batch_merge(spark, sf_dir)
+
+
+@query(
     "stream_dedup_counts",
     """
 SELECT event_type,

@@ -265,3 +265,46 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
+
+
+def foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WAL consumption into a materialized snapshot table:
+    each micro-batch is MERGEd (union + latest-wins window, O13) into a
+    Parquet state dir via foreachBatch — the pure-DataFrame Delta-MERGE
+    sink, with the checkpoint providing exactly-once across restarts.
+    Batches write to a NEW versioned dir and cut over only after the
+    write commits (the atomic-swap the reference's full-rewrite
+    snapshot lacks, src/index_factory.cc:44-63 / doc/persistence.md
+    todo).  Final state = latest event per user — the batch oracle."""
+    import os
+
+    from ..operators.mutation import apply_upserts, restore, snapshot
+
+    ev = _read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    base = tempfile.mkdtemp(prefix="svs_fbmerge_")
+    state = {"path": None}
+
+    def merge(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        if state["path"] is None:
+            cur = sess.createDataFrame([], batch_df.schema)
+        else:
+            cur = restore(sess, state["path"])
+        nxt = os.path.join(base, f"v{batch_id}")
+        snapshot(apply_upserts(cur, batch_df, ["user_id"], ["ts", "event_id"]), nxt)
+        state["path"] = nxt
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="svs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return restore(spark, state["path"]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.round(F.col("value"), 6).alias("last_value"),
+    )
