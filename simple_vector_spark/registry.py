@@ -1235,6 +1235,76 @@ def _docs_plus_spark(spark, sf_dir):
 
 
 @query(
+    "events_top_users_per_hour",
+    """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket, user_id,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, user_id, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n DESC, user_id) AS INT) AS rnk
+  FROM h
+)
+SELECT bucket, user_id, n, rnk FROM r WHERE rnk <= 3
+""",
+)
+def events_top_users_per_hour(spark, sf_dir):
+    """Trending: top-3 most active users per hour — windowed agg + the
+    same rank-limit the k-NN join uses (WindowGroupLimit keeps the
+    shuffle at k rows per bucket per task)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("b"), F.col("user_id")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("b").orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "user_id",
+            "n",
+            "rnk",
+        )
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+SELECT r_name, o_orderstatus,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (o_orderstatus), (r_name, o_orderstatus))
+""",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over)
+    via the SQL API — three grouping combinations in one shuffle."""
+    from .sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name, o_orderstatus,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (o_orderstatus), (r_name, o_orderstatus))
+        """
+    )
+
+
+@query(
     "dedup_exact",
     f"""
 WITH {_DOCS_PLUS_SQL}
