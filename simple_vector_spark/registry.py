@@ -885,6 +885,66 @@ def order_value_quartiles(spark, sf_dir):
 
 
 @query(
+    "bucketed_join_revenue",
+    """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderstatus
+""",
+)
+def bucketed_join_revenue(spark, sf_dir):
+    """The co-located-join layout as a declared query: orders and
+    customer written bucketBy(custkey) into the warehouse, then joined
+    with broadcast disabled — SortMergeJoin with NO Exchange on either
+    side (asserted in tests/test_scale_patterns.py on the same
+    mechanism).  At 100 TB this is how the corpus<->metadata join
+    avoids shuffling the fact table every query: pay the bucketed
+    write once, join shuffle-free forever after."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    to_, tc = f"orders_b_{tag}", f"customer_b_{tag}"
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name, df, key in ((to_, orders, "o_custkey"), (tc, customer, "c_custkey")):
+        if not spark.catalog.tableExists(name):
+            # the in-memory catalog forgets tables between sessions but
+            # their managed location survives; clear the orphan or
+            # saveAsTable refuses with LOCATION_ALREADY_EXISTS
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+            df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (
+            spark.table(to_)
+            .join(
+                spark.table(tc),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(15,2)")).cast("double"),
+                    2,
+                ).alias("revenue"),
+            )
+        )
+        # materialize WHILE broadcast is disabled — the returned frame
+        # is lazy, and restoring the conf first would let the planner
+        # broadcast the dim and bypass the bucketed layout
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@query(
     "orders_with_returns",
     """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
