@@ -207,3 +207,29 @@ def rolling_range_avg(events: DataFrame, seconds: int = 3600) -> DataFrame:
             (F.sum(dec).over(w).cast("double") / F.count("*").over(w)), 6
         ).alias("trail_avg"),
     )
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-event-type inter-arrival statistics: for each event, the gap
+    to the SAME USER's previous event (lag over a per-user window,
+    ts + event_id tiebreak), aggregated by the type of the later
+    event.  Gaps are exact integer microseconds so the distributed sum
+    is order-insensitive; only the final avg division runs in f64.
+    One shuffle by user_id for the window, then a tiny agg by type."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.round(
+            F.sum("gap_us").cast("double") / (F.count("*") * F.lit(1e6)), 6
+        ).alias("avg_gap_sec"),
+        F.round(F.max("gap_us").cast("double") / 1e6, 6).alias("max_gap_sec"),
+        F.round(F.min("gap_us").cast("double") / 1e6, 6).alias("min_gap_sec"),
+    )

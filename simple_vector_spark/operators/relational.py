@@ -418,3 +418,179 @@ def order_value_quartiles(orders: DataFrame) -> DataFrame:
             F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("sum_value"),
         )
     )
+
+
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly N orders
+    (including N=0).  Aggregate orders BEFORE the join — the left join
+    then moves one pre-counted row per customer instead of one row per
+    order, and the second aggregation (on the tiny c_count domain)
+    is nearly free.  At 100 TB: one shuffle of orders by custkey, one
+    shuffle of customer by custkey, final agg over <100 groups."""
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("_n"))
+    counted = customer.join(
+        per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left"
+    ).select(F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("c_count"))
+    return counted.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+def large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, qty_threshold: int = 300
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with customer attribution.  The HAVING-filtered
+    aggregate acts as a semi-join driver: lineitem aggregates by
+    orderkey map-side first, the survivors (a tiny set) then join to
+    orders and broadcast-join to customer.  Quantity summed in DECIMAL
+    so the threshold comparison is exact in both engines."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_sumq"))
+        .filter(F.col("_sumq") > F.lit(qty_threshold).cast(DEC_PRICE))
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            F.col("c_custkey").cast("bigint").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.round(_dec("o_totalprice").cast("double"), 2).alias("totalprice"),
+            F.round(F.col("_sumq").cast("double"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def disjunctive_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides.  Catalyst extracts the common `l_partkey =
+    p_partkey` equi-condition, broadcasts part, and pushes the
+    band-specific conjuncts below the join where possible; the
+    disjunction itself evaluates post-join inside codegen.  Exercises
+    complex-predicate planning the simple eq/ne reference filter
+    (src/filter_index.cc:56-81) never faces."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC_RATE) - _dec("l_discount", DEC_RATE))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, lapsed_cutoff: str = "2001-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    RECENT orders (none since `lapsed_cutoff` — every fixture customer
+    has some order, so the recency predicate keeps the anti-join
+    non-degenerate), aggregated per nation.  The global average is a
+    broadcast scalar; the comparison is done multiplication-only in
+    DECIMAL (bal * n_customers > total_balance) so no cross-engine
+    division rounding can flip a boundary row.  The date filter pushes
+    into the orders scan BEFORE the anti-join shuffle."""
+    stats = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("_total"),
+        F.count("*").alias("_n"),
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit(lapsed_cutoff))
+    rich = (
+        customer.crossJoin(F.broadcast(stats))
+        .filter(_dec("c_acctbal") * F.col("_n") > F.col("_total"))
+        .join(recent, customer["c_custkey"] == recent["o_custkey"], "left_anti")
+    )
+    return rich.groupBy(F.col("c_nationkey").cast("int").alias("nationkey")).agg(
+        F.count("*").cast("bigint").alias("numcust"),
+        F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias("totacctbal"),
+    )
+
+
+def cheapest_supplier_parts(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q2 shape adapted to the fixture schema (no partsupp
+    table): for every part, find the supplier with the lowest observed
+    unit price (extendedprice/quantity), then count per supplier how
+    many parts they win.  Correlated-min becomes one window: rank rows
+    per partkey by (rounded unit cost, suppkey) and keep rank 1 — a
+    single shuffle by partkey, no self-join.  Unit cost is one IEEE
+    f64 division (bit-identical across engines), ROUNDed before
+    ranking so ulp noise cannot reorder."""
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("l_suppkey").asc()
+    )
+    winners = (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_cost"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        winners.groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("n_parts_won"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("suppname"),
+            "n_parts_won",
+        )
+    )
+
+
+def flag_corr_stats(lineitem: DataFrame) -> DataFrame:
+    """Distributed two-pass-free correlation/stddev per returnflag,
+    computed from DECIMAL power sums (n, Σx, Σy, Σx², Σy², Σxy — all
+    exact, order-insensitive) with the closed-form formulas applied in
+    f64 only at the very end.  The naive F.corr/F.stddev aggregate
+    over doubles is partial-aggregation-order dependent and cannot
+    hash-match a single-threaded oracle; power sums in DECIMAL make
+    the distributed result bit-stable at any partition count."""
+    x = _dec("l_quantity")  # ~1..50, 2 decimals
+    y = _dec("l_extendedprice")
+    sums = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum((x * x).cast("decimal(25,4)")).alias("_sxx"),
+        F.sum((y * y).cast("decimal(30,4)")).alias("_syy"),
+        F.sum((x * y).cast("decimal(28,4)")).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("_sxx").cast("double"),
+        F.col("_syy").cast("double"),
+        F.col("_sxy").cast("double"),
+    )
+    var_x = (n * sxx - sx * sx) / (n * (n - 1))
+    var_y = (n * syy - sy * sy) / (n * (n - 1))
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
+        F.round(F.sqrt(var_y), 4).alias("stddev_price"),
+    )

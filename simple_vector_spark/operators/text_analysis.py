@@ -281,3 +281,31 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         fp.alias("fp"),
         (fp % 64).alias("shard"),
     )
+
+
+def bigram_topn(docs: DataFrame, n: int = 50, text_col: str = "text") -> DataFrame:
+    """Top-n word bigrams across the corpus — the phrase-mining /
+    tokenizer-merge-candidate primitive.  Bigrams are built inside the
+    scan stage with zip_with over two shifted slices (no UDF, no
+    self-join); explode feeds a partially-aggregated count, so the one
+    shuffle carries (bigram, partial count) pairs, then global top-n
+    via TakeOrderedAndProject.  Deterministic order: (count desc,
+    bigram asc)."""
+    from ..functions.text import tokens
+    from ..sources.loaders import fan_out
+
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, sz - 1),
+        F.slice(toks, 2, sz - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # slice() rejects negative lengths: guard the < 2-token case
+    bigrams = F.when(sz >= 2, pairs).otherwise(F.array().cast("array<string>"))
+    exploded = (
+        fan_out(docs.select(text_col))
+        .select(F.explode(bigrams).alias("bigram"))
+    )
+    counted = exploded.groupBy("bigram").agg(F.count("*").cast("bigint").alias("n"))
+    return counted.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(n)

@@ -2382,3 +2382,197 @@ def stream_dedup_counts(spark, sf_dir):
     -> watermarked dropDuplicates emits each event once; per-type
     totals equal the batch distinct."""
     return SJ.dedup_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Relational wave 3: remaining classic TPC-H shapes + exact distributed
+# statistics + phrase mining + event inter-arrival.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q13_order_counts",
+    """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT CAST(COALESCE(n, 0) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) oc
+    ON c_custkey = oc.o_custkey
+) GROUP BY c_count
+""",
+)
+def tpch_q13_order_counts(spark, sf_dir):
+    """TPC-H Q13: customer distribution by order count (incl. zero),
+    aggregate-before-join so the outer join moves pre-counted rows."""
+    return R.order_count_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+SELECT CAST(c_custkey AS BIGINT) AS custkey, o_orderkey AS orderkey,
+       o_orderdate AS orderdate,
+       ROUND(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE), 2) AS totalprice,
+       ROUND(CAST(sumq AS DOUBLE), 2) AS sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(15,2))) AS sumq
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18: HAVING-filtered aggregate as a semi-join driver."""
+    return R.large_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    f"""
+SELECT ROUND(CAST(SUM({_DEC_PRICE_SQL} * {_DEC_DISC_SQL}) AS DOUBLE), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19: OR-of-ANDs predicate spanning both join sides."""
+    return R.disjunctive_promo_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "tpch_q22_idle_rich",
+    """
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS total, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey AS INT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE), 2) AS totacctbal
+FROM customer, stats
+WHERE CAST(c_acctbal AS DECIMAL(15,2)) * n > total
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_nationkey
+""",
+)
+def tpch_q22_idle_rich(spark, sf_dir):
+    """TPC-H Q22: above-average balance (division-free DECIMAL
+    comparison) + lapsed-customer anti-join (no orders since
+    2001-01-01), per-nation rollup."""
+    return R.idle_rich_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "cheapest_supplier_parts",
+    """
+WITH ranked AS (
+  SELECT l_partkey, l_suppkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY ROUND(l_extendedprice / l_quantity, 6) ASC, l_suppkey ASC
+         ) AS rn
+  FROM lineitem
+)
+SELECT s_suppkey AS suppkey, s_name AS suppname,
+       CAST(COUNT(*) AS BIGINT) AS n_parts_won
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+GROUP BY s_suppkey, s_name
+""",
+)
+def cheapest_supplier_parts(spark, sf_dir):
+    """TPC-H Q2 shape on the fixture schema: per-part min-cost supplier
+    via one window (no correlated self-join), counted per supplier."""
+    return R.cheapest_supplier_parts(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@query(
+    "lineitem_corr_stats",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(15,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS sy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2)) AS DECIMAL(25,4))) AS sxx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2)) AS DECIMAL(30,4))) AS syy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2)) AS DECIMAL(28,4))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS corr_qty_price,
+       ROUND(SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * (n - 1.0))), 6)
+         AS stddev_qty,
+       ROUND(SQRT((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / (n * (n - 1.0))), 4)
+         AS stddev_price
+FROM s
+""",
+)
+def lineitem_corr_stats(spark, sf_dir):
+    """Distributed corr/stddev from exact DECIMAL power sums — stable
+    at any partition count, unlike naive double F.corr."""
+    return R.flag_corr_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "events_interarrival",
+    """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(SUM(gap_us) / (COUNT(*) * 1e6), 6) AS avg_gap_sec,
+       ROUND(MAX(gap_us) / 1e6, 6) AS max_gap_sec,
+       ROUND(MIN(gap_us) / 1e6, 6) AS min_gap_sec
+FROM (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+) WHERE gap_us IS NOT NULL
+GROUP BY event_type
+""",
+)
+def events_interarrival(spark, sf_dir):
+    """Per-type inter-arrival gaps via per-user lag window; exact
+    integer-microsecond sums."""
+    return E.interarrival_stats(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "doc_bigrams_top50",
+    f"""
+WITH tk AS (SELECT {_TK_SQL} AS t FROM documents),
+b AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bigram
+  FROM tk, UNNEST(range(1, len(t))) AS u(i)
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+""",
+)
+def doc_bigrams_top50(spark, sf_dir):
+    """Corpus top-50 bigrams: zip_with shifted slices inside the scan,
+    partial-agg shuffle, TakeOrderedAndProject."""
+    return T.bigram_topn(load_table(spark, sf_dir, "documents"), 50)
