@@ -425,3 +425,45 @@ def pq_adc_search(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def kmeans_step(
+    emb: DataFrame,
+    centroid_ids: list[int] | None = None,
+    report_dims: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration of k-means as pure DataFrame ops: assign
+    every vector to its nearest centroid (same rounded-argmin
+    expression as the IVF cell map), then recompute per-cluster means.
+    The iterative bulk-clustering primitive behind IVF/PQ codebook
+    training — at 100 TB each iteration is one scan + one shuffle on
+    the (tiny) cluster id, centroids broadcast as literals.
+
+    Cross-engine determinism for the reported means: each component is
+    ROUNDed to 3 decimals then cast to DECIMAL(12,3) BEFORE the sum —
+    exact, order-insensitive — with the final divide-by-count the only
+    f64 step.  (A raw double sum would be partial-agg-order dependent
+    and could not hash-match a single-threaded oracle.)"""
+    from ..sources.loaders import fan_out
+
+    cents = fit_vectors(emb, centroid_ids or CENTROID_IDS, id_col, vec_col)
+    v = as_double_array(F.col(vec_col))
+    assigned = fan_out(emb).select(
+        ivf_cell(v, cents).alias("cluster_id"),
+        *[
+            F.round(F.element_at(v, d + 1), 3)
+            .cast("decimal(12,3)")
+            .alias(f"_d{d}")
+            for d in range(report_dims)
+        ],
+    )
+    n = F.count("*")
+    return assigned.groupBy("cluster_id").agg(
+        n.cast("bigint").alias("n"),
+        *[
+            F.round(F.sum(f"_d{d}").cast("double") / n, 6).alias(f"mean_d{d}")
+            for d in range(report_dims)
+        ],
+    )

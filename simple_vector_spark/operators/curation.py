@@ -1,0 +1,155 @@
+"""Training-data curation operators: decontamination, context-window
+chunking, dataset splits, repetition audits, blocklist filtering.
+
+North-star extensions (not in the reference, whose storage layer never
+inspects text — src/scalar_storage.cc:20-32): the standard curation
+passes an LLM pre-training pipeline runs over a raw corpus before
+tokenization.  All are pure DataFrame expressions + one aggregation
+shuffle; nothing touches the driver.
+
+Scale notes: every operator here is a linear scan with map-side
+partial aggregation except decontamination, whose benchmark side is
+tiny by construction (a held-out eval set) and therefore broadcast —
+the corpus is never shuffled, only scanned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+from ..sources.loaders import fan_out
+
+TRAIN_PCT, VAL_PCT = 90, 95  # md5(doc_id) % 100 cutpoints
+
+
+def decontaminate(
+    docs: DataFrame, bench_mod: int = 100, plant_shift: int = 1_000_000, n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing any
+    n-token shingle with the held-out benchmark set (here: the planted
+    originals, doc_id % bench_mod == 0 below plant_shift — their
+    planted copies are guaranteed contaminated, so the check has
+    positive signal at every sf).
+
+    Plan shape: the benchmark is small → its distinct shingle set
+    BROADCASTS; the corpus streams once through the hash join, then
+    one shuffle by doc_id for the per-doc rollup.  At 100 TB the
+    benchmark (an eval suite) is still MBs — this is the canonical
+    broadcast-semi-join decontamination pass."""
+    is_bench = (F.col("doc_id") % bench_mod == 0) & (F.col("doc_id") < plant_shift)
+    sh = F.explode(word_shingles(tokens(F.col("text")), n)).alias("sh")
+
+    bench_sh = (
+        docs.filter(is_bench)
+        .select(F.col("doc_id").alias("bench_id"), sh)
+        .distinct()
+    )
+    train_sh = (
+        fan_out(docs.filter(~is_bench)).select("doc_id", sh).distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").cast("bigint").alias("n_bench_hit"),
+            F.countDistinct("sh").cast("bigint").alias("n_shared_shingles"),
+        )
+    )
+
+
+def chunk_audit(docs: DataFrame, size: int = 128, stride: int = 96) -> DataFrame:
+    """Context-window chunking accounting: split each doc's token
+    stream into windows of `size` every `stride` tokens (overlap =
+    size - stride) and report per-source chunk counts and padding
+    waste.  The chunk starts are a sequence() expression expanded
+    in-scan — the explode factor is ~n_tokens/stride, all before the
+    single aggregation shuffle."""
+    toks = tokens(F.col("text"))
+    sz = F.size(toks)
+    starts = F.explode(
+        F.sequence(F.lit(1), F.greatest(sz, F.lit(1)), F.lit(stride))
+    ).alias("start")
+    chunks = (
+        fan_out(docs.select("source", "text"))
+        .select("source", sz.alias("n_tok"), starts)
+        .filter(F.col("n_tok") >= 1)
+        .select(
+            "source",
+            F.least(F.lit(size), F.col("n_tok") - F.col("start") + 1).alias("chunk_tok"),
+        )
+    )
+    return chunks.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("chunk_tok").cast("bigint").alias("sum_chunk_tokens"),
+        F.count(F.when(F.col("chunk_tok") < size, 1)).cast("bigint").alias("n_partial"),
+    )
+
+
+def split_audit(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(doc_id) % 100 →
+    <90 train, <95 val, else test (the same hash-gate convention as
+    the stratified sampler, reproducible at any partitioning and
+    engine).  Per (split, lang): doc count and character volume —
+    the dataset-card numbers."""
+    from ..functions.text import md5_int
+
+    gate = md5_int(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(gate < TRAIN_PCT, "train")
+        .when(gate < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Within-document repetition audit (the Gopher/C4 quality rule):
+    per source, how many docs repeat an n-gram internally, plus the
+    corpus-level repeated-shingle mass.  All counts are exact ints;
+    the single ratio is one f64 division at the end."""
+    sh = word_shingles(tokens(F.col("text")), n)
+    per_doc = fan_out(docs.select("source", "text")).select(
+        "source",
+        F.size(sh).alias("n_sh"),
+        F.size(F.array_distinct(sh)).alias("n_uniq"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("n_uniq") < F.col("n_sh"), 1))
+        .cast("bigint")
+        .alias("n_docs_with_repeats"),
+        F.sum("n_sh").cast("bigint").alias("sum_shingles"),
+        F.sum("n_uniq").cast("bigint").alias("sum_distinct"),
+        F.round(
+            F.lit(1.0) - F.sum("n_uniq").cast("double") / F.sum("n_sh"), 6
+        ).alias("corpus_rep_ratio"),
+    )
+
+
+def blocklist_audit(docs: DataFrame, words: list[str]) -> DataFrame:
+    """Blocklist filtering audit (C4-style bad-word pass): per source,
+    docs containing any blocklisted token and the total occurrence
+    count.  arrays_overlap/array_intersect run in-scan; zero shuffles
+    before the final per-source rollup."""
+    toks = tokens(F.col("text"))
+    bl = F.lit(words).cast("array<string>")
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(bl, t)))
+    return (
+        fan_out(docs.select("source", "text"))
+        .select("source", hits.alias("n_hits"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("n_hits") > 0, 1)).cast("bigint").alias("n_flagged"),
+            F.sum("n_hits").cast("bigint").alias("total_hits"),
+        )
+    )

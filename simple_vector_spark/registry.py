@@ -2576,3 +2576,169 @@ def doc_bigrams_top50(spark, sf_dir):
     """Corpus top-50 bigrams: zip_with shifted slices inside the scan,
     partial-agg shuffle, TakeOrderedAndProject."""
     return T.bigram_topn(load_table(spark, sf_dir, "documents"), 50)
+
+
+# --------------------------------------------------------------------------
+# Wave 4: training-data curation (decontamination, chunking, splits,
+# repetition, blocklist) + bulk k-means iteration.
+# --------------------------------------------------------------------------
+from .operators import curation as CU  # noqa: E402
+
+_SH8_SQL = (
+    "CASE WHEN len(tk) >= 8 THEN list_transform(range(len(tk) - 7), i -> "
+    + " || ' ' || ".join(f"tk[i+{j}]" for j in range(1, 9))
+    + ") ELSE [] END"
+)
+_SH3_SQL = (
+    "CASE WHEN len(tk) >= 3 THEN list_transform(range(len(tk) - 2), i -> "
+    "tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) ELSE [] END"
+)
+_BENCH_PRED = f"(doc_id % {PLANT_MOD} = 0 AND doc_id < {PLANT_SHIFT})"
+BLOCKLIST = ["slow", "legacy", "broken"]
+
+
+@query(
+    "decontaminate_ngram",
+    f"""
+WITH {_DOCS_PLUS_SQL.strip()},
+tk AS (SELECT doc_id, {_TK_SQL} AS tk FROM docs_plus),
+sh AS (SELECT doc_id, {_SH8_SQL} AS sh FROM tk),
+bsh AS (SELECT DISTINCT doc_id AS bench_id, unnest(sh) AS s FROM sh
+        WHERE {_BENCH_PRED}),
+tsh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh
+        WHERE NOT {_BENCH_PRED})
+SELECT doc_id,
+       CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_hit,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_shared_shingles
+FROM tsh JOIN bsh USING (s)
+GROUP BY doc_id
+""",
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 8-gram with
+    the held-out set (the planted originals act as the benchmark; their
+    planted copies are guaranteed hits) — benchmark side broadcast."""
+    return CU.decontaminate(_docs_plus_spark(spark, sf_dir), PLANT_MOD, PLANT_SHIFT)
+
+
+@query(
+    "doc_chunk_audit",
+    f"""
+WITH tk AS (SELECT source, len({_TK_SQL}) AS n_tok FROM documents),
+c AS (
+  SELECT source, least(128, n_tok - start + 1) AS chunk_tok
+  FROM tk, UNNEST(range(1, greatest(n_tok, 1) + 1, 96)) AS u(start)
+  WHERE n_tok >= 1
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_tok) AS BIGINT) AS sum_chunk_tokens,
+       CAST(COUNT(CASE WHEN chunk_tok < 128 THEN 1 END) AS BIGINT) AS n_partial
+FROM c GROUP BY source
+""",
+)
+def doc_chunk_audit(spark, sf_dir):
+    """Context-window chunking (size 128, stride 96): per-source chunk
+    counts and partial-chunk (padding-waste) accounting."""
+    return CU.chunk_audit(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dataset_split_audit",
+    """
+SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+       lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h,
+         lang, n_chars
+  FROM documents
+) GROUP BY 1, 2
+""",
+)
+def dataset_split_audit(spark, sf_dir):
+    """Deterministic md5-gate train/val/test split with per-(split,
+    lang) dataset-card stats."""
+    return CU.split_audit(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_repetition_stats",
+    f"""
+WITH tk AS (SELECT source, {_TK_SQL} AS tk FROM documents),
+sh AS (SELECT source, {_SH3_SQL} AS sh FROM tk),
+per AS (SELECT source, len(sh) AS n_sh, len(list_distinct(sh)) AS n_uniq FROM sh)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN n_uniq < n_sh THEN 1 END) AS BIGINT) AS n_docs_with_repeats,
+       CAST(SUM(n_sh) AS BIGINT) AS sum_shingles,
+       CAST(SUM(n_uniq) AS BIGINT) AS sum_distinct,
+       ROUND(1 - CAST(SUM(n_uniq) AS DOUBLE) / SUM(n_sh), 6) AS corpus_rep_ratio
+FROM per GROUP BY source
+""",
+)
+def doc_repetition_stats(spark, sf_dir):
+    """Within-doc 3-gram repetition audit (Gopher/C4 quality rule)."""
+    return CU.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "blocklist_audit",
+    f"""
+WITH t AS (
+  SELECT source,
+         len(list_filter({_TK_SQL}, x -> list_contains(['{"', '".join(BLOCKLIST)}'], x))) AS n_hits
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN n_hits > 0 THEN 1 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(n_hits) AS BIGINT) AS total_hits
+FROM t GROUP BY source
+""",
+)
+def blocklist_audit(spark, sf_dir):
+    """C4-style blocklist pass: per-source flagged docs + hit mass."""
+    return CU.blocklist_audit(load_table(spark, sf_dir, "documents"), BLOCKLIST)
+
+
+_KM_CIDS = ", ".join(str(i) for i in A.CENTROID_IDS)
+
+
+@query(
+    "embeddings_kmeans_step",
+    f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({_KM_CIDS})
+),
+pairs AS (
+  SELECT e.vec_id, c.cid,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(c.cv) AS y
+  FROM embeddings e CROSS JOIN c
+),
+d AS (SELECT vec_id, cid, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+      FROM pairs GROUP BY vec_id, cid),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+vals AS (
+  SELECT a.cid AS cluster_id,
+         CAST(ROUND(CAST(e.embedding[1] AS DOUBLE), 3) AS DECIMAL(12,3)) AS d0,
+         CAST(ROUND(CAST(e.embedding[2] AS DOUBLE), 3) AS DECIMAL(12,3)) AS d1,
+         CAST(ROUND(CAST(e.embedding[3] AS DOUBLE), 3) AS DECIMAL(12,3)) AS d2,
+         CAST(ROUND(CAST(e.embedding[4] AS DOUBLE), 3) AS DECIMAL(12,3)) AS d3
+  FROM assign a JOIN embeddings e USING (vec_id)
+)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(d0) AS DOUBLE) / COUNT(*), 6) AS mean_d0,
+       ROUND(CAST(SUM(d1) AS DOUBLE) / COUNT(*), 6) AS mean_d1,
+       ROUND(CAST(SUM(d2) AS DOUBLE) / COUNT(*), 6) AS mean_d2,
+       ROUND(CAST(SUM(d3) AS DOUBLE) / COUNT(*), 6) AS mean_d3
+FROM vals GROUP BY cluster_id
+""",
+)
+def embeddings_kmeans_step(spark, sf_dir):
+    """One k-means Lloyd iteration (assign + recompute means) with
+    order-insensitive DECIMAL component sums."""
+    return A.kmeans_step(load_table(spark, sf_dir, "embeddings"))
