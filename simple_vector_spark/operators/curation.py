@@ -46,9 +46,11 @@ def decontaminate(
         .select(F.col("doc_id").alias("bench_id"), sh)
         .distinct()
     )
-    train_sh = (
-        fan_out(docs.filter(~is_bench)).select("doc_id", sh).distinct()
-    )
+    # No .distinct() on the corpus side: that would shuffle every
+    # exploded (doc_id, shingle) pair.  Duplicate shingles survive the
+    # broadcast probe but countDistinct in the rollup dedups them, and
+    # only MATCHING rows (benchmark collisions, tiny) are shuffled.
+    train_sh = fan_out(docs.filter(~is_bench)).select("doc_id", sh)
     return (
         train_sh.join(F.broadcast(bench_sh), "sh")
         .groupBy("doc_id")
