@@ -375,6 +375,29 @@ def pq_encode(vec: Column, codebooks: list[list[tuple[int, list[float]]]]) -> Co
     return F.array(*codes)
 
 
+def adc_distance_table(
+    query: DataFrame, codebooks: list[list[tuple[int, list[float]]]], vec_col: str = "embedding"
+) -> Column:
+    """The ADC lookup table as ONE literal: exact query-to-codeword
+    distances per subspace (m × ncode DECIMAL(18,6) entries).  Model-
+    sized, computed driver-side from the single query row — the PQ
+    analog of fit_vectors."""
+    qrow = query.select(as_double_array(F.col(vec_col)).alias("v")).head()
+    qv = [float(x) for x in qrow[0]]
+    dsub = len(codebooks[0][0][1])
+    dtab = []
+    for s, cb in enumerate(codebooks):
+        qs = qv[s * dsub : (s + 1) * dsub]
+        row = []
+        for _, cw in cb:
+            d = 0.0
+            for x, y in zip(qs, cw):
+                d += (x - y) * (x - y)
+            row.append(round(d, 6))
+        dtab.append(row)
+    return F.lit(dtab).cast("array<array<decimal(18,6)>>")
+
+
 def pq_adc_search(
     corpus: DataFrame,
     query: DataFrame,
@@ -391,20 +414,7 @@ def pq_adc_search(
     a materialized 8-byte column and ADC reads ONLY that.  Table
     entries and the sum are DECIMAL(18,6) so the 8-term fold is exact
     and order-insensitive in both engines."""
-    qrow = query.select(as_double_array(F.col(vec_col)).alias("v")).head()
-    qv = [float(x) for x in qrow[0]]
-    dsub = len(codebooks[0][0][1])
-    dtab = []
-    for s, cb in enumerate(codebooks):
-        qs = qv[s * dsub : (s + 1) * dsub]
-        row = []
-        for _, cw in cb:
-            d = 0.0
-            for x, y in zip(qs, cw):
-                d += (x - y) * (x - y)
-            row.append(round(d, 6))
-        dtab.append(row)
-    tab = F.lit(dtab).cast("array<array<decimal(18,6)>>")
+    tab = adc_distance_table(query, codebooks, vec_col)
     enc = corpus.select(
         F.col(id_col),
         pq_encode(as_double_array(F.col(vec_col)), codebooks).alias("__codes"),
@@ -466,4 +476,83 @@ def kmeans_step(
             F.round(F.sum(f"_d{d}").cast("double") / n, 6).alias(f"mean_d{d}")
             for d in range(report_dims)
         ],
+    )
+
+
+def ivfpq_rerank_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVF-PQ pipeline (FAISS IndexIVFPQ analog,
+    src/faiss_index.cc:32-58 is the flat cousin): probe the nprobe
+    nearest cells, score ONLY probed-cell rows with cheap ADC table
+    lookups over the 8-byte code column, keep a top-`shortlist`
+    candidate set, then exact-rerank just those rows with full vectors.
+
+    The 100 TB shape: stage 1 reads only (id, cell, codes) — with the
+    table written partitioned by cell the probe prunes to nprobe
+    directories, and the 32x-compressed code column is all the scan
+    touches.  Stage 2 fetches `shortlist` full vectors by id (a
+    broadcast semi-join against a request-sized id list) — float
+    vectors for exactly R rows, never the corpus."""
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, cv) for cid, cv in centroids], "cid int, cvec array<double>"
+    )
+    q = F.broadcast(query.select(as_double_array(F.col(vec_col)).alias("__q_vec")))
+    probe = F.broadcast(
+        cdf.crossJoin(q)
+        .select(
+            F.col("cid").alias("__cell"),
+            F.round(squared_l2(F.col("cvec"), F.col("__q_vec")), 6).alias("cdist"),
+        )
+        .orderBy(F.col("cdist").asc(), F.col("__cell").asc())
+        .limit(nprobe)
+        .select("__cell")
+    )
+    tab = adc_distance_table(query, codebooks, vec_col)
+    m = len(codebooks)
+    # Stage 1: codes-only ADC over probed cells.
+    enc = (
+        corpus.withColumn("__cell", ivf_cell(as_double_array(F.col(vec_col)), centroids))
+        .join(probe, "__cell")
+        .select(
+            F.col(id_col),
+            pq_encode(as_double_array(F.col(vec_col)), codebooks).alias("__codes"),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.lit(list(range(1, m + 1))),
+            F.col("__codes"),
+            lambda s, c: F.element_at(F.element_at(tab, s), c),
+        ),
+        F.lit(0).cast("decimal(20,6)"),
+        lambda acc, v: (acc + v).cast("decimal(20,6)"),
+    )
+    short = (
+        enc.select(F.col(id_col), adc.cast("double").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .select(id_col)
+    )
+    # Stage 2: exact rerank of the R-row shortlist only.
+    return (
+        corpus.join(F.broadcast(short), id_col)
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(
+                squared_l2(as_double_array(F.col(vec_col)), F.col("__q_vec")), 6
+            ).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -323,3 +323,52 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def embedding_cosine_pairs_blocked(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell-blocked semantic near-dup: assign every vector to its IVF
+    cell in-scan, then compare ONLY same-cell pairs.  This is the
+    100 TB path that replaces embedding_cosine_pairs' O(n^2) broadcast
+    cross join: the join key is the cell id, so Spark runs a plain
+    shuffle join and the pair space is sum(cell^2) instead of n^2 —
+    the MinHash-LSH trade (bounded candidate space, recall paid at
+    cell borders) applied to the embedding column.  Blocking recall
+    vs the brute-force baseline is measured by
+    embedding_blocked_recall (registry).
+
+    The assigned table is localCheckpoint'd: a self-join recomputes
+    both branches, and cell assignment is the expensive part of the
+    row."""
+    from .ann import ivf_cell
+
+    v = (
+        fan_out(emb.select(F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")))
+        .select(
+            "id",
+            "v",
+            ivf_cell(F.col("v"), centroids).alias("cell"),
+            l2_norm(F.col("v")).alias("n"),
+        )
+        .localCheckpoint()
+    )
+    a = v.select(F.col("id").alias("ia"), F.col("v").alias("va"), F.col("n").alias("na"), "cell")
+    b = v.select(F.col("id").alias("ib"), F.col("v").alias("vb"), F.col("n").alias("nb"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.col("cell").cast("int").alias("cell"),
+            F.round(
+                dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -2742,3 +2742,173 @@ def embeddings_kmeans_step(spark, sf_dir):
     """One k-means Lloyd iteration (assign + recompute means) with
     order-insensitive DECIMAL component sums."""
     return A.kmeans_step(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Wave 5: two-stage vector search (IVF-PQ rerank) and blocked
+# embedding dedup with measured blocking recall.
+# --------------------------------------------------------------------------
+_IVFPQ_SHORTLIST = 50
+
+_ASSIGN_SQL = f"""
+cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({_CENTS_SQL})
+),
+pc AS (
+  SELECT e.vec_id, c.cid,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(c.cv) AS y
+  FROM embeddings e CROSS JOIN cents c
+),
+cd AS (SELECT vec_id, cid, ROUND(SUM((x - y) * (x - y)), 6) AS d FROM pc GROUP BY vec_id, cid),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cd
+  ) WHERE rn = 1
+)
+"""
+
+_BLOCKED_PAIRS_SQL = f"""
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.cell
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+pv AS (
+  SELECT ia, ib, cell,
+         unnest(CAST(ea.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(eb.embedding AS DOUBLE[])) AS y
+  FROM pairs JOIN embeddings ea ON ea.vec_id = pairs.ia
+             JOIN embeddings eb ON eb.vec_id = pairs.ib
+),
+bld AS (
+  SELECT ia, ib, cell,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS sim
+  FROM pv GROUP BY ia, ib, cell
+)
+"""
+
+
+@query(
+    "ann_ivfpq_rerank",
+    f"""
+WITH {_ASSIGN_SQL.strip()},
+probe AS (SELECT cid AS cell FROM cd WHERE vec_id = {ANN_QUERY_ID} ORDER BY d, cid LIMIT {IVF_NPROBE}),
+cand AS (SELECT a.vec_id FROM assign a JOIN probe p USING (cell)),
+sub AS (SELECT CAST(s AS INT) AS s FROM range(8) t(s)),
+cb AS (
+  SELECT cid, s, cv[s*8+1 : s*8+8] AS cw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY cid) AS INT) AS idx
+  FROM cents CROSS JOIN sub
+),
+corp AS (
+  SELECT e.vec_id, s, CAST(e.embedding AS DOUBLE[])[s*8+1 : s*8+8] AS sv
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN sub
+),
+encdist AS (
+  SELECT corp.vec_id, corp.s, cb.idx,
+         ROUND(list_aggregate(list_transform(range(1,9),
+               i -> (sv[i]-cw[i])*(sv[i]-cw[i])), 'sum'), 6) AS d
+  FROM corp JOIN cb ON corp.s = cb.s
+),
+enc AS (
+  SELECT vec_id, s, idx FROM (
+    SELECT vec_id, s, idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, idx) AS rn
+    FROM encdist
+  ) WHERE rn = 1
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+dq AS (
+  SELECT cb.s, cb.idx,
+         CAST(ROUND(list_aggregate(list_transform(range(1,9),
+              i -> (qv[cb.s*8+i]-cw[i])*(qv[cb.s*8+i]-cw[i])), 'sum'), 6)
+              AS DECIMAL(18,6)) AS d
+  FROM cb CROSS JOIN q
+),
+adc AS (
+  SELECT enc.vec_id, CAST(SUM(dq.d) AS DOUBLE) AS adc_dist
+  FROM enc JOIN dq ON enc.s = dq.s AND enc.idx = dq.idx
+  GROUP BY enc.vec_id
+),
+short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT {_IVFPQ_SHORTLIST}),
+rp AS (
+  SELECT s.vec_id, unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(q.qv) AS y
+  FROM short s JOIN embeddings e USING (vec_id) CROSS JOIN q
+),
+rd AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM rp GROUP BY vec_id)
+SELECT vec_id, dist FROM rd ORDER BY dist, vec_id LIMIT {ANN_K}
+""",
+)
+def ann_ivfpq_rerank(spark, sf_dir):
+    """Full IVF-PQ pipeline (FAISS IndexIVFPQ analog): nprobe-cell
+    probe -> codes-only ADC shortlist (top-50) -> exact rerank of the
+    shortlist only.  Stage 1 touches the 8-byte code column of probed
+    cells; stage 2 fetches 50 full vectors by broadcast id join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = A.fit_vectors(emb, A.CENTROID_IDS)
+    cbs = A.pq_codebooks(emb)
+    q = emb.filter(F.col("vec_id") == ANN_QUERY_ID)
+    return A.ivfpq_rerank_search(
+        emb, q, cents, cbs, ANN_K, IVF_NPROBE, _IVFPQ_SHORTLIST
+    )
+
+
+@query(
+    "dedup_embedding_blocked",
+    f"""
+WITH {_ASSIGN_SQL.strip()},
+{_BLOCKED_PAIRS_SQL.strip()}
+SELECT ia, ib, CAST(cell AS INT) AS cell, sim
+FROM bld WHERE sim >= {COSINE_DUP_THRESHOLD}
+""",
+)
+def dedup_embedding_blocked(spark, sf_dir):
+    """Cell-blocked semantic near-dup pairs: IVF-cell assignment
+    in-scan, shuffle join on the cell id — sum(cell^2) pair space
+    instead of n^2 (the 100 TB path; recall measured below)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = A.fit_vectors(emb, A.CENTROID_IDS)
+    return D.embedding_cosine_pairs_blocked(emb, cents, COSINE_DUP_THRESHOLD)
+
+
+@query(
+    "embedding_blocked_recall",
+    f"""
+WITH {_ASSIGN_SQL.strip()},
+{_BLOCKED_PAIRS_SQL.strip()},
+bp AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(b.embedding AS DOUBLE[])) AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+bd AS (SELECT ia, ib, ROUND(SUM(x*y)/(SQRT(SUM(x*x))*SQRT(SUM(y*y))),6) AS sim
+       FROM bp GROUP BY ia, ib),
+nb AS (SELECT COUNT(*) AS n FROM bd WHERE sim >= {COSINE_DUP_THRESHOLD}),
+nk AS (SELECT COUNT(*) AS n FROM bld WHERE sim >= {COSINE_DUP_THRESHOLD})
+SELECT CAST(nb.n AS BIGINT) AS n_brute, CAST(nk.n AS BIGINT) AS n_blocked,
+       CASE WHEN nb.n > 0
+            THEN ROUND(CAST(nk.n AS DOUBLE) / nb.n, 6) END AS recall
+FROM nb CROSS JOIN nk
+""",
+)
+def embedding_blocked_recall(spark, sf_dir):
+    """What cell-blocking costs: blocked pairs / brute-force pairs at
+    the same threshold (blocked is a strict subset — same sim
+    expression, fewer candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = A.fit_vectors(emb, A.CENTROID_IDS)
+    brute = D.embedding_cosine_pairs(emb, COSINE_DUP_THRESHOLD)
+    blocked = D.embedding_cosine_pairs_blocked(emb, cents, COSINE_DUP_THRESHOLD)
+    nb = brute.agg(F.count("*").cast("bigint").alias("n_brute"))
+    nk = blocked.agg(F.count("*").cast("bigint").alias("n_blocked"))
+    return nb.crossJoin(nk).select(
+        "n_brute",
+        "n_blocked",
+        F.when(
+            F.col("n_brute") > 0,
+            F.round(F.col("n_blocked").cast("double") / F.col("n_brute"), 6),
+        ).alias("recall"),
+    )
