@@ -233,3 +233,44 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
         F.round(F.max("gap_us").cast("double") / 1e6, 6).alias("max_gap_sec"),
         F.round(F.min("gap_us").cast("double") / 1e6, 6).alias("min_gap_sec"),
     )
+
+
+def range_join_follow_counts(
+    events: DataFrame,
+    left_type: str = "error",
+    right_type: str = "purchase",
+    window_sec: int = 600,
+) -> DataFrame:
+    """Time-range join: for every `left_type` event, how many
+    `right_type` events landed in the following window_sec seconds.
+    A naive non-equi join is a nested-loop cross product; here both
+    sides get a window_sec-wide time bucket and each left event covers
+    exactly two buckets (its own and the next), so the join is a plain
+    EQUI-join on the bucket id with the precise interval check as a
+    residual filter — the standard interval-join decomposition that
+    keeps a 100 TB event stream shuffle-partitioned by time instead of
+    broadcast-looped."""
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select("event_id", F.col("ts").alias("lts"),
+                F.floor(F.unix_timestamp(F.col("ts")) / window_sec).alias("lb"))
+        .withColumn("bucket", F.explode(F.array(F.col("lb"), F.col("lb") + 1)))
+        .drop("lb")
+    )
+    right = events.filter(F.col("event_type") == right_type).select(
+        F.col("ts").alias("rts"),
+        F.floor(F.unix_timestamp(F.col("ts")) / window_sec).alias("bucket"),
+    )
+    matched = (
+        left.join(right, "bucket")
+        .filter(
+            (F.col("rts") > F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr(f"INTERVAL {window_sec} SECONDS"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").cast("bigint").alias("n_follow"))
+    )
+    base = events.filter(F.col("event_type") == left_type).select("event_id")
+    return base.join(matched, "event_id", "left").select(
+        "event_id", F.coalesce(F.col("n_follow"), F.lit(0).cast("bigint")).alias("n_follow")
+    )

@@ -594,3 +594,153 @@ def flag_corr_stats(lineitem: DataFrame) -> DataFrame:
         F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
         F.round(F.sqrt(var_y), 4).alias("stddev_price"),
     )
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year and
+    direction.  The two nation-restricted dims (supplier side, customer
+    side via orders) both broadcast after their nation filter prunes
+    them to ~1/25 — the only shuffle is lineitem⋈orders on orderkey.
+    The cross-nation disjunction is applied as a post-join filter over
+    the two broadcast-joined nation names (2-row dim, free)."""
+    nn = nation.filter(F.col("n_name").isin([nation_a, nation_b])).select(
+        "n_nationkey", "n_name"
+    )
+    supp = F.broadcast(
+        supplier.join(F.broadcast(nn), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        customer.join(F.broadcast(nn), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast(DEC_RATE) - _dec("l_discount", DEC_RATE)
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate")).cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+    )
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_start: str = "1995-10-01",
+    date_end: str = "1996-01-01",
+    topn: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer for one
+    quarter, top-N.  Order of joins: date-filtered orders ⋈ returned
+    lineitems first (the two fact-side filters multiply), THEN the
+    customer/nation dims broadcast onto the small result.  Top-N is a
+    TakeOrderedAndProject on the aggregated (per-customer) rows."""
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast(DEC_RATE) - _dec("l_discount", DEC_RATE)
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_start))
+        & (F.col("o_orderdate") < F.lit(date_end))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("custname"),
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+            F.round(_dec("c_acctbal", "decimal(12,2)").cast("double"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(topn)
+    )
+
+
+def parts_supplier_counts(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape on the fixture schema (observed part-supplier
+    relationships stand in for partsupp): distinct supplier count per
+    (brand, type, size), excluding flagged suppliers (negative balance
+    stands in for the complaints NOT IN subquery).  The exclusion list
+    is a broadcast anti-join; the distinct ride the aggregation
+    (count_distinct), no pre-shuffle dedup."""
+    bad = F.broadcast(
+        supplier.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("bad_key"))
+    )
+    ps = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(bad, F.col("l_suppkey") == F.col("bad_key"), "left_anti")
+    )
+    return (
+        ps.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+def sole_blame_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, topn: int = 20
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY one to fail
+    (l_returnflag = 'R' stands in for late receipt) in a
+    multi-supplier order.  The classic EXISTS / NOT EXISTS pair
+    decorrelates into ONE per-order aggregate — n_supps > 1 AND
+    n_fail_supps = 1 — so the fact table is shuffled once on orderkey
+    instead of three correlated self-join passes."""
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supps"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("_n_fail"),
+        )
+        .filter((F.col("_n_supps") > 1) & (F.col("_n_fail") == 1))
+        .select("l_orderkey")
+    )
+    blamed = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(per_order, "l_orderkey")
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("suppname"), "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("suppkey").asc())
+        .limit(topn)
+    )

@@ -2912,3 +2912,148 @@ def embedding_blocked_recall(spark, sf_dir):
             F.round(F.col("n_blocked").cast("double") / F.col("n_brute"), 6),
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 6: harder TPC-H shapes (Q7/Q10/Q16/Q21) and a bucketed
+# time-range join.
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q7_nation_volume",
+    """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(CAST(SUM(vol) AS DOUBLE), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) *
+         (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))) AS vol
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name != n2.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7: cross-nation shipping volume by year/direction; both
+    nation-pruned dims broadcast, single fact-fact shuffle."""
+    return R.nation_trade_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "tpch_q10_returned_revenue",
+    """
+WITH per AS (
+  SELECT o_custkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey AS custkey, c_name AS custname,
+       ROUND(CAST(rev AS DOUBLE), 4) AS revenue,
+       ROUND(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE), 2) AS acctbal,
+       n_name AS nation
+FROM per JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, custkey LIMIT 20
+""",
+)
+def tpch_q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10: per-customer returned-item revenue for one quarter,
+    top-20; fact-side filters first, dims broadcast after the agg."""
+    return R.returned_item_revenue(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "tpch_q16_supplier_counts",
+    """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def tpch_q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per part attribute group,
+    flagged suppliers excluded via broadcast anti-join."""
+    return R.parts_supplier_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@query(
+    "tpch_q21_sole_blame",
+    """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_fail
+  FROM lineitem GROUP BY l_orderkey
+),
+blamed AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+  WHERE l.l_returnflag = 'R' AND p.n_supps > 1 AND p.n_fail = 1
+)
+SELECT s_suppkey AS suppkey, s_name AS suppname,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, suppkey LIMIT 20
+""",
+)
+def tpch_q21_sole_blame(spark, sf_dir):
+    """TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair decorrelated into
+    one per-order aggregate (n_supps > 1 AND n_fail = 1) — one fact
+    shuffle instead of three correlated self-joins."""
+    return R.sole_blame_suppliers(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@query(
+    "events_range_join_follow",
+    """
+WITH errors AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+purchases AS (SELECT ts FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT e.event_id, CAST(COUNT(p.ts) AS BIGINT) AS n_follow
+  FROM errors e LEFT JOIN purchases p
+    ON p.ts > e.ts AND p.ts <= e.ts + INTERVAL 600 SECONDS
+  GROUP BY e.event_id
+)
+SELECT event_id, n_follow FROM m
+""",
+)
+def events_range_join_follow(spark, sf_dir):
+    """Interval join via bucket decomposition: each error event covers
+    exactly two 600s buckets, purchases carry their own bucket, so the
+    non-equi time predicate becomes an equi-join on bucket + residual
+    filter.  The oracle states the same semantics as a plain non-equi
+    join — the decomposition is pure plan strategy."""
+    return E.range_join_follow_counts(load_table(spark, sf_dir, "events"))

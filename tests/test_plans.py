@@ -105,3 +105,31 @@ def test_q14_pushes_month_filter_and_broadcasts_part(spark, sf_dir):
     )
     assert "l_shipdate" in li  # month filter at the fact scan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed interval-join decomposition must produce an
+    equi-join on the bucket id; a BroadcastNestedLoopJoin here means
+    the non-equi predicate leaked into the join condition."""
+    plan = plan_of(spark, sf_dir, "events_range_join_follow")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_q21_single_fact_shuffle(spark, sf_dir):
+    """The decorrelated EXISTS/NOT-EXISTS must not self-join lineitem
+    via nested loops; supplier attaches as a broadcast."""
+    plan = plan_of(spark, sf_dir, "tpch_q21_sole_blame")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_stage1_reads_codes_not_vectors(spark, sf_dir):
+    """IVF-PQ stage separation: the shortlist must be computed before
+    any full-vector rerank (TakeOrderedAndProject appears twice — once
+    for the ADC shortlist, once for the final top-k)."""
+    plan = plan_of(spark, sf_dir, "ann_ivfpq_rerank")
+    assert plan.count("TakeOrderedAndProject") >= 2
