@@ -3057,3 +3057,59 @@ def events_range_join_follow(spark, sf_dir):
     filter.  The oracle states the same semantics as a plain non-equi
     join — the decomposition is pure plan strategy."""
     return E.range_join_follow_counts(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 7: remaining UDF shapes — Python UDTF (LATERAL) and grouped-agg
+# pandas UDAF.
+# --------------------------------------------------------------------------
+@query(
+    "doc_chunks_udtf",
+    f"""
+WITH tk AS (SELECT doc_id, len({_TK_SQL}) AS n_tok FROM documents)
+SELECT doc_id, CAST(start AS INT) AS start,
+       CAST(least(128, n_tok - start + 1) AS INT) AS chunk_tok
+FROM tk, UNNEST(range(1, n_tok + 1, 96)) AS u(start)
+WHERE n_tok >= 1
+""",
+)
+def doc_chunks_udtf(spark, sf_dir):
+    """Python UDTF surface: the context-window chunker as a table
+    function invoked via SQL LATERAL — one doc row fans out to its
+    chunk rows inside the scan stage's Python worker (same distributed
+    shape as the explode() form in doc_chunk_audit, different
+    extension mechanism)."""
+    from .functions.text import tokens
+    from .functions.udx import ChunkUDTF
+
+    spark.udtf.register("chunk_windows", ChunkUDTF)
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    ).createOrReplaceTempView("__doc_tok")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.start, c.chunk_tok
+        FROM __doc_tok d, LATERAL chunk_windows(d.n_tok) c
+        """
+    )
+
+
+@query(
+    "doc_median_chars",
+    """
+SELECT source, lang, CAST(median(n_chars) AS DOUBLE) AS median_chars
+FROM documents GROUP BY source, lang
+""",
+)
+def doc_median_chars(spark, sf_dir):
+    """Grouped-agg pandas UDAF surface: exact median over integer
+    n_chars per (source, lang) — the whole group arrives as one Arrow
+    batch, kernel is order-insensitive, result hash-matches SQL
+    median()."""
+    from .functions.udx import median_agg
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(median_agg(F.col("n_chars")).alias("median_chars"))
+    )
