@@ -1,0 +1,132 @@
+"""Sketch operators: Count-Min frequency estimation and quantile-
+sketch accuracy audits.
+
+North-star extensions (the reference keeps no statistics at all —
+its only aggregate structure is the roaring bitmap per (field,value),
+src/filter_index.cc:9-54).  At 100 TB, sketches are how an engine
+answers frequency/cardinality/quantile questions in one pass with
+bounded memory; here they are built as ordinary aggregations so the
+"sketch" is just a tiny DataFrame, mergeable by construction.
+
+Determinism: Count-Min uses the same md5-prefix integer hashing and
+(a*x + b) % P universal hashes as the MinHash suite — exact integer
+arithmetic in both engines, so estimates (and their one-sided error)
+hash-match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import MINHASH_A, MINHASH_B, MINHASH_P, md5_int, tokens
+from ..sources.loaders import fan_out
+
+CMS_W = 256  # buckets per row
+CMS_D = 4  # hash rows (uses MINHASH_A/B[:4])
+
+
+def _cms_bucket(j: int, h) -> F.Column:
+    return ((F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % MINHASH_P) % CMS_W
+
+
+def cms_heavy_hitters(docs: DataFrame, topn: int = 20, text_col: str = "text") -> DataFrame:
+    """Count-Min heavy-hitter audit: exact top-N token counts side by
+    side with their CMS estimates (D=4 rows x W=256 buckets), plus the
+    collision overcount.  CMS is one-sided — est >= true always; the
+    audit shows what W buys at this corpus size.
+
+    Plan: ONE exact token count (shuffle on token — also the source of
+    the exact top-N), then the 4xW sketch is an aggregation of that
+    tiny table, and estimates come from joining the top-N's buckets
+    against the sketch.  The corpus is scanned once; everything after
+    the first groupBy is KB-sized.  At 100 TB you would keep ONLY the
+    sketch pass (skip the exact count): same single scan, 4 counters
+    per token occurrence, mergeable across partitions by + — that
+    variant is this plan minus the audit columns."""
+    cnt = (
+        fan_out(docs.select(text_col))
+        .select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("true_cnt"))
+        .withColumn("h", md5_int(F.col("t")))
+    )
+    # sketch[j][b] = sum of counts of all tokens hashing to bucket b in row j
+    rows = []
+    for j in range(CMS_D):
+        rows.append(
+            cnt.select(F.lit(j).alias("j"), _cms_bucket(j, F.col("h")).alias("b"), "true_cnt")
+        )
+    sketch = (
+        rows[0].unionByName(rows[1]).unionByName(rows[2]).unionByName(rows[3])
+        .groupBy("j", "b")
+        .agg(F.sum("true_cnt").alias("bucket_cnt"))
+    )
+    top = cnt.orderBy(F.col("true_cnt").desc(), F.col("t").asc()).limit(topn)
+    probes = []
+    for j in range(CMS_D):
+        probes.append(
+            top.select("t", "true_cnt", F.lit(j).alias("j"), _cms_bucket(j, F.col("h")).alias("b"))
+        )
+    probe = probes[0].unionByName(probes[1]).unionByName(probes[2]).unionByName(probes[3])
+    return (
+        probe.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("t", "true_cnt")
+        .agg(F.min("bucket_cnt").alias("cms_est"))
+        .select(
+            F.col("t").alias("token"),
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("true_cnt")).cast("bigint").alias("overcount"),
+        )
+    )
+
+
+def approx_quantile_audit(
+    orders: DataFrame, probs: list[float] | None = None, rel_err: float = 0.01
+) -> DataFrame:
+    """Quantile-sketch accuracy audit: percentile_approx (Spark's
+    Greenwald-Khanna sketch, the one-pass bounded-memory path used at
+    100 TB) against the exact percentile, with the observed rank error.
+    The sketch side is engine-specific, so this query is declared
+    rows-only (no SQL oracle); tests assert the rel_err contract."""
+    probs = probs or [0.25, 0.5, 0.75, 0.95]
+    acc = int(1.0 / rel_err)
+    apx = orders.agg(
+        F.percentile_approx("o_totalprice", probs, acc).alias("apx")
+    )
+    exact = orders.agg(F.expr(
+        f"percentile(o_totalprice, array({', '.join(str(p) for p in probs)}))"
+    ).alias("ex"))
+    pairs = (
+        apx.crossJoin(exact)
+        .select(
+            F.posexplode(F.arrays_zip(F.col("apx"), F.col("ex"))).alias("i", "z")
+        )
+        .select(
+            F.element_at(F.lit(probs), F.col("i") + 1).alias("p"),
+            F.col("z.apx").cast("double").alias("approx_value"),
+            F.col("z.ex").cast("double").alias("exact_value"),
+        )
+    )
+    n = orders.count()
+    ranks = orders.select("o_totalprice")
+    return (
+        pairs.join(
+            ranks.crossJoin(F.broadcast(pairs.select(F.col("p").alias("p2"), "approx_value")))
+            .groupBy("p2")
+            .agg(
+                (F.sum(F.when(F.col("o_totalprice") <= F.col("approx_value"), 1).otherwise(0))
+                 / F.lit(float(n))).alias("approx_rank"),
+            ),
+            F.col("p") == F.col("p2"),
+        )
+        .select(
+            "p",
+            "approx_value",
+            "exact_value",
+            F.round(F.col("approx_rank"), 6).alias("approx_rank"),
+            F.round(F.abs(F.col("approx_rank") - F.col("p")), 6).alias("rank_err"),
+        )
+        .orderBy("p")
+    )

@@ -3113,3 +3113,56 @@ def doc_median_chars(spark, sf_dir):
         .groupBy("source", "lang")
         .agg(median_agg(F.col("n_chars")).alias("median_chars"))
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 8: sketches — Count-Min heavy hitters (exact-arithmetic,
+# oracle-checked) and quantile-sketch accuracy audit (rows-only).
+# --------------------------------------------------------------------------
+from .operators import sketches as SK  # noqa: E402
+
+_CMS_A = "[" + ", ".join(str(a) for a in MINHASH_A[:4]) + "]"
+_CMS_B = "[" + ", ".join(str(b) for b in MINHASH_B[:4]) + "]"
+
+
+@query(
+    "cms_heavy_hitters",
+    f"""
+WITH toks AS (SELECT unnest({_TK_SQL}) AS t FROM documents),
+cnt AS (
+  SELECT t, COUNT(*) AS true_cnt,
+         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h
+  FROM toks GROUP BY t
+),
+rws AS (SELECT CAST(j AS INT) AS j FROM range(4) r(j)),
+hb AS (
+  SELECT t, true_cnt, j,
+         (({_CMS_A}[j+1] * h + {_CMS_B}[j+1]) % {MINHASH_P}) % {SK.CMS_W} AS b
+  FROM cnt CROSS JOIN rws
+),
+sk AS (SELECT j, b, SUM(true_cnt) AS bucket_cnt FROM hb GROUP BY j, b),
+top AS (SELECT t, true_cnt FROM cnt ORDER BY true_cnt DESC, t LIMIT 20),
+pr AS (SELECT top.t, top.true_cnt, hb.j, hb.b FROM top JOIN hb ON hb.t = top.t),
+est AS (
+  SELECT pr.t, pr.true_cnt, MIN(sk.bucket_cnt) AS cms_est
+  FROM pr JOIN sk USING (j, b) GROUP BY pr.t, pr.true_cnt
+)
+SELECT t AS token, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - true_cnt AS BIGINT) AS overcount
+FROM est
+""",
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch audit: exact top-20 token counts vs their CMS
+    estimates (4x256, MinHash-family integer hashes) with the
+    one-sided collision overcount."""
+    return SK.cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
+@query("orders_quantile_sketch_audit")  # rows-only: GK sketch is engine-specific
+def orders_quantile_sketch_audit(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna, the one-pass bounded-memory
+    quantile path) vs exact percentile with observed rank error; the
+    1% rel_err contract is asserted in tests/test_sketches.py."""
+    return SK.approx_quantile_audit(load_table(spark, sf_dir, "orders"))
