@@ -80,3 +80,67 @@ def decode_features(docs_with_payload: DataFrame) -> DataFrame:
     return fan_out(docs_with_payload.select("doc_id", "payload")).mapInPandas(
         decode_batch, schema=DECODED_SCHEMA
     )
+
+
+FRAME_BYTES = 256  # stub frame size; a real codec reads container headers
+FRAME_STRIDE = 4  # keep every 4th frame
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, frame_off long, frame_checksum long,"
+    " thumb_w int, thumb_h int"
+)
+THUMB = 32
+
+
+def sample_frame_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for video frame-sampling: each payload is
+    treated as a container of FRAME_BYTES-sized frames; every
+    FRAME_STRIDE-th frame is 'decoded' (STUB: checksum + fixed thumb
+    dims — a real build calls the codec per frame here) and emitted as
+    its own row.  One-to-many fan-out happens inside the Python worker
+    per Arrow batch — the distributed shape of frame extraction at
+    100 TB, where a row explodes into its sampled frames without any
+    driver involvement.  Audio windowing is this same operator with
+    FRAME_BYTES = the sample window."""
+    for pdf in it:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+            for fi in range(0, n_frames, FRAME_STRIDE):
+                off = fi * FRAME_BYTES
+                frame = b[off : off + FRAME_BYTES]
+                rows.append(
+                    (doc_id, fi, off, sum(frame) % 2_147_483_647, THUMB, THUMB)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "frame_idx", "frame_off", "frame_checksum", "thumb_w", "thumb_h",
+            ],
+        )
+
+
+def sample_frames(docs_with_payload: DataFrame) -> DataFrame:
+    """Frame-sampling pipeline over the binary column (rows-only: the
+    per-frame checksum is stub-codec territory; the COUNTS are
+    oracle-checked by frame_audit and cross-checked in tests)."""
+    from ..sources.loaders import fan_out
+
+    return fan_out(docs_with_payload.select("doc_id", "payload")).mapInPandas(
+        sample_frame_batch, schema=FRAMES_SCHEMA
+    )
+
+
+def frame_audit(docs_with_payload: DataFrame) -> DataFrame:
+    """Frame accounting from metadata alone — pure integer arithmetic
+    on byte_len, no decode: total frames in the container and how many
+    a stride-FRAME_STRIDE sampler keeps.  This is the planner's-eye
+    view of the decode job (rows to expect, batch sizing) and the
+    DuckDB-checkable contract for sample_frames' fan-out."""
+    n_frames = F.floor((F.col("byte_len") + FRAME_BYTES - 1) / FRAME_BYTES).cast("long")
+    return docs_with_payload.select(
+        "doc_id",
+        "byte_len",
+        n_frames.alias("n_frames"),
+        F.floor((n_frames + FRAME_STRIDE - 1) / FRAME_STRIDE).cast("long").alias("n_sampled"),
+    )

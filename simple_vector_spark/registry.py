@@ -3166,3 +3166,32 @@ def orders_quantile_sketch_audit(spark, sf_dir):
     quantile path) vs exact percentile with observed rank error; the
     1% rel_err contract is asserted in tests/test_sketches.py."""
     return SK.approx_quantile_audit(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 9: multimodal frame-sampling plumbing (video/audio container
+# stand-in): mapInPandas one-to-many fan-out + oracle-checked audit.
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_frame_audit",
+    f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(floor((octet_length(encode(text)) + {MM.FRAME_BYTES} - 1) / {MM.FRAME_BYTES}) AS BIGINT) AS n_frames,
+       CAST(floor((floor((octet_length(encode(text)) + {MM.FRAME_BYTES} - 1) / {MM.FRAME_BYTES}) + {MM.FRAME_STRIDE} - 1) / {MM.FRAME_STRIDE}) AS BIGINT) AS n_sampled
+FROM documents
+""",
+)
+def multimodal_frame_audit(spark, sf_dir):
+    """Frame accounting from byte_len alone (no decode): frames per
+    container and rows a stride-4 sampler emits — the oracle-checked
+    contract for multimodal_frames' fan-out."""
+    return MM.frame_audit(MM.with_payload(load_table(spark, sf_dir, "documents")))
+
+
+@query("multimodal_frames")  # rows-only: per-frame checksums are stub-codec
+def multimodal_frames(spark, sf_dir):
+    """Video frame-sampling via mapInPandas one-to-many fan-out: every
+    4th 256-byte frame of each payload becomes a row (stub decode;
+    counts cross-checked against multimodal_frame_audit in tests)."""
+    return MM.sample_frames(MM.with_payload(load_table(spark, sf_dir, "documents")))

@@ -86,3 +86,24 @@ def test_streaming_dedup_drops_all_duplicates(spark):
     n_events = load_table(spark, sf_dir, "events").count()
     out = SJ.dedup_stream(spark, sf_dir)
     assert out.agg(F.sum("n")).collect()[0][0] == n_events
+
+
+def test_frame_sampler_matches_audit(spark, sf_dir):
+    """The mapInPandas frame fan-out must emit exactly the row counts
+    the metadata-only audit predicts, per doc."""
+    from simple_vector_spark.operators import multimodal as MM
+    from simple_vector_spark.sources.loaders import load_table
+
+    import pyspark.sql.functions as F
+
+    wp = MM.with_payload(load_table(spark, sf_dir, "documents"))
+    audit = {r["doc_id"]: r for r in MM.frame_audit(wp).collect()}
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in MM.sample_frames(wp).groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_doc) == set(audit)
+    for d, n in per_doc.items():
+        assert n == audit[d]["n_sampled"], d
+    one = MM.sample_frames(wp).filter(F.col("frame_idx") == 0).limit(5).collect()
+    assert all(r["frame_off"] == 0 and r["thumb_w"] == 32 for r in one)
