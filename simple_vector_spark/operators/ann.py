@@ -338,12 +338,17 @@ PQ_M = 8  # subspaces; 64-dim fixture -> 8 dims per subspace
 
 
 def pq_codebooks(
-    emb: DataFrame, centroid_ids: list[int] | None = None, m: int = PQ_M
+    emb: DataFrame,
+    centroid_ids: list[int] | None = None,
+    m: int = PQ_M,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """One codebook per subspace: [(cid, codeword[dsub]), ...] in cid
     order.  Model-sized (m × ncode × dsub floats) — rides into
-    expressions as literals, like the IVF centroid matrix."""
-    cents = fit_vectors(emb, centroid_ids or CENTROID_IDS)
+    expressions as literals, like the IVF centroid matrix.  Pass
+    `cents` to reuse already-fetched centroid rows (IVF-PQ shares one
+    fit between the coarse quantizer and the codebooks)."""
+    cents = cents or fit_vectors(emb, centroid_ids or CENTROID_IDS)
     dsub = len(cents[0][1]) // m
     return [
         [(cid, cv[s * dsub : (s + 1) * dsub]) for cid, cv in cents]

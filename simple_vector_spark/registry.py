@@ -2848,7 +2848,7 @@ def ann_ivfpq_rerank(spark, sf_dir):
     cells; stage 2 fetches 50 full vectors by broadcast id join."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = A.fit_vectors(emb, A.CENTROID_IDS)
-    cbs = A.pq_codebooks(emb)
+    cbs = A.pq_codebooks(emb, cents=cents)
     q = emb.filter(F.col("vec_id") == ANN_QUERY_ID)
     return A.ivfpq_rerank_search(
         emb, q, cents, cbs, ANN_K, IVF_NPROBE, _IVFPQ_SHORTLIST
