@@ -3195,3 +3195,99 @@ def multimodal_frames(spark, sf_dir):
     4th 256-byte frame of each payload becomes a row (stub decode;
     counts cross-checked against multimodal_frame_audit in tests)."""
     return MM.sample_frames(MM.with_payload(load_table(spark, sf_dir, "documents")))
+
+
+# --------------------------------------------------------------------------
+# Wave 10: text-file source (log-line parsing) and the mapInArrow
+# surface.
+# --------------------------------------------------------------------------
+@query(
+    "text_source_logparse",
+    """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+""",
+)
+def text_source_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.read.text source: documents are written as tab-framed log
+    lines, read back as raw value strings, and parsed with
+    regexp_extract — the classic unstructured-log ingest path.  The
+    parse runs inside the scan (JVM regex, no UDF); the oracle reads
+    the ORIGINAL parquet, so framing + parse must be lossless.
+    Newlines inside text are escaped before framing (a log line IS the
+    record boundary — at 100 TB this framing is what makes the format
+    splittable)."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/docs_log_{tag}"
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"\\", r"\\\\"), "\n", r"\\n"
+    )
+    docs.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("n_chars").cast("string"),
+            esc,
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return (
+        lines.select(
+            F.regexp_extract("value", r"^([^\t]*)\t([^\t]*)\t([^\t]*)\t", 2).alias("lang"),
+            F.regexp_extract("value", r"^([^\t]*)\t([^\t]*)\t([^\t]*)\t", 3)
+            .cast("long")
+            .alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "embedding_norms_arrow",
+    """
+WITH u AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+)
+SELECT vec_id, ROUND(SQRT(SUM(x * x)), 6) AS l2_norm
+FROM u GROUP BY vec_id
+""",
+)
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface: per-vector L2 norm computed with pyarrow +
+    NumPy directly on Arrow record batches — no pandas conversion at
+    all, the leanest Python-side path Spark offers.  Same result as
+    the JVM expression form (sqrt of the in-order component sum is
+    deterministic), hash-checked against the SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .sources.loaders import fan_out
+
+    def norms(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("vec_id")
+            embs = batch.column("embedding")
+            # flatten() respects list offsets; equal-length vectors
+            # reshape to an (n, dim) matrix — one vectorized kernel
+            # per Arrow batch, no per-row Python.
+            flat = embs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(batch.num_rows, -1)
+            out = np.round(np.sqrt((mat * mat).sum(axis=1)), 6)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.float64())], ["vec_id", "l2_norm"]
+            )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    return emb.mapInArrow(norms, schema="vec_id long, l2_norm double")
