@@ -744,3 +744,255 @@ def sole_blame_suppliers(
         .orderBy(F.col("numwait").desc(), F.col("suppkey").asc())
         .limit(topn)
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 9: the remaining TPC-H shapes (Q6/Q8/Q9/Q11/Q12/Q15/Q17/Q20),
+# adapted to the fixture schema (no partsupp, no shipmode/commitdate
+# columns — observed lineitem relationships stand in; the PLAN shape is
+# what each query exercises).
+# ---------------------------------------------------------------------------
+def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6: pure scan-side conditional revenue — every predicate
+    (date range, discount band, quantity cap) pushes to the Parquet
+    scan, then one global DECIMAL sum.  At 100 TB this is the query
+    that proves min/max row-group pruning: with lineitem sorted or
+    partitioned by ship date, the scan touches ~1/7 of the files."""
+    rev = _dec("l_extendedprice") * _dec("l_discount", DEC_RATE)
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & _dec("l_discount", DEC_RATE).between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+    )
+
+
+def nation_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    cust_region: str = "ASIA",
+    ptype: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8: target nation's share of PROMO revenue inside one
+    customer region, by order year.  Two nation roles (supplier side
+    drives the numerator, customer side is the region filter); part,
+    supplier, customer, nation, region all broadcast — the only
+    shuffle is lineitem<->orders, and the share is a conditional
+    aggregate over one pass, never two scans."""
+    cust_nations = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == cust_region)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1).cast(DEC_RATE) - _dec("l_discount", DEC_RATE))
+    joined = (
+        lineitem.join(F.broadcast(part.filter(F.col("p_type") == ptype).select("p_partkey")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        ), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year(F.col("o_orderdate")).cast("int").alias("o_year"),
+            vol.alias("vol"),
+            F.col("supp_nation"),
+        )
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == target_nation, F.col("vol"))
+              .otherwise(F.lit(0).cast(DEC_PRICE))).alias("_num"),
+        F.sum("vol").alias("_den"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("_num").cast("double") / F.col("_den").cast("double"), 6).alias("mkt_share"),
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    name_substr: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9 shape: per-(supplier nation, order year) profit on a
+    part-name substring slice.  No partsupp in the fixture, so cost =
+    p_retailprice * l_quantity stands in for ps_supplycost — the plan
+    shape (name-filtered part broadcast into the fact, orders joined
+    only for the year, nation broadcast last) is unchanged.  All money
+    math DECIMAL-exact before the final cast."""
+    amount = (
+        _dec("l_extendedprice") * (F.lit(1).cast(DEC_RATE) - _dec("l_discount", DEC_RATE))
+        - _dec("p_retailprice") * _dec("l_quantity", "decimal(12,2)")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_name").contains(name_substr))
+                        .select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year(F.col("o_orderdate")).cast("int").alias("o_year"))
+        .agg(F.round(F.sum(amount).cast("double"), 4).alias("profit"))
+    )
+
+
+def value_concentration(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue share exceeds the mean
+    share (val * n_parts > total — scale-free, unlike Q11's literal
+    0.0001 fraction, so the query stays non-trivial at every SF).  The
+    scalar subquery is one extra global agg of the same scan; the
+    threshold compare stays in DECIMAL/BIGINT so no double boundary
+    can flip a row between engines."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC_RATE) - _dec("l_discount", DEC_RATE))
+    per_part = lineitem.groupBy("l_partkey").agg(F.sum(rev).alias("_val"))
+    total = lineitem.agg(
+        F.sum(rev).alias("_total"),
+        F.countDistinct("l_partkey").alias("_n"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_val") * F.col("_n") > F.col("_total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("_val").cast("double"), 4).alias("value"),
+        )
+    )
+
+
+def priority_line_counts(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape: per line-status (shipmode stand-in) counts of
+    high- vs low-priority orders shipped in 1996 — the
+    join-then-conditional-count pattern.  Orders carries only the two
+    needed columns into the shuffle."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select("l_orderkey", "l_linestatus")
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def top_revenue_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15: quarterly revenue per supplier, keep the max-revenue
+    supplier(s).  The revenue view aggregates once; the MAX scalar
+    subquery becomes an empty-frame window max over that (small,
+    per-supplier) aggregate — no second scan of the fact, and the
+    DECIMAL equality is exact."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1).cast(DEC_RATE) - _dec("l_discount", DEC_RATE))).alias("_rev"))
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("_mx", F.max("_rev").over(w)).filter(F.col("_rev") == F.col("_mx"))
+    return (
+        best.join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("suppname"),
+            F.round(F.col("_rev").cast("double"), 4).alias("total_rev"),
+        )
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, ptype: str = "PROMO"
+) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue forfeited on below-one-fifth-of-
+    average-quantity lines of one part type.  The correlated AVG
+    decorrelates to a per-part aggregate re-joined to the fact; the
+    0.2*avg compare is cross-multiplied (qty * 5 * cnt < sum_qty) so
+    it stays in exact DECIMAL/BIGINT arithmetic."""
+    qty = _dec("l_quantity", "decimal(12,2)")
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(qty).alias("_qsum"), F.count("*").alias("_qcnt")
+    )
+    return (
+        lineitem.join(F.broadcast(part.filter(F.col("p_type") == ptype).select("p_partkey")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pp_key"))
+        .filter(qty * 5 * F.col("_qcnt") < F.col("_qsum"))
+        .agg(F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+def promo_heavy_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nations: tuple = ("NATION_3", "NATION_8", "NATION_12", "NATION_13", "NATION_15"),
+    min_qty: int = 400,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in a nation list who moved more than
+    a threshold quantity of PROMO parts in 1996 — the nested-IN chain
+    (part IN ... -> supplier IN ...) lowered to broadcast semi-joins:
+    promo part keys broadcast into the fact, the qualifying supplier
+    set (tiny after HAVING) broadcast into supplier."""
+    promo_keys = F.broadcast(
+        part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    qualifying = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(promo_keys, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity", "decimal(12,2)")).alias("_q"))
+        .filter(F.col("_q") > min_qty)
+        .select("l_suppkey")
+    )
+    nat = F.broadcast(
+        nation.filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("nk"), "n_name")
+    )
+    return (
+        supplier.join(F.broadcast(qualifying),
+                      F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(nat, F.col("s_nationkey") == F.col("nk"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("suppname"),
+            F.col("n_name").alias("nation"),
+        )
+    )

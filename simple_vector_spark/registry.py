@@ -3291,3 +3291,219 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     return emb.mapInArrow(norms, schema="vec_id long, l2_norm double")
+
+
+# --------------------------------------------------------------------------
+# Wave 9: the remaining TPC-H shapes — the full 22-query suite is now
+# covered (Q2 as cheapest_supplier_parts; partsupp-dependent queries
+# adapted to observed lineitem relationships, plan shape preserved).
+# --------------------------------------------------------------------------
+_VOL_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(15,2)) * "
+    "(CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))"
+)
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+                      CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(8,6)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: all predicates push to the scan, one global sum —
+    the row-group-pruning benchmark query."""
+    return R.forecast_revenue_change(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "tpch_q8_market_share",
+    f"""
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         {_VOL_SQL} AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                           ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+FROM j GROUP BY o_year
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of regional PROMO revenue by year;
+    five broadcast dims, one fact-fact shuffle, share as a conditional
+    aggregate in a single pass."""
+    return R.nation_market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    f"""
+SELECT sn.n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(CAST(SUM({_VOL_SQL}
+                      - CAST(p_retailprice AS DECIMAL(15,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY nation, o_year
+""",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per year on a
+    part-name slice (retailprice*qty stands in for supplycost — no
+    partsupp in the fixture)."""
+    return R.product_type_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "tpch_q11_value_parts",
+    f"""
+WITH pv AS (
+  SELECT l_partkey, SUM({_VOL_SQL}) AS val FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT SUM({_VOL_SQL}) AS total,
+             COUNT(DISTINCT l_partkey) AS n FROM lineitem)
+SELECT l_partkey AS partkey, ROUND(CAST(val AS DOUBLE), 4) AS value
+FROM pv, t WHERE val * n > total
+""",
+)
+def tpch_q11_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: revenue-concentration parts above the MEAN
+    revenue share (scale-free threshold); the compare is kept in exact
+    DECIMAL*BIGINT so no double boundary flips membership."""
+    return R.value_concentration(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "tpch_q12_priority_lines",
+    """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus
+""",
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join-then-conditional-count of high/low
+    priority orders per line status (shipmode stand-in)."""
+    return R.priority_line_counts(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_VOL_SQL}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name AS suppname,
+       ROUND(CAST(total_rev AS DOUBLE), 4) AS total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: max-revenue supplier for one quarter; the MAX scalar
+    subquery is an empty-frame window over the small per-supplier
+    aggregate, DECIMAL-exact equality."""
+    return R.top_revenue_supplier(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    """
+WITH pa AS (
+  SELECT l_partkey AS pp_key,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qsum,
+         COUNT(*) AS qcnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / 7.0, 4)
+         AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pa ON l_partkey = pp_key
+WHERE p_type = 'PROMO'
+  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * qcnt < qsum
+""",
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue on below-0.2x-average-quantity lines;
+    the correlated AVG decorrelates to one per-part aggregate and the
+    compare cross-multiplies to stay in exact arithmetic."""
+    return R.small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "tpch_q20_promo_suppliers",
+    """
+SELECT s_suppkey AS suppkey, s_name AS suppname, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_12', 'NATION_13', 'NATION_15')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 400
+  )
+""",
+)
+def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested-IN chain lowered to broadcast
+    semi-joins (promo parts into the fact, qualifying suppliers into
+    supplier)."""
+    return R.promo_heavy_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
