@@ -155,3 +155,115 @@ def blocklist_audit(docs: DataFrame, words: list[str]) -> DataFrame:
             F.sum("n_hits").cast("bigint").alias("total_hits"),
         )
     )
+
+
+# PII patterns: character-class-only regexes that parse identically in
+# Java (Spark) and RE2 (DuckDB oracle) — no \b, no lookaround.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
+PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def inject_pii(docs: DataFrame) -> DataFrame:
+    """Fixture augmentation: the synthetic corpus carries no PII, so a
+    deterministic doc_id-keyed subset gets an email / phone / IPv4
+    appended (the SAME expression runs in the DuckDB oracle).  The
+    redaction operator below is the general-purpose piece; this just
+    gives it ground truth to find."""
+    sid = F.col("doc_id").cast("string")
+    aug = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), sid, F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.col("text"), F.lit(" call 555-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                     F.lit("-1234")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.col("text"), F.lit(" from 10.0."),
+                     (F.col("doc_id") % 256).cast("string"), F.lit("."),
+                     (F.col("doc_id") % 100).cast("string")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.withColumn("text", aug)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: emails -> <EMAIL>, phones -> <PHONE>, IPv4 ->
+    <IP>, applied as chained JVM regexp_replace (no Python in the hot
+    path; at 100 TB this is a pure map stage, no shuffle).  Adds match
+    counts per type so the audit can aggregate without re-scanning."""
+    t = F.col(text_col)
+    return docs.withColumn(
+        "n_emails", F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))).cast("bigint")
+    ).withColumn(
+        "n_phones", F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).cast("bigint")
+    ).withColumn(
+        "n_ips", F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0))).cast("bigint")
+    ).withColumn(
+        "redacted",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+            ),
+            PII_IPV4,
+            "<IP>",
+        ),
+    )
+
+
+def pii_audit(docs: DataFrame) -> DataFrame:
+    """Per-source PII accounting over the redacted corpus: doc and
+    match counts plus net chars removed (negative if placeholders are
+    longer than the match).  One scan, one small shuffle on source."""
+    red = redact_pii(inject_pii(docs))
+    pii = F.col("n_emails") + F.col("n_phones") + F.col("n_ips")
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((pii > 0).cast("int")).cast("bigint").alias("n_docs_with_pii"),
+            F.sum("n_emails").cast("bigint").alias("n_emails"),
+            F.sum("n_phones").cast("bigint").alias("n_phones"),
+            F.sum("n_ips").cast("bigint").alias("n_ips"),
+            F.sum(F.length("text") - F.length("redacted")).cast("bigint").alias("chars_removed"),
+        )
+    )
+
+
+def mixture_sample_audit(docs: DataFrame, weights: dict[str, int] | None = None,
+                         default_permille: int = 500) -> DataFrame:
+    """Training-mixture downsampling: each source keeps rows whose
+    md5(doc_id) gate (0..999) falls under the source's target
+    permille — deterministic, reproducible, no shuffle for the gate
+    itself (the only shuffle is the per-source audit agg).  At 100 TB
+    this IS the mixture sampler: a pure filter at full scan speed."""
+    if weights is None:
+        # upweight even sources, thin odd ones — a recognizable mixture
+        weights = {f"src{i}": (800 if i % 2 == 0 else 200) for i in range(20)}
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 1000
+    )
+    w = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(p)) for s, p in sorted(weights.items())],
+        F.lit(default_permille),
+    )
+    kept = docs.withColumn("_g", gate).withColumn("_w", w)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("_g") < F.col("_w")).cast("int")).cast("bigint").alias("n_kept"),
+            F.max("_w").cast("int").alias("target_permille"),
+        )
+        .withColumn(
+            "achieved_permille",
+            F.round(F.col("n_kept") * F.lit(1000.0) / F.col("n_docs"), 6),
+        )
+    )

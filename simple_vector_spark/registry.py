@@ -3507,3 +3507,81 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 10: PII redaction and training-mixture sampling (curation).
+# --------------------------------------------------------------------------
+_PII_AUG_SQL = """
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 7 = 0
+           THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         WHEN doc_id % 7 = 1
+           THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234'
+         WHEN doc_id % 7 = 2
+           THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST(doc_id % 100 AS VARCHAR)
+         ELSE text END AS text
+  FROM documents
+"""
+
+
+@query(
+    "pii_redaction_audit",
+    f"""
+WITH aug AS ({_PII_AUG_SQL}),
+red AS (
+  SELECT source, text,
+    len(regexp_extract_all(text, '{CU.PII_EMAIL}')) AS n_emails,
+    len(regexp_extract_all(text, '{CU.PII_PHONE}')) AS n_phones,
+    len(regexp_extract_all(text, '{CU.PII_IPV4}')) AS n_ips,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '{CU.PII_EMAIL}', '<EMAIL>', 'g'),
+      '{CU.PII_PHONE}', '<PHONE>', 'g'),
+      '{CU.PII_IPV4}', '<IP>', 'g') AS redacted
+  FROM aug
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 END) AS BIGINT)
+         AS n_docs_with_pii,
+       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+       CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+       CAST(SUM(len(text) - len(redacted)) AS BIGINT) AS chars_removed
+FROM red GROUP BY source
+""",
+)
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails/phones/IPv4 -> typed placeholders)
+    with per-source accounting.  The corpus carries no natural PII, so
+    a deterministic doc_id-keyed injection provides ground truth — the
+    redaction itself is chained JVM regexp_replace, shuffle-free until
+    the final per-source agg.  Patterns are character-class-only so
+    Java regex and RE2 agree match-for-match."""
+    return CU.pii_audit(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "mixture_sample_audit",
+    """
+WITH g AS (
+  SELECT source,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+      AS gate,
+    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 800 ELSE 200 END AS w
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN gate < w THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(MAX(w) AS INT) AS target_permille,
+       ROUND(COUNT(CASE WHEN gate < w THEN 1 END) * 1000.0 / COUNT(*), 6)
+         AS achieved_permille
+FROM g GROUP BY source
+""",
+)
+def mixture_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture downsampler: per-source target permille
+    enforced by a deterministic md5(doc_id) gate — a pure filter at
+    scan speed (the mixture weights ride a broadcast CASE, the only
+    shuffle is the audit agg).  Audits achieved vs target rate."""
+    return CU.mixture_sample_audit(load_table(spark, sf_dir, "documents"))

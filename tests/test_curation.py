@@ -101,3 +101,52 @@ def test_kmeans_step_partitioning_invariant(spark, sf_dir):
     many = {r["cluster_id"]: r.asDict() for r in A.kmeans_step(emb.repartition(17)).collect()}
     assert one == many
     assert sum(r["n"] for r in one.values()) == emb.count()
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org end", "src0"),
+            (2, "call 555-1234-5678 twice 555-1234-5678", "src0"),
+            (3, "host 10.0.0.1 peer 192.168.255.254", "src1"),
+            (4, "clean text", "src1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in CU.redact_pii(docs).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (2, 0, 0)
+    assert out[1].redacted == "mail <EMAIL> and <EMAIL> end"
+    assert out[2].n_phones == 2 and out[2].redacted.count("<PHONE>") == 2
+    assert out[3].n_ips == 2 and out[3].redacted == "host <IP> peer <IP>"
+    assert out[4].redacted == "clean text"
+
+
+def test_pii_audit_injection_accounting(spark):
+    # doc_ids 0..6 hit each injection branch exactly once per residue.
+    docs = spark.createDataFrame(
+        [(i, "w", "src0") for i in range(7)],
+        "doc_id long, text string, source string",
+    )
+    [row] = CU.pii_audit(docs).collect()
+    assert row.n_docs == 7
+    assert (row.n_emails, row.n_phones, row.n_ips) == (1, 1, 1)
+    assert row.n_docs_with_pii == 3
+    # email 'user0@example.com' (17 chars) -> '<EMAIL>' (7): removed 10
+    # phone '555-0001-1234' (13) -> '<PHONE>' (7): removed 6
+    # ip '10.0.2.2' (8) -> '<IP>' (4): removed 4
+    assert row.chars_removed == 10 + 6 + 4
+
+
+def test_mixture_sample_audit_gate(spark):
+    docs = spark.createDataFrame(
+        [(i, "w", f"src{i % 4}") for i in range(400)],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in CU.mixture_sample_audit(docs).collect()}
+    assert set(rows) == {"src0", "src1", "src2", "src3"}
+    for s, r in rows.items():
+        assert r.target_permille == (800 if int(s[3:]) % 2 == 0 else 200)
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.achieved_permille == round(r.n_kept * 1000.0 / r.n_docs, 6)
+    # deterministic: heavy sources keep strictly more than thin ones here
+    assert rows["src0"].n_kept + rows["src2"].n_kept > rows["src1"].n_kept + rows["src3"].n_kept
