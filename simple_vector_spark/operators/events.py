@@ -274,3 +274,59 @@ def range_join_follow_counts(
     return base.join(matched, "event_id", "left").select(
         "event_id", F.coalesce(F.col("n_follow"), F.lit(0).cast("bigint")).alias("n_follow")
     )
+
+
+def funnel_steps(
+    events: DataFrame, steps: tuple = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered conversion funnel: users counted at step i only if an
+    event of that type happened strictly AFTER their qualifying step
+    i-1 event (first-touch semantics).  Decorrelated into one
+    aggregate per step, each re-joined on user_id — the shuffles all
+    share the user_id key, so at scale they co-partition into one
+    exchange reused across stages (and the per-user table is tiny
+    compared to the fact)."""
+    s1, s2, s3 = steps
+    t1 = (
+        events.filter(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        events.filter(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        events.filter(F.col("event_type") == s3)
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.agg(F.count("*").cast("bigint").alias(f"n_{s1}"))
+        .crossJoin(t2.agg(F.count("*").cast("bigint").alias(f"n_{s2}_after")))
+        .crossJoin(t3.agg(F.count("*").cast("bigint").alias(f"n_{s3}_after")))
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: cohort = ISO week of a user's first
+    event, each (cohort, offset) cell counts distinct users active
+    that many weeks later.  Two shuffles (per-user min, then the cell
+    agg); the active-week table is distinct (user, week) so the cell
+    agg input is bounded by users x weeks, not by raw events."""
+    wk = F.date_trunc("week", F.col("ts"))
+    first = events.groupBy("user_id").agg(F.min(wk).alias("_cohort"))
+    active = events.select("user_id", wk.alias("_wk")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.col("_cohort").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("_wk"), F.col("_cohort")) / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )

@@ -3585,3 +3585,55 @@ def mixture_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan speed (the mixture weights ride a broadcast CASE, the only
     shuffle is the audit agg).  Audits achieved vs target rate."""
     return CU.mixture_sample_audit(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 11: product-analytics shapes over the event log — ordered
+# conversion funnel and weekly cohort retention.
+# --------------------------------------------------------------------------
+@query(
+    "events_funnel_steps",
+    """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_click_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_purchase_after
+""",
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel with first-touch strictly-
+    after semantics, decorrelated to one aggregate per step on a
+    shared user_id shuffle key."""
+    return E.funnel_steps(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_cohort_retention",
+    """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT CAST(cohort AS DATE) AS cohort_week,
+       CAST(date_diff('day', cohort, wk) / 7 AS INT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention grid (cohort week x week offset ->
+    distinct active users); the distinct (user, week) table bounds the
+    cell aggregation by users x weeks, not raw events."""
+    return E.cohort_retention(load_table(spark, sf_dir, "events"))

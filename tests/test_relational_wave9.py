@@ -174,3 +174,56 @@ def test_nation_market_share_conditional_ratio(spark):
         li, orders, customer, supplier, part, nation, region
     ).collect()
     assert (row.o_year, row.mkt_share) == (1996, 0.25)
+
+
+# --- wave 11: funnel + cohort retention ---------------------------------
+from simple_vector_spark.operators import events as EV  # noqa: E402
+
+
+def test_funnel_strictly_after(spark):
+    ev = spark.createDataFrame(
+        [
+            # u1 completes the funnel in order
+            (1, _ts("2024-01-01T10:00:00"), 1, "view"),
+            (2, _ts("2024-01-01T11:00:00"), 1, "click"),
+            (3, _ts("2024-01-01T12:00:00"), 1, "purchase"),
+            # u2: click BEFORE first view -> not counted at click step
+            (4, _ts("2024-01-02T09:00:00"), 2, "click"),
+            (5, _ts("2024-01-02T10:00:00"), 2, "view"),
+            (6, _ts("2024-01-02T11:00:00"), 2, "purchase"),  # no click-after -> drop
+            # u3: view only
+            (7, _ts("2024-01-03T10:00:00"), 3, "view"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    [row] = EV.funnel_steps(ev).collect()
+    assert (row.n_view, row.n_click_after, row.n_purchase_after) == (3, 1, 1)
+
+
+def test_funnel_equal_ts_not_counted(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 1, "view"),
+            (2, _ts("2024-01-01T10:00:00"), 1, "click"),  # same instant: strict >
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    [row] = EV.funnel_steps(ev).collect()
+    assert (row.n_view, row.n_click_after) == (1, 0)
+
+
+def test_cohort_retention_offsets(spark):
+    ev = spark.createDataFrame(
+        [
+            # u1 first active Mon 2024-01-01 week, returns 2 weeks later
+            (1, _ts("2024-01-02T10:00:00"), 1, "view"),
+            (2, _ts("2024-01-16T10:00:00"), 1, "view"),
+            # u2 same cohort, week 0 only (two events, one distinct week)
+            (3, _ts("2024-01-03T10:00:00"), 2, "view"),
+            (4, _ts("2024-01-04T10:00:00"), 2, "view"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {(str(r.cohort_week), r.week_offset): r.n_users
+           for r in EV.cohort_retention(ev).collect()}
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 2): 1}
