@@ -561,3 +561,29 @@ def ivfpq_rerank_search(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_cell_stats(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Index-quality audit for the IVF coarse quantizer: per-cell
+    population plus each cell's deviation from the uniform share.
+    Imbalance is WHY ivf probes skew at scale — a hot cell turns
+    nprobe=3 into a scan of half the corpus; this audit is the
+    rebalance trigger (re-train centroids when max share drifts).
+    One scan + one tiny shuffle on cell id; the total rides a window
+    over the per-cell aggregate (n_cells rows), not a second scan."""
+    from pyspark.sql import Window
+
+    n_cells = len(cents)
+    per_cell = (
+        emb.select(ivf_cell(F.col("embedding"), cents).alias("cell"))
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+    )
+    total = F.sum("n_vecs").over(Window.partitionBy())
+    return per_cell.select(
+        "cell",
+        "n_vecs",
+        F.round(F.col("n_vecs") / total.cast("double"), 6).alias("share"),
+        F.round(F.col("n_vecs") * F.lit(float(n_cells)) / total.cast("double"), 6)
+        .alias("skew_vs_uniform"),
+    )

@@ -300,3 +300,31 @@ def point_lookup(corpus: DataFrame, ids: list[int], id_col: str = "vec_id") -> D
     the table is bucketed/Z-ordered by id so this prunes to a handful of
     files."""
     return corpus.filter(F.col(id_col).isin(ids))
+
+
+def radius_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    radius: float,
+    metric: str = "sqL2",
+    pred: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range query (FAISS ``range_search`` analog — the reference's
+    FLAT index exposes only top-k, so this is surface the Spark engine
+    adds): every vector within ``radius`` of the query, unranked.
+    Distances: ascending metrics keep dist <= radius; similarity
+    metrics keep sim >= radius.  The compare runs on the ROUNDed
+    score so no sub-1e-6 residue can flip membership vs the oracle.
+    Plan: broadcast 1-row query x corpus scan -> filter; no shuffle,
+    no sort — strictly cheaper than top-k at scale."""
+    df = corpus.filter(pred) if pred is not None else corpus
+    q = F.broadcast(query.select(as_double_array(F.col(vec_col)).alias("__q_vec")))
+    score, asc = score_col(metric, as_double_array(F.col(vec_col)), F.col("__q_vec"))
+    name = "dist" if asc else "sim"
+    scored = df.crossJoin(q).select(
+        F.col(id_col), F.col("label"), F.round(score, 6).alias(name)
+    )
+    keep = F.col(name) <= radius if asc else F.col(name) >= radius
+    return scored.filter(keep)

@@ -3637,3 +3637,62 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct active users); the distinct (user, week) table bounds the
     cell aggregation by users x weeks, not raw events."""
     return E.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 12: vector-core surface — range (radius) search and IVF
+# index-quality stats.
+# --------------------------------------------------------------------------
+RADIUS_SQ_L2 = 1.5
+
+
+@query(
+    "knn_radius_search",
+    f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+pairs AS (
+  SELECT e.vec_id, e.label,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(q.qv) AS y
+  FROM embeddings e CROSS JOIN q
+),
+d AS (
+  SELECT vec_id, label, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+  FROM pairs GROUP BY vec_id, label
+)
+SELECT * FROM d WHERE dist <= {RADIUS_SQ_L2}
+""",
+)
+def knn_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query (FAISS range_search analog, surface the reference's
+    FLAT/HNSW top-k API lacks): all vectors within squared-L2 radius
+    of the query — broadcast query x scan -> filter, no sort/shuffle
+    at all, strictly cheaper than top-k at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.radius_search(emb, emb.filter(F.col("vec_id") == 0), RADIUS_SQ_L2, "sqL2")
+
+
+@query(
+    "ann_ivf_cell_stats",
+    f"""
+WITH {_ASSIGN_SQL.strip()},
+per AS (
+  SELECT CAST(cell AS INT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM assign GROUP BY cell
+),
+t AS (SELECT SUM(n_vecs) AS total FROM per)
+SELECT cell, n_vecs,
+       ROUND(n_vecs / CAST(total AS DOUBLE), 6) AS share,
+       ROUND(n_vecs * {len(A.CENTROID_IDS)} / CAST(total AS DOUBLE), 6)
+         AS skew_vs_uniform
+FROM per, t
+""",
+)
+def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-quality audit: per-cell population, share, and skew
+    vs the uniform share — the rebalance trigger for the coarse
+    quantizer (a hot cell turns nprobe=3 into a half-corpus scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = A.fit_vectors(emb, A.CENTROID_IDS)
+    return A.ivf_cell_stats(emb, cents)

@@ -101,3 +101,19 @@ def test_pq_adc_recall_and_code_range(emb):
     exact_ids = {r.vec_id for r in K.knn_topk(emb, q, 10, "sqL2").collect()}
     assert len(pq_ids & exact_ids) >= 3
     assert 0 in pq_ids  # the query vector itself is always found (dist 0)
+
+
+def test_ivf_cell_stats_shares_sum_to_one(spark):
+    from simple_vector_spark.operators import ann as A
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 0.0]) for i in range(9)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = A.fit_vectors(emb, [0, 1, 2])  # vectors [0,0],[1,0],[2,0]
+    rows = A.ivf_cell_stats(emb, cents).collect()
+    assert sorted(r.cell for r in rows) == [0, 1, 2]
+    assert all(r.n_vecs == 3 for r in rows)          # perfectly balanced
+    # shares are ROUNDed to 6 places (0.333333 each) — sum is 0.999999
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
+    assert all(r.skew_vs_uniform == 1.0 for r in rows)

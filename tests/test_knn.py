@@ -111,3 +111,29 @@ def test_single_knn_take_ordered(spark, sf_dir):
     out = K.knn_topk(emb, emb.filter(F.col("vec_id") == 0), 10, "sqL2")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_radius_search_inclusive_boundary(ref_corpus, ref_query):
+    # squared L2 from 0: .01 .04 .09 .16 .81 — radius .09 keeps ids 1-3,
+    # including the exact-boundary id 3 (<=, FAISS range_search convention).
+    got = {r.vec_id: r.dist for r in
+           K.radius_search(ref_corpus, ref_query, 0.09, "sqL2").collect()}
+    assert got == {1: 0.01, 2: 0.04, 3: 0.09}
+
+
+def test_radius_search_empty_and_filtered(ref_corpus, ref_query):
+    assert K.radius_search(ref_corpus, ref_query, 0.001, "sqL2").count() == 0
+    got = [r.vec_id for r in
+           K.radius_search(ref_corpus, ref_query, 0.09, "sqL2",
+                           pred=K.ne_filter("label", 1)).collect()]
+    assert sorted(got) == [2, 3]
+
+
+def test_radius_search_similarity_metric_keeps_geq(ref_corpus, ref_query):
+    # cosine vs [0] is undefined (zero query) — use IP vs a unit query.
+    q = ref_query.sparkSession.createDataFrame(
+        [(0, [1.0])], "vec_id long, embedding array<float>"
+    )
+    got = sorted(r.vec_id for r in
+                 K.radius_search(ref_corpus, q, 0.3, "ip").collect())
+    assert got == [3, 4, 6]  # ip >= 0.3
