@@ -996,3 +996,42 @@ def promo_heavy_suppliers(
             F.col("n_name").alias("nation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 13: explicit set operations and rank-distribution windows.
+# ---------------------------------------------------------------------------
+def retained_customers(orders: DataFrame, y1: int = 1995, y2: int = 1996) -> DataFrame:
+    """INTERSECT shape: customers ordering in BOTH years.  Spark lowers
+    intersect to a distinct + left-semi hash join — both sides shuffle
+    once on custkey; at scale the year filters push to the scans so
+    only two year-slices move."""
+    a = orders.filter(F.year("o_orderdate") == y1).select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.year("o_orderdate") == y2).select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+def churned_customers(orders: DataFrame, y1: int = 1995, y2: int = 1996) -> DataFrame:
+    """EXCEPT shape: customers active in y1 but gone in y2 (set
+    semantics — one row per churned customer)."""
+    a = orders.filter(F.year("o_orderdate") == y1).select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.year("o_orderdate") == y2).select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+def order_value_distribution(orders: DataFrame, year: int = 1996) -> DataFrame:
+    """Rank-distribution windows (percent_rank + cume_dist) of order
+    value inside each priority class for one year — one shuffle on the
+    partition key, rank math entirely JVM-side.  Ties share a
+    percent_rank and take the greatest cume_dist, identical in Spark
+    and the SQL oracle by definition."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        orders.filter(F.year("o_orderdate") == year)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )

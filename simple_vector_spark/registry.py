@@ -3696,3 +3696,53 @@ def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = A.fit_vectors(emb, A.CENTROID_IDS)
     return A.ivf_cell_stats(emb, cents)
+
+
+# --------------------------------------------------------------------------
+# Wave 13: explicit set operations and rank-distribution windows.
+# --------------------------------------------------------------------------
+@query(
+    "customers_retained_yoy",
+    """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+""",
+)
+def customers_retained_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers ordering in both 1995 and 1996 (set
+    semantics; lowered to distinct + left-semi join, year filters
+    pushed to both scans)."""
+    return R.retained_customers(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "customers_churned_yoy",
+    """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+""",
+)
+def customers_churned_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers active in 1995 with no 1996 order — the churn
+    set (left-anti join under the hood)."""
+    return R.churned_customers(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "order_value_distribution",
+    """
+SELECT o_orderkey AS orderkey, o_orderpriority,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM orders
+WHERE year(o_orderdate) = 1996
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+""",
+)
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of order value per priority class —
+    one shuffle on the partition key; tie rows share pct_rank and take
+    the greatest cume_dist in both engines by definition."""
+    return R.order_value_distribution(load_table(spark, sf_dir, "orders"))

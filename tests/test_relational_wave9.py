@@ -227,3 +227,44 @@ def test_cohort_retention_offsets(spark):
     got = {(str(r.cohort_week), r.week_offset): r.n_users
            for r in EV.cohort_retention(ev).collect()}
     assert got == {("2024-01-01", 0): 2, ("2024-01-01", 2): 1}
+
+
+# --- wave 13: set ops + rank-distribution windows ------------------------
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, "
+              "o_orderdate timestamp, o_orderpriority string"
+    )
+
+
+def test_retained_and_churned_partition_customers(spark):
+    od = _orders(
+        spark,
+        [
+            (1, 10, 5.0, _ts("1995-03-01T00:00:00"), "5-LOW"),
+            (2, 10, 5.0, _ts("1996-03-01T00:00:00"), "5-LOW"),  # retained
+            (3, 20, 5.0, _ts("1995-06-01T00:00:00"), "5-LOW"),  # churned
+            (4, 20, 5.0, _ts("1995-07-01T00:00:00"), "5-LOW"),  # dup year: set semantics
+            (5, 30, 5.0, _ts("1996-01-01T00:00:00"), "5-LOW"),  # new in 96: neither
+        ],
+    )
+    assert [r.custkey for r in R.retained_customers(od).collect()] == [10]
+    assert [r.custkey for r in R.churned_customers(od).collect()] == [20]
+
+
+def test_order_value_distribution_ties(spark):
+    od = _orders(
+        spark,
+        [
+            (1, 1, 10.0, _ts("1996-01-01T00:00:00"), "5-LOW"),
+            (2, 1, 20.0, _ts("1996-01-02T00:00:00"), "5-LOW"),
+            (3, 1, 20.0, _ts("1996-01-03T00:00:00"), "5-LOW"),  # tie with 2
+            (4, 1, 30.0, _ts("1996-01-04T00:00:00"), "5-LOW"),
+            (5, 1, 99.0, _ts("1995-01-04T00:00:00"), "5-LOW"),  # filtered out
+        ],
+    )
+    got = {r.orderkey: (r.pct_rank, r.cume) for r in
+           R.order_value_distribution(od).collect()}
+    # ties share percent_rank ((rank-1)/(n-1)) and take greatest cume_dist
+    assert got == {1: (0.0, 0.25), 2: (round(1/3, 6), 0.75),
+                   3: (round(1/3, 6), 0.75), 4: (1.0, 1.0)}
