@@ -39,15 +39,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is a nanosecond parquet timestamp, which the Spark
-        # reader rejects; read it as a raw long (nanos since epoch) and
-        # truncate to microseconds with INTEGER division (float division
-        # loses sub-microsecond bits at 1e18 magnitudes).  DuckDB's
-        # reader truncates ns->us the same way, so oracle comparisons on
-        # ts are exact.
+        # Fixture vintages differ on events.ts: some are nanosecond
+        # parquet timestamps (which the Spark reader rejects — read as a
+        # raw long and INTEGER-truncate to micros, matching DuckDB's
+        # ns->us truncation), newer ones are plain us timestamps the
+        # reader handles natively.  Adapt to whichever is on disk.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # native-us fixtures arrive as TIMESTAMP_NTZ; normalize to the
+        # session-UTC TimestampType every downstream operator was built
+        # against (identical instants under the pinned UTC session tz)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

@@ -27,25 +27,33 @@ from pyspark.sql import functions as F
 
 from ..operators.events import TS_FMT
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events table.  Same nanos handling as the
-    batch loader: read ts as long nanos, integer-truncate to micros."""
+    """Streaming scan of the events table.  Same ts handling as the
+    batch loader: adapt to long-nanos vs native-us fixture vintages.
+
+    The streaming file source needs an explicit schema, so probe the
+    on-disk ts type with a zero-cost batch schema read first."""
+    import os
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_is_long = dict(probe.dtypes).get("ts") == "bigint"
+    ts_type = "long" if ts_is_long else "timestamp_ntz"
+    schema = (
+        f"event_id long, ts {ts_type}, user_id long, event_type string, "
+        "value double, props string"
+    )
     # the streaming file source wants a directory; glob-filter the
     # events file out of the fixture dir
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _drain(stream: DataFrame, mode: str, state_partitions: int = 8) -> DataFrame:
