@@ -242,23 +242,22 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # carry the previous label through the checkpoint so the
+        # convergence check is a filter over already-materialized rows
+        # instead of an extra labels-vs-new_labels join per round
         new_labels = (
             labels.join(prop, labels.node == prop.src, "left")
             .select(
                 F.col("node"),
+                F.col("label").alias("prev"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("prev") != F.col("label")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
