@@ -587,3 +587,52 @@ def ivf_cell_stats(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> Data
         F.round(F.col("n_vecs") * F.lit(float(n_cells)) / total.cast("double"), 6)
         .alias("skew_vs_uniform"),
     )
+
+
+def pca_power_iteration(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction: v1 = normalize(sum_i (x_i . v0) * x_i) with v0 = the
+    all-ones start vector.  The bulk primitive behind distributed PCA /
+    low-rank embedding compression (power iteration / block Krylov) —
+    like kmeans_step, ONE iteration is declared so the result is a
+    fixed deterministic DataFrame; the driver loop just re-calls with
+    the previous output.
+
+    Plan: the projection x.v0 is a per-row array fold (scan stage);
+    posexplode turns each row into (pos, x_pos * proj) terms; one
+    map-side-combined shuffle on pos (64 groups) sums them; the
+    normalizer folds off those same 64 rows via a broadcast scalar.
+    Nothing is ever collected; at 100 TB the shuffle carries
+    dim * n_partitions partial rows.
+
+    Cross-engine determinism (kmeans_step's recipe): each term is
+    ROUNDed to 6 decimals then cast DECIMAL(30,6) BEFORE the sum —
+    exact and order-insensitive; the squared-norm likewise sums exact
+    DECIMAL squares, so sqrt/divide are single identical f64 steps."""
+    v = as_double_array(F.col(vec_col))
+    # x . v0 with v0 = ones == sum of components; fixed left-to-right
+    # array fold, identical term order in both engines
+    proj = F.round(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6
+    )
+    terms = emb.select(
+        F.posexplode(v).alias("pos", "x"),
+        proj.alias("proj"),
+    ).select(
+        "pos",
+        F.round(F.col("x") * F.col("proj"), 6).cast("decimal(30,6)").alias("term"),
+    )
+    comp = terms.groupBy("pos").agg(F.sum("term").alias("comp"))
+    norm = comp.agg(
+        F.sqrt(
+            F.sum(
+                (F.col("comp").cast("decimal(19,6)") * F.col("comp").cast("decimal(19,6)"))
+            ).cast("double")
+        ).alias("norm")
+    )
+    return comp.crossJoin(F.broadcast(norm)).select(
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("comp").cast("double") / F.col("norm"), 6).alias("component"),
+    )

@@ -330,3 +330,56 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+def value_anomaly_zscore(events: DataFrame, z_cut: float = 2.0) -> DataFrame:
+    """Per-user anomaly audit over the value stream: how many of each
+    user's events sit more than ``z_cut`` sample standard deviations
+    from that user's own mean — the per-entity outlier gate a telemetry
+    curation pipeline runs before training on behavioral data.
+
+    Plan: one shuffle groups by user for the moment sums, one more
+    joins the (tiny) per-user stats back to the events to count
+    outliers — both keyed on user_id, so at 100 TB the second shuffle
+    reuses the first's partitioning.
+
+    Cross-engine determinism (lineitem_corr_stats' recipe): mean and
+    stddev derive from exact DECIMAL power sums (values ROUNDed to 6
+    then cast DECIMAL before summing — order-insensitive), so the
+    sample stddev and the z comparison boundary are bit-identical in
+    both engines; no engine-native stddev (Welford vs two-pass would
+    differ in ulps)."""
+    v = F.round(F.col("value"), 6).cast("decimal(21,6)")
+    stats = events.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(v).alias("_s1"),
+        F.sum((v * v).cast("decimal(33,12)")).alias("_s2"),
+    )
+    n = F.col("n_events").cast("double")
+    mean = F.col("_s1").cast("double") / n
+    # sample variance from power sums: (sum2 - sum1^2/n) / (n-1)
+    var = (F.col("_s2").cast("double") - F.col("_s1").cast("double") * mean) / (
+        n - F.lit(1.0)
+    )
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    per_user = stats.select(
+        "user_id", "n_events", mean.alias("_mean"), std.alias("_std")
+    )
+    ev = events.select("user_id", F.round(F.col("value"), 6).alias("_v"))
+    return (
+        ev.join(per_user, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("_mean"), 6).alias("mean_value"),
+            F.round(F.max("_std"), 6).alias("std_value"),
+            F.sum(
+                (
+                    F.abs(F.col("_v") - F.col("_mean"))
+                    > F.lit(z_cut) * F.col("_std")
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -283,6 +283,78 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc average token log-probability under a unigram LM trained
+    on the corpus itself — the classic cheap perplexity-style quality
+    filter (low avg logprob = rare-token gibberish, high = natural
+    text).
+
+    Plan (the two-pass distributed LM shape, nothing driver-side):
+    pass 1 explodes tokens and counts the vocabulary (one shuffle keyed
+    on token, map-side combined — at 100 TB the shuffle carries one row
+    per distinct token per partition); the corpus total folds off the
+    same vocab table.  Pass 2 re-joins occurrences to vocab counts on
+    token and averages ln(count/total) per doc.  Scores ROUND(...,4):
+    ln() last-ulp can differ across libm implementations (same rule as
+    BM25's idf)."""
+    from ..sources.loaders import fan_out
+
+    occ = fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    vocab = occ.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        occ.join(vocab, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+def bpe_pair_candidates(docs: DataFrame, n: int = 50, text_col: str = "text") -> DataFrame:
+    """Top-n adjacent character pairs inside whitespace tokens,
+    frequency-weighted by occurrence — exactly the statistic the first
+    BPE merge step maximizes, and the tokenizer-training primitive over
+    a 100-TB corpus.
+
+    Plan: char pairs are built per token inside the scan (zip_with over
+    two shifted slices of the char array — no UDF), exploded into a
+    map-side-combined count, one shuffle on the pair, global top-n via
+    TakeOrderedAndProject.  Counts exact ints; order (count desc, pair
+    asc) — fully deterministic."""
+    from ..sources.loaders import fan_out
+
+    def char_pairs(tok: Column) -> Column:
+        chars = F.split(tok, "")
+        sz = F.size(chars)
+        return F.when(
+            sz >= 2,
+            F.zip_with(
+                F.slice(chars, 1, sz - 1),
+                F.slice(chars, 2, sz - 1),
+                lambda a, b: F.concat(a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    pairs = (
+        fan_out(docs.select(text_col))
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .select(F.explode(char_pairs(F.col("tok"))).alias("pair"))
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(n)
+    )
+
+
 def bigram_topn(docs: DataFrame, n: int = 50, text_col: str = "text") -> DataFrame:
     """Top-n word bigrams across the corpus — the phrase-mining /
     tokenizer-merge-candidate primitive.  Bigrams are built inside the

@@ -3746,3 +3746,118 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on the partition key; tie rows share pct_rank and take
     the greatest cume_dist in both engines by definition."""
     return R.order_value_distribution(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 14: unigram-LM quality scoring, BPE merge candidates, PCA power
+# iteration, per-user anomaly z-scores.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_unigram_logprob",
+    f"""
+WITH occ AS (
+  SELECT doc_id, unnest({_TK_SQL}) AS t FROM documents
+),
+vocab AS (SELECT t, COUNT(*) AS cnt FROM occ GROUP BY t),
+total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(ln(v.cnt / tt.total)), 4) AS avg_logprob
+FROM occ o JOIN vocab v USING (t) CROSS JOIN total tt
+GROUP BY o.doc_id
+""",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM quality score: per-doc average token
+    ln-probability — two-pass distributed LM (vocab count shuffle, then
+    occurrence-vocab join), the cheap perplexity-style gibberish
+    filter."""
+    return T.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "bpe_merge_candidates",
+    f"""
+WITH tk AS (SELECT unnest({_TK_SQL}) AS tok FROM documents),
+ch AS (SELECT tok, string_split(tok, '') AS cs FROM tk),
+p AS (
+  SELECT cs[i] || cs[i + 1] AS pair
+  FROM ch, UNNEST(range(1, len(cs))) AS u(i)
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+""",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs inside tokens (frequency-
+    weighted) — the first BPE merge step's argmax statistic, built with
+    zip_with shifted slices inside the scan."""
+    return T.bpe_pair_candidates(load_table(spark, sf_dir, "documents"), 50)
+
+
+@query(
+    "embedding_pca_power_iter",
+    """
+WITH terms AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(ROUND(
+           unnest(CAST(embedding AS DOUBLE[]))
+           * ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 6),
+         6) AS DECIMAL(30,6)) AS term
+  FROM embeddings
+),
+comp AS (SELECT pos, SUM(term) AS comp FROM terms GROUP BY pos),
+nrm AS (
+  SELECT SQRT(CAST(SUM(CAST(comp AS DECIMAL(19,6)) * CAST(comp AS DECIMAL(19,6))) AS DOUBLE)) AS norm
+  FROM comp
+)
+SELECT CAST(pos AS INT) AS pos,
+       ROUND(CAST(comp AS DOUBLE) / nrm.norm, 6) AS component
+FROM comp CROSS JOIN nrm
+""",
+)
+def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PCA power-iteration step over the embedding corpus (v0 =
+    ones): posexplode terms, 64-group shuffle, exact-DECIMAL sums,
+    broadcast normalizer — the distributed low-rank-compression
+    primitive."""
+    return A.pca_power_iteration(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+WITH stats AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(ROUND(value, 6) AS DECIMAL(21,6))) AS s1,
+         SUM(CAST(CAST(ROUND(value, 6) AS DECIMAL(21,6))
+                  * CAST(ROUND(value, 6) AS DECIMAL(21,6)) AS DECIMAL(33,12))) AS s2
+  FROM events GROUP BY user_id
+),
+per_user AS (
+  SELECT user_id, n_events,
+         CAST(s1 AS DOUBLE) / n_events AS mean,
+         SQRT(GREATEST(
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n_events))
+             / (n_events - 1.0),
+           0.0)) AS std
+  FROM stats
+)
+SELECT e.user_id,
+       MAX(p.n_events) AS n_events,
+       ROUND(MAX(p.mean), 6) AS mean_value,
+       ROUND(MAX(p.std), 6) AS std_value,
+       CAST(SUM(CASE WHEN ABS(ROUND(e.value, 6) - p.mean) > 2.0 * p.std
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN per_user p USING (user_id)
+GROUP BY e.user_id
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier audit: events beyond 2 sample stddevs of the
+    user's own mean, with mean/std from exact DECIMAL power sums so the
+    comparison boundary is bit-identical across engines."""
+    return E.value_anomaly_zscore(load_table(spark, sf_dir, "events"))
