@@ -383,3 +383,32 @@ def value_anomaly_zscore(events: DataFrame, z_cut: float = 2.0) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+def rolling_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing-N-day active users per observed day (rolling WAU for
+    N=7) — the engagement time series every telemetry pipeline reports.
+    Distinct users per sliding window can't ride a window function
+    (COUNT(DISTINCT) OVER RANGE is unsupported), so each (user, day)
+    activity row is exploded to the N target days it contributes to —
+    shuffle volume is N x |user-days|, then one countDistinct per day.
+    Only days actually present in the stream are reported (a trailing
+    window at the stream edge still counts its partial history).
+
+    Everything is exact (dates + integer counts) — no float terms."""
+    day = F.col("ts").cast("date")
+    user_days = events.select(F.col("user_id"), day.alias("d")).distinct()
+    contributes = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), window_days - 1)
+            )
+        ).alias("target_day"),
+    )
+    observed = events.select(day.alias("target_day")).distinct()
+    return (
+        contributes.join(observed, "target_day")
+        .groupBy("target_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )

@@ -1035,3 +1035,41 @@ def order_value_distribution(orders: DataFrame, year: int = 1996) -> DataFrame:
             F.round(F.cume_dist().over(w), 6).alias("cume"),
         )
     )
+
+
+def revenue_pareto_deciles(orders: DataFrame) -> DataFrame:
+    """Revenue-concentration (Pareto) audit: customers bucketed into
+    spend deciles, each decile's share of total revenue — the "does 20%
+    of the base drive 80% of revenue" curation statistic, and the skew
+    diagnostic that decides whether customer-keyed joins need salting.
+
+    Plan: one shuffle groups orders by customer (DECIMAL-exact spend),
+    ntile(10) rides a single global sort of the per-customer aggregate
+    (rows = |customers|, far smaller than orders), and the final agg is
+    10 groups.  Ordering ties are impossible: spend is exact DECIMAL
+    with custkey tiebreak.  Shares are single f64 divisions of exact
+    DECIMAL sums, ROUND 6."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    tiled = spend.select(
+        "o_custkey", "spend", F.ntile(10).over(w).alias("decile")
+    )
+    total = tiled.agg(F.sum("spend").alias("total"))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("spend").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            F.col("revenue").cast(DEC_PRICE).alias("revenue"),
+            F.round(
+                F.col("revenue").cast("double") / F.col("total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )

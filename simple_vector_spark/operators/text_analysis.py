@@ -15,7 +15,7 @@ the quality score is a linear blend instead of a sigmoid).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_int, tokens
@@ -381,3 +381,49 @@ def bigram_topn(docs: DataFrame, n: int = 50, text_col: str = "text") -> DataFra
     )
     counted = exploded.groupBy("bigram").agg(F.count("*").cast("bigint").alias("n"))
     return counted.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(n)
+
+
+def vocab_zipf_slope(docs: DataFrame, top_n: int = 500, text_col: str = "text") -> DataFrame:
+    """Zipf's-law audit: least-squares slope of ln(freq) on ln(rank)
+    over the top-n vocabulary — natural corpora sit near -1; a slope
+    far off flags boilerplate/templated text worth deduping.  One row:
+    (n_used, slope, intercept).
+
+    Plan: vocab count (one token-keyed shuffle), rank via a single
+    window over the top-n aggregate (rows = vocab, not occurrences),
+    regression from the 5 power sums in one tiny agg.  Determinism:
+    rank order is exact (count desc, token asc); ln values ROUND 6 then
+    DECIMAL before the power sums (order-insensitive); slope/intercept
+    are f64 steps off exact sums, ROUND 4 (ln ulp rule)."""
+    from ..sources.loaders import fan_out
+
+    vocab = (
+        fan_out(docs.select(text_col))
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = vocab.select(
+        F.row_number().over(w).alias("rank"), F.col("n")
+    ).filter(F.col("rank") <= top_n)
+    x = F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(20,6)")
+    y = F.round(F.log(F.col("n").cast("double")), 6).cast("decimal(20,6)")
+    sums = ranked.agg(
+        F.count("*").cast("bigint").alias("n_used"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum((x * y).cast("decimal(30,12)")).alias("_sxy"),
+        F.sum((x * x).cast("decimal(30,12)")).alias("_sxx"),
+    )
+    nn = F.col("n_used").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    slope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    return sums.select(
+        "n_used",
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / nn, 4).alias("intercept"),
+    )

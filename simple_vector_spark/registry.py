@@ -3861,3 +3861,102 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's own mean, with mean/std from exact DECIMAL power sums so the
     comparison boundary is bit-identical across engines."""
     return E.value_anomaly_zscore(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 15: Zipf vocabulary audit, Pareto revenue concentration, rolling
+# weekly-active-users.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vocab_zipf_slope",
+    f"""
+WITH vocab AS (
+  SELECT t AS token, COUNT(*) AS n
+  FROM (SELECT unnest({_TK_SQL}) AS t FROM documents)
+  GROUP BY t
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank, n
+  FROM vocab QUALIFY rank <= 500
+),
+lns AS (
+  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(20,6)) AS x,
+         CAST(ROUND(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(20,6)) AS y
+  FROM ranked
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * y AS DECIMAL(30,12))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(30,12))) AS sxx
+  FROM lns
+)
+SELECT n_used,
+  ROUND((n_used * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (n_used * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope,
+  ROUND((CAST(sy AS DOUBLE)
+         - ((n_used * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (n_used * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * CAST(sx AS DOUBLE)) / n_used, 4) AS intercept
+FROM sums
+""",
+)
+def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit over the top-500 vocabulary: least-squares
+    slope/intercept of ln(freq) vs ln(rank) from exact DECIMAL power
+    sums — the templated-text / boilerplate detector."""
+    return T.vocab_zipf_slope(load_table(spark, sf_dir, "documents"), 500)
+
+
+@query(
+    "orders_pareto_share",
+    """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, spend,
+         CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS INT) AS decile
+  FROM spend
+),
+total AS (SELECT SUM(spend) AS total FROM tiled)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(spend) AS DECIMAL(15,2)) AS revenue,
+       ROUND(CAST(SUM(spend) AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS revenue_share
+FROM tiled CROSS JOIN total t
+GROUP BY decile, t.total
+""",
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/concentration audit: customer spend deciles and each
+    decile's share of total revenue — the skew diagnostic for
+    customer-keyed joins."""
+    return R.revenue_pareto_deciles(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "events_rolling_wau",
+    """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+contributes AS (
+  SELECT user_id, d + CAST(o AS INT) AS target_day
+  FROM user_days, UNNEST(range(0, 7)) AS u(o)
+),
+observed AS (SELECT DISTINCT CAST(ts AS DATE) AS target_day FROM events)
+SELECT c.target_day,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+FROM contributes c JOIN observed USING (target_day)
+GROUP BY c.target_day
+""",
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per observed day: (user, day)
+    activity exploded to the days it contributes to, one countDistinct
+    per day — the rolling-WAU engagement series."""
+    return E.rolling_wau(load_table(spark, sf_dir, "events"), 7)

@@ -71,3 +71,51 @@ def test_anomaly_zscore_flags_planted_outlier(spark):
     assert out[1]["n_events"] == 10 and out[1]["n_outliers"] == 1
     assert abs(out[1]["mean_value"] - 19.0) < 1e-6
     assert out[2]["n_outliers"] == 0 and out[2]["std_value"] == 0.0
+
+
+def test_zipf_slope_exact_least_squares(spark):
+    # vocab: 'a' x4, 'b' x2, 'c' x1 -> ranks 1,2,3; slope computable by hand
+    docs = _docs(spark, [(1, "a a a a b b c")])
+    row = T.vocab_zipf_slope(docs, 500).collect()[0]
+    xs = [round(math.log(r), 6) for r in (1, 2, 3)]
+    ys = [round(math.log(f), 6) for f in (4, 2, 1)]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["n_used"] == 3
+    assert abs(row["slope"] - round(slope, 4)) < 1e-9
+    assert abs(row["intercept"] - round((sy - slope * sx) / n, 4)) < 1e-9
+
+
+def test_pareto_deciles_shares(spark):
+    from simple_vector_spark.operators import relational as R
+
+    # 10 customers, spends 10..1 -> one per decile; shares = spend/55
+    rows = [(i, i, 11.0 - (i + 1)) for i in range(10)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    out = sorted(R.revenue_pareto_deciles(orders).collect(), key=lambda r: r["decile"])
+    assert [r["n_customers"] for r in out] == [1] * 10
+    assert float(out[0]["revenue"]) == 10.0  # decile 1 = biggest spender
+    assert abs(sum(r["revenue_share"] for r in out) - 1.0) < 1e-4
+    assert out[0]["revenue_share"] > out[-1]["revenue_share"]
+
+
+def test_rolling_wau_trailing_window(spark):
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, datetime(2024, 1, 1)),
+            (2, 20, datetime(2024, 1, 5)),
+            (3, 10, datetime(2024, 1, 9)),  # > 7 days after day 1
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {str(r["target_day"]): r["wau"] for r in E.rolling_wau(ev, 7).collect()}
+    # observed days only: Jan 1 (u10), Jan 5 (u10 still in window + u20),
+    # Jan 9 (u10 again via the Jan-9 event, u20 from Jan 5)
+    assert out == {"2024-01-01": 1, "2024-01-05": 2, "2024-01-09": 2}
