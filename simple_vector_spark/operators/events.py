@@ -412,3 +412,38 @@ def rolling_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
         .groupBy("target_day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )
+
+
+def zorder_layout_audit(events: DataFrame, bits: int = 4, file_shift: int = 4) -> DataFrame:
+    """Data-layout audit for Z-order clustering: interleave the low
+    ``bits`` of two query dimensions (user bucket, hour-of-day) into a
+    Z-value, group rows into would-be files by Z-prefix, and report
+    each file's row count and min/max envelope on BOTH dims.  This is
+    the decision input for a CLUSTER BY / Z-ORDER rewrite of a 100-TB
+    table: tight per-file envelopes on both dims mean a predicate on
+    EITHER dim prunes most files via Parquet row-group stats — the
+    columnar answer to the reference's per-value bitmap index
+    (src/filter_index.cc:9-81).
+
+    Pure integer bit arithmetic (identical in the oracle); one
+    map-side-combined shuffle on the file id."""
+    a = (F.col("user_id") % (1 << bits)).cast("long")
+    b = (F.hour(F.col("ts")) % (1 << bits)).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1)
+        )
+    return (
+        events.select(a.alias("ub"), b.alias("hb"), F.shiftright(z, file_shift).alias("zfile"))
+        .groupBy("zfile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("ub").alias("min_user_bucket"),
+            F.max("ub").alias("max_user_bucket"),
+            F.min("hb").alias("min_hour_bucket"),
+            F.max("hb").alias("max_hour_bucket"),
+        )
+    )

@@ -328,3 +328,45 @@ def radius_search(
     )
     keep = F.col(name) <= radius if asc else F.col(name) >= radius
     return scored.filter(keep)
+
+
+def label_maxsim_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Multi-vector MaxSim retrieval (ColBERT-style late interaction)
+    against label groups: each label is a "document" whose member
+    embeddings are its token vectors; the group score is the MAXIMUM
+    cosine any member reaches against the query, with the group mean
+    as a diagnostic.  Top-k labels by (max_sim desc, label asc).
+
+    Plan: the one-row query is broadcast and every corpus row is
+    scored inside the scan stage (no shuffle); the grouped max/mean is
+    one tiny agg on label; top-k rides TakeOrderedAndProject.  At
+    100 TB this is the grouped-max retrieval shape that replaces a
+    per-group index probe.  The mean folds DECIMAL-cast rounded sims
+    (exact, order-insensitive); max needs no such care (same winner in
+    any order)."""
+    q = F.broadcast(query.select(as_double_array(F.col(vec_col)).alias("__q_vec")))
+    sim = F.round(
+        cosine_similarity(as_double_array(F.col(vec_col)), F.col("__q_vec")), 6
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col(label_col), sim.cast("decimal(10,6)").alias("_sim")
+    )
+    return (
+        scored.groupBy(label_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.max("_sim").cast("double").alias("max_sim"),
+            F.round(
+                F.sum("_sim").cast("double") / F.count("*"), 6
+            ).alias("mean_sim"),
+        )
+        .orderBy(F.col("max_sim").desc(), F.col(label_col).asc())
+        .limit(k)
+    )

@@ -427,3 +427,47 @@ def vocab_zipf_slope(docs: DataFrame, top_n: int = 500, text_col: str = "text") 
         F.round(slope, 4).alias("slope"),
         F.round((sy - slope * sx) / nn, 4).alias("intercept"),
     )
+
+
+def source_tfidf_terms(docs: DataFrame, top_per_source: int = 5, text_col: str = "text") -> DataFrame:
+    """Per-source distinguishing terms by tf-idf, treating each source
+    (crawl shard) as one super-document — the "what is this slice made
+    of" audit a mixture designer runs before weighting sources.
+
+    tf = token count / source token count; idf = ln(n_sources / df)
+    where df counts sources containing the token.  Plan: one explode
+    pass feeds a (source, token)-keyed count shuffle; df and source
+    totals are aggregates OF that table (vocab-sized, not
+    occurrence-sized); the final rank is a per-source window.  Scores
+    ROUND 4 (ln ulp rule) and ranked on the rounded value with token
+    tiebreak."""
+    from ..sources.loaders import fan_out
+
+    st = (
+        fan_out(docs.select("source", text_col))
+        .select(F.col("source"), F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = st.groupBy("source").agg(F.sum("cnt").alias("n_tok"))
+    df_ = st.groupBy("t").agg(F.countDistinct("source").alias("df"))
+    n_sources = st.agg(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        st.join(totals, "source")
+        .join(df_, "t")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            F.col("t").alias("token"),
+            F.round(
+                (F.col("cnt").cast("double") / F.col("n_tok"))
+                * F.log(F.col("n_sources").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= top_per_source)
+    )

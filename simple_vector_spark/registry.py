@@ -3960,3 +3960,99 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity exploded to the days it contributes to, one countDistinct
     per day — the rolling-WAU engagement series."""
     return E.rolling_wau(load_table(spark, sf_dir, "events"), 7)
+
+
+# --------------------------------------------------------------------------
+# Wave 16: Z-order layout audit, multi-vector MaxSim retrieval, per-source
+# tf-idf terms.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "zorder_layout_audit",
+    """
+WITH keyed AS (
+  SELECT user_id % 16 AS ub, hour(ts) % 16 AS hb FROM events
+),
+z AS (
+  SELECT ub, hb,
+    (((ub >> 0) & 1) << 0) + (((hb >> 0) & 1) << 1)
+    + (((ub >> 1) & 1) << 2) + (((hb >> 1) & 1) << 3)
+    + (((ub >> 2) & 1) << 4) + (((hb >> 2) & 1) << 5)
+    + (((ub >> 3) & 1) << 6) + (((hb >> 3) & 1) << 7) AS zval
+  FROM keyed
+)
+SELECT zval >> 4 AS zfile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(ub) AS min_user_bucket, MAX(ub) AS max_user_bucket,
+       MIN(hb) AS min_hour_bucket, MAX(hb) AS max_hour_bucket
+FROM z GROUP BY 1
+""",
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-layout audit: bit-interleave (user bucket,
+    hour-of-day) into Z-values, report each Z-prefix "file"'s min/max
+    envelope on both dims — the CLUSTER BY decision input at 100 TB."""
+    return E.zorder_layout_audit(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "knn_maxsim_labels",
+    f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+pairs AS (
+  SELECT e.label, e.vec_id,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+         unnest(q.qv) AS y
+  FROM embeddings e CROSS JOIN q
+),
+sims AS (
+  SELECT label,
+         CAST({_PAIR_COS} AS DECIMAL(10,6)) AS sim
+  FROM pairs GROUP BY label, vec_id
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MAX(sim) AS DOUBLE) AS max_sim,
+       ROUND(CAST(SUM(sim) AS DOUBLE) / COUNT(*), 6) AS mean_sim
+FROM sims GROUP BY label
+ORDER BY max_sim DESC, label ASC LIMIT 5
+""",
+)
+def knn_maxsim_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector MaxSim (ColBERT-style) retrieval: label groups
+    scored by their best member cosine vs the query — broadcast query,
+    in-scan scoring, one tiny label agg, TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.label_maxsim_topk(emb, emb.filter(F.col("vec_id") == 0), 5)
+
+
+@query(
+    "source_tfidf_terms",
+    f"""
+WITH st AS (
+  SELECT source, t, COUNT(*) AS cnt
+  FROM (SELECT source, unnest({_TK_SQL}) AS t FROM documents)
+  GROUP BY source, t
+),
+totals AS (SELECT source, SUM(cnt) AS n_tok FROM st GROUP BY source),
+df AS (SELECT t, COUNT(DISTINCT source) AS df FROM st GROUP BY t),
+ns AS (SELECT COUNT(DISTINCT source) AS n_sources FROM st),
+scored AS (
+  SELECT st.source, st.t AS token,
+         ROUND((st.cnt / CAST(totals.n_tok AS DOUBLE))
+               * ln(ns.n_sources / CAST(df.df AS DOUBLE)), 4) AS tfidf
+  FROM st JOIN totals USING (source) JOIN df ON st.t = df.t CROSS JOIN ns
+)
+SELECT source, token, tfidf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY tfidf DESC, token ASC) AS INT) AS rnk
+FROM scored QUALIFY rnk <= 5
+""",
+)
+def source_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 distinguishing terms by tf-idf (source = one
+    super-document) — the mixture-design audit; ranked on the rounded
+    score with token tiebreak."""
+    return T.source_tfidf_terms(load_table(spark, sf_dir, "documents"), 5)

@@ -119,3 +119,56 @@ def test_rolling_wau_trailing_window(spark):
     # observed days only: Jan 1 (u10), Jan 5 (u10 still in window + u20),
     # Jan 9 (u10 again via the Jan-9 event, u20 from Jan 5)
     assert out == {"2024-01-01": 1, "2024-01-05": 2, "2024-01-09": 2}
+
+
+def test_zorder_interleave_and_envelopes(spark):
+    from datetime import datetime
+
+    # u=1,h=0 -> z=1 -> file 0 ; u=0,h=8 -> bit 7 set -> z=128 -> file 8
+    ev = spark.createDataFrame(
+        [
+            (1, 1, datetime(2024, 1, 1, 0)),
+            (2, 0, datetime(2024, 1, 1, 8)),
+            (3, 3, datetime(2024, 1, 1, 1)),  # z = 1+2+4 = 7 -> file 0
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {r["zfile"]: r for r in E.zorder_layout_audit(ev).collect()}
+    assert set(out) == {0, 8}
+    assert out[0]["n_rows"] == 2
+    assert out[0]["min_user_bucket"] == 1 and out[0]["max_user_bucket"] == 3
+    assert out[0]["min_hour_bucket"] == 0 and out[0]["max_hour_bucket"] == 1
+    assert out[8]["n_rows"] == 1 and out[8]["min_hour_bucket"] == 8
+
+
+def test_maxsim_best_member_wins(spark):
+    from simple_vector_spark.operators import knn as K
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),   # the query itself: label 1 holds sim=1.0
+            (1, [0.0, 1.0], 1),   # orthogonal member does not drag max down
+            (2, [0.0, 1.0], 2),   # label 2: all orthogonal
+            (3, [-1.0, 0.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = K.label_maxsim_topk(emb, emb.filter("vec_id = 0"), 5).collect()
+    assert [r["label"] for r in out] == [1, 2]
+    assert out[0]["max_sim"] == 1.0
+    assert out[0]["mean_sim"] == 0.5
+    assert out[1]["max_sim"] == 0.0
+
+
+def test_tfidf_distinguishing_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common alpha", "s1"),
+            (2, "common beta", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = T.source_tfidf_terms(docs, 1).collect()
+    best = {r["source"]: r["token"] for r in out}
+    # 'common' has idf=ln(1)=0; the unique token wins each source
+    assert best == {"s1": "alpha", "s2": "beta"}
