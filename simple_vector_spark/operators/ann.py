@@ -636,3 +636,46 @@ def pca_power_iteration(
         F.col("pos").cast("int").alias("pos"),
         F.round(F.col("comp").cast("double") / F.col("norm"), 6).alias("component"),
     )
+
+
+def norm_outlier_audit(emb: DataFrame, z_cut: float = 2.0, vec_col: str = "embedding") -> DataFrame:
+    """Embedding-hygiene audit: corpus mean/std of the L2 norm and how
+    many vectors sit beyond ``z_cut`` sample standard deviations —
+    norm outliers break IP/cosine ranking assumptions and are the
+    first thing to gate before index build.  Single scan, one global
+    agg; mean/std from exact DECIMAL power sums (order-insensitive) so
+    the z boundary is bit-identical cross-engine."""
+    v = as_double_array(F.col(vec_col))
+    norm = F.round(
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)), 6
+    )
+    nd = norm.cast("decimal(21,6)")
+    stats = emb.select(nd.alias("_n")).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.col("_n")).alias("_s1"),
+        F.sum((F.col("_n") * F.col("_n")).cast("decimal(33,12)")).alias("_s2"),
+    )
+    n = F.col("n_vecs").cast("double")
+    mean = F.col("_s1").cast("double") / n
+    var = (F.col("_s2").cast("double") - F.col("_s1").cast("double") * mean) / (
+        n - F.lit(1.0)
+    )
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    per = stats.select("n_vecs", mean.alias("_mean"), std.alias("_std"))
+    return (
+        emb.select(nd.cast("double").alias("_norm"))
+        .crossJoin(F.broadcast(per))
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.round(F.max("_mean"), 6).alias("mean_norm"),
+            F.round(F.max("_std"), 6).alias("std_norm"),
+            F.sum(
+                (
+                    F.abs(F.col("_norm") - F.col("_mean"))
+                    > F.lit(z_cut) * F.col("_std")
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -1073,3 +1073,68 @@ def revenue_pareto_deciles(orders: DataFrame) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+def join_size_estimate(
+    orders: DataFrame, lineitem: DataFrame, sample_mod: int = 10
+) -> DataFrame:
+    """Planner-statistics audit: the exact row count of the
+    orders-lineitem equi-join computed from per-key count products
+    (sum over keys of n_orders * n_lines — never materializing the
+    join), next to a key-sampled estimate: the same sum over the
+    deterministic 1/``sample_mod`` md5 key sample, scaled back up.
+    This is the cardinality-estimation primitive a planner runs before
+    choosing join strategy/ordering on a 100-TB fact — and the audit
+    that tells you when sampled stats have drifted too far to trust.
+
+    Plan: two per-key count aggs (each one shuffle on the key), a
+    key-keyed join of the two (tiny vs the fact), one global fold.
+    The sample gate is a pure md5 predicate — reproducible across
+    engines and repartitionings.  Everything integer-exact except the
+    final ratio."""
+    from ..functions.text import md5_int
+
+    ok = orders.groupBy("o_orderkey").agg(F.count("*").alias("n_o"))
+    lk = lineitem.groupBy("l_orderkey").agg(F.count("*").alias("n_l"))
+    per_key = ok.join(lk, ok.o_orderkey == lk.l_orderkey).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("n_o") * F.col("n_l")).cast("bigint").alias("prod"),
+    )
+    gate = md5_int(F.col("k").cast("string")) % sample_mod == 0
+    return per_key.agg(
+        F.sum("prod").cast("bigint").alias("exact_rows"),
+        (F.sum(F.when(gate, F.col("prod")).otherwise(F.lit(0))) * sample_mod)
+        .cast("bigint")
+        .alias("est_rows"),
+    ).select(
+        "exact_rows",
+        "est_rows",
+        F.round(
+            F.abs(F.col("est_rows") - F.col("exact_rows"))
+            / F.col("exact_rows").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+def monthly_seasonality(orders: DataFrame) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's share of
+    total revenue against a uniform 1/12 — the partition-sizing /
+    capacity-planning statistic for time-partitioned tables.  One
+    shuffle on month (12 groups), DECIMAL-exact sums, single f64
+    division per output row."""
+    m = F.month(F.col("o_orderdate"))
+    per_month = orders.groupBy(m.alias("month")).agg(
+        F.sum(_dec("o_totalprice")).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    total = per_month.agg(F.sum("revenue").alias("total"))
+    return per_month.crossJoin(F.broadcast(total)).select(
+        F.col("month").cast("int").alias("month"),
+        "n_orders",
+        F.col("revenue").cast(DEC_PRICE).alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double") / F.col("total").cast("double") * 12.0,
+            6,
+        ).alias("seasonality_index"),
+    )

@@ -4056,3 +4056,99 @@ def source_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     super-document) — the mixture-design audit; ranked on the rounded
     score with token tiebreak."""
     return T.source_tfidf_terms(load_table(spark, sf_dir, "documents"), 5)
+
+
+# --------------------------------------------------------------------------
+# Wave 17: join-cardinality estimation, monthly seasonality, embedding
+# norm outliers.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_size_estimate",
+    """
+WITH ok AS (SELECT o_orderkey AS k, COUNT(*) AS n_o FROM orders GROUP BY 1),
+lk AS (SELECT l_orderkey AS k, COUNT(*) AS n_l FROM lineitem GROUP BY 1),
+per_key AS (
+  SELECT ok.k, CAST(ok.n_o * lk.n_l AS BIGINT) AS prod
+  FROM ok JOIN lk USING (k)
+),
+folded AS (
+  SELECT CAST(SUM(prod) AS BIGINT) AS exact_rows,
+         CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+                       THEN prod ELSE 0 END) * 10 AS BIGINT) AS est_rows
+  FROM per_key
+)
+SELECT exact_rows, est_rows,
+       ROUND(ABS(est_rows - exact_rows) / CAST(exact_rows AS DOUBLE), 6) AS rel_error
+FROM folded
+""",
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit: exact orders-lineitem join
+    size from per-key count products vs a deterministic 10% key-sample
+    estimate — the planner-statistics drift check."""
+    return R.join_size_estimate(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@query(
+    "orders_seasonality",
+    """
+WITH per_month AS (
+  SELECT month(o_orderdate) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+total AS (SELECT SUM(revenue) AS total FROM per_month)
+SELECT CAST(month AS INT) AS month, n_orders,
+       CAST(revenue AS DECIMAL(15,2)) AS revenue,
+       ROUND(CAST(revenue AS DOUBLE) / CAST(t.total AS DOUBLE) * 12.0, 6) AS seasonality_index
+FROM per_month CROSS JOIN total t
+""",
+)
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year revenue seasonality index (share vs uniform 1/12)
+    — the time-partition capacity-planning statistic."""
+    return R.monthly_seasonality(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "embedding_norm_outliers",
+    """
+WITH norms AS (
+  SELECT CAST(ROUND(SQRT(list_aggregate(
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6)
+         AS DECIMAL(21,6)) AS n
+  FROM embeddings
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         SUM(n) AS s1,
+         SUM(CAST(n * n AS DECIMAL(33,12))) AS s2
+  FROM norms
+),
+per AS (
+  SELECT n_vecs,
+         CAST(s1 AS DOUBLE) / n_vecs AS mean,
+         SQRT(GREATEST(
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n_vecs))
+             / (n_vecs - 1.0), 0.0)) AS std
+  FROM stats
+)
+SELECT p.n_vecs,
+       ROUND(p.mean, 6) AS mean_norm,
+       ROUND(p.std, 6) AS std_norm,
+       CAST(SUM(CASE WHEN ABS(CAST(norms.n AS DOUBLE) - p.mean) > 2.0 * p.std
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM norms CROSS JOIN per p
+GROUP BY p.n_vecs, p.mean, p.std
+""",
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-hygiene audit: L2-norm mean/std from exact DECIMAL
+    power sums and the count of vectors beyond 2 sigma — the gate run
+    before any IP/cosine index build."""
+    return A.norm_outlier_audit(load_table(spark, sf_dir, "embeddings"))

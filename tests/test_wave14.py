@@ -172,3 +172,50 @@ def test_tfidf_distinguishing_terms(spark):
     best = {r["source"]: r["token"] for r in out}
     # 'common' has idf=ln(1)=0; the unique token wins each source
     assert best == {"s1": "alpha", "s2": "beta"}
+
+
+def test_join_size_estimate_exact_count(spark):
+    from simple_vector_spark.operators import relational as R
+
+    orders = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 20.0), (3, 2, 30.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 3.0), (3, 4.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    row = R.join_size_estimate(orders, li).collect()[0]
+    # true join size: key 1 -> 1*3, key 3 -> 1*1
+    assert row["exact_rows"] == 4
+    assert row["exact_rows"] == orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    assert row["est_rows"] % 10 == 0  # scaled sample is a multiple of mod
+
+
+def test_monthly_seasonality_uniform_is_one(spark):
+    from datetime import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    rows = [(i, 1, 100.0, datetime(1995, m, 1)) for i, m in enumerate([1, 2, 3, 4])]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    out = {r["month"]: r for r in R.monthly_seasonality(orders).collect()}
+    # equal revenue in 4 months -> each holds 1/4 of total -> index = 3.0
+    assert set(out) == {1, 2, 3, 4}
+    for r in out.values():
+        assert abs(r["seasonality_index"] - 3.0) < 1e-6
+
+
+def test_norm_outlier_audit_flags_spike(spark):
+    from simple_vector_spark.operators import ann as A
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(9)] + [(9, [100.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    row = A.norm_outlier_audit(emb).collect()[0]
+    assert row["n_vecs"] == 10
+    assert row["n_outliers"] == 1
+    assert abs(row["mean_norm"] - 10.9) < 1e-6
