@@ -371,3 +371,66 @@ def embedding_cosine_pairs_blocked(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def lsh_band_tuning(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate-pair volume per MinHash band layout (8 bands x 1 row /
+    4 x 2 / 2 x 4) — the measured form of the LSH S-curve trade: more
+    rows per band = higher precision, fewer candidates (less shuffle);
+    fewer rows = higher recall, more pairs.  At 100 TB the band layout
+    IS the dedup job's shuffle-volume knob, so this audit is what you
+    run on a sample before committing a config.
+
+    One signature scan (localCheckpoint — three layouts read it), then
+    per layout a (band, bucket)-keyed self-join and a distinct-pair
+    count; the three single-row results union into the report."""
+    sigs = minhash_signatures(docs, text_col, id_col).localCheckpoint()
+    spark = docs.sparkSession
+    reports = []
+    for rows_per_band in (1, 2, 4):
+        n_bands = len(MINHASH_A) // rows_per_band
+        bands = sigs.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"mh{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            ).alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(id_col, "bb.band", "bb.bucket")
+        a, b = bands.alias("a"), bands.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(F.col(f"a.{id_col}").alias("da"), F.col(f"b.{id_col}").alias("db"))
+            .distinct()
+        )
+        reports.append(
+            pairs.agg(F.count("*").cast("bigint").alias("n_candidate_pairs")).select(
+                F.lit(f"{n_bands}x{rows_per_band}").alias("layout"),
+                F.lit(n_bands).cast("int").alias("n_bands"),
+                F.lit(rows_per_band).cast("int").alias("rows_per_band"),
+                "n_candidate_pairs",
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

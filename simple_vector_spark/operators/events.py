@@ -17,7 +17,7 @@ the overlap count, not the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -446,4 +446,31 @@ def zorder_layout_audit(events: DataFrame, bits: int = 4, file_shift: int = 4) -
             F.min("hb").alias("min_hour_bucket"),
             F.max("hb").alias("max_hour_bucket"),
         )
+    )
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition counts and row-normalized
+    probabilities — the first-order Markov statistic behind session
+    modeling / next-event prediction over a 100-TB clickstream.
+
+    Plan: one shuffle on user_id for the lag window (ts + event_id
+    tiebreak makes the successor deterministic), then a tiny agg on
+    the (prev, next) type pair; probabilities ride a second window
+    over the |types|^2-row aggregate, not the events.  Counts exact;
+    p is one f64 division ROUND 6."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    totals = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(totals).cast("double"), 6).alias("p"),
     )

@@ -1138,3 +1138,33 @@ def monthly_seasonality(orders: DataFrame) -> DataFrame:
             6,
         ).alias("seasonality_index"),
     )
+
+
+def rfm_segments(orders: DataFrame, asof: str = "1997-01-01") -> DataFrame:
+    """RFM segmentation: per-customer Recency (days from last order to
+    ``asof``), Frequency (order count), Monetary (DECIMAL-exact spend),
+    each quartiled with ntile(4), then the population of every (r,f,m)
+    cell — the standard behavioral-cohort grid, and a three-way
+    quantile-bucketing pattern (each ntile is a single global sort of
+    the per-customer aggregate, never of the fact table).
+
+    Determinism: every ntile orders on an exact value (int days, bigint
+    count, DECIMAL spend) with custkey tiebreak."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(asof).cast("date"), F.max("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("recency_days"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(_dec("o_totalprice")).alias("monetary"),
+    )
+    rw = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    fw = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    mw = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    tiled = per_cust.select(
+        F.ntile(4).over(rw).cast("int").alias("r"),
+        F.ntile(4).over(fw).cast("int").alias("f"),
+        F.ntile(4).over(mw).cast("int").alias("m"),
+    )
+    return tiled.groupBy("r", "f", "m").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )

@@ -4152,3 +4152,157 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     power sums and the count of vectors beyond 2 sigma — the gate run
     before any IP/cosine index build."""
     return A.norm_outlier_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Wave 18: Markov transition matrix, RFM segmentation, LSH band tuning.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_transitions",
+    """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+FROM counts
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag window (ts, event_id tiebreak), pair counts, row
+    normalization over the |types|^2 aggregate."""
+    return E.event_transition_matrix(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "orders_rfm_segments",
+    """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '1997-01-01') AS INT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INT) AS r,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INT) AS f,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INT) AS m
+  FROM per_cust
+)
+SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM tiled GROUP BY r, f, m
+""",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM behavioral grid: per-customer recency/frequency/monetary
+    quartiles (exact-value orderings, custkey tiebreak) and the
+    population of each (r,f,m) cell."""
+    return R.rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "dedup_lsh_band_tuning",
+    f"""
+WITH {{docs_plus}},
+{{toks}},
+sigs AS (
+  SELECT doc_id,
+  {{sig_cols}}
+  FROM sh WHERE n_tk >= 3
+)
+SELECT '8x1' AS layout, CAST(8 AS INT) AS n_bands,
+       CAST(1 AS INT) AS rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs
+FROM (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 2 AS band, CAST(mh2 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 3 AS band, CAST(mh3 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 4 AS band, CAST(mh4 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 5 AS band, CAST(mh5 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 6 AS band, CAST(mh6 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 7 AS band, CAST(mh7 AS VARCHAR) AS bucket FROM sigs
+  ) a JOIN (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 2 AS band, CAST(mh2 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 3 AS band, CAST(mh3 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 4 AS band, CAST(mh4 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 5 AS band, CAST(mh5 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 6 AS band, CAST(mh6 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 7 AS band, CAST(mh7 AS VARCHAR) AS bucket FROM sigs
+  ) b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+UNION ALL
+SELECT '4x2' AS layout, CAST(4 AS INT) AS n_bands,
+       CAST(2 AS INT) AS rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs
+FROM (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 2 AS band, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 3 AS band, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) AS bucket FROM sigs
+  ) a JOIN (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 2 AS band, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 3 AS band, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) AS bucket FROM sigs
+  ) b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+UNION ALL
+SELECT '2x4' AS layout, CAST(2 AS INT) AS n_bands,
+       CAST(4 AS INT) AS rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs
+FROM (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) AS bucket FROM sigs
+  ) a JOIN (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_' || CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) AS bucket FROM sigs
+  ) b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+""".format(docs_plus=_DOCS_PLUS_SQL.strip(), toks=_TOKS_SQL.strip(), sig_cols=_SIG_COLS_SQL),
+)
+def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair volume per MinHash band layout (8x1/4x2/2x4) —
+    the measured LSH S-curve trade and the dedup job's shuffle-volume
+    knob, from one checkpointed signature table."""
+    return D.lsh_band_tuning(_docs_plus_spark(spark, sf_dir))

@@ -219,3 +219,65 @@ def test_norm_outlier_audit_flags_spike(spark):
     assert row["n_vecs"] == 10
     assert row["n_outliers"] == 1
     assert abs(row["mean_norm"] - 10.9) < 1e-6
+
+
+def test_markov_transitions_probabilities(spark):
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "a", datetime(2024, 1, 1, 0)),
+            (2, 1, "b", datetime(2024, 1, 1, 1)),
+            (3, 1, "a", datetime(2024, 1, 1, 2)),
+            (4, 1, "c", datetime(2024, 1, 1, 3)),
+            (5, 2, "a", datetime(2024, 1, 1, 0)),
+            (6, 2, "b", datetime(2024, 1, 1, 1)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {(r["prev_type"], r["next_type"]): r for r in E.event_transition_matrix(ev).collect()}
+    # a -> b twice (u1, u2), a -> c once; row 'a' normalizes to 2/3, 1/3
+    assert out[("a", "b")]["n"] == 2 and abs(out[("a", "b")]["p"] - round(2 / 3, 6)) < 1e-9
+    assert out[("a", "c")]["n"] == 1 and abs(out[("a", "c")]["p"] - round(1 / 3, 6)) < 1e-9
+    assert out[("b", "a")]["n"] == 1 and out[("b", "a")]["p"] == 1.0
+    # no cross-user transition (u1's last 'c' never precedes u2's 'a')
+    assert ("c", "a") not in out
+
+
+def test_rfm_cells_cover_all_customers(spark):
+    from datetime import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    rows = [
+        (i, c, 100.0 * (c + 1), datetime(1996, 1 + (c % 12), 1))
+        for i, c in enumerate(list(range(8)) * 2)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    out = R.rfm_segments(orders).collect()
+    assert sum(r["n_customers"] for r in out) == 8
+    for r in out:
+        assert 1 <= r["r"] <= 4 and 1 <= r["f"] <= 4 and 1 <= r["m"] <= 4
+
+
+def test_lsh_band_tuning_monotone_candidates(spark):
+    from simple_vector_spark.operators import dedup as D
+
+    # near-dup docs sharing most shingles + unrelated docs
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " again"),
+            (3, "completely different words about spark physical plans"),
+            (4, "yet another unrelated document mentioning duckdb oracles"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["layout"]: r["n_candidate_pairs"] for r in D.lsh_band_tuning(docs).collect()}
+    assert set(out) == {"8x1", "4x2", "2x4"}
+    # looser bands can only produce MORE candidates
+    assert out["8x1"] >= out["4x2"] >= out["2x4"]
+    assert out["8x1"] >= 1  # the near-dup pair must surface somewhere
