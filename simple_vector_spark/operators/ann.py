@@ -32,7 +32,7 @@ model; the corpus itself is never collected.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double_array, squared_l2
@@ -679,3 +679,74 @@ def norm_outlier_audit(emb: DataFrame, z_cut: float = 2.0, vec_col: str = "embed
             .alias("n_outliers"),
         )
     )
+
+
+def ivf_recall_curve(
+    corpus: DataFrame,
+    query: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int,
+    nprobes: tuple[int, ...] = (1, 2, 3),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k per nprobe — the IVF tuning curve that decides
+    the probe budget before committing a 100-TB index layout (the
+    FAISS nprobe sweep, done as relational ops).
+
+    Cost discipline: probe cells for nprobe=1 nest inside nprobe=2
+    inside nprobe=3, so candidates are scored ONCE against the query
+    for the largest budget (localCheckpoint) and each curve point is
+    just a filter on the cell's probe rank + top-k + intersect with
+    the exact answer — no re-scan per point."""
+    spark = corpus.sparkSession
+    max_np = max(nprobes)
+    cdf = spark.createDataFrame(
+        [(cid, cv) for cid, cv in centroids], "cid int, cvec array<double>"
+    )
+    q = F.broadcast(query.select(as_double_array(F.col(vec_col)).alias("__q_vec")))
+    w = Window.orderBy(F.col("cdist").asc(), F.col("__cell").asc())
+    cellrank = F.broadcast(
+        cdf.crossJoin(q)
+        .select(
+            F.col("cid").alias("__cell"),
+            F.round(squared_l2(F.col("cvec"), F.col("__q_vec")), 6).alias("cdist"),
+        )
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= max_np)
+        .select("__cell", "pr")
+    )
+    cand = (
+        corpus.withColumn("__cell", ivf_cell(as_double_array(F.col(vec_col)), centroids))
+        .join(cellrank, "__cell")
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.col("pr"),
+            F.round(
+                squared_l2(as_double_array(F.col(vec_col)), F.col("__q_vec")), 6
+            ).alias("dist"),
+        )
+        .localCheckpoint()
+    )
+    from .knn import knn_topk
+
+    exact_ids = knn_topk(corpus, query, k, "sqL2").select(id_col)
+    out = None
+    for np_ in nprobes:
+        topk = (
+            cand.filter(F.col("pr") <= np_)
+            .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+        row = (
+            topk.join(exact_ids, id_col)
+            .agg(F.count("*").cast("bigint").alias("n_hit"))
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_hit",
+                F.round(F.col("n_hit") / F.lit(float(k)), 6).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -434,3 +434,39 @@ def lsh_band_tuning(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def dup_rate_by_source(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-source near-duplication rate: of each source's documents,
+    how many participate in at least one candidate pair — the
+    slice-level dup report that decides WHICH crawl shard gets the
+    aggressive dedup pass (dup density varies by orders of magnitude
+    across sources).
+
+    Plan: the pair list (already bounded by LSH banding) unions its
+    two id columns, distinct, joins back to the doc->source map
+    (id-keyed shuffle), one tiny agg per source against the per-source
+    totals."""
+    involved = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    flagged = docs.join(involved, id_col).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_dup_docs")
+    )
+    totals = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        totals.join(flagged, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_dup_docs"), F.lit(0)).cast("bigint").alias("n_dup_docs"),
+            F.round(
+                F.coalesce(F.col("n_dup_docs"), F.lit(0)) / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

@@ -1168,3 +1168,43 @@ def rfm_segments(orders: DataFrame, asof: str = "1997-01-01") -> DataFrame:
     return tiled.groupBy("r", "f", "m").agg(
         F.count("*").cast("bigint").alias("n_customers")
     )
+
+
+# Static per-row byte-width estimates for the advisor: fixed per-column
+# costs (8B numerics/timestamps, avg observed widths for strings/arrays)
+# so both engines compute identical arithmetic.  On a production
+# catalog these come from table statistics (ANALYZE) instead.
+ROW_WIDTH_BYTES = {
+    "lineitem": 100,
+    "orders": 60,
+    "events": 70,
+    "documents": 330,
+    "embeddings": 270,
+}
+TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def shuffle_partition_advisor(tables: dict[str, DataFrame]) -> DataFrame:
+    """Shuffle-partition sizing advisor: per table, estimated bytes
+    (row count x static row width) and the partition count that hits
+    the 128 MB target — the arithmetic behind setting
+    spark.sql.shuffle.partitions / maxPartitionBytes per job instead
+    of cluster-wide.  At 100 TB this is the difference between 200
+    half-empty tasks and 800 right-sized ones.
+
+    One COUNT(*) scan per table (parquet footer metadata in practice);
+    all integer arithmetic."""
+    out = None
+    for name, df in tables.items():
+        width = ROW_WIDTH_BYTES[name]
+        row = df.agg(F.count("*").cast("bigint").alias("n_rows")).select(
+            F.lit(name).alias("table"),
+            "n_rows",
+            (F.col("n_rows") * width).cast("bigint").alias("est_bytes"),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil((F.col("n_rows") * width) / F.lit(float(TARGET_PARTITION_BYTES))).cast("bigint"),
+            ).alias("advised_partitions"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -4306,3 +4306,175 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measured LSH S-curve trade and the dedup job's shuffle-volume
     knob, from one checkpointed signature table."""
     return D.lsh_band_tuning(_docs_plus_spark(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Wave 19: IVF nprobe recall curve, per-source dup rate, shuffle-partition
+# advisor.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ann_recall_vs_nprobe",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({_CENTS_SQL})
+),
+pc AS (
+  SELECT e.vec_id, c.cid,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(c.cv) AS y
+  FROM embeddings e CROSS JOIN cents c
+),
+cd AS (SELECT vec_id, cid, ROUND(SUM((x - y) * (x - y)), 6) AS d FROM pc GROUP BY vec_id, cid),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cd
+  ) WHERE rn = 1
+),
+prb AS (
+  SELECT cid AS cell, ROW_NUMBER() OVER (ORDER BY d, cid) AS pr
+  FROM cd WHERE vec_id = {ANN_QUERY_ID} QUALIFY pr <= 3
+),
+qp AS (
+  SELECT a.vec_id, p.pr,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(q.embedding AS DOUBLE[])) AS y
+  FROM assign a JOIN prb p ON a.cell = p.cell
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {ANN_QUERY_ID}) q
+),
+d2 AS (SELECT vec_id, pr, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM qp GROUP BY vec_id, pr),
+exact_d AS (
+  SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+  FROM (
+    SELECT e.vec_id,
+           unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+           unnest(CAST(q.embedding AS DOUBLE[])) AS y
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {ANN_QUERY_ID}) q
+  )
+  GROUP BY vec_id
+),
+exact_top AS (SELECT vec_id FROM exact_d ORDER BY dist, vec_id LIMIT {ANN_K})
+SELECT CAST(1 AS INT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       ROUND(COUNT(*) / CAST(10 AS DOUBLE), 6) AS recall
+FROM (
+  SELECT vec_id FROM d2 WHERE pr <= 1 ORDER BY dist, vec_id LIMIT 10
+) t WHERE vec_id IN (SELECT vec_id FROM exact_top)
+UNION ALL
+SELECT CAST(2 AS INT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       ROUND(COUNT(*) / CAST(10 AS DOUBLE), 6) AS recall
+FROM (
+  SELECT vec_id FROM d2 WHERE pr <= 2 ORDER BY dist, vec_id LIMIT 10
+) t WHERE vec_id IN (SELECT vec_id FROM exact_top)
+UNION ALL
+SELECT CAST(3 AS INT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       ROUND(COUNT(*) / CAST(10 AS DOUBLE), 6) AS recall
+FROM (
+  SELECT vec_id FROM d2 WHERE pr <= 3 ORDER BY dist, vec_id LIMIT 10
+) t WHERE vec_id IN (SELECT vec_id FROM exact_top)
+""",
+)
+def ann_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: measured recall@10 for nprobe 1/2/3 —
+    candidates scored once for the largest budget, each point a
+    probe-rank filter + top-k + intersect with the exact answer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = A.fit_vectors(emb, A.CENTROID_IDS)
+    return A.ivf_recall_curve(
+        emb, emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, (1, 2, 3)
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    f"""
+WITH {{docs_plus}},
+{{toks}},
+sigs AS (
+  SELECT doc_id,
+  {{sig_cols}}
+  FROM sh WHERE n_tk >= 3
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+involved AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+  )
+),
+flagged AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_dup_docs
+  FROM docs_plus d JOIN involved i ON d.doc_id = i.doc_id
+  GROUP BY d.source
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs_plus GROUP BY source
+)
+SELECT t.source, t.n_docs,
+       CAST(COALESCE(f.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       ROUND(COALESCE(f.n_dup_docs, 0) / CAST(t.n_docs AS DOUBLE), 6) AS dup_rate
+FROM totals t LEFT JOIN flagged f ON t.source = f.source
+""".format(docs_plus=_DOCS_PLUS_SQL.strip(), toks=_TOKS_SQL.strip(), sig_cols=_SIG_COLS_SQL),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-dup involvement rate off the MinHash candidate
+    pairs — the slice-level report that targets the aggressive dedup
+    pass."""
+    docs = _docs_plus_spark(spark, sf_dir)
+    return D.dup_rate_by_source(docs, D.minhash_candidate_pairs(docs))
+
+
+@query(
+    "shuffle_partition_advisor",
+    """
+SELECT 'lineitem' AS "table", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) * 100 AS BIGINT) AS est_bytes,
+       GREATEST(CAST(1 AS BIGINT), CAST(CEIL(COUNT(*) * 100 / 134217728.0) AS BIGINT)) AS advised_partitions
+FROM lineitem
+UNION ALL
+SELECT 'orders', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) * 60 AS BIGINT),
+       GREATEST(CAST(1 AS BIGINT), CAST(CEIL(COUNT(*) * 60 / 134217728.0) AS BIGINT))
+FROM orders
+UNION ALL
+SELECT 'events', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) * 70 AS BIGINT),
+       GREATEST(CAST(1 AS BIGINT), CAST(CEIL(COUNT(*) * 70 / 134217728.0) AS BIGINT))
+FROM events
+UNION ALL
+SELECT 'documents', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) * 330 AS BIGINT),
+       GREATEST(CAST(1 AS BIGINT), CAST(CEIL(COUNT(*) * 330 / 134217728.0) AS BIGINT))
+FROM documents
+UNION ALL
+SELECT 'embeddings', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) * 270 AS BIGINT),
+       GREATEST(CAST(1 AS BIGINT), CAST(CEIL(COUNT(*) * 270 / 134217728.0) AS BIGINT))
+FROM embeddings
+""",
+)
+def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table shuffle-partition sizing advisor: estimated bytes from
+    row counts x static widths, and the partition count hitting the
+    128 MB target — per-job sizing arithmetic, not cluster-wide
+    defaults."""
+    tables = {
+        name: load_table(spark, sf_dir, name)
+        for name in ("lineitem", "orders", "events", "documents", "embeddings")
+    }
+    return R.shuffle_partition_advisor(tables)

@@ -281,3 +281,49 @@ def test_lsh_band_tuning_monotone_candidates(spark):
     # looser bands can only produce MORE candidates
     assert out["8x1"] >= out["4x2"] >= out["2x4"]
     assert out["8x1"] >= 1  # the near-dup pair must surface somewhere
+
+
+def test_ivf_recall_curve_monotone(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)], i % 2) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents = A.fit_vectors(emb, [0, 1, 2])
+    out = {
+        r["nprobe"]: r["recall"]
+        for r in A.ivf_recall_curve(
+            emb, emb.filter("vec_id = 5"), cents, 5, (1, 2, 3)
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] <= out[2] <= out[3]
+    # probing every cell IS the exact search
+    assert out[3] == 1.0
+
+
+def test_dup_rate_by_source_planted(spark):
+    from simple_vector_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "s1"),
+            (2, "y", "s1"),
+            (3, "z", "s2"),
+            (4, "w", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = {r["source"]: r for r in D.dup_rate_by_source(docs, pairs).collect()}
+    assert out["s1"]["n_dup_docs"] == 2 and out["s1"]["dup_rate"] == 1.0
+    assert out["s2"]["n_dup_docs"] == 0 and out["s2"]["dup_rate"] == 0.0
+
+
+def test_partition_advisor_arithmetic(spark):
+    from simple_vector_spark.operators import relational as R
+
+    li = spark.createDataFrame([(i,) for i in range(100)], "l_orderkey long")
+    row = R.shuffle_partition_advisor({"lineitem": li}).collect()[0]
+    assert row["n_rows"] == 100
+    assert row["est_bytes"] == 100 * R.ROW_WIDTH_BYTES["lineitem"]
+    assert row["advised_partitions"] == 1  # far below one 128 MB target
