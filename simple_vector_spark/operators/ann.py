@@ -750,3 +750,38 @@ def ivf_recall_curve(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def kmeans_drift(
+    emb: DataFrame,
+    centroid_ids: list[int] | None = None,
+    report_dims: int = 4,
+) -> DataFrame:
+    """Convergence monitor for the Lloyd loop: squared distance (over
+    the reported dims) between each initial centroid and the cluster
+    mean one iteration later — the stop-criterion statistic a
+    distributed k-means driver polls instead of collecting centroids.
+    Reuses kmeans_step's exact-DECIMAL means; the drift is a single
+    deterministic f64 expression off those."""
+    ids = centroid_ids or CENTROID_IDS
+    step = kmeans_step(emb, ids, report_dims)
+    cents = fit_vectors(emb, ids)
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [
+            (cid, *[round(float(v), 6) for v in vec[:report_dims]])
+            for cid, vec in cents
+        ],
+        "cluster_id int, " + ", ".join(f"c{d} double" for d in range(report_dims)),
+    )
+    drift = None
+    for d in range(report_dims):
+        term = (F.col(f"mean_d{d}") - F.col(f"c{d}")) * (
+            F.col(f"mean_d{d}") - F.col(f"c{d}")
+        )
+        drift = term if drift is None else drift + term
+    return step.join(F.broadcast(cdf), "cluster_id").select(
+        "cluster_id",
+        "n",
+        F.round(drift, 6).alias("drift_sq"),
+    )

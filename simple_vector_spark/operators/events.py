@@ -474,3 +474,23 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(totals).cast("double"), 6).alias("p"),
     )
+
+
+def session_conversion(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-level conversion: of all 30-min-gap sessions, how many
+    contain a purchase — THE funnel KPI computed at session grain (the
+    per-user funnel is events_funnel_steps).  Same single shuffle on
+    user_id as sessionize; the conversion flag is a MAX over the
+    session group; the final fold is one row."""
+    per_session = events.groupBy(
+        F.col("user_id"), F.session_window("ts", gap).alias("w")
+    ).agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    return per_session.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(F.sum("converted") / F.count("*").cast("double"), 6).alias(
+            "conversion_rate"
+        ),
+    )

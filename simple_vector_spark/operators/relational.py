@@ -1208,3 +1208,25 @@ def shuffle_partition_advisor(tables: dict[str, DataFrame]) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def lineitem_measure_melt(lineitem: DataFrame) -> DataFrame:
+    """Wide-to-long melt (UNPIVOT) of the four lineitem measures, then
+    per-measure stats — the normalization step that turns a metrics-
+    wide fact into a (measure, value) EAV stream for generic
+    monitoring.  ``DataFrame.unpivot`` keeps the melt inside the scan
+    stage (no join, no explode shuffle); the only exchange is the
+    4-group aggregate.  Sums are DECIMAL-exact."""
+    long = lineitem.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    val = F.col("v").cast("decimal(18,4)")
+    return long.groupBy("measure").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(val).cast("decimal(25,4)").alias("total"),
+        F.min(val).cast("decimal(18,4)").alias("min_v"),
+        F.max(val).cast("decimal(18,4)").alias("max_v"),
+    )

@@ -289,30 +289,38 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     filter (low avg logprob = rare-token gibberish, high = natural
     text).
 
-    Plan (the two-pass distributed LM shape, nothing driver-side):
-    pass 1 explodes tokens and counts the vocabulary (one shuffle keyed
-    on token, map-side combined — at 100 TB the shuffle carries one row
-    per distinct token per partition); the corpus total folds off the
-    same vocab table.  Pass 2 re-joins occurrences to vocab counts on
-    token and averages ln(count/total) per doc.  Scores ROUND(...,4):
-    ln() last-ulp can differ across libm implementations (same rule as
-    BM25's idf)."""
+    Plan (the two-pass distributed LM shape, nothing driver-side): one
+    explode pass builds the (doc, token) term-frequency table —
+    materialized (localCheckpoint) because vocabulary counts, the
+    corpus total AND the per-doc score all fold off it; deriving each
+    branch separately would tokenize the corpus three times.  The
+    vocab join is keyed on token (at 100 TB the tf table is the
+    compressed form of the corpus — one row per distinct (doc, token))
+    and the score is the tf-weighted average Σ tf·ln(p) / Σ tf.
+    Scores ROUND(...,4): ln() last-ulp can differ across libm
+    implementations (same rule as BM25's idf)."""
     from ..sources.loaders import fan_out
 
-    occ = fan_out(docs.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    tf = (
+        fan_out(docs.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
-    vocab = occ.groupBy("t").agg(F.count("*").alias("cnt"))
+    vocab = tf.groupBy("t").agg(F.sum("c").alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
     return (
-        occ.join(vocab, "t")
+        tf.join(vocab, "t")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 4).alias(
-                "avg_logprob"
-            ),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.log(F.col("cnt") / F.col("total")))
+                / F.sum("c"),
+                4,
+            ).alias("avg_logprob"),
         )
     )
 

@@ -3757,16 +3757,18 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_unigram_logprob",
     f"""
-WITH occ AS (
-  SELECT doc_id, unnest({_TK_SQL}) AS t FROM documents
+WITH tf AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_TK_SQL}) AS t FROM documents)
+  GROUP BY doc_id, t
 ),
-vocab AS (SELECT t, COUNT(*) AS cnt FROM occ GROUP BY t),
+vocab AS (SELECT t, SUM(c) AS cnt FROM tf GROUP BY t),
 total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
-SELECT o.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       ROUND(AVG(ln(v.cnt / tt.total)), 4) AS avg_logprob
-FROM occ o JOIN vocab v USING (t) CROSS JOIN total tt
-GROUP BY o.doc_id
+SELECT tf.doc_id,
+       CAST(SUM(tf.c) AS BIGINT) AS n_tokens,
+       ROUND(SUM(tf.c * ln(v.cnt / tt.total)) / SUM(tf.c), 4) AS avg_logprob
+FROM tf JOIN vocab v USING (t) CROSS JOIN total tt
+GROUP BY tf.doc_id
 """,
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4478,3 +4480,121 @@ def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name in ("lineitem", "orders", "events", "documents", "embeddings")
     }
     return R.shuffle_partition_advisor(tables)
+
+
+# --------------------------------------------------------------------------
+# Wave 20: session conversion, UNPIVOT melt, k-means drift monitor.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_session_conversion",
+    """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+s AS (
+  SELECT user_id, sid,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM g GROUP BY user_id, sid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       ROUND(SUM(converted) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate
+FROM s
+""",
+)
+def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain conversion KPI: share of 30-min-gap sessions
+    containing a purchase — session_window agg with a MAX flag, one
+    user-keyed shuffle."""
+    return E.session_conversion(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "lineitem_measure_melt",
+    """
+WITH long AS (
+  SELECT l_orderkey, 'l_quantity' AS measure, CAST(l_quantity AS DECIMAL(18,4)) AS v FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', CAST(l_discount AS DECIMAL(18,4)) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_tax', CAST(l_tax AS DECIMAL(18,4)) FROM lineitem
+)
+SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS DECIMAL(25,4)) AS total,
+       CAST(MIN(v) AS DECIMAL(18,4)) AS min_v,
+       CAST(MAX(v) AS DECIMAL(18,4)) AS max_v
+FROM long GROUP BY measure
+""",
+)
+def lineitem_measure_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT of the four lineitem measures with
+    DECIMAL-exact per-measure stats — the melt stays in the scan
+    stage; the only exchange is the 4-group agg."""
+    return R.lineitem_measure_melt(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "embeddings_kmeans_drift",
+    f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({_KM_CIDS})
+),
+pairs AS (
+  SELECT e.vec_id, c.cid,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(c.cv) AS y
+  FROM embeddings e CROSS JOIN c
+),
+d AS (SELECT vec_id, cid, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+      FROM pairs GROUP BY vec_id, cid),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+vals AS (
+  SELECT a.cid AS cluster_id,
+         CAST(ROUND(CAST(e.embedding[1] AS DOUBLE), 3) AS DECIMAL(12,3)) AS d0,
+         CAST(ROUND(CAST(e.embedding[2] AS DOUBLE), 3) AS DECIMAL(12,3)) AS d1,
+         CAST(ROUND(CAST(e.embedding[3] AS DOUBLE), 3) AS DECIMAL(12,3)) AS d2,
+         CAST(ROUND(CAST(e.embedding[4] AS DOUBLE), 3) AS DECIMAL(12,3)) AS d3
+  FROM assign a JOIN embeddings e USING (vec_id)
+),
+means AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(d0) AS DOUBLE) / COUNT(*), 6) AS m0,
+         ROUND(CAST(SUM(d1) AS DOUBLE) / COUNT(*), 6) AS m1,
+         ROUND(CAST(SUM(d2) AS DOUBLE) / COUNT(*), 6) AS m2,
+         ROUND(CAST(SUM(d3) AS DOUBLE) / COUNT(*), 6) AS m3
+  FROM vals GROUP BY cluster_id
+)
+SELECT m.cluster_id, m.n,
+       ROUND((m.m0 - ROUND(c.cv[1], 6)) * (m.m0 - ROUND(c.cv[1], 6))
+           + (m.m1 - ROUND(c.cv[2], 6)) * (m.m1 - ROUND(c.cv[2], 6))
+           + (m.m2 - ROUND(c.cv[3], 6)) * (m.m2 - ROUND(c.cv[3], 6))
+           + (m.m3 - ROUND(c.cv[4], 6)) * (m.m3 - ROUND(c.cv[4], 6)), 6) AS drift_sq
+FROM means m JOIN c ON m.cluster_id = c.cid
+""",
+)
+def embeddings_kmeans_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-loop convergence monitor: squared centroid-to-new-mean
+    drift per cluster off the exact-DECIMAL step means — the
+    stop-criterion statistic, no centroids collected."""
+    return A.kmeans_drift(load_table(spark, sf_dir, "embeddings"))

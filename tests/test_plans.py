@@ -133,3 +133,40 @@ def test_ivfpq_stage1_reads_codes_not_vectors(spark, sf_dir):
     for the ADC shortlist, once for the final top-k)."""
     plan = plan_of(spark, sf_dir, "ann_ivfpq_rerank")
     assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_maxsim_no_shuffle_before_label_agg(spark, sf_dir):
+    """MaxSim scores every row in the scan stage; the only exchange is
+    the tiny label aggregate + the broadcast of the one-row query."""
+    plan = plan_of(spark, sf_dir, "knn_maxsim_labels")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast query side
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_audit_single_partial_agg_shuffle(spark, sf_dir):
+    """Z-value interleave happens map-side; one hash-agg shuffle on the
+    zfile key with a partial aggregate below it."""
+    plan = plan_of(spark, sf_dir, "zorder_layout_audit")
+    assert plan.count("Exchange hashpartitioning(zfile") == 1
+    assert "partial" in plan.lower()
+
+
+def test_unigram_logprob_scan_prunes_to_text_cols(spark, sf_dir):
+    """The LM pass reads only (doc_id, text) — pruning reached the
+    documents scan; lang/source/n_chars never leave the file."""
+    plan = plan_of(spark, sf_dir, "doc_unigram_logprob")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans and all("n_chars" not in s and "lang" not in s for s in scans)
+
+
+def test_pareto_ntile_sorts_aggregate_not_fact(spark, sf_dir):
+    """The global ntile sort runs over the per-customer aggregate:
+    the orders scan feeds a partial agg before any sort appears."""
+    plan = plan_of(spark, sf_dir, "orders_pareto_share")
+    sort_pos = plan.find("Sort ")
+    agg_pos = plan.find("HashAggregate")
+    assert sort_pos != -1 and agg_pos != -1
+    # plan prints top-down: the Sort consumes the aggregate, so the
+    # aggregate appears BELOW (after) it in the text
+    assert plan.find("FileScan", sort_pos) > plan.find("HashAggregate", sort_pos) > -1

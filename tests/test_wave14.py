@@ -327,3 +327,57 @@ def test_partition_advisor_arithmetic(spark):
     assert row["n_rows"] == 100
     assert row["est_bytes"] == 100 * R.ROW_WIDTH_BYTES["lineitem"]
     assert row["advised_partitions"] == 1  # far below one 128 MB target
+
+
+def test_session_conversion_counts(spark):
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [
+            # u1 session 1: view then purchase (converted)
+            (1, 1, "view", datetime(2024, 1, 1, 0, 0)),
+            (2, 1, "purchase", datetime(2024, 1, 1, 0, 10)),
+            # u1 session 2 (>30 min later): view only
+            (3, 1, "view", datetime(2024, 1, 1, 2, 0)),
+            # u2 one session, no purchase
+            (4, 2, "click", datetime(2024, 1, 1, 0, 0)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    row = E.session_conversion(ev).collect()[0]
+    assert row["n_sessions"] == 3
+    assert row["n_converted"] == 1
+    assert abs(row["conversion_rate"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_measure_melt_totals(spark):
+    from simple_vector_spark.operators import relational as R
+
+    li = spark.createDataFrame(
+        [(1, 2.0, 100.0, 0.1, 0.05), (2, 3.0, 200.0, 0.2, 0.08)],
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double",
+    )
+    out = {r["measure"]: r for r in R.lineitem_measure_melt(li).collect()}
+    assert set(out) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    assert float(out["l_quantity"]["total"]) == 5.0
+    assert float(out["l_extendedprice"]["max_v"]) == 200.0
+    assert all(r["n"] == 2 for r in out.values())
+
+
+def test_kmeans_drift_zero_at_fixpoint(spark):
+    # two tight clusters whose centroids ARE the cluster means ->
+    # one Lloyd step moves nothing, drift must be 0
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0, 0.0]),
+            (1, [10.0, 10.0, 10.0, 10.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [10.0, 10.0, 10.0, 10.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = A.kmeans_drift(emb, centroid_ids=[0, 1]).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["drift_sq"] == 0.0
