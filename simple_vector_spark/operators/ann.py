@@ -785,3 +785,33 @@ def kmeans_drift(
         "n",
         F.round(drift, 6).alias("drift_sq"),
     )
+
+
+def dim_variance_profile(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus — the dead/
+    dominant-dimension audit run before PQ subspace splitting or
+    whitening (a zero-variance dim wastes a PQ subquantizer; a
+    dominant one starves the others).  posexplode feeds one
+    dim-keyed shuffle (64 groups, map-side combined); moments from
+    exact DECIMAL power sums (component values ROUND 6 before the
+    cast) so variance is bit-identical cross-engine."""
+    x = F.round(F.col("x"), 6).cast("decimal(21,6)")
+    terms = emb.select(
+        F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x")
+    ).select(F.col("pos"), x.alias("_x"))
+    stats = terms.groupBy("pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_x").alias("_s1"),
+        F.sum((F.col("_x") * F.col("_x")).cast("decimal(33,12)")).alias("_s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s1").cast("double") / n
+    var = (F.col("_s2").cast("double") - F.col("_s1").cast("double") * mean) / (
+        n - F.lit(1.0)
+    )
+    return stats.select(
+        F.col("pos").cast("int").alias("pos"),
+        "n",
+        F.round(mean, 6).alias("mean_x"),
+        F.round(F.greatest(var, F.lit(0.0)), 6).alias("var_x"),
+    )

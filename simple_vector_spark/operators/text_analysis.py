@@ -479,3 +479,33 @@ def source_tfidf_terms(docs: DataFrame, top_per_source: int = 5, text_col: str =
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= top_per_source)
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc Shannon entropy of the character distribution (bits) —
+    the gibberish/compression-ratio complement to the unigram-LM score:
+    natural language sits ~4 bits/char, base64 blobs and key-mash spam
+    run higher, repeated-template text lower.
+
+    Plan: chars explode inside the scan into a (doc, char) count
+    (one shuffle, map-side combined), then one per-doc fold:
+    H = log2(n) - Σ c·log2(c) / n off exact integer counts — a
+    rearrangement with a single ln per distinct char, not per
+    occurrence.  ROUND 4 (ln ulp rule)."""
+    from ..sources.loaders import fan_out
+
+    cc = (
+        fan_out(docs.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        .groupBy(id_col, "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    ent = (
+        F.log2(n) - F.sum(F.col("c") * F.log2(F.col("c"))) / n
+    )
+    return cc.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.count("*").cast("bigint").alias("n_distinct_chars"),
+        F.round(ent, 4).alias("entropy_bits"),
+    )

@@ -4598,3 +4598,60 @@ def embeddings_kmeans_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift per cluster off the exact-DECIMAL step means — the
     stop-criterion statistic, no centroids collected."""
     return A.kmeans_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Wave 21: char-entropy gibberish gate, embedding dimension variance.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_char_entropy",
+    """
+WITH cc AS (
+  SELECT doc_id, ch, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+  GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       ROUND(log2(CAST(SUM(c) AS DOUBLE))
+             - SUM(c * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 4) AS entropy_bits
+FROM cc GROUP BY doc_id
+""",
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the character distribution (bits) —
+    the compression-ratio gibberish gate; one (doc, char)-keyed count
+    shuffle, one ln per distinct char."""
+    return T.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "embedding_dim_variance",
+    """
+WITH terms AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])), 6) AS DECIMAL(21,6)) AS x
+  FROM embeddings
+),
+stats AS (
+  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS s1,
+         SUM(CAST(x * x AS DECIMAL(33,12))) AS s2
+  FROM terms GROUP BY pos
+)
+SELECT CAST(pos AS INT) AS pos, n,
+       ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_x,
+       ROUND(GREATEST(
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n)) / (n - 1.0),
+         0.0), 6) AS var_x
+FROM stats
+""",
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance profile of the embedding corpus —
+    the dead/dominant-dimension audit before PQ subspace splitting,
+    from exact DECIMAL power sums."""
+    return A.dim_variance_profile(load_table(spark, sf_dir, "embeddings"))

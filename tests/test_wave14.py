@@ -381,3 +381,24 @@ def test_kmeans_drift_zero_at_fixpoint(spark):
     assert len(out) == 2
     for r in out:
         assert r["drift_sq"] == 0.0
+
+
+def test_char_entropy_bounds(spark):
+    docs = _docs(spark, [(1, "aaaa"), (2, "abcd")])
+    out = {r["doc_id"]: r for r in T.char_entropy(docs).collect()}
+    # constant string -> 0 bits; 4 equiprobable chars -> exactly 2 bits
+    assert out[1]["entropy_bits"] == 0.0
+    assert out[2]["entropy_bits"] == 2.0
+    assert out[2]["n_distinct_chars"] == 4
+
+
+def test_dim_variance_flags_dead_dim(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 5.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["pos"]: r for r in A.dim_variance_profile(emb).collect()}
+    # dim 1 constant -> var 0; dim 0 = 0..9 -> sample var 55/6
+    assert out[1]["var_x"] == 0.0
+    assert abs(out[0]["var_x"] - round(55 / 6, 6)) < 1e-6
+    assert out[0]["mean_x"] == 4.5
