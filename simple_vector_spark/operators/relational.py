@@ -1230,3 +1230,57 @@ def lineitem_measure_melt(lineitem: DataFrame) -> DataFrame:
         F.min(val).cast("decimal(18,4)").alias("min_v"),
         F.max(val).cast("decimal(18,4)").alias("max_v"),
     )
+
+
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Customer-cohort lifetime value: customers grouped by first-order
+    year, revenue accumulated per (cohort, order year) cell — the LTV
+    grid behind retention economics (the events-side sibling is
+    events_cohort_retention).
+
+    Plan: the cohort map is one groupBy on customer (min year); it
+    joins back to orders on the same customer key — at 100 TB both
+    shuffles share the o_custkey partitioning and AQE plans the map as
+    the broadcast side when it fits.  Revenue DECIMAL-exact."""
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    return (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            F.col("cohort_year").cast("int").alias("cohort_year"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum(_dec("o_totalprice")).cast(DEC_PRICE).alias("revenue"),
+        )
+    )
+
+
+def first_repeat_interval(orders: DataFrame) -> DataFrame:
+    """Time-to-second-purchase: the day gap between each customer's
+    first and second order, folded to corpus stats — the
+    repeat-behavior KPI that prices acquisition.  One shuffle on
+    customer for the rank window; the gap join is rank-1 x rank-2 on
+    the same key (no extra exchange under AQE); integer day gaps make
+    every aggregate exact except the final avg division."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    a = ranked.filter(F.col("rn") == 1).select("o_custkey", F.col("d").alias("d1"))
+    b = ranked.filter(F.col("rn") == 2).select("o_custkey", F.col("d").alias("d2"))
+    gaps = a.join(b, "o_custkey").select(
+        F.datediff("d2", "d1").cast("long").alias("gap_days")
+    )
+    return gaps.agg(
+        F.count("*").cast("bigint").alias("n_repeat_customers"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+        F.round(F.sum("gap_days") / F.count("*").cast("double"), 6).alias("avg_days"),
+    )

@@ -4655,3 +4655,55 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dead/dominant-dimension audit before PQ subspace splitting,
     from exact DECIMAL power sums."""
     return A.dim_variance_profile(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Wave 22: cohort lifetime value, first-to-repeat interval.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_cohort_ltv",
+    """
+WITH firsts AS (
+  SELECT o_custkey, MIN(year(o_orderdate)) AS cohort_year FROM orders GROUP BY o_custkey
+)
+SELECT CAST(f.cohort_year AS INT) AS cohort_year,
+       CAST(year(o.o_orderdate) AS INT) AS order_year,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS revenue
+FROM orders o JOIN firsts f USING (o_custkey)
+GROUP BY 1, 2
+""",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV grid: revenue per (first-order year, order year) cell
+    — two shuffles sharing the customer key."""
+    return R.cohort_ltv(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "orders_first_repeat_interval",
+    """
+WITH ranked AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+gaps AS (
+  SELECT date_diff('day', a.d, b.d) AS gap_days
+  FROM ranked a JOIN ranked b
+    ON a.o_custkey = b.o_custkey AND a.rn = 1 AND b.rn = 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat_customers,
+       CAST(MIN(gap_days) AS BIGINT) AS min_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_days,
+       ROUND(SUM(gap_days) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_days
+FROM gaps
+""",
+)
+def orders_first_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between first and second order per customer, folded to
+    corpus stats — rank window + rank-1 x rank-2 self-join on the
+    customer key."""
+    return R.first_repeat_interval(load_table(spark, sf_dir, "orders"))

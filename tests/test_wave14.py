@@ -402,3 +402,45 @@ def test_dim_variance_flags_dead_dim(spark):
     assert out[1]["var_x"] == 0.0
     assert abs(out[0]["var_x"] - round(55 / 6, 6)) < 1e-6
     assert out[0]["mean_x"] == 4.5
+
+
+def test_cohort_ltv_grid(spark):
+    from datetime import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, 100.0, datetime(1995, 1, 1)),
+            (2, 1, 50.0, datetime(1996, 6, 1)),   # same customer, later year
+            (3, 2, 70.0, datetime(1996, 3, 1)),   # new customer in 1996
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    out = {(r["cohort_year"], r["order_year"]): r for r in R.cohort_ltv(orders).collect()}
+    assert float(out[(1995, 1995)]["revenue"]) == 100.0
+    assert float(out[(1995, 1996)]["revenue"]) == 50.0   # cohort 1995 spending in 1996
+    assert float(out[(1996, 1996)]["revenue"]) == 70.0
+    assert out[(1995, 1996)]["n_customers"] == 1
+
+
+def test_first_repeat_interval_stats(spark):
+    from datetime import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, 10.0, datetime(1995, 1, 1)),
+            (2, 1, 10.0, datetime(1995, 1, 11)),  # gap 10 days
+            (3, 1, 10.0, datetime(1995, 5, 1)),   # third order ignored
+            (4, 2, 10.0, datetime(1995, 1, 1)),   # one-timer: excluded
+            (5, 3, 10.0, datetime(1995, 2, 1)),
+            (6, 3, 10.0, datetime(1995, 2, 21)),  # gap 20 days
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    row = R.first_repeat_interval(orders).collect()[0]
+    assert row["n_repeat_customers"] == 2
+    assert row["min_days"] == 10 and row["max_days"] == 20
+    assert row["avg_days"] == 15.0
