@@ -153,11 +153,12 @@ def test_zorder_audit_single_partial_agg_shuffle(spark, sf_dir):
 
 
 def test_unigram_logprob_scan_prunes_to_text_cols(spark, sf_dir):
-    """The LM pass reads only (doc_id, text) — pruning reached the
-    documents scan; lang/source/n_chars never leave the file."""
+    """The LM derivation is checkpointed as a (doc_id, token, count)
+    table, so the final plan reads that RDD — and none of the pruned
+    document columns (lang/source/n_chars) appear anywhere in it."""
     plan = plan_of(spark, sf_dir, "doc_unigram_logprob")
-    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
-    assert scans and all("n_chars" not in s and "lang" not in s for s in scans)
+    assert "ExistingRDD" in plan  # the checkpointed tf table
+    assert "n_chars" not in plan and "lang" not in plan and "source" not in plan
 
 
 def test_pareto_ntile_sorts_aggregate_not_fact(spark, sf_dir):
