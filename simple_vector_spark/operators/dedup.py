@@ -470,3 +470,57 @@ def dup_rate_by_source(
             ).alias("dup_rate"),
         )
     )
+
+
+def shingle_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (|A∩B| / |A|, both directions) for
+    pairs within a blocking key — the subset-duplicate detector Jaccard
+    misses: a doc quoted or embedded inside a larger one scores high
+    containment but low Jaccard.  The standard second pass after
+    LSH/Jaccard in a curation pipeline.
+
+    Same plan shape as ngram_jaccard_pairs (shared checkpointed shingle
+    table, (block, shingle) then pair-keyed shuffles); keeps a pair
+    when EITHER direction's containment clears the threshold."""
+    sh = (
+        fan_out(docs).select(
+            F.col(id_col),
+            F.col(block_col).alias("blk"),
+            F.explode(F.array_distinct(word_shingles(tokens(F.col(text_col))))).alias("sh"),
+        )
+    ).localCheckpoint()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    cont_a = F.round(F.col("i").cast("double") / F.col("na"), 6)
+    cont_b = F.round(F.col("i").cast("double") / F.col("nb"), 6)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+        )
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+    )

@@ -494,3 +494,42 @@ def session_conversion(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+def error_burst_detect(
+    events: DataFrame, bucket_minutes: int = 10, factor: float = 3.0
+) -> DataFrame:
+    """Error-burst detection: 10-minute buckets whose error share
+    exceeds ``factor`` x the stream-wide error rate — the alerting
+    primitive over a telemetry stream (and a filter a curation
+    pipeline applies to drop incident windows from training data).
+
+    One bucket-keyed count shuffle; the global rate folds off the
+    bucket aggregate (never a second scan) and broadcasts back.  The
+    comparison runs on exact integer cross-products (n_err * total_n
+    vs factor * total_err * n) — no float boundary."""
+    b = F.date_trunc("minute", F.col("ts"))
+    bucket = F.from_unixtime(
+        (F.unix_timestamp(b) / (bucket_minutes * 60)).cast("long")
+        * (bucket_minutes * 60)
+    ).cast("timestamp")
+    per = events.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("total_n"), F.sum("n_err").alias("total_err")
+    )
+    flagged = (
+        per.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n_err") * F.col("total_n")
+            > F.lit(factor) * F.col("total_err") * F.col("n")
+        )
+    )
+    return flagged.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_err").cast("bigint").alias("n_err"),
+        F.round(F.col("n_err") / F.col("n").cast("double"), 6).alias("err_share"),
+    )

@@ -4707,3 +4707,61 @@ def orders_first_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus stats — rank window + rank-1 x rank-2 self-join on the
     customer key."""
     return R.first_repeat_interval(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 23: containment dedup, error-burst detection.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_shingle_containment",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+shx AS (SELECT DISTINCT doc_id, source, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM shx a JOIN shx b
+    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / sa.n, 6) AS cont_a,
+       ROUND(CAST(i AS DOUBLE) / sb.n, 6) AS cont_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE GREATEST(ROUND(CAST(i AS DOUBLE) / sa.n, 6),
+               ROUND(CAST(i AS DOUBLE) / sb.n, 6)) >= 0.8
+""",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment >= 0.8 within a source block —
+    the subset-duplicate (quote/embedding) detector Jaccard misses."""
+    return D.shingle_containment_pairs(_docs_plus_spark(spark, sf_dir), 0.8)
+
+
+@query(
+    "events_error_bursts",
+    """
+WITH per AS (
+  SELECT to_timestamp(CAST(floor(epoch(date_trunc('minute', ts)) / 600) AS BIGINT) * 600) AS bucket,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS total_n, SUM(n_err) AS total_err FROM per)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(n AS BIGINT) AS n, CAST(n_err AS BIGINT) AS n_err,
+       ROUND(n_err / CAST(n AS DOUBLE), 6) AS err_share
+FROM per CROSS JOIN tot
+WHERE n_err * total_n > 3.0 * total_err * n
+""",
+)
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute buckets whose error share exceeds 3x the stream-wide
+    rate — exact integer cross-product comparison, one bucket-keyed
+    shuffle."""
+    return E.error_burst_detect(load_table(spark, sf_dir, "events"))

@@ -444,3 +444,47 @@ def test_first_repeat_interval_stats(spark):
     assert row["n_repeat_customers"] == 2
     assert row["min_days"] == 10 and row["max_days"] == 20
     assert row["avg_days"] == 15.0
+
+
+def test_containment_catches_subset_dup(spark):
+    from simple_vector_spark.operators import dedup as D
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # small doc = a strict prefix -> all its shingles live inside big:
+    # containment(small)=1.0 while Jaccard is well under 0.5
+    small = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, big, "s1"), (2, small, "s1"), (3, "unrelated text entirely here", "s1")],
+        "doc_id long, text string, source string",
+    )
+    out = D.shingle_containment_pairs(docs, 0.8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["cont_b"] == 1.0  # the smaller doc is fully contained
+    assert r["cont_a"] < 0.5
+
+
+def test_error_burst_planted(spark):
+    from datetime import datetime, timedelta
+
+    rows = []
+    # 6 calm buckets: 1 error in 10 events each
+    base = datetime(2024, 1, 1)
+    eid = 0
+    for b in range(6):
+        for i in range(10):
+            rows.append(
+                (eid, 1, "error" if i == 0 else "view", base + timedelta(minutes=10 * b, seconds=i))
+            )
+            eid += 1
+    # burst bucket: 9 errors in 10 events
+    for i in range(10):
+        rows.append(
+            (eid, 1, "error" if i < 9 else "view", base + timedelta(minutes=60, seconds=i))
+        )
+        eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = E.error_burst_detect(ev).collect()
+    assert len(out) == 1
+    assert out[0]["n_err"] == 9 and out[0]["err_share"] == 0.9
