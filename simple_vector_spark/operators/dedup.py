@@ -524,3 +524,24 @@ def shingle_containment_pairs(
         )
         .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
     )
+
+
+def pair_graph_degree_histogram(pairs: DataFrame) -> DataFrame:
+    """Degree histogram of the candidate-pair graph: how many docs have
+    1, 2, ... near-dup neighbors.  The graph-health audit run BEFORE
+    connected components — a heavy tail (hub nodes) means a boilerplate
+    shingle or a too-loose band config is about to glue the corpus into
+    one giant cluster, and the fix (tighter bands, shingle stoplist) is
+    cheaper than the million-row component it would create.  Two tiny
+    aggs over the pair list."""
+    degrees = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        degrees.groupBy("degree")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(F.col("degree").cast("bigint").alias("degree"), "n_docs")
+    )

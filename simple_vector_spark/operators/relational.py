@@ -1284,3 +1284,38 @@ def first_repeat_interval(orders: DataFrame) -> DataFrame:
         F.max("gap_days").cast("bigint").alias("max_days"),
         F.round(F.sum("gap_days") / F.count("*").cast("double"), 6).alias("avg_days"),
     )
+
+
+def priority_mix_drift(orders: DataFrame) -> DataFrame:
+    """Label-distribution drift monitor: per-quarter order-priority mix
+    shares next to the overall mix, with the deviation per cell — the
+    check a training pipeline runs on every data drop before assuming
+    the label distribution still matches what the model saw.  Two
+    count aggs (quarter x priority, priority overall) joined on the
+    priority key; shares are single f64 divisions of exact counts."""
+    q = F.concat(
+        F.year("o_orderdate").cast("string"),
+        F.lit("-Q"),
+        F.quarter("o_orderdate").cast("string"),
+    )
+    per = orders.groupBy(q.alias("quarter"), F.col("o_orderpriority")).agg(
+        F.count("*").alias("n")
+    )
+    qt = per.groupBy("quarter").agg(F.sum("n").alias("qn"))
+    overall = orders.groupBy("o_orderpriority").agg(F.count("*").alias("on_"))
+    total = orders.agg(F.count("*").alias("tn"))
+    share = F.col("n") / F.col("qn").cast("double")
+    base = F.col("on_") / F.col("tn").cast("double")
+    return (
+        per.join(qt, "quarter")
+        .join(F.broadcast(overall), "o_orderpriority")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "quarter",
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(share, 6).alias("share"),
+            F.round(base, 6).alias("overall_share"),
+            F.round(share - base, 6).alias("drift"),
+        )
+    )

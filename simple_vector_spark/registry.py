@@ -4765,3 +4765,75 @@ def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate — exact integer cross-product comparison, one bucket-keyed
     shuffle."""
     return E.error_burst_detect(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 24: label-mix drift monitor, dup-graph degree histogram.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_priority_mix_drift",
+    """
+WITH per AS (
+  SELECT CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+         o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+qt AS (SELECT quarter, SUM(n) AS qn FROM per GROUP BY quarter),
+overall AS (SELECT o_orderpriority, COUNT(*) AS on_ FROM orders GROUP BY 1),
+total AS (SELECT COUNT(*) AS tn FROM orders)
+SELECT per.quarter, per.o_orderpriority,
+       CAST(per.n AS BIGINT) AS n,
+       ROUND(per.n / CAST(qt.qn AS DOUBLE), 6) AS share,
+       ROUND(overall.on_ / CAST(total.tn AS DOUBLE), 6) AS overall_share,
+       ROUND(per.n / CAST(qt.qn AS DOUBLE) - overall.on_ / CAST(total.tn AS DOUBLE), 6) AS drift
+FROM per JOIN qt USING (quarter)
+JOIN overall USING (o_orderpriority) CROSS JOIN total
+""",
+)
+def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-quarter order-priority mix vs the overall mix with per-cell
+    drift — the label-distribution check run on every data drop."""
+    return R.priority_mix_drift(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "dedup_graph_degree",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+sigs AS (
+  SELECT doc_id,
+  {_SIG_COLS_SQL}
+  FROM sh WHERE n_tk >= 3
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+degrees AS (
+  SELECT doc_id, COUNT(*) AS degree FROM (
+    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+  ) GROUP BY doc_id
+)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM degrees GROUP BY degree
+""",
+)
+def dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the MinHash candidate-pair graph — the
+    hub-node early warning before connected components."""
+    return D.pair_graph_degree_histogram(
+        D.minhash_candidate_pairs(_docs_plus_spark(spark, sf_dir))
+    )

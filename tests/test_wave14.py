@@ -488,3 +488,35 @@ def test_error_burst_planted(spark):
     out = E.error_burst_detect(ev).collect()
     assert len(out) == 1
     assert out[0]["n_err"] == 9 and out[0]["err_share"] == 0.9
+
+
+def test_priority_mix_drift_shares(spark):
+    from datetime import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, 1.0, datetime(1995, 1, 1), "1-URGENT"),
+            (2, 1, 1.0, datetime(1995, 2, 1), "2-HIGH"),
+            (3, 1, 1.0, datetime(1995, 4, 1), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {(r["quarter"], r["o_orderpriority"]): r for r in R.priority_mix_drift(orders).collect()}
+    # Q1: urgent 1/2 vs overall 2/3 -> drift = -1/6
+    r = out[("1995-Q1", "1-URGENT")]
+    assert r["share"] == 0.5 and abs(r["overall_share"] - round(2 / 3, 6)) < 1e-9
+    assert abs(r["drift"] - round(0.5 - 2 / 3, 6)) < 1e-9
+    # Q2 is all urgent
+    assert out[("1995-Q2", "1-URGENT")]["share"] == 1.0
+
+
+def test_pair_graph_degree_histogram(spark):
+    from simple_vector_spark.operators import dedup as D
+
+    # star: 1-2, 1-3, 1-4 -> node 1 degree 3, nodes 2-4 degree 1
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long")
+    out = {r["degree"]: r["n_docs"] for r in D.pair_graph_degree_histogram(pairs).collect()}
+    assert out == {3: 1, 1: 3}
