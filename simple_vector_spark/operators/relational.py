@@ -1319,3 +1319,18 @@ def priority_mix_drift(orders: DataFrame) -> DataFrame:
             F.round(share - base, 6).alias("drift"),
         )
     )
+
+
+def part_supplier_redundancy(lineitem: DataFrame) -> DataFrame:
+    """Supply-redundancy histogram: how many parts are served by 1, 2,
+    ... distinct suppliers (observed in the fact table) — the
+    single-point-of-failure audit, and a two-level distinct-aggregation
+    pattern: distinct pairs first (one shuffle), then two
+    aggregate-of-aggregate folds that never touch the fact again."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    per_part = pairs.groupBy("l_partkey").agg(
+        F.count("*").alias("n_suppliers")
+    )
+    return per_part.groupBy("n_suppliers").agg(
+        F.count("*").cast("bigint").alias("n_parts")
+    ).select(F.col("n_suppliers").cast("bigint").alias("n_suppliers"), "n_parts")

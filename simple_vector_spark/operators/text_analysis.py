@@ -509,3 +509,30 @@ def char_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.count("*").cast("bigint").alias("n_distinct_chars"),
         F.round(ent, 4).alias("entropy_bits"),
     )
+
+
+def source_token_budget(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-mixture accounting in TOKENS (not documents): each
+    source's token count and share of the corpus — the number that
+    actually prices a mixture weight, since doc counts lie when doc
+    lengths differ by source.  One explode pass with map-side combine
+    into a |sources|-row aggregate; the total folds off that aggregate
+    and broadcasts back."""
+    from ..sources.loaders import fan_out
+
+    per = (
+        fan_out(docs.select("source", text_col))
+        .select(F.col("source"), F.size(tokens(F.col(text_col))).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    total = per.agg(F.sum("n_tokens").cast("double").alias("tt"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tt"), 6).alias("token_share"),
+    )

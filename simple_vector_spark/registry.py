@@ -4837,3 +4837,45 @@ def dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.pair_graph_degree_histogram(
         D.minhash_candidate_pairs(_docs_plus_spark(spark, sf_dir))
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 25: supplier redundancy histogram, per-source token budget.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_supplier_redundancy",
+    """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+per_part AS (SELECT l_partkey, COUNT(*) AS n_suppliers FROM pairs GROUP BY l_partkey)
+SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM per_part GROUP BY n_suppliers
+""",
+)
+def part_supplier_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of distinct suppliers per part — the
+    single-point-of-failure audit via distinct-pairs then
+    aggregate-of-aggregate."""
+    return R.part_supplier_redundancy(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "source_token_budget",
+    f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TK_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+total AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tt FROM per)
+SELECT source, n_docs, n_tokens,
+       ROUND(n_tokens / total.tt, 6) AS token_share
+FROM per CROSS JOIN total
+""",
+)
+def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token counts and corpus share — mixture weights are
+    priced in tokens, not documents."""
+    return T.source_token_budget(load_table(spark, sf_dir, "documents"))

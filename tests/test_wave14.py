@@ -520,3 +520,26 @@ def test_pair_graph_degree_histogram(spark):
     pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long")
     out = {r["degree"]: r["n_docs"] for r in D.pair_graph_degree_histogram(pairs).collect()}
     assert out == {3: 1, 1: 3}
+
+
+def test_supplier_redundancy_histogram(spark):
+    from simple_vector_spark.operators import relational as R
+
+    li = spark.createDataFrame(
+        # part 1: suppliers 10,20 (dup rows collapse); part 2: supplier 10
+        [(1, 10), (1, 20), (1, 10), (2, 10)],
+        "l_partkey long, l_suppkey long",
+    )
+    out = {r["n_suppliers"]: r["n_parts"] for r in R.part_supplier_redundancy(li).collect()}
+    assert out == {2: 1, 1: 1}
+
+
+def test_source_token_budget_shares(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e", "s1"), (3, "f", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in T.source_token_budget(docs).collect()}
+    assert out["s1"]["n_tokens"] == 5 and out["s2"]["n_tokens"] == 1
+    assert out["s1"]["n_docs"] == 2
+    assert abs(out["s1"]["token_share"] - round(5 / 6, 6)) < 1e-9
