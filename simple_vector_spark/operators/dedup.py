@@ -545,3 +545,18 @@ def pair_graph_degree_histogram(pairs: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .select(F.col("degree").cast("bigint").alias("degree"), "n_docs")
     )
+
+
+def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
+    """Cluster-size histogram off the connected-components labels:
+    size -> number of clusters.  The shape report that prices the
+    keep-one-per-cluster rewrite (many pairs = cheap; one giant
+    component = investigate the band config first — see
+    pair_graph_degree_histogram for the pre-clustering warning).
+    Two aggregate-of-aggregate folds over the label table."""
+    sizes = clusters.groupBy("cluster").agg(F.count("*").alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(F.col("size").cast("bigint").alias("size"), "n_clusters")
+    )

@@ -533,3 +533,22 @@ def error_burst_detect(
         F.col("n_err").cast("bigint").alias("n_err"),
         F.round(F.col("n_err") / F.col("n").cast("double"), 6).alias("err_share"),
     )
+
+
+def hour_of_week_heatmap(events: DataFrame) -> DataFrame:
+    """Activity heatmap by (day-of-week, hour-of-day): counts and
+    value totals per cell — the capacity-planning / scheduling grid
+    (when to run the big batch jobs).  One map-side-combined shuffle
+    into at most 168 groups; all exact arithmetic."""
+    return (
+        events.groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(20,6)")
+            .alias("sum_value"),
+        )
+    )

@@ -536,3 +536,40 @@ def source_token_budget(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_tokens",
         F.round(F.col("n_tokens") / F.col("tt"), 6).alias("token_share"),
     )
+
+
+def novelty_share(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc novelty: the fraction of a doc's distinct 3-word
+    shingles whose FIRST corpus occurrence (by doc id order) is this
+    doc — the marginal-contribution metric behind "does adding this
+    document teach the model anything new", and the incremental form
+    of dedup (novelty ~ 0 means the doc is stitched from seen text).
+
+    Plan: distinct (doc, shingle) explode, one shingle-keyed shuffle
+    for the min-doc owner, rejoin on shingle, per-doc fold.  Exact
+    integer counts; one f64 division."""
+    from ..functions.text import word_shingles
+    from ..sources.loaders import fan_out
+
+    sh = fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col(text_col))))
+        ).alias("s"),
+    )
+    owner = sh.groupBy("s").agg(F.min(id_col).alias("first_doc"))
+    return (
+        sh.join(owner, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col(id_col)).cast("long"))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col(id_col)).cast("long"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -4879,3 +4879,103 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token counts and corpus share — mixture weights are
     priced in tokens, not documents."""
     return T.source_token_budget(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 26: cluster-size histogram, document novelty, hour-of-week heatmap.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_sizes",
+    f"""
+WITH RECURSIVE {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+sigs AS (
+  SELECT doc_id,
+  {_SIG_COLS_SQL}
+  FROM sh WHERE n_tk >= 3
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+labels AS (SELECT a AS node, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+sizes AS (SELECT cluster, COUNT(*) AS size FROM labels GROUP BY cluster)
+SELECT CAST(size AS BIGINT) AS size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY size
+""",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup components — the shape
+    report that prices the keep-one rewrite."""
+    pairs = D.minhash_candidate_pairs(_docs_plus_spark(spark, sf_dir))
+    return D.cluster_size_histogram(D.dup_clusters(pairs))
+
+
+@query(
+    "doc_novelty_share",
+    f"""
+WITH sh0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS tk
+  FROM documents
+),
+shx AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(tk) >= 3
+      THEN list_transform(range(len(tk) - 2),
+                          i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+      ELSE [] END) AS s
+  FROM sh0
+),
+owner AS (SELECT s, MIN(doc_id) AS first_doc FROM shx GROUP BY s)
+SELECT shx.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN owner.first_doc = shx.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN owner.first_doc = shx.doc_id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM shx JOIN owner USING (s)
+GROUP BY shx.doc_id
+""",
+)
+def doc_novelty_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc share of shingles first seen in that doc (by id order)
+    — the marginal-contribution / stitched-from-seen-text metric."""
+    return T.novelty_share(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_hour_of_week",
+    """
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(20,6)) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day-of-week, hour) activity heatmap — at most 168 groups, one
+    map-side-combined shuffle."""
+    return E.hour_of_week_heatmap(load_table(spark, sf_dir, "events"))

@@ -543,3 +543,49 @@ def test_source_token_budget_shares(spark):
     assert out["s1"]["n_tokens"] == 5 and out["s2"]["n_tokens"] == 1
     assert out["s1"]["n_docs"] == 2
     assert abs(out["s1"]["token_share"] - round(5 / 6, 6)) < 1e-9
+
+
+def test_cluster_size_histogram(spark):
+    from simple_vector_spark.operators import dedup as D
+
+    clusters = spark.createDataFrame(
+        # cluster 1 has 3 members, clusters 10 and 20 have 2 each
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "node long, cluster long",
+    )
+    out = {r["size"]: r["n_clusters"] for r in D.cluster_size_histogram(clusters).collect()}
+    assert out == {3: 1, 2: 2}
+
+
+def test_novelty_first_doc_owns_shingles(spark):
+    base = "one two three four five"
+    docs = _docs(
+        spark,
+        [
+            (1, base),                      # owns all its 3 shingles
+            (2, base),                      # exact copy -> novelty 0
+            (3, "six seven eight nine"),    # disjoint -> novelty 1
+        ],
+    )
+    out = {r["doc_id"]: r for r in T.novelty_share(docs).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    assert out[1]["n_shingles"] == 3
+
+
+def test_hour_of_week_heatmap_cells(spark):
+    from datetime import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 2.0, datetime(2024, 1, 1, 9)),   # Monday 9am
+            (2, 1, 3.0, datetime(2024, 1, 8, 9)),   # next Monday 9am
+            (3, 1, 1.0, datetime(2024, 1, 2, 14)),  # Tuesday 2pm
+        ],
+        "event_id long, user_id long, value double, ts timestamp",
+    )
+    out = {(r["dow"], r["hour"]): r for r in E.hour_of_week_heatmap(ev).collect()}
+    # Spark dayofweek: Sunday=1 -> Monday=2, Tuesday=3
+    assert out[(2, 9)]["n"] == 2 and float(out[(2, 9)]["sum_value"]) == 5.0
+    assert out[(3, 14)]["n"] == 1
