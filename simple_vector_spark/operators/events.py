@@ -552,3 +552,19 @@ def hour_of_week_heatmap(events: DataFrame) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+def user_type_entropy(events: DataFrame) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution (bits)
+    — the behavioral-diversity score (0 = single-action bots, high =
+    diverse engagement); the user-level sibling of the doc-level
+    char-entropy gate.  One (user, type) count shuffle, then a per-user
+    fold with one log per distinct type via H = log2(n) - sum(c*log2(c))/n."""
+    ct = events.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    n = F.sum("c").cast("double")
+    ent = F.log2(n) - F.sum(F.col("c") * F.log2(F.col("c"))) / n
+    return ct.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(ent, 4).alias("entropy_bits"),
+    )

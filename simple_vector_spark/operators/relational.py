@@ -1334,3 +1334,38 @@ def part_supplier_redundancy(lineitem: DataFrame) -> DataFrame:
     return per_part.groupBy("n_suppliers").agg(
         F.count("*").cast("bigint").alias("n_parts")
     ).select(F.col("n_suppliers").cast("bigint").alias("n_suppliers"), "n_parts")
+
+
+def spend_gini(orders: DataFrame) -> DataFrame:
+    """Gini coefficient of customer spend — the single-number
+    inequality summary behind the Pareto deciles (0 = uniform, ->1 =
+    winner-take-all), computed with the rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over spend ranked ascending.
+
+    One customer agg, one global sort of the per-customer table (never
+    the fact), exact DECIMAL sums; ties contribute the same
+    sum(i*x) under any within-tie order, so custkey tiebreaks keep it
+    deterministic without affecting the value."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    ranked = spend.select(
+        F.col("spend"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("spend").alias("_sx"),
+        F.sum((F.col("i") * F.col("spend")).cast("decimal(30,2)")).alias("_six"),
+    )
+    n = F.col("n_customers").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("_six").cast("double") / (n * F.col("_sx").cast("double"))
+        - (n + 1.0) / n
+    )
+    return agg.select(
+        "n_customers",
+        F.col("_sx").cast(DEC_PRICE).alias("total_spend"),
+        F.round(gini, 6).alias("gini"),
+    )

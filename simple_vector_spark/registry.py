@@ -4979,3 +4979,61 @@ def events_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(day-of-week, hour) activity heatmap — at most 168 groups, one
     map-side-combined shuffle."""
     return E.hour_of_week_heatmap(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 27: spend Gini coefficient, behavioral entropy.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_spend_gini",
+    """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT spend,
+         CAST(ROW_NUMBER() OVER (ORDER BY spend ASC, o_custkey ASC) AS BIGINT) AS i
+  FROM spend
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(spend) AS sx,
+         SUM(CAST(i * spend AS DECIMAL(30,2))) AS six
+  FROM ranked
+)
+SELECT n_customers,
+       CAST(sx AS DECIMAL(15,2)) AS total_spend,
+       ROUND(2.0 * CAST(six AS DOUBLE) / (n_customers * CAST(sx AS DOUBLE))
+             - (n_customers + 1.0) / n_customers, 6) AS gini
+FROM agg
+""",
+)
+def orders_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend from exact DECIMAL rank
+    sums — the one-number inequality summary behind the Pareto
+    deciles."""
+    return R.spend_gini(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "events_user_type_entropy",
+    """
+WITH ct AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(log2(CAST(SUM(c) AS DOUBLE))
+             - SUM(c * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 4) AS entropy_bits
+FROM ct GROUP BY user_id
+""",
+)
+def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix — the
+    behavioral-diversity / bot-detection score."""
+    return E.user_type_entropy(load_table(spark, sf_dir, "events"))

@@ -589,3 +589,32 @@ def test_hour_of_week_heatmap_cells(spark):
     # Spark dayofweek: Sunday=1 -> Monday=2, Tuesday=3
     assert out[(2, 9)]["n"] == 2 and float(out[(2, 9)]["sum_value"]) == 5.0
     assert out[(3, 14)]["n"] == 1
+
+
+def test_gini_uniform_and_concentrated(spark):
+    from simple_vector_spark.operators import relational as R
+
+    uniform = spark.createDataFrame(
+        [(i, i, 100.0) for i in range(10)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    g_u = R.spend_gini(uniform).collect()[0]["gini"]
+    assert abs(g_u) < 1e-9  # equal spends -> 0
+
+    skewed = spark.createDataFrame(
+        [(i, i, 0.01) for i in range(9)] + [(9, 9, 10000.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    g_s = R.spend_gini(skewed).collect()[0]["gini"]
+    assert g_s > 0.85  # near-total concentration
+
+
+def test_user_type_entropy_bounds(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "a"), (3, 2, "a"), (4, 2, "b"), (5, 2, "c"), (6, 2, "d")],
+        "event_id long, user_id long, event_type string",
+    )
+    out = {r["user_id"]: r for r in E.user_type_entropy(ev).collect()}
+    assert out[1]["entropy_bits"] == 0.0          # single action type
+    assert out[2]["entropy_bits"] == 2.0          # 4 equiprobable types
+    assert out[2]["n_types"] == 4
