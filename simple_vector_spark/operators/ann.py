@@ -815,3 +815,23 @@ def dim_variance_profile(emb: DataFrame, vec_col: str = "embedding") -> DataFram
         F.round(mean, 6).alias("mean_x"),
         F.round(F.greatest(var, F.lit(0.0)), 6).alias("var_x"),
     )
+
+
+def label_balance_audit(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """Class-balance audit of the label column: per-label counts,
+    shares, and skew vs the uniform share — the first check before
+    using labels for stratified eval or filtered k-NN benchmarks
+    (the ivf_cell_stats sibling, over the metadata field the
+    reference's filter index serves, src/filter_index.cc:9-81).
+    One tiny agg; the total and class count fold off it."""
+    per = emb.groupBy(label_col).agg(F.count("*").cast("bigint").alias("n_vecs"))
+    tot = per.agg(
+        F.sum("n_vecs").cast("double").alias("tn"),
+        F.count("*").cast("double").alias("k"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col(label_col).cast("int").alias("label"),
+        "n_vecs",
+        F.round(F.col("n_vecs") / F.col("tn"), 6).alias("share"),
+        F.round(F.col("n_vecs") * F.col("k") / F.col("tn"), 6).alias("skew_vs_uniform"),
+    )

@@ -1369,3 +1369,25 @@ def spend_gini(orders: DataFrame) -> DataFrame:
         F.col("_sx").cast(DEC_PRICE).alias("total_spend"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+def aov_trend(orders: DataFrame) -> DataFrame:
+    """Average-order-value by month with month-over-month delta — the
+    unit-economics trend line.  One 12ish-group agg off the scan, a
+    lag window over the monthly aggregate only.  AOV = exact DECIMAL
+    revenue / exact count, divided once in f64."""
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("_rev"),
+    )
+    w = Window.orderBy("month")
+    aov = F.round(F.col("_rev").cast("double") / F.col("n_orders"), 6)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.col("_rev").cast(DEC_PRICE).alias("revenue"),
+        aov.alias("aov"),
+        F.round(aov - F.lag(aov).over(w), 6).alias("aov_delta"),
+    )

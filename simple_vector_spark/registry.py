@@ -5037,3 +5037,50 @@ def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Shannon entropy of the event-type mix — the
     behavioral-diversity / bot-detection score."""
     return E.user_type_entropy(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 28: AOV trend, label-balance audit.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_aov_trend",
+    """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders,
+       CAST(rev AS DECIMAL(15,2)) AS revenue,
+       ROUND(CAST(rev AS DOUBLE) / n_orders, 6) AS aov,
+       ROUND(ROUND(CAST(rev AS DOUBLE) / n_orders, 6)
+             - lag(ROUND(CAST(rev AS DOUBLE) / n_orders, 6)) OVER (ORDER BY month), 6) AS aov_delta
+FROM monthly
+""",
+)
+def orders_aov_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average order value by month with MoM delta — lag window over
+    the monthly aggregate only."""
+    return R.aov_trend(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "embeddings_label_balance",
+    """
+WITH per AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label
+),
+tot AS (SELECT CAST(SUM(n_vecs) AS DOUBLE) AS tn, CAST(COUNT(*) AS DOUBLE) AS k FROM per)
+SELECT CAST(label AS INT) AS label, n_vecs,
+       ROUND(n_vecs / tot.tn, 6) AS share,
+       ROUND(n_vecs * tot.k / tot.tn, 6) AS skew_vs_uniform
+FROM per CROSS JOIN tot
+""",
+)
+def embeddings_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit of the filterable label field — counts,
+    shares, skew vs uniform."""
+    return A.label_balance_audit(load_table(spark, sf_dir, "embeddings"))

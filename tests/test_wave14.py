@@ -618,3 +618,32 @@ def test_user_type_entropy_bounds(spark):
     assert out[1]["entropy_bits"] == 0.0          # single action type
     assert out[2]["entropy_bits"] == 2.0          # 4 equiprobable types
     assert out[2]["n_types"] == 4
+
+
+def test_aov_trend_delta(spark):
+    from datetime import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, 100.0, datetime(1995, 1, 5)),
+            (2, 2, 200.0, datetime(1995, 1, 20)),  # Jan AOV 150
+            (3, 3, 250.0, datetime(1995, 2, 1)),   # Feb AOV 250 -> delta +100
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    out = {r["month"]: r for r in R.aov_trend(orders).collect()}
+    assert out["1995-01"]["aov"] == 150.0 and out["1995-01"]["aov_delta"] is None
+    assert out["1995-02"]["aov_delta"] == 100.0
+
+
+def test_label_balance_shares(spark):
+    emb = spark.createDataFrame(
+        [(i, [0.0], 0) for i in range(6)] + [(10 + i, [0.0], 1) for i in range(2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["label"]: r for r in A.label_balance_audit(emb).collect()}
+    assert out[0]["n_vecs"] == 6 and out[0]["share"] == 0.75
+    assert out[0]["skew_vs_uniform"] == 1.5  # 6 of 8 across 2 classes
+    assert out[1]["skew_vs_uniform"] == 0.5
