@@ -509,8 +509,10 @@ def error_burst_detect(
     comparison runs on exact integer cross-products (n_err * total_n
     vs factor * total_err * n) — no float boundary."""
     b = F.date_trunc("minute", F.col("ts"))
+    # floor(), not cast-truncation: cast("long") truncates toward zero,
+    # which diverges from the oracle's floor() for pre-1970 timestamps
     bucket = F.from_unixtime(
-        (F.unix_timestamp(b) / (bucket_minutes * 60)).cast("long")
+        F.floor(F.unix_timestamp(b) / (bucket_minutes * 60)).cast("long")
         * (bucket_minutes * 60)
     ).cast("timestamp")
     per = events.groupBy(bucket.alias("bucket")).agg(

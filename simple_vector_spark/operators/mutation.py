@@ -95,15 +95,18 @@ def allocate_ids(
 ) -> DataFrame:
     """O20: monotonic id allocation.  The reference hands out
     ``increaseID_++`` per WAL record (src/persistence.cc:43-48) — a
-    serial counter.  Deterministic distributed equivalent: dense ranks
-    over a total order.
+    serial counter.  Deterministic distributed equivalent: the
+    two-phase zipWithIndex pattern (range-partition on the order key,
+    local row_number per partition + broadcast offsets) — dense,
+    deterministic, and never a single-partition window, so corpus-scale
+    id assignment keeps every task partition-sized.  Use
+    ``monotonically_increasing_id`` instead when density is not
+    required."""
+    from .ranking import ranked_global
 
-    Scale note: a global row_number needs a single-partition window —
-    fine for dimension-sized tables; for corpus-scale id assignment use
-    ``zipWithIndex``-style (partition offsets + local ranks) or
-    ``monotonically_increasing_id`` when density is not required."""
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn(id_name, F.row_number().over(w).cast("long"))
+    return ranked_global(
+        df, [F.col(c).asc() for c in order_cols], rank_name=id_name
+    )
 
 
 def snapshot(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

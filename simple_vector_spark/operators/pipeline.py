@@ -57,16 +57,16 @@ def hybrid_rrf(
     from .knn import knn_topk
     from .text_analysis import bm25_search
 
+    from .ranking import ranked_global
+
     vec = knn_topk(emb, query, pool, "sqL2")
-    wv = Window.orderBy(F.col("dist").asc(), F.col("vec_id").asc())
-    vecrank = vec.select(
-        F.col("vec_id").alias("id"), F.row_number().over(wv).alias("rv")
-    )
+    vecrank = ranked_global(
+        vec, [F.col("dist").asc(), F.col("vec_id").asc()], rank_name="rv"
+    ).select(F.col("vec_id").alias("id"), "rv")
     bm = bm25_search(docs, terms, pool)
-    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    bmrank = bm.select(
-        F.col("doc_id").alias("id"), F.row_number().over(wb).alias("rb")
-    )
+    bmrank = ranked_global(
+        bm, [F.col("score").desc(), F.col("doc_id").asc()], rank_name="rb"
+    ).select(F.col("doc_id").alias("id"), "rb")
     fused = vecrank.join(bmrank, "id", "full_outer").select(
         "id",
         F.round(

@@ -1,0 +1,126 @@
+"""Scale-safe global ranking: two-phase row_number / ntile without a
+single-partition window.
+
+``Window.orderBy(...)`` with no partitionBy funnels every row through
+one task ("Moving all data to a single partition" — the one plan shape
+that cannot survive a 100x scale-up).  The distributed equivalent is
+the zipWithIndex pattern, expressed declaratively:
+
+1. ``repartitionByRange`` on the sort key — non-overlapping sorted
+   ranges, one per partition, each partition-sized.
+2. ``row_number`` windowed by ``spark_partition_id()`` — a local sort
+   per partition, never a global one.
+3. global rank = local rank + the summed row counts of all lower
+   partitions.  The offsets come from a broadcast triangle join over
+   the per-partition COUNT table (#groups x #partitions rows — bounded
+   by cluster layout, not data volume), so no orderBy-only window
+   appears anywhere in the plan.
+
+The partitioned frame is localCheckpoint'ed: the counts branch and the
+rank branch MUST observe the same physical partitioning (AQE may
+re-coalesce a recomputed exchange differently), and the checkpoint also
+keeps the upstream lineage to a single computation.
+
+Reference parity: the reference assigns ids with a serial counter
+(src/persistence.cc:43-48) and ranks results in one thread; these
+helpers are the distributed equivalents of that total order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranked_global(
+    df: DataFrame,
+    sort_exprs: Sequence[Column],
+    group_cols: Sequence[str] = (),
+    rank_name: str = "grank",
+    total_name: str | None = None,
+) -> DataFrame:
+    """Exact global (or per-group) row_number over ``sort_exprs``.
+
+    Returns ``df`` plus ``rank_name`` (long, 1-based, row_number
+    semantics — sort_exprs must include a unique tiebreak) and, when
+    ``total_name`` is given, the per-group row count (long) every row
+    of the group carries (for ntile / percentile arithmetic).
+    """
+    gc = list(group_cols)
+    part = df.repartitionByRange(
+        *[F.col(g).asc() for g in gc], *sort_exprs
+    ).withColumn("_pid", F.spark_partition_id())
+    lw = Window.partitionBy(*gc, "_pid").orderBy(*sort_exprs)
+    local = part.withColumn(
+        "_lrank", F.row_number().over(lw).cast("long")
+    ).localCheckpoint()
+
+    counts = local.groupBy(*gc, "_pid").agg(F.count("*").alias("_pn"))
+    lower = counts.select(
+        *[F.col(g).alias(f"_bg_{g}") for g in gc],
+        F.col("_pid").alias("_bpid"),
+        F.col("_pn").alias("_bpn"),
+    )
+    cond = F.col("_bpid") < F.col("_pid")
+    for g in gc:
+        cond = cond & (F.col(g) == F.col(f"_bg_{g}"))
+    offs = (
+        counts.join(F.broadcast(lower), cond, "left")
+        .groupBy(*gc, "_pid")
+        .agg(F.coalesce(F.sum("_bpn"), F.lit(0)).cast("long").alias("_off"))
+    )
+
+    out = local.join(F.broadcast(offs), [*gc, "_pid"]).withColumn(
+        rank_name, (F.col("_off") + F.col("_lrank")).cast("long")
+    )
+    if total_name is not None:
+        if gc:
+            tot = counts.groupBy(*gc).agg(
+                F.sum("_pn").cast("long").alias(total_name)
+            )
+            out = out.join(F.broadcast(tot), gc)
+        else:
+            tot = counts.agg(F.sum("_pn").cast("long").alias(total_name))
+            out = out.crossJoin(F.broadcast(tot))
+    return out.drop("_pid", "_lrank", "_off")
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """SQL-standard ntile(k) computed from an exact 1-based rank and the
+    group size: the first ``n % k`` buckets get ``n div k + 1`` rows,
+    the rest ``n div k`` — identical to Spark's and DuckDB's NTILE.
+    """
+    i = rank.cast("double")
+    base = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    big = (base + F.lit(1)).cast("double")
+    in_big = rank <= rem * (base + F.lit(1))
+    bucket = F.when(in_big, F.ceil(i / big)).otherwise(
+        rem
+        + F.ceil(
+            (i - (rem * (base + F.lit(1))).cast("double"))
+            / F.greatest(base, F.lit(1)).cast("double")
+        )
+    )
+    return bucket.cast("int")
+
+
+def grouped_ntile(
+    df: DataFrame,
+    sort_exprs: Sequence[Column],
+    k: int,
+    out_name: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ntile(k) over ``sort_exprs`` within each group (global when
+    ``group_cols`` is empty), built on :func:`ranked_global` — the
+    scale-safe replacement for ``ntile(k).over(Window.orderBy(...))``.
+    """
+    ranked = ranked_global(
+        df, sort_exprs, group_cols, rank_name="_ntile_rank", total_name="_ntile_n"
+    )
+    return ranked.withColumn(
+        out_name, ntile_from_rank(F.col("_ntile_rank"), F.col("_ntile_n"), k)
+    ).drop("_ntile_rank", "_ntile_n")

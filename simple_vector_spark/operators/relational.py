@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ranking import grouped_ntile, ranked_global
+
 # Exact money type: double -> DECIMAL(15,2)/(8,6) casts are tie-free
 # (doubles never land exactly on half-cent boundaries).
 DEC_PRICE = "decimal(15,2)"
@@ -406,12 +408,19 @@ def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 def order_value_quartiles(orders: DataFrame) -> DataFrame:
     """ntile(4) bucketing per priority class: quartile membership plus
     per-quartile aggregates — the distribution-audit window shape
-    (equal-count buckets, unlike percentile cutpoints)."""
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
-    )
+    (equal-count buckets, unlike percentile cutpoints).
+
+    Scale: 5 priority classes means ``ntile().over(partitionBy(prio))``
+    would funnel |orders|/5 rows through single tasks; the two-phase
+    ranked ntile keeps every task partition-sized."""
     return (
-        orders.withColumn("q", F.ntile(4).over(w).cast("int"))
+        grouped_ntile(
+            orders,
+            [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+            4,
+            "q",
+            group_cols=["o_orderpriority"],
+        )
         .groupBy("o_orderpriority", "q")
         .agg(
             F.count("*").cast("bigint").alias("n"),
@@ -921,8 +930,11 @@ def top_revenue_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_extendedprice") * (F.lit(1).cast(DEC_RATE) - _dec("l_discount", DEC_RATE))).alias("_rev"))
     )
-    w = Window.partitionBy()
-    best = rev.withColumn("_mx", F.max("_rev").over(w)).filter(F.col("_rev") == F.col("_mx"))
+    # broadcast the 1-row global max instead of a full-frame window
+    # (Window.partitionBy() funnels the supplier aggregate through one
+    # task; the agg+crossJoin form stays distributed at any |suppliers|)
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    best = rev.crossJoin(F.broadcast(mx)).filter(F.col("_rev") == F.col("_mx"))
     return (
         best.join(F.broadcast(supplier.select("s_suppkey", "s_name")),
                   F.col("l_suppkey") == F.col("s_suppkey"))
@@ -1024,16 +1036,32 @@ def order_value_distribution(orders: DataFrame, year: int = 1996) -> DataFrame:
     value inside each priority class for one year — one shuffle on the
     partition key, rank math entirely JVM-side.  Ties share a
     percent_rank and take the greatest cume_dist, identical in Spark
-    and the SQL oracle by definition."""
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    return (
-        orders.filter(F.year("o_orderdate") == year)
-        .select(
-            F.col("o_orderkey").alias("orderkey"),
-            "o_orderpriority",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-        )
+    and the SQL oracle by definition.
+
+    Scale: only 5 priority classes, so windowing by priority alone
+    funnels |orders|/5 rows per task.  Instead: two-phase global
+    row_number per class, then percent_rank = (min(i)-1)/(n-1) and
+    cume_dist = max(i)/n over the tie group (partitioned by
+    (priority, price) — thousands of balanced groups)."""
+    ranked = ranked_global(
+        orders.filter(F.year("o_orderdate") == year),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        group_cols=["o_orderpriority"],
+        rank_name="_i",
+        total_name="_n",
+    )
+    tie = Window.partitionBy("o_orderpriority", "o_totalprice")
+    n = F.col("_n").cast("double")
+    pct = F.when(
+        F.col("_n") > 1,
+        (F.min("_i").over(tie).cast("double") - 1.0) / (n - 1.0),
+    ).otherwise(F.lit(0.0))
+    cume = F.max("_i").over(tie).cast("double") / n
+    return ranked.select(
+        F.col("o_orderkey").alias("orderkey"),
+        "o_orderpriority",
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(cume, 6).alias("cume"),
     )
 
 
@@ -1043,18 +1071,21 @@ def revenue_pareto_deciles(orders: DataFrame) -> DataFrame:
     of the base drive 80% of revenue" curation statistic, and the skew
     diagnostic that decides whether customer-keyed joins need salting.
 
-    Plan: one shuffle groups orders by customer (DECIMAL-exact spend),
-    ntile(10) rides a single global sort of the per-customer aggregate
-    (rows = |customers|, far smaller than orders), and the final agg is
-    10 groups.  Ordering ties are impossible: spend is exact DECIMAL
+    Plan: one shuffle groups orders by customer (DECIMAL-exact spend);
+    the decile comes from the two-phase ranked ntile (range-partition
+    on spend, local rank + broadcast offsets — |customers| grows with
+    the data, so no global-sort window), and the final agg is 10
+    groups.  Ordering ties are impossible: spend is exact DECIMAL
     with custkey tiebreak.  Shares are single f64 divisions of exact
     DECIMAL sums, ROUND 6."""
     spend = orders.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).alias("spend")
     )
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
-    tiled = spend.select(
-        "o_custkey", "spend", F.ntile(10).over(w).alias("decile")
+    tiled = grouped_ntile(
+        spend,
+        [F.col("spend").desc(), F.col("o_custkey").asc()],
+        10,
+        "decile",
     )
     total = tiled.agg(F.sum("spend").alias("total"))
     return (
@@ -1145,8 +1176,11 @@ def rfm_segments(orders: DataFrame, asof: str = "1997-01-01") -> DataFrame:
     ``asof``), Frequency (order count), Monetary (DECIMAL-exact spend),
     each quartiled with ntile(4), then the population of every (r,f,m)
     cell — the standard behavioral-cohort grid, and a three-way
-    quantile-bucketing pattern (each ntile is a single global sort of
-    the per-customer aggregate, never of the fact table).
+    quantile-bucketing pattern (each ntile is a two-phase ranked
+    bucket of the per-customer aggregate — |customers| grows with the
+    data, so none of the three rides a global-sort window; the fact
+    table is scanned once and the chained stages reuse the
+    checkpointed aggregate).
 
     Determinism: every ntile orders on an exact value (int days, bigint
     count, DECIMAL spend) with custkey tiebreak."""
@@ -1157,13 +1191,17 @@ def rfm_segments(orders: DataFrame, asof: str = "1997-01-01") -> DataFrame:
         F.count("*").cast("bigint").alias("frequency"),
         F.sum(_dec("o_totalprice")).alias("monetary"),
     )
-    rw = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    fw = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    mw = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
-    tiled = per_cust.select(
-        F.ntile(4).over(rw).cast("int").alias("r"),
-        F.ntile(4).over(fw).cast("int").alias("f"),
-        F.ntile(4).over(mw).cast("int").alias("m"),
+    tiled = grouped_ntile(
+        per_cust,
+        [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+        4,
+        "r",
+    )
+    tiled = grouped_ntile(
+        tiled, [F.col("frequency").desc(), F.col("o_custkey").asc()], 4, "f"
+    )
+    tiled = grouped_ntile(
+        tiled, [F.col("monetary").desc(), F.col("o_custkey").asc()], 4, "m"
     )
     return tiled.groupBy("r", "f", "m").agg(
         F.count("*").cast("bigint").alias("n_customers")
@@ -1342,18 +1380,19 @@ def spend_gini(orders: DataFrame) -> DataFrame:
     winner-take-all), computed with the rank formula
     G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over spend ranked ascending.
 
-    One customer agg, one global sort of the per-customer table (never
-    the fact), exact DECIMAL sums; ties contribute the same
-    sum(i*x) under any within-tie order, so custkey tiebreaks keep it
-    deterministic without affecting the value."""
+    One customer agg, then the two-phase global rank of the
+    per-customer table (never the fact — and never a single-partition
+    sort: |customers| grows with the data), exact DECIMAL sums; ties
+    contribute the same sum(i*x) under any within-tie order, so custkey
+    tiebreaks keep it deterministic without affecting the value."""
     spend = orders.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).alias("spend")
     )
-    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
-    ranked = spend.select(
-        F.col("spend"),
-        F.row_number().over(w).cast("long").alias("i"),
-    )
+    ranked = ranked_global(
+        spend,
+        [F.col("spend").asc(), F.col("o_custkey").asc()],
+        rank_name="i",
+    ).select("spend", "i")
     agg = ranked.agg(
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum("spend").alias("_sx"),

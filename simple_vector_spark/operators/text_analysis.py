@@ -411,10 +411,16 @@ def vocab_zipf_slope(docs: DataFrame, top_n: int = 500, text_col: str = "text") 
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    ranked = vocab.select(
-        F.row_number().over(w).alias("rank"), F.col("n")
-    ).filter(F.col("rank") <= top_n)
+    # top_n rows via global sort+limit (TakeOrderedAndProject — the
+    # distributed top-k, no single-partition window over the vocab,
+    # which grows with the corpus), then two-phase rank of the
+    # constant-sized result
+    from .ranking import ranked_global
+
+    top = vocab.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_n)
+    ranked = ranked_global(
+        top, [F.col("n").desc(), F.col("token").asc()], rank_name="rank"
+    ).select("rank", "n")
     x = F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(20,6)")
     y = F.round(F.log(F.col("n").cast("double")), 6).cast("decimal(20,6)")
     sums = ranked.agg(

@@ -161,13 +161,13 @@ def test_unigram_logprob_scan_prunes_to_text_cols(spark, sf_dir):
     assert "n_chars" not in plan and "lang" not in plan and "source" not in plan
 
 
-def test_pareto_ntile_sorts_aggregate_not_fact(spark, sf_dir):
-    """The global ntile sort runs over the per-customer aggregate:
-    the orders scan feeds a partial agg before any sort appears."""
+def test_pareto_ntile_ranks_aggregate_not_fact(spark, sf_dir):
+    """The decile comes from the two-phase ranked ntile of the
+    per-customer aggregate: the final plan consumes the checkpointed
+    ranked table (ExistingRDD) through broadcast offset joins — never a
+    global sort, and never a Sort/Window over Exchange SinglePartition
+    (see tests/test_ranking.py for the family-wide assertion)."""
     plan = plan_of(spark, sf_dir, "orders_pareto_share")
-    sort_pos = plan.find("Sort ")
-    agg_pos = plan.find("HashAggregate")
-    assert sort_pos != -1 and agg_pos != -1
-    # plan prints top-down: the Sort consumes the aggregate, so the
-    # aggregate appears BELOW (after) it in the text
-    assert plan.find("FileScan", sort_pos) > plan.find("HashAggregate", sort_pos) > -1
+    assert "ExistingRDD" in plan  # checkpointed per-customer rank table
+    assert "BroadcastHashJoin" in plan  # offsets/totals attach broadcast
+    assert "Exchange rangepartitioning" not in plan or "Sort" not in plan
