@@ -570,3 +570,75 @@ def user_type_entropy(events: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("n_types"),
         F.round(ent, 4).alias("entropy_bits"),
     )
+
+
+def user_state_scd2(events: DataFrame) -> DataFrame:
+    """SCD-type-2 dimension build from an event log (gaps-and-islands):
+    collapse each user's consecutive runs of the same event_type into
+    versioned [valid_from, valid_to) intervals — the standard ELT shape
+    for deriving a slowly-changing "current state" dimension from an
+    append-only stream.
+
+    Plan: one shuffle by user_id, then every window (break-flag lag,
+    running episode sum, valid_to lead) and the episode aggregate stay
+    on per-user partitions — the island id is computed with windows
+    rather than a self-join, so cost is O(events) with a single wide
+    exchange.  Order within a user is (ts, event_id) — a total order,
+    so episode numbering is deterministic.  valid_to is NULL for each
+    user's open (current) state."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("long")
+    ep = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    episodes = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("ep", ep)
+        .groupBy("user_id", "ep")
+        .agg(
+            F.first("event_type").alias("state"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts").alias("valid_from"),
+        )
+    )
+    we = Window.partitionBy("user_id").orderBy("ep")
+    return episodes.select(
+        "user_id",
+        F.col("ep").cast("int").alias("version"),
+        "state",
+        "n_events",
+        "valid_from",
+        F.lead("valid_from").over(we).alias("valid_to"),
+    )
+
+
+def hll_distinct_users_audit(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Sketch-based distinct counting audit: per event_type, Spark's
+    HyperLogLog++ approx_count_distinct next to the exact distinct, with
+    the realized relative error.  At 100 TB the exact count needs a
+    full shuffle of the key universe while the HLL sketch is a few KB
+    of mergeable state per group — this audit is how you qualify the
+    sketch before switching the pipeline over.
+
+    No DuckDB oracle (rows-only check): HLL register layouts are
+    implementation-specific, so the approx column cannot hash-match
+    another engine.  The error CONTRACT is tested instead
+    (tests/test_new_round2.py asserts rel_error well inside 5*rsd)."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd).cast("bigint").alias("hll_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "hll_users",
+            F.round(
+                F.abs(F.col("hll_users") - F.col("exact_users"))
+                / F.col("exact_users").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

@@ -1430,3 +1430,108 @@ def aov_trend(orders: DataFrame) -> DataFrame:
         aov.alias("aov"),
         F.round(aov - F.lag(aov).over(w), 6).alias("aov_delta"),
     )
+
+
+def tpch_q2_min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    p_type: str = "LARGE",
+    p_size: int = 25,
+    r_name: str = "EUROPE",
+) -> DataFrame:
+    """TPC-H Q2 literal shape on the fixture schema (no partsupp; the
+    partsupp surrogate is the per-(part,supplier) MIN observed unit
+    price from lineitem).  The correlated scalar subquery — "this
+    supplier's cost equals the minimum cost any supplier in the region
+    offers for this part" — decorrelates to ONE window min over the
+    region-filtered candidate set partitioned by partkey: a single
+    shuffle by partkey, no self-join re-scan of the fact.
+
+    Scale shape: lineitem aggregates map-side to (part, supp) pairs
+    first (|partsupp| << |lineitem|); part/supplier/nation/region all
+    broadcast; the only wide exchange is the partkey window.  Full Q2
+    projection + ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    with a s_suppkey tiebreak so LIMIT 100 is deterministic."""
+    supply = lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+        ).alias("ps_supplycost")
+    )
+    euro_sup = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == r_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    wanted = part.filter(
+        (F.col("p_type") == p_type) & (F.col("p_size") <= p_size)
+    ).select("p_partkey", "p_type", "p_size")
+    cand = (
+        supply.join(F.broadcast(euro_sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(wanted), F.col("ps_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        cand.withColumn("_min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "p_type",
+            F.round(F.col("ps_supplycost"), 6).alias("supplycost"),
+            F.col("ps_suppkey").cast("bigint").alias("s_suppkey"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+            "s_suppkey",
+        )
+        .limit(100)
+    )
+
+
+def tpch_q4_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1996-07-01",
+    end: str = "1996-10-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4 literal shape: count orders per priority in one quarter
+    where EXISTS a late lineitem (fixture surrogate for commitdate <
+    receiptdate: shipped more than ``late_days`` after order date).
+
+    The EXISTS compiles to a LEFT SEMI join on orderkey with the date
+    residual — one equi-shuffle, lineitem never duplicated per match,
+    and the quarter filter pushes into the orders scan before the
+    shuffle.  Aggregate output is ≤5 priority groups."""
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start)) & (F.col("o_orderdate") < F.lit(end))
+    )
+    late = quarter.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )

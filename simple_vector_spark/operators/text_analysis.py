@@ -579,3 +579,55 @@ def novelty_share(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             ).alias("novelty"),
         )
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-word gram, slide a w-gram window, and
+    keep the window minima — a position-robust fingerprint set whose
+    density is guaranteed in [1/w, 2/(w+1)] for random text, far
+    sparser than all-grams fingerprinting at equal match guarantee
+    (any shared substring of >= w+k-1 words is caught).
+
+    Plan: one positional explode, ONE shuffle by doc_id, a bounded
+    ROWS window (w rows) local to each doc, then a per-doc fold —
+    partitions by document, so it scales horizontally with corpus
+    size.  All hashing is the cross-engine md5 gram hash; window
+    minima over exact integers, so fingerprints are bit-identical in
+    DuckDB.  Short docs (fewer than w grams) winnow the whole gram
+    sequence (one fingerprint) rather than being dropped.
+
+    Reference analog: none (`src/` has no text processing); this is
+    north-star curation surface alongside novelty_share.
+    """
+    from ..functions.text import word_shingles
+    from ..sources.loaders import fan_out
+
+    grams = fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(word_shingles(tokens(F.col(text_col)), k), md5_int)
+        ).alias("pos", "h"),
+        (F.size(tokens(F.col(text_col))) - (k - 1)).alias("m"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    selected = grams.withColumn("fp", F.min("h").over(win)).filter(
+        F.col("pos") <= F.greatest(F.col("m") - w, F.lit(0))
+    )
+    return selected.groupBy(id_col).agg(
+        F.max("m").cast("bigint").alias("n_grams"),
+        F.count_distinct(F.col("fp")).cast("bigint").alias("n_fingerprints"),
+        F.round(
+            F.count_distinct(F.col("fp")) / F.max("m").cast("double"), 6
+        ).alias("density"),
+    )

@@ -5217,3 +5217,150 @@ def embeddings_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-balance audit of the filterable label field — counts,
     shares, skew vs uniform."""
     return A.label_balance_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Wave 29 (round 2): the last two literal TPC-H shapes — Q2 (correlated
+# min over a region-filtered supplier set) and Q4 (EXISTS semi-join).
+# With these, all 22 TPC-H query shapes exist as literal tpch_q* entries
+# (reference has no SQL at all — this is north-star relational surface).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(ROUND(l_extendedprice / l_quantity, 6)) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+),
+cand AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+         ps_supplycost, ps_suppkey,
+         MIN(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+  FROM supply
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  JOIN part     ON ps_partkey = p_partkey
+  WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 25
+)
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+       CAST(p_partkey AS BIGINT) AS p_partkey, p_type,
+       ROUND(ps_supplycost, 6) AS supplycost,
+       CAST(ps_suppkey AS BIGINT) AS s_suppkey
+FROM cand WHERE ps_supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 100
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 literal: region-filtered min-cost supplier per part with
+    the full Q2 projection/ordering; correlated min decorrelated to one
+    partkey window (single shuffle), all dims broadcast."""
+    return R.tpch_q2_min_cost_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 literal: EXISTS(late lineitem) as a LEFT SEMI equi-join
+    with date residual; quarter filter pushed to the orders scan."""
+    return R.tpch_q4_order_priority(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+# --------------------------------------------------------------------------
+# Wave 30 (round 2): winnowing fingerprints (MOSS), SCD2 state intervals
+# from the event log, HLL distinct-count audit.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    f"""
+WITH t AS (SELECT doc_id, {_TK_SQL} AS tk FROM documents),
+g AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 8)) AS BIGINT) AS h,
+         len(tk) - 2 AS m
+  FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)
+),
+wm AS (
+  SELECT doc_id, i, m,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+)
+SELECT doc_id,
+       CAST(MAX(m) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+       ROUND(COUNT(DISTINCT fp) / CAST(MAX(m) AS DOUBLE), 6) AS density
+FROM wm WHERE i <= GREATEST(m - 4, 0) + 1
+GROUP BY doc_id
+""",
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing: k=3-word gram hashes, w=4 window minima — the
+    sparse position-robust fingerprint set; one doc_id shuffle."""
+    return T.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_user_state_scd2",
+    """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w != event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+e AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS ep
+  FROM o
+),
+epi AS (
+  SELECT user_id, ep, MIN(event_type) AS state,
+         CAST(COUNT(*) AS BIGINT) AS n_events, MIN(ts) AS valid_from
+  FROM e GROUP BY user_id, ep
+)
+SELECT user_id, CAST(ep AS INT) AS version, state, n_events, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY ep) AS valid_to
+FROM epi
+""",
+)
+def events_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands SCD2 build: per-user state intervals with
+    versions and [valid_from, valid_to) — one wide shuffle by user."""
+    return E.user_state_scd2(load_table(spark, sf_dir, "events"))
+
+
+@query("events_hll_users")
+def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ vs exact distinct-user audit per event type (rows-only:
+    sketch values are engine-specific; the error bound is pytest-held)."""
+    return E.hll_distinct_users_audit(load_table(spark, sf_dir, "events"))

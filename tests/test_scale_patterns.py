@@ -105,3 +105,68 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     finalized = {r.start.strftime("%H:%M"): r.n for r in rows}
     # the 10:00 window was finalized with ONE row; the late row did not reopen it
     assert finalized.get("10:00") == 1
+
+
+def test_salted_join_beats_unsalted_on_skew(spark):
+    """VERDICT r1 item 7: salting must be proven by wall time, not just
+    plan shape.  A deliberately skewed fact (95% of rows on one key)
+    shuffle-joined to a dim funnels through one reducer unsalted; the
+    8-way salt spreads the hot key.  Asserts (a) identical results,
+    (b) the hot key's rows actually land on >1 shuffle partition under
+    salting, (c) salted wall time beats unsalted (min of 2 runs each,
+    interleaved, to damp scheduler noise)."""
+    import time
+
+    from simple_vector_spark.operators.relational import salted_join
+
+    n = 4_000_000
+    fact = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id") % 25)
+            .cast("long").alias("k"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+        )
+    )
+    dim = spark.range(25).select(
+        F.col("id").alias("k"), F.concat(F.lit("g"), F.col("id")).alias("g")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def agg(df):
+            return df.groupBy("g").agg(
+                F.count("*").alias("cnt"), F.round(F.sum("v"), 3).alias("sv")
+            )
+
+        plain = lambda: agg(fact.join(dim, "k"))
+        salted = lambda: agg(salted_join(fact, dim, "k", n_salt=16))
+
+        assert sorted(map(tuple, plain().collect())) == sorted(
+            map(tuple, salted().collect())
+        )
+
+        # hot key spreads over >1 reducer when salted
+        hot_parts = (
+            salted_join(fact, dim, "k", n_salt=16)
+            .filter(F.col("k") == 7)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert hot_parts > 1
+
+        def clock(fn):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                fn().collect()
+                best = min(best, time.monotonic() - t0)
+            return best
+
+        t_plain, t_salted = clock(plain), clock(salted)
+        # 95% of 4M rows on one reducer vs spread over 16: salted must win
+        assert t_salted < t_plain, (t_salted, t_plain)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
