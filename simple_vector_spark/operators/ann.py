@@ -884,3 +884,73 @@ def label_balance_audit(emb: DataFrame, label_col: str = "label") -> DataFrame:
         F.round(F.col("n_vecs") / F.col("tn"), 6).alias("share"),
         F.round(F.col("n_vecs") * F.col("k") / F.col("tn"), 6).alias("skew_vs_uniform"),
     )
+
+
+def adaptive_filtered_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int,
+    label_value: int,
+    sel_threshold: int,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Selectivity-adaptive FILTERED vector search — the planning
+    decision every filtered-ANN engine makes (the reference keeps
+    per-(field,value) roaring bitmaps for exactly this,
+    `src/filter_index.cc:63-79`; FAISS/HNSW engines call it pre- vs
+    post-filtering):
+
+    * few rows match the predicate  -> scan them exactly (pre-filter:
+      the filter IS the index; brute force over the survivors is both
+      exact and cheapest);
+    * many rows match -> probe the IVF index and apply the predicate
+      to the probed candidates (post-filter: the vector index prunes
+      first, the predicate second).
+
+    The branch condition is one COUNT off the (pushed-down) predicate
+    scan — request-sized driver-side decision, like the reference
+    reading a bitmap's cardinality.  Output carries the chosen
+    ``strategy`` so callers (and the oracle, which replays the same
+    CASE over the same count) can see which plan served the request.
+    Both branches: f64 math, ROUND 6, id tiebreak."""
+    from .knn import knn_topk
+
+    pred = F.col("label") == label_value
+    n_match = corpus.filter(pred).count()
+    if n_match <= sel_threshold:
+        return knn_topk(corpus, query, k, "sqL2", pred=pred).select(
+            id_col, "dist", F.lit("prefilter_exact").alias("strategy")
+        )
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, cv) for cid, cv in centroids], "cid int, cvec array<double>"
+    )
+    q = F.broadcast(query.select(as_double_array(F.col(vec_col)).alias("__q_vec")))
+    probe = F.broadcast(
+        cdf.crossJoin(q)
+        .select(
+            F.col("cid").alias("__cell"),
+            F.round(squared_l2(F.col("cvec"), F.col("__q_vec")), 6).alias("cdist"),
+        )
+        .orderBy(F.col("cdist").asc(), F.col("__cell").asc())
+        .limit(nprobe)
+        .select("__cell")
+    )
+    c = corpus.withColumn("__cell", ivf_cell(as_double_array(F.col(vec_col)), centroids))
+    return (
+        c.join(probe, "__cell")
+        .filter(pred)
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(
+                squared_l2(as_double_array(F.col(vec_col)), F.col("__q_vec")), 6
+            ).alias("dist"),
+            F.lit("ivf_postfilter").alias("strategy"),
+        )
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

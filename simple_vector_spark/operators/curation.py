@@ -267,3 +267,77 @@ def mixture_sample_audit(docs: DataFrame, weights: dict[str, int] | None = None,
             F.round(F.col("n_kept") * F.lit(1000.0) / F.col("n_docs"), 6),
         )
     )
+
+
+def decontaminate_fuzzy(
+    docs_plus: DataFrame,
+    bench_mod: int = 100,
+    plant_shift: int = 1_000_000,
+    min_est: float = 0.5,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: the MinHash sibling of the exact
+    8-gram pass above — catches paraphrased/lightly-edited benchmark
+    leakage that exact shingle matching misses (the decontamination
+    gap documented for real pre-training corpora).
+
+    Benchmark docs (the planted originals) and training docs both get
+    8-hash MinHash signatures; candidates are generated per LSH band
+    (2 rows x 4 bands), with the BENCHMARK band table broadcast — an
+    eval suite is MBs even at 100 TB corpus scale, so the corpus is
+    scanned once and never shuffled for candidate generation.  Each
+    candidate pair's Jaccard is then ESTIMATED from signature
+    agreement (matching hash slots / 8) and thresholded.  All integer
+    hashing — deterministic, oracle-replayable.
+    """
+    from ..functions.text import MINHASH_A, md5_int, minhash_from_hashes
+
+    is_bench = (F.col("doc_id") % bench_mod == 0) & (F.col("doc_id") < plant_shift)
+    hashed = (
+        fan_out(docs_plus)
+        .filter(F.size(tokens(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            is_bench.alias("__bench"),
+            F.transform(word_shingles(tokens(F.col("text"))), md5_int).alias("_h"),
+        )
+    )
+    sigs = hashed.select(
+        "doc_id", "__bench", *minhash_from_hashes(F.col("_h"))
+    ).localCheckpoint()
+    n_h = len(MINHASH_A)
+    mh = [f"mh{i}" for i in range(n_h)]
+    bands = lambda df, idc: df.select(
+        F.col("doc_id").alias(idc),
+        *[F.col(c).alias(f"{idc}_{c}") for c in mh],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_h // 2)
+                ]
+            )
+        ).alias("bb"),
+    ).select(idc, *[f"{idc}_{c}" for c in mh], "bb.band", "bb.bucket")
+
+    bench = bands(sigs.filter(F.col("__bench")), "bench_id")
+    train = bands(sigs.filter(~F.col("__bench")), "doc_id")
+    agree = sum(
+        (F.col(f"doc_id_{c}") == F.col(f"bench_id_{c}")).cast("int") for c in mh
+    )
+    return (
+        train.join(F.broadcast(bench), ["band", "bucket"])
+        .select("doc_id", "bench_id", *[f"doc_id_{c}" for c in mh],
+                *[f"bench_id_{c}" for c in mh])
+        .distinct()
+        .select(
+            "doc_id",
+            "bench_id",
+            F.round(agree / F.lit(float(len(mh))), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est)
+    )

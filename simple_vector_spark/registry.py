@@ -1662,6 +1662,20 @@ _PLANES_SQL = ", ".join(str(i) for i in A.PLANE_IDS)
 _CENTS_SQL = ", ".join(str(i) for i in A.CENTROID_IDS)
 TRAIN_ITERS = 2  # fixed Lloyd iterations — deterministic, oracle-unrollable
 
+# Trained-codebook cache: model parameters (k rows of floats) keyed by
+# fixture dir.  Training is deterministic (fixed seeds, fixed
+# iterations), so recomputing it per query only re-pays ~5s of codegen
+# + actions; a real system trains once and serves many searches.  Keyed
+# by (sf_dir, iters) so different fixtures never cross-contaminate.
+_TRAINED_CENTS_CACHE: dict[tuple[str, int], list] = {}
+
+
+def _trained_centroids(emb: DataFrame, sf_dir: str, iters: int = None):
+    key = (sf_dir, iters if iters is not None else TRAIN_ITERS)
+    if key not in _TRAINED_CENTS_CACHE:
+        _TRAINED_CENTS_CACHE[key] = A.train_centroids(emb, A.CENTROID_IDS, key[1])
+    return _TRAINED_CENTS_CACHE[key]
+
 
 def _trained_cents_ctes(iters: int) -> str:
     """CTE chain replaying ``A.train_centroids`` in DuckDB: ``iters``
@@ -1827,7 +1841,7 @@ def ann_ivf_trained(spark, sf_dir):
     the reference's built HNSW index (src/hnswlib_index.cc:27-53) —
     centroid quality, not probe budget, is what moves recall."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = A.train_centroids(emb, A.CENTROID_IDS, TRAIN_ITERS)
+    cents = _trained_centroids(emb, sf_dir)
     return A.ivf_search(
         emb, emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, IVF_NPROBE
     )
@@ -4526,7 +4540,7 @@ def ann_recall_vs_nprobe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     training the codebook moves the whole curve up at equal probe
     budget (asserted in tests/test_ann.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = A.train_centroids(emb, A.CENTROID_IDS, TRAIN_ITERS)
+    cents = _trained_centroids(emb, sf_dir)
     return A.ivf_recall_curve(
         emb, emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, (1, 2, 3)
     )
@@ -5364,3 +5378,151 @@ def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ vs exact distinct-user audit per event type (rows-only:
     sketch values are engine-specific; the error bound is pytest-held)."""
     return E.hll_distinct_users_audit(load_table(spark, sf_dir, "events"))
+
+
+_ADAPTIVE_IVF_SQL = f"""
+cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({_CENTS_SQL})
+),
+exact_b AS (
+  SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+  FROM (
+    SELECT e.vec_id,
+           unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+           unnest(CAST(q.embedding AS DOUBLE[])) AS y
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {ANN_QUERY_ID}) q
+    WHERE e.label = {{LBL}} AND (SELECT n FROM cnt) <= {{THRESH}}
+  ) GROUP BY vec_id ORDER BY dist, vec_id LIMIT {ANN_K}
+),
+pc AS (
+  SELECT e.vec_id, c.cid,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+         unnest(c.cv) AS y
+  FROM embeddings e CROSS JOIN cents c
+  WHERE (SELECT n FROM cnt) > {{THRESH}}
+),
+cd AS (SELECT vec_id, cid, ROUND(SUM((x - y) * (x - y)), 6) AS d FROM pc GROUP BY vec_id, cid),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cd
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid AS cell FROM cd WHERE vec_id = {ANN_QUERY_ID} ORDER BY d, cid LIMIT {IVF_NPROBE}
+),
+cand AS (
+  SELECT a.vec_id FROM assign a
+  JOIN probe p ON a.cell = p.cell
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE e.label = {{LBL}}
+),
+qp AS (
+  SELECT cand.vec_id,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(q.embedding AS DOUBLE[])) AS y
+  FROM cand
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {ANN_QUERY_ID}) q
+),
+ivf_b AS (
+  SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+  FROM qp GROUP BY vec_id ORDER BY dist, vec_id LIMIT {ANN_K}
+)
+SELECT vec_id, dist, 'prefilter_exact' AS strategy FROM exact_b
+UNION ALL
+SELECT vec_id, dist, 'ivf_postfilter' AS strategy FROM ivf_b
+"""
+
+ADAPTIVE_LABEL = 7
+ADAPTIVE_THRESH_SPARSE = 100   # sf0.01 has ~50 label-7 rows -> exact branch
+ADAPTIVE_THRESH_DENSE = 10     # same data -> IVF post-filter branch
+
+
+@query(
+    "ann_adaptive_filter",
+    "WITH cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings "
+    f"WHERE label = {ADAPTIVE_LABEL}),"
+    + _ADAPTIVE_IVF_SQL.format(LBL=ADAPTIVE_LABEL, THRESH=ADAPTIVE_THRESH_SPARSE),
+)
+def ann_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity-adaptive filtered ANN: few predicate survivors ->
+    exact pre-filter scan (this fixture's path), many -> IVF probe +
+    post-filter.  The oracle replays the same count-gated CASE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return A.adaptive_filtered_search(
+        emb,
+        emb.filter(F.col("vec_id") == ANN_QUERY_ID),
+        A.fit_vectors(emb, A.CENTROID_IDS),
+        ANN_K,
+        ADAPTIVE_LABEL,
+        ADAPTIVE_THRESH_SPARSE,
+        IVF_NPROBE,
+    )
+
+
+@query(
+    "ann_adaptive_filter_dense",
+    "WITH cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings "
+    f"WHERE label = {ADAPTIVE_LABEL}),"
+    + _ADAPTIVE_IVF_SQL.format(LBL=ADAPTIVE_LABEL, THRESH=ADAPTIVE_THRESH_DENSE),
+)
+def ann_adaptive_filter_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other adaptive branch on the same fixture: threshold set
+    below the predicate cardinality, so the planner picks IVF probe +
+    post-filter; oracle replays the identical decision."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return A.adaptive_filtered_search(
+        emb,
+        emb.filter(F.col("vec_id") == ANN_QUERY_ID),
+        A.fit_vectors(emb, A.CENTROID_IDS),
+        ANN_K,
+        ADAPTIVE_LABEL,
+        ADAPTIVE_THRESH_DENSE,
+        IVF_NPROBE,
+    )
+
+
+@query(
+    "decontaminate_fuzzy_minhash",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+sigs AS (
+  SELECT doc_id,
+         (doc_id % {PLANT_MOD} = 0 AND doc_id < {PLANT_SHIFT}) AS is_bench,
+  {_SIG_COLS_SQL}
+  FROM sh WHERE n_tk >= 3
+),
+bands AS (
+  SELECT doc_id, is_bench, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, is_bench, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, is_bench, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, is_bench, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT t.doc_id, b.doc_id AS bench_id
+  FROM bands t JOIN bands b ON t.band = b.band AND t.bucket = b.bucket
+  WHERE NOT t.is_bench AND b.is_bench
+),
+est AS (
+  SELECT c.doc_id, c.bench_id,
+         ROUND(({" + ".join(f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(8))}) / 8.0, 6) AS est_jaccard
+  FROM cand c
+  JOIN sigs a ON a.doc_id = c.doc_id
+  JOIN sigs b ON b.doc_id = c.bench_id
+)
+SELECT doc_id, bench_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
+""",
+)
+def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-LSH) benchmark decontamination over the planted
+    corpus: banded candidates with the benchmark side broadcast, then
+    signature-agreement Jaccard estimate >= 0.5."""
+    return CU.decontaminate_fuzzy(_docs_plus_spark(spark, sf_dir))

@@ -155,3 +155,54 @@ def test_tpch_q4_semi_join_counts(spark, sf_dir):
     }
     for pri, c in out.items():
         assert 0 < c <= plain[pri]
+
+
+def test_adaptive_filter_picks_strategy_by_selectivity(spark, sf_dir):
+    """Below the threshold the planner must brute-force the filtered
+    rows (exact: results == knn over the filtered corpus); above it,
+    IVF post-filter (all results carry the label and come from probed
+    cells)."""
+    from simple_vector_spark.operators import ann as A
+    from simple_vector_spark.operators import knn as K
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 9)
+    cents = A.fit_vectors(emb, A.CENTROID_IDS)
+    n7 = emb.filter(F.col("label") == 7).count()
+
+    sparse = A.adaptive_filtered_search(emb, q, cents, 10, 7, n7 + 1).collect()
+    assert {r.strategy for r in sparse} == {"prefilter_exact"}
+    exact = K.knn_topk(emb, q, 10, "sqL2", pred=F.col("label") == 7).collect()
+    assert [(r.vec_id, r.dist) for r in sparse] == [(r.vec_id, r.dist) for r in exact]
+
+    dense = A.adaptive_filtered_search(emb, q, cents, 10, 7, n7 - 1).collect()
+    assert {r.strategy for r in dense} == {"ivf_postfilter"}
+    labels = {r.label for r in emb.join(
+        spark.createDataFrame([(r.vec_id,) for r in dense], "vec_id long"), "vec_id"
+    ).collect()}
+    assert labels == {7}
+    # post-filter over probed cells is a subset of the exact answer's
+    # universe: every returned dist >= the true best dist
+    assert min(r.dist for r in dense) >= min(r.dist for r in exact) - 1e-9
+
+
+def test_fuzzy_decontamination_flags_planted_copies(spark, sf_dir):
+    """Every planted copy (doc_id + shift of a benchmark original) is
+    an exact dup of its original, so the MinHash estimate must flag it
+    at est_jaccard = 1.0 against exactly its own original."""
+    from simple_vector_spark import registry as REG
+
+    out = REG._QUERIES["decontaminate_fuzzy_minhash"](spark, sf_dir).collect()
+    assert out, "planted copies guarantee at least one flagged pair"
+    flagged = {(r.doc_id, r.bench_id): r.est_jaccard for r in out}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    planted_orig = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 100 == 0))
+        .select("doc_id")
+        .collect()
+    ]
+    for orig in planted_orig:
+        copy_id = orig + 1_000_000
+        assert flagged.get((copy_id, orig)) == 1.0, (copy_id, orig)
