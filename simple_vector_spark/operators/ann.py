@@ -119,6 +119,23 @@ def rp_lsh_search(
     )
 
 
+def with_cells(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus with its IVF ``__cell`` assignment — idempotent: a corpus
+    that already carries ``__cell`` (e.g. the registry's cached,
+    checkpointed assignment table — the in-memory analog of the
+    partitioned index layout) is passed through untouched, so every
+    search path can accept either a raw corpus or a prebuilt index."""
+    if "__cell" in corpus.columns:
+        return corpus
+    return corpus.withColumn(
+        "__cell", ivf_cell(as_double_array(F.col(vec_col)), centroids)
+    )
+
+
 def ivf_search(
     corpus: DataFrame,
     query: DataFrame,
@@ -148,7 +165,7 @@ def ivf_search(
         .limit(nprobe)
         .select("__cell")
     )
-    c = corpus.withColumn("__cell", ivf_cell(as_double_array(F.col(vec_col)), centroids))
+    c = with_cells(corpus, centroids, vec_col)
     return (
         c.join(probe, "__cell")
         .crossJoin(q)
@@ -575,7 +592,7 @@ def ivfpq_rerank_search(
     m = len(codebooks)
     # Stage 1: codes-only ADC over probed cells.
     enc = (
-        corpus.withColumn("__cell", ivf_cell(as_double_array(F.col(vec_col)), centroids))
+        with_cells(corpus, centroids, vec_col)
         .join(probe, "__cell")
         .select(
             F.col(id_col),
@@ -766,7 +783,7 @@ def ivf_recall_curve(
         .select("__cell", "pr")
     )
     cand = (
-        corpus.withColumn("__cell", ivf_cell(as_double_array(F.col(vec_col)), centroids))
+        with_cells(corpus, centroids, vec_col)
         .join(cellrank, "__cell")
         .crossJoin(q)
         .select(
@@ -939,7 +956,7 @@ def adaptive_filtered_search(
         .limit(nprobe)
         .select("__cell")
     )
-    c = corpus.withColumn("__cell", ivf_cell(as_double_array(F.col(vec_col)), centroids))
+    c = with_cells(corpus, centroids, vec_col)
     return (
         c.join(probe, "__cell")
         .filter(pred)
@@ -953,4 +970,62 @@ def adaptive_filtered_search(
         )
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivf_index_upsert_audit(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    upd_mod: int = 50,
+    ins_mod: int = 97,
+    ins_shift: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance audit — the Spark answer to the
+    reference's filter-index upkeep on upsert (O14,
+    `src/filter_index.cc` bitmaps updated per mutation; here the
+    maintained structure is the IVF cell layout): apply a
+    deterministic upsert batch (updates = reversed vectors for
+    id % upd_mod == 0, inserts = shifted copies for id % ins_mod == 0)
+    latest-wins into the corpus, then report per-cell population
+    before/after with the delta.
+
+    Scale note: the full re-assignment here doubles as verification at
+    fixture scale; the INCREMENTAL contract is that only the batch
+    rows need cell assignment (their old/new cells give the deltas to
+    merge into the stats table) — the audit's delta column is exactly
+    that merge input.  One scan per side, two tiny cell aggregates,
+    broadcast full-outer on ≤k cells."""
+    base = emb.select(id_col, vec_col)
+    updates = base.filter(F.col(id_col) % upd_mod == 0).select(
+        id_col, F.reverse(F.col(vec_col)).alias(vec_col)
+    )
+    inserts = base.filter(F.col(id_col) % ins_mod == 0).select(
+        (F.col(id_col) + ins_shift).alias(id_col), vec_col
+    )
+    batch = updates.unionByName(inserts)
+    merged = base.join(
+        batch.select(id_col), id_col, "left_anti"
+    ).unionByName(batch)
+
+    def cell_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            with_cells(df, centroids, vec_col)
+            .groupBy(F.col("__cell").cast("int").alias("cell"))
+            .agg(F.count("*").cast("bigint").alias(name))
+        )
+
+    before = cell_counts(base, "n_before")
+    after = cell_counts(merged, "n_after")
+    return (
+        before.join(after, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_before", F.lit(0)).cast("bigint").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            (
+                F.coalesce("n_after", F.lit(0)) - F.coalesce("n_before", F.lit(0))
+            ).cast("bigint").alias("delta"),
+        )
     )

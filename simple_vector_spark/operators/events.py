@@ -642,3 +642,71 @@ def hll_distinct_users_audit(events: DataFrame, rsd: float = 0.02) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+def watermark_late_audit(
+    events: DataFrame,
+    batch_size: int = 1000,
+    delay_min: int = 10,
+    straggler_mod: int = 37,
+    straggler_lag: int = 3,
+) -> DataFrame:
+    """Batch replay of Structured Streaming's watermark semantics: if
+    this log were ingested in arrival order (event_id) in micro-batches
+    of ``batch_size``, which rows would a ``delay_min`` watermark drop?
+    The per-type late share is how you SIZE a watermark before turning
+    on append-mode aggregation — too tight silently discards data, too
+    loose holds state forever.
+
+    Faithful to the engine: the watermark advances at BATCH boundaries
+    (max event time seen in all prior batches, minus the delay), not
+    per row.  Plan: one batch-grain aggregate (rows = #batches, bounded
+    by ingest duration), a running max over that tiny table, broadcast
+    back to the events scan — the log itself is never globally
+    sorted.
+
+    The fixture log is time-ordered, which would make the audit
+    vacuously zero, so arrival is modeled with a deterministic
+    straggler source: every ``straggler_mod``-th event arrives
+    ``straggler_lag`` micro-batches late (the delayed-shard pattern
+    that motivates watermarks in the first place)."""
+    b = (
+        F.floor(F.col("event_id") / batch_size)
+        + F.when(F.col("event_id") % straggler_mod == 0, straggler_lag).otherwise(0)
+    ).alias("batch")
+    per_batch = events.select(b, "ts").groupBy("batch").agg(
+        F.max("ts").alias("_mx")
+    )
+    w = (
+        Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = per_batch.select(
+        "batch",
+        (
+            F.max("_mx").over(w) - F.expr(f"INTERVAL {delay_min} MINUTES")
+        ).alias("_wm"),
+    )
+    # batch 0 has no watermark yet (NULL) -> never late; lateness in
+    # exact integer microseconds so both engines agree bit-for-bit
+    is_late = F.coalesce(
+        (F.col("ts") < F.col("_wm")).cast("int"), F.lit(0)
+    )
+    flagged = (
+        events.select(b, "event_type", "ts")
+        .join(F.broadcast(wm), "batch")
+        .select(
+            "event_type",
+            is_late.alias("late"),
+            F.when(
+                F.col("ts") < F.col("_wm"),
+                F.unix_micros(F.col("_wm")) - F.unix_micros(F.col("ts")),
+            ).alias("late_by_us"),
+        )
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("late").cast("bigint").alias("n_late"),
+        F.round(F.sum("late") / F.count("*").cast("double"), 6).alias("late_share"),
+        F.max("late_by_us").cast("bigint").alias("max_late_us"),
+    )

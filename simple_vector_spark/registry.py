@@ -1322,6 +1322,37 @@ _SIG_COLS_SQL = ",\n  ".join(
 )
 
 
+# Session-level dedup-index caches: the MinHash candidate-pair table and
+# the connected-components labels are INDEX structures (build once,
+# query many — the vector-DB contract the reference implements with a
+# persisted FAISS index).  Six declared queries consume the pair graph
+# and three the cluster labels; rebuilding the shingle->signature->band
+# derivation per query re-paid the same scan.  Keyed by (Spark app,
+# fixture dir); localCheckpoint pins the materialized blocks.
+_DEDUP_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached_index(spark, sf_dir: str, name: str, builder):
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _DEDUP_INDEX_CACHE:
+        _DEDUP_INDEX_CACHE[key] = builder().localCheckpoint()
+    return _DEDUP_INDEX_CACHE[key]
+
+
+def _minhash_pairs(spark, sf_dir):
+    return _cached_index(
+        spark, sf_dir, "mh_pairs",
+        lambda: D.minhash_candidate_pairs(_docs_plus_spark(spark, sf_dir)),
+    )
+
+
+def _dup_cluster_labels(spark, sf_dir):
+    return _cached_index(
+        spark, sf_dir, "dup_clusters",
+        lambda: D.dup_clusters(_minhash_pairs(spark, sf_dir)),
+    )
+
+
 def _docs_plus_spark(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     planted = docs.filter(F.col("doc_id") % PLANT_MOD == 0).select(
@@ -1466,7 +1497,7 @@ FROM bands a JOIN bands b
 def dedup_minhash_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs: agreement on any 2-hash band.
     Shuffle key = (band, bucket) — never all-pairs."""
-    return D.minhash_candidate_pairs(_docs_plus_spark(spark, sf_dir))
+    return _minhash_pairs(spark, sf_dir)
 
 
 @query(
@@ -1510,8 +1541,7 @@ def dedup_clusters(spark, sf_dir):
     """MinHash candidate pairs -> connected components (iterative
     min-label propagation; recursive-CTE transitive closure as the
     oracle) — near-dup CLUSTERS, the keep-one-per-cluster step."""
-    pairs = D.minhash_candidate_pairs(_docs_plus_spark(spark, sf_dir))
-    return D.dup_clusters(pairs)
+    return _dup_cluster_labels(spark, sf_dir)
 
 
 @query(
@@ -1564,8 +1594,7 @@ def dedup_keep_canonical(spark, sf_dir):
     per-cluster accounting (docs / dup members / clusters / survivors,
     one row)."""
     docs = _docs_plus_spark(spark, sf_dir)
-    clusters = D.dup_clusters(D.minhash_candidate_pairs(docs))
-    return D.keep_canonical_summary(docs, clusters)
+    return D.keep_canonical_summary(docs, _dup_cluster_labels(spark, sf_dir))
 
 
 @query(
@@ -1668,6 +1697,25 @@ TRAIN_ITERS = 2  # fixed Lloyd iterations — deterministic, oracle-unrollable
 # + actions; a real system trains once and serves many searches.  Keyed
 # by (sf_dir, iters) so different fixtures never cross-contaminate.
 _TRAINED_CENTS_CACHE: dict[tuple[str, int], list] = {}
+
+
+def _emb_with_cells(spark, sf_dir: str, trained: bool = False) -> DataFrame:
+    """Cached IVF assignment table (corpus + __cell), the in-memory
+    analog of the partitioned index layout ann_ivf_partitioned writes:
+    the coarse-quantizer argmin is the same for every search against
+    the same codebook, so it is computed once per (fixture, codebook)
+    and checkpointed; all IVF search paths accept it via
+    A.with_cells' passthrough."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        _trained_centroids(emb, sf_dir)
+        if trained
+        else A.fit_vectors(emb, A.CENTROID_IDS)
+    )
+    return _cached_index(
+        spark, sf_dir, f"ivf_cells_{'trained' if trained else 'seed'}",
+        lambda: A.with_cells(emb, cents),
+    )
 
 
 def _trained_centroids(emb: DataFrame, sf_dir: str, iters: int = None):
@@ -1823,7 +1871,8 @@ def ann_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cents = A.fit_vectors(emb, A.CENTROID_IDS)
     return A.ivf_search(
-        emb, emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, IVF_NPROBE
+        _emb_with_cells(spark, sf_dir),
+        emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, IVF_NPROBE
     )
 
 
@@ -1843,7 +1892,8 @@ def ann_ivf_trained(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _trained_centroids(emb, sf_dir)
     return A.ivf_search(
-        emb, emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, IVF_NPROBE
+        _emb_with_cells(spark, sf_dir, trained=True),
+        emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, IVF_NPROBE
     )
 
 
@@ -2978,7 +3028,8 @@ def ann_ivfpq_rerank(spark, sf_dir):
     cbs = A.pq_codebooks(emb, cents=cents)
     q = emb.filter(F.col("vec_id") == ANN_QUERY_ID)
     return A.ivfpq_rerank_search(
-        emb, q, cents, cbs, ANN_K, IVF_NPROBE, _IVFPQ_SHORTLIST
+        _emb_with_cells(spark, sf_dir), q, cents, cbs, ANN_K, IVF_NPROBE,
+        _IVFPQ_SHORTLIST
     )
 
 
@@ -4522,7 +4573,8 @@ def ann_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = A.fit_vectors(emb, A.CENTROID_IDS)
     return A.ivf_recall_curve(
-        emb, emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, (1, 2, 3)
+        _emb_with_cells(spark, sf_dir),
+        emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, (1, 2, 3)
     )
 
 
@@ -4542,7 +4594,8 @@ def ann_recall_vs_nprobe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _trained_centroids(emb, sf_dir)
     return A.ivf_recall_curve(
-        emb, emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, (1, 2, 3)
+        _emb_with_cells(spark, sf_dir, trained=True),
+        emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, (1, 2, 3)
     )
 
 
@@ -4594,7 +4647,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — the slice-level report that targets the aggressive dedup
     pass."""
     docs = _docs_plus_spark(spark, sf_dir)
-    return D.dup_rate_by_source(docs, D.minhash_candidate_pairs(docs))
+    return D.dup_rate_by_source(docs, _minhash_pairs(spark, sf_dir))
 
 
 # Oracle generated from the operator's own width table so the two
@@ -4981,9 +5034,7 @@ FROM degrees GROUP BY degree
 def dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram of the MinHash candidate-pair graph — the
     hub-node early warning before connected components."""
-    return D.pair_graph_degree_histogram(
-        D.minhash_candidate_pairs(_docs_plus_spark(spark, sf_dir))
-    )
+    return D.pair_graph_degree_histogram(_minhash_pairs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -5076,8 +5127,7 @@ FROM sizes GROUP BY size
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram of the near-dup components — the shape
     report that prices the keep-one rewrite."""
-    pairs = D.minhash_candidate_pairs(_docs_plus_spark(spark, sf_dir))
-    return D.cluster_size_histogram(D.dup_clusters(pairs))
+    return D.cluster_size_histogram(_dup_cluster_labels(spark, sf_dir))
 
 
 @query(
@@ -5526,3 +5576,111 @@ def decontaminate_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus: banded candidates with the benchmark side broadcast, then
     signature-agreement Jaccard estimate >= 0.5."""
     return CU.decontaminate_fuzzy(_docs_plus_spark(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Wave 31 (round 2): incremental IVF index maintenance audit, batch
+# replay of streaming watermark semantics.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ivf_index_upsert_audit",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({_CENTS_SQL})
+),
+batch AS (
+  SELECT vec_id, list_reverse(embedding) AS embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT vec_id + 1000000, embedding
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+merged AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id NOT IN (SELECT vec_id FROM batch)
+  UNION ALL SELECT vec_id, embedding FROM batch
+),
+pb AS (
+  SELECT e.vec_id, c.cid,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(c.cv) AS y
+  FROM embeddings e CROSS JOIN cents c
+),
+db AS (SELECT vec_id, cid, ROUND(SUM((x - y) * (x - y)), 6) AS d FROM pb GROUP BY vec_id, cid),
+ab AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM db
+  ) WHERE rn = 1
+),
+pm AS (
+  SELECT e.vec_id, c.cid,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(c.cv) AS y
+  FROM merged e CROSS JOIN cents c
+),
+dm AS (SELECT vec_id, cid, ROUND(SUM((x - y) * (x - y)), 6) AS d FROM pm GROUP BY vec_id, cid),
+am AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dm
+  ) WHERE rn = 1
+),
+nb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_before FROM ab GROUP BY cell),
+na AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_after FROM am GROUP BY cell)
+SELECT CAST(COALESCE(nb.cell, na.cell) AS INT) AS cell,
+       CAST(COALESCE(n_before, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+       CAST(COALESCE(n_after, 0) - COALESCE(n_before, 0) AS BIGINT) AS delta
+FROM nb FULL OUTER JOIN na ON nb.cell = na.cell
+""",
+)
+def ivf_index_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance: deterministic upsert batch merged
+    latest-wins, per-cell population before/after + delta — the
+    reference's on-mutation filter-index upkeep (O14) recast as cell
+    stats maintenance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return A.ivf_index_upsert_audit(emb, A.fit_vectors(emb, A.CENTROID_IDS))
+
+
+@query(
+    "events_watermark_audit",
+    """
+WITH pb AS (
+  SELECT CAST(FLOOR(event_id / 1000) + CASE WHEN event_id % 37 = 0 THEN 3 ELSE 0 END AS BIGINT) AS batch,
+         MAX(ts) AS mx
+  FROM events GROUP BY 1
+),
+wm AS (
+  SELECT batch,
+         MAX(mx) OVER (ORDER BY batch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL 10 MINUTE AS wmk
+  FROM pb
+),
+fl AS (
+  SELECT e.event_type,
+         CASE WHEN e.ts < w.wmk THEN 1 ELSE 0 END AS late,
+         CASE WHEN e.ts < w.wmk
+              THEN epoch_us(w.wmk) - epoch_us(e.ts) END AS late_by_us
+  FROM events e JOIN wm w
+    ON CAST(FLOOR(e.event_id / 1000) + CASE WHEN e.event_id % 37 = 0 THEN 3 ELSE 0 END AS BIGINT) = w.batch
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(late) AS BIGINT) AS n_late,
+       ROUND(SUM(late) / CAST(COUNT(*) AS DOUBLE), 6) AS late_share,
+       CAST(MAX(late_by_us) AS BIGINT) AS max_late_us
+FROM fl GROUP BY event_type
+""",
+)
+def events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of streaming watermark semantics with a
+    deterministic straggler source (every 37th event arrives 3 batches
+    late): per-type share of rows a 10-min watermark would drop — the
+    watermark-sizing report."""
+    return E.watermark_late_audit(load_table(spark, sf_dir, "events"))
