@@ -341,3 +341,41 @@ def decontaminate_fuzzy(
         )
         .filter(F.col("est_jaccard") >= min_est)
     )
+
+
+def split_leakage_audit(cluster_labels: DataFrame) -> DataFrame:
+    """Dedup-aware split hygiene: a near-dup cluster whose members land
+    in DIFFERENT train/val/test splits leaks training text into
+    evaluation — the contamination mode that survives naive
+    per-document hash splitting (copies hash differently).  Input is
+    the connected-components label table; each member gets the same
+    md5 split gate as split_audit, then clusters are scored by how
+    many distinct splits they span.
+
+    One row out: cluster count, leaky-cluster count, documents at
+    risk, leak rate.  Two tiny aggregates over the label table (the
+    cluster graph, not the corpus) — the fix at scale is to split by
+    CLUSTER id instead of doc id, which this audit is the case for."""
+    from ..functions.text import md5_int
+
+    gate = md5_int(F.col("node").cast("string")) % 100
+    split = (
+        F.when(gate < TRAIN_PCT, "train")
+        .when(gate < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    per = (
+        cluster_labels.select("cluster", split.alias("split"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+    )
+    leaky = (F.col("n_splits") > 1).cast("long")
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(leaky).cast("bigint").alias("n_leaky"),
+        F.sum(F.col("n_members") * leaky).cast("bigint").alias("n_docs_at_risk"),
+        F.round(F.sum(leaky) / F.count("*").cast("double"), 6).alias("leak_rate"),
+    )

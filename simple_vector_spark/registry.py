@@ -1500,10 +1500,10 @@ def dedup_minhash_pairs(spark, sf_dir):
     return _minhash_pairs(spark, sf_dir)
 
 
-@query(
-    "dedup_clusters",
-    f"""
-WITH RECURSIVE {_DOCS_PLUS_SQL},
+# Shared recursive-CTE chain ending in ``labels(node, cluster)`` — the
+# transitive-closure oracle for the MinHash cluster labels, used by
+# dedup_clusters and the split-leakage audit (one source of truth).
+_CLUSTER_LABELS_CTES = f"""{_DOCS_PLUS_SQL},
 {_TOKS_SQL},
 sigs AS (
   SELECT doc_id,
@@ -1533,8 +1533,17 @@ reach(a, b) AS (
   SELECT src, dst FROM edges
   UNION
   SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
-)
-SELECT a AS node, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+),
+labels AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+)"""
+
+
+@query(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_CLUSTER_LABELS_CTES}
+SELECT node, cluster FROM labels
 """,
 )
 def dedup_clusters(spark, sf_dir):
@@ -5684,3 +5693,36 @@ def events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     late): per-type share of rows a 10-min watermark would drop — the
     watermark-sizing report."""
     return E.watermark_late_audit(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "split_leakage_audit",
+    f"""
+WITH RECURSIVE {_CLUSTER_LABELS_CTES},
+sp AS (
+  SELECT cluster,
+         CASE WHEN h < {CU.TRAIN_PCT} THEN 'train'
+              WHEN h < {CU.VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT node, cluster,
+           CAST(concat('0x', substr(md5(CAST(node AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+    FROM labels
+  )
+),
+per AS (
+  SELECT cluster, COUNT(*) AS n_members, COUNT(DISTINCT split) AS n_splits
+  FROM sp GROUP BY cluster
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+       CAST(SUM(CASE WHEN n_splits > 1 THEN n_members ELSE 0 END) AS BIGINT) AS n_docs_at_risk,
+       ROUND(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS leak_rate
+FROM per
+""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware split hygiene: near-dup clusters spanning more than
+    one train/val/test split = eval leakage the per-doc hash split
+    cannot see; reuses the cached cluster labels."""
+    return CU.split_leakage_audit(_dup_cluster_labels(spark, sf_dir))

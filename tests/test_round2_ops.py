@@ -206,3 +206,47 @@ def test_fuzzy_decontamination_flags_planted_copies(spark, sf_dir):
     for orig in planted_orig:
         copy_id = orig + 1_000_000
         assert flagged.get((copy_id, orig)) == 1.0, (copy_id, orig)
+
+
+def test_ivf_upsert_audit_delta_accounting(spark, sf_dir):
+    """Deltas must sum to exactly the number of inserted rows (updates
+    move mass between cells, net zero; inserts add), and totals must
+    match the merged corpus size."""
+    from simple_vector_spark.operators import ann as A
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = A.ivf_index_upsert_audit(emb, A.fit_vectors(emb, A.CENTROID_IDS)).collect()
+    n = emb.count()
+    n_ins = emb.filter(F.col("vec_id") % 97 == 0).count()
+    assert sum(r.delta for r in out) == n_ins
+    assert sum(r.n_before for r in out) == n
+    assert sum(r.n_after for r in out) == n + n_ins
+
+
+def test_watermark_audit_straggler_lateness(spark, sf_dir):
+    """Only straggler events (id % 37 == 0) can be late, and with the
+    fixture's inter-event spacing some of them must be."""
+    from simple_vector_spark.operators import events as E
+
+    ev = load_table(spark, sf_dir, "events")
+    out = E.watermark_late_audit(ev).collect()
+    total_late = sum(r.n_late for r in out)
+    n_stragglers = ev.filter(F.col("event_id") % 37 == 0).count()
+    assert 0 < total_late <= n_stragglers
+    for r in out:
+        assert r.n_late <= r.n_events
+        if r.n_late:
+            assert r.max_late_us > 0
+
+
+def test_split_leakage_flags_cross_split_clusters(spark, sf_dir):
+    """The planted copies hash into different splits than their
+    originals often enough that leakage must be non-zero, and every
+    leaky cluster needs >= 2 members."""
+    from simple_vector_spark import registry as REG
+
+    row = REG._QUERIES["split_leakage_audit"](spark, sf_dir).collect()[0]
+    assert row.n_clusters > 0
+    assert 0 < row.n_leaky <= row.n_clusters
+    assert row.n_docs_at_risk >= 2 * row.n_leaky
+    assert 0.0 < row.leak_rate <= 1.0
