@@ -195,3 +195,33 @@ def frame_audit(docs_with_payload: DataFrame) -> DataFrame:
         n_frames.alias("n_frames"),
         F.floor((n_frames + FRAME_STRIDE - 1) / FRAME_STRIDE).cast("long").alias("n_sampled"),
     )
+
+
+AUDIO_RATE = 16_000   # Hz, 16-bit mono PCM assumed
+AUDIO_WIN = 400       # 25 ms analysis window
+AUDIO_HOP = 160       # 10 ms hop
+
+
+def audio_window_audit(docs_with_payload: DataFrame) -> DataFrame:
+    """Audio-modality plumbing (the audio sibling of frame_audit):
+    treat the opaque payload as 16-bit mono PCM at AUDIO_RATE and
+    account the STFT-style framing a feature extractor would emit —
+    sample count, clip duration, and the number of full 25ms/10ms
+    windows (1 + floor((n - win)/hop), zero when the clip is shorter
+    than one window).
+
+    The decode itself stays behind the stubbed codec boundary (this
+    container has no audio libs); the WINDOWING math, schema, and
+    scan-stage arithmetic are the real scale path — all JVM integer
+    expressions off byte_len, no decode, no shuffle before the
+    terminal projection."""
+    n = F.floor(F.col("byte_len") / 2).cast("long")
+    return docs_with_payload.select(
+        "doc_id",
+        n.alias("n_samples"),
+        F.round(n * 1000 / F.lit(AUDIO_RATE), 3).alias("duration_ms"),
+        F.when(n >= AUDIO_WIN, 1 + F.floor((n - AUDIO_WIN) / AUDIO_HOP))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("n_windows"),
+    )

@@ -631,3 +631,71 @@ def winnowing_fingerprints(
             F.count_distinct(F.col("fp")) / F.max("m").cast("double"), 6
         ).alias("density"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc average log-probability under an interpolated BIGRAM LM
+    trained on the corpus itself — one LM order up from
+    unigram_logprob, the next-cheapest perplexity-style quality gate
+    (catches shuffled-word salads that unigram statistics cannot):
+    p(w2|w1) = lam * c(w1 w2)/c(w1 ·) + (1-lam) * c(· w2)/N, all
+    counts over the corpus bigram table (self-consistent conditional
+    MLE with unigram-prior smoothing so unseen contexts never hit
+    log 0 inside a doc — every doc bigram exists in the corpus table
+    by construction, but the interpolation is what a held-out scorer
+    would need).
+
+    Plan: ONE tokenize pass builds the per-doc bigram occurrence table
+    (the checkpointed compressed corpus — same rationale as
+    unigram_logprob's tf table); conditional, prior, and total all
+    fold off it with key-bounded shuffles (w1, w2); the per-doc score
+    is one more join + groupBy.  ROUND 4 on the ln-average (libm
+    last-ulp rule)."""
+    from ..sources.loaders import fan_out
+
+    toks = tokens(F.col(text_col))
+    last = F.size(toks) - 2
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), last),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        fan_out(docs.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    big = bg.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.sum("c").alias("c1"))
+    nxt = bg.groupBy("w2").agg(F.sum("c").alias("c2"))
+    total = bg.agg(F.sum("c").cast("double").alias("n_total"))
+    p = (
+        F.lit(lam) * (F.col("c12") / F.col("c1"))
+        + F.lit(1.0 - lam) * (F.col("c2") / F.col("n_total"))
+    )
+    return (
+        bg.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(nxt, "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * F.log(p)) / F.sum("c"), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -5726,3 +5726,57 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one train/val/test split = eval leakage the per-doc hash split
     cannot see; reuses the cached cluster labels."""
     return CU.split_leakage_audit(_dup_cluster_labels(spark, sf_dir))
+
+
+@query(
+    "multimodal_audio_windows",
+    f"""
+SELECT doc_id,
+       CAST(floor(octet_length(encode(text)) / 2) AS BIGINT) AS n_samples,
+       ROUND(floor(octet_length(encode(text)) / 2) * 1000 / {MM.AUDIO_RATE}, 3) AS duration_ms,
+       CAST(CASE WHEN floor(octet_length(encode(text)) / 2) >= {MM.AUDIO_WIN}
+                 THEN 1 + floor((floor(octet_length(encode(text)) / 2) - {MM.AUDIO_WIN}) / {MM.AUDIO_HOP})
+                 ELSE 0 END AS BIGINT) AS n_windows
+FROM documents
+""",
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing accounting off byte_len alone (25ms window / 10ms
+    hop @16kHz PCM16): the STFT fan-out contract, decode stubbed."""
+    return MM.audio_window_audit(
+        MM.with_payload(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@query(
+    "doc_bigram_logprob",
+    f"""
+WITH t AS (SELECT doc_id, {_TK_SQL} AS tk FROM documents),
+bg AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS c
+  FROM (
+    SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+    FROM t, UNNEST(range(1, len(tk))) AS u(i)
+  ) GROUP BY doc_id, w1, w2
+),
+big AS (SELECT w1, w2, SUM(c) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c) AS c1 FROM bg GROUP BY w1),
+nxt AS (SELECT w2, SUM(c) AS c2 FROM bg GROUP BY w2),
+total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM bg)
+SELECT bg.doc_id,
+       CAST(SUM(bg.c) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(bg.c * ln(0.7 * (big.c12 / ctx.c1) + 0.3 * (nxt.c2 / tt.n_total)))
+             / SUM(bg.c), 4) AS avg_logprob
+FROM bg
+JOIN big USING (w1, w2)
+JOIN ctx USING (w1)
+JOIN nxt USING (w2)
+CROSS JOIN total tt
+GROUP BY bg.doc_id
+""",
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score (0.7 conditional + 0.3
+    unigram prior) — the word-order-aware sibling of
+    doc_unigram_logprob, off one checkpointed bigram table."""
+    return T.bigram_logprob(load_table(spark, sf_dir, "documents"))

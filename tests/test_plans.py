@@ -171,3 +171,56 @@ def test_pareto_ntile_ranks_aggregate_not_fact(spark, sf_dir):
     assert "ExistingRDD" in plan  # checkpointed per-customer rank table
     assert "BroadcastHashJoin" in plan  # offsets/totals attach broadcast
     assert "Exchange rangepartitioning" not in plan or "Sort" not in plan
+
+
+def test_q2_dims_broadcast_single_window_shuffle(spark, sf_dir):
+    """Q2 literal: part/supplier/nation/region all broadcast; the only
+    wide exchanges are the partsupp partial agg and the partkey
+    window — never a SortMergeJoin of the fact against a dim."""
+    plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+
+
+def test_q4_exists_is_left_semi_with_pushed_quarter(spark, sf_dir):
+    """Q4 literal: EXISTS lowered to LEFT SEMI (no row duplication) and
+    the quarter filter reaches the orders scan."""
+    plan = plan_of(spark, sf_dir, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    orders = next(s for s in scans if "orders.parquet" in s)
+    assert "o_orderdate" in orders and "GreaterThanOrEqual" in orders
+
+
+def test_winnowing_single_doc_shuffle(spark, sf_dir):
+    """Winnowing: one hash exchange on doc_id feeds both the bounded
+    ROWS window and the final per-doc aggregate — no second wide
+    shuffle of gram rows, no single-partition window."""
+    plan = plan_of(spark, sf_dir, "doc_winnowing_fingerprints")
+    assert "RowFrame, currentrow$(), 3" in plan  # bounded w-row frame
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # doc_id only
+
+
+def test_adaptive_filter_sparse_branch_pushes_label(spark, sf_dir):
+    """The pre-filter branch must push the label predicate to the scan
+    and top-k via TakeOrderedAndProject (the knn_filtered_eq shape)."""
+    plan = plan_of(spark, sf_dir, "ann_adaptive_filter")
+    assert "TakeOrderedAndProject" in plan
+    assert "(label" in plan
+
+
+def test_scd2_single_user_exchange_feeds_all_windows(spark, sf_dir):
+    """Gaps-and-islands: exactly one hashpartitioning(user_id) exchange
+    for the lag/sum windows; no single-partition window anywhere."""
+    plan = plan_of(spark, sf_dir, "events_user_state_scd2")
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") >= 1
+
+
+def test_fuzzy_decontamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark band table must broadcast — the corpus is never
+    shuffled for candidate generation."""
+    plan = plan_of(spark, sf_dir, "decontaminate_fuzzy_minhash")
+    assert "BroadcastHashJoin" in plan
