@@ -710,3 +710,32 @@ def watermark_late_audit(
         F.round(F.sum("late") / F.count("*").cast("double"), 6).alias("late_share"),
         F.max("late_by_us").cast("bigint").alias("max_late_us"),
     )
+
+
+def dau_mau_stickiness(events: DataFrame) -> DataFrame:
+    """Stickiness (avg DAU / WAU) per ISO week — the engagement KPI
+    that normalizes daily actives by the period reach (week grain: the
+    fixture log spans one month).  Exact distincts: one (week, day,
+    user) dedup feeds both the daily counts and the weekly distinct —
+    key-bounded shuffles, final join on #weeks rows."""
+    ud = events.select(
+        F.date_trunc("week", "ts").alias("m"),
+        F.to_date("ts").alias("d"),
+        "user_id",
+    ).distinct()
+    daily = ud.groupBy("m", "d").agg(F.count_distinct("user_id").alias("dau"))
+    avg_dau = daily.groupBy("m").agg(
+        (F.sum("dau") / F.count("*")).alias("_avg_dau"),
+        F.count("*").alias("n_days"),
+    )
+    mau = ud.groupBy("m").agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        avg_dau.join(mau, "m")
+        .select(
+            F.date_format("m", "yyyy-MM-dd").alias("week"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.round(F.col("_avg_dau"), 6).alias("avg_dau"),
+            F.col("mau").cast("bigint").alias("wau"),
+            F.round(F.col("_avg_dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )

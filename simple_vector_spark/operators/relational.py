@@ -1535,3 +1535,111 @@ def tpch_q4_order_priority(
         late.groupBy("o_orderpriority")
         .agg(F.count("*").cast("bigint").alias("order_count"))
     )
+
+
+def brand_affinity(
+    lineitem: DataFrame, part: DataFrame, min_pairs: int = 10
+) -> DataFrame:
+    """Market-basket affinity between part brands: for every brand pair
+    co-purchased in one order, the co-occurrence count and the LIFT
+    (observed co-purchase rate / rate expected under independence) —
+    the cross-sell / bundling signal.
+
+    Plan: brands broadcast into the fact scan, ONE orderkey shuffle
+    builds each order's distinct sorted brand set, and pairs explode
+    from the set IN-EXPRESSION (combinations of a per-order array,
+    quadratic in basket size — max 11 here — never in orders).
+    Supports and the pair counts are two bounded aggregates
+    (|brands|² keys).  Exact integer counts; lift is one f64 division
+    ROUNDed."""
+    ob = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    sets = ob.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("bs")
+    ).localCheckpoint()
+    n_orders = sets.count()
+    idx = F.sequence(F.lit(1), F.size(F.col("bs")))
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.slice(F.col("bs"), i + 1, F.size(F.col("bs"))),
+                        lambda b: F.struct(
+                            F.element_at(F.col("bs"), i).alias("brand_a"),
+                            b.alias("brand_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.brand_a", "p.brand_b")
+    pair_counts = pairs.groupBy("brand_a", "brand_b").agg(
+        F.count("*").cast("bigint").alias("n_ab")
+    )
+    support = ob.groupBy("p_brand").agg(F.count("*").alias("n_orders_with"))
+    sa = support.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_orders_with").alias("n_a")
+    )
+    sb = support.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_orders_with").alias("n_b")
+    )
+    return (
+        pair_counts.filter(F.col("n_ab") >= min_pairs)
+        .join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * F.lit(float(n_orders))
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def revenue_ewma(orders: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Monthly revenue with its exponentially weighted moving average
+    (EWMA, y_t = α·x_t + (1-α)·y_{t-1}, seeded y_0 = x_0) — the
+    smoothed trend line under the seasonality/anomaly reports.
+
+    The recursion is evaluated CLOSED-FORM over the monthly aggregate
+    (z_i = x_i·q^{-i}, y_t = q^t[(1-α)z_0 + α·S_t] with one prefix
+    window sum) — no driver-side loop.  The q^{-i} rescaling bounds
+    the method to series of a few hundred points before f64 overflow;
+    re-seed per window at longer horizons.  The window rides on
+    #months rows (bounded per unit time), and money enters the f64
+    formula from exact DECIMAL sums, ROUNDed at the end."""
+    q = 1.0 - alpha
+    monthly = (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(F.sum(_dec("o_totalprice")).alias("_rev"))
+    )
+    w = Window.orderBy("month")
+    t = (F.row_number().over(w) - 1).cast("double")
+    z = F.col("_rev").cast("double") * F.pow(F.lit(q), -t)
+    with_z = monthly.select(
+        "month", "_rev", t.alias("_t"), z.alias("_z")
+    )
+    ws = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
+    s = F.sum("_z").over(ws)
+    z0 = F.first("_z").over(ws)
+    return with_z.select(
+        "month",
+        F.col("_rev").cast(DEC_PRICE).alias("revenue"),
+        F.round(
+            F.pow(F.lit(q), F.col("_t")) * (F.lit(alpha) * (s - z0) + z0),
+            2,
+        ).alias("ewma"),
+    )

@@ -5780,3 +5780,93 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram prior) — the word-order-aware sibling of
     doc_unigram_logprob, off one checkpointed bigram table."""
     return T.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 32 (round 2): market-basket brand affinity, EWMA revenue trend,
+# DAU/MAU stickiness.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_brand_affinity",
+    """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM ob),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+),
+sup AS (SELECT p_brand, COUNT(*) AS n_with FROM ob GROUP BY 1)
+SELECT brand_a, brand_b, n_ab,
+       ROUND(n_ab * n.n_orders / (sa.n_with * sb.n_with), 6) AS lift
+FROM pairs
+JOIN sup sa ON sa.p_brand = brand_a
+JOIN sup sb ON sb.p_brand = brand_b
+CROSS JOIN n
+WHERE n_ab >= 10
+""",
+)
+def lineitem_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between co-purchased brands: in-expression
+    pair explosion off per-order sorted brand sets (quadratic in
+    basket size, never in orders)."""
+    return R.brand_affinity(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "orders_revenue_ewma",
+    """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS rev
+  FROM orders GROUP BY 1
+),
+z AS (
+  SELECT month, rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY month) - 1 AS DOUBLE) AS t,
+         CAST(rev AS DOUBLE) * power(0.7, -(ROW_NUMBER() OVER (ORDER BY month) - 1)) AS zz
+  FROM monthly
+)
+SELECT month, CAST(rev AS DECIMAL(15,2)) AS revenue,
+       ROUND(power(0.7, t) * (0.3 * (SUM(zz) OVER w - FIRST_VALUE(zz) OVER w)
+                              + FIRST_VALUE(zz) OVER w), 2) AS ewma
+FROM z
+WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def orders_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue EWMA (alpha 0.3) via the closed-form prefix-sum
+    rescaling — recursive smoothing with no driver loop."""
+    return R.revenue_ewma(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "events_dau_mau",
+    """
+WITH ud AS (
+  SELECT DISTINCT date_trunc('week', ts) AS m, CAST(ts AS DATE) AS d, user_id
+  FROM events
+),
+daily AS (SELECT m, d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY m, d),
+ad AS (SELECT m, SUM(dau) / COUNT(*) AS avg_dau, CAST(COUNT(*) AS BIGINT) AS n_days
+       FROM daily GROUP BY m),
+wau AS (SELECT m, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau FROM ud GROUP BY m)
+SELECT strftime(ad.m, '%Y-%m-%d') AS week, n_days,
+       ROUND(avg_dau, 6) AS avg_dau, wau.wau,
+       ROUND(avg_dau / wau.wau, 6) AS stickiness
+FROM ad JOIN wau ON ad.m = wau.m
+""",
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per ISO week — exact distincts off one
+    (week, day, user) dedup."""
+    return E.dau_mau_stickiness(load_table(spark, sf_dir, "events"))

@@ -101,3 +101,39 @@ def test_exact_dedup_keeps_one_per_distinct_text(spark, texts):
     for i, t in enumerate(texts):
         by_text.setdefault(t, i)
     assert {r.text: r.doc_id for r in kept} == by_text
+
+
+@SET
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    ),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_two_phase_ntile_matches_window_ntile(spark, vals, k):
+    """grouped_ntile (range-partitioned two-phase) must equal Spark's
+    own ntile(k).over(Window.orderBy(...)) on arbitrary data — the
+    distributed rewrite may not change a single bucket assignment."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from simple_vector_spark.operators.ranking import grouped_ntile
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.b
+        for r in grouped_ntile(
+            df, [F.col("v").asc(), F.col("id").asc()], k, "b"
+        ).collect()
+    }
+    want = {
+        r.id: r.b
+        for r in df.select(
+            "id",
+            F.ntile(k)
+            .over(Window.orderBy(F.col("v").asc(), F.col("id").asc()))
+            .alias("b"),
+        ).collect()
+    }
+    assert got == want
