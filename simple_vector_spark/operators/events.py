@@ -739,3 +739,42 @@ def dau_mau_stickiness(events: DataFrame) -> DataFrame:
             F.round(F.col("_avg_dau") / F.col("mau"), 6).alias("stickiness"),
         )
     )
+
+
+def markov_stationary(events: DataFrame, iters: int = 10) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain by fixed-iteration power iteration — "where does user
+    behavior settle": the long-run share of each event type implied by
+    the observed transition structure (vs the raw frequency mix).
+
+    The transition MATRIX build is the distributed part (one user_id
+    shuffle, |types|² aggregate — see event_transition_matrix).  The
+    iteration then runs on MODEL state: |types| masses against a
+    |types|² matrix (5x5 here; the event-type vocabulary is bounded,
+    not data-sized), so the matrix is collected like any fitted model
+    parameter (same contract as train_centroids) and iterated in
+    closed driver-side arithmetic.  FIXED iteration count makes the
+    result deterministic and oracle-replayable via unrolled CTEs.
+
+    All arithmetic is in integer micro-units (mass and p scaled by
+    1e6, products summed as exact ints, half-away-from-zero carry) so
+    summation ORDER cannot perturb the result — f64 partial sums
+    would differ between engines at the last ulp and compound over
+    iterations."""
+    trans = event_transition_matrix(events).select("prev_type", "next_type", "p")
+    rows = trans.collect()
+    states = sorted({r.prev_type for r in rows} | {r.next_type for r in rows})
+    # p is ROUND(...,6) -> exact integer micro-units
+    p = {(r.prev_type, r.next_type): int(round(r.p * 1e6)) for r in rows}
+    mass = {s: int(round(1e6 / len(states))) for s in states}
+    for _ in range(iters):
+        mass = {
+            t: (sum(mass[s] * p.get((s, t), 0) for s in states) + 500_000)
+            // 1_000_000
+            for t in states
+        }
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(s, round(mass[s] / 1e6, 6)) for s in states],
+        "state string, stationary double",
+    )

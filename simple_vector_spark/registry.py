@@ -5870,3 +5870,55 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU stickiness per ISO week — exact distincts off one
     (week, day, user) dedup."""
     return E.dau_mau_stickiness(load_table(spark, sf_dir, "events"))
+
+
+def _markov_stationary_ctes(iters: int) -> str:
+    """v1..vN unrolled power-iteration CTEs in integer micro-units —
+    exact, order-insensitive (see E.markov_stationary)."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""v{i} AS (
+  SELECT t.next_type AS s,
+         CAST(FLOOR((SUM(v.m * t.p6) + 500000) / 1000000) AS BIGINT) AS m
+  FROM v{i - 1} v JOIN trans t ON v.s = t.prev_type
+  GROUP BY t.next_type
+)"""
+        )
+    return ",\n".join(steps)
+
+
+MARKOV_ITERS = 10
+
+@query(
+    "events_markov_stationary",
+    f"""
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+trans AS (
+  SELECT prev_type, next_type,
+         CAST(ROUND(ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) * 1e6) AS BIGINT) AS p6
+  FROM counts
+),
+states AS (
+  SELECT prev_type AS s FROM trans UNION SELECT next_type FROM trans
+),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+v0 AS (SELECT s, CAST(ROUND(1000000.0 / k) AS BIGINT) AS m FROM states CROSS JOIN ns),
+{_markov_stationary_ctes(MARKOV_ITERS)}
+SELECT s AS state, ROUND(m / 1e6, 6) AS stationary FROM v{MARKOV_ITERS}
+""",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run event-type mix: {MARKOV_ITERS} exact-integer power
+    iterations over the distributed-built transition matrix (matrix =
+    model parameters, |types|^2-bounded; the corpus-side work is the
+    one user_id shuffle)."""
+    return E.markov_stationary(load_table(spark, sf_dir, "events"), MARKOV_ITERS)
