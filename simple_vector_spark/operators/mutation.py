@@ -125,3 +125,58 @@ def restore(spark, path: str) -> DataFrame:
     the latest-wins merge from the source-of-truth log reproduces any
     state; streaming jobs get exactly-once from checkpointLocation."""
     return spark.read.parquet(path)
+
+
+def compaction_audit(
+    log: DataFrame,
+    keys: list[str],
+    order: list[str],
+    op_col: str,
+    tombstone: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Log-compaction audit — the decision input for when to cut a
+    snapshot (O18) instead of replaying an ever-growing WAL (the
+    reference rewrites the FULL index every snapshot and replays the
+    whole log on recovery, `src/persistence.cc:84-135`,
+    `doc/persistence.md:9` "no incremental/dirty check (todo)"; this
+    audit is that missing dirty check): per key-bucket, how many log
+    records are DEAD — superseded by a later op or tombstoned — and
+    the rewrite payoff (dead ratio).  Buckets are the snapshot's
+    partition layout (hash of key), so each row prices compacting one
+    partition file.
+
+    One shuffle by key for the latest-op window, then a bucket-bounded
+    aggregate; the log is scanned once."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order]
+    )
+    r = log.select(
+        *keys,
+        F.col(op_col),
+        F.row_number().over(w).alias("_rn"),
+    )
+    live = (
+        (F.col("_rn") == 1) & (F.col(op_col) != tombstone)
+    ).cast("long")
+    per_key = r.groupBy(*keys).agg(
+        F.count("*").alias("_n_records"),
+        F.max(live).alias("_live"),
+    )
+    bucket = F.pmod(F.col(keys[0]), F.lit(n_buckets)).cast("int")
+    return (
+        per_key.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("_n_records").cast("bigint").alias("n_records"),
+            F.sum("_live").cast("bigint").alias("n_live_keys"),
+            (F.sum("_n_records") - F.sum("_live")).cast("bigint").alias("n_dead_records"),
+            F.round(
+                (F.sum("_n_records") - F.sum("_live"))
+                / F.sum("_n_records").cast("double"),
+                6,
+            ).alias("dead_ratio"),
+        )
+    )

@@ -5922,3 +5922,35 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     model parameters, |types|^2-bounded; the corpus-side work is the
     one user_id shuffle)."""
     return E.markov_stationary(load_table(spark, sf_dir, "events"), MARKOV_ITERS)
+
+
+@query(
+    "wal_compaction_audit",
+    """
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+per_key AS (
+  SELECT user_id, COUNT(*) AS n_records,
+         MAX(CASE WHEN rn = 1 AND event_type != 'error' THEN 1 ELSE 0 END) AS live
+  FROM r GROUP BY user_id
+)
+SELECT CAST(user_id % 32 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n_records) AS BIGINT) AS n_records,
+       CAST(SUM(live) AS BIGINT) AS n_live_keys,
+       CAST(SUM(n_records) - SUM(live) AS BIGINT) AS n_dead_records,
+       ROUND((SUM(n_records) - SUM(live)) / CAST(SUM(n_records) AS DOUBLE), 6) AS dead_ratio
+FROM per_key GROUP BY 1
+""",
+)
+def wal_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket dead-record ratio of the WAL — the dirty check the
+    reference's always-full snapshot rewrite lacks (doc/persistence.md:9);
+    prices compacting each snapshot partition."""
+    return M.compaction_audit(
+        load_table(spark, sf_dir, "events"),
+        ["user_id"], ["ts", "event_id"], "event_type", "error",
+    )
