@@ -991,33 +991,35 @@ def ivf_index_upsert_audit(
     latest-wins into the corpus, then report per-cell population
     before/after with the delta.
 
-    Scale note: the full re-assignment here doubles as verification at
-    fixture scale; the INCREMENTAL contract is that only the batch
-    rows need cell assignment (their old/new cells give the deltas to
-    merge into the stats table) — the audit's delta column is exactly
-    that merge input.  One scan per side, two tiny cell aggregates,
-    broadcast full-outer on ≤k cells."""
-    base = emb.select(id_col, vec_col)
+    INCREMENTAL contract: only the BATCH rows are ever assigned a
+    cell here — untouched corpus rows keep the assignment they already
+    carry (``with_cells`` passthrough; pass the cached/checkpointed
+    index table and the before-counts are a read of existing state).
+    One batch-sized assignment, two tiny cell aggregates, broadcast
+    full-outer on ≤k cells — the audit costs O(batch), not
+    O(corpus)."""
+    assigned = with_cells(emb, centroids, vec_col)
+    base = assigned.select(id_col, vec_col, "__cell")
     updates = base.filter(F.col(id_col) % upd_mod == 0).select(
         id_col, F.reverse(F.col(vec_col)).alias(vec_col)
     )
     inserts = base.filter(F.col(id_col) % ins_mod == 0).select(
         (F.col(id_col) + ins_shift).alias(id_col), vec_col
     )
-    batch = updates.unionByName(inserts)
-    merged = base.join(
-        batch.select(id_col), id_col, "left_anti"
-    ).unionByName(batch)
+    batch_assigned = with_cells(
+        updates.unionByName(inserts), centroids, vec_col
+    )
+    after_assigned = base.join(
+        batch_assigned.select(id_col), id_col, "left_anti"
+    ).unionByName(batch_assigned.select(id_col, vec_col, "__cell"))
 
     def cell_counts(df: DataFrame, name: str) -> DataFrame:
-        return (
-            with_cells(df, centroids, vec_col)
-            .groupBy(F.col("__cell").cast("int").alias("cell"))
-            .agg(F.count("*").cast("bigint").alias(name))
+        return df.groupBy(F.col("__cell").cast("int").alias("cell")).agg(
+            F.count("*").cast("bigint").alias(name)
         )
 
     before = cell_counts(base, "n_before")
-    after = cell_counts(merged, "n_after")
+    after = cell_counts(after_assigned, "n_after")
     return (
         before.join(after, "cell", "full_outer")
         .select(

