@@ -5956,3 +5956,32 @@ def wal_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         ["user_id"], ["ts", "event_id"], "event_type", "error",
     )
+
+
+@query(
+    "stream_watermark_append",
+    """
+WITH ot AS (SELECT ts, value FROM events WHERE event_id % 37 != 0),
+lt AS (SELECT ts, value FROM events WHERE event_id % 37 = 0),
+wm1 AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM ot),
+wm2 AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events),
+inc AS (
+  SELECT ts, value FROM ot
+  UNION ALL
+  SELECT ts, value FROM lt
+  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm1)
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM inc
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm2)
+GROUP BY 1
+""",
+)
+def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode windowed stream over two checkpointed availableNow
+    runs: stragglers (id % 37) arrive in run 2 and are dropped iff
+    their window was finalized by run 1's watermark; the oracle states
+    the drop/emit rules as batch SQL."""
+    return SJ.watermark_append_stream(spark, sf_dir)

@@ -316,3 +316,72 @@ def foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.round(F.col("value"), 6).alias("last_value"),
     )
+
+
+def watermark_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation with REAL late-data drop: the
+    straggler subset (event_id % 37 == 0, the same arrival model as
+    events_watermark_audit) lands in a second availableNow run against
+    the same checkpoint, so the first run's watermark decides its
+    fate — stragglers whose 1h window was already finalized are
+    DROPPED, stragglers whose window is still open are merged.  The
+    two-run shape is exactly a production backfill-then-catchup
+    against a durable checkpoint.
+
+    Deterministic and exactly oracle-replayable: run 1's watermark is
+    max(on-time ts) - 10min (single batch — one file per write), a
+    late row survives iff its window end is beyond that, and the
+    emitted set is every window closed by the final watermark.  The
+    oracle states those rules as batch SQL."""
+    import os
+
+    from ..sources.loaders import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    base = tempfile.mkdtemp(prefix="svs_wm_")
+    src, ckpt, out = (os.path.join(base, d) for d in ("src", "ckpt", "out"))
+    on_time = ev.filter(F.col("event_id") % 37 != 0)
+    late = ev.filter(F.col("event_id") % 37 == 0)
+    on_time.coalesce(1).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run_once():
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema("event_id long, ts timestamp, value double")
+                .parquet(src)
+                .withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("value").cast("decimal(18,6)")).alias("_sv"),
+                )
+                .select(
+                    F.col("w.start").alias("start"),
+                    "n",
+                    F.col("_sv").cast("string").alias("sv"),
+                )
+            )
+            q = (
+                stream.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    run_once()
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    res = spark.read.parquet(out)
+    return res.select(
+        F.date_format("start", TS_FMT).alias("bucket"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sv").cast("decimal(18,6)").cast("double"), 6).alias("sum_value"),
+    )
