@@ -180,3 +180,49 @@ def compaction_audit(
             ).alias("dead_ratio"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    cmp_cols: list[str],
+) -> DataFrame:
+    """CDC changelog between two snapshot versions: per key, classify
+    as inserted / deleted / updated / unchanged — the change-data feed
+    a downstream incremental consumer reads instead of re-scanning the
+    whole new snapshot (the reference has no snapshot diffing at all;
+    recovery always replays everything, src/persistence.cc:84-135).
+
+    One full-outer equi-join on the snapshot key (both sides bucketed
+    by key in a real deployment -> shuffle-free SMJ), comparison
+    columns checked with null-safe equality, then a 4-group count.
+    Output is the op-mix summary; the un-aggregated joined frame IS
+    the changelog if a caller wants rows."""
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("_o_present"),
+        *[F.col(c).alias(f"_o_{c}") for c in cmp_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("_n_present"),
+        *[F.col(c).alias(f"_n_{c}") for c in cmp_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    has_old = F.col("_o_present").isNotNull()
+    has_new = F.col("_n_present").isNotNull()
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    op = (
+        F.when(~has_old, F.lit("insert"))
+        .when(~has_new, F.lit("delete"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        j.select(op.alias("op"))
+        .groupBy("op")
+        .agg(F.count("*").cast("bigint").alias("n_keys"))
+    )

@@ -5985,3 +5985,73 @@ def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     their window was finalized by run 1's watermark; the oracle states
     the drop/emit rules as batch SQL."""
     return SJ.watermark_append_stream(spark, sf_dir)
+
+
+@query(
+    "snapshot_diff_audit",
+    """
+WITH old_state AS (
+  SELECT user_id, event_id, value FROM (
+    SELECT user_id, event_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '2024-01-21'
+  ) WHERE rn = 1 AND event_type != 'error'
+),
+new_state AS (
+  SELECT user_id, event_id, value FROM (
+    SELECT user_id, event_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND event_type != 'error'
+),
+j AS (
+  SELECT COALESCE(o.user_id, n.user_id) AS k,
+         o.user_id IS NOT NULL AS has_old,
+         n.user_id IS NOT NULL AS has_new,
+         o.event_id IS NOT DISTINCT FROM n.event_id
+           AND o.value IS NOT DISTINCT FROM n.value AS same
+  FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+)
+SELECT CASE WHEN NOT has_old THEN 'insert'
+            WHEN NOT has_new THEN 'delete'
+            WHEN same THEN 'unchanged'
+            ELSE 'update' END AS op,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM j GROUP BY 1
+""",
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog between two WAL-replayed snapshot versions (state
+    at day 20 vs final): per-key insert/delete/update/unchanged mix —
+    the incremental-consumer feed the reference's full-replay recovery
+    lacks.  One full-outer key join (bucketed -> shuffle-free at
+    scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    old_state = M.wal_replay(
+        ev.filter(F.col("ts") < F.lit("2024-01-21")),
+        ["user_id"], ["ts", "event_id"], "event_type", "error",
+    ).select("user_id", "event_id", "value")
+    new_state = M.wal_replay(
+        ev, ["user_id"], ["ts", "event_id"], "event_type", "error"
+    ).select("user_id", "event_id", "value")
+    return M.snapshot_diff(old_state, new_state, ["user_id"], ["event_id", "value"])
+
+
+@query(
+    "schema_evolution_roundtrip",
+    """
+SELECT CAST(c_nationkey AS INT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_bal,
+       ROUND(CAST(SUM(CASE WHEN c_custkey % 2 = 1
+                           THEN CAST(c_acctbal AS DECIMAL(15,2)) END) AS DOUBLE), 2) AS sum_bal
+FROM customer GROUP BY 1
+""",
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema read over two parquet vintages of one table (v2
+    adds c_acctbal): old rows surface NULLs, new rows carry values —
+    the column-accretion path of a long-lived table."""
+    from .sources.loaders import schema_evolution_read
+
+    return schema_evolution_read(spark, sf_dir)

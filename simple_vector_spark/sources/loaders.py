@@ -81,3 +81,38 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest path: two parquet drops of the customer
+    dimension written under one table directory with DIFFERENT schemas
+    (the v2 drop adds c_acctbal), read back with mergeSchema — old
+    rows surface the new column as NULL, exactly how a long-lived
+    100-TB table accretes columns without rewriting history.
+
+    The split is deterministic (even custkeys = v1 vintage, odd = v2)
+    so the NULL pattern is oracle-expressible; the read itself proves
+    the merged-footer path, not just the happy same-schema union."""
+    import tempfile
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="svs_evo_")
+    cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_nationkey"
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/v1")
+    cust.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/v2")
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(base)
+    return (
+        merged.groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count("c_acctbal").cast("bigint").alias("n_with_bal"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(15,2)")).cast("double"), 2
+            ).alias("sum_bal"),
+        )
+    )
