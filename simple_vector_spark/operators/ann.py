@@ -1031,3 +1031,61 @@ def ivf_index_upsert_audit(
             ).cast("bigint").alias("delta"),
         )
     )
+
+
+def triplet_mining_audit(
+    emb: DataFrame,
+    anchor_mod: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-example mining for contrastive/metric training: for each
+    anchor (a deterministic 1/anchor_mod sample), the hardest POSITIVE
+    (same label, largest distance — the pair hardest to pull
+    together) and hardest NEGATIVE (different label, smallest
+    distance — hardest to push apart), with the margin and a violation
+    flag (negative closer than positive = the triplet a trainer most
+    wants).
+
+    Plan: anchors are request-sized -> broadcast; the corpus is
+    scanned ONCE with the distance evaluated in-scan and aggregated
+    per anchor (min/max on the ROUNDed distance — scalar aggregates,
+    no per-pair state leaves the partial agg).  At 100 TB, block the
+    pair space by IVF cell first (dedup_embedding_blocked's shape);
+    the audit itself is the per-anchor reduction either way."""
+    anchors = F.broadcast(
+        emb.filter(F.col(id_col) % anchor_mod == 0).select(
+            F.col(id_col).alias("anchor_id"),
+            as_double_array(F.col(vec_col)).alias("__a_vec"),
+            F.col(label_col).alias("anchor_label"),
+        )
+    )
+    d = F.round(
+        squared_l2(as_double_array(F.col(vec_col)), F.col("__a_vec")), 6
+    )
+    pairs = (
+        emb.crossJoin(anchors)
+        .filter(F.col(id_col) != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            (F.col(label_col) == F.col("anchor_label")).alias("same"),
+            d.alias("d"),
+        )
+    )
+    return (
+        pairs.groupBy("anchor_id", "anchor_label")
+        .agg(
+            F.max(F.when(F.col("same"), F.col("d"))).alias("d_hard_pos"),
+            F.min(F.when(~F.col("same"), F.col("d"))).alias("d_hard_neg"),
+        )
+        .select(
+            "anchor_id",
+            F.col("anchor_label").cast("int").alias("anchor_label"),
+            "d_hard_pos",
+            "d_hard_neg",
+            F.round(F.col("d_hard_neg") - F.col("d_hard_pos"), 6).alias("margin"),
+            (F.col("d_hard_neg") < F.col("d_hard_pos")).cast("int").alias("violated"),
+        )
+    )

@@ -6055,3 +6055,39 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.loaders import schema_evolution_read
 
     return schema_evolution_read(spark, sf_dir)
+
+
+@query(
+    "embedding_triplet_mining",
+    f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av, label AS anchor_label
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+pd AS (
+  SELECT e.vec_id, a.anchor_id, a.anchor_label,
+         e.label = a.anchor_label AS same,
+         ROUND(SUM((x - y) * (x - y)), 6) AS d
+  FROM (
+    SELECT e.vec_id, e.label, a.anchor_id, a.anchor_label,
+           (e.label = a.anchor_label) AS same_l,
+           unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+           unnest(a.av) AS y
+    FROM embeddings e CROSS JOIN anchors a
+    WHERE e.vec_id != a.anchor_id
+  ) e
+  JOIN anchors a USING (anchor_id)
+  GROUP BY e.vec_id, a.anchor_id, a.anchor_label, e.label = a.anchor_label
+)
+SELECT anchor_id, CAST(anchor_label AS INT) AS anchor_label,
+       MAX(CASE WHEN same THEN d END) AS d_hard_pos,
+       MIN(CASE WHEN NOT same THEN d END) AS d_hard_neg,
+       ROUND(MIN(CASE WHEN NOT same THEN d END) - MAX(CASE WHEN same THEN d END), 6) AS margin,
+       CAST(MIN(CASE WHEN NOT same THEN d END) < MAX(CASE WHEN same THEN d END) AS INT) AS violated
+FROM pd GROUP BY anchor_id, anchor_label
+""",
+)
+def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard positive/negative mining per anchor (broadcast anchors,
+    one corpus scan): the contrastive-training triplet audit."""
+    return A.triplet_mining_audit(load_table(spark, sf_dir, "embeddings"))
