@@ -1089,3 +1089,46 @@ def triplet_mining_audit(
             (F.col("d_hard_neg") < F.col("d_hard_pos")).cast("int").alias("violated"),
         )
     )
+
+
+def dim_clip_bounds_audit(
+    emb: DataFrame,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pre-quantization clipping audit: per embedding dimension, the
+    exact p01/p99 bounds and the fraction of values outside them — the
+    numbers that size the clip range before int8 scalar quantization
+    (quantize_int8_audit's upstream step; one saturated dimension
+    ruins a whole codebook's resolution).
+
+    Plan: one positional explode to (dim, x), a per-dim EXACT
+    percentile aggregate (64 groups; at 100 TB use approx_percentile
+    — same plan shape, sketch state), bounds broadcast back over a
+    second pass of the exploded frame for the clip counts."""
+    dims = emb.select(
+        F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "x")
+    )
+    bounds = dims.groupBy("dim").agg(
+        F.round(F.percentile("x", F.lit(lo)), 6).alias("p_lo"),
+        F.round(F.percentile("x", F.lit(hi)), 6).alias("p_hi"),
+    )
+    return (
+        dims.join(F.broadcast(bounds), "dim")
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.first("p_lo").alias("p_lo"),
+            F.first("p_hi").alias("p_hi"),
+            F.round(
+                F.sum(
+                    ((F.col("x") < F.col("p_lo")) | (F.col("x") > F.col("p_hi")))
+                    .cast("long")
+                )
+                / F.count("*").cast("double"),
+                6,
+            ).alias("clip_frac"),
+        )
+        .select(F.col("dim").cast("int").alias("dim"), "n", "p_lo", "p_hi", "clip_frac")
+    )

@@ -699,3 +699,38 @@ def bigram_logprob(
             ),
         )
     )
+
+
+def prefix_boilerplate_groups(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shared-prefix boilerplate detector: documents opening with the
+    same first-k tokens (scraped headers, license banners, template
+    intros) — the cheapest dedup signal there is, and the one pass
+    that catches boilerplate families whole-doc hashing splits apart.
+
+    One groupBy on the md5 of the k-token prefix (computed in-scan),
+    groups of size >= 2 kept; members aggregated as min/max doc id so
+    the output is bounded per group.  Works on the planted corpus so
+    the fixture has guaranteed families."""
+    tk = tokens(F.col(text_col))
+    prefix = F.concat_ws(" ", F.slice(tk, 1, k))
+    per = docs.select(
+        F.col(id_col),
+        prefix.alias("prefix"),
+    ).filter(F.size(tk) >= k)
+    return (
+        per.groupBy("prefix")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min(id_col).cast("bigint").alias("first_doc"),
+            F.max(id_col).cast("bigint").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.md5(F.col("prefix")).alias("prefix_md5"),
+            "n_docs",
+            "first_doc",
+            "last_doc",
+        )
+    )

@@ -6091,3 +6091,59 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard positive/negative mining per anchor (broadcast anchors,
     one corpus scan): the contrastive-training triplet audit."""
     return A.triplet_mining_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embedding_dim_clip_bounds",
+    """
+WITH dims AS (
+  SELECT i - 1 AS dim, CAST(e.embedding AS DOUBLE[])[i] AS x
+  FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+),
+bounds AS (
+  SELECT dim, ROUND(quantile_cont(x, 0.01), 6) AS p_lo,
+         ROUND(quantile_cont(x, 0.99), 6) AS p_hi
+  FROM dims GROUP BY dim
+)
+SELECT CAST(d.dim AS INT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       b.p_lo, b.p_hi,
+       ROUND(SUM(CASE WHEN d.x < b.p_lo OR d.x > b.p_hi THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS clip_frac
+FROM dims d JOIN bounds b ON d.dim = b.dim
+GROUP BY d.dim, b.p_lo, b.p_hi
+""",
+)
+def embedding_dim_clip_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-dimension p01/p99 + clip fraction — the range sizing
+    before int8 quantization."""
+    return A.dim_clip_bounds_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "doc_prefix_boilerplate",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_TK_SQL} AS tk
+  FROM (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {PLANT_SHIFT}, text FROM documents WHERE doc_id % {PLANT_MOD} = 0)
+),
+per AS (
+  SELECT doc_id, array_to_string(tk[1:8], ' ') AS prefix
+  FROM t WHERE len(tk) >= 8
+)
+SELECT md5(prefix) AS prefix_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM per GROUP BY prefix
+HAVING COUNT(*) >= 2
+""",
+)
+def doc_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared first-8-token prefix families over the planted corpus —
+    the header/banner boilerplate detector."""
+    return T.prefix_boilerplate_groups(
+        _docs_plus_spark(spark, sf_dir).select("doc_id", "text")
+    )
