@@ -6147,3 +6147,56 @@ def doc_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.prefix_boilerplate_groups(
         _docs_plus_spark(spark, sf_dir).select("doc_id", "text")
     )
+
+
+SPLIT_LEAK_SIM = 0.35
+
+
+@query(
+    "split_embedding_leakage",
+    f"""
+WITH {_ASSIGN_SQL.strip()},
+{_BLOCKED_PAIRS_SQL.strip()},
+gated AS (
+  SELECT ia, ib, sim,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(ia AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < {CU.TRAIN_PCT} THEN 'train'
+              WHEN CAST(concat('0x', substr(md5(CAST(ia AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < {CU.VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split_a,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(ib AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < {CU.TRAIN_PCT} THEN 'train'
+              WHEN CAST(concat('0x', substr(md5(CAST(ib AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < {CU.VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split_b
+  FROM bld WHERE sim >= {SPLIT_LEAK_SIM}
+)
+SELECT ia, ib, split_a, split_b, sim
+FROM gated WHERE split_a != split_b
+""",
+)
+def split_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space split leakage: semantically near-duplicate pairs
+    (cell-blocked cosine >= {SPLIT_LEAK_SIM}) whose members hash into
+    DIFFERENT train/val/test splits — the eval-contamination mode that
+    text-level dedup misses when paraphrases embed close.  Same
+    IVF-cell-blocked pair space as dedup_embedding_blocked (sum cell²,
+    never n²), split gates applied post-pair."""
+    from .operators.dedup import embedding_cosine_pairs_blocked
+    from .functions.text import md5_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs_blocked(
+        emb, A.fit_vectors(emb, A.CENTROID_IDS), SPLIT_LEAK_SIM
+    )
+
+    def gate(c):
+        g = md5_int(F.col(c).cast("string")) % 100
+        return (
+            F.when(g < CU.TRAIN_PCT, "train")
+            .when(g < CU.VAL_PCT, "val")
+            .otherwise("test")
+        )
+
+    return (
+        pairs.select(
+            "ia", "ib", gate("ia").alias("split_a"), gate("ib").alias("split_b"), "sim"
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
