@@ -379,3 +379,37 @@ def split_leakage_audit(cluster_labels: DataFrame) -> DataFrame:
         F.sum(F.col("n_members") * leaky).cast("bigint").alias("n_docs_at_risk"),
         F.round(F.sum(leaky) / F.count("*").cast("double"), 6).alias("leak_rate"),
     )
+
+
+def mixture_temperature(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Temperature-scaled source-mixture weights (tau = 0.5, i.e.
+    w_s ∝ sqrt(tokens_s)): the standard flattening that upweights
+    small high-quality sources relative to proportional sampling.
+    Reports, per source, the natural token share, the temperature
+    share, and the resulting boost factor.
+
+    Determinism: token counts are exact ints; sqrt is IEEE
+    correctly-rounded; the two share divisions are rounded to 6 after
+    a <=|sources|-term double sum (error ~1e-15 at these magnitudes).
+    Scale: one tokenize+agg pass (shuffle on source), then
+    |sources|-row arithmetic on a broadcast total."""
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("_tt"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("_ts"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("_tt"), 6).alias("nat_share"),
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) / F.col("_ts"), 6).alias(
+            "temp_share"
+        ),
+        F.round(
+            (F.sqrt(F.col("n_tokens").cast("double")) / F.col("_ts"))
+            / (F.col("n_tokens").cast("double") / F.col("_tt")),
+            6,
+        ).alias("boost"),
+    )

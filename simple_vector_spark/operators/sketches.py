@@ -130,3 +130,79 @@ def approx_quantile_audit(
         )
         .orderBy("p")
     )
+
+
+# Bloom-filter join pruning: M bits, K universal hashes off the shared
+# md5-prefix integer (same family as CMS/MinHash -> exact-int in both
+# engines).  M is sized so the sf0.01 build side (~hundreds of keys)
+# gives a measurable-but-small false-positive rate.
+BLOOM_M = 8192
+BLOOM_K = 4
+
+
+def _bloom_pos(h, j: int) -> F.Column:
+    return ((F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % MINHASH_P) % BLOOM_M
+
+
+def bloom_prune_audit(
+    build: DataFrame, probe: DataFrame, build_key: str, probe_key: str
+) -> DataFrame:
+    """Bloom-filter semi-join pruning audit: build a K-hash/M-bit Bloom
+    filter over the (small) build side's keys, probe the fact side's
+    distinct keys through it, and report pass/true/false-positive
+    counts plus the achieved FP rate — the runtime-filter pattern
+    (Spark's own InjectRuntimeFilter / bloom_filter_agg) made explicit
+    and cross-engine checkable.
+
+    Scale shape: the filter is a DISTINCT over <= K*|build| bit
+    positions (<= M rows total) and is broadcast; the probe side pays
+    one DISTINCT shuffle on its join key (the same shuffle the real
+    join would pay) and the membership test is a map-side broadcast
+    join — no fact-table shuffle is added.  Bloom membership = ALL K
+    positions set, i.e. a hit-count == K after the position join.
+    No false negatives by construction; FP rate is measured against
+    the exact (broadcast) build-key set."""
+    h_b = md5_int(F.col(build_key).cast("string"))
+    bits = (
+        build.select(
+            F.explode(F.array(*[_bloom_pos(h_b, j) for j in range(BLOOM_K)])).alias(
+                "pos"
+            )
+        )
+        .distinct()
+    )
+    keys = probe.select(F.col(probe_key).alias("k")).distinct()
+    ph = keys.withColumn("_h", md5_int(F.col("k").cast("string")))
+    pp = ph.select(
+        "k",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("_h"), j) for j in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    passed = (
+        pp.join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.count("*").alias("_nhit"))
+        .filter(F.col("_nhit") == BLOOM_K)
+        .select("k")
+    )
+    build_keys = build.select(F.col(build_key).alias("k")).distinct()
+    true_pass = passed.join(F.broadcast(build_keys), "k", "left_semi")
+    n_probe = keys.agg(F.count("*").cast("long").alias("n_probe"))
+    n_pass = passed.agg(F.count("*").cast("long").alias("n_pass"))
+    n_true = true_pass.agg(F.count("*").cast("long").alias("n_true"))
+    return (
+        n_probe.crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_probe",
+            "n_pass",
+            "n_true",
+            (F.col("n_pass") - F.col("n_true")).cast("long").alias("n_false_pos"),
+            F.round(
+                (F.col("n_pass") - F.col("n_true")).cast("double")
+                / (F.col("n_probe") - F.col("n_true")).cast("double"),
+                6,
+            ).alias("fp_rate"),
+        )
+    )

@@ -734,3 +734,41 @@ def prefix_boilerplate_groups(
             "last_doc",
         )
     )
+
+
+PPL_BUCKET_WIDTH = 0.5
+
+
+def perplexity_buckets(
+    docs: DataFrame, width: float = PPL_BUCKET_WIDTH
+) -> DataFrame:
+    """Perplexity-bucket histogram for LM-quality filtering: docs
+    binned by their unigram avg token log-probability into fixed-width
+    bins (bucket = floor(avg_logprob / width)), with each bin's doc
+    count and token share — the statistic behind 'drop the worst-ppl
+    tail' gates.  Fixed edges, not quantiles: no global sort, and the
+    bucket id is computed from the already-rounded score so both
+    engines bin identically.  Builds on unigram_logprob's two-pass
+    distributed LM; the histogram agg is a handful of groups."""
+    scored = unigram_logprob(docs)
+    tot = scored.agg(F.sum("n_tokens").cast("double").alias("_tt"))
+    return (
+        scored.withColumn(
+            "bucket", F.floor(F.col("avg_logprob") / F.lit(width)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * F.lit(width), 6).alias("lo_edge"),
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("_tt"), 6).alias(
+                "token_share"
+            ),
+        )
+    )

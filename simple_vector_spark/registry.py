@@ -2131,9 +2131,10 @@ _PROFILE_SQL = {
 }
 
 
-@query(
-    "text_quality",
-    f"""
+# Shared quality-score oracle fragment (one source of truth for the
+# linear-blend formula — reused by text_quality and the curriculum
+# deciles so the two can't drift).
+_QUALITY_SCORED_SQL = f"""
 WITH t AS (
   SELECT doc_id, text, {_TK_SQL} AS tk FROM documents
 ),
@@ -2153,8 +2154,10 @@ SELECT doc_id, n_tokens, n_bpe,
       + 0.3 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
       - 0.2 * (CAST(n_punct AS DOUBLE) / n_char), 6) AS quality
 FROM m
-""",
-)
+"""
+
+
+@query("text_quality", _QUALITY_SCORED_SQL)
 def text_quality(spark, sf_dir):
     """Token counting (whitespace + BPE-ish regex) and quality scoring
     (length/punct/stopword signals, linear blend — no transcendentals
@@ -3941,9 +3944,10 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "doc_unigram_logprob",
-    f"""
+# Shared unigram-LM oracle fragment (single source of truth for the
+# two-pass LM score — reused by doc_unigram_logprob and the
+# perplexity-bucket histogram).
+_UNIGRAM_SCORED_SQL = f"""
 WITH tf AS (
   SELECT doc_id, t, COUNT(*) AS c
   FROM (SELECT doc_id, unnest({_TK_SQL}) AS t FROM documents)
@@ -3956,8 +3960,10 @@ SELECT tf.doc_id,
        ROUND(SUM(tf.c * ln(v.cnt / tt.total)) / SUM(tf.c), 4) AS avg_logprob
 FROM tf JOIN vocab v USING (t) CROSS JOIN total tt
 GROUP BY tf.doc_id
-""",
-)
+"""
+
+
+@query("doc_unigram_logprob", _UNIGRAM_SCORED_SQL)
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram-LM quality score: per-doc average token
     ln-probability — two-pass distributed LM (vocab count shuffle, then
@@ -6200,3 +6206,180 @@ def split_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("split_a") != F.col("split_b"))
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 33 (round 2): training-pipeline throughput ops — context-window
+# packing, Bloom runtime-filter pruning, temperature-scaled mixture
+# weights, perplexity-bucket filtering, curriculum quality deciles.
+# --------------------------------------------------------------------------
+from .operators import pipeline as PL  # noqa: E402
+
+
+@query(
+    "doc_pack_windows",
+    f"""
+WITH per AS (
+  SELECT source, doc_id,
+         CAST(FLOOR(doc_id / {PL.PACK_SHARD_DOCS}) AS BIGINT) AS shard,
+         CAST(len({_TK_SQL}) AS BIGINT) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT source, shard, n_tok,
+         CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PL.PACK_CAPACITY}) AS BIGINT) AS pack_id
+  FROM per
+),
+pp AS (
+  SELECT source, shard, pack_id, COUNT(*) AS docs, SUM(n_tok) AS tok
+  FROM cum GROUP BY source, shard, pack_id
+)
+SELECT source,
+       CAST(SUM(docs) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       ROUND(SUM(docs) * 1.0 / COUNT(*), 6) AS docs_per_pack,
+       ROUND(SUM(tok) * 1.0 / (COUNT(*) * {PL.PACK_CAPACITY}), 6) AS fill_ratio
+FROM pp GROUP BY source
+""",
+)
+def doc_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential context-window packing (capacity-token packs
+    within bounded contiguous doc_id shards — the file-shard packing
+    shape sequence-packing pipelines run).  Per-source pack count,
+    docs/pack, and fill ratio.  The cumsum window is keyed by
+    (source, shard) so no task sees more than PACK_SHARD_DOCS rows."""
+    return PL.pack_context_windows(load_table(spark, sf_dir, "documents"))
+
+
+_BLOOM_HASHES_SQL = ", ".join(
+    f"({a}, {b})"
+    for a, b in zip(SK.MINHASH_A[: SK.BLOOM_K], SK.MINHASH_B[: SK.BLOOM_K])
+)
+_BLOOM_SIZE = 1
+
+
+@query(
+    "bloom_prune_audit",
+    f"""
+WITH bld AS (
+  SELECT DISTINCT p_partkey AS k FROM part WHERE p_size = {_BLOOM_SIZE}
+),
+hs AS (SELECT a, b FROM (VALUES {_BLOOM_HASHES_SQL}) t(a, b)),
+bits AS (
+  SELECT DISTINCT
+    ((a * CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) + b)
+      % {SK.MINHASH_P}) % {SK.BLOOM_M} AS pos
+  FROM bld CROSS JOIN hs
+),
+probe AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+pp AS (
+  SELECT probe.k,
+    ((a * CAST(concat('0x', substr(md5(CAST(probe.k AS VARCHAR)), 1, 8)) AS BIGINT) + b)
+      % {SK.MINHASH_P}) % {SK.BLOOM_M} AS pos
+  FROM probe CROSS JOIN hs
+),
+pass AS (
+  SELECT pp.k FROM pp JOIN bits USING (pos) GROUP BY pp.k HAVING COUNT(*) = {SK.BLOOM_K}
+),
+tp AS (SELECT pass.k FROM pass JOIN bld USING (k))
+SELECT CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe,
+       CAST((SELECT COUNT(*) FROM pass) AS BIGINT) AS n_pass,
+       CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM tp) AS BIGINT)
+         AS n_false_pos,
+       ROUND(((SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM tp)) * 1.0 /
+             ((SELECT COUNT(*) FROM probe) - (SELECT COUNT(*) FROM tp)), 6)
+         AS fp_rate
+""",
+)
+def bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime-filter pruning audit (the InjectRuntimeFilter
+    pattern made explicit): K={SK.BLOOM_K} md5-universal hashes into an
+    M={SK.BLOOM_M}-bit filter built from the dimension's selected keys,
+    probed by the fact side's distinct join keys; reports pass/true/
+    false-positive counts and the achieved FP rate."""
+    return SK.bloom_prune_audit(
+        load_table(spark, sf_dir, "part").filter(F.col("p_size") == _BLOOM_SIZE),
+        load_table(spark, sf_dir, "lineitem"),
+        "p_partkey",
+        "l_partkey",
+    )
+
+
+@query(
+    "source_mixture_temperature",
+    f"""
+WITH per AS (
+  SELECT source, CAST(SUM(len({_TK_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tt,
+         SUM(SQRT(CAST(n_tokens AS DOUBLE))) AS ts
+  FROM per
+)
+SELECT source, n_tokens,
+       ROUND(n_tokens / tt, 6) AS nat_share,
+       ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / ts, 6) AS temp_share,
+       ROUND((SQRT(CAST(n_tokens AS DOUBLE)) / ts) / (n_tokens / tt), 6) AS boost
+FROM per CROSS JOIN tot
+""",
+)
+def source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (tau=0.5) source-mixture weights: natural vs
+    sqrt-flattened token share per source and the boost factor — the
+    mixture-flattening step between token budgeting and the sampling
+    gate."""
+    return CU.mixture_temperature(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_perplexity_buckets",
+    f"""
+WITH scored AS ({_UNIGRAM_SCORED_SQL}),
+tot2 AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tt2 FROM scored)
+SELECT CAST(FLOOR(avg_logprob / {T.PPL_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+       ROUND(CAST(FLOOR(avg_logprob / {T.PPL_BUCKET_WIDTH}) AS BIGINT)
+             * {T.PPL_BUCKET_WIDTH}, 6) AS lo_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(SUM(n_tokens) / tt2, 6) AS token_share
+FROM scored CROSS JOIN tot2
+GROUP BY 1, 2, tt2
+""",
+)
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucket histogram over the unigram-LM score:
+    fixed-width log-prob bins (no global quantile sort), doc count and
+    token share per bin — the 'drop the worst-ppl tail' gate
+    statistic."""
+    return T.perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "curriculum_quality_deciles",
+    f"""
+WITH scored AS ({_QUALITY_SCORED_SQL}),
+tiled AS (
+  SELECT doc_id, n_tokens, quality,
+         NTILE({PL.CURRICULUM_BUCKETS}) OVER (ORDER BY quality DESC, doc_id ASC)
+           AS bucket
+  FROM scored
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(MIN(quality), 6) AS min_quality,
+       ROUND(MAX(quality), 6) AS max_quality
+FROM tiled GROUP BY bucket
+""",
+)
+def curriculum_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordering audit: global quality deciles (clean docs
+    first) with per-bucket doc/token mass — built on the two-phase
+    range-partitioned ntile, never a single-partition global window."""
+    return PL.curriculum_deciles(load_table(spark, sf_dir, "documents"))

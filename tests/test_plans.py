@@ -224,3 +224,37 @@ def test_fuzzy_decontamination_broadcasts_benchmark(spark, sf_dir):
     shuffled for candidate generation."""
     plan = plan_of(spark, sf_dir, "decontaminate_fuzzy_minhash")
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_bits_broadcast_probe_single_shuffle(spark, sf_dir):
+    """Wave 33: the bit-position set must broadcast (map-side membership
+    test) — the probe side pays only its own DISTINCT shuffle, no added
+    fact shuffle and no sort-merge join against the filter."""
+    plan = plan_of(spark, sf_dir, "bloom_prune_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_windows_sharded_not_global(spark, sf_dir):
+    """Wave 33: the packing cumsum must window on (source, shard) —
+    a single-partition global/psource-only sort would be the known
+    scale-killer class."""
+    plan = plan_of(spark, sf_dir, "doc_pack_windows")
+    win = next(l for l in plan.splitlines() if "RunningWindowFunction" in l or "Window " in l or "Window\n" in l or l.strip().startswith("Window"))
+    assert "_shard" in win
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_curriculum_deciles_two_phase_rank(spark, sf_dir):
+    """Wave 33: the global decile must come from the range-partitioned
+    two-phase rank, never Window.orderBy with no partition (which plans
+    an Exchange SinglePartition over all docs)."""
+    plan = plan_of(spark, sf_dir, "curriculum_quality_deciles")
+    assert "ExistingRDD" in plan  # checkpointed local-rank table
+    assert "BroadcastHashJoin" in plan  # offsets/totals attach broadcast
+    # the only SinglePartition allowed is the broadcast-side tiny agg
+    # over per-partition counts — never a Window/Sort over all docs
+    for i, line in enumerate(plan.splitlines()):
+        if "Exchange SinglePartition" in line:
+            above = "\n".join(plan.splitlines()[max(0, i - 3):i])
+            assert "Window" not in above and "Sort " not in above
