@@ -1132,3 +1132,59 @@ def dim_clip_bounds_audit(
         )
         .select(F.col("dim").cast("int").alias("dim"), "n", "p_lo", "p_hi", "clip_frac")
     )
+
+
+# Matryoshka / dimension-truncation first stage: score on a prefix of
+# the embedding, rerank the shortlist at full precision — the
+# bandwidth-saving coarse-to-fine pattern MRL-trained embeddings are
+# built for (prefix dims carry most of the signal).
+MATRYOSHKA_PREFIX = 16
+MATRYOSHKA_SHORTLIST_MULT = 3
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int,
+    prefix_dims: int = MATRYOSHKA_PREFIX,
+    shortlist_mult: int = MATRYOSHKA_SHORTLIST_MULT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall audit of prefix-dimension search vs exact full-dim top-k:
+    one row for the truncated top-k taken as-is ('prefix_topk'), one
+    for the two-stage shortlist(mult*k)-then-full-rerank
+    ('prefix_rerank').
+
+    Scale shape: the prefix stage scans prefix_dims/dim of the vector
+    bytes (a real column-bytes saving under Parquet when prefixes are
+    stored as their own column); both stages are TakeOrderedAndProject
+    per-partition heaps; the rerank joins the corpus against a
+    BROADCAST shortlist (mult*k rows), so full vectors are fetched for
+    only the shortlist."""
+    from .knn import knn_topk
+
+    exact = knn_topk(emb, query, k, "sqL2", id_col=id_col, vec_col=vec_col)
+    pre_emb = emb.select(
+        F.col(id_col), "label", F.slice(F.col(vec_col), 1, prefix_dims).alias(vec_col)
+    )
+    pre_q = query.select(F.slice(F.col(vec_col), 1, prefix_dims).alias(vec_col))
+    pre_top = knn_topk(pre_emb, pre_q, k, "sqL2", id_col=id_col, vec_col=vec_col)
+    shortlist = knn_topk(
+        pre_emb, pre_q, k * shortlist_mult, "sqL2", id_col=id_col, vec_col=vec_col
+    ).select(id_col)
+    rerank = knn_topk(
+        emb.join(F.broadcast(shortlist), id_col),
+        query,
+        k,
+        "sqL2",
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    r1 = recall_report(pre_top, exact, k, id_col).select(
+        F.lit("prefix_topk").alias("mode"), "k", "n_hit", "recall"
+    )
+    r2 = recall_report(rerank, exact, k, id_col).select(
+        F.lit("prefix_rerank").alias("mode"), "k", "n_hit", "recall"
+    )
+    return r1.unionByName(r2)

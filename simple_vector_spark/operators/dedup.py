@@ -560,3 +560,69 @@ def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_clusters"))
         .select(F.col("size").cast("bigint").alias("size"), "n_clusters")
     )
+
+
+def incremental_minhash_pairs(
+    docs: DataFrame,
+    new_mod: int = 10,
+    new_rem: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental-ingest dedup: candidate pairs INVOLVING the new
+    batch (doc_id % new_mod == new_rem models the arriving delta)
+    against the standing signature index — the production shape where
+    each ingest batch is checked against the corpus WITHOUT
+    recomputing or re-joining corpus x corpus.
+
+    Plan: the band table is materialized once (the stored index); the
+    batch side is filtered from it and BROADCAST into the band-bucket
+    join, so per batch the cost is |batch bands| x bucket fanout, not
+    a corpus self-join.  Pair orientation: (doc_a < doc_b), new-new
+    pairs counted once via the id inequality.  Output equals the full
+    LSH pair set restricted to pairs touching the batch."""
+    n_bands = len(MINHASH_A) // rows_per_band
+    sigs = minhash_signatures(docs, text_col, id_col)
+    bands = (
+        sigs.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"mh{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            ).alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, "bb.band", "bb.bucket")
+        .localCheckpoint()
+    )
+    newb = bands.filter((F.col(id_col) % new_mod) == F.lit(new_rem))
+    n = F.broadcast(newb).alias("n")
+    o = bands.alias("o")
+    other_is_old = (F.col(f"o.{id_col}") % new_mod) != F.lit(new_rem)
+    return (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket"))
+            & (other_is_old | (F.col(f"o.{id_col}") > F.col(f"n.{id_col}")))
+            & (F.col(f"o.{id_col}") != F.col(f"n.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )

@@ -1643,3 +1643,80 @@ def revenue_ewma(orders: DataFrame, alpha: float = 0.3) -> DataFrame:
             2,
         ).alias("ewma"),
     )
+
+
+SALT_CAP = 32
+
+
+def skew_salt_advisor(orders: DataFrame) -> DataFrame:
+    """Salt-factor advisor for the customer-keyed join: per-key row
+    counts reduced to (n_keys, max, avg, skew ratio) and the
+    recommended salt fan-out ceil(max/avg) capped at SALT_CAP — the
+    number that decides between a plain shuffle join and the salted
+    replicate-join skew_salted_enrich implements.  One shuffle on the
+    key for the per-key counts; the advisory row is an aggregate of
+    aggregates.  All inputs exact ints; the two ratios are single f64
+    divisions."""
+    per = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return per.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    ).select(
+        "n_keys",
+        "max_cnt",
+        "n_rows",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_keys").cast("double"), 6
+        ).alias("avg_cnt"),
+        F.round(
+            F.col("max_cnt").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("skew_ratio"),
+        F.least(
+            F.lit(SALT_CAP),
+            F.ceil(
+                F.col("max_cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n_rows").cast("double")
+            ),
+        )
+        .cast("int")
+        .alias("salt_factor"),
+    )
+
+
+INCR_DELTA_MOD = 5
+
+
+def incremental_agg_merge(orders: DataFrame, delta_mod: int = INCR_DELTA_MOD) -> DataFrame:
+    """Incremental materialized-view maintenance: the monthly revenue
+    aggregate computed as yesterday's partial state (orderkey % mod
+    != 0) MERGED with today's delta partial (orderkey % mod == 0) by
+    re-aggregating the unioned partials — sum-of-sums /
+    count-of-counts, the mergeability property partial aggregation
+    (and every incremental gold table) rests on.  Equals the full
+    recompute by construction; the oracle checks exactly that.
+
+    Scale: each partial is one filtered scan + partial agg; the merge
+    shuffles |months| x 2 rows, not the fact table."""
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("revenue"),
+        )
+
+    state = partial(orders.filter(F.col("o_orderkey") % delta_mod != 0))
+    delta = partial(orders.filter(F.col("o_orderkey") % delta_mod == 0))
+    return (
+        state.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue").cast(DEC_PRICE).alias("revenue"),
+        )
+    )

@@ -6383,3 +6383,136 @@ def curriculum_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     first) with per-bucket doc/token mass — built on the two-phase
     range-partitioned ntile, never a single-partition global window."""
     return PL.curriculum_deciles(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 34 (round 2): incremental-ingest dedup against the standing LSH
+# index, Matryoshka prefix-dim recall, salt-factor advisor, incremental
+# aggregate (materialized-view) merge.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_incremental_pairs",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+sigs AS (
+  SELECT doc_id,
+  {_SIG_COLS_SQL}
+  FROM sh WHERE n_tk >= 3
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE a.doc_id % 10 = 7 OR b.doc_id % 10 = 7
+""",
+)
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: LSH candidate pairs touching the new
+    batch (doc_id % 10 == 7 models the delta) found by joining the
+    BROADCAST batch bands against the materialized signature index —
+    per-batch cost is batch x bucket, never corpus x corpus."""
+    return D.incremental_minhash_pairs(_docs_plus_spark(spark, sf_dir))
+
+
+@query(
+    "ann_matryoshka_recall",
+    f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {ANN_QUERY_ID}
+),
+fp AS (
+  SELECT e.vec_id, unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(q.qv) AS y
+  FROM embeddings e CROSS JOIN q
+),
+fd AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM fp GROUP BY vec_id),
+exact_top AS (SELECT vec_id FROM fd ORDER BY dist, vec_id LIMIT {ANN_K}),
+pp AS (
+  SELECT e.vec_id,
+         unnest(list_slice(CAST(e.embedding AS DOUBLE[]), 1, {A.MATRYOSHKA_PREFIX})) AS x,
+         unnest(list_slice(q.qv, 1, {A.MATRYOSHKA_PREFIX})) AS y
+  FROM embeddings e CROSS JOIN q
+),
+pd AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM pp GROUP BY vec_id),
+pre_top AS (SELECT vec_id FROM pd ORDER BY dist, vec_id LIMIT {ANN_K}),
+short AS (
+  SELECT vec_id FROM pd ORDER BY dist, vec_id
+  LIMIT {ANN_K * A.MATRYOSHKA_SHORTLIST_MULT}
+),
+rer_top AS (
+  SELECT fd.vec_id FROM fd JOIN short USING (vec_id)
+  ORDER BY fd.dist, fd.vec_id LIMIT {ANN_K}
+)
+SELECT 'prefix_topk' AS mode, CAST({ANN_K} AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       ROUND(COUNT(*) / CAST({ANN_K} AS DOUBLE), 6) AS recall
+FROM pre_top JOIN exact_top USING (vec_id)
+UNION ALL
+SELECT 'prefix_rerank', CAST({ANN_K} AS INT),
+       CAST(COUNT(*) AS BIGINT),
+       ROUND(COUNT(*) / CAST({ANN_K} AS DOUBLE), 6)
+FROM rer_top JOIN exact_top USING (vec_id)
+""",
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension recall: truncated-vector top-k and
+    the prefix-shortlist + full-precision rerank, both measured against
+    the exact full-dim top-k — the coarse-to-fine bandwidth saver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return A.matryoshka_recall(
+        emb, emb.filter(F.col("vec_id") == ANN_QUERY_ID), ANN_K
+    )
+
+
+@query(
+    "orders_salt_advisor",
+    f"""
+WITH per AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows
+  FROM per
+)
+SELECT n_keys, max_cnt, n_rows,
+       ROUND(n_rows * 1.0 / n_keys, 6) AS avg_cnt,
+       ROUND(max_cnt * 1.0 * n_keys / n_rows, 6) AS skew_ratio,
+       CAST(least({R.SALT_CAP}, CAST(ceil(max_cnt * 1.0 * n_keys / n_rows) AS BIGINT)) AS INT)
+         AS salt_factor
+FROM agg
+""",
+)
+def orders_salt_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-factor advisor: per-key count skew of the customer join key
+    reduced to max/avg ratio and the recommended salt fan-out — the
+    input that decides when skew_salted_enrich's replicate-join is
+    worth its dim duplication."""
+    return R.skew_salt_advisor(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "orders_incremental_agg",
+    """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS revenue
+FROM orders GROUP BY 1
+""",
+)
+def orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view merge: monthly revenue built from
+    yesterday's partial state + today's delta partial re-aggregated
+    (sum-of-sums) — the oracle is the FULL recompute, checking the
+    mergeability contract incremental gold tables rest on."""
+    return R.incremental_agg_merge(load_table(spark, sf_dir, "orders"))

@@ -258,3 +258,31 @@ def test_curriculum_deciles_two_phase_rank(spark, sf_dir):
         if "Exchange SinglePartition" in line:
             above = "\n".join(plan.splitlines()[max(0, i - 3):i])
             assert "Window" not in above and "Sort " not in above
+
+
+def test_incremental_pairs_broadcast_batch_side(spark, sf_dir):
+    """Wave 34: the batch side of the incremental dedup join must be
+    broadcast against the materialized band index — never a corpus
+    self-shuffle per ingest batch."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "ExistingRDD" in plan  # checkpointed band index
+
+
+def test_matryoshka_stages_are_heap_topk(spark, sf_dir):
+    """Wave 34: both matryoshka stages must plan per-partition top-k
+    heaps (TakeOrderedAndProject) and the rerank joins a broadcast
+    shortlist."""
+    plan = plan_of(spark, sf_dir, "ann_matryoshka_recall")
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_agg_partials_not_fact_union(spark, sf_dir):
+    """Wave 34: the merge must re-aggregate two already-aggregated
+    partials — two HashAggregate pairs below the final merge agg, with
+    the delta predicate pushed to both scans."""
+    plan = plan_of(spark, sf_dir, "orders_incremental_agg")
+    assert plan.count("HashAggregate") >= 6  # 2 partials x (partial+final) + merge
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 2
