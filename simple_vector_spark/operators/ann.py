@@ -1188,3 +1188,66 @@ def matryoshka_recall(
         F.lit("prefix_rerank").alias("mode"), "k", "n_hit", "recall"
     )
     return r1.unionByName(r2)
+
+
+KNN_GRAPH_K = 3
+
+
+def knn_graph_blocked(
+    emb_cells: DataFrame,
+    k: int = KNN_GRAPH_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocked k-NN-graph construction: every vector's top-k neighbors
+    WITHIN its IVF cell — the bulk index-build workload (graph-ANN
+    construction, dedup seeding, label propagation) expressed as an
+    equi-join on the cell id.
+
+    Scale: pair space is sum(cell²), never n² — the same blocking
+    contract as dedup_embedding_blocked; the shuffle key is the cell
+    id and the per-source top-k is a rank-limit window (WindowGroupLimit
+    partial top-k before the exchange).  Cross-cell edges are the
+    measured recall trade (cells come from the cached assignment
+    table; raising nprobe-style overlap is the quality dial)."""
+    from ..functions.vector import as_double_array, squared_l2
+
+    base = emb_cells.select(
+        F.col(id_col).alias("_gid"),
+        F.col("__cell").alias("_gcell"),
+        as_double_array(F.col(vec_col)).alias("_gv"),
+    )
+    # Materialize the assignment projection before the self-join (same
+    # contract as the MinHash band table): both branches read the tiny
+    # (id, cell, vec) table instead of re-deriving it — and the
+    # materialization also sidesteps Spark's self-join attribute
+    # rebinding on non-checkpointed lineage.
+    base = base.localCheckpoint()
+    # The renamed side is pinned as its OWN checkpoint: joining two
+    # branches of one checkpointed RDD trips Spark's self-join relation
+    # dedup into binding stale attribute ids at runtime
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND); two distinct lineages make
+    # the join unambiguous.  Cost: a second pin of the (id, cell, vec)
+    # projection — same storage class as the corpus itself.
+    nbrs = base.select(
+        F.col("_gid").alias("_nid"),
+        F.col("_gcell").alias("_ncell"),
+        F.col("_gv").alias("_nv"),
+    ).localCheckpoint()
+    pairs = base.join(
+        nbrs,
+        (F.col("_gcell") == F.col("_ncell")) & (F.col("_gid") != F.col("_nid")),
+    )
+    scored = pairs.select(
+        F.col("_gid").alias("src"),
+        F.col("_nid").alias("nbr"),
+        F.round(squared_l2(F.col("_gv"), F.col("_nv")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("nbr").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("src").alias("vec_id"), F.col("nbr").alias("nbr_id"), "dist", "rnk"
+        )
+    )

@@ -778,3 +778,57 @@ def markov_stationary(events: DataFrame, iters: int = 10) -> DataFrame:
         [(s, round(mass[s] / 1e6, 6)) for s in states],
         "state string, stationary double",
     )
+
+
+AUTOCORR_LAGS = (1, 7)
+
+
+def daily_autocorrelation(events: DataFrame, lags: tuple[int, ...] = AUTOCORR_LAGS) -> DataFrame:
+    """Lag-k autocorrelation of the daily event count series — the
+    seasonality detector (lag-7 high = weekly cycle) that decides
+    whether forecasting/anomaly models need a seasonal term.
+
+    Pearson r per lag from EXACT integer power sums (counts are ints;
+    n*Sxy - Sx*Sy arithmetic stays integral until the final sqrt/
+    divide, one f64 expression per lag -> deterministic).  Plan: one
+    shuffle for the daily counts; the lag join is day = day + k on the
+    tiny per-day aggregate; lags stack via a unioned constant column."""
+    daily = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    out = None
+    for lag in lags:
+        a = daily.select(F.col("d"), F.col("c").alias("x"))
+        b = daily.select(
+            F.date_sub(F.col("d"), lag).alias("d"), F.col("c").alias("y")
+        )
+        joined = a.join(b, "d")
+        stats = joined.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        ).select(
+            F.lit(lag).cast("int").alias("lag"),
+            "n_pairs",
+            F.round(
+                (
+                    F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / F.sqrt(
+                    (
+                        F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                    * (
+                        F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("autocorr"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out

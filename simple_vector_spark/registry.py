@@ -6516,3 +6516,149 @@ def orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum-of-sums) — the oracle is the FULL recompute, checking the
     mergeability contract incremental gold tables rest on."""
     return R.incremental_agg_merge(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 35 (round 2): blocked k-NN-graph construction, daily-count
+# autocorrelation, damped PageRank on the nation trade graph.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "knn_graph_blocked",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({_CENTS_SQL})
+),
+pc AS (
+  SELECT e.vec_id, c.cid,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(c.cv) AS y
+  FROM embeddings e CROSS JOIN cents c
+),
+cd AS (SELECT vec_id, cid, ROUND(SUM((x - y) * (x - y)), 6) AS d FROM pc GROUP BY vec_id, cid),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cd
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+pe AS (
+  SELECT p.src, p.nbr,
+         unnest(CAST(ea.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(eb.embedding AS DOUBLE[])) AS y
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.src
+  JOIN embeddings eb ON eb.vec_id = p.nbr
+),
+pd AS (SELECT src, nbr, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM pe GROUP BY src, nbr),
+rk AS (
+  SELECT src, nbr, dist,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, nbr) AS rnk
+  FROM pd
+)
+SELECT src AS vec_id, nbr AS nbr_id, dist, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= {A.KNN_GRAPH_K}
+""",
+)
+def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk k-NN-graph construction blocked by IVF cell: each vector's
+    top-{A.KNN_GRAPH_K} within-cell neighbors via a cell equi-join —
+    pair space sum(cell²), never n²; the index-build workload behind
+    graph-ANN construction and embedding dedup seeding."""
+    return A.knn_graph_blocked(_emb_with_cells(spark, sf_dir))
+
+
+_AUTOCORR_LAG_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT CAST({lag} AS INT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(
+         CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) /
+         SQRT(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+            * CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)), 6)
+         AS autocorr
+FROM (
+  SELECT a.c AS x, b.c AS y FROM daily a JOIN daily b ON b.d = a.d + {lag}
+)"""
+    for lag in E.AUTOCORR_LAGS
+)
+
+
+@query(
+    "events_daily_autocorr",
+    f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1
+)
+{_AUTOCORR_LAG_SQL}
+""",
+)
+def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/lag-7 autocorrelation of the daily event count — the
+    weekly-seasonality detector, Pearson r from exact integer power
+    sums on the tiny per-day aggregate."""
+    return E.daily_autocorrelation(load_table(spark, sf_dir, "events"))
+
+
+def _pagerank_oracle() -> str:
+    n_iters = R.PAGERANK_ITERS
+    d = R.PAGERANK_DAMPING
+    ctes = [
+        """edges AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+)""",
+        """outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src)""",
+        """trans AS (
+  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.wout AS p
+  FROM edges e JOIN outw o USING (src)
+)""",
+        """nodes AS (SELECT n_nationkey AS node FROM nation)""",
+        """nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)""",
+        """r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)""",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""c{i} AS (
+  SELECT t.dst, SUM(t.p * r.r) AS inflow
+  FROM trans t JOIN r{p} r ON t.src = r.node GROUP BY t.dst
+),
+r{i} AS (
+  SELECT nodes.node,
+         ROUND((1.0 - {d}) / nn.n + {d} * COALESCE(c{i}.inflow, 0.0), 8) AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.dst
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT n_name AS nation, ROUND(r.r, 6) AS pagerank
+FROM r{n_iters} r JOIN nation ON r.node = n_nationkey
+"""
+
+
+@query("nation_trade_pagerank", _pagerank_oracle())
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the supplier-nation -> customer-nation trade
+    graph ({R.PAGERANK_ITERS} fixed power iterations, per-iteration
+    ROUND 8): structural trade centrality.  One fact shuffle builds the
+    edge aggregate; iterations run on the checkpointed |nations|² edge
+    table."""
+    return R.nation_trade_pagerank(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )

@@ -286,3 +286,21 @@ def test_incremental_agg_partials_not_fact_union(spark, sf_dir):
     assert plan.count("HashAggregate") >= 6  # 2 partials x (partial+final) + merge
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 2
+
+
+def test_knn_graph_equi_join_and_group_limit(spark, sf_dir):
+    """Wave 35: graph build must be a cell equi-join (no cartesian /
+    nested loop) with the per-source top-k as a partial group limit."""
+    plan = plan_of(spark, sf_dir, "knn_graph_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_pagerank_edges_single_fact_shuffle(spark, sf_dir):
+    """Wave 35: dims broadcast; iterations consume the checkpointed
+    edge table, so exactly one orders-lineitem sort-merge/shuffle pair
+    appears and no nation-table rescans leak into the loop."""
+    plan = plan_of(spark, sf_dir, "nation_trade_pagerank")
+    assert "ExistingRDD" in plan  # checkpointed trans/nodes tables
+    assert "BroadcastHashJoin" in plan
