@@ -832,3 +832,52 @@ def daily_autocorrelation(events: DataFrame, lags: tuple[int, ...] = AUTOCORR_LA
         )
         out = stats if out is None else out.unionByName(stats)
     return out
+
+
+# MATCH_RECOGNIZE-style sequence patterns over the per-user event-type
+# string (one char per event, initials are distinct across the five
+# fixture types).  Java regex and DuckDB's RE2 agree on these
+# literal/char-class-only patterns.
+SEQ_PATTERNS: dict[str, str] = {
+    "direct_funnel": "vcp",      # view -> click -> purchase, adjacent
+    "eventual_funnel": "v.*c.*p",  # the funnel as a subsequence
+    "error_pair": "ee",          # two consecutive errors
+}
+
+
+def sequence_pattern_match(events: DataFrame) -> DataFrame:
+    """Sequence-pattern analytics (the MATCH_RECOGNIZE / funnel-regex
+    shape): per user, the chronologically ordered event-type initials
+    collapse to one string; each declared pattern counts the users
+    whose sequence matches.
+
+    Determinism: the per-user ordering is (ts, event_id) — encoded by
+    sorting an array of (ts, event_id, ch) structs, since
+    collect_list order is not guaranteed.  Scale: one shuffle on
+    user_id; sequences are per-user sized; the pattern scan is a
+    regexp over the reduced string, and the final output is
+    |patterns| rows off one aggregate row (no per-pattern rescan)."""
+    ch = F.substring("event_type", 1, 1)
+    seqs = (
+        events.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), ch.alias("ch")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            F.array_join(F.transform("ss", lambda s: s["ch"]), "").alias("seq")
+        )
+    )
+    counts = seqs.agg(
+        *[
+            F.count(F.when(F.col("seq").rlike(pat), True))
+            .cast("long")
+            .alias(name)
+            for name, pat in SEQ_PATTERNS.items()
+        ]
+    )
+    stack_args = ", ".join(f"'{name}', {name}" for name in SEQ_PATTERNS)
+    return counts.selectExpr(
+        f"stack({len(SEQ_PATTERNS)}, {stack_args}) AS (pattern, n_users)"
+    )

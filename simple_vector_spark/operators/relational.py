@@ -1794,3 +1794,69 @@ def nation_trade_pagerank(
             F.round(F.col("r"), 6).alias("pagerank"),
         )
     )
+
+
+ENC_COLUMNS = ("l_returnflag", "l_linestatus", "l_shipdate")
+ENC_DICT_MAX = 64
+ENC_RLE_MIN_RUN = 2.0
+
+
+def column_encoding_advisor(lineitem: DataFrame) -> DataFrame:
+    """Storage-layout advisor: per candidate column, cardinality and
+    average run length along the table's native (l_orderkey,
+    l_linenumber) order, mapped to an encoding recommendation —
+     'rle' when runs average >= {ENC_RLE_MIN_RUN}, else 'dict' when
+    distinct values fit a {ENC_DICT_MAX}-entry dictionary, else
+    'plain'.  The decision input for Parquet encoding/sort-order
+    tuning (run length is what a CLUSTER BY would manufacture).
+
+    Plan: ONE scan computes every column's lag in a single window
+    (partitioned by l_orderkey — bounded lines per order, never a
+    global sort); run starts and distinct counts fold in one
+    aggregate; the per-column rows unpivot from that single row.
+    (l_orderkey, l_linenumber) is not unique in the fixture, so the
+    measured columns themselves join the sort key: remaining ties are
+    then value-identical and run segmentation is deterministic."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", *ENC_COLUMNS)
+    lagged = lineitem.select(
+        *ENC_COLUMNS,
+        *[
+            F.lag(c).over(w).alias(f"_p_{c}")
+            for c in ENC_COLUMNS
+        ],
+    )
+    agg = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.countDistinct(c).cast("long").alias(f"_d_{c}")
+            for c in ENC_COLUMNS
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"_p_{c}").isNull() | (F.col(f"_p_{c}") != F.col(c)), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"_r_{c}")
+            for c in ENC_COLUMNS
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{c}', _d_{c}, _r_{c}" for c in ENC_COLUMNS
+    )
+    melted = agg.selectExpr(
+        "n", f"stack({len(ENC_COLUMNS)}, {stack_args}) AS (col_name, n_distinct, n_runs)"
+    )
+    avg_run = F.col("n").cast("double") / F.col("n_runs").cast("double")
+    return melted.select(
+        "col_name",
+        "n",
+        "n_distinct",
+        "n_runs",
+        F.round(avg_run, 6).alias("avg_run_len"),
+        F.when(avg_run >= ENC_RLE_MIN_RUN, "rle")
+        .when(F.col("n_distinct") <= ENC_DICT_MAX, "dict")
+        .otherwise("plain")
+        .alias("encoding"),
+    )

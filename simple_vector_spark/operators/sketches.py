@@ -206,3 +206,80 @@ def bloom_prune_audit(
             ).alias("fp_rate"),
         )
     )
+
+
+KMV_K = 64
+_KMV_RANGE = 4294967296  # md5_int values are uniform in [0, 2^32)
+
+
+def kmv_cardinality_audit(
+    events: DataFrame, types: tuple[str, str] = ("view", "purchase"), k: int = KMV_K
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch audit: per event
+    type, the k smallest md5 hashes of the user ids give the classic
+    estimator (k-1) * RANGE / h_k; the UNION sketch is the k smallest
+    of the merged sketches — the mergeability that lets per-partition
+    sketches combine without rescanning (the same contract as HLL,
+    but exact-integer and therefore oracle-checkable).  Reports
+    estimate vs exact distinct count and the relative error for each
+    set and their union.
+
+    Scale: the sketch build is a rank-limit window per type
+    (WindowGroupLimit partial top-k before the exchange); everything
+    downstream is k-sized."""
+    h = md5_int(F.col("user_id").cast("string"))
+    hashed = (
+        events.filter(F.col("event_type").isin(*types))
+        .select("event_type", F.col("user_id"), h.alias("h"))
+        .localCheckpoint()
+    )
+    per_type = hashed.select("event_type", "h").distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    sk = (
+        per_type.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .localCheckpoint()
+    )
+    union_sk = (
+        sk.select("h")
+        .distinct()
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy().orderBy(F.col("h").asc())),
+        )
+        .filter(F.col("rnk") <= k)
+        .select(F.lit("union").alias("set_name"), "h", "rnk")
+    )
+    sketches = sk.select(
+        F.col("event_type").alias("set_name"), "h", "rnk"
+    ).unionByName(union_sk)
+    est = sketches.groupBy("set_name").agg(
+        F.count("*").alias("_n_sk"),
+        F.max(F.when(F.col("rnk") == k, F.col("h"))).alias("_hk"),
+    ).select(
+        "set_name",
+        F.when(F.col("_n_sk") < k, F.col("_n_sk").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(float(_KMV_RANGE)) / F.col("_hk").cast("double")
+        )
+        .alias("_est"),
+    )
+    ex_type = hashed.groupBy(F.col("event_type").alias("set_name")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact")
+    )
+    ex_union = hashed.agg(
+        F.countDistinct("user_id").cast("long").alias("exact")
+    ).select(F.lit("union").alias("set_name"), "exact")
+    exact = ex_type.unionByName(ex_union)
+    return est.join(exact, "set_name").select(
+        "set_name",
+        F.round(F.col("_est"), 6).alias("est"),
+        "exact",
+        F.round(
+            F.abs(F.col("_est") - F.col("exact").cast("double"))
+            / F.col("exact").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )

@@ -6662,3 +6662,161 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 36 (round 2): sequence-pattern matching, KMV cardinality sketch,
+# column-encoding advisor, gzip JSON-lines source.
+# --------------------------------------------------------------------------
+
+_SEQ_PATTERN_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS pattern,
+       CAST(COUNT(CASE WHEN regexp_matches(seq, '{pat}') THEN 1 END) AS BIGINT)
+         AS n_users
+FROM seqs"""
+    for name, pat in E.SEQ_PATTERNS.items()
+)
+
+
+@query(
+    "events_pattern_match",
+    f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+{_SEQ_PATTERN_SQL}
+""",
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style funnel regexes over the per-user ordered
+    event-type string: adjacent view->click->purchase, the eventual
+    funnel, and consecutive-error users — one user_id shuffle, one
+    aggregate row, |patterns| output rows."""
+    return E.sequence_pattern_match(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_kmv_cardinality",
+    f"""
+WITH hashed AS (
+  SELECT event_type,
+         user_id,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+per_type AS (SELECT DISTINCT event_type, h FROM hashed),
+sk AS (
+  SELECT event_type AS set_name, h, rnk FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+    FROM per_type
+  ) WHERE rnk <= {SK.KMV_K}
+),
+union_sk AS (
+  SELECT 'union' AS set_name, h, rnk FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk
+    FROM (SELECT DISTINCT h FROM sk)
+  ) WHERE rnk <= {SK.KMV_K}
+),
+sketches AS (SELECT * FROM sk UNION ALL SELECT * FROM union_sk),
+est AS (
+  SELECT set_name,
+         CASE WHEN COUNT(*) < {SK.KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE {SK.KMV_K - 1}.0 * 4294967296.0 /
+                   CAST(MAX(CASE WHEN rnk = {SK.KMV_K} THEN h END) AS DOUBLE)
+         END AS est
+  FROM sketches GROUP BY set_name
+),
+exact AS (
+  SELECT event_type AS set_name, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact
+  FROM hashed GROUP BY event_type
+  UNION ALL
+  SELECT 'union', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM hashed
+)
+SELECT e.set_name, ROUND(est.est, 6) AS est, e.exact,
+       ROUND(ABS(est.est - e.exact) / e.exact, 6) AS rel_err
+FROM exact e JOIN est USING (set_name)
+""",
+)
+def events_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV k-minimum-values distinct sketch vs exact, for two event
+    types and their merged-union sketch — the mergeable-cardinality
+    contract HLL relies on, in exact-integer (oracle-checkable)
+    form."""
+    return SK.kmv_cardinality_audit(load_table(spark, sf_dir, "events"))
+
+
+_ENC_LAG_SQL = ",\n         ".join(
+    f"LAG({c}) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, {', '.join(R.ENC_COLUMNS)}) AS p_{c}"
+    for c in R.ENC_COLUMNS
+)
+_ENC_AGG_SQL = ",\n    ".join(
+    f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS d_{c},\n"
+    f"    CAST(SUM(CASE WHEN p_{c} IS NULL OR p_{c} != {c} THEN 1 ELSE 0 END) AS BIGINT) AS r_{c}"
+    for c in R.ENC_COLUMNS
+)
+_ENC_ROWS_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, n, d_{c} AS n_distinct, r_{c} AS n_runs FROM agg"
+    for c in R.ENC_COLUMNS
+)
+
+
+@query(
+    "column_encoding_advisor",
+    f"""
+WITH w AS (
+  SELECT {", ".join(R.ENC_COLUMNS)},
+         {_ENC_LAG_SQL}
+  FROM lineitem
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    {_ENC_AGG_SQL}
+  FROM w
+),
+melted AS (
+  {_ENC_ROWS_SQL}
+)
+SELECT col_name, n, n_distinct, n_runs,
+       ROUND(n * 1.0 / n_runs, 6) AS avg_run_len,
+       CASE WHEN n * 1.0 / n_runs >= {R.ENC_RLE_MIN_RUN} THEN 'rle'
+            WHEN n_distinct <= {R.ENC_DICT_MAX} THEN 'dict'
+            ELSE 'plain' END AS encoding
+FROM melted
+""",
+)
+def column_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet encoding advisor: cardinality + run length along the
+    native sort order per candidate column -> rle/dict/plain
+    recommendation, all columns measured in one scan + one bounded
+    window."""
+    return R.column_encoding_advisor(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "gzip_source_roundtrip",
+    """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+""",
+)
+def gzip_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 source coverage: gzip-compressed JSON-lines write + schema'd
+    read-back (codec decompression is transparent to the reader;
+    explicit schema, never inference).  Oracle reads the ORIGINAL
+    parquet — the check proves a lossless compressed round-trip."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/docs_json_gz_{tag}"
+    docs.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -304,3 +304,34 @@ def test_pagerank_edges_single_fact_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "nation_trade_pagerank")
     assert "ExistingRDD" in plan  # checkpointed trans/nodes tables
     assert "BroadcastHashJoin" in plan
+
+
+def test_pattern_match_single_user_shuffle(spark, sf_dir):
+    """Wave 36: one user_id aggregate; every pattern counted off the
+    same reduced aggregate row — no per-pattern rescans."""
+    plan = plan_of(spark, sf_dir, "events_pattern_match")
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 1
+
+
+def test_kmv_sketch_partial_top_k(spark, sf_dir):
+    """Wave 36: the per-type k-minimum selection must plan a partial
+    group limit before the exchange (sketch built per-partition, then
+    merged)."""
+    plan = plan_of(spark, sf_dir, "events_kmv_cardinality")
+    # the per-type sketch is materialized (ExistingRDD) — its inner
+    # plan (rank filter => WindowGroupLimit) executes at checkpoint
+    # time; the outer plan must consume sketch-sized tables only, so
+    # no sort-merge join of the fact table may appear
+    assert "ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_encoding_advisor_single_scan_bounded_window(spark, sf_dir):
+    """Wave 36: all candidate columns measured in ONE scan and one
+    window partitioned by orderkey — never a global sort."""
+    plan = plan_of(spark, sf_dir, "column_encoding_advisor")
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 1
+    win = [l for l in plan.splitlines() if "Window [" in l]
+    assert any("l_orderkey" in l for l in win)

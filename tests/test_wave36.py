@@ -1,0 +1,90 @@
+"""Wave-36 operators: sequence-pattern matching, KMV cardinality
+sketch, column-encoding advisor."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from simple_vector_spark.operators import events as E
+from simple_vector_spark.operators import relational as R
+from simple_vector_spark.operators import sketches as SK
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_pattern_match_counts(spark):
+    t0 = dt.datetime(2024, 1, 1)
+
+    def seq(uid, types, start):
+        return [
+            (uid * 100 + i, t0 + dt.timedelta(minutes=start + i), uid, t)
+            for i, t in enumerate(types)
+        ]
+
+    rows = (
+        seq(1, ["view", "click", "purchase"], 0)        # direct + eventual
+        + seq(2, ["view", "error", "click", "purchase"], 0)  # eventual only
+        + seq(3, ["error", "error"], 0)                 # error pair
+        + seq(4, ["purchase", "view"], 0)               # nothing
+    )
+    out = {r["pattern"]: r["n_users"] for r in E.sequence_pattern_match(_ev(spark, rows)).collect()}
+    assert out == {"direct_funnel": 1, "eventual_funnel": 2, "error_pair": 1}
+
+
+def test_pattern_match_order_is_ts_then_id(spark):
+    # same timestamp: event_id breaks the tie -> 'vcp' not 'cvp'
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 9, "view"),
+        (2, t0, 9, "click"),
+        (3, t0, 9, "purchase"),
+    ]
+    out = {r["pattern"]: r["n_users"] for r in E.sequence_pattern_match(_ev(spark, rows)).collect()}
+    assert out["direct_funnel"] == 1
+
+
+def test_kmv_small_sets_are_exact(spark):
+    # sets smaller than K: the sketch holds everything -> est == exact
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, i % 10, "view") for i in range(50)] + [
+        (100 + i, t0, 5 + i % 8, "purchase") for i in range(40)
+    ]
+    out = {r["set_name"]: r for r in SK.kmv_cardinality_audit(_ev(spark, rows)).collect()}
+    assert out["view"]["exact"] == 10 and out["view"]["est"] == 10.0
+    assert out["purchase"]["exact"] == 8 and out["purchase"]["est"] == 8.0
+    assert out["union"]["exact"] == 13 and out["union"]["est"] == 13.0
+    assert all(r["rel_err"] == 0.0 for r in out.values())
+
+
+def test_kmv_estimates_within_error(spark, sf_dir):
+    from simple_vector_spark.sources.loaders import load_table
+
+    out = {
+        r["set_name"]: r
+        for r in SK.kmv_cardinality_audit(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert set(out) == {"view", "purchase", "union"}
+    for r in out.values():
+        # KMV with k=64: relative std err ~ 1/sqrt(62) ~ 13%; allow 4 sigma
+        assert r["rel_err"] < 0.5, r
+
+
+def test_encoding_advisor_recommendations(spark):
+    # col a: single value -> long runs -> rle; col b: unique per row ->
+    # plain (65 distinct > dict max with runs of 1).
+    rows = [(1, i, "x", f"v{i}") for i in range(65)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber long, l_returnflag string, l_linestatus string"
+    ).withColumn("l_shipdate", F.lit("1995-01-01"))
+    out = {r["col_name"]: r for r in R.column_encoding_advisor(df).collect()}
+    assert out["l_returnflag"]["encoding"] == "rle"
+    assert out["l_returnflag"]["n_runs"] == 1
+    assert out["l_linestatus"]["encoding"] == "plain"
+    assert out["l_linestatus"]["n_runs"] == 65
+    assert out["l_shipdate"]["encoding"] == "rle"
