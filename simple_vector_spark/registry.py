@@ -6820,3 +6820,84 @@ def gzip_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 37 (round 2): the reference's WAL file format as a custom Python
+# DataSource — segment-parallel recovery scan feeding the declarative
+# latest-wins replay.
+# --------------------------------------------------------------------------
+WAL_DOC_MOD = 50  # log records fold onto doc ids vec_id % 50 (dup keys)
+WAL_DELETE_MOD = 10  # every 10th log record is a tombstone
+
+
+@query(
+    "wal_source_scan",
+    f"""
+WITH recs AS (
+  SELECT vec_id AS log_id,
+         vec_id % {WAL_DOC_MOD} AS id,
+         label,
+         CASE WHEN vec_id % {WAL_DELETE_MOD} = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM embeddings
+),
+latest AS (
+  SELECT id, label, op FROM (
+    SELECT id, label, op,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_id DESC) AS rn
+    FROM recs
+  ) WHERE rn = 1
+)
+SELECT CAST(label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM latest WHERE op != 'delete' GROUP BY label
+""",
+)
+def wal_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16/O17 at the FILE-FORMAT level: write the op log in the
+    reference's length-prefixed ``logid|version|optype|json`` WAL
+    framing (doc/wal.md:4-6) — one segment per Spark task — then read
+    it back through the custom Python DataSource (one InputPartition
+    per segment, parallel recovery scan vs the reference's serial
+    boot loop, src/persistence.cc:84-135) and replay latest-wins with
+    tombstone drop.  The oracle recomputes the same state from the
+    original table, proving the binary round-trip lossless."""
+    import os
+
+    from .sources.wal_source import WalDataSource, write_wal_segments
+
+    if "simple_vector_wal" not in getattr(spark, "_wal_source_registered", set()):
+        spark.dataSource.register(WalDataSource)
+        spark._wal_source_registered = {"simple_vector_wal"}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    log = emb.select(
+        F.col("vec_id").alias("log_id"),
+        (F.col("vec_id") % 3).alias("version"),
+        F.when(F.col("vec_id") % WAL_DELETE_MOD == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.to_json(
+            F.struct(
+                (F.col("vec_id") % WAL_DOC_MOD).alias("id"),
+                F.col("label").alias("label"),
+            )
+        ).alias("doc"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/wal_{tag}"
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    write_wal_segments(log.repartition(4, "log_id"), path)
+
+    wal = spark.read.format("simple_vector_wal").option("path", path).load()
+    parsed = wal.select(
+        "log_id",
+        "op",
+        F.get_json_object("doc", "$.id").cast("long").alias("id"),
+        F.get_json_object("doc", "$.label").cast("int").alias("label"),
+    )
+    from .operators.mutation import wal_replay
+
+    state = wal_replay(parsed, ["id"], ["log_id"], "op", "delete")
+    return state.groupBy("label").agg(F.count("*").cast("long").alias("n_docs"))

@@ -1,0 +1,98 @@
+"""Custom Python DataSource (pyspark.sql.datasource, Spark 4 API)
+reading the reference's WAL file format.
+
+Reference format (doc/wal.md:4-6, src/persistence.cc:50-82): each
+record is an 8-byte length header followed by the payload line
+``"logid|version|optype|json\\n"``.  The reference reads this serially
+on one thread at boot (src/persistence.cc:84-135); here every WAL
+segment file is its own InputPartition, so recovery scans segments in
+parallel and the replay itself is the declarative latest-wins window
+(operators/mutation.wal_replay) — recovery time O(log/partitions).
+
+Writing mirrors how WAL segments exist in production: each Spark task
+appends ITS OWN segment file (``write_wal_segments``), never a global
+single-writer file.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+WAL_SCHEMA = "log_id bigint, version bigint, op string, doc string"
+_LEN = struct.Struct("<Q")
+
+
+def write_wal_segment(path: str, records) -> int:
+    """Append-only segment writer: length-prefixed payload lines in the
+    reference's ``logid|version|optype|json`` framing.  Returns the
+    record count."""
+    n = 0
+    with open(path, "wb") as fh:
+        for log_id, version, op, doc in records:
+            payload = f"{log_id}|{version}|{op}|{doc}\n".encode("utf-8")
+            fh.write(_LEN.pack(len(payload)))
+            fh.write(payload)
+            n += 1
+    return n
+
+
+def write_wal_segments(df: DataFrame, out_dir: str) -> None:
+    """Distributed WAL writer: every partition writes its own segment
+    file (``segment-<pid>.wal``) — the per-task append-only layout WAL
+    segments have in any log-structured store.  ``df`` must have
+    columns (log_id, version, op, doc)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = [(r["log_id"], r["version"], r["op"], r["doc"]) for r in it]
+        if rows:
+            write_wal_segment(
+                os.path.join(out_dir, f"segment-{pid:05d}.wal"), rows
+            )
+
+    df.foreachPartition(_write)
+
+
+class WalDataSource(DataSource):
+    """``spark.read.format("simple_vector_wal").option("path", dir)`` —
+    register once per session with
+    ``spark.dataSource.register(WalDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "simple_vector_wal"
+
+    def schema(self) -> str:
+        return WAL_SCHEMA
+
+    def reader(self, schema) -> "WalReader":
+        return WalReader(self.options)
+
+
+class WalReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def partitions(self):
+        files = sorted(
+            f for f in os.listdir(self.path) if f.endswith(".wal")
+        )
+        return [InputPartition(os.path.join(self.path, f)) for f in files]
+
+    def read(self, partition):
+        with open(partition.value, "rb") as fh:
+            while True:
+                hdr = fh.read(8)
+                if len(hdr) < 8:
+                    break
+                (n,) = _LEN.unpack(hdr)
+                payload = fh.read(n).decode("utf-8")
+                log_id, version, op, doc = payload.rstrip("\n").split("|", 3)
+                yield (int(log_id), int(version), op, doc)
