@@ -6901,3 +6901,41 @@ def wal_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state = wal_replay(parsed, ["id"], ["log_id"], "op", "delete")
     return state.groupBy("label").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# Wave 38 (round 2): partitioned-layout write with dynamic partition
+# overwrite + pruned read-back.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "partitioned_write_prune",
+    """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang = 'en' GROUP BY source
+""",
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned table layout: write documents partitioned by lang
+    (dynamic partition overwrite — only touched partitions rewrite,
+    the idempotent backfill contract), then read back with a lang
+    predicate that must prune to ONE partition directory
+    (PartitionFilters, asserted in tests/test_plans.py).  Oracle reads
+    the original parquet — lossless layout round-trip."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/docs_by_lang_{tag}"
+    (
+        docs.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -335,3 +335,11 @@ def test_encoding_advisor_single_scan_bounded_window(spark, sf_dir):
     assert len(scans) == 1
     win = [l for l in plan.splitlines() if "Window [" in l]
     assert any("l_orderkey" in l for l in win)
+
+
+def test_partitioned_write_prunes_to_one_lang(spark, sf_dir):
+    """Wave 38: the lang predicate must become a PartitionFilter on the
+    partitioned layout — directory pruning, not a data filter."""
+    plan = plan_of(spark, sf_dir, "partitioned_write_prune")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l and "docs_by_lang" in l)
+    assert "PartitionFilters" in scan and "lang" in scan.split("PartitionFilters")[1][:80]
