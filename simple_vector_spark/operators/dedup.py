@@ -23,7 +23,7 @@ minhash arithmetic, f64 cosine rounded to 6.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -625,4 +625,37 @@ def incremental_minhash_pairs(
             F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("doc_b"),
         )
         .distinct()
+    )
+
+
+def cluster_keep_best(
+    labels: DataFrame, scored: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-BEST-per-cluster canonical selection: instead of the min-id
+    keeper (keep_canonical_summary), each near-dup cluster keeps its
+    highest-quality member (quality desc, id tiebreak) — what a
+    production dedup pass actually ships, since near-dups often differ
+    in truncation/boilerplate.  ``labels`` is (node, cluster) from
+    dup_clusters; ``scored`` carries (id, quality).
+
+    One join keys quality onto cluster members; the keeper is a
+    rank-limit window partitioned by cluster (WindowGroupLimit) and
+    sizes fold in the same shuffle."""
+    m = labels.join(
+        scored.select(F.col(id_col).alias("node"), "quality"), "node"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("node").asc()
+    )
+    best = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster", F.col("node").alias("keeper"), "quality")
+    )
+    sizes = m.groupBy("cluster").agg(F.count("*").cast("long").alias("n_members"))
+    return best.join(sizes, "cluster").select(
+        "cluster",
+        "keeper",
+        "n_members",
+        F.round("quality", 6).alias("keeper_quality"),
     )

@@ -370,3 +370,63 @@ def label_maxsim_topk(
         .orderBy(F.col("max_sim").desc(), F.col(label_col).asc())
         .limit(k)
     )
+
+
+def label_centroid_accuracy(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid classifier evaluation: every vector is
+    classified to its closest LABEL centroid and scored against its
+    true label — the embedding/label-coherence audit (low accuracy =
+    labels are noise in embedding space, a data-quality gate before
+    training on them).
+
+    Plan: one posexplode pass; centroids are a |labels| x dim
+    aggregate; the classify join fans each (vec, dim) row out by
+    |labels| (bounded small) and reduces straight back to per-vec
+    argmin; output is |labels| rows."""
+    ex = emb.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x"),
+    ).localCheckpoint()
+    cent = ex.groupBy(F.col(label_col).alias("clabel"), F.col("pos")).agg(
+        F.avg("x").alias("c")
+    )
+    d = (
+        ex.join(cent, "pos")
+        .groupBy(id_col, label_col, "clabel")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 6
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("clabel").asc())
+    pred = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, label_col, F.col("clabel").alias("predicted"))
+    )
+    return (
+        pred.groupBy(label_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("predicted") == F.col(label_col), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            label_col,
+            "n",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n").cast("double"), 6
+            ).alias("accuracy"),
+        )
+    )

@@ -1860,3 +1860,39 @@ def column_encoding_advisor(lineitem: DataFrame) -> DataFrame:
         .otherwise("plain")
         .alias("encoding"),
     )
+
+
+def monthly_revenue_forecast(orders: DataFrame) -> DataFrame:
+    """One-step-ahead linear forecast of monthly revenue: least-squares
+    slope/intercept over (month index, revenue) from exact power sums
+    (month indexes are small ints, revenue DECIMAL-exact), applied in
+    f64 only in the closed-form step — the capacity-planning statistic.
+
+    Plan: one fact shuffle to |months| rows; the regression folds those
+    in a single aggregate."""
+    monthly = orders.groupBy(
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * 12 + F.month("o_orderdate") - 1
+        ).alias("t")
+    ).agg(F.sum(_dec("o_totalprice")).alias("y"))
+    sums = monthly.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("_st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("_stt"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("t").cast("decimal(20,2)") * F.col("y")).alias("_sty"),
+        F.max("t").cast("long").alias("_tmax"),
+    )
+    n = F.col("n").cast("double")
+    st, stt = F.col("_st").cast("double"), F.col("_stt").cast("double")
+    sy, sty = F.col("_sy").cast("double"), F.col("_sty").cast("double")
+    slope = (n * sty - st * sy) / (n * stt - st * st)
+    intercept = (sy - slope * st) / n
+    return sums.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(intercept + slope * (F.col("_tmax") + 1).cast("double"), 6).alias(
+            "forecast_next"
+        ),
+    )

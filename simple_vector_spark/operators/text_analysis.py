@@ -772,3 +772,65 @@ def perplexity_buckets(
             ),
         )
     )
+
+
+COVERAGE_POINTS = (10, 100, 1000)
+
+
+def vocab_coverage_curve(
+    docs: DataFrame,
+    points: tuple[int, ...] = COVERAGE_POINTS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: the token-mass fraction covered by
+    the top-k most frequent types, at fixed k checkpoints — the
+    vocabulary-size design statistic for tokenizers (how much of the
+    corpus does a k-entry vocab explain).
+
+    Plan: one tokenize+count shuffle builds the vocab; the global
+    frequency rank comes from the two-phase range-partitioned rank
+    (vocabulary grows with the corpus — no single-partition sort);
+    each checkpoint folds the ranked table once via conditional
+    sums in ONE aggregate."""
+    from ..sources.loaders import fan_out
+    from .ranking import ranked_global
+
+    vocab = (
+        fan_out(docs.select(text_col))
+        .select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = ranked_global(
+        vocab, [F.col("cnt").desc(), F.col("t").asc()], rank_name="rnk"
+    )
+    agg = ranked.agg(
+        F.sum("cnt").cast("long").alias("_total"),
+        *[
+            F.sum(F.when(F.col("rnk") <= k, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias(f"_cov_{k}")
+            for k in points
+        ],
+        *[
+            F.sum(F.when(F.col("rnk") <= k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_ntypes_{k}")
+            for k in points
+        ],
+    )
+    stack_args = ", ".join(
+        f"{k}, _ntypes_{k}, _cov_{k}" for k in points
+    )
+    return agg.selectExpr(
+        "_total",
+        f"stack({len(points)}, {stack_args}) AS (top_k, n_types, covered_tokens)",
+    ).select(
+        F.col("top_k").cast("int").alias("top_k"),
+        "n_types",
+        "covered_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double") / F.col("_total").cast("double"),
+            6,
+        ).alias("coverage"),
+    )

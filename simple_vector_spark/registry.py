@@ -2132,11 +2132,13 @@ _PROFILE_SQL = {
 
 
 # Shared quality-score oracle fragment (one source of truth for the
-# linear-blend formula — reused by text_quality and the curriculum
-# deciles so the two can't drift).
-_QUALITY_SCORED_SQL = f"""
+# linear-blend formula — reused by text_quality, the curriculum
+# deciles, and the keep-best dedup so none can drift).  Parameterized
+# by source table so it also scores the planted-duplicate corpus.
+def _quality_scored_sql(table: str = "documents") -> str:
+    return f"""
 WITH t AS (
-  SELECT doc_id, text, {_TK_SQL} AS tk FROM documents
+  SELECT doc_id, text, {_TK_SQL} AS tk FROM {table}
 ),
 m AS (
   SELECT doc_id,
@@ -2155,6 +2157,9 @@ SELECT doc_id, n_tokens, n_bpe,
       - 0.2 * (CAST(n_punct AS DOUBLE) / n_char), 6) AS quality
 FROM m
 """
+
+
+_QUALITY_SCORED_SQL = _quality_scored_sql()
 
 
 @query("text_quality", _QUALITY_SCORED_SQL)
@@ -6939,3 +6944,146 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 39 (round 2): keep-best canonical dedup, nearest-centroid
+# classifier eval, linear revenue forecast, vocabulary coverage curve.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_keep_best",
+    f"""
+WITH RECURSIVE {_CLUSTER_LABELS_CTES},
+q AS ({_quality_scored_sql("docs_plus")}),
+m AS (
+  SELECT l.cluster, l.node, q.quality
+  FROM labels l JOIN q ON l.node = q.doc_id
+),
+best AS (
+  SELECT cluster, node AS keeper, quality FROM (
+    SELECT cluster, node, quality,
+           ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY quality DESC, node ASC) AS rn
+    FROM m
+  ) WHERE rn = 1
+),
+sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members FROM m GROUP BY cluster)
+SELECT b.cluster, b.keeper, sz.n_members, ROUND(b.quality, 6) AS keeper_quality
+FROM best b JOIN sz USING (cluster)
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST canonical selection: each near-dup cluster keeps its
+    highest-quality member (quality desc, id tiebreak) instead of the
+    arbitrary min-id — the dedup rewrite a production pass actually
+    ships.  Cluster labels and quality scores both reuse their cached/
+    shared derivations."""
+    docs = _docs_plus_spark(spark, sf_dir)
+    scored = T.token_quality(docs).select("doc_id", "quality")
+    return D.cluster_keep_best(_dup_cluster_labels(spark, sf_dir), scored)
+
+
+@query(
+    "label_centroid_accuracy",
+    """
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+cent AS (SELECT label AS clabel, pos, AVG(x) AS c FROM ex GROUP BY label, pos),
+d AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         ROUND(SUM((e.x - c.c) * (e.x - c.c)), 6) AS dist
+  FROM ex e JOIN cent c ON e.pos = c.pos
+  GROUP BY e.vec_id, e.label, c.clabel
+),
+pred AS (
+  SELECT vec_id, label, clabel AS predicted FROM (
+    SELECT vec_id, label, clabel,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS accuracy
+FROM pred GROUP BY label
+""",
+)
+def label_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier eval: per-label accuracy of
+    classify-to-closest-label-centroid — the embedding/label coherence
+    audit that gates training on the label field."""
+    return K.label_centroid_accuracy(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "orders_revenue_forecast",
+    """
+WITH monthly AS (
+  SELECT (CAST(strftime(o_orderdate, '%Y') AS INT) - 1992) * 12
+         + CAST(strftime(o_orderdate, '%m') AS INT) - 1 AS t,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS y
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(t AS DECIMAL(20,2)) * y) AS DOUBLE) AS sty,
+         CAST(MAX(t) AS BIGINT) AS tmax
+  FROM monthly
+)
+SELECT n,
+       ROUND((n * sty - st * sy) / (n * stt - st * st), 6) AS slope,
+       ROUND((sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n, 6)
+         AS intercept,
+       ROUND((sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n
+             + (n * sty - st * sy) / (n * stt - st * st) * (tmax + 1), 6)
+         AS forecast_next
+FROM s
+""",
+)
+def orders_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step linear forecast of monthly revenue: least-squares over
+    (month index, DECIMAL-exact revenue) from power sums — the
+    capacity-planning trend statistic."""
+    return R.monthly_revenue_forecast(load_table(spark, sf_dir, "orders"))
+
+
+_COVERAGE_ROWS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT CAST({k} AS INT) AS top_k,
+       CAST(SUM(CASE WHEN rnk <= {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN rnk <= {k} THEN cnt ELSE 0 END) AS BIGINT) AS covered_tokens,
+       ROUND(SUM(CASE WHEN rnk <= {k} THEN cnt ELSE 0 END) * 1.0 / SUM(cnt), 6)
+         AS coverage
+FROM ranked"""
+    for k in T.COVERAGE_POINTS
+)
+
+
+@query(
+    "vocab_coverage_curve",
+    f"""
+WITH vocab AS (
+  SELECT t, COUNT(*) AS cnt
+  FROM (SELECT unnest({_TK_SQL}) AS t FROM documents)
+  GROUP BY t
+),
+ranked AS (
+  SELECT t, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS rnk FROM vocab
+)
+{_COVERAGE_ROWS_SQL}
+""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: token-mass share of the top-k types
+    at fixed k — the tokenizer vocab-size design statistic, ranked via
+    the two-phase range-partitioned rank (never a single-partition
+    sort)."""
+    return T.vocab_coverage_curve(load_table(spark, sf_dir, "documents"))
