@@ -7087,3 +7087,117 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-phase range-partitioned rank (never a single-partition
     sort)."""
     return T.vocab_coverage_curve(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "stream_wal_tail",
+    f"""
+WITH recs AS (
+  SELECT vec_id AS log_id,
+         vec_id % {WAL_DOC_MOD} AS id,
+         label,
+         CASE WHEN vec_id % {WAL_DELETE_MOD} = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS log_id,
+         vec_id % {WAL_DOC_MOD} AS id,
+         label,
+         'upsert' AS op
+  FROM embeddings WHERE vec_id < 10
+),
+latest AS (
+  SELECT id, label, op FROM (
+    SELECT id, label, op,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_id DESC) AS rn
+    FROM recs
+  ) WHERE rn = 1
+)
+SELECT CAST(label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM latest WHERE op != 'delete' GROUP BY label
+""",
+)
+def stream_wal_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16 as a LIVE stream: the WAL directory is tailed through the
+    custom source's SimpleDataSourceStreamReader — run 1 drains the
+    initial segments into a checkpointed append sink; a NEW segment
+    (late upserts for doc ids < 10, higher log_ids) lands between
+    runs; run 2 resumes from the SAME checkpoint and consumes ONLY
+    the delta segment (offset = consumed-segment count, the
+    'replay after lastSnapshotID' contract).  Latest-wins replay over
+    the accumulated sink equals the batch oracle over both record
+    waves — batch/stream equivalence plus incremental-tail
+    exactly-once in one check."""
+    import os
+    import shutil
+
+    from .sources.wal_source import WalDataSource, write_wal_segment, write_wal_segments
+
+    if "simple_vector_wal" not in getattr(spark, "_wal_source_registered", set()):
+        spark.dataSource.register(WalDataSource)
+        spark._wal_source_registered = {"simple_vector_wal"}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    log = emb.select(
+        F.col("vec_id").alias("log_id"),
+        (F.col("vec_id") % 3).alias("version"),
+        F.when(F.col("vec_id") % WAL_DELETE_MOD == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.to_json(
+            F.struct(
+                (F.col("vec_id") % WAL_DOC_MOD).alias("id"),
+                F.col("label").alias("label"),
+            )
+        ).alias("doc"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/wal_stream_{tag}"
+    ck = f"{path}_ck"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    write_wal_segments(log.repartition(2, "log_id"), path)
+
+    out_dir = f"{path}_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def run_once():
+        wal = spark.readStream.format("simple_vector_wal").option("path", path).load()
+
+        # memory sink cannot recover from a checkpoint; the
+        # foreachBatch parquet-append sink is the recoverable
+        # accumulate-all-batches shape
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            wal.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # late upsert wave lands as a NEW segment after the first drain
+    extra = [
+        (r["vec_id"] + 1_000_000, 9, "upsert",
+         '{"id":%d,"label":%d}' % (r["vec_id"] % WAL_DOC_MOD, r["label"]))
+        for r in emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "label")
+        .collect()
+    ]
+    write_wal_segment(os.path.join(path, "segment-zzlate.wal"), extra)
+    run_once()
+
+    acc = spark.read.parquet(out_dir)
+    parsed = acc.select(
+        "log_id",
+        "op",
+        F.get_json_object("doc", "$.id").cast("long").alias("id"),
+        F.get_json_object("doc", "$.label").cast("int").alias("label"),
+    )
+    from .operators.mutation import wal_replay
+
+    state = wal_replay(parsed, ["id"], ["log_id"], "op", "delete")
+    return state.groupBy("label").agg(F.count("*").cast("long").alias("n_docs"))

@@ -70,3 +70,49 @@ def test_distributed_writer_one_segment_per_task(spark, tmp_path):
     back = spark.read.format("simple_vector_wal").option("path", d).load()
     assert back.count() == 100
     assert set(r["log_id"] for r in back.collect()) == set(range(100))
+
+
+def test_stream_tail_consumes_only_delta(spark, tmp_path):
+    """Run 1 drains 2 segments; a third lands; run 2 from the same
+    checkpoint must append ONLY the new segment's records (offset =
+    consumed-segment count -> no reprocessing)."""
+    _register(spark)
+    import os
+
+    d = str(tmp_path / "tail")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    os.makedirs(d)
+    write_wal_segment(
+        os.path.join(d, "segment-00000.wal"),
+        [(i, 0, "upsert", f'{{"id":{i}}}') for i in range(4)],
+    )
+    write_wal_segment(
+        os.path.join(d, "segment-00001.wal"),
+        [(10 + i, 0, "upsert", f'{{"id":{10+i}}}') for i in range(3)],
+    )
+
+    def run_once():
+        wal = spark.readStream.format("simple_vector_wal").option("path", d).load()
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            wal.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = sorted(r["log_id"] for r in spark.read.parquet(out).collect())
+    assert first == [0, 1, 2, 3, 10, 11, 12]
+    write_wal_segment(
+        os.path.join(d, "segment-00002.wal"), [(99, 1, "delete", '{"id":99}')]
+    )
+    run_once()
+    second = sorted(r["log_id"] for r in spark.read.parquet(out).collect())
+    assert second == [0, 1, 2, 3, 10, 11, 12, 99]  # delta only, no re-reads
