@@ -225,3 +225,106 @@ def audio_window_audit(docs_with_payload: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_windows"),
     )
+
+
+PHASH_BITS = 64
+PHASH_BANDS = 4  # 4 x 16-bit bands for the LSH bucket join
+PHASH_MAX_HAMMING = 6
+
+
+def _phash_from_bytes(payload: bytes) -> int:
+    """64-bit average-hash over a deterministic 8x8 'raster' derived
+    from the payload bytes (stride sums stand in for decoded pixels —
+    with a real codec this is resize(8,8) + grayscale; the banding /
+    Hamming machinery downstream is identical either way)."""
+    n = len(payload)
+    px = [0] * PHASH_BITS
+    if n:
+        for i in range(PHASH_BITS):
+            s = 0
+            for j in range(i, n, PHASH_BITS):
+                s += payload[j]
+            px[i] = s
+    mean = sum(px) / PHASH_BITS
+    h = 0
+    for i, p in enumerate(px):
+        if p > mean:
+            h |= 1 << i
+    # two's-complement into signed int64 (Arrow/Spark LongType);
+    # banding masks and XOR/popcount are bit-pattern operations, so
+    # signedness is irrelevant downstream
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def phash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload bytes -> 64-bit perceptual hash."""
+    for pdf in it:
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "phash": [
+                    _phash_from_bytes(bytes(p)) for p in pdf["payload"]
+                ],
+            }
+        )
+        yield out
+
+
+def phash_neardup_pairs(
+    docs_with_payload: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Perceptual near-dup candidates over the opaque media column:
+    64-bit pHash per payload (Arrow-batched mapInPandas), banded into
+    {PHASH_BANDS} 16-bit LSH buckets — a pair agreeing on ANY band is
+    a candidate (Hamming <= {PHASH_MAX_HAMMING} guarantees >= one
+    clean band by pigeonhole when errors spread; near-identical media
+    share several) — then the exact popcount Hamming filter on the
+    candidates only.  Shuffle key is (band, bucket); never all-pairs.
+    Oracle: rows-only (the hash is computed in Python over binary
+    payloads — not SQL-expressible); the pair contract is pytest-held
+    on planted duplicates."""
+    hashed = (
+        docs_with_payload.select("doc_id", "payload")
+        .mapInPandas(phash_batch, "doc_id long, phash long")
+        .localCheckpoint()
+    )
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "phash", "bb.band", "bb.bucket")
+    a, b = bands.alias("pa"), bands.alias("pb")
+    cand = (
+        a.join(
+            b,
+            (F.col("pa.band") == F.col("pb.band"))
+            & (F.col("pa.bucket") == F.col("pb.bucket"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+            F.col("pa.phash").alias("ha"),
+            F.col("pb.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

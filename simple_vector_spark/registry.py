@@ -7201,3 +7201,15 @@ def stream_wal_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state = wal_replay(parsed, ["id"], ["log_id"], "op", "delete")
     return state.groupBy("label").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+@query("multimodal_phash_neardup")  # rows-only: Python-computed pHash
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over the opaque media column: Arrow-
+    batched 64-bit pHash, 4x16-bit LSH band join, exact popcount
+    Hamming gate — planted duplicate payloads (doc_id % {PLANT_MOD}
+    == 0 copied to +{PLANT_SHIFT}) must pair at Hamming 0; the
+    contract is pytest-held (tests/test_wave40.py)."""
+    return MM.phash_neardup_pairs(
+        MM.with_payload(_docs_plus_spark(spark, sf_dir))
+    )
