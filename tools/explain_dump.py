@@ -44,6 +44,18 @@ HEADLINERS = [
     ("decontaminate_fuzzy_minhash", "benchmark band table broadcast; corpus never shuffled for candidates"),
     ("wal_compaction_audit", "one key-window shuffle, bucket-bounded aggregate"),
     ("split_leakage_audit", "two tiny aggregates over the cached cluster-label table"),
+    ("bloom_prune_audit", "bit-position set broadcast; probe pays only its own DISTINCT shuffle"),
+    ("doc_pack_windows", "packing cumsum windowed by (source, shard) — bounded tasks, no global sort"),
+    ("dedup_incremental_pairs", "broadcast batch bands against the materialized index — no corpus self-shuffle per ingest"),
+    ("ann_matryoshka_recall", "prefix-dim heap top-k stages; full vectors fetched only for the broadcast shortlist"),
+    ("knn_graph_blocked", "cell equi-join pair space; WindowGroupLimit per-source top-k"),
+    ("nation_trade_pagerank", "one fact shuffle builds edges; iterations on the checkpointed aggregate"),
+    ("events_pattern_match", "one user_id shuffle; every pattern counted off one aggregate row"),
+    ("column_encoding_advisor", "all columns lagged in one bounded window over one scan"),
+    ("wal_source_scan", "custom Python DataSource: one InputPartition per WAL segment"),
+    ("partitioned_write_prune", "lang predicate as PartitionFilters on the partitioned layout"),
+    ("label_centroid_accuracy", "one posexplode pass; |labels|-bounded classify fan-out; per-vec argmin window"),
+    ("vocab_coverage_curve", "two-phase ranked vocab; every coverage point folded in one aggregate"),
 ]
 
 
