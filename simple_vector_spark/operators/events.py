@@ -881,3 +881,72 @@ def sequence_pattern_match(events: DataFrame) -> DataFrame:
     return counts.selectExpr(
         f"stack({len(SEQ_PATTERNS)}, {stack_args}) AS (pattern, n_users)"
     )
+
+
+def changepoint_detect(events: DataFrame) -> DataFrame:
+    """Single change-point detection over the daily event-count series:
+    the split date minimizing total within-segment SSE (the exact
+    two-segment least-squares break), computed entirely from prefix
+    power sums — the monitoring primitive behind 'did traffic shift on
+    date X'.
+
+    Determinism: counts are exact ints; prefix sums are exact; SSE =
+    ss - s²/n evaluated in f64 only at the comparison, ROUND 6 before
+    the argmin with date tiebreak.  Plan: daily agg (one shuffle to a
+    calendar-bounded series), prefix sums in one ordered window over
+    that series (|days| rows — bounded by the time range, not the
+    fact table), argmin via rank-limit."""
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "d",
+        "c",
+        F.count("*").over(w).alias("n1"),
+        F.sum("c").over(w).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("ss1"),
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("c").cast("long").alias("_s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_ss"),
+    )
+    n1 = F.col("n1").cast("double")
+    s1 = F.col("s1").cast("double")
+    ss1 = F.col("ss1").cast("double")
+    n2 = (F.col("_n") - F.col("n1")).cast("double")
+    s2 = (F.col("_s") - F.col("s1")).cast("double")
+    ss2 = (F.col("_ss") - F.col("ss1")).cast("double")
+    sse = F.round(
+        (ss1 - s1 * s1 / n1) + (ss2 - s2 * s2 / n2), 6
+    )
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("n1") < F.col("_n"))  # both segments non-empty
+        .select(
+            "d",
+            sse.alias("sse"),
+            F.round(s1 / n1, 6).alias("mean_before"),
+            F.round(s2 / n2, 6).alias("mean_after"),
+        )
+    )
+    best = scored.orderBy(F.col("sse").asc(), F.col("d").asc()).limit(1)
+    base = tot.select(
+        F.round(
+            (F.col("_ss").cast("double")
+             - F.col("_s").cast("double") * F.col("_s").cast("double")
+             / F.col("_n").cast("double")),
+            6,
+        ).alias("sse_nosplit")
+    )
+    return best.crossJoin(F.broadcast(base)).select(
+        F.date_format("d", "yyyy-MM-dd").alias("split_date"),
+        "sse",
+        "sse_nosplit",
+        "mean_before",
+        "mean_after",
+        F.round(
+            (F.col("sse_nosplit") - F.col("sse")) / F.col("sse_nosplit"), 6
+        ).alias("sse_reduction"),
+    )

@@ -200,8 +200,11 @@ def bloom_prune_audit(
             "n_true",
             (F.col("n_pass") - F.col("n_true")).cast("long").alias("n_false_pos"),
             F.round(
-                (F.col("n_pass") - F.col("n_true")).cast("double")
-                / (F.col("n_probe") - F.col("n_true")).cast("double"),
+                F.when(
+                    F.col("n_probe") > F.col("n_true"),
+                    (F.col("n_pass") - F.col("n_true")).cast("double")
+                    / (F.col("n_probe") - F.col("n_true")).cast("double"),
+                ).otherwise(F.lit(0.0)),
                 6,
             ).alias("fp_rate"),
         )

@@ -6296,8 +6296,10 @@ SELECT CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe,
        CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_true,
        CAST((SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM tp) AS BIGINT)
          AS n_false_pos,
-       ROUND(((SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM tp)) * 1.0 /
-             ((SELECT COUNT(*) FROM probe) - (SELECT COUNT(*) FROM tp)), 6)
+       ROUND(CASE WHEN (SELECT COUNT(*) FROM probe) > (SELECT COUNT(*) FROM tp)
+             THEN ((SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM tp)) * 1.0 /
+                  ((SELECT COUNT(*) FROM probe) - (SELECT COUNT(*) FROM tp))
+             ELSE 0.0 END, 6)
          AS fp_rate
 """,
 )
@@ -7213,3 +7215,45 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.phash_neardup_pairs(
         MM.with_payload(_docs_plus_spark(spark, sf_dir))
     )
+
+
+@query(
+    "events_changepoint",
+    """
+WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1),
+pre AS (
+  SELECT d, c,
+         COUNT(*) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS n1,
+         SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS s1,
+         SUM(c * c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS ss1
+  FROM daily
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM daily
+),
+scored AS (
+  SELECT d,
+         ROUND((ss1 - s1 * s1 * 1.0 / n1)
+             + ((ss - ss1) - (s - s1) * (s - s1) * 1.0 / (n - n1)), 6) AS sse,
+         ROUND(s1 * 1.0 / n1, 6) AS mean_before,
+         ROUND((s - s1) * 1.0 / (n - n1), 6) AS mean_after
+  FROM pre CROSS JOIN tot
+  WHERE n1 < n
+),
+best AS (SELECT * FROM scored ORDER BY sse, d LIMIT 1),
+base AS (SELECT ROUND(ss - s * s * 1.0 / n, 6) AS sse_nosplit FROM tot)
+SELECT strftime(best.d, '%Y-%m-%d') AS split_date, best.sse, base.sse_nosplit,
+       best.mean_before, best.mean_after,
+       ROUND((base.sse_nosplit - best.sse) / base.sse_nosplit, 6) AS sse_reduction
+FROM best CROSS JOIN base
+""",
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection: the split date minimizing total
+    two-segment SSE over the daily count series, from exact prefix
+    power sums — the 'did traffic shift on date X' monitoring
+    primitive.  The ordered window runs over the calendar-bounded
+    daily aggregate, never the fact table."""
+    return E.changepoint_detect(load_table(spark, sf_dir, "events"))

@@ -137,3 +137,65 @@ def test_two_phase_ntile_matches_window_ntile(spark, vals, k):
         ).collect()
     }
     assert got == want
+
+
+bloom_sets = st.tuples(
+    st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=30),
+    st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+)
+
+
+@SET
+@given(sets=bloom_sets)
+def test_bloom_never_false_negative(spark, sets):
+    """Bloom membership: every probe key in the build set must pass;
+    pass-count never below true-member count (one-sided error)."""
+    from simple_vector_spark.operators import sketches as SK
+
+    build_keys, probe_keys = sets
+    build = spark.createDataFrame([(k,) for k in build_keys], "k long")
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    r = SK.bloom_prune_audit(build, probe, "k", "k").collect()[0]
+    n_true = len(build_keys & probe_keys)
+    assert r["n_true"] == n_true
+    assert r["n_pass"] >= n_true
+    assert r["n_probe"] == len(probe_keys)
+
+
+pack_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # doc_id
+        st.integers(min_value=0, max_value=12),  # token count
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@SET
+@given(rows=pack_docs)
+def test_packing_matches_sequential_model(spark, rows):
+    """pack_context_windows == 'walk docs in id order, pack =
+    floor(tokens_before / capacity)' — per (source, shard)."""
+    from simple_vector_spark.operators import pipeline as PL
+
+    cap, shard = 8, 10
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * n)) for i, n in rows],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r for r in PL.pack_context_windows(docs, cap, shard).collect()}
+
+    packs: dict[tuple[int, int], list[int]] = {}
+    for i, n in sorted(rows):
+        cum = 0
+        key_shard = i // shard
+        # tokens before this doc within its shard
+        cum = sum(m for j, m in rows if j // shard == key_shard and j < i)
+        packs.setdefault((key_shard, cum // cap), []).append(n)
+    n_docs = len(rows)
+    n_tokens = sum(n for _, n in rows)
+    assert got["s"]["n_docs"] == n_docs
+    assert got["s"]["n_tokens"] == n_tokens
+    assert got["s"]["n_packs"] == len(packs)

@@ -88,3 +88,23 @@ def test_encoding_advisor_recommendations(spark):
     assert out["l_linestatus"]["encoding"] == "plain"
     assert out["l_linestatus"]["n_runs"] == 65
     assert out["l_shipdate"]["encoding"] == "rle"
+
+
+def test_changepoint_finds_planted_shift(spark):
+    # 10 days at ~5/day then 10 days at ~20/day -> split at day 11
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day in range(20):
+        n = 5 if day < 10 else 20
+        for i in range(n):
+            rows.append((eid, t0 + dt.timedelta(days=day, minutes=i), 1, "view"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = E.changepoint_detect(ev).collect()[0]
+    assert r["split_date"] == "2024-03-10"  # last day of the low segment
+    assert abs(r["mean_before"] - 5.0) < 1e-9
+    assert abs(r["mean_after"] - 20.0) < 1e-9
+    assert r["sse"] == 0.0 and r["sse_reduction"] == 1.0
