@@ -950,3 +950,70 @@ def changepoint_detect(events: DataFrame) -> DataFrame:
             (F.col("sse_nosplit") - F.col("sse")) / F.col("sse_nosplit"), 6
         ).alias("sse_reduction"),
     )
+
+
+def point_in_time_state(events: DataFrame) -> DataFrame:
+    """Point-in-time (feature-store) join: each ERROR event is joined
+    to the SCD2 state interval — built from the user's NON-error
+    events — containing its timestamp ('what was the user doing when
+    the error hit').  Errors before a user's first tracked state fall
+    into 'none'.  Containment on half-open [valid_from, valid_to)
+    intervals is unique by construction, so the join is exactly-one —
+    the PIT-correctness contract training-feature joins need (no
+    future leakage, no fanout).
+
+    Plan: the SCD2 dim is per-user interval rows (bounded per user);
+    the probe joins on user_id with the interval residual — one key
+    shuffle, never a time-range cross join."""
+    dim = user_state_scd2(events.filter(F.col("event_type") != "error"))
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = errors.join(
+        dim,
+        (errors.user_id == dim.user_id)
+        & (errors.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (errors.ts < dim.valid_to)),
+        "left",
+    )
+    return (
+        joined.select(F.coalesce(dim.state, F.lit("none")).alias("state"))
+        .groupBy("state")
+        .agg(F.count("*").cast("long").alias("n_errors"))
+    )
+
+
+def time_to_convert(events: DataFrame) -> DataFrame:
+    """Funnel latency: per user, seconds from FIRST view to the first
+    purchase AFTER it; exact interpolated quartiles (PERCENTILE_CONT
+    semantics) over converting users plus the conversion count — the
+    funnel-speed KPI.  Two tiny per-user aggregates and one
+    |users|-sized percentile; at 100 TB swap the exact percentile for
+    approx_percentile as documented in order_value_percentiles."""
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        purchases.join(first_view, "user_id")
+        .filter(F.col("p_ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(
+            (
+                (F.unix_micros(F.min("p_ts")) - F.unix_micros(F.first("v_ts")))
+                .cast("double")
+                / 1e6
+            ).alias("delta_s")
+        )
+    )
+    return conv.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        *[
+            F.round(F.percentile("delta_s", F.lit(q)), 4).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.5, 0.75, 0.9)
+        ],
+    )

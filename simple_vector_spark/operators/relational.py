@@ -1896,3 +1896,31 @@ def monthly_revenue_forecast(orders: DataFrame) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+def discount_elasticity(lineitem: DataFrame) -> DataFrame:
+    """Grouped least-squares: per returnflag, the slope/intercept of
+    quantity on discount — 'does a deeper discount move volume'.
+    Discounts are exact hundredths and quantities exact integers, so
+    the regression runs on integer power sums (x in discount-percent
+    units) with f64 only in the closed form — the same distributed
+    bit-stable recipe as flag_corr_stats."""
+    x = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_quantity")).cast("long")
+    sums = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("_sx"),
+        F.sum(y).cast("long").alias("_sy"),
+        F.sum(x * x).cast("long").alias("_sxx"),
+        F.sum(x * y).cast("long").alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, sxy = F.col("_sxx").cast("double"), F.col("_sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("qty_per_discount_pct"),
+        F.round((sy - slope * sx) / n, 6).alias("base_qty"),
+    )

@@ -7257,3 +7257,113 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive.  The ordered window runs over the calendar-bounded
     daily aggregate, never the fact table."""
     return E.changepoint_detect(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 42 (round 2): point-in-time (feature-store) join against the SCD2
+# dimension, funnel time-to-convert quartiles, grouped discount
+# elasticity regression.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_pit_user_state",
+    """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w != event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE event_type != 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+e AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS ep
+  FROM o
+),
+epi AS (
+  SELECT user_id, ep, MIN(event_type) AS state, MIN(ts) AS valid_from
+  FROM e GROUP BY user_id, ep
+),
+dim AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY ep) AS valid_to
+  FROM epi
+),
+err AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'error'
+),
+pit AS (
+  SELECT COALESCE(d.state, 'none') AS state
+  FROM err LEFT JOIN dim d
+    ON err.user_id = d.user_id
+   AND err.ts >= d.valid_from
+   AND (d.valid_to IS NULL OR err.ts < d.valid_to)
+)
+SELECT state, CAST(COUNT(*) AS BIGINT) AS n_errors FROM pit GROUP BY state
+""",
+)
+def events_pit_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join: every error event matched to the
+    SCD2 state interval (from non-error events) containing its ts —
+    exactly-one containment on half-open intervals, the no-leakage /
+    no-fanout contract feature-store training joins need."""
+    return E.point_in_time_state(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_time_to_convert",
+    """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id,
+         (epoch_us(MIN(e.ts)) - epoch_us(MIN(fv.v_ts))) / 1000000.0 AS delta_s
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fv.v_ts
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(delta_s, 0.25), 4) AS p25,
+       ROUND(quantile_cont(delta_s, 0.50), 4) AS p50,
+       ROUND(quantile_cont(delta_s, 0.75), 4) AS p75,
+       ROUND(quantile_cont(delta_s, 0.90), 4) AS p90
+FROM conv
+""",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency KPI: exact interpolated quartiles of
+    first-view -> first-subsequent-purchase seconds over converting
+    users."""
+    return E.time_to_convert(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "lineitem_discount_elasticity",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+         AS qty_per_discount_pct,
+       ROUND((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx) / n, 6)
+         AS base_qty
+FROM s
+""",
+)
+def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS: per-returnflag slope of quantity on discount from
+    exact integer power sums — the price-sensitivity read."""
+    return R.discount_elasticity(load_table(spark, sf_dir, "lineitem"))

@@ -108,3 +108,46 @@ def test_changepoint_finds_planted_shift(spark):
     assert abs(r["mean_before"] - 5.0) < 1e-9
     assert abs(r["mean_after"] - 20.0) < 1e-9
     assert r["sse"] == 0.0 and r["sse_reduction"] == 1.0
+
+
+def test_pit_state_no_fanout_and_none_bucket(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view at t0, click at t0+2h; errors inside each state
+        (1, t0, 1, "view"),
+        (2, t0 + dt.timedelta(hours=1), 1, "error"),   # during 'view'
+        (3, t0 + dt.timedelta(hours=2), 1, "click"),
+        (4, t0 + dt.timedelta(hours=3), 1, "error"),   # during 'click'
+        # user 2: error before any tracked state -> 'none'
+        (5, t0, 2, "error"),
+        (6, t0 + dt.timedelta(hours=1), 2, "view"),
+    ]
+    ev = _ev(spark, rows)
+    out = {r["state"]: r["n_errors"] for r in E.point_in_time_state(ev).collect()}
+    assert out == {"view": 1, "click": 1, "none": 1}
+
+
+def test_time_to_convert_exact_quartiles(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 4 users converting in 10, 20, 30, 40 seconds; 1 non-converter
+    for u, delta in enumerate([10, 20, 30, 40]):
+        rows.append((eid, t0, u, "view")); eid += 1
+        rows.append((eid, t0 + dt.timedelta(seconds=delta), u, "purchase")); eid += 1
+    rows.append((eid, t0, 99, "view"))
+    ev = _ev(spark, rows)
+    r = E.time_to_convert(ev).collect()[0]
+    assert r["n_converted"] == 4
+    assert r["p25"] == 17.5 and r["p50"] == 25.0 and r["p75"] == 32.5
+
+
+def test_discount_elasticity_planted_slope(spark):
+    # qty = 5 + 2 * discount_pct exactly -> slope 2, intercept 5
+    rows = [("A", d / 100.0, float(5 + 2 * d)) for d in range(0, 11) for _ in range(3)]
+    li = spark.createDataFrame(rows, "l_returnflag string, l_discount double, l_quantity double")
+    out = R.discount_elasticity(li).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert abs(r["qty_per_discount_pct"] - 2.0) < 1e-9
+    assert abs(r["base_qty"] - 5.0) < 1e-9
