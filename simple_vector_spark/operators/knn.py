@@ -430,3 +430,83 @@ def label_centroid_accuracy(
             ).alias("accuracy"),
         )
     )
+
+
+RETRIEVAL_K = 10
+RETRIEVAL_N_QUERIES = 5
+
+
+def retrieval_metrics(
+    emb: DataFrame,
+    n_queries: int = RETRIEVAL_N_QUERIES,
+    k: int = RETRIEVAL_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality evaluation of the exact k-NN ranking: per
+    query (the first n_queries corpus vectors), relevance = same label
+    as the query (self excluded); reports reciprocal rank of the first
+    relevant hit and binary-gain nDCG@k — the IR-eval loop a vector
+    store's quality dial is tuned against, run entirely as DataFrame
+    ops (one broadcast-query corpus scan, request-sized metric math).
+
+    Determinism: ranks come from ROUND-6 distance with id tiebreak;
+    log2 discounts ROUND 4 (same libm rule as BM25's idf)."""
+    queries = emb.filter(F.col(id_col) < n_queries)
+    hits = knn_join(
+        emb,
+        queries,
+        k + 1,  # +1 so dropping self still leaves k candidates
+        "sqL2",
+        id_col=id_col,
+        vec_col=vec_col,
+    ).filter(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("rnk").asc())
+    hits = (
+        hits.withColumn("rnk2", F.row_number().over(w))
+        .filter(F.col("rnk2") <= k)
+    )
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    qlab = labels.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("qlab")
+    )
+    rel = (
+        hits.join(F.broadcast(qlab), "query_id")
+        .join(labels, id_col)
+        .select(
+            "query_id",
+            "qlab",
+            "rnk2",
+            (F.col(label_col) == F.col("qlab")).cast("int").alias("rel"),
+        )
+    )
+    # total relevant per query label (for the ideal DCG), self excluded
+    lab_tot = labels.groupBy(F.col(label_col).alias("qlab")).agg(
+        (F.count("*") - 1).alias("n_rel_corpus")
+    )
+    log2 = lambda c: F.log(2.0, c)  # noqa: E731
+    per_q = (
+        rel.groupBy("query_id", "qlab")
+        .agg(
+            F.min(F.when(F.col("rel") == 1, F.col("rnk2"))).alias("first_rel"),
+            F.sum(
+                F.col("rel").cast("double") / log2(F.col("rnk2").cast("double") + 1.0)
+            ).alias("_dcg"),
+        )
+        .join(F.broadcast(lab_tot), "qlab")
+    )
+    ideal_n = F.least(F.col("n_rel_corpus"), F.lit(k))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), ideal_n.cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / log2(i.cast("double") + 1.0),
+    )
+    return per_q.select(
+        "query_id",
+        F.coalesce(F.col("first_rel"), F.lit(0)).cast("int").alias("first_rel_rank"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rel").cast("double"), F.lit(0.0)), 4
+        ).alias("rr"),
+        F.round(F.col("_dcg") / idcg, 4).alias("ndcg"),
+    )

@@ -834,3 +834,73 @@ def vocab_coverage_curve(
             6,
         ).alias("coverage"),
     )
+
+
+NUCLEUS_P = 0.9
+NUCLEUS_CONTEXTS = 5
+
+
+def bigram_nucleus_audit(
+    docs: DataFrame,
+    p: float = NUCLEUS_P,
+    n_contexts: int = NUCLEUS_CONTEXTS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Nucleus (top-p) sampling audit over the corpus bigram LM: for
+    the most frequent context tokens, the size and probability mass of
+    the smallest next-token set reaching cumulative mass p — the
+    sampling-temperature design statistic (tiny nucleus = spiky
+    distribution).
+
+    Determinism: probabilities are exact-int ratios; the cumulative
+    sum runs in a fixed (prob desc, token asc) order so both engines
+    fold identical f64 sequences.  Plan: one bigram-count shuffle;
+    context selection is a k-row rank-limit; the per-context windows
+    are |next-types| sized."""
+    from ..sources.loaders import fan_out
+
+    toks = tokens(F.col(text_col))
+    bi = (
+        fan_out(docs.select(text_col))
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("ctx"), b.alias("nxt")),
+                )
+            ).alias("p")
+        )
+        .select("p.ctx", "p.nxt")
+        .groupBy("ctx", "nxt")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    ctx_tot = bi.groupBy("ctx").agg(F.sum("c").alias("tot"))
+    top_ctx = (
+        ctx_tot.orderBy(F.col("tot").desc(), F.col("ctx").asc())
+        .limit(n_contexts)
+    )
+    scoped = bi.join(F.broadcast(top_ctx), "ctx").select(
+        "ctx",
+        "nxt",
+        "tot",
+        (F.col("c").cast("double") / F.col("tot").cast("double")).alias("pp"),
+    )
+    w = Window.partitionBy("ctx").orderBy(F.col("pp").desc(), F.col("nxt").asc())
+    cum = scoped.withColumn(
+        "cum", F.sum("pp").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        cum.groupBy("ctx")
+        .agg(
+            F.max("tot").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_next_types"),
+            (F.sum(F.when(F.col("cum") - F.col("pp") < p, 1).otherwise(0)))
+            .cast("long")
+            .alias("nucleus_size"),
+            F.round(
+                F.max(F.when(F.col("cum") - F.col("pp") < p, F.col("cum"))), 6
+            ).alias("nucleus_mass"),
+        )
+    )

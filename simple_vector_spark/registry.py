@@ -7367,3 +7367,99 @@ def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped OLS: per-returnflag slope of quantity on discount from
     exact integer power sums — the price-sensitivity read."""
     return R.discount_elasticity(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 43 (round 2): IR-eval metrics over the k-NN ranking, nucleus
+# (top-p) audit over the bigram LM.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "knn_retrieval_metrics",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlab, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {K.RETRIEVAL_N_QUERIES}
+),
+pairs AS (
+  SELECT q.query_id, q.qlab, e.vec_id, e.label,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(q.qv) AS y
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+),
+d AS (
+  SELECT query_id, qlab, vec_id, label, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+  FROM pairs GROUP BY query_id, qlab, vec_id, label
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk2
+  FROM d
+),
+top AS (SELECT * FROM rk WHERE rnk2 <= {K.RETRIEVAL_K}),
+lab_tot AS (SELECT label AS qlab, COUNT(*) - 1 AS n_rel FROM embeddings GROUP BY label),
+perq AS (
+  SELECT t.query_id, t.qlab,
+         MIN(CASE WHEN t.label = t.qlab THEN t.rnk2 END) AS first_rel,
+         SUM(CASE WHEN t.label = t.qlab
+                  THEN 1.0 / (ln(t.rnk2 + 1.0) / ln(2.0)) ELSE 0 END) AS dcg
+  FROM top t GROUP BY t.query_id, t.qlab
+),
+wide AS (
+  SELECT p.query_id, p.first_rel, p.dcg,
+         least(l.n_rel, {K.RETRIEVAL_K}) AS m
+  FROM perq p JOIN lab_tot l USING (qlab)
+),
+ideal AS (
+  SELECT query_id, SUM(1.0 / (ln(i + 1.0) / ln(2.0))) AS idcg
+  FROM (SELECT query_id, unnest(range(1, m + 1)) AS i FROM wide)
+  GROUP BY query_id
+)
+SELECT w.query_id,
+       CAST(COALESCE(w.first_rel, 0) AS INT) AS first_rel_rank,
+       ROUND(COALESCE(1.0 / w.first_rel, 0.0), 4) AS rr,
+       ROUND(w.dcg / i.idcg, 4) AS ndcg
+FROM wide w JOIN ideal i USING (query_id)
+""",
+)
+def knn_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation of the exact k-NN ranking: per query, reciprocal
+    rank of the first same-label hit and binary-gain nDCG@{K.RETRIEVAL_K}
+    — the retrieval-quality loop, as DataFrame ops."""
+    return K.retrieval_metrics(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "bigram_nucleus_audit",
+    f"""
+WITH tk AS (SELECT {_TK_SQL} AS tk FROM documents),
+bi AS (
+  SELECT tk[i] AS ctx, tk[i + 1] AS nxt, COUNT(*) AS c
+  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tk)
+  GROUP BY 1, 2
+),
+ctx_tot AS (SELECT ctx, SUM(c) AS tot FROM bi GROUP BY ctx),
+top_ctx AS (SELECT ctx, tot FROM ctx_tot ORDER BY tot DESC, ctx LIMIT {T.NUCLEUS_CONTEXTS}),
+scoped AS (
+  SELECT b.ctx, b.nxt, t.tot, b.c * 1.0 / t.tot AS pp
+  FROM bi b JOIN top_ctx t USING (ctx)
+),
+cum AS (
+  SELECT *, SUM(pp) OVER (PARTITION BY ctx ORDER BY pp DESC, nxt
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scoped
+)
+SELECT ctx,
+       CAST(MAX(tot) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_next_types,
+       CAST(SUM(CASE WHEN cum - pp < {T.NUCLEUS_P} THEN 1 ELSE 0 END) AS BIGINT)
+         AS nucleus_size,
+       ROUND(MAX(CASE WHEN cum - pp < {T.NUCLEUS_P} THEN cum END), 6)
+         AS nucleus_mass
+FROM cum GROUP BY ctx
+""",
+)
+def bigram_nucleus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p={T.NUCLEUS_P}) audit over the corpus bigram LM:
+    smallest next-token set reaching the mass threshold for the most
+    frequent contexts — the sampling-spikiness design statistic."""
+    return T.bigram_nucleus_audit(load_table(spark, sf_dir, "documents"))
