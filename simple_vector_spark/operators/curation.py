@@ -413,3 +413,37 @@ def mixture_temperature(docs: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ).alias("boost"),
     )
+
+
+ARES_K = 20
+
+
+def weighted_sample_ares(
+    docs: DataFrame, k: int = ARES_K, weight_col: str = "n_chars"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): key_i = -ln(u_i) / w_i with u_i a
+    fixed md5-derived uniform in (0,1); the k SMALLEST keys are the
+    sample — heavier docs win proportionally, reproducible across
+    runs/engines because the 'randomness' is the content-stable hash.
+    The per-epoch weighted-mixture sampler in deterministic form.
+
+    Scale: key is a map-side expression; selection is a
+    TakeOrderedAndProject per-partition heap — no shuffle of the
+    corpus, exactly the hash_sample contract but weight-aware."""
+    from ..functions.text import md5_int
+
+    u = (md5_int(F.col("doc_id").cast("string")) + 1).cast("double") / F.lit(
+        4294967297.0
+    )  # strictly inside (0,1): md5_int is in [0, 2^32)
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 10)
+    return (
+        docs.select(
+            "doc_id",
+            F.col(weight_col).cast("long").alias("weight"),
+            key.alias("ares_key"),
+        )
+        .orderBy(F.col("ares_key").asc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "weight", F.round("ares_key", 6).alias("ares_key"))
+    )

@@ -1924,3 +1924,50 @@ def discount_elasticity(lineitem: DataFrame) -> DataFrame:
         F.round(slope, 6).alias("qty_per_discount_pct"),
         F.round((sy - slope * sx) / n, 6).alias("base_qty"),
     )
+
+
+def dow_revenue_anova(orders: DataFrame) -> DataFrame:
+    """One-way ANOVA of order value across day-of-week groups: F
+    statistic and effect size (eta²) from exact DECIMAL power sums —
+    'is the weekday effect real or noise', the seasonality
+    significance test behind scheduling decisions.
+
+    SSB/SSW derive from per-group (n, Σx, Σx²); everything stays
+    exact until the final f64 closed form.  One fact shuffle to 7
+    groups; the ANOVA folds those in a single aggregate."""
+    x = _dec("o_totalprice")
+    per = orders.groupBy(F.dayofweek("o_orderdate").alias("dow")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).alias("s"),
+        F.sum((x * x).cast("decimal(30,4)")).alias("ss"),
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("N"),
+        F.sum("s").alias("S"),
+        F.sum("ss").alias("SS"),
+        # s²/n in f64 per group (cross-engine DECIMAL division rounding
+        # differs); 7 summands, ROUND-tolerant at the end
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("SGROUP"),
+    )
+    N = F.col("N").cast("double")
+    k = F.col("k").cast("double")
+    S = F.col("S").cast("double")
+    SS = F.col("SS").cast("double")
+    SG = F.col("SGROUP").cast("double")
+    ssb = SG - S * S / N
+    ssw = SS - SG
+    # zero within-group variance (degenerate, constant groups) -> NULL
+    # F rather than an ANSI divide-by-zero
+    f_stat = F.when(ssw > 0, (ssb / (k - 1)) / (ssw / (N - k)))
+    return tot.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("N").cast("long").alias("n_orders"),
+        F.round(
+            F.when(ssb + ssw > 0, ssb / (ssb + ssw)).otherwise(F.lit(0.0)), 6
+        ).alias("eta_sq"),
+        F.round(f_stat, 4).alias("f_stat"),
+    )

@@ -7463,3 +7463,63 @@ def bigram_nucleus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest next-token set reaching the mass threshold for the most
     frequent contexts — the sampling-spikiness design statistic."""
     return T.bigram_nucleus_audit(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 44 (round 2): day-of-week ANOVA, deterministic weighted sampling.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_dow_anova",
+    """
+WITH per AS (
+  SELECT dayofweek(o_orderdate) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS s,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2))
+               * CAST(o_totalprice AS DECIMAL(15,2)) AS DECIMAL(30,4))) AS ss
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS N,
+         CAST(SUM(s) AS DOUBLE) AS S, CAST(SUM(ss) AS DOUBLE) AS SS,
+         SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS SG
+  FROM per
+)
+SELECT CAST(k AS INT) AS n_groups, N AS n_orders,
+       ROUND(CASE WHEN (SG - S * S / N) + (SS - SG) > 0
+             THEN (SG - S * S / N) / ((SG - S * S / N) + (SS - SG))
+             ELSE 0.0 END, 6) AS eta_sq,
+       ROUND(CASE WHEN SS - SG > 0
+             THEN ((SG - S * S / N) / (k - 1)) / ((SS - SG) / (N - k))
+             END, 4) AS f_stat
+FROM tot
+""",
+)
+def orders_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across day-of-week groups (F
+    statistic + eta² from exact power sums) — the weekday-effect
+    significance test."""
+    return R.dow_revenue_anova(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "doc_weighted_sample",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         ROUND(-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 1) / 4294967297.0)
+               / n_chars, 10) AS k10
+  FROM documents
+)
+SELECT doc_id, weight, ROUND(k10, 6) AS ares_key
+FROM keyed ORDER BY k10, doc_id LIMIT {CU.ARES_K}
+""",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-Res):
+    content-stable md5 uniforms, key = -ln(u)/w, k smallest win —
+    reproducible weighted-mixture sampling at scan speed."""
+    return CU.weighted_sample_ares(load_table(spark, sf_dir, "documents"))

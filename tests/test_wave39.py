@@ -78,3 +78,51 @@ def test_vocab_coverage_monotone_and_exact(spark):
     assert rows[1]["covered_tokens"] == 5 and abs(rows[1]["coverage"] - 0.5) < 1e-9
     assert rows[2]["covered_tokens"] == 8 and abs(rows[2]["coverage"] - 0.8) < 1e-9
     assert rows[10]["n_types"] == 4 and rows[10]["coverage"] == 1.0
+
+
+def test_anova_identical_groups_f_zero(spark):
+    import datetime as dt
+
+    # same values every day -> SSB 0 -> F = 0, eta² = 0
+    rows = [(i, dt.date(1995, 1, 1 + i % 7), 100.0) for i in range(70)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    r = R.dow_revenue_anova(orders).collect()[0]
+    assert r["n_groups"] == 7 and r["n_orders"] == 70
+    assert r["f_stat"] is None and r["eta_sq"] == 0.0
+
+
+def test_anova_strong_group_effect(spark):
+    import datetime as dt
+
+    # weekends pay 10x -> eta² near 1
+    rows = []
+    for i in range(140):
+        d = dt.date(1995, 1, 1 + i % 14)
+        price = (1000.0 if d.weekday() >= 5 else 100.0) + (i % 3)  # slight noise
+        rows.append((i, d, price))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    r = R.dow_revenue_anova(orders).collect()[0]
+    assert r["eta_sq"] > 0.95
+    assert r["f_stat"] > 100
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    from simple_vector_spark.operators import curation as CU
+
+    # weight 1000 vs weight 1: heavy docs should dominate the sample
+    docs = spark.createDataFrame(
+        [(i, 1000 if i < 50 else 1) for i in range(500)],
+        "doc_id long, n_chars long",
+    )
+    out = CU.weighted_sample_ares(docs, k=20)
+    rows = out.collect()
+    assert len(rows) == 20
+    heavy = sum(1 for r in rows if r["weight"] == 1000)
+    assert heavy >= 15  # 50 heavy docs at 1000x weight dominate
+    # deterministic across runs
+    again = CU.weighted_sample_ares(docs, k=20).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in again]
