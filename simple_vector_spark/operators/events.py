@@ -1017,3 +1017,35 @@ def time_to_convert(events: DataFrame) -> DataFrame:
             for q in (0.25, 0.5, 0.75, 0.9)
         ],
     )
+
+
+def touch_attribution(events: DataFrame) -> DataFrame:
+    """Marketing-style purchase attribution under BOTH classic models
+    in one pass: each purchase's value is credited to the user's
+    LAST non-purchase touch before it (last-touch) and to their FIRST
+    non-purchase touch up to it (first-touch); purchases with no prior
+    touch credit 'none'.  Output: (model, touch, n_purchases, value).
+
+    Plan: one user_id shuffle; both running touches come from the same
+    window (first/last with ignoreNulls over the preceding frame); the
+    model unpivot is an in-expression stack of the purchase rows;
+    value sums are DECIMAL-exact."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    enriched = events.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.coalesce(F.last(nonp, True).over(w), F.lit("none")).alias("last_touch"),
+        F.coalesce(F.first(nonp, True).over(w), F.lit("none")).alias("first_touch"),
+    ).filter(F.col("event_type") == "purchase")
+    melted = enriched.selectExpr(
+        "v", "stack(2, 'last', last_touch, 'first', first_touch) AS (model, touch)"
+    )
+    return melted.groupBy("model", "touch").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.round(F.sum("v").cast("double"), 6).alias("value"),
+    )

@@ -7523,3 +7523,39 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-stable md5 uniforms, key = -ln(u)/w, k smallest win —
     reproducible weighted-mixture sampling at scan speed."""
     return CU.weighted_sample_ares(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_touch_attribution",
+    """
+WITH t AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+         COALESCE(last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+                             IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  'none') AS last_touch,
+         COALESCE(first_value(CASE WHEN event_type != 'purchase' THEN event_type END
+                              IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  'none') AS first_touch
+  FROM events
+),
+p AS (SELECT * FROM t WHERE event_type = 'purchase'),
+m AS (
+  SELECT 'last' AS model, last_touch AS touch, v FROM p
+  UNION ALL
+  SELECT 'first', first_touch, v FROM p
+)
+SELECT model, touch, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(CAST(SUM(v) AS DOUBLE), 6) AS value
+FROM m GROUP BY model, touch
+""",
+)
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First- and last-touch purchase attribution in one pass: purchase
+    value credited to the user's first/latest preceding non-purchase
+    event type ('none' when untouched) — the marketing-credit report,
+    both running touches off one window."""
+    return E.touch_attribution(load_table(spark, sf_dir, "events"))

@@ -151,3 +151,24 @@ def test_discount_elasticity_planted_slope(spark):
     r = out[0]
     assert abs(r["qty_per_discount_pct"] - 2.0) < 1e-9
     assert abs(r["base_qty"] - 5.0) < 1e-9
+
+
+def test_touch_attribution_models(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view -> click -> purchase(10): last=click, first=view
+        (1, t0, 1, "view", 0.0),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 0.0),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase", 10.0),
+        # user 2: purchase(5) with no prior touch -> none/none
+        (4, t0, 2, "purchase", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {(r["model"], r["touch"]): r for r in E.touch_attribution(ev).collect()}
+    assert out[("last", "click")]["value"] == 10.0
+    assert out[("first", "view")]["value"] == 10.0
+    assert out[("last", "none")]["n_purchases"] == 1
+    assert out[("first", "none")]["n_purchases"] == 1
+    assert ("last", "view") not in out
