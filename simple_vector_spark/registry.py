@@ -7559,3 +7559,94 @@ def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type ('none' when untouched) — the marketing-credit report,
     both running touches off one window."""
     return E.touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_live_index_knn",
+    f"""
+WITH recs AS (
+  SELECT vec_id AS log_id,
+         vec_id % {WAL_DOC_MOD} AS id,
+         CASE WHEN vec_id % {WAL_DELETE_MOD} = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM embeddings
+),
+latest AS (
+  SELECT id, op FROM (
+    SELECT id, op, ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_id DESC) AS rn
+    FROM recs
+  ) WHERE rn = 1
+),
+live AS (SELECT id FROM latest WHERE op != 'delete'),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {ANN_QUERY_ID}
+),
+pairs AS (
+  SELECT e.vec_id, e.label,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(q.qv) AS y
+  FROM embeddings e JOIN live ON e.vec_id = live.id CROSS JOIN q
+),
+d AS (
+  SELECT vec_id, label, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+  FROM pairs GROUP BY vec_id, label
+)
+SELECT * FROM d ORDER BY dist, vec_id LIMIT {KNN_K}
+""",
+)
+def stream_live_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE lifecycle as one flow: the op log streams
+    through the custom WAL source, a foreachBatch sink maintains the
+    live id state (latest-wins + tombstone drop applied per drain),
+    and exact k-NN then runs against the vectors surviving in that
+    state — continuous-upsert-feed -> searchable-index, with the
+    search result proven equal to a batch replay oracle.  Search cost
+    shape is unchanged (semi-join of the corpus against the live-id
+    state, then the usual heap top-k)."""
+    import os
+    import shutil
+
+    from .sources.wal_source import WalDataSource, write_wal_segments
+
+    if "simple_vector_wal" not in getattr(spark, "_wal_source_registered", set()):
+        spark.dataSource.register(WalDataSource)
+        spark._wal_source_registered = {"simple_vector_wal"}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    log = emb.select(
+        F.col("vec_id").alias("log_id"),
+        F.lit(0).alias("version"),
+        F.when(F.col("vec_id") % WAL_DELETE_MOD == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.to_json(F.struct((F.col("vec_id") % WAL_DOC_MOD).alias("id"))).alias("doc"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/wal_live_{tag}"
+    ck, raw = f"{path}_ck", f"{path}_raw"
+    for p in (path, ck, raw):
+        shutil.rmtree(p, ignore_errors=True)
+    write_wal_segments(log.repartition(4, "log_id"), path)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(raw)
+
+    wal = spark.readStream.format("simple_vector_wal").option("path", path).load()
+    q = (
+        wal.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination()
+
+    from .operators.mutation import wal_replay
+
+    acc = spark.read.parquet(raw).select(
+        "log_id", "op", F.get_json_object("doc", "$.id").cast("long").alias("id")
+    )
+    live = wal_replay(acc, ["id"], ["log_id"], "op", "delete").select("id")
+    corpus = emb.join(live, emb.vec_id == live.id, "left_semi")
+    return K.knn_topk(
+        corpus, emb.filter(F.col("vec_id") == ANN_QUERY_ID), KNN_K, "sqL2"
+    )

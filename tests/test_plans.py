@@ -343,3 +343,27 @@ def test_partitioned_write_prunes_to_one_lang(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "partitioned_write_prune")
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l and "docs_by_lang" in l)
     assert "PartitionFilters" in scan and "lang" in scan.split("PartitionFilters")[1][:80]
+
+
+def test_weighted_sample_is_heap_selection(spark, sf_dir):
+    """Wave 44: A-Res selection must be TakeOrderedAndProject — no
+    corpus shuffle for a k-row sample."""
+    plan = plan_of(spark, sf_dir, "doc_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pit_join_no_cartesian(spark, sf_dir):
+    """Wave 42: the interval-containment join must key on user_id —
+    never a time-range cross join."""
+    plan = plan_of(spark, sf_dir, "events_pit_user_state")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_live_index_knn_semi_join_then_heap(spark, sf_dir):
+    """Round-2 lifecycle flow: the live-state restriction is a semi
+    join and the search stays a per-partition heap top-k."""
+    plan = plan_of(spark, sf_dir, "stream_live_index_knn")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
