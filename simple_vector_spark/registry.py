@@ -7650,3 +7650,98 @@ def stream_live_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.knn_topk(
         corpus, emb.filter(F.col("vec_id") == ANN_QUERY_ID), KNN_K, "sqL2"
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 46 (round 2): null-aware anti-join semantics audit, JSON
+# schema-discovery stats over the props column.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "null_aware_anti_join",
+    """
+WITH fkeys AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+),
+with_null AS (SELECT k FROM fkeys UNION ALL SELECT NULL),
+stats AS (
+  SELECT
+    (SELECT COUNT(*) FROM customer) AS n_customers,
+    (SELECT COUNT(*) FROM customer
+      WHERE c_custkey NOT IN (SELECT k FROM with_null)) AS n_not_in_with_null,
+    (SELECT COUNT(*) FROM customer
+      WHERE c_custkey NOT IN (SELECT k FROM fkeys)) AS n_not_in_null_free,
+    (SELECT COUNT(*) FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM with_null w WHERE w.k = c.c_custkey))
+      AS n_anti_join
+)
+SELECT CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(n_not_in_with_null AS BIGINT) AS n_not_in_with_null,
+       CAST(n_not_in_null_free AS BIGINT) AS n_not_in_null_free,
+       CAST(n_anti_join AS BIGINT) AS n_anti_join
+FROM stats
+""",
+)
+def null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs anti-join under NULLs — the three-valued-logic trap:
+    a single NULL in the subquery empties NOT IN (0 rows), while the
+    NOT EXISTS anti join ignores it.  The engine-parity audit every
+    migration off hand-written SQL needs; Spark plans the NOT IN as a
+    null-aware anti join (NAAJ)."""
+    from .sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH fkeys AS (
+          SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        ),
+        with_null AS (SELECT k FROM fkeys UNION ALL SELECT CAST(NULL AS BIGINT))
+        SELECT
+          CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_customers,
+          CAST((SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT k FROM with_null)) AS BIGINT)
+            AS n_not_in_with_null,
+          CAST((SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT k FROM fkeys)) AS BIGINT)
+            AS n_not_in_null_free,
+          CAST((SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM with_null w
+                                  WHERE w.k = c.c_custkey)) AS BIGINT)
+            AS n_anti_join
+        """
+    )
+
+
+@query(
+    "events_props_key_stats",
+    """
+WITH kv AS (
+  SELECT k, json_extract_string(props, '$.' || k) AS v
+  FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       CAST(MIN(TRY_CAST(v AS BIGINT)) AS BIGINT) AS min_num,
+       CAST(MAX(TRY_CAST(v AS BIGINT)) AS BIGINT) AS max_num
+FROM kv GROUP BY k
+""",
+)
+def events_props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over the semi-structured props column: every
+    JSON key's row count, distinct-value count, and numeric range —
+    the profiling pass that decides which keys get promoted to typed
+    columns.  One map-explode shuffle on key."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("k", "v")
+    )
+    return kv.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+        # try_cast: non-numeric values profile as NULL instead of an
+        # ANSI cast error (TRY_CAST on the oracle side)
+        F.min(F.col("v").try_cast("long")).alias("min_num"),
+        F.max(F.col("v").try_cast("long")).alias("max_num"),
+    )

