@@ -659,3 +659,61 @@ def cluster_keep_best(
         "n_members",
         F.round("quality", 6).alias("keeper_quality"),
     )
+
+
+SIMHASH_BANDS = 4  # 4 x 4-bit bands over the 16-bit fingerprint
+SIMHASH_MAX_HAMMING = 2
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 16-bit fingerprint into
+    {SIMHASH_BANDS} 4-bit LSH buckets (Hamming <= {SIMHASH_MAX_HAMMING}
+    guarantees at least one clean band by pigeonhole), candidates from
+    the band equi-join, exact popcount Hamming gate after — the
+    bit-vector sibling of the MinHash pipeline, catching
+    high-overlap docs whose token multisets vote the same bits.
+    Shuffle key is (band, bucket); never all-pairs."""
+    bits_per = 16 // SIMHASH_BANDS
+    sigs = simhash_fingerprints(docs, text_col, id_col).localCheckpoint()
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * bits_per)
+                        .bitwiseAND(F.lit((1 << bits_per) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    a, b = bands.alias("sa"), bands.alias("sb")
+    cand = (
+        a.join(
+            b,
+            (F.col("sa.band") == F.col("sb.band"))
+            & (F.col("sa.bucket") == F.col("sb.bucket"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        )
+        .select(
+            F.col(f"sa.{id_col}").alias("doc_a"),
+            F.col(f"sb.{id_col}").alias("doc_b"),
+            F.col("sa.simhash").alias("_ha"),
+            F.col("sb.simhash").alias("_hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

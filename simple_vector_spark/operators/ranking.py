@@ -124,3 +124,51 @@ def grouped_ntile(
     return ranked.withColumn(
         out_name, ntile_from_rank(F.col("_ntile_rank"), F.col("_ntile_n"), k)
     ).drop("_ntile_rank", "_ntile_n")
+
+
+def ranked_prefix_sum(
+    df: DataFrame,
+    sort_exprs: Sequence[Column],
+    value_col: str,
+    cum_name: str = "cum",
+    total_name: str = "total",
+) -> DataFrame:
+    """Exact global INCLUSIVE prefix sum of ``value_col`` over
+    ``sort_exprs`` — the scale-safe replacement for
+    ``SUM(v) OVER (ORDER BY ...)`` with no partition (which plans an
+    Exchange SinglePartition).  Same two-phase shape as
+    :func:`ranked_global`: range-partition on the sort key, local
+    running sum per partition, then broadcast per-partition totals as
+    offsets.  Every row also carries the grand total.
+
+    ``value_col`` should be an exact type (long / DECIMAL) so the
+    distributed fold is order-insensitive."""
+    part = df.repartitionByRange(*sort_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_lcum", F.sum(value_col).over(lw)).localCheckpoint()
+
+    sums = local.groupBy("_pid").agg(F.sum(value_col).alias("_pn"))
+    lower = sums.select(
+        F.col("_pid").alias("_bpid"), F.col("_pn").alias("_bpn")
+    )
+    offs = (
+        sums.join(F.broadcast(lower), F.col("_bpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.sum("_bpn").alias("_off"))
+    )
+    tot = sums.agg(F.sum("_pn").alias(total_name))
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            cum_name,
+            F.col("_lcum") + F.coalesce(F.col("_off"), F.lit(0)),
+        )
+        .drop("_pid", "_lcum", "_off")
+    )

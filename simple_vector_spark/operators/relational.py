@@ -1971,3 +1971,56 @@ def dow_revenue_anova(orders: DataFrame) -> DataFrame:
         ).alias("eta_sq"),
         F.round(f_stat, 4).alias("f_stat"),
     )
+
+
+ABC_THRESHOLDS = (0.80, 0.95)
+
+
+def parts_abc_classification(lineitem: DataFrame) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue; class A =
+    the head covering the first {ABC_THRESHOLDS[0]:.0%} of cumulative
+    revenue share, B to {ABC_THRESHOLDS[1]:.0%}, C the tail — the
+    assortment-priority split purchasing runs on.
+
+    Scale: per-part revenue is one fact shuffle (DECIMAL-exact); the
+    cumulative share comes from the two-phase range-partitioned prefix
+    sum (ranking.ranked_prefix_sum) — never SUM() OVER an unpartitioned
+    ORDER BY; the class rollup is 3 groups."""
+    from .ranking import ranked_prefix_sum
+
+    per = lineitem.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).alias("rev")
+    )
+    cum = ranked_prefix_sum(
+        per,
+        [F.col("rev").desc(), F.col("l_partkey").asc()],
+        "rev",
+        cum_name="cum",
+        total_name="total",
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    classed = cum.select(
+        "l_partkey",
+        "rev",
+        F.when(share <= ABC_THRESHOLDS[0], "A")
+        .when(share <= ABC_THRESHOLDS[1], "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    tot = cum.select("total").limit(1)
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev").cast(DEC_PRICE).alias("revenue"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc",
+            "n_parts",
+            "revenue",
+            F.round(
+                F.col("revenue").cast("double") / F.col("total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )

@@ -7745,3 +7745,96 @@ def events_props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("v").try_cast("long")).alias("min_num"),
         F.max(F.col("v").try_cast("long")).alias("max_num"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 47 (round 2): SimHash near-dup pairs (the bit-vector LSH
+# sibling of the MinHash pipeline), ABC revenue classification on the
+# two-phase global prefix sum.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_simhash_pairs",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+toksh AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS tk
+  FROM docs_plus
+),
+tokh AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(tk) AS t FROM toksh)
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(2 * (CAST(floor(h / pow(2, b)) AS BIGINT) % 2) - 1) AS w
+  FROM tokh, unnest(range(16)) AS bb(b)
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN w > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, b AS band,
+         CAST(floor(simhash / pow(2, b * 4)) AS BIGINT) % 16 AS bucket
+  FROM sh, unnest(range({D.SIMHASH_BANDS})) AS bb(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {D.SIMHASH_MAX_HAMMING}
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4x4-bit band candidates + exact popcount
+    Hamming gate over the 16-bit fingerprints — the bit-vector LSH
+    strategy beside MinHash, full oracle parity including the planted
+    duplicates."""
+    return D.simhash_candidate_pairs(_docs_plus_spark(spark, sf_dir))
+
+
+@query(
+    "parts_abc_classification",
+    f"""
+WITH per AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+cum AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev) OVER () AS total
+  FROM per
+),
+classed AS (
+  SELECT rev,
+         CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= {R.ABC_THRESHOLDS[0]}
+                THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= {R.ABC_THRESHOLDS[1]}
+                THEN 'B'
+              ELSE 'C' END AS abc,
+         total
+  FROM cum
+)
+SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS DECIMAL(15,2)) AS revenue,
+       ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6)
+         AS revenue_share
+FROM classed GROUP BY abc
+""",
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classification of parts by cumulative revenue share (A to
+    80%, B to 95%, C tail) — cumulative shares from the two-phase
+    range-partitioned prefix sum, never an unpartitioned ordered
+    window."""
+    return R.parts_abc_classification(load_table(spark, sf_dir, "lineitem"))

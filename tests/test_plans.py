@@ -367,3 +367,15 @@ def test_live_index_knn_semi_join_then_heap(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "stream_live_index_knn")
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_abc_prefix_sum_no_single_partition_window(spark, sf_dir):
+    """Wave 47: the cumulative share must come from the two-phase
+    prefix sum (checkpointed local-cumsum table + broadcast offsets) —
+    never a SUM OVER an unpartitioned ORDER BY."""
+    plan = plan_of(spark, sf_dir, "parts_abc_classification")
+    assert "ExistingRDD" in plan
+    for i, line in enumerate(plan.splitlines()):
+        if "Exchange SinglePartition" in line:
+            above = "\n".join(plan.splitlines()[max(0, i - 3):i])
+            assert "Window" not in above and "Sort " not in above

@@ -43,3 +43,34 @@ def test_phash_registry_query_finds_planted_dups(spark, sf_dir):
     # every planted copy is byte-identical -> must appear at hamming 0
     zero = {(r["doc_a"], r["doc_b"]) for r in out if r["hamming"] == 0}
     assert planted and planted <= zero
+
+
+def test_simhash_pairs_identical_docs_hamming_zero(spark):
+    from simple_vector_spark.operators import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in D.simhash_candidate_pairs(docs).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_abc_classification_shares(spark):
+    from simple_vector_spark.operators import relational as R
+
+    # one whale part (80 revenue), 4 mid (4 each), 4 dust (1 each)
+    rows = []
+    rows += [(1, 80.0)]
+    rows += [(10 + i, 4.0) for i in range(4)]
+    rows += [(20 + i, 1.0) for i in range(4)]
+    li = spark.createDataFrame(rows, "l_partkey long, l_extendedprice double")
+    out = {r["abc"]: r for r in R.parts_abc_classification(li).collect()}
+    # total 100: whale cum .8 -> A; mids to .96: first 3 mids cum .84/.88/.92 <= .95 -> B,
+    # 4th mid cum .96 > .95 -> C along with dust
+    assert out["A"]["n_parts"] == 1
+    assert out["B"]["n_parts"] == 3
+    assert out["C"]["n_parts"] == 5
+    assert abs(sum(r["revenue_share"] for r in out.values()) - 1.0) < 1e-6
