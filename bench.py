@@ -33,7 +33,7 @@ def main() -> None:
         # every later mapInPandas/pandas-UDF query; vocab_top100
         # pre-compiles the tokenize/explode codegen the text family
         # shares (~5s on first use in a session)
-        for wq in ("knn_exact_topk", "knn_batch_join", "tpch_q1_pricing", "knn_shard_topk", "vocab_top100"):
+        for wq in ("knn_exact_topk", "knn_batch_join", "tpch_q1_pricing", "knn_shard_topk", "vocab_top100", "dedup_simhash_pairs"):
             if wq in qs:
                 qs[wq](spark, warm_dir).count()
 

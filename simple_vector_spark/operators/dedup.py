@@ -661,8 +661,10 @@ def cluster_keep_best(
     )
 
 
-SIMHASH_BANDS = 4  # 4 x 4-bit bands over the 16-bit fingerprint
-SIMHASH_MAX_HAMMING = 2
+SIMHASH_PAIR_BITS = 32  # pair generation needs a wider fingerprint than
+SIMHASH_BANDS = 4       # the 16-bit audit one: 4 x 8-bit bands = 256
+SIMHASH_MAX_HAMMING = 3  # buckets/band, or bucket collisions explode
+                         # quadratically at corpus scale
 
 
 def simhash_candidate_pairs(
@@ -677,9 +679,23 @@ def simhash_candidate_pairs(
     the band equi-join, exact popcount Hamming gate after — the
     bit-vector sibling of the MinHash pipeline, catching
     high-overlap docs whose token multisets vote the same bits.
-    Shuffle key is (band, bucket); never all-pairs."""
-    bits_per = 16 // SIMHASH_BANDS
-    sigs = simhash_fingerprints(docs, text_col, id_col).localCheckpoint()
+    Shuffle key is (band, bucket); never all-pairs.  Uses a
+    {SIMHASH_PAIR_BITS}-bit fingerprint (vs the 16-bit audit one):
+    band buckets must stay selective or candidate volume grows
+    quadratically with corpus size."""
+    bits_per = SIMHASH_PAIR_BITS // SIMHASH_BANDS
+    sigs = (
+        fan_out(docs)
+        .select(
+            F.col(id_col),
+            F.transform(tokens(F.col(text_col)), md5_int).alias("_h"),
+        )
+        .select(
+            F.col(id_col),
+            simhash_from_hashes(F.col("_h"), bits=SIMHASH_PAIR_BITS).alias("simhash"),
+        )
+        .localCheckpoint()
+    )
     bands = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -698,22 +714,24 @@ def simhash_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
     a, b = bands.alias("sa"), bands.alias("sb")
-    cand = (
+    hamming = F.bit_count(
+        F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash"))
+    ).cast("int")
+    return (
         a.join(
             b,
             (F.col("sa.band") == F.col("sb.band"))
             & (F.col("sa.bucket") == F.col("sb.bucket"))
             & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
         )
+        # Hamming-gate BEFORE the pair distinct: the gate is a cheap
+        # per-row popcount, and multi-band agreements of true near-dups
+        # would otherwise inflate the distinct's input several-fold
         .select(
             F.col(f"sa.{id_col}").alias("doc_a"),
             F.col(f"sb.{id_col}").alias("doc_b"),
-            F.col("sa.simhash").alias("_ha"),
-            F.col("sb.simhash").alias("_hb"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return cand.select(
-        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)

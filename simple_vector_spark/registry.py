@@ -7770,7 +7770,7 @@ tokh AS (
 votes AS (
   SELECT doc_id, b,
          SUM(2 * (CAST(floor(h / pow(2, b)) AS BIGINT) % 2) - 1) AS w
-  FROM tokh, unnest(range(16)) AS bb(b)
+  FROM tokh, unnest(range({D.SIMHASH_PAIR_BITS})) AS bb(b)
   GROUP BY 1, 2
 ),
 sh AS (
@@ -7781,7 +7781,8 @@ sh AS (
 ),
 bands AS (
   SELECT doc_id, simhash, b AS band,
-         CAST(floor(simhash / pow(2, b * 4)) AS BIGINT) % 16 AS bucket
+         CAST(floor(simhash / pow(2, b * {D.SIMHASH_PAIR_BITS // D.SIMHASH_BANDS}))
+              AS BIGINT) % {1 << (D.SIMHASH_PAIR_BITS // D.SIMHASH_BANDS)} AS bucket
   FROM sh, unnest(range({D.SIMHASH_BANDS})) AS bb(b)
 ),
 cand AS (
