@@ -1049,3 +1049,46 @@ def touch_attribution(events: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_purchases"),
         F.round(F.sum("v").cast("double"), 6).alias("value"),
     )
+
+
+def max_concurrent_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Peak concurrency: the maximum number of user sessions open at
+    one instant (the capacity-planning number), via the classic
+    interval sweep — +1 at each session start, -1 at each end, global
+    running sum, take the max.
+
+    Scale: the running sum uses the two-phase range-partitioned prefix
+    sum (ranking.ranked_prefix_sum) over the delta events — session
+    counts grow with the data, so a single-partition ordered window is
+    exactly the scale-killer this avoids.  Tie semantics: at an
+    instant where sessions end AND start, ends apply first (delta
+    sorts (ts, delta asc)) — back-to-back sessions don't double
+    count.  Output: one row (n_sessions, peak, peak_ts)."""
+    from .ranking import ranked_prefix_sum
+
+    sessions = events.groupBy(
+        F.col("user_id"), F.session_window("ts", gap).alias("w")
+    ).agg(F.lit(1).alias("_one"))
+    deltas = sessions.select(
+        F.col("w.start").alias("t"), F.lit(1).cast("long").alias("d")
+    ).unionByName(
+        sessions.select(F.col("w.end").alias("t"), F.lit(-1).cast("long").alias("d"))
+    )
+    swept = ranked_prefix_sum(
+        deltas,
+        [F.col("t").asc(), F.col("d").asc()],
+        "d",
+        cum_name="open",
+        total_name="_tot",
+    )
+    n_sessions = sessions.agg(F.count("*").cast("long").alias("n_sessions"))
+    peak = swept.agg(F.max("open").cast("long").alias("peak"))
+    peak_ts = (
+        swept.join(F.broadcast(peak), swept.open == peak.peak)
+        .agg(F.min("t").alias("_pts"))
+        .select(F.date_format("_pts", "yyyy-MM-dd HH:mm:ss").alias("peak_ts"))
+    )
+    return (
+        n_sessions.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(peak_ts))
+    )

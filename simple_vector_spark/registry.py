@@ -7839,3 +7839,48 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned prefix sum, never an unpartitioned ordered
     window."""
     return R.parts_abc_classification(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "events_max_concurrent",
+    """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+sess AS (
+  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) + INTERVAL 30 MINUTE AS e
+  FROM g GROUP BY user_id, sid
+),
+deltas AS (
+  SELECT s AS t, CAST(1 AS BIGINT) AS d FROM sess
+  UNION ALL
+  SELECT e, CAST(-1 AS BIGINT) FROM sess
+),
+swept AS (
+  SELECT t, SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS open
+  FROM deltas
+),
+pk AS (SELECT MAX(open) AS peak FROM swept)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
+       (SELECT CAST(peak AS BIGINT) FROM pk) AS peak,
+       (SELECT strftime(MIN(t), '%Y-%m-%d %H:%M:%S')
+        FROM swept, pk WHERE swept.open = pk.peak) AS peak_ts
+""",
+)
+def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency via the interval sweep (+1/-1 deltas,
+    global running sum, max) — the capacity-planning number, with the
+    running sum on the two-phase range-partitioned prefix sum instead
+    of a single-partition ordered window."""
+    return E.max_concurrent_sessions(load_table(spark, sf_dir, "events"))

@@ -202,3 +202,21 @@ def test_props_key_stats_discovers_keys(spark):
     ).collect()}
     assert out["k"]["n_rows"] == 2 and out["k"]["min_num"] == 5 and out["k"]["max_num"] == 7
     assert out["extra"]["n_rows"] == 1 and out["extra"]["min_num"] is None
+
+
+def test_max_concurrent_sessions_sweep(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        # three users whose sessions overlap around t0+10m..t0+20m
+        (1, t0, 1, "view"),
+        (2, t0 + dt.timedelta(minutes=10), 2, "view"),
+        (3, t0 + dt.timedelta(minutes=20), 3, "view"),
+        # user 9 much later: never overlaps
+        (4, t0 + dt.timedelta(hours=5), 9, "view"),
+    ]
+    ev = _ev(spark, rows)
+    r = E.max_concurrent_sessions(ev).collect()[0]
+    # sessions: [12:00,12:30) [12:10,12:40) [12:20,12:50) and the late one
+    assert r["n_sessions"] == 4
+    assert r["peak"] == 3
+    assert r["peak_ts"] == "2024-01-01 12:20:00"
