@@ -735,3 +735,48 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def pair_graph_triangles(pairs: DataFrame) -> DataFrame:
+    """Triangle census of the near-dup pair graph: triangle count and
+    the global clustering coefficient (3*triangles / open triads) —
+    distinguishes clique-like duplicate clusters (high closure: true
+    re-posts) from chain-like ones (low closure: drifting
+    template/boilerplate families).
+
+    The canonical distributed triangle count on oriented edges
+    (a < b): wedges from the (b)-keyed self-join, closed by a
+    semi-join back onto the edge set — two key shuffles, never an
+    all-pairs product; triads come from the degree aggregate."""
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).distinct()
+    e = e.localCheckpoint()
+    w1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    w2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = w1.join(w2, "y").filter(F.col("x") < F.col("y"))
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = wedges.join(closing, ["x", "z"], "left_semi")
+    n_tri = tris.agg(F.count("*").cast("long").alias("n_triangles"))
+    deg = (
+        e.select(F.col("a").alias("n")).unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("_triads"),
+    )
+    return stats.crossJoin(F.broadcast(n_tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.round(
+            F.when(
+                F.col("_triads") > 0,
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("_triads").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coeff"),
+    )

@@ -2024,3 +2024,28 @@ def parts_abc_classification(lineitem: DataFrame) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+def order_to_ship_latency(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Fulfilment latency: per order priority, exact interpolated
+    percentiles of (first ship date - order date) in days — the SLA
+    distribution operations tracks.  One fact-fact shuffle
+    (lineitem x orders) reduced to per-order first-ship, then a
+    |priorities|-group percentile."""
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("_ship")
+    )
+    lat = first_ship.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("_ship"), F.col("o_orderdate")).cast("long").alias("lag_d"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.round(F.percentile("lag_d", F.lit(q)), 4).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ],
+    )

@@ -7884,3 +7884,96 @@ def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum on the two-phase range-partitioned prefix sum instead
     of a single-partition ordered window."""
     return E.max_concurrent_sessions(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 49 (round 2): triangle census of the dup graph, fulfilment
+# latency percentiles.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_graph_triangles",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+sigs AS (
+  SELECT doc_id,
+  {_SIG_COLS_SQL}
+  FROM sh WHERE n_tk >= 3
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+),
+e AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+wedge AS (
+  SELECT w1.a AS x, w1.b AS y, w2.b AS z
+  FROM e w1 JOIN e w2 ON w1.b = w2.a
+  WHERE w1.a < w1.b
+),
+tri AS (
+  SELECT wedge.x, wedge.y, wedge.z
+  FROM wedge JOIN e ON wedge.x = e.a AND wedge.z = e.b
+),
+deg AS (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY n
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+         CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS triads
+  FROM deg
+)
+SELECT n_nodes, n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+       ROUND(CASE WHEN triads > 0
+             THEN 3.0 * (SELECT COUNT(*) FROM tri) / triads
+             ELSE 0.0 END, 6) AS clustering_coeff
+FROM stats
+""",
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the MinHash
+    pair graph — clique-like clusters (true re-posts) vs chain-like
+    drift families, via the oriented wedge join (two key shuffles)."""
+    return D.pair_graph_triangles(
+        _cached_index(
+            spark, sf_dir, "minhash_pairs",
+            lambda: D.minhash_candidate_pairs(_docs_plus_spark(spark, sf_dir)),
+        )
+    )
+
+
+@query(
+    "order_ship_latency",
+    """
+WITH fs AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS ship FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(datediff('day', o_orderdate, CAST(ship AS DATE)), 0.50), 4) AS p50,
+       ROUND(quantile_cont(datediff('day', o_orderdate, CAST(ship AS DATE)), 0.90), 4) AS p90,
+       ROUND(quantile_cont(datediff('day', o_orderdate, CAST(ship AS DATE)), 0.99), 4) AS p99
+FROM fs JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment SLA distribution: exact p50/p90/p99 of order-to-first-
+    ship days per priority class — one fact-fact shuffle reduced to
+    per-order first-ship."""
+    return R.order_to_ship_latency(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )

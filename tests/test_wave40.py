@@ -74,3 +74,27 @@ def test_abc_classification_shares(spark):
     assert out["B"]["n_parts"] == 3
     assert out["C"]["n_parts"] == 5
     assert abs(sum(r["revenue_share"] for r in out.values()) - 1.0) < 1e-6
+
+
+def test_triangle_census_known_graph(spark):
+    from simple_vector_spark.operators import dedup as D
+
+    # K3 triangle {1,2,3} plus a pendant edge 3-4: 1 triangle,
+    # triads = C(2,2)+C(2,2)+C(3,2)+C(1,2) hmm degrees 2,2,3,1 ->
+    # triads 1+1+3+0 = 5, coeff = 3/5
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    r = D.pair_graph_triangles(pairs).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 4
+    assert r["n_triangles"] == 1
+    assert abs(r["clustering_coeff"] - 0.6) < 1e-9
+
+
+def test_triangle_census_no_triangles(spark):
+    from simple_vector_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long")
+    r = D.pair_graph_triangles(pairs).collect()[0]
+    assert r["n_triangles"] == 0
+    assert r["clustering_coeff"] == 0.0
