@@ -2049,3 +2049,84 @@ def order_to_ship_latency(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             for q in (0.5, 0.9, 0.99)
         ],
     )
+
+
+def seasonal_decompose(orders: DataFrame) -> DataFrame:
+    """Closed-form seasonal decomposition of monthly revenue: linear
+    trend (least squares from exact power sums) removed, then the
+    month-of-year means of the residual = the additive seasonal
+    profile — the STL-lite read on 'which calendar months genuinely
+    over/under-index once growth is removed'.
+
+    One fact shuffle to |months| rows; trend and seasonal indexes are
+    aggregates of that tiny series."""
+    monthly = orders.groupBy(
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * 12 + F.month("o_orderdate") - 1
+        ).alias("t"),
+        F.month("o_orderdate").alias("moy"),
+    ).agg(F.sum(_dec("o_totalprice")).alias("y")).localCheckpoint()
+    sums = monthly.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("_st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("_stt"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("t").cast("decimal(20,2)") * F.col("y")).alias("_sty"),
+    )
+    n = F.col("n").cast("double")
+    st, stt = F.col("_st").cast("double"), F.col("_stt").cast("double")
+    sy, sty = F.col("_sy").cast("double"), F.col("_sty").cast("double")
+    slope = (n * sty - st * sy) / (n * stt - st * st)
+    fit = sums.select(
+        slope.alias("_b"), ((sy - slope * st) / n).alias("_a")
+    )
+    resid = monthly.crossJoin(F.broadcast(fit)).select(
+        "moy",
+        (
+            F.col("y").cast("double")
+            - (F.col("_a") + F.col("_b") * F.col("t").cast("double"))
+        ).alias("r"),
+    )
+    return resid.groupBy("moy").agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.round(F.avg("r"), 4).alias("seasonal"),
+    ).select(F.col("moy").cast("int").alias("moy"), "n_months", "seasonal")
+
+
+MIGRATION_TILES = 3
+
+
+def customer_segment_migration(
+    orders: DataFrame, y1: int = 1995, y2: int = 1996, k: int = MIGRATION_TILES
+) -> DataFrame:
+    """Segment-migration matrix: customers terciled by spend in year 1
+    vs year 2 ('did the heavy third stay heavy'), plus churn/new rows
+    for customers active in only one year — the retention-quality read
+    behind LTV planning.
+
+    Both tilings use the two-phase grouped_ntile (customer counts grow
+    with the data); the matrix is a |k+1|² aggregate of one
+    customer-keyed outer join."""
+    from .ranking import grouped_ntile
+
+    def spend(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum(_dec("o_totalprice")).alias("spend"))
+        )
+
+    def tiles(df: DataFrame, name: str) -> DataFrame:
+        return grouped_ntile(
+            df, [F.col("spend").desc(), F.col("o_custkey").asc()], k, name
+        ).select("o_custkey", name)
+
+    t1 = tiles(spend(y1), "seg_from")
+    t2 = tiles(spend(y2), "seg_to")
+    joined = t1.join(t2, "o_custkey", "full_outer").select(
+        F.coalesce(F.col("seg_from").cast("string"), F.lit("none")).alias("seg_from"),
+        F.coalesce(F.col("seg_to").cast("string"), F.lit("none")).alias("seg_to"),
+    )
+    return joined.groupBy("seg_from", "seg_to").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )

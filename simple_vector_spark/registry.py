@@ -7977,3 +7977,81 @@ def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.order_to_ship_latency(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 50 (round 2): seasonal decomposition, customer segment migration.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_seasonal_decompose",
+    """
+WITH monthly AS (
+  SELECT (CAST(strftime(o_orderdate, '%Y') AS INT) - 1992) * 12
+         + CAST(strftime(o_orderdate, '%m') AS INT) - 1 AS t,
+         CAST(strftime(o_orderdate, '%m') AS INT) AS moy,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS y
+  FROM orders GROUP BY 1, 2
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS stt, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(t AS DECIMAL(20,2)) * y) AS DOUBLE) AS sty
+  FROM monthly
+),
+fit AS (
+  SELECT (n * sty - st * sy) / (n * stt - st * st) AS b,
+         (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n AS a
+  FROM s
+)
+SELECT CAST(moy AS INT) AS moy, CAST(COUNT(*) AS BIGINT) AS n_months,
+       ROUND(AVG(CAST(y AS DOUBLE) - (fit.a + fit.b * t)), 4) AS seasonal
+FROM monthly CROSS JOIN fit
+GROUP BY moy
+""",
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend-removed month-of-year seasonal profile of revenue
+    (closed-form STL-lite from exact power sums) — which calendar
+    months genuinely over/under-index once growth is removed."""
+    return R.seasonal_decompose(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "customer_segment_migration",
+    f"""
+WITH s1 AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS spend
+  FROM orders WHERE CAST(strftime(o_orderdate, '%Y') AS INT) = 1995
+  GROUP BY o_custkey
+),
+s2 AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS spend
+  FROM orders WHERE CAST(strftime(o_orderdate, '%Y') AS INT) = 1996
+  GROUP BY o_custkey
+),
+t1 AS (
+  SELECT o_custkey,
+         CAST(ntile({R.MIGRATION_TILES}) OVER (ORDER BY spend DESC, o_custkey) AS VARCHAR)
+           AS seg_from
+  FROM s1
+),
+t2 AS (
+  SELECT o_custkey,
+         CAST(ntile({R.MIGRATION_TILES}) OVER (ORDER BY spend DESC, o_custkey) AS VARCHAR)
+           AS seg_to
+  FROM s2
+)
+SELECT COALESCE(seg_from, 'none') AS seg_from,
+       COALESCE(seg_to, 'none') AS seg_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM t1 FULL OUTER JOIN t2 USING (o_custkey)
+GROUP BY 1, 2
+""",
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-tercile migration matrix between two years (plus
+    churn/new rows) — retention quality for LTV planning, both tilings
+    on the two-phase grouped ntile."""
+    return R.customer_segment_migration(load_table(spark, sf_dir, "orders"))

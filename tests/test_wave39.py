@@ -126,3 +126,37 @@ def test_weighted_sample_favors_heavy_docs(spark):
     # deterministic across runs
     again = CU.weighted_sample_ares(docs, k=20).collect()
     assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in again]
+
+
+def test_seasonal_decompose_pure_trend_is_flat(spark):
+    import datetime as dt
+
+    # pure linear trend, no seasonality -> every seasonal index ~0
+    rows = []
+    oid = 0
+    for t in range(24):
+        d = dt.date(1992 + t // 12, 1 + t % 12, 10)
+        rows.append((oid, d, float(100 + 10 * t)))
+        oid += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    out = R.seasonal_decompose(orders).collect()
+    assert len(out) == 12
+    for r in out:
+        assert abs(r["seasonal"]) < 1e-6
+
+
+def test_segment_migration_totals(spark, sf_dir):
+    from simple_vector_spark.sources.loaders import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = R.customer_segment_migration(orders).collect()
+    total = sum(r["n_customers"] for r in out)
+    import pyspark.sql.functions as F
+
+    y1 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y2 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    n_union = y1.union(y2).distinct().count()
+    assert total == n_union
+    assert not any(r["seg_from"] == "none" and r["seg_to"] == "none" for r in out)
