@@ -2130,3 +2130,34 @@ def customer_segment_migration(
     return joined.groupBy("seg_from", "seg_to").agg(
         F.count("*").cast("long").alias("n_customers")
     )
+
+
+EQUIDEPTH_BUCKETS = 8
+
+
+def equidepth_histogram(orders: DataFrame, k: int = EQUIDEPTH_BUCKETS) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order value — the
+    optimizer-statistics structure behind selectivity estimation
+    (ANALYZE ... FOR COLUMNS builds exactly this): k buckets of equal
+    row count with their [lo, hi] value bounds.
+
+    Buckets come from the two-phase grouped ntile over (value, key) —
+    never a single-partition sort; bounds and counts fold per
+    bucket."""
+    from .ranking import grouped_ntile
+
+    tiled = grouped_ntile(
+        orders.select("o_orderkey", _dec("o_totalprice").alias("v")),
+        [F.col("v").asc(), F.col("o_orderkey").asc()],
+        k,
+        "bucket",
+    )
+    return (
+        tiled.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("v").cast(DEC_PRICE).alias("lo"),
+            F.max("v").cast(DEC_PRICE).alias("hi"),
+        )
+        .select(F.col("bucket").cast("int").alias("bucket"), "n_rows", "lo", "hi")
+    )

@@ -8055,3 +8055,103 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn/new rows) — retention quality for LTV planning, both tilings
     on the two-phase grouped ntile."""
     return R.customer_segment_migration(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 51 (round 2): equi-depth histogram statistics, part-name entity
+# matching.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_equidepth_histogram",
+    f"""
+WITH tiled AS (
+  SELECT CAST(o_totalprice AS DECIMAL(15,2)) AS v,
+         ntile({R.EQUIDEPTH_BUCKETS}) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(15,2)), o_orderkey)
+           AS bucket
+  FROM orders
+)
+SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(v) AS DECIMAL(15,2)) AS lo, CAST(MAX(v) AS DECIMAL(15,2)) AS hi
+FROM tiled GROUP BY bucket
+""",
+)
+def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of order value (the ANALYZE-statistics
+    structure selectivity estimation reads) — k equal-count buckets
+    with value bounds, built on the two-phase ntile."""
+    return R.equidepth_histogram(load_table(spark, sf_dir, "orders"))
+
+
+PART_MATCH_THRESHOLD = 0.5
+
+
+@query(
+    "part_name_matching",
+    f"""
+WITH t AS (
+  SELECT p_partkey, p_brand,
+         list_filter(regexp_split_to_array(lower(p_name), '\\s+'), x -> x != '') AS tk
+  FROM part
+),
+sh AS (
+  SELECT DISTINCT p_partkey, p_brand, tk[i] || ' ' || tk[i + 1] AS g
+  FROM (SELECT p_partkey, p_brand, tk, unnest(range(1, len(tk))) AS i FROM t)
+),
+sizes AS (SELECT p_partkey, COUNT(*) AS n_g FROM sh GROUP BY p_partkey),
+inter AS (
+  SELECT a.p_partkey AS pa, b.p_partkey AS pb, COUNT(*) AS i
+  FROM sh a JOIN sh b
+    ON a.p_brand = b.p_brand AND a.g = b.g AND a.p_partkey < b.p_partkey
+  GROUP BY 1, 2
+)
+SELECT pa, pb,
+       ROUND(i * 1.0 / (sa.n_g + sb.n_g - i), 6) AS jacc
+FROM inter
+JOIN sizes sa ON sa.p_partkey = pa
+JOIN sizes sb ON sb.p_partkey = pb
+WHERE i * 1.0 / (sa.n_g + sb.n_g - i) >= {PART_MATCH_THRESHOLD}
+""",
+)
+def part_name_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on the part dimension: near-identical part
+    names (2-word-shingle Jaccard >= {PART_MATCH_THRESHOLD}) within a
+    brand block — the catalog-hygiene fuzzy matcher, same blocked
+    shingle-join shape as document dedup but on an entity name
+    column."""
+    from .functions.text import tokens, word_shingles
+
+    part = load_table(spark, sf_dir, "part")
+    sh = (
+        part.select(
+            "p_partkey",
+            "p_brand",
+            F.explode(
+                F.array_distinct(word_shingles(tokens(F.col("p_name")), 2))
+            ).alias("g"),
+        )
+    ).localCheckpoint()
+    sizes = sh.groupBy("p_partkey").agg(F.count("*").alias("n_g"))
+    a, b = sh.alias("ma"), sh.alias("mb")
+    inter = (
+        a.join(
+            b,
+            (F.col("ma.p_brand") == F.col("mb.p_brand"))
+            & (F.col("ma.g") == F.col("mb.g"))
+            & (F.col("ma.p_partkey") < F.col("mb.p_partkey")),
+        )
+        .groupBy(
+            F.col("ma.p_partkey").alias("pa"), F.col("mb.p_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("p_partkey").alias("pa"), F.col("n_g").alias("na"))
+    sb = sizes.select(F.col("p_partkey").alias("pb"), F.col("n_g").alias("nb"))
+    jacc = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "pa")
+        .join(sb, "pb")
+        .select("pa", "pb", F.round(jacc, 6).alias("jacc"))
+        .filter(F.col("jacc") >= PART_MATCH_THRESHOLD)
+    )

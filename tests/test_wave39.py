@@ -160,3 +160,14 @@ def test_segment_migration_totals(spark, sf_dir):
     n_union = y1.union(y2).distinct().count()
     assert total == n_union
     assert not any(r["seg_from"] == "none" and r["seg_to"] == "none" for r in out)
+
+
+def test_equidepth_histogram_contiguous_buckets(spark):
+    rows = [(i, float(i)) for i in range(80)]
+    orders = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    out = sorted(R.equidepth_histogram(orders).collect(), key=lambda r: r["bucket"])
+    assert len(out) == 8
+    assert all(r["n_rows"] == 10 for r in out)
+    for prev, nxt in zip(out, out[1:]):
+        assert prev["hi"] < nxt["lo"]  # non-overlapping, ordered
+    assert float(out[0]["lo"]) == 0.0 and float(out[-1]["hi"]) == 79.0
