@@ -1092,3 +1092,49 @@ def max_concurrent_sessions(events: DataFrame, gap: str = "30 minutes") -> DataF
         n_sessions.crossJoin(F.broadcast(peak))
         .crossJoin(F.broadcast(peak_ts))
     )
+
+
+PATH_PREFIX_LEN = 3
+PATH_TOP_N = 20
+
+
+def session_paths(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    prefix_len: int = PATH_PREFIX_LEN,
+    top_n: int = PATH_TOP_N,
+) -> DataFrame:
+    """Clickstream path mining: the first ``prefix_len`` event-type
+    initials of each session as a path string, ranked by frequency —
+    'how do sessions start', the entry-flow analytics behind landing
+    design.  Session islands share the gaps-and-islands machinery;
+    per-session ordering is the deterministic (ts, event_id) struct
+    sort; top-N is a heap selection."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            >= F.lit(30 * 60 * 1_000_000)
+        )
+    ).cast("long")
+    ep = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ch = F.substring("event_type", 1, 1)
+    paths = (
+        events.select(
+            "user_id",
+            F.col("ts"),
+            F.col("event_id"),
+            ch.alias("ch"),
+        )
+        .withColumn("sid", ep)
+        .groupBy("user_id", "sid")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))).alias("ss"))
+        .select(
+            F.array_join(
+                F.slice(F.transform("ss", lambda s: s["ch"]), 1, prefix_len), ""
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count("*").cast("long").alias("n_sessions"))
+    return counts.orderBy(F.col("n_sessions").desc(), F.col("path").asc()).limit(top_n)

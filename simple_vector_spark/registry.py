@@ -8155,3 +8155,37 @@ def part_name_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb", F.round(jacc, 6).alias("jacc"))
         .filter(F.col("jacc") >= PART_MATCH_THRESHOLD)
     )
+
+
+@query(
+    "events_session_paths",
+    f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS ch,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts, event_id, ch,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+paths AS (
+  SELECT array_to_string(
+           (list(ch ORDER BY ts, event_id))[1:{E.PATH_PREFIX_LEN}], '') AS path
+  FROM g GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {E.PATH_TOP_N}
+""",
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session entry paths: the first {E.PATH_PREFIX_LEN}
+    event-type initials per session, frequency-ranked — clickstream
+    path mining off the shared gaps-and-islands machinery."""
+    return E.session_paths(load_table(spark, sf_dir, "events"))

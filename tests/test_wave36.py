@@ -220,3 +220,24 @@ def test_max_concurrent_sessions_sweep(spark):
     assert r["n_sessions"] == 4
     assert r["peak"] == 3
     assert r["peak_ts"] == "2024-01-01 12:20:00"
+
+
+def test_session_paths_prefix_and_ranking(spark):
+    t0 = dt.datetime(2024, 1, 1)
+
+    def sess(uid, types, start_h):
+        return [
+            (uid * 100 + i, t0 + dt.timedelta(hours=start_h, minutes=i), uid, t)
+            for i, t in enumerate(types)
+        ]
+
+    rows = (
+        sess(1, ["view", "click", "purchase", "view"], 0)  # path 'vcp' (prefix 3)
+        + sess(1, ["view", "click", "purchase"], 5)        # new session (gap) 'vcp'
+        + sess(2, ["error", "error"], 0)                   # 'ee'
+    )
+    ev = _ev(spark, rows)
+    out = E.session_paths(ev).collect()
+    top = out[0]
+    assert top["path"] == "vcp" and top["n_sessions"] == 2
+    assert {r["path"] for r in out} == {"vcp", "ee"}
