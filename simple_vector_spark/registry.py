@@ -8189,3 +8189,154 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type initials per session, frequency-ranked — clickstream
     path mining off the shared gaps-and-islands machinery."""
     return E.session_paths(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 52 (round 2): the Spark-4 surface — native XML source, VARIANT
+# semi-structured extraction, SQL pipe syntax, string collations.  The
+# reference speaks exactly one wire format (HTTP JSON,
+# src/http_server.cc:14-38); a Spark-first engine exposes every ingest
+# format and SQL dialect surface the platform ships.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "xml_source_roundtrip",
+    """
+SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+       CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys,
+       CAST(SUM(length(n_name)) AS BIGINT) AS sum_name_chars
+FROM nation GROUP BY n_regionkey
+""",
+)
+def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source (Spark 4 ships spark-xml in-core): write the
+    nation dim as <nations><nation>...</nation></nations>, read it back
+    with an explicit schema + rowTag (schema inference is an extra full
+    pass at 100 TB — never rely on it), aggregate.  The oracle reads
+    the ORIGINAL parquet, so a hash match proves the XML round-trip is
+    lossless including entity-escaping of markup characters."""
+    import os
+
+    nation = load_table(spark, sf_dir, "nation")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/nation_xml_{tag}"
+    (
+        nation.write.mode("overwrite")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .format("xml")
+        .save(path)
+    )
+    back = (
+        spark.read.option("rowTag", "nation")
+        .schema(nation.schema)
+        .format("xml")
+        .load(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.sum("n_nationkey").cast("bigint").alias("sum_keys"),
+        F.sum(F.length("n_name")).cast("bigint").alias("sum_name_chars"),
+    )
+
+
+@query(
+    "events_variant_extract",
+    """
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+""",
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4): parse
+    the JSON string once into the binary variant encoding, then typed
+    variant_get extraction — the shredded-access pattern that replaces
+    repeated get_json_object string re-parses (one parse, many typed
+    reads; at 100 TB the parse is the cost).  Oracle: DuckDB JSON
+    extraction over the same strings."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.try_parse_json("props").alias("v"))
+    k = v.select(
+        "event_type", F.variant_get("v", "$.k", "long").alias("k")
+    )
+    return k.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
+    "sql_pipe_revenue",
+    """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE), 2)
+         AS revenue
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+""",
+)
+def sql_pipe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the same Catalyst plan
+    as the nested-SELECT form, written as a linear dataflow — proof the
+    engine's third query surface (DataFrame, ANSI SQL, pipe SQL) all
+    meet in one planner."""
+    from .sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE COUNT(*) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE), 2)
+               AS revenue
+   GROUP BY o_orderpriority
+|> SELECT o_orderpriority, n_orders, revenue
+"""
+    )
+
+
+COLLATION_PATTERNS = ("CLICK", "Error", "purchase")
+
+
+@query(
+    "events_collated_filter",
+    f"""
+SELECT p AS pattern,
+       CAST(SUM(CASE WHEN lower(event_type) = lower(p) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ci,
+       CAST(SUM(CASE WHEN event_type = p THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact
+FROM events
+CROSS JOIN (SELECT unnest({list(COLLATION_PATTERNS)}) AS p)
+GROUP BY p
+""",
+)
+def events_collated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): the same equality predicate under
+    UTF8_LCASE vs binary collation, evaluated JVM-side — the engine's
+    case-insensitive matching is a collation property of the
+    comparison, not a lower() rewrite (which would defeat dictionary
+    and index pushdown on a collated column at scale).  Oracle models
+    the collation with lower()= since DuckDB compares binary."""
+    ev = load_table(spark, sf_dir, "events")
+    pats = spark.createDataFrame(
+        [(p,) for p in COLLATION_PATTERNS], "pattern string"
+    )
+    j = ev.crossJoin(F.broadcast(pats))
+    ci = F.collate(F.col("event_type"), "UTF8_LCASE") == F.collate(
+        F.col("pattern"), "UTF8_LCASE"
+    )
+    exact = F.col("event_type") == F.col("pattern")
+    return j.groupBy("pattern").agg(
+        F.sum(ci.cast("int")).cast("bigint").alias("n_ci"),
+        F.sum(exact.cast("int")).cast("bigint").alias("n_exact"),
+    )
