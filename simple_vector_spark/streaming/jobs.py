@@ -385,3 +385,94 @@ def watermark_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("sv").cast("decimal(18,6)").cast("double"), 6).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's successor to
+# applyInPandasWithState): typed state variables (value/list/map),
+# timers, and TTL, over the RocksDB state store.  The API's Python
+# driver worker speaks protobuf to the JVM; protobuf is not installed
+# in every runtime (this container lacks it), so the operator is gated
+# behind a capability probe — same honest-stub pattern as the PIL
+# codec in operators/multimodal.py.
+# --------------------------------------------------------------------------
+
+
+def has_transform_with_state() -> bool:
+    """True when the transformWithStateInPandas runtime dependency
+    (google.protobuf, used by pyspark's state-server protocol) is
+    importable."""
+    try:  # pragma: no cover - environment probe
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+TWS_OUT_SCHEMA = "user_id long, n long, total double"
+
+
+def _make_totals_processor():
+    """Build the StatefulProcessor class lazily (importing the base
+    class is safe without protobuf; running it is not)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        """Per-user running (count, sum) as a typed ValueState — the
+        transformWithState port of ``_user_totals_fn``.  State layout
+        and output contract are identical, so the same batch GROUP BY
+        oracle applies."""
+
+        def init(self, handle):
+            self._st = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._st.get() if self._st.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._st.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [total]}
+            )
+
+        def close(self):
+            pass
+
+    return RunningTotals
+
+
+def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas on the
+    RocksDB state store.  Raises RuntimeError with a clear message when
+    the protobuf runtime dependency is missing — callers (and the
+    driver registry) must gate on has_transform_with_state()."""
+    if not has_transform_with_state():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf, which is "
+            "not installed in this runtime"
+        )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    proc = _make_totals_processor()()
+    ev = _read_events_stream(spark, sf_dir)
+    out = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            proc,
+            outputStructType=TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    drained = _drain(out, "update")
+    return drained.groupBy("user_id").agg(
+        F.max("n").alias("n"),
+        F.round(F.max_by("total", "n"), 6).alias("sum_value"),
+    )

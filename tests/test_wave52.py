@@ -73,3 +73,29 @@ def test_collated_equality_is_case_insensitive(spark):
     n_exact = df.filter(F.col("s") == "cLiCk").count()
     assert n_ci == 3
     assert n_exact == 0
+
+
+def test_transform_with_state_gate_or_run(spark, sf_dir):
+    """transformWithStateInPandas: runs for real when protobuf is
+    available; otherwise the operator must fail fast with the
+    capability message (not crash mid-stream)."""
+    import pytest
+
+    from simple_vector_spark.streaming import jobs as J
+
+    if not J.has_transform_with_state():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            J.transform_with_state_totals(spark, sf_dir)
+        pytest.skip("google.protobuf not installed in this runtime")
+    out = J.transform_with_state_totals(spark, sf_dir)
+    from simple_vector_spark.sources.loaders import load_table
+
+    expect = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    got = {r["user_id"]: r["n"] for r in out.collect()}
+    for r in expect:
+        assert got[r["user_id"]] == r["n"]
