@@ -1721,9 +1721,11 @@ def _emb_with_cells(spark, sf_dir: str, trained: bool = False) -> DataFrame:
         if trained
         else A.fit_vectors(emb, A.CENTROID_IDS)
     )
+    from .sources.loaders import fan_out
+
     return _cached_index(
         spark, sf_dir, f"ivf_cells_{'trained' if trained else 'seed'}",
-        lambda: A.with_cells(emb, cents),
+        lambda: A.cells_arrow(fan_out(emb), cents),
     )
 
 

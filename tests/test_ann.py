@@ -143,3 +143,50 @@ def test_trained_recall_beats_fixed_at_equal_probe_budget(emb):
     tc = {r.nprobe: r.recall for r in A.ivf_recall_curve(emb, q, trained, 10, (1, 2, 3)).collect()}
     assert all(tc[p] >= fc[p] for p in (1, 2, 3))
     assert sum(tc.values()) > sum(fc.values())
+
+
+def test_cells_arrow_parity_with_expression(spark, sf_dir):
+    """The vectorized Arrow kernel must reproduce ivf_cell bit-for-bit
+    on the real fixture."""
+    from simple_vector_spark.operators import ann as A
+    from simple_vector_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = A.fit_vectors(emb, A.CENTROID_IDS)
+    expr = {
+        r["vec_id"]: r["__cell"] for r in A.with_cells(emb, cents).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["__cell"] for r in A.cells_arrow(emb, cents).collect()
+    }
+    assert expr == arrow
+    assert dict(A.cells_arrow(emb, cents).dtypes)["__cell"] == dict(
+        A.with_cells(emb, cents).dtypes
+    )["__cell"]
+
+
+def test_cells_arrow_tie_and_margin_rows(spark):
+    """Adversarial rows: exact ties (must go to the smaller cid) and
+    sub-1e-6 margins (must follow the rounded compare, i.e. agree with
+    the expression path) — the decimal fallback branch."""
+    from simple_vector_spark.operators import ann as A
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (7, [2.0, 0.0]),
+        (100, [1.0, 5.0]),          # exactly equidistant -> cid 0
+        (101, [1.0 + 2.4e-7, 5.0]),  # margin < 1e-6 -> rounding decides
+        (102, [1.0 + 1.0e-3, 5.0]),  # clear winner cid 7
+        (103, [0.1, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [0.0, 0.0]), (7, [2.0, 0.0])]
+    expr = {
+        r["vec_id"]: r["__cell"] for r in A.with_cells(emb, cents).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["__cell"] for r in A.cells_arrow(emb, cents).collect()
+    }
+    assert expr == arrow
+    assert arrow[100] == 0
+    assert arrow[102] == 7
