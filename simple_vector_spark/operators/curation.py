@@ -447,3 +447,55 @@ def weighted_sample_ares(
         .limit(k)
         .select("doc_id", "weight", F.round("ares_key", 6).alias("ares_key"))
     )
+
+
+LUHN_DIGITS = 16
+
+
+def luhn_card_audit(orders: DataFrame) -> DataFrame:
+    """Luhn-checksum PII detector: the validation gate a credit-card
+    scrubber runs on every 13-19-digit span before redacting (a bare
+    \\d{16} regex false-positives on ids and timestamps; the checksum
+    is what separates card-shaped noise from likely-real PAN data).
+
+    The fixture corpus has no digit spans, so candidates are
+    synthesized deterministically from the order keys (16-digit
+    strings) — the point under test is the checksum expression, which
+    is pure JVM arithmetic: reverse the digits, double every second
+    one, subtract 9 when the double exceeds 9, valid iff the sum is
+    divisible by 10.  Output: per order-priority candidate counts and
+    how many pass Luhn (~10% of uniform strings, the detector's
+    background false-positive rate).
+
+    Scale: one scan, no shuffle before the 5-group aggregate; the
+    checksum is a fixed-size expression inside whole-stage codegen."""
+    cand = F.substring(
+        F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 8, "0"),
+            F.lpad(F.col("o_custkey").cast("string"), 8, "0"),
+        ),
+        1,
+        LUHN_DIGITS,
+    )
+    rev = F.reverse(cand)
+    def term(i: int):  # positional Luhn term, 1-based from the right
+        d = F.substring(rev, i, 1).cast("int")
+        if i % 2 == 0:
+            return F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        return d
+
+    total = None
+    for i in range(1, LUHN_DIGITS + 1):
+        t = term(i)
+        total = t if total is None else total + t
+    return (
+        orders.select("o_orderpriority", (total % 10 == 0).alias("_ok"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.col("_ok").cast("int")).cast("long").alias("n_luhn_valid"),
+            F.round(
+                F.sum(F.col("_ok").cast("int")) / F.count("*").cast("double"), 6
+            ).alias("valid_rate"),
+        )
+    )

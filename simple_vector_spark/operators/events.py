@@ -1138,3 +1138,52 @@ def session_paths(
     )
     counts = paths.groupBy("path").agg(F.count("*").cast("long").alias("n_sessions"))
     return counts.orderBy(F.col("n_sessions").desc(), F.col("path").asc()).limit(top_n)
+
+
+def preference_pairs(events: DataFrame) -> DataFrame:
+    """Preference-pair construction — the DPO/RLHF training-data shape:
+    for every user with both signal kinds, pair their strongest
+    positive interaction (highest-value purchase) as *chosen* against
+    their weakest passive one (lowest-value view) as *rejected*, with
+    the value margin.  Deterministic tiebreaks by event_id.
+
+    Scale: two row_number windows over the SAME user_id partitioning
+    (one shuffle — Catalyst reuses the exchange for both, since filter
+    and sort key differ only inside the partition), then a user-keyed
+    1:1 join of the two rn=1 slices."""
+    w_pos = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    w_neg = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    chosen = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("chosen_event_id"),
+            F.round("value", 6).alias("chosen_value"),
+        )
+    )
+    rejected = (
+        events.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("rejected_event_id"),
+            F.round("value", 6).alias("rejected_value"),
+        )
+    )
+    return chosen.join(rejected, "user_id").select(
+        "user_id",
+        "chosen_event_id",
+        "chosen_value",
+        "rejected_event_id",
+        "rejected_value",
+        F.round(F.col("chosen_value") - F.col("rejected_value"), 6).alias(
+            "margin"
+        ),
+    )

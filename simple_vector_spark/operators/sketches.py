@@ -286,3 +286,104 @@ def kmv_cardinality_audit(
             6,
         ).alias("rel_err"),
     )
+
+
+def kmv_intersection_audit(
+    events: DataFrame, types: tuple[str, str] = ("click", "purchase"), k: int = KMV_K
+) -> DataFrame:
+    """KMV set-INTERSECTION estimate — the sketch set-operation a theta
+    sketch provides, in exact-integer (oracle-checkable) form:
+
+    1. per-type sketch = k smallest md5 hashes of the distinct user
+       ids (same build as kmv_cardinality_audit — one rank-limit
+       window each);
+    2. union sketch = k smallest of the two sketches combined; its
+       k-th min gives the union-cardinality estimate;
+    3. Jaccard estimate = fraction of union-sketch members present in
+       BOTH per-type sketches (the classic KMV/theta combinator);
+    4. intersection estimate = jaccard_est * union_est.
+
+    Reports the estimates against the exact intersection/Jaccard plus
+    the relative error.  Everything after the two rank-limit windows
+    is k-sized; at 100 TB the sketches are the only thing that moves.
+    """
+    a_type, b_type = types
+    h = md5_int(F.col("user_id").cast("string"))
+    hashed = (
+        events.filter(F.col("event_type").isin(*types))
+        .select("event_type", "user_id", h.alias("h"))
+        .localCheckpoint()
+    )
+    per_type = hashed.select("event_type", "h").distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    sk = (
+        per_type.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .localCheckpoint()
+    )
+    union_sk = (
+        sk.select("h")
+        .distinct()
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy().orderBy(F.col("h").asc())),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+    union_stats = union_sk.agg(
+        F.count("*").alias("_n_sk"),
+        F.max(F.when(F.col("rnk") == k, F.col("h"))).alias("_hk"),
+    ).select(
+        F.col("_n_sk"),
+        F.when(F.col("_n_sk") < k, F.col("_n_sk").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(float(_KMV_RANGE))
+            / F.col("_hk").cast("double")
+        )
+        .alias("_union_est"),
+    )
+    membership = (
+        union_sk.select("h")
+        .join(
+            sk.filter(F.col("event_type") == a_type).select("h").distinct(),
+            "h",
+            "left_semi",
+        )
+        .join(
+            sk.filter(F.col("event_type") == b_type).select("h").distinct(),
+            "h",
+            "left_semi",
+        )
+        .agg(F.count("*").alias("_n_both_sk"))
+    )
+    exact = (
+        hashed.select("event_type", "user_id")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("_nt"))
+        .agg(
+            F.sum(F.when(F.col("_nt") == 2, 1).otherwise(0)).alias("_both"),
+            F.count("*").alias("_either"),
+        )
+    )
+    j_est = F.col("_n_both_sk").cast("double") / F.col("_n_sk").cast("double")
+    return (
+        membership.crossJoin(union_stats)
+        .crossJoin(exact)
+        .select(
+            F.round(j_est, 6).alias("jaccard_est"),
+            F.round(j_est * F.col("_union_est"), 6).alias("inter_est"),
+            F.round(
+                F.col("_both").cast("double") / F.col("_either").cast("double"), 6
+            ).alias("jaccard_exact"),
+            F.col("_both").cast("long").alias("inter_exact"),
+            F.round(
+                F.abs(j_est * F.col("_union_est") - F.col("_both").cast("double"))
+                / F.col("_both").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

@@ -54,3 +54,45 @@ def valid_rows(
     return emb_df.filter(
         classify(emb_df, dim, id_col, vec_col) == F.lit("ok")
     )
+
+
+FK_EDGES = (
+    # (name, child table, child key, parent table, parent key)
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_orphan_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Referential-integrity audit across the star schema: for every
+    declared FK edge, the child row count and the number of orphans
+    (child keys with no parent) — the dbt-style relationship test, as
+    one engine query.
+
+    Scale: each edge is child LEFT ANTI JOIN parent on the key.  The
+    parent side is keys-only (column-pruned to one column, distinct at
+    dim size), so Catalyst broadcasts every dim-sized parent and the
+    two fact-sized edges (orders, part) hash-join after a key-only
+    dedup; no edge ever shuffles more than the child keys."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    parts = []
+    for name, child_t, child_k, parent_t, parent_k in FK_EDGES:
+        child = tables[child_t].select(F.col(child_k).alias("k"))
+        parent = tables[parent_t].select(F.col(parent_k).alias("k")).distinct()
+        orphans = child.join(parent, "k", "left_anti")
+        parts.append(
+            child.agg(
+                F.lit(name).alias("fk"),
+                F.count("*").cast("long").alias("n_child_rows"),
+            ).crossJoin(
+                orphans.agg(F.count("*").cast("long").alias("n_orphans"))
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)

@@ -8342,3 +8342,172 @@ def events_collated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ci.cast("int")).cast("bigint").alias("n_ci"),
         F.sum(exact.cast("int")).cast("bigint").alias("n_exact"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 53 (round 2): data-quality + training-pair construction —
+# referential-integrity audit, Luhn PII gate, KMV set intersection,
+# DPO-style preference pairs.
+# --------------------------------------------------------------------------
+
+_FK_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS fk,
+       CAST((SELECT COUNT(*) FROM {child_t}) AS BIGINT) AS n_child_rows,
+       CAST((SELECT COUNT(*) FROM {child_t} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent_t} p
+                               WHERE p.{parent_k} = c.{child_k})) AS BIGINT)
+         AS n_orphans"""
+    for name, child_t, child_k, parent_t, parent_k in __import__(
+        "simple_vector_spark.operators.validate", fromlist=["FK_EDGES"]
+    ).FK_EDGES
+)
+
+
+@query("fk_orphan_audit", _FK_ORACLE)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity (dbt relationship-test) audit over every
+    declared FK edge of the star schema — child row counts + orphan
+    counts, dim parents broadcast, fact edges key-only hash joins."""
+    from .operators import validate as V
+
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem")
+    }
+    return V.fk_orphan_audit(tables)
+
+
+def _luhn_terms_sql(expr: str, n: int) -> str:
+    terms = []
+    for i in range(1, n + 1):
+        d = f"CAST(substr({expr}, {i}, 1) AS INT)"
+        if i % 2 == 0:
+            terms.append(
+                f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END)"
+            )
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+@query(
+    "pii_luhn_audit",
+    f"""
+WITH cand AS (
+  SELECT o_orderpriority,
+         reverse(substr(lpad(CAST(o_orderkey AS VARCHAR), 8, '0')
+                        || lpad(CAST(o_custkey AS VARCHAR), 8, '0'), 1, 16)) AS rev
+  FROM orders
+),
+checked AS (
+  SELECT o_orderpriority,
+         CASE WHEN ({_luhn_terms_sql('rev', 16)}) % 10 = 0 THEN 1 ELSE 0 END AS ok
+  FROM cand
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(ok) AS BIGINT) AS n_luhn_valid,
+       ROUND(SUM(ok) / CAST(COUNT(*) AS DOUBLE), 6) AS valid_rate
+FROM checked GROUP BY o_orderpriority
+""",
+)
+def pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-checksum card-number gate (the validation step of a PII
+    scrubber) over deterministically synthesized 16-digit candidates —
+    pure JVM arithmetic inside whole-stage codegen, no UDF."""
+    from .operators import curation as C
+
+    return C.luhn_card_audit(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "events_kmv_intersection",
+    f"""
+WITH hashed AS (
+  SELECT event_type, user_id,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+per_type AS (SELECT DISTINCT event_type, h FROM hashed),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+    FROM per_type
+  ) WHERE rnk <= {SK.KMV_K}
+),
+union_sk AS (
+  SELECT h, rnk FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk
+    FROM (SELECT DISTINCT h FROM sk)
+  ) WHERE rnk <= {SK.KMV_K}
+),
+ustats AS (
+  SELECT COUNT(*) AS n_sk,
+         CASE WHEN COUNT(*) < {SK.KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE {SK.KMV_K - 1}.0 * 4294967296.0 /
+                   CAST(MAX(CASE WHEN rnk = {SK.KMV_K} THEN h END) AS DOUBLE)
+         END AS union_est
+  FROM union_sk
+),
+member AS (
+  SELECT COUNT(*) AS n_both_sk FROM union_sk u
+  WHERE EXISTS (SELECT 1 FROM sk WHERE event_type = 'click' AND sk.h = u.h)
+    AND EXISTS (SELECT 1 FROM sk WHERE event_type = 'purchase' AND sk.h = u.h)
+),
+ex AS (
+  SELECT SUM(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS n_both,
+         COUNT(*) AS n_either
+  FROM (SELECT user_id, COUNT(DISTINCT event_type) AS nt
+        FROM hashed GROUP BY user_id)
+)
+SELECT ROUND(n_both_sk / CAST(n_sk AS DOUBLE), 6) AS jaccard_est,
+       ROUND(n_both_sk / CAST(n_sk AS DOUBLE) * union_est, 6) AS inter_est,
+       ROUND(n_both / CAST(n_either AS DOUBLE), 6) AS jaccard_exact,
+       CAST(n_both AS BIGINT) AS inter_exact,
+       ROUND(ABS(n_both_sk / CAST(n_sk AS DOUBLE) * union_est - n_both)
+             / CAST(n_both AS DOUBLE), 6) AS rel_err
+FROM member, ustats, ex
+""",
+)
+def events_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set-INTERSECTION (theta-sketch capability in
+    exact-integer form): Jaccard + intersection estimates from the
+    union sketch vs the exact answer."""
+    return SK.kmv_intersection_audit(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_preference_pairs",
+    """
+WITH chosen AS (
+  SELECT user_id, event_id AS chosen_event_id, ROUND(value, 6) AS chosen_value
+  FROM (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+),
+rejected AS (
+  SELECT user_id, event_id AS rejected_event_id, ROUND(value, 6) AS rejected_value
+  FROM (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY value ASC, event_id) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+)
+SELECT c.user_id, chosen_event_id, chosen_value,
+       rejected_event_id, rejected_value,
+       ROUND(chosen_value - rejected_value, 6) AS margin
+FROM chosen c JOIN rejected r ON c.user_id = r.user_id
+""",
+)
+def events_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction: strongest purchase
+    (chosen) vs weakest view (rejected) per user with the value
+    margin — the training-pair shape a preference-tuning pipeline
+    emits."""
+    return E.preference_pairs(load_table(spark, sf_dir, "events"))
