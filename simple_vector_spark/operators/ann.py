@@ -1348,3 +1348,66 @@ def knn_graph_blocked(
             F.col("src").alias("vec_id"), F.col("nbr").alias("nbr_id"), "dist", "rnk"
         )
     )
+
+
+GRID_EPS = 0.01
+
+
+def grid_neighbor_pairs(
+    emb: DataFrame, eps: float = GRID_EPS, vec_col: str = "embedding"
+) -> DataFrame:
+    """Epsilon-neighborhood pairs in the first two embedding dimensions
+    via GRID BLOCKING — the distributed spatial-join shape (geohash /
+    ST_Join style): each point lands in its floor(coord/eps) home
+    cell; side A explodes to its 3x3 neighbor cells; the equi-join on
+    the cell key finds every pair within eps without an all-pairs
+    product.  Each unordered pair is produced exactly once (B is keyed
+    by its unique home cell and the id inequality fixes orientation).
+
+    Scale: shuffle key = cell id, pair space = sum over cells of
+    |cell| * |3x3 neighborhood| — the same sum-of-squares bound as the
+    IVF-cell block join, tunable by eps."""
+    v = as_double_array(F.col(vec_col))
+    p = emb.select(
+        "vec_id",
+        F.element_at(v, 1).alias("x"),
+        F.element_at(v, 2).alias("y"),
+    ).withColumns(
+        {
+            "cx": F.floor(F.col("x") / eps).cast("long"),
+            "cy": F.floor(F.col("y") / eps).cast("long"),
+        }
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+            for ox in (-1, 0, 1)
+            for oy in (-1, 0, 1)
+        ]
+    )
+    a = (
+        p.select("vec_id", "x", "y", "cx", "cy", F.explode(offsets).alias("o"))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("o.ox")).alias("jx"),
+            (F.col("cy") + F.col("o.oy")).alias("jy"),
+        )
+    )
+    b = p.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["jx", "jy"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(d2 <= F.lit(eps * eps))
+        .select("vec_a", "vec_b", F.round(d2, 6).alias("dist_sq"))
+    )

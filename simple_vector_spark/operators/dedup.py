@@ -780,3 +780,82 @@ def pair_graph_triangles(pairs: DataFrame) -> DataFrame:
             6,
         ).alias("clustering_coeff"),
     )
+
+
+def tfidf_verify_pairs(docs_plus: DataFrame, pairs: DataFrame) -> DataFrame:
+    """TF-IDF cosine VERIFICATION stage for LSH candidate pairs — the
+    second half of the real dedup pipeline (candidates from banded
+    MinHash, exact-ish scoring only on the candidate set, never
+    all-pairs).  MinHash estimates set-Jaccard over shingles; TF-IDF
+    cosine weighs repeated and rare terms, so the two disagree exactly
+    where a reviewer would want a second signal.
+
+    Determinism recipe: w = tf * ln(N/df) rounded to 6 and cast to
+    DECIMAL(18,6); squares/products then sum as exact DECIMAL(38,12)
+    (order-insensitive), with the sqrt+divide the only trailing f64.
+
+    Scale: weights join candidates on doc id, the numerator join is
+    keyed by (pair, term); every row after the tf/df aggregates is
+    candidate-sized."""
+    from ..functions.text import tokens
+
+    tk = docs_plus.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tk.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs_plus.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    norm2 = w.groupBy("doc_id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).alias("n2")
+    )
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    num = (
+        pairs.join(wa, "doc_a")
+        .join(wb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,12)")).alias(
+                "num"
+            ),
+            F.count("*").cast("long").alias("n_shared_terms"),
+        )
+    )
+    na = norm2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norm2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        num.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_terms",
+            F.round(
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )

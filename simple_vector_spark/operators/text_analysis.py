@@ -904,3 +904,81 @@ def bigram_nucleus_audit(
             ).alias("nucleus_mass"),
         )
     )
+
+
+BPE_MERGE_ROUNDS = 3
+
+
+def bpe_train_merges(
+    docs: DataFrame, rounds: int = BPE_MERGE_ROUNDS
+) -> DataFrame:
+    """Byte-pair-encoding MERGE TRAINING — the iterative half of the
+    tokenizer pipeline (bpe_pair_stats is the one-shot census; this is
+    the actual trainer loop): per round, count adjacent symbol pairs
+    across the corpus weighted by word frequency, pick the most
+    frequent pair (ties to the lexicographically smaller — fixed round
+    count, never convergence), splice it into one symbol everywhere,
+    repeat.  Returns the learned merge table (rank, left, right,
+    merged, cnt) — the model, exactly what a BPE tokenizer ships.
+
+    Words are encoded as ' c1  c2  ...  ck ' — TWO-space separators
+    with single-space sentinels — so the literal pattern
+    ' left  right ' marks symbol boundaries and adjacent occurrences
+    each own one separator space; both engines' replace() scan
+    leftmost-non-overlapping, which IS BPE's greedy merge order.
+
+    Scale: each round is one aggregate over the (already tiny)
+    distinct-word table — the corpus is scanned once ever, the loop
+    runs on word-type rows (Zipf: ~1e6 types for 100 TB of text), and
+    the driver only ever holds the single winning pair (a model
+    parameter, like a k-means centroid)."""
+    from ..functions.text import tokens
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    enc = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+            ),
+            "  ",
+        ),
+        F.lit(" "),
+    )
+    cur = words.select(enc.alias("w"), "n").localCheckpoint()
+    merges = []
+    for r in range(1, rounds + 1):
+        pair_list = F.expr(
+            "CASE WHEN size(split(trim(w), '  ')) >= 2 THEN "
+            "transform(sequence(1, size(split(trim(w), '  ')) - 1), "
+            " i -> concat(element_at(split(trim(w), '  '), i), '  ', "
+            "            element_at(split(trim(w), '  '), i + 1))) "
+            "ELSE array() END"
+        )
+        top = (
+            cur.select("n", F.explode(pair_list).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        left_sym, right_sym = top["pair"].split("  ")
+        merged = left_sym + right_sym
+        merges.append((r, left_sym, right_sym, merged, int(top["cnt"])))
+        cur = cur.select(
+            F.replace(
+                F.col("w"),
+                F.lit(f" {top['pair']} "),
+                F.lit(f" {merged} "),
+            ).alias("w"),
+            "n",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, merged string, cnt long"
+    )

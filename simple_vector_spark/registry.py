@@ -8511,3 +8511,159 @@ def events_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin — the training-pair shape a preference-tuning pipeline
     emits."""
     return E.preference_pairs(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 54 (round 2): grid spatial join, TF-IDF candidate verification,
+# BPE merge training.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_grid_neighbors",
+    f"""
+WITH p AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[])[1] AS x,
+         CAST(embedding AS DOUBLE[])[2] AS y
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), 6)
+         AS dist_sq
+FROM p a JOIN p b ON a.vec_id < b.vec_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {A.GRID_EPS * A.GRID_EPS!r}
+""",
+)
+def embedding_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-neighbor pairs in 2D via grid blocking (the distributed
+    spatial-join shape — floor(coord/eps) home cells, 3x3 neighbor
+    explode, cell-keyed equi-join; never all-pairs).  Oracle is the
+    brute-force quadratic filter."""
+    return A.grid_neighbor_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+_BANDS_SQL = """sigs AS (
+  SELECT doc_id,
+  {sig_cols}
+  FROM sh WHERE n_tk >= 3
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+)""".format(sig_cols=_SIG_COLS_SQL)
+
+
+@query(
+    "dedup_tfidf_verify",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+{_BANDS_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+tk AS (SELECT doc_id, unnest({_TK_SQL}) AS term FROM docs_plus),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM docs_plus),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+w AS (
+  SELECT doc_id, term,
+         CAST(ROUND(tf * ln(n_docs / df), 6) AS DECIMAL(18,6)) AS w
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+),
+norm2 AS (
+  SELECT doc_id, SUM(CAST(w * w AS DECIMAL(38,12))) AS n2 FROM w GROUP BY doc_id
+),
+num AS (
+  SELECT doc_a, doc_b,
+         SUM(CAST(wa.w * wb.w AS DECIMAL(38,12))) AS num,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+  FROM cand
+  JOIN w wa ON wa.doc_id = doc_a
+  JOIN w wb ON wb.doc_id = doc_b AND wb.term = wa.term
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared_terms,
+       ROUND(CAST(num AS DOUBLE)
+             / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
+         AS cosine
+FROM num
+JOIN norm2 na ON na.doc_id = doc_a
+JOIN norm2 nb ON nb.doc_id = doc_b
+""",
+)
+def dedup_tfidf_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine verification of the MinHash-LSH candidate pairs —
+    the scoring half of the dedup pipeline, exact-DECIMAL sums for
+    cross-engine determinism, candidate-sized after the tf/df aggs."""
+    return D.tfidf_verify_pairs(
+        _docs_plus_spark(spark, sf_dir), _minhash_pairs(spark, sf_dir)
+    )
+
+
+def _bpe_round_ctes(i: int) -> str:
+    prev = f"w{i - 1}"
+    return f"""p{i} AS (
+  SELECT unnest(list_transform(range(1, len(string_split(trim(w), '  '))),
+           j -> string_split(trim(w), '  ')[j] || '  ' ||
+                string_split(trim(w), '  ')[j + 1])) AS pair, n
+  FROM {prev}
+),
+t{i} AS (
+  SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM p{i} GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+),
+w{i} AS (
+  SELECT replace(w, ' ' || (SELECT pair FROM t{i}) || ' ',
+                 ' ' || replace((SELECT pair FROM t{i}), '  ', '') || ' ') AS w,
+         n
+  FROM {prev}
+)"""
+
+
+_BPE_ROUNDS_SQL = ",\n".join(
+    _bpe_round_ctes(i) for i in range(1, T.BPE_MERGE_ROUNDS + 1)
+)
+_BPE_FINAL_SQL = " UNION ALL ".join(
+    f"""SELECT CAST({i} AS INT) AS rank,
+       split_part(pair, '  ', 1) AS left_sym,
+       split_part(pair, '  ', 2) AS right_sym,
+       replace(pair, '  ', '') AS merged, cnt FROM t{i}"""
+    for i in range(1, T.BPE_MERGE_ROUNDS + 1)
+)
+
+
+@query(
+    "bpe_train_merges",
+    f"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest({_TK_SQL}) AS word FROM documents) GROUP BY word
+),
+w0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substr(word, i, 1)), '  ') || ' ' AS w, n
+  FROM words
+),
+{_BPE_ROUNDS_SQL}
+SELECT * FROM (
+  {_BPE_FINAL_SQL}
+)
+""",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule training: {T.BPE_MERGE_ROUNDS} fixed rounds of
+    count-adjacent-pairs -> merge-the-winner over the frequency-
+    weighted word-type table — the iterative tokenizer trainer, corpus
+    scanned once, loop on word types, driver holds only the winning
+    pair per round (a model parameter)."""
+    return T.bpe_train_merges(load_table(spark, sf_dir, "documents"))
