@@ -2161,3 +2161,104 @@ def equidepth_histogram(orders: DataFrame, k: int = EQUIDEPTH_BUCKETS) -> DataFr
         )
         .select(F.col("bucket").cast("int").alias("bucket"), "n_rows", "lo", "hi")
     )
+
+
+FD_CANDIDATES = (
+    # (name, table, determinant, dependent)
+    ("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+    ("l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+    ("c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def fd_discovery_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Functional-dependency discovery (the profiling pass a schema
+    normalizer or data-contract checker runs): for each candidate
+    X -> Y, count determinant groups, how many violate (|distinct Y|
+    > 1), and whether the FD holds — key-derived FDs hold, behavioral
+    ones are measured.
+
+    Scale: one groupBy per candidate keyed on the determinant with a
+    countDistinct, each a single shuffle of (X, Y) pairs; candidates
+    over the same table still scan it once each (Spark caches the scan
+    via exchange reuse when plans align)."""
+    import functools
+
+    parts = []
+    for name, table, det, dep in FD_CANDIDATES:
+        g = (
+            tables[table]
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("_nd"))
+            .agg(
+                F.lit(name).alias("fd"),
+                F.count("*").cast("long").alias("n_groups"),
+                F.sum((F.col("_nd") > 1).cast("int"))
+                .cast("long")
+                .alias("n_violating"),
+            )
+            .select(
+                "fd",
+                "n_groups",
+                "n_violating",
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+        parts.append(g)
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+IVM_ORDER_MOD = 10  # delta orders: o_orderkey % 10 == 0
+IVM_CUST_MOD = 7  # delta customers: c_custkey % 7 == 0
+
+
+def ivm_join_delta(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the delta algebra
+    (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — applied to the
+    per-nation revenue view: the base view's partial aggregates are
+    combined with the three delta-join partials WITHOUT rescanning the
+    joined base (exactly how a materialized view absorbs a batch of
+    order and customer inserts).  The oracle recomputes the full join
+    from scratch; matching hashes prove the maintenance algebra.
+
+    Scale: each delta join is delta-sized on at least one side (the
+    delta side broadcasts); the base⋈base term is the stored view —
+    here recomputed once to stand in for the materialized table, with
+    DECIMAL partial sums so merge order cannot matter."""
+    a = orders.filter(F.col("o_orderkey") % IVM_ORDER_MOD != 0)
+    da = orders.filter(F.col("o_orderkey") % IVM_ORDER_MOD == 0)
+    b = customer.filter(F.col("c_custkey") % IVM_CUST_MOD != 0)
+    db = customer.filter(F.col("c_custkey") % IVM_CUST_MOD == 0)
+
+    def partial(o: DataFrame, c: DataFrame, broadcast_c: bool) -> DataFrame:
+        cc = F.broadcast(c) if broadcast_c else c
+        return (
+            o.join(cc, o["o_custkey"] == cc["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(15,2)")).alias("rev"),
+            )
+        )
+
+    merged = (
+        partial(a, b, False)          # the stored view's partials
+        .unionByName(partial(da, b, False))   # ΔA ⋈ B
+        .unionByName(partial(a, db, True))    # A ⋈ ΔB (ΔB broadcast)
+        .unionByName(partial(da, db, True))   # ΔA ⋈ ΔB
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("rev").alias("_rev"),
+        )
+    )
+    return merged.join(
+        F.broadcast(nation), merged["c_nationkey"] == nation["n_nationkey"]
+    ).select(
+        "n_name",
+        "n_orders",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+    )

@@ -387,3 +387,85 @@ def kmv_intersection_audit(
             ).alias("rel_err"),
         )
     )
+
+
+DDSKETCH_GAMMA = 1.02
+DDSKETCH_QS = (0.5, 0.9, 0.99)
+
+
+def ddsketch_quantile_audit(
+    orders: DataFrame,
+    gamma: float = DDSKETCH_GAMMA,
+    qs: tuple[float, ...] = DDSKETCH_QS,
+    value_col: str = "o_totalprice",
+    id_col: str = "o_orderkey",
+) -> DataFrame:
+    """DDSketch-style relative-error quantile sketch vs exact: each
+    value lands in log-bucket ceil(ln(v)/ln(gamma)); the bucket table
+    (a few hundred rows regardless of input size) answers any quantile
+    with guaranteed relative error (gamma-1)/(gamma+1)-ish — the
+    mergeable latency-percentile structure, in deterministic form.
+
+    Cross-engine determinism: the log ratio is ROUNDed to 9 decimals
+    BEFORE ceil (both engines), so a 1-ulp ln() difference cannot flip
+    a bucket.  Estimate for bucket b: 2*gamma^b/(gamma+1).  Exact
+    answer at the same rank definition (row_number over (v, id),
+    rank = ceil(q*N)) for the relative-error report.
+
+    Scale: one scan -> bucket groupBy (tiny), quantile extraction on
+    the bucket table; the exact side exists only for the audit."""
+    from pyspark.sql import Window
+
+    import math
+
+    v = F.col(value_col).cast("double")
+    bucket = F.ceil(F.round(F.log(v) / F.lit(math.log(gamma)), 9)).cast(
+        "long"
+    )
+    b = (
+        orders.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # bucket table is a few hundred rows: a global cum-window over it
+    # is partition-sized by construction, not a scale hazard
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.withColumn("cum", F.sum("cnt").over(wb)).localCheckpoint()
+    n_rows = orders.count()
+    from .ranking import ranked_global
+
+    exact_ranked = ranked_global(
+        orders.select(v.alias("v"), F.col(id_col).alias("_id")),
+        [F.col("v").asc(), F.col("_id").asc()],
+        rank_name="rn",
+    )
+    parts = []
+    for q in qs:
+        rank = math.ceil(q * n_rows)
+        est_b = cum.filter(F.col("cum") >= rank).agg(
+            F.min("b").alias("_b")
+        )
+        est = est_b.select(
+            F.lit(q).alias("q"),
+            F.round(
+                F.lit(2.0)
+                * F.pow(F.lit(gamma), F.col("_b"))
+                / F.lit(gamma + 1.0),
+                6,
+            ).alias("est"),
+        )
+        exact = exact_ranked.filter(F.col("rn") == rank).select(
+            F.round(F.col("v"), 6).alias("exact")
+        )
+        parts.append(est.crossJoin(exact))
+    import functools
+
+    out = functools.reduce(lambda a, c: a.unionByName(c), parts)
+    return out.select(
+        "q",
+        "est",
+        "exact",
+        F.round(F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6).alias(
+            "rel_err"
+        ),
+    )

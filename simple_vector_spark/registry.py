@@ -8667,3 +8667,158 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once, loop on word types, driver holds only the winning
     pair per round (a model parameter)."""
     return T.bpe_train_merges(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 55 (round 2): built-in session-window TVF, LATERAL subquery,
+# DDSketch quantiles, FD discovery, incremental join-view maintenance.
+# --------------------------------------------------------------------------
+
+
+@query("events_session_window_tvf", _SESSION_ORACLE)
+def events_session_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN session_window TVF (vs events_sessionize's
+    hand-rolled gaps-and-islands): groupBy(user, session_window(ts,
+    gap)) — Spark's native merging-session-state aggregate, one user
+    shuffle, window end = last event + gap.  Same oracle as the
+    hand-rolled form: the two plans must agree row-for-row."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", E.TS_FMT).alias("session_start"),
+            F.date_format("sw.end", E.TS_FMT).alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "lateral_topk_orders",
+    """
+SELECT c_custkey, o_orderkey, price FROM (
+  SELECT c_custkey, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(15,2)) AS price,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY CAST(o_totalprice AS DECIMAL(15,2)) DESC,
+                                     o_orderkey) AS rn
+  FROM customer JOIN orders ON o_custkey = c_custkey
+) WHERE rn <= 2
+""",
+)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT — the
+    top-k-per-row SQL surface; Catalyst decorrelates it to the same
+    windowed top-k the oracle spells out explicitly."""
+    from .sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT c_custkey, o_orderkey, price
+FROM customer,
+LATERAL (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(15,2)) AS price
+  FROM orders WHERE o_custkey = c_custkey
+  ORDER BY price DESC, o_orderkey LIMIT 2
+)
+"""
+    )
+
+
+_DD_BUCKET_SQL = (
+    f"CAST(ceil(ROUND(ln(CAST(o_totalprice AS DOUBLE)) / "
+    f"ln({SK.DDSKETCH_GAMMA!r}), 9)) AS BIGINT)"
+)
+_DD_PARTS_SQL = " UNION ALL ".join(
+    f"""SELECT {q} AS q,
+       ROUND(2.0 * power({SK.DDSKETCH_GAMMA!r},
+             (SELECT MIN(b) FROM cum WHERE cum >= ceil({q} * (SELECT n FROM nr))))
+             / {SK.DDSKETCH_GAMMA + 1.0!r}, 6) AS est,
+       (SELECT ROUND(v, 6) FROM ranked
+        WHERE rn = ceil({q} * (SELECT n FROM nr))) AS exact"""
+    for q in SK.DDSKETCH_QS
+)
+
+
+@query(
+    "orders_ddsketch_quantiles",
+    f"""
+WITH b AS (
+  SELECT {_DD_BUCKET_SQL} AS b, COUNT(*) AS cnt
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT b, SUM(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum FROM b
+),
+nr AS (SELECT COUNT(*) AS n FROM orders),
+ranked AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey)
+           AS rn
+  FROM orders
+)
+SELECT q, est, exact, ROUND(ABS(est - exact) / exact, 6) AS rel_err
+FROM ({_DD_PARTS_SQL})
+""",
+)
+def orders_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch log-bucket quantile sketch vs exact (p50/p90/p99 of
+    order value): the mergeable relative-error percentile structure —
+    bucket table stays a few hundred rows at any input size; exact side
+    via the two-phase global rank."""
+    return SK.ddsketch_quantile_audit(load_table(spark, sf_dir, "orders"))
+
+
+_FD_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd FROM {table} GROUP BY {det})"""
+    for name, table, det, dep in __import__(
+        "simple_vector_spark.operators.relational", fromlist=["FD_CANDIDATES"]
+    ).FD_CANDIDATES
+)
+
+
+@query("fd_discovery_audit", _FD_ORACLE)
+def fd_discovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over declared candidates —
+    the schema-normalization / data-contract profiling pass."""
+    tables = {
+        t: load_table(spark, sf_dir, t) for t in ("orders", "lineitem", "customer")
+    }
+    return R.fd_discovery_audit(tables)
+
+
+@query(
+    "ivm_join_delta",
+    """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE), 2)
+         AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance: the per-nation revenue view
+    assembled from base partials + the three delta-join terms
+    (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB) instead of a full recompute — the oracle IS
+    the full recompute, so matching hashes prove the delta algebra."""
+    return R.ivm_join_delta(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
