@@ -8822,3 +8822,172 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 56 (round 2): recursive-CTE graph search, SQL UDF, parameterized
+# SQL, Levenshtein entity matching.
+# --------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 3
+
+_BFS_EDGES_SQL = """ew AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+                                        ORDER BY w DESC, dst) AS rn
+    FROM ew
+  ) WHERE rn = 1
+)"""
+
+_BFS_RECURSIVE_SQL = f"""paths(src, dst, hops) AS (
+  SELECT src, dst, 1 AS hops FROM edges
+  UNION ALL
+  SELECT p.src, e.dst, p.hops + 1
+  FROM paths p JOIN edges e ON p.dst = e.src
+  WHERE p.hops < {BFS_MAX_HOPS}
+)
+SELECT src, dst, CAST(MIN(hops) AS INT) AS min_hops,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM paths GROUP BY src, dst"""
+
+
+@query(
+    "nation_trade_bfs",
+    f"""
+WITH RECURSIVE {_BFS_EDGES_SQL},
+{_BFS_RECURSIVE_SQL}
+""",
+)
+def nation_trade_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded reachability over the dominant-trade-partner graph
+    via Spark 4's RECURSIVE CTE (UNION ALL recursion, bounded by the
+    hop predicate — the supported terminating form): each nation keeps
+    only its top foreign customer-nation edge (one fact shuffle + a
+    per-src top-1 window), then the recursion enumerates <= {BFS_MAX_HOPS}-hop
+    paths and reports min hops + path count per reachable pair.
+    Identical recursive SQL runs in the DuckDB oracle.
+
+    Scale: recursion input is the |nations|-row dominant-partner edge
+    list — graph search over a dimension-sized aggregate, the
+    contracted-graph pattern; the fact table is touched once."""
+    from .sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    edges = spark.sql(f"WITH {_BFS_EDGES_SQL} SELECT * FROM edges")
+    edges.localCheckpoint().createOrReplaceTempView("edges")
+    return spark.sql(f"WITH RECURSIVE {_BFS_RECURSIVE_SQL}")
+
+
+PRICE_BANDS_SQL = (
+    "CASE WHEN p > 200000 THEN 'high' "
+    "WHEN p > 100000 THEN 'mid' ELSE 'low' END"
+)
+
+
+@query(
+    "sql_udf_price_band",
+    f"""
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders FROM (
+  SELECT (SELECT {PRICE_BANDS_SQL.replace('p ', 'CAST(o_totalprice AS DECIMAL(15,2)) ')}) AS band
+  FROM orders
+) GROUP BY band
+""",
+)
+def sql_udf_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (CREATE FUNCTION ... RETURN expr — Spark 4):
+    the banding logic defined once as a catalog function and inlined
+    by Catalyst into the same plan as the written-out CASE (no
+    black-box UDF penalty — this is the governed-semantics surface a
+    warehouse team shares)."""
+    from .sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DECIMAL(15,2)) "
+        f"RETURNS STRING RETURN {PRICE_BANDS_SQL}"
+    )
+    return spark.sql(
+        """
+SELECT price_band(CAST(o_totalprice AS DECIMAL(15,2))) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY band
+"""
+    )
+
+
+PARAM_STATUS = "F"
+PARAM_MIN_PRICE = 150000.0
+
+
+@query(
+    "sql_param_filter",
+    f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderstatus = '{PARAM_STATUS}'
+  AND CAST(o_totalprice AS DOUBLE) >= {PARAM_MIN_PRICE!r}
+GROUP BY o_orderpriority
+""",
+)
+def sql_param_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql named args — the injection-safe
+    query surface): parameters bound server-side as literals, same
+    Catalyst plan as inline constants."""
+    from .sources.loaders import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderstatus = :st AND CAST(o_totalprice AS DOUBLE) >= :minp
+GROUP BY o_orderpriority
+""",
+        args={"st": PARAM_STATUS, "minp": PARAM_MIN_PRICE},
+    )
+
+
+LEV_MAX = 8
+
+
+@query(
+    "part_name_levenshtein",
+    f"""
+SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_type = b.p_type AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {LEV_MAX}
+""",
+)
+def part_name_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity matching on the part dimension, blocked by
+    (brand, type, size) so the pair space is sum-of-block-squares —
+    the complementary signal to the shingle-Jaccard matcher (catches
+    single-typo names Jaccard scores low)."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("pa"), F.col("p_name").alias("na"),
+        "p_brand", "p_type", "p_size",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("pb"), F.col("p_name").alias("nb"),
+        "p_brand", "p_type", "p_size",
+    )
+    lev = F.levenshtein(F.col("na"), F.col("nb"))
+    return (
+        a.join(b, ["p_brand", "p_type", "p_size"])
+        .filter(F.col("pa") < F.col("pb"))
+        .filter(lev <= LEV_MAX)
+        .select("pa", "pb", lev.cast("int").alias("lev"))
+    )
