@@ -2262,3 +2262,114 @@ def ivm_join_delta(orders: DataFrame, customer: DataFrame, nation: DataFrame) ->
         "n_orders",
         F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
     )
+
+
+BENFORD_SHARES = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_audit(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit of order values — the classic
+    fabricated-numbers detector a data-quality gate runs on money
+    columns: observed first-significant-digit shares vs log10(1+1/d),
+    with the absolute deviation per digit.
+
+    Scale: one scan, a 9-group aggregate; the digit is string head of
+    the DECIMAL rendering (exact, no float formatting divergence)."""
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string"), 1, 1
+    ).cast("int")
+    total = Window.partitionBy()
+    exp_map = F.create_map(
+        *[x for d, s in BENFORD_SHARES.items() for x in (F.lit(d), F.lit(s))]
+    )
+    return (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn(
+            "obs_share",
+            F.round(F.col("n") / F.sum("n").over(total).cast("double"), 6),
+        )
+        .withColumn("benford_share", F.round(exp_map[F.col("digit")], 6))
+        .withColumn(
+            "abs_dev",
+            F.round(F.abs(F.col("obs_share") - F.col("benford_share")), 6),
+        )
+    )
+
+
+def kaplan_meier(events: DataFrame) -> DataFrame:
+    """Kaplan-Meier survival estimate for time-to-first-purchase: per
+    user, duration = days from their first event to their first
+    purchase (event) or to their last observed event (right-censored).
+    At each event time t: n_risk = users whose duration >= t, d =
+    purchases at t, S(t) = prod_{u<=t}(1 - d_u/n_u) — the survival
+    curve a retention/conversion analysis reads.
+
+    Determinism: factors are rationals; the running product is
+    exp(cumsum(ln(factor) rounded to 9)) with the cumsum over the
+    ascending-t window (same association order in both engines), final
+    ROUND 6.
+
+    Scale: one user_id shuffle for the per-user reduction, then the
+    curve lives on the |distinct durations| table."""
+    per_user = events.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+        F.max("ts").alias("tl"),
+    )
+    dur = per_user.select(
+        F.when(
+            F.col("tp").isNotNull(), F.datediff(F.col("tp"), F.col("t0"))
+        )
+        .otherwise(F.datediff(F.col("tl"), F.col("t0")))
+        .cast("long")
+        .alias("dur"),
+        F.col("tp").isNotNull().cast("int").alias("is_event"),
+    )
+    counts = dur.groupBy("dur").agg(
+        F.sum("is_event").cast("long").alias("d"),
+        F.count("*").cast("long").alias("all_at"),
+    )
+    w_all = Window.partitionBy()
+    w_before = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    # counts is |distinct durations|-sized: global windows over it are
+    # bounded by the time axis, not the data volume
+    risk = counts.withColumn(
+        "n_risk",
+        F.sum("all_at").over(w_all)
+        - F.coalesce(F.sum("all_at").over(w_before), F.lit(0)),
+    )
+    # a time where every at-risk user converts (d == n_risk) drives the
+    # factor to 0: flag it instead of ln(0) (engines disagree on ln(0):
+    # null vs error) and pin survival to 0 from that point on
+    ev = (
+        risk.filter(F.col("d") > 0)
+        .withColumn("_zero", (F.col("d") >= F.col("n_risk")).cast("int"))
+        .withColumn(
+            "_lnf",
+            F.when(
+                F.col("_zero") == 0,
+                F.round(
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("d").cast("double") / F.col("n_risk")
+                    ),
+                    9,
+                ),
+            ),
+        )
+    )
+    return ev.select(
+        F.col("dur").alias("t"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.when(F.max("_zero").over(w_cum) == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum("_lnf").over(w_cum)), 6))
+        .alias("surv"),
+    )

@@ -982,3 +982,56 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "rank int, left_sym string, right_sym string, merged string, cnt long"
     )
+
+
+POSTINGS_K = 10
+
+
+def inverted_postings(docs: DataFrame, k: int = POSTINGS_K) -> DataFrame:
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and the head of the postings list (first ``k`` doc ids,
+    ascending) — the text-search twin of the vector index builds (the
+    reference builds only vector indexes; a complete engine ships
+    both).
+
+    Scale: explode -> (term, doc) partial-aggregate -> one term
+    shuffle; postings truncation keeps every output row bounded.  At
+    100 TB the full postings would be written as a term-bucketed table
+    instead of an inline array — this is the per-term head a query
+    planner actually caches."""
+    tk = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    per_doc = tk.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return per_doc.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, k).alias(
+            "postings_head"
+        ),
+    )
+
+
+PHRASE = ("table", "scan")
+
+
+def phrase_search(
+    docs: DataFrame, phrase: tuple[str, str] = PHRASE
+) -> DataFrame:
+    """Positional phrase query through the token-position index: the
+    two posting lists join on (doc, pos+1 = pos) — how a search engine
+    answers "exact phrase" without rescanning text.  Reports matching
+    doc count and total occurrences.
+
+    Scale: each side is pre-filtered to ONE term before the join, so
+    the join is posting-list-sized; the shuffle key is doc_id."""
+    w1, w2 = phrase
+    tk = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "term"),
+    )
+    a = tk.filter(F.col("term") == w1).select("doc_id", F.col("pos").alias("p1"))
+    b = tk.filter(F.col("term") == w2).select("doc_id", F.col("pos").alias("p2"))
+    hits = a.join(b, "doc_id").filter(F.col("p2") == F.col("p1") + 1)
+    return hits.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_occurrences"),
+    )

@@ -8991,3 +8991,131 @@ def part_name_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(lev <= LEV_MAX)
         .select("pa", "pb", lev.cast("int").alias("lev"))
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 57 (round 2): Benford audit, Kaplan-Meier survival, inverted
+# postings index, positional phrase search.
+# --------------------------------------------------------------------------
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {s!r}" for d, s in R.BENFORD_SHARES.items()
+) + " END"
+
+
+@query(
+    "orders_benford_audit",
+    f"""
+WITH dg AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders
+),
+g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dg GROUP BY digit),
+t AS (SELECT SUM(n) AS tot FROM g)
+SELECT digit, n,
+       ROUND(n / CAST(tot AS DOUBLE), 6) AS obs_share,
+       ROUND({_BENFORD_CASE}, 6) AS benford_share,
+       ROUND(ABS(ROUND(n / CAST(tot AS DOUBLE), 6)
+                 - ROUND({_BENFORD_CASE}, 6)), 6) AS abs_dev
+FROM g, t
+""",
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of the money column — observed digit
+    shares vs log10(1+1/d) with per-digit deviation; the fabricated-
+    numbers data-quality gate."""
+    return R.benford_audit(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "events_kaplan_meier",
+    """
+WITH pu AS (
+  SELECT user_id, MIN(ts) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+         MAX(ts) AS tl
+  FROM events GROUP BY user_id
+),
+dur AS (
+  SELECT CASE WHEN tp IS NOT NULL
+              THEN CAST(CAST(tp AS DATE) - CAST(t0 AS DATE) AS BIGINT)
+              ELSE CAST(CAST(tl AS DATE) - CAST(t0 AS DATE) AS BIGINT) END
+           AS dur,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS is_event
+  FROM pu
+),
+c AS (
+  SELECT dur, CAST(SUM(is_event) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS all_at
+  FROM dur GROUP BY dur
+),
+r AS (
+  SELECT dur, d,
+         CAST((SELECT SUM(all_at) FROM c)
+              - COALESCE(SUM(all_at) OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM c
+),
+e AS (
+  SELECT dur, n_risk, d,
+         CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS z,
+         CASE WHEN d >= n_risk THEN NULL
+              ELSE ROUND(ln(1.0 - d / CAST(n_risk AS DOUBLE)), 9) END AS lnf
+  FROM r WHERE d > 0
+)
+SELECT dur AS t, n_risk, d AS n_events,
+       CASE WHEN MAX(z) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) = 1
+            THEN 0.0
+            ELSE ROUND(exp(SUM(lnf) OVER (ORDER BY dur
+                           ROWS UNBOUNDED PRECEDING)), 6) END AS surv
+FROM e
+""",
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase survival curve with
+    right-censoring at last observation — the retention/conversion
+    estimator; running product via rounded-ln cumsum for cross-engine
+    determinism."""
+    return R.kaplan_meier(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "text_inverted_postings",
+    f"""
+WITH tk AS (SELECT doc_id, unnest({_TK_SQL}) AS term FROM documents),
+pd AS (SELECT term, doc_id, COUNT(*) AS tf FROM tk GROUP BY 1, 2)
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       (list(doc_id ORDER BY doc_id))[1:{T.POSTINGS_K}] AS postings_head
+FROM pd GROUP BY term
+""",
+)
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per-term df, total tf, and the ascending
+    postings-list head — the text-search index twin of the vector
+    index builds."""
+    return T.inverted_postings(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_phrase_search",
+    f"""
+WITH base AS (SELECT doc_id, {_TK_SQL} AS tkk FROM documents),
+tk AS (
+  SELECT doc_id, i AS pos, tkk[i] AS term
+  FROM (SELECT doc_id, tkk, unnest(range(1, len(tkk) + 1)) AS i FROM base)
+),
+a AS (SELECT doc_id, pos FROM tk WHERE term = '{T.PHRASE[0]}'),
+b AS (SELECT doc_id, pos FROM tk WHERE term = '{T.PHRASE[1]}')
+SELECT CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+""",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase query through the positional index: the two terms'
+    posting lists joined on (doc, pos+1) — posting-list-sized join, no
+    text rescan."""
+    return T.phrase_search(load_table(spark, sf_dir, "documents"))
