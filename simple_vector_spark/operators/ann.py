@@ -1411,3 +1411,73 @@ def grid_neighbor_pairs(
         .filter(d2 <= F.lit(eps * eps))
         .select("vec_a", "vec_b", F.round(d2, 6).alias("dist_sq"))
     )
+
+
+HAMMING_SHORTLIST = 50
+
+
+def sign_pack_bits(v: Column, offset: int, nbits: int = 32) -> Column:
+    """Pack sign bits of dims offset+1..offset+nbits into one long:
+    bit (d-1) set iff component > 0.  Pure expression; POWER-based so
+    the identical text runs in the oracle."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(nbits)),
+            lambda d: F.when(
+                F.element_at(v, d + F.lit(offset)) > 0,
+                F.pow(F.lit(2.0), d - 1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_hamming_search(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    shortlist: int = HAMMING_SHORTLIST,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary (sign) quantization + Hamming shortlist + exact rerank —
+    the 1-bit-per-dim compression path (64 dims -> two longs, 32x
+    smaller than f32): Hamming distance via bit_count(xor) is a
+    handful of ALU ops inside codegen, the shortlist is re-ranked with
+    exact f64 L2.  The binary-embedding analog of PQ-ADC.
+
+    Scale: the packed longs are the stored index (write them as
+    columns); the scan never touches the float vectors until the
+    ``shortlist`` rows survive."""
+    v = as_double_array(F.col(vec_col))
+    qlo = sum(
+        (1 << (d - 1)) for d in range(1, 33) if float(query_vec[d - 1]) > 0
+    )
+    qhi = sum(
+        (1 << (d - 1)) for d in range(1, 33) if float(query_vec[d + 31]) > 0
+    )
+    packed = emb.select(
+        "vec_id",
+        vec_col,
+        sign_pack_bits(v, 0).alias("lo"),
+        sign_pack_bits(v, 32).alias("hi"),
+    )
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.lit(qlo)))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.lit(qhi)))
+    ).cast("int")
+    short = (
+        packed.withColumn("hamming", ham)
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(shortlist)
+    )
+    qv = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    return (
+        short.select(
+            "vec_id",
+            "hamming",
+            F.round(squared_l2(v, qv), 6).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )

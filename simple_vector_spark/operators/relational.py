@@ -2373,3 +2373,43 @@ def kaplan_meier(events: DataFrame) -> DataFrame:
         .otherwise(F.round(F.exp(F.sum("_lnf").over(w_cum)), 6))
         .alias("surv"),
     )
+
+
+def higher_moments(lineitem: DataFrame) -> DataFrame:
+    """Per-returnflag skewness + excess kurtosis of l_quantity from
+    EXACT integer power sums (s1..s4 as DECIMAL — order-insensitive,
+    so the shuffle's partial-agg merge order cannot perturb the f64
+    result).  Built-in skewness()/kurtosis() are engine-specific in
+    estimator convention; the power-sum route is engine-neutral and
+    oracle-checkable.
+
+    Scale: one scan, 4 extra agg columns, one tiny group."""
+    q = F.col("l_quantity").cast("decimal(10,2)")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum((q * q).cast("decimal(38,4)")).alias("s2"),
+        F.sum((q * q * q).cast("decimal(38,6)")).alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(38,8)")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / n
+        - F.lit(3.0) * mu * F.col("s2").cast("double") / n
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - F.lit(4.0) * mu * F.col("s3").cast("double") / n
+        + F.lit(6.0) * mu * mu * F.col("s2").cast("double") / n
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(mu, 6).alias("mean_qty"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
+    )

@@ -1035,3 +1035,58 @@ def phrase_search(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_occurrences"),
     )
+
+
+def bpe_apply_encode(
+    docs: DataFrame, rounds: int = BPE_MERGE_ROUNDS
+) -> DataFrame:
+    """Apply the trained BPE merge table — the tokenizer ENCODE step:
+    every word type is re-encoded through the learned merges (the same
+    two-space splice used in training), then per-source token
+    accounting: whitespace tokens vs post-merge symbol count — the
+    compression a tokenizer actually buys on this corpus.
+
+    Scale: merges apply to the distinct-word table (Zipf-bounded), the
+    corpus contributes one explode + one (source, word) aggregate; the
+    word->symbol-count map joins back on the word key."""
+    from ..functions.text import tokens
+
+    model = [
+        (r["left_sym"], r["right_sym"], r["merged"])
+        for r in bpe_train_merges(docs, rounds).orderBy("rank").collect()
+    ]
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word")).distinct()
+    )
+    enc = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+            ),
+            "  ",
+        ),
+        F.lit(" "),
+    )
+    w = enc
+    for left_sym, right_sym, merged in model:
+        w = F.replace(
+            w, F.lit(f" {left_sym}  {right_sym} "), F.lit(f" {merged} ")
+        )
+    word_syms = words.select(
+        "word", F.size(F.split(F.trim(w), "  ")).alias("n_syms")
+    )
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return (
+        tok.join(word_syms, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("n_syms").cast("long").alias("n_symbols"),
+            F.round(
+                F.sum("n_syms") / F.count("*").cast("double"), 6
+            ).alias("avg_symbols_per_token"),
+        )
+    )

@@ -8622,7 +8622,8 @@ t{i} AS (
   FROM p{i} GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
 ),
 w{i} AS (
-  SELECT replace(w, ' ' || (SELECT pair FROM t{i}) || ' ',
+  SELECT word,
+         replace(w, ' ' || (SELECT pair FROM t{i}) || ' ',
                  ' ' || replace((SELECT pair FROM t{i}), '  ', '') || ' ') AS w,
          n
   FROM {prev}
@@ -8649,7 +8650,8 @@ WITH words AS (
     SELECT unnest({_TK_SQL}) AS word FROM documents) GROUP BY word
 ),
 w0 AS (
-  SELECT ' ' || array_to_string(
+  SELECT word,
+         ' ' || array_to_string(
            list_transform(range(1, length(word) + 1),
                           i -> substr(word, i, 1)), '  ') || ' ' AS w, n
   FROM words
@@ -9119,3 +9121,187 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting lists joined on (doc, pos+1) — posting-list-sized join, no
     text rescan."""
     return T.phrase_search(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 58 (round 2): binary-Hamming ANN, BPE apply/encode, power-sum
+# higher moments, cluster-aware dataset split.
+# --------------------------------------------------------------------------
+
+_PACK_SQL = (
+    "CAST(list_sum(list_transform(range(1, 33), d -> "
+    "CASE WHEN {arr}[d + {off}] > 0 THEN CAST(POWER(2, d - 1) AS BIGINT) "
+    "ELSE 0 END)) AS BIGINT)"
+)
+
+
+@query(
+    "ann_binary_hamming",
+    f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {ANN_QUERY_ID}
+),
+qp AS (
+  SELECT {_PACK_SQL.format(arr="qv", off=0)} AS qlo,
+         {_PACK_SQL.format(arr="qv", off=32)} AS qhi
+  FROM q
+),
+pk AS (
+  SELECT vec_id, e,
+         {_PACK_SQL.format(arr="e", off=0)} AS lo,
+         {_PACK_SQL.format(arr="e", off=32)} AS hi
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+),
+hm AS (
+  SELECT vec_id, e,
+         CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS INT)
+           AS hamming
+  FROM pk, qp
+),
+short AS (SELECT * FROM hm ORDER BY hamming, vec_id LIMIT {A.HAMMING_SHORTLIST}),
+d AS (
+  SELECT vec_id, hamming, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+  FROM (SELECT vec_id, hamming, unnest(e) AS x, unnest(qv) AS y
+        FROM short, q)
+  GROUP BY vec_id, hamming
+)
+SELECT vec_id, hamming, dist FROM d ORDER BY dist, vec_id LIMIT {ANN_K}
+""",
+)
+def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign quantization (64 dims -> two packed longs) +
+    bit_count(xor) Hamming shortlist + exact f64 rerank — the
+    1-bit-per-dim ANN path, 32x smaller than f32 storage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = A.fit_vectors(emb, [ANN_QUERY_ID])[0][1]
+    return A.binary_hamming_search(emb, qv, ANN_K)
+
+
+@query(
+    "bpe_apply_encode",
+    f"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest({_TK_SQL}) AS word FROM documents) GROUP BY word
+),
+w0 AS (
+  SELECT word,
+         ' ' || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substr(word, i, 1)), '  ') || ' ' AS w, n
+  FROM words
+),
+{_BPE_ROUNDS_SQL},
+enc AS (
+  SELECT word, len(string_split(trim(w), '  ')) AS n_syms
+  FROM w{T.BPE_MERGE_ROUNDS}
+),
+tok AS (SELECT source, unnest({_TK_SQL}) AS word FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_syms) AS BIGINT) AS n_symbols,
+       ROUND(SUM(n_syms) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_symbols_per_token
+FROM tok JOIN enc USING (word) GROUP BY source
+""",
+)
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ENCODE step: apply the trained BPE merges to every
+    word type, then per-source whitespace-token vs post-merge symbol
+    accounting — completes the train->apply tokenizer loop."""
+    return T.bpe_apply_encode(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "lineitem_higher_moments",
+    """
+WITH a AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(10,2))) AS s1,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(10,2))
+                  * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(38,4))) AS s2,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(10,2))
+                  * CAST(l_quantity AS DECIMAL(10,2))
+                  * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(38,6))) AS s3,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(10,2))
+                  * CAST(l_quantity AS DECIMAL(10,2))
+                  * CAST(l_quantity AS DECIMAL(10,2))
+                  * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(38,8))) AS s4
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_qty,
+       ROUND((CAST(s3 AS DOUBLE) / n
+              - 3.0 * (CAST(s1 AS DOUBLE) / n) * CAST(s2 AS DOUBLE) / n
+              + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+             / POWER(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                     1.5), 6) AS skewness,
+       ROUND((CAST(s4 AS DOUBLE) / n
+              - 4.0 * (CAST(s1 AS DOUBLE) / n) * CAST(s3 AS DOUBLE) / n
+              + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * CAST(s2 AS DOUBLE) / n
+              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / ((CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                * (CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+             - 3.0, 6) AS excess_kurtosis
+FROM a
+""",
+)
+def lineitem_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness + excess kurtosis per returnflag from exact DECIMAL
+    power sums — engine-neutral estimator convention, shuffle-order
+    invariant."""
+    return R.higher_moments(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "dataset_split_by_cluster",
+    f"""
+WITH RECURSIVE {_CLUSTER_LABELS_CTES},
+doc_cluster AS (
+  SELECT dp.doc_id, COALESCE(l.cluster, dp.doc_id) AS cluster
+  FROM docs_plus dp LEFT JOIN labels l ON l.node = dp.doc_id
+),
+gated AS (
+  SELECT doc_id, cluster,
+         CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, cluster,
+           CAST(concat('0x', substr(md5(CAST(cluster AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS h
+    FROM doc_cluster
+  )
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+FROM gated GROUP BY split
+""",
+)
+def dataset_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split: the md5 gate keys on the
+    near-dup CLUSTER id (singletons = own doc id), so a duplicate pair
+    can never straddle the eval boundary — the fix the split-leakage
+    audits motivate."""
+    from .functions.text import md5_int
+
+    labels = _dup_cluster_labels(spark, sf_dir)
+    docs = _docs_plus_spark(spark, sf_dir).select("doc_id")
+    lab = labels.select(F.col("node").alias("doc_id"), "cluster")
+    dc = docs.join(lab, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
+    )
+    h = md5_int(F.col("cluster").cast("string")) % 100
+    gated = dc.withColumn(
+        "split",
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test"),
+    )
+    return gated.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("cluster").cast("long").alias("n_clusters"),
+    )
