@@ -1187,3 +1187,45 @@ def preference_pairs(events: DataFrame) -> DataFrame:
             "margin"
         ),
     )
+
+
+NEG_PATTERNS: dict[str, str] = {
+    # negation / exclusion classes — "A then B with no C between", the
+    # CEP shape plain funnels can't express
+    "view_then_purchase_no_error": "v[^e]*p",
+    "signup_then_purchase_no_error": "s[^e]*p",
+    "error_never_recovered": "e[^p]*$",
+    "click_storm_no_purchase": "ccc[^p]*$",
+}
+
+
+def sequence_pattern_negation(events: DataFrame) -> DataFrame:
+    """CEP patterns WITH NEGATION over the per-user event-initial
+    string (A-then-B-without-C-between, trailing-failure) — the regex
+    classes that distinguish complex-event processing from plain
+    funnel counting.  Same one-shuffle reduced-string machinery as
+    sequence_pattern_match; patterns swap in."""
+    ch = F.substring("event_type", 1, 1)
+    seqs = (
+        events.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), ch.alias("ch")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            F.array_join(F.transform("ss", lambda s: s["ch"]), "").alias("seq")
+        )
+    )
+    counts = seqs.agg(
+        *[
+            F.count(F.when(F.col("seq").rlike(pat), True))
+            .cast("long")
+            .alias(name)
+            for name, pat in NEG_PATTERNS.items()
+        ]
+    )
+    stack_args = ", ".join(f"'{name}', {name}" for name in NEG_PATTERNS)
+    return counts.selectExpr(
+        f"stack({len(NEG_PATTERNS)}, {stack_args}) AS (pattern, n_users)"
+    )

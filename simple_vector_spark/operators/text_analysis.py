@@ -1090,3 +1090,50 @@ def bpe_apply_encode(
             ).alias("avg_symbols_per_token"),
         )
     )
+
+
+RM3_FEEDBACK_DOCS = 3
+RM3_EXPANSION_K = 5
+
+
+def rm3_expansion(
+    docs: DataFrame,
+    query_terms: list[str],
+    n_feedback: int = RM3_FEEDBACK_DOCS,
+    k: int = RM3_EXPANSION_K,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3-lite): run BM25,
+    take the top ``n_feedback`` docs, weight every non-query term by
+    sum over those docs of (tf/doclen) * bm25_score, return the top
+    ``k`` expansion terms — the classic automatic query-expansion loop
+    of a retrieval pipeline.
+
+    Scale: the feedback set is k-sized, so everything after the BM25
+    ranking is a broadcast join against a handful of doc ids; the
+    expansion weights aggregate term-keyed."""
+    top = bm25_search(docs, query_terms, n_feedback).select(
+        "doc_id", F.col("score").cast("double").alias("s")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        toks.join(F.broadcast(top), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("s").alias("s"))
+    )
+    w = (
+        tf.join(F.broadcast(dl.join(top.select("doc_id"), "doc_id")), "doc_id")
+        .filter(~F.col("term").isin(query_terms))
+        .groupBy("term")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf").cast("double") / F.col("dl") * F.col("s")
+                ),
+                6,
+            ).alias("weight")
+        )
+    )
+    return w.orderBy(F.col("weight").desc(), F.col("term").asc()).limit(k)

@@ -96,3 +96,33 @@ def fk_orphan_audit(tables: dict[str, DataFrame]) -> DataFrame:
             )
         )
     return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+FINGERPRINT_MOD = 2305843009213693951  # 2^61 - 1, Mersenne
+
+
+def table_fingerprint(df: DataFrame, cols: list, name: str) -> DataFrame:
+    """Order-insensitive content fingerprint of a table: sum (mod
+    2^61-1) of a 32-bit hash of each row's canonical string — the
+    replica-comparison primitive: two copies of a 100-TB table compare
+    by exchanging ONE number each, no sort, no co-shuffle, and the sum
+    is associative so partial fingerprints merge map-side.
+
+    Callers pass canonically-cast columns (DECIMAL-rendered money,
+    never raw doubles) so the string form is engine-portable."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import md5_int
+
+    row_str = F.concat_ws("|", *cols)
+    h = md5_int(row_str)
+    return df.agg(
+        F.lit(name).alias("table_name"),
+        F.count("*").cast("long").alias("n_rows"),
+        (
+            F.sum(h.cast("decimal(38,0)")).cast("decimal(38,0)")
+            % FINGERPRINT_MOD
+        )
+        .cast("long")
+        .alias("fingerprint"),
+    )

@@ -9305,3 +9305,128 @@ def dataset_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.countDistinct("cluster").cast("long").alias("n_clusters"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 59 (round 2): CEP negation patterns, RM3 query expansion,
+# table content fingerprints.
+# --------------------------------------------------------------------------
+
+_NEG_PATTERN_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS pattern,
+       CAST(COUNT(CASE WHEN regexp_matches(seq, '{pat}') THEN 1 END) AS BIGINT)
+         AS n_users
+FROM seqs"""
+    for name, pat in E.NEG_PATTERNS.items()
+)
+
+
+@query(
+    "events_pattern_negation",
+    f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+{_NEG_PATTERN_SQL}
+""",
+)
+def events_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP patterns with NEGATION (A then B with no C between,
+    trailing-failure classes) over the per-user event string — the
+    exclusion semantics plain funnels can't express."""
+    return E.sequence_pattern_negation(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "text_rm3_expansion",
+    f"""
+WITH {_BM25_CTES},
+top AS (
+  SELECT doc_id, CAST(score AS DOUBLE) AS s
+  FROM bm ORDER BY score DESC, doc_id LIMIT {T.RM3_FEEDBACK_DOCS}
+),
+ftf AS (
+  SELECT tk.doc_id, t, COUNT(*) AS tf
+  FROM tk JOIN top USING (doc_id) GROUP BY 1, 2
+),
+ex AS (
+  SELECT t AS term,
+         ROUND(SUM(CAST(tf AS DOUBLE) / dl * s), 6) AS weight
+  FROM ftf JOIN dl USING (doc_id) JOIN top USING (doc_id)
+  WHERE t NOT IN ({_BM25_TERMS_SQL})
+  GROUP BY t
+)
+SELECT term, weight FROM ex
+ORDER BY weight DESC, term LIMIT {T.RM3_EXPANSION_K}
+""",
+)
+def text_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3-lite): BM25 top
+    docs feed per-term (tf/dl)*score weights; top expansion terms
+    excluding the query itself — the automatic query-expansion loop."""
+    return T.rm3_expansion(load_table(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+_FP_TABLES = {
+    "nation": "concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR))",
+    "customer": "concat_ws('|', CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR), c_mktsegment)",
+    "orders": "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR), o_orderpriority)",
+}
+
+_FP_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(CAST(concat('0x', substr(md5({expr}), 1, 8))
+                               AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0))
+            % {{mod}} AS BIGINT) AS fingerprint
+FROM {t}""".format(mod=__import__("simple_vector_spark.operators.validate", fromlist=["FINGERPRINT_MOD"]).FINGERPRINT_MOD, t=t, expr=expr)
+    for t, expr in _FP_TABLES.items()
+)
+
+
+@query("table_fingerprint_audit", _FP_ORACLE)
+def table_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprints (sum of row hashes mod
+    2^61-1) for replica comparison: two copies of a 100-TB table
+    compare by exchanging one number, partial sums merge map-side.
+    Money columns rendered as DECIMAL strings for engine portability."""
+    from .operators import validate as V
+
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    parts = [
+        V.table_fingerprint(
+            nation,
+            [
+                F.col("n_nationkey").cast("string"),
+                F.col("n_name"),
+                F.col("n_regionkey").cast("string"),
+            ],
+            "nation",
+        ),
+        V.table_fingerprint(
+            customer,
+            [
+                F.col("c_custkey").cast("string"),
+                F.col("c_nationkey").cast("string"),
+                F.col("c_mktsegment"),
+            ],
+            "customer",
+        ),
+        V.table_fingerprint(
+            orders,
+            [
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
+                F.col("o_orderpriority"),
+            ],
+            "orders",
+        ),
+    ]
+    import functools
+
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
