@@ -2278,23 +2278,27 @@ def benford_audit(orders: DataFrame) -> DataFrame:
     digit = F.substring(
         F.col("o_totalprice").cast("decimal(15,2)").cast("string"), 1, 1
     ).cast("int")
-    total = Window.partitionBy()
     exp_map = F.create_map(
         *[x for d, s in BENFORD_SHARES.items() for x in (F.lit(d), F.lit(s))]
     )
-    return (
+    g = (
         orders.select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = g.agg(F.sum("n").alias("_tot"))
+    return (
+        g.crossJoin(F.broadcast(total))
         .withColumn(
             "obs_share",
-            F.round(F.col("n") / F.sum("n").over(total).cast("double"), 6),
+            F.round(F.col("n") / F.col("_tot").cast("double"), 6),
         )
         .withColumn("benford_share", F.round(exp_map[F.col("digit")], 6))
         .withColumn(
             "abs_dev",
             F.round(F.abs(F.col("obs_share") - F.col("benford_share")), 6),
         )
+        .drop("_tot")
     )
 
 
@@ -2333,17 +2337,20 @@ def kaplan_meier(events: DataFrame) -> DataFrame:
         F.sum("is_event").cast("long").alias("d"),
         F.count("*").cast("long").alias("all_at"),
     )
-    w_all = Window.partitionBy()
-    w_before = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, -1
+    # the curve lives on the |distinct durations| table (bounded by the
+    # time axis): cumulative quantities come from broadcast triangle
+    # joins, not orderBy-only windows — no accidental-global WindowExec
+    tot = counts.agg(F.sum("all_at").alias("_tot"))
+    prior = counts.select(
+        F.col("dur").alias("_pd"), F.col("all_at").alias("_pn")
     )
-    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
-    # counts is |distinct durations|-sized: global windows over it are
-    # bounded by the time axis, not the data volume
-    risk = counts.withColumn(
-        "n_risk",
-        F.sum("all_at").over(w_all)
-        - F.coalesce(F.sum("all_at").over(w_before), F.lit(0)),
+    before = (
+        counts.join(F.broadcast(prior), F.col("_pd") < F.col("dur"), "left")
+        .groupBy("dur", "d", "all_at")
+        .agg(F.coalesce(F.sum("_pn"), F.lit(0)).alias("_before"))
+    )
+    risk = before.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk", (F.col("_tot") - F.col("_before")).cast("long")
     )
     # a time where every at-risk user converts (d == n_risk) drives the
     # factor to 0: flag it instead of ln(0) (engines disagree on ln(0):
@@ -2361,17 +2368,31 @@ def kaplan_meier(events: DataFrame) -> DataFrame:
                         - F.col("d").cast("double") / F.col("n_risk")
                     ),
                     9,
-                ),
+                ).cast("decimal(20,9)"),
             ),
         )
+        .localCheckpoint()
     )
-    return ev.select(
-        F.col("dur").alias("t"),
-        "n_risk",
-        F.col("d").alias("n_events"),
-        F.when(F.max("_zero").over(w_cum) == 1, F.lit(0.0))
-        .otherwise(F.round(F.exp(F.sum("_lnf").over(w_cum)), 6))
-        .alias("surv"),
+    cum_src = ev.select(
+        F.col("dur").alias("_cd"),
+        F.col("_lnf").alias("_clnf"),
+        F.col("_zero").alias("_cz"),
+    )
+    return (
+        ev.join(F.broadcast(cum_src), F.col("_cd") <= F.col("dur"))
+        .groupBy("dur", "n_risk", "d")
+        .agg(
+            F.sum("_clnf").alias("_slnf"),
+            F.max("_cz").alias("_mz"),
+        )
+        .select(
+            F.col("dur").alias("t"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.when(F.col("_mz") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("_slnf").cast("double")), 6))
+            .alias("surv"),
+        )
     )
 
 

@@ -427,10 +427,16 @@ def ddsketch_quantile_audit(
         .groupBy("b")
         .agg(F.count("*").alias("cnt"))
     )
-    # bucket table is a few hundred rows: a global cum-window over it
-    # is partition-sized by construction, not a scale hazard
-    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    cum = b.withColumn("cum", F.sum("cnt").over(wb)).localCheckpoint()
+    # bucket table is a few hundred rows regardless of input size: the
+    # cumulative count comes from a broadcast triangle join, not an
+    # orderBy-only window
+    b2 = b.select(F.col("b").alias("_b2"), F.col("cnt").alias("_c2"))
+    cum = (
+        b.join(F.broadcast(b2), F.col("_b2") <= F.col("b"))
+        .groupBy("b", "cnt")
+        .agg(F.sum("_c2").alias("cum"))
+        .localCheckpoint()
+    )
     n_rows = orders.count()
     from .ranking import ranked_global
 

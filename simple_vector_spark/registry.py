@@ -9064,14 +9064,16 @@ e AS (
   SELECT dur, n_risk, d,
          CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS z,
          CASE WHEN d >= n_risk THEN NULL
-              ELSE ROUND(ln(1.0 - d / CAST(n_risk AS DOUBLE)), 9) END AS lnf
+              ELSE CAST(ROUND(ln(1.0 - d / CAST(n_risk AS DOUBLE)), 9)
+                        AS DECIMAL(20,9)) END AS lnf
   FROM r WHERE d > 0
 )
 SELECT dur AS t, n_risk, d AS n_events,
        CASE WHEN MAX(z) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) = 1
             THEN 0.0
-            ELSE ROUND(exp(SUM(lnf) OVER (ORDER BY dur
-                           ROWS UNBOUNDED PRECEDING)), 6) END AS surv
+            ELSE ROUND(exp(CAST(SUM(lnf) OVER (ORDER BY dur
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6)
+            END AS surv
 FROM e
 """,
 )

@@ -379,3 +379,52 @@ def test_abc_prefix_sum_no_single_partition_window(spark, sf_dir):
         if "Exchange SinglePartition" in line:
             above = "\n".join(plan.splitlines()[max(0, i - 3):i])
             assert "Window" not in above and "Sort " not in above
+
+
+def test_grid_join_is_equi_not_cartesian(spark, sf_dir):
+    """embedding_grid_neighbors: the eps-pair search must hash-join on
+    the cell key — a CartesianProduct/NLJ here is the all-pairs plan
+    grid blocking exists to avoid."""
+    plan = plan_of(spark, sf_dir, "embedding_grid_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_levenshtein_join_keyed_on_block(spark, sf_dir):
+    """part_name_levenshtein: join keyed by (brand, type, size) so the
+    pair space is sum-of-block-squares, never n^2."""
+    plan = plan_of(spark, sf_dir, "part_name_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "p_brand" in plan and "p_type" in plan and "p_size" in plan
+
+
+def test_binary_hamming_stays_in_codegen(spark, sf_dir):
+    """ann_binary_hamming: the Hamming scan is bit_count(xor) inside
+    TakeOrderedAndProject — no shuffle of the corpus, no Python."""
+    plan = plan_of(spark, sf_dir, "ann_binary_hamming")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivm_delta_broadcasts_delta_side(spark, sf_dir):
+    """ivm_join_delta: the ΔB-side joins broadcast (delta-sized), and
+    DECIMAL partials merge without a stable order requirement."""
+    plan = plan_of(spark, sf_dir, "ivm_join_delta")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_session_window_tvf_single_user_shuffle(spark, sf_dir):
+    """events_session_window_tvf: native session aggregation shuffles
+    on user_id once (plus the session-window node), no global sort."""
+    plan = plan_of(spark, sf_dir, "events_session_window_tvf")
+    assert "user_id" in plan
+    assert "Sort [user_id" in plan or "sessionwindow" in plan.lower()
+
+
+def test_fingerprint_is_single_pass_aggregate(spark, sf_dir):
+    """table_fingerprint_audit: each table contributes one partial
+    aggregate — no sort, no join, no window anywhere."""
+    plan = plan_of(spark, sf_dir, "table_fingerprint_audit")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

@@ -56,6 +56,16 @@ HEADLINERS = [
     ("partitioned_write_prune", "lang predicate as PartitionFilters on the partitioned layout"),
     ("label_centroid_accuracy", "one posexplode pass; |labels|-bounded classify fan-out; per-vec argmin window"),
     ("vocab_coverage_curve", "two-phase ranked vocab; every coverage point folded in one aggregate"),
+    ("embedding_grid_neighbors", "3x3 neighbor explode; cell-keyed equi-join — no CartesianProduct"),
+    ("ann_binary_hamming", "bit_count(xor) Hamming inside codegen; TakeOrderedAndProject shortlist then exact rerank"),
+    ("ann_ivf_trained", "cells_arrow mapInArrow kernel builds the cached cell index; probe + exact rerank"),
+    ("nation_trade_bfs", "recursive CTE on the checkpointed dominant-partner edge list (dimension-sized)"),
+    ("part_name_levenshtein", "(brand,type,size)-keyed block join; edit distance in codegen"),
+    ("ivm_join_delta", "delta sides broadcast; DECIMAL partials merged without rescanning the base join"),
+    ("dedup_tfidf_verify", "candidate-keyed numerator join; tf/df aggregates the only corpus shuffles"),
+    ("events_session_window_tvf", "native session_window aggregate: one user_id shuffle"),
+    ("table_fingerprint_audit", "per-table single-pass partial-agg fingerprint — no sort, no join"),
+    ("events_kaplan_meier", "one user reduction; curve windows on the |durations| table"),
 ]
 
 
