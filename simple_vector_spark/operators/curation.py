@@ -499,3 +499,37 @@ def luhn_card_audit(orders: DataFrame) -> DataFrame:
             ).alias("valid_rate"),
         )
     )
+
+
+K_ANON_QI = ("c_nationkey", "c_mktsegment")
+K_ANON_K = 5
+
+
+def k_anonymity_audit(
+    customer: DataFrame,
+    qi: tuple[str, ...] = K_ANON_QI,
+    k: int = K_ANON_K,
+    sensitive: str = "c_custkey",
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier set —
+    the anonymization gate before a data release: group sizes under
+    the QI columns (every group must reach k), plus the minimum
+    distinct-sensitive-value count (l-diversity floor).
+
+    Output is one summary row: equivalence-class count, the smallest
+    class, how many rows sit in classes below k (re-identification
+    exposure), and min l.  Scale: one QI-keyed aggregate, then a
+    summary over the (bounded) class table."""
+    classes = customer.groupBy(*qi).agg(
+        F.count("*").alias("cls_n"),
+        F.countDistinct(sensitive).alias("cls_l"),
+    )
+    return classes.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("cls_n").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("cls_n") < k, F.col("cls_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_below_k"),
+        F.min("cls_l").cast("long").alias("min_l_diversity"),
+        (F.min("cls_n") >= k).alias("k_anonymous"),
+    )

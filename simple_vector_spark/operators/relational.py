@@ -2434,3 +2434,53 @@ def higher_moments(lineitem: DataFrame) -> DataFrame:
         F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
     )
+
+
+CALIBRATION_BINS = 10
+
+
+def calibration_bins(orders: DataFrame, bins: int = CALIBRATION_BINS) -> DataFrame:
+    """Calibration (reliability-diagram) bins for a score vs a binary
+    outcome — the model-eval primitive: score = order value min-max
+    scaled to [0,1) (a stand-in ranking score), outcome = urgent
+    priority (1-URGENT/2-HIGH).  Per bin: count, mean scaled score,
+    empirical positive rate, |gap| — the inputs to expected
+    calibration error.
+
+    Determinism: everything runs on exact integer CENTS — the bin is
+    integer `div` arithmetic, the mean is an exact long sum with one
+    trailing f64 normalize — so partial-aggregate merge order cannot
+    move a row or a digit.  One scan + a two-scalar broadcast + a
+    bins-sized aggregate."""
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    rng = orders.select(cents.alias("_c")).agg(
+        F.min("_c").alias("_lo"), F.max("_c").alias("_hi")
+    )
+    pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    scored = orders.crossJoin(F.broadcast(rng)).select(
+        cents.alias("c"), F.col("_lo"), F.col("_hi"), pos.alias("y")
+    )
+    b = F.expr(
+        f"least(((c - _lo) * {bins}) div (_hi - _lo + 1), {bins - 1})"
+    ).cast("int")
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                (
+                    F.sum("c").cast("double") / F.count("*")
+                    - F.first("_lo")
+                )
+                / (F.first("_hi") - F.first("_lo")).cast("double"),
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.sum("y").cast("double") / F.count("*"), 6
+            ).alias("pos_rate"),
+        )
+        .withColumn(
+            "abs_gap",
+            F.round(F.abs(F.col("mean_score") - F.col("pos_rate")), 6),
+        )
+    )

@@ -9432,3 +9432,80 @@ def table_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import functools
 
     return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# --------------------------------------------------------------------------
+# Wave 60 (round 2): streaming PIT enrichment, k-anonymity audit,
+# calibration bins.
+# --------------------------------------------------------------------------
+
+_PIT_ORACLE = _ORACLES["events_pit_user_state"]
+
+
+@query("stream_pit_enrich", _PIT_ORACLE)
+def stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment: the error STREAM joined per
+    micro-batch against the static SCD2 user-state dim on interval
+    containment — stream-static PIT, availableNow == the batch PIT
+    query (same oracle)."""
+    from .streaming.jobs import stream_pit_enrich as _job
+
+    return _job(spark, sf_dir)
+
+
+@query(
+    "customer_k_anonymity",
+    f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cls_n,
+         COUNT(DISTINCT c_custkey) AS cls_l
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(cls_n) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN cls_n < {__import__("simple_vector_spark.operators.curation", fromlist=["K_ANON_K"]).K_ANON_K} THEN cls_n ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       CAST(MIN(cls_l) AS BIGINT) AS min_l_diversity,
+       MIN(cls_n) >= {__import__("simple_vector_spark.operators.curation", fromlist=["K_ANON_K"]).K_ANON_K} AS k_anonymous
+FROM classes
+""",
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the (nation, segment)
+    quasi-identifier — the anonymization gate before a data release."""
+    from .operators import curation as CU2
+
+    return CU2.k_anonymity_audit(load_table(spark, sf_dir, "customer"))
+
+
+@query(
+    "orders_calibration_bins",
+    f"""
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS c,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+rng AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM c),
+binned AS (
+  SELECT LEAST(((c - lo) * {R.CALIBRATION_BINS}) // (hi - lo + 1),
+               {R.CALIBRATION_BINS - 1}) AS bin,
+         c, y, lo, hi
+  FROM c, rng
+)
+SELECT CAST(bin AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND((CAST(SUM(c) AS DOUBLE) / COUNT(*) - MIN(lo))
+             / CAST(MIN(hi) - MIN(lo) AS DOUBLE), 6) AS mean_score,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+       ROUND(ABS(ROUND((CAST(SUM(c) AS DOUBLE) / COUNT(*) - MIN(lo))
+                       / CAST(MIN(hi) - MIN(lo) AS DOUBLE), 6)
+                 - ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)), 6) AS abs_gap
+FROM binned GROUP BY bin
+""",
+)
+def orders_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration bins (exact integer-cents
+    arithmetic): mean scaled score vs empirical positive rate per bin
+    — the ECE inputs for any score/outcome pair."""
+    return R.calibration_bins(load_table(spark, sf_dir, "orders"))

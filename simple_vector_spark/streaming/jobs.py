@@ -476,3 +476,37 @@ def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n"),
         F.round(F.max_by("total", "n"), 6).alias("sum_value"),
     )
+
+
+def stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment: the ERROR stream joins each
+    micro-batch against the (static) SCD2 user-state dimension on
+    interval containment — the feature-store PIT contract applied to a
+    live stream (stream-static joins re-plan the static side per
+    batch, so a dim refresh is picked up between batches).  availableNow
+    + complete aggregation == the batch PIT query (same oracle)."""
+    from ..operators.events import user_state_scd2
+    from ..sources.loaders import load_table
+
+    batch_events = load_table(spark, sf_dir, "events")
+    dim = user_state_scd2(
+        batch_events.filter(F.col("event_type") != "error")
+    ).localCheckpoint()
+    errors = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("user_id", "ts", "event_id")
+    )
+    joined = errors.join(
+        F.broadcast(dim),
+        (errors.user_id == dim.user_id)
+        & (errors.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (errors.ts < dim.valid_to)),
+        "left",
+    )
+    agg = (
+        joined.select(F.coalesce(dim.state, F.lit("none")).alias("state"))
+        .groupBy("state")
+        .agg(F.count("*").cast("long").alias("n_errors"))
+    )
+    return _drain(agg, "complete")
