@@ -533,3 +533,51 @@ def k_anonymity_audit(
         F.min("cls_l").cast("long").alias("min_l_diversity"),
         (F.min("cls_n") >= k).alias("k_anonymous"),
     )
+
+
+MIX_BUDGET_X = 2.0  # token budget = 2x the natural corpus
+MIX_MAX_EPOCHS = 4.0  # repetition cap per source
+
+
+def mixture_epoch_solver(
+    docs: DataFrame,
+    budget_x: float = MIX_BUDGET_X,
+    max_epochs: float = MIX_MAX_EPOCHS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture -> epoch plan: given a token budget (``budget_x`` times
+    the natural corpus) and tau=0.5 temperature weights, solve each
+    source's target tokens and repetition factor (epochs), clipping at
+    ``max_epochs`` — the repetition planner that turns mixture weights
+    into an actual sampling schedule, reporting how many target tokens
+    the cap forfeits per source.
+
+    Determinism: exact int token counts; weights and ratios f64 over
+    |sources| terms, ROUND 6.  Same one-pass shape as
+    mixture_temperature."""
+    from ..functions.text import tokens
+
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("_tt"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("_ts"),
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double")) / F.col("_ts")
+    target = w * F.col("_tt") * F.lit(budget_x)
+    epochs = target / F.col("n_tokens").cast("double")
+    capped = F.least(epochs, F.lit(max_epochs))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(target, 2).alias("target_tokens"),
+        F.round(epochs, 6).alias("epochs_uncapped"),
+        F.round(capped, 6).alias("epochs"),
+        F.round(
+            F.greatest(target - F.lit(max_epochs) * F.col("n_tokens"),
+                       F.lit(0.0)),
+            2,
+        ).alias("forfeited_tokens"),
+    )

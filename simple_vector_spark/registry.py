@@ -9509,3 +9509,124 @@ def orders_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic): mean scaled score vs empirical positive rate per bin
     — the ECE inputs for any score/outcome pair."""
     return R.calibration_bins(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 61 (round 2): mixture epoch planning, malformed-ingest handling,
+# grouping_id disambiguation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mixture_epoch_solver",
+    f"""
+WITH per AS (
+  SELECT source, CAST(SUM(len({_TK_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tt,
+         SUM(SQRT(CAST(n_tokens AS DOUBLE))) AS ts
+  FROM per
+)
+SELECT source, n_tokens,
+       ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / ts, 6) AS weight,
+       ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / ts * tt * {CU.MIX_BUDGET_X!r}, 2)
+         AS target_tokens,
+       ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / ts * tt * {CU.MIX_BUDGET_X!r}
+             / CAST(n_tokens AS DOUBLE), 6) AS epochs_uncapped,
+       ROUND(LEAST(SQRT(CAST(n_tokens AS DOUBLE)) / ts * tt * {CU.MIX_BUDGET_X!r}
+             / CAST(n_tokens AS DOUBLE), {CU.MIX_MAX_EPOCHS!r}), 6) AS epochs,
+       ROUND(GREATEST(SQRT(CAST(n_tokens AS DOUBLE)) / ts * tt * {CU.MIX_BUDGET_X!r}
+             - {CU.MIX_MAX_EPOCHS!r} * n_tokens, 0.0), 2) AS forfeited_tokens
+FROM per, tot
+""",
+)
+def mixture_epoch_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget -> per-source repetition plan: temperature weights
+    solved into target tokens and epoch factors with a repetition cap
+    and forfeited-token accounting — the schedule a mixture sampler
+    actually executes."""
+    return CU.mixture_epoch_solver(load_table(spark, sf_dir, "documents"))
+
+
+MALFORMED_MOD = 10
+
+
+@query(
+    "json_malformed_audit",
+    f"""
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT CASE WHEN doc_id % {MALFORMED_MOD} = 0 THEN 'corrupt' ELSE 'ok' END
+           AS status,
+         CASE WHEN doc_id % {MALFORMED_MOD} = 0 THEN NULL ELSE n_chars END
+           AS n_chars
+  FROM documents
+) GROUP BY status
+""",
+)
+def json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-ingest handling (PERMISSIVE mode): a JSON-lines feed
+    with deterministically truncated records (doc_id % {MALFORMED_MOD}
+    == 0 loses its closing brace) read back with an explicit schema +
+    columnNameOfCorruptRecord — corrupt rows surface as quarantine
+    rows instead of failing the job, the production ingest posture.
+    Oracle recomputes the same partition from the corruption rule."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    mangled = F.when(
+        F.col("doc_id") % MALFORMED_MOD == 0,
+        F.expr(
+            "substring(to_json(struct(doc_id, lang, n_chars)), 1, "
+            "length(to_json(struct(doc_id, lang, n_chars))) - 1)"
+        ),
+    ).otherwise(line)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/docs_malformed_{tag}"
+    docs.select(mangled.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNull(), "ok")
+            .otherwise("corrupt")
+            .alias("status"),
+            "n_chars",
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "cube_grouping_id",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT)
+         AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id(): the bitmask that distinguishes
+    NULL-as-subtotal from NULL-as-data in rollup outputs — the
+    correctness detail naive cube consumers get wrong."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").cast("long").alias("n"),
+    )
