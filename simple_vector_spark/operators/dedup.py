@@ -859,3 +859,53 @@ def tfidf_verify_pairs(docs_plus: DataFrame, pairs: DataFrame) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+KCORE_ROUNDS = 2
+KCORE_K = 2
+
+
+def kcore_peel(pairs: DataFrame, rounds: int = KCORE_ROUNDS, k: int = KCORE_K) -> DataFrame:
+    """k-core peeling of the near-dup graph (fixed ``rounds`` of
+    remove-degree<k, the deterministic prefix of the full
+    fixpoint): per round, node degrees over the surviving edge set,
+    drop light nodes, keep edges whose BOTH endpoints survive.
+    Returns one row per round (0 = input) with node/edge counts — the
+    dense-core profile that separates boilerplate mega-clusters from
+    incidental pairs.
+
+    Scale: each round is a degree aggregate + two semi-joins on the
+    (already candidate-sized) edge list; lineage cut per round."""
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint()
+    out = []
+
+    def stats(e: DataFrame, rnd: int) -> DataFrame:
+        nodes = e.select(F.col("a").alias("n")).unionByName(
+            e.select(F.col("b").alias("n"))
+        ).distinct()
+        return nodes.agg(
+            F.lit(rnd).alias("round"),
+            F.count("*").cast("long").alias("n_nodes"),
+        ).crossJoin(e.agg(F.count("*").cast("long").alias("n_edges")))
+
+    out.append(stats(edges, 0))
+    cur = edges
+    for rnd in range(1, rounds + 1):
+        deg = (
+            cur.select(F.col("a").alias("n"))
+            .unionByName(cur.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("n").localCheckpoint()
+        cur = (
+            cur.join(keep.select(F.col("n").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("n").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+        out.append(stats(cur, rnd))
+    import functools
+
+    return functools.reduce(lambda x, y: x.unionByName(y), out)

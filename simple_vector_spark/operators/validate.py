@@ -126,3 +126,89 @@ def table_fingerprint(df: DataFrame, cols: list, name: str) -> DataFrame:
         .cast("long")
         .alias("fingerprint"),
     )
+
+
+REPLICA_BUCKETS = 256
+REPLICA_TAMPER_MOD = 1009  # planted divergence: o_orderkey % 1009 == 0
+
+
+def replica_bucket_diff(orders: DataFrame) -> DataFrame:
+    """Merkle-style anti-entropy: two replicas of the orders table
+    (replica B carries a planted status mutation on o_orderkey %
+    {REPLICA_TAMPER_MOD} == 0) are fingerprinted PER HASH BUCKET; only
+    buckets whose fingerprints disagree are reported — the narrowing
+    step a replica-repair protocol runs before exchanging any rows.
+    At 100 TB each side computes 256 numbers map-side; the comparison
+    moves 256 rows.
+
+    Output: the differing buckets with both fingerprints and row
+    counts (row counts match here — the corruption is an update, the
+    nastier case checksums exist to catch)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import md5_int
+
+    def fp(df: DataFrame, status_col) -> DataFrame:
+        row_str = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            status_col,
+            F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
+        )
+        bucket = (md5_int(F.col("o_orderkey").cast("string")) % REPLICA_BUCKETS).cast("int")
+        return df.groupBy(bucket.alias("bucket")).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (
+                F.sum(md5_int(row_str).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                % FINGERPRINT_MOD
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+    a = fp(orders, F.col("o_orderstatus"))
+    tampered = F.when(
+        F.col("o_orderkey") % REPLICA_TAMPER_MOD == 0, F.lit("X")
+    ).otherwise(F.col("o_orderstatus"))
+    b = fp(orders, tampered)
+    a2 = a.select("bucket", F.col("n_rows").alias("n_rows_a"), F.col("fp").alias("fp_a"))
+    b2 = b.select("bucket", F.col("n_rows").alias("n_rows_b"), F.col("fp").alias("fp_b"))
+    return (
+        a2.join(b2, "bucket")
+        .filter(F.col("fp_a") != F.col("fp_b"))
+        .select("bucket", "n_rows_a", "n_rows_b", "fp_a", "fp_b")
+    )
+
+
+def id_gap_audit(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Surrogate-key integrity: gaps in the id sequence found WITHOUT a
+    global sort — a gap starts at id where id+1 is absent (left-anti
+    self-join on the shifted key, hash-partitioned); totals come from
+    min/max/count arithmetic.  One summary row: span, present, missing,
+    gap-start count."""
+    from pyspark.sql import functions as F
+
+    ids = docs.select(F.col(id_col).alias("id"))
+    stats = ids.agg(
+        F.min("id").alias("_min"),
+        F.max("id").alias("_max"),
+        F.count("*").cast("long").alias("n_present"),
+    )
+    # id is a gap start iff (id + 1) is absent, i.e. id never appears
+    # in the set shifted down by one
+    shifted = ids.select((F.col("id") - 1).alias("id"))
+    gap_starts = (
+        ids.join(F.broadcast(stats.select("_max")), F.col("id") < F.col("_max"))
+        .select("id")
+        .join(shifted, "id", "left_anti")
+    )
+    n_gaps = gap_starts.agg(F.count("*").cast("long").alias("n_gap_starts"))
+    return stats.crossJoin(F.broadcast(n_gaps)).select(
+        F.col("_min").alias("min_id"),
+        F.col("_max").alias("max_id"),
+        "n_present",
+        (F.col("_max") - F.col("_min") + 1 - F.col("n_present"))
+        .cast("long")
+        .alias("n_missing"),
+        "n_gap_starts",
+    )

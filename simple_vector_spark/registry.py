@@ -9630,3 +9630,140 @@ def cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().cast("int").alias("gid"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 62 (round 2): merkle-bucket replica diff, k-core peeling,
+# id-sequence integrity.
+# --------------------------------------------------------------------------
+
+def _replica_fp_sql(status_expr: str) -> str:
+    row = (
+        "concat_ws('|', CAST(o_orderkey AS VARCHAR), " + status_expr + ", "
+        "CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR))"
+    )
+    v = __import__(
+        "simple_vector_spark.operators.validate",
+        fromlist=["FINGERPRINT_MOD", "REPLICA_BUCKETS"],
+    )
+    return f"""
+  SELECT CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % {v.REPLICA_BUCKETS} AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(CAST(SUM(CAST(CAST(concat('0x', substr(md5({row}), 1, 8))
+                                 AS BIGINT) AS DECIMAL(38,0)))
+                   AS DECIMAL(38,0)) % {v.FINGERPRINT_MOD} AS BIGINT) AS fp
+  FROM orders GROUP BY 1"""
+
+
+@query(
+    "replica_bucket_diff",
+    f"""
+WITH a AS ({_replica_fp_sql("o_orderstatus")}),
+b AS ({_replica_fp_sql(
+    "CASE WHEN o_orderkey % "
+    + str(__import__("simple_vector_spark.operators.validate", fromlist=["REPLICA_TAMPER_MOD"]).REPLICA_TAMPER_MOD)
+    + " = 0 THEN 'X' ELSE o_orderstatus END"
+)})
+SELECT bucket, a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+       a.fp AS fp_a, b.fp AS fp_b
+FROM a JOIN b USING (bucket) WHERE a.fp != b.fp
+""",
+)
+def replica_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy: per-hash-bucket fingerprints of two
+    replicas (one with a planted status mutation) — only disagreeing
+    buckets surface, so replica repair narrows 100 TB to a handful of
+    buckets before any row moves."""
+    from .operators import validate as V
+
+    return V.replica_bucket_diff(load_table(spark, sf_dir, "orders"))
+
+
+def _kcore_round_sql(i: int) -> str:
+    prev = f"e{i - 1}"
+    from .operators.dedup import KCORE_K
+
+    return f"""d{i} AS (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev}
+  ) GROUP BY n
+),
+k{i} AS (SELECT n FROM d{i} WHERE deg >= {KCORE_K}),
+e{i} AS (
+  SELECT a, b FROM {prev}
+  WHERE a IN (SELECT n FROM k{i}) AND b IN (SELECT n FROM k{i})
+)"""
+
+
+def _kcore_stat_sql(i: int) -> str:
+    return f"""SELECT CAST({i} AS INT) AS round,
+       CAST((SELECT COUNT(*) FROM (
+          SELECT a AS n FROM e{i} UNION SELECT b FROM e{i})) AS BIGINT)
+         AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e{i}) AS BIGINT) AS n_edges"""
+
+
+_KCORE_ROUNDS_SQL = ",\n".join(
+    _kcore_round_sql(i)
+    for i in range(1, __import__(
+        "simple_vector_spark.operators.dedup", fromlist=["KCORE_ROUNDS"]
+    ).KCORE_ROUNDS + 1)
+)
+_KCORE_STATS_SQL = "\nUNION ALL\n".join(
+    _kcore_stat_sql(i)
+    for i in range(0, __import__(
+        "simple_vector_spark.operators.dedup", fromlist=["KCORE_ROUNDS"]
+    ).KCORE_ROUNDS + 1)
+)
+
+
+@query(
+    "dup_graph_kcore",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+{_BANDS_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+e0 AS (SELECT doc_a AS a, doc_b AS b FROM cand),
+{_KCORE_ROUNDS_SQL}
+{_KCORE_STATS_SQL}
+""",
+)
+def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling of the near-dup candidate graph (fixed rounds of
+    drop-degree<2): node/edge counts per round — the dense-core
+    profile that separates boilerplate mega-clusters from incidental
+    pairs."""
+    return D.kcore_peel(_minhash_pairs(spark, sf_dir))
+
+
+@query(
+    "doc_id_gap_audit",
+    """
+WITH ids AS (SELECT doc_id AS id FROM documents),
+st AS (
+  SELECT MIN(id) AS mi, MAX(id) AS ma, CAST(COUNT(*) AS BIGINT) AS np
+  FROM ids
+),
+gs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_gap_starts
+  FROM ids, st
+  WHERE id < ma AND id + 1 NOT IN (SELECT id FROM ids)
+)
+SELECT mi AS min_id, ma AS max_id, np AS n_present,
+       CAST(ma - mi + 1 - np AS BIGINT) AS n_missing, n_gap_starts
+FROM st, gs
+""",
+)
+def doc_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key sequence integrity without a global sort: gap
+    starts via a shifted-key anti-join, totals from min/max/count —
+    the id-space health check behind allocate_doc_ids."""
+    from .operators import validate as V
+
+    return V.id_gap_audit(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,52 @@
+"""Wave-62 operators: replica bucket diff, k-core peel, id gaps."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_vector_spark.operators import dedup as D
+from simple_vector_spark.operators import validate as V
+
+
+def test_replica_diff_finds_only_tampered_buckets(spark):
+    # keys chosen so exactly one is a multiple of the tamper mod
+    rows = [(k, "F", 100.0) for k in (1, 2, 3, V.REPLICA_TAMPER_MOD)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    out = V.replica_bucket_diff(orders).collect()
+    assert len(out) == 1  # only the tampered key's bucket differs
+    r = out[0]
+    assert r["n_rows_a"] == r["n_rows_b"]  # update, not insert/delete
+    assert r["fp_a"] != r["fp_b"]
+
+
+def test_kcore_peels_pendant_chain_keeps_triangle(spark):
+    # triangle (1,2,3) survives k=2 peeling; pendant chain 4-5 dies
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = {r["round"]: r for r in D.kcore_peel(pairs).collect()}
+    assert out[0]["n_nodes"] == 5 and out[0]["n_edges"] == 5
+    # round 1: node 5 (deg 1) dropped -> edge (4,5) gone; 4 now deg 1
+    assert out[1]["n_edges"] == 4
+    # round 2: node 4 dropped -> only the triangle remains
+    assert out[2]["n_nodes"] == 3 and out[2]["n_edges"] == 3
+
+
+def test_id_gaps_counts_starts_and_missing(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 8, 12)], "doc_id long"
+    )
+    r = V.id_gap_audit(docs).collect()[0]
+    assert r["min_id"] == 1 and r["max_id"] == 12
+    assert r["n_present"] == 6
+    assert r["n_missing"] == 6   # 4,5,6,9,10,11
+    assert r["n_gap_starts"] == 2  # gaps start after 3 and after 8
+
+
+def test_id_gaps_contiguous_is_clean(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    r = V.id_gap_audit(docs).collect()[0]
+    assert r["n_missing"] == 0
+    assert r["n_gap_starts"] == 0
