@@ -1481,3 +1481,52 @@ def binary_hamming_search(
         .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def isotropy_audit(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space isotropy audit: ||mean vector|| relative to the
+    average vector norm — the standard anisotropy diagnostic (a large
+    ratio means the space collapsed toward a dominant direction, which
+    wrecks cosine retrieval).  One row: count, mean-vector norm,
+    average norm, ratio.
+
+    Determinism: per-dim means use the kmeans recipe (ROUND 3 ->
+    DECIMAL sums -> one f64 divide -> ROUND 6); both norms fold/square
+    through DECIMAL so no f64 sum ever crosses a shuffle boundary."""
+    v = as_double_array(F.col(vec_col))
+    comp = emb.select(
+        F.posexplode(
+            F.transform(v, lambda x: F.round(x, 3).cast("decimal(12,3)"))
+        ).alias("d", "x")
+    )
+    dim_means = comp.groupBy("d").agg(
+        F.round(F.sum("x").cast("double") / F.count("*"), 6)
+        .cast("decimal(18,6)")
+        .alias("m")
+    )
+    mean_norm = dim_means.agg(
+        F.sqrt(
+            F.sum((F.col("m") * F.col("m")).cast("decimal(38,12)")).cast(
+                "double"
+            )
+        ).alias("_mn")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    avg_norm = emb.select(
+        F.round(norm, 6).cast("decimal(18,6)").alias("_nrm")
+    ).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        (F.sum("_nrm").cast("double") / F.count("*")).alias("_an"),
+    )
+    return avg_norm.crossJoin(F.broadcast(mean_norm)).select(
+        "n_vecs",
+        F.round(F.col("_mn"), 6).alias("mean_vec_norm"),
+        F.round(F.col("_an"), 6).alias("avg_vec_norm"),
+        F.round(F.col("_mn") / F.col("_an"), 6).alias("anisotropy_ratio"),
+    )

@@ -2484,3 +2484,50 @@ def calibration_bins(orders: DataFrame, bins: int = CALIBRATION_BINS) -> DataFra
             F.round(F.abs(F.col("mean_score") - F.col("pos_rate")), 6),
         )
     )
+
+
+PSI_BINS = 10
+
+
+def psi_drift(orders: DataFrame, bins: int = PSI_BINS) -> DataFrame:
+    """Population-stability-index drift between two md5-gated halves of
+    the order-value distribution — the model-monitoring metric for
+    "did the scored population shift": per equal-width bin (exact
+    integer-cents edges), both halves' shares and the PSI term
+    (p-q)*ln(p/q), rounded-9 DECIMAL so the total is order-exact.
+    Zero-count bins take the standard 1e-6 floor.
+
+    One scan + a two-scalar broadcast + a bins-sized aggregate."""
+    from ..functions.text import md5_int
+
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    half = (md5_int(F.col("o_orderkey").cast("string")) % 2).cast("int")
+    rng = orders.select(cents.alias("_c")).agg(
+        F.min("_c").alias("_lo"), F.max("_c").alias("_hi")
+    )
+    scored = orders.crossJoin(F.broadcast(rng)).select(
+        cents.alias("c"), half.alias("h"), "_lo", "_hi"
+    )
+    b = F.expr(
+        f"least(((c - _lo) * {bins}) div (_hi - _lo + 1), {bins - 1})"
+    ).cast("int")
+    per_bin = scored.groupBy(b.alias("bin")).agg(
+        F.sum((F.col("h") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("h") == 1).cast("long")).alias("n_b"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_a").cast("double").alias("_ta"),
+        F.sum("n_b").cast("double").alias("_tb"),
+    )
+    p = F.greatest(F.col("n_a") / F.col("_ta"), F.lit(1e-6))
+    q = F.greatest(F.col("n_b") / F.col("_tb"), F.lit(1e-6))
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(p, 6).alias("share_a"),
+        F.round(q, 6).alias("share_b"),
+        F.round((p - q) * F.log(p / q), 9)
+        .cast("decimal(20,9)")
+        .alias("psi_term"),
+    )

@@ -9767,3 +9767,100 @@ def doc_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import validate as V
 
     return V.id_gap_audit(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 63 (round 2): streaming anomaly gate, embedding isotropy, PSI
+# drift.
+# --------------------------------------------------------------------------
+
+
+@query("stream_anomaly_zscore", _ORACLES["events_anomaly_zscore"])
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming outlier gate: the event stream scored per micro-batch
+    against static per-user (mean, std) baselines — stream-static
+    online anomaly detection; availableNow == the batch z-score query
+    (same oracle)."""
+    from .streaming.jobs import stream_anomaly_zscore as _job
+
+    return _job(spark, sf_dir)
+
+
+@query(
+    "embedding_isotropy_audit",
+    """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+comp AS (
+  SELECT i, CAST(ROUND(e[i], 3) AS DECIMAL(12,3)) AS x
+  FROM (SELECT e, unnest(range(1, len(e) + 1)) AS i FROM base)
+),
+dm AS (
+  SELECT i, CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6)
+                 AS DECIMAL(18,6)) AS m
+  FROM comp GROUP BY i
+),
+mn AS (
+  SELECT SQRT(CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE)) AS mnorm
+  FROM dm
+),
+pn AS (
+  SELECT vec_id, CAST(ROUND(SQRT(SUM(x * x)), 6) AS DECIMAL(18,6)) AS nrm
+  FROM (SELECT vec_id, unnest(e) AS x FROM base) GROUP BY vec_id
+),
+an AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(nrm) AS DOUBLE) / COUNT(*) AS anorm
+  FROM pn
+)
+SELECT n_vecs, ROUND(mnorm, 6) AS mean_vec_norm,
+       ROUND(anorm, 6) AS avg_vec_norm,
+       ROUND(mnorm / anorm, 6) AS anisotropy_ratio
+FROM an, mn
+""",
+)
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy diagnostic: ||mean vector|| vs average
+    vector norm — the collapsed-space check run before trusting cosine
+    retrieval; DECIMAL-exact across the shuffle."""
+    return A.isotropy_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+_PSI_P = "GREATEST(n_a / ta, 1e-6)"
+_PSI_Q = "GREATEST(n_b / tb, 1e-6)"
+
+
+@query(
+    "orders_psi_drift",
+    f"""
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS c,
+         CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 2 AS INT) AS h
+  FROM orders
+),
+rng AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM c),
+pb AS (
+  SELECT LEAST(((c - lo) * {R.PSI_BINS}) // (hi - lo + 1),
+               {R.PSI_BINS - 1}) AS bin,
+         SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM c, rng GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb
+  FROM pb
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND({_PSI_P}, 6) AS share_a,
+       ROUND({_PSI_Q}, 6) AS share_b,
+       CAST(ROUND(({_PSI_P} - {_PSI_Q}) * ln({_PSI_P} / {_PSI_Q}), 9)
+            AS DECIMAL(20,9)) AS psi_term
+FROM pb, tot
+""",
+)
+def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two md5-gated halves
+    of the order-value distribution — the model-monitoring shift
+    metric, exact-cents bins, rounded-DECIMAL PSI terms."""
+    return R.psi_drift(load_table(spark, sf_dir, "orders"))

@@ -510,3 +510,55 @@ def stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_errors"))
     )
     return _drain(agg, "complete")
+
+
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly gate: the live event stream is scored per
+    micro-batch against STATIC per-user (mean, std) baselines (the
+    stream-static join pattern for online outlier detection — the
+    baseline table refreshes on whatever cadence the batch job runs,
+    and each micro-batch picks up the latest).  availableNow + complete
+    aggregation == the batch value_anomaly_zscore (same oracle)."""
+    from ..operators.events import value_anomaly_zscore  # noqa: F401 - contract ref
+    from ..sources.loaders import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value"), 6).cast("decimal(21,6)")
+    stats = batch.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(v).alias("_s1"),
+        F.sum((v * v).cast("decimal(33,12)")).alias("_s2"),
+    )
+    n = F.col("n_events").cast("double")
+    mean = F.col("_s1").cast("double") / n
+    var = (F.col("_s2").cast("double") - F.col("_s1").cast("double") * mean) / (
+        n - F.lit(1.0)
+    )
+    per_user = stats.select(
+        "user_id",
+        "n_events",
+        mean.alias("_mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_std"),
+    ).localCheckpoint()
+
+    ev = _read_events_stream(spark, sf_dir).select(
+        "user_id", F.round(F.col("value"), 6).alias("_v")
+    )
+    agg = (
+        ev.join(F.broadcast(per_user), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("_mean"), 6).alias("mean_value"),
+            F.round(F.max("_std"), 6).alias("std_value"),
+            F.sum(
+                (
+                    F.abs(F.col("_v") - F.col("_mean"))
+                    > F.lit(2.0) * F.col("_std")
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+    return _drain(agg, "complete")
