@@ -1229,3 +1229,45 @@ def sequence_pattern_negation(events: DataFrame) -> DataFrame:
     return counts.selectExpr(
         f"stack({len(NEG_PATTERNS)}, {stack_args}) AS (pattern, n_users)"
     )
+
+
+def disorder_audit(events: DataFrame) -> DataFrame:
+    """Event-time disorder audit — the measurement that SIZES a
+    watermark: in arrival order (event_id), lateness of each event vs
+    the running max event-time (the would-be watermark).  Reports how
+    many events arrive late and the p50/p95/max lateness in seconds —
+    withWatermark should cover ~p95+ of this distribution or the
+    dropped-late-rows rate is the remainder.
+
+    Scale: the running max rides the two-phase ranked_prefix_max (no
+    single-partition window); percentiles are exact over the LATE
+    subset (swap for approx_percentile at 100 TB, as documented in
+    order_value_percentiles)."""
+    from .ranking import ranked_prefix_max
+
+    ts_s = F.unix_timestamp("ts").alias("ts_s")
+    base = events.select("event_id", ts_s)
+    wm = ranked_prefix_max(
+        base, [F.col("event_id").asc()], "ts_s", cum_name="wm"
+    )
+    late = wm.select(
+        (F.col("wm") - F.col("ts_s")).alias("late_s")
+    )
+    return late.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum((F.col("late_s") > 0).cast("long")).cast("long").alias("n_late"),
+        F.round(
+            F.sum((F.col("late_s") > 0).cast("long"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("late_share"),
+        F.round(
+            F.percentile(F.when(F.col("late_s") > 0, F.col("late_s")), F.lit(0.5)),
+            4,
+        ).alias("p50_late_s"),
+        F.round(
+            F.percentile(F.when(F.col("late_s") > 0, F.col("late_s")), F.lit(0.95)),
+            4,
+        ).alias("p95_late_s"),
+        F.max("late_s").cast("long").alias("max_late_s"),
+    )

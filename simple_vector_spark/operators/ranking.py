@@ -172,3 +172,46 @@ def ranked_prefix_sum(
         )
         .drop("_pid", "_lcum", "_off")
     )
+
+
+def ranked_prefix_max(
+    df: DataFrame,
+    sort_exprs: Sequence[Column],
+    value_col: str,
+    cum_name: str = "cum_max",
+) -> DataFrame:
+    """Exact global INCLUSIVE prefix max of ``value_col`` over
+    ``sort_exprs`` — the streaming-watermark shape (max event-time seen
+    so far in arrival order) without a single-partition window.  Same
+    two-phase recipe as :func:`ranked_prefix_sum` with max in place of
+    sum (max is associative, so partition offsets compose the same
+    way)."""
+    part = df.repartitionByRange(*sort_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_lmax", F.max(value_col).over(lw)).localCheckpoint()
+
+    maxes = local.groupBy("_pid").agg(F.max(value_col).alias("_pm"))
+    lower = maxes.select(
+        F.col("_pid").alias("_bpid"), F.col("_pm").alias("_bpm")
+    )
+    offs = (
+        maxes.join(F.broadcast(lower), F.col("_bpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.max("_bpm").alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(
+            cum_name,
+            F.when(
+                F.col("_off").isNull(), F.col("_lmax")
+            ).otherwise(F.greatest(F.col("_lmax"), F.col("_off"))),
+        )
+        .drop("_pid", "_lmax", "_off")
+    )

@@ -2531,3 +2531,68 @@ def psi_drift(orders: DataFrame, bins: int = PSI_BINS) -> DataFrame:
         .cast("decimal(20,9)")
         .alias("psi_term"),
     )
+
+
+KS_GROUPS = ("R", "N")
+
+
+def ks_two_sample(lineitem: DataFrame, groups: tuple[str, str] = KS_GROUPS) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two
+    returnflag groups over l_quantity: KS = max |F_a(v) - F_b(v)| over
+    observed values, with the 5%-level critical value
+    1.36*sqrt((n_a+n_b)/(n_a*n_b)) and the reject flag — the
+    distribution-shift test with an exact answer when the value domain
+    is bounded (quantity has ~50 distinct values; for unbounded
+    domains bin first, as orders_psi_drift does).
+
+    Scale: one (group, value) aggregate, then cumulative shares via a
+    broadcast triangle join over the |distinct values| table."""
+    a_key, b_key = groups
+    q = F.col("l_quantity").cast("decimal(10,2)")
+    counts = (
+        lineitem.filter(F.col("l_returnflag").isin(a_key, b_key))
+        .groupBy(q.alias("v"))
+        .agg(
+            F.sum((F.col("l_returnflag") == a_key).cast("long")).alias("c_a"),
+            F.sum((F.col("l_returnflag") == b_key).cast("long")).alias("c_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+    )
+    other = counts.select(
+        F.col("v").alias("_v2"), F.col("c_a").alias("_ca2"),
+        F.col("c_b").alias("_cb2"),
+    )
+    cum = (
+        counts.join(F.broadcast(other), F.col("_v2") <= F.col("v"))
+        .groupBy("v")
+        .agg(F.sum("_ca2").alias("cum_a"), F.sum("_cb2").alias("cum_b"))
+    )
+    diff = cum.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("n_a")
+                - F.col("cum_b").cast("double") / F.col("n_b")
+            ),
+            6,
+        ).alias("d"),
+    )
+    crit = F.lit(1.36) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return (
+        diff.groupBy("n_a", "n_b")
+        .agg(F.max("d").alias("ks_stat"))
+        .select(
+            "n_a",
+            "n_b",
+            "ks_stat",
+            F.round(crit, 6).alias("crit_5pct"),
+            (F.col("ks_stat") > crit).alias("reject_same_dist"),
+        )
+    )

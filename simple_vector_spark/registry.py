@@ -9864,3 +9864,79 @@ def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the order-value distribution — the model-monitoring shift
     metric, exact-cents bins, rounded-DECIMAL PSI terms."""
     return R.psi_drift(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 64 (round 2): event-time disorder audit (watermark sizing),
+# two-sample KS test.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_disorder_audit",
+    """
+WITH wm AS (
+  SELECT epoch(ts) AS ts_s,
+         MAX(epoch(ts)) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+           AS wm
+  FROM events
+),
+late AS (SELECT CAST(wm - ts_s AS BIGINT) AS late_s FROM wm)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS late_share,
+       ROUND(quantile_cont(CASE WHEN late_s > 0 THEN late_s END, 0.5), 4)
+         AS p50_late_s,
+       ROUND(quantile_cont(CASE WHEN late_s > 0 THEN late_s END, 0.95), 4)
+         AS p95_late_s,
+       CAST(MAX(late_s) AS BIGINT) AS max_late_s
+FROM late
+""",
+)
+def events_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder vs arrival order — the measurement that
+    sizes withWatermark: late-arrival share and p50/p95/max lateness
+    against the running event-time max, on the two-phase prefix max
+    (no single-partition window)."""
+    return E.disorder_audit(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "lineitem_ks_test",
+    f"""
+WITH counts AS (
+  SELECT CAST(l_quantity AS DECIMAL(10,2)) AS v,
+         SUM(CASE WHEN l_returnflag = '{R.KS_GROUPS[0]}' THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN l_returnflag = '{R.KS_GROUPS[1]}' THEN 1 ELSE 0 END) AS c_b
+  FROM lineitem WHERE l_returnflag IN ('{R.KS_GROUPS[0]}', '{R.KS_GROUPS[1]}')
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b
+  FROM counts
+),
+cum AS (
+  SELECT a.v, SUM(b.c_a) AS cum_a, SUM(b.c_b) AS cum_b
+  FROM counts a JOIN counts b ON b.v <= a.v GROUP BY a.v
+),
+diff AS (
+  SELECT n_a, n_b,
+         ROUND(ABS(CAST(cum_a AS DOUBLE) / n_a
+                   - CAST(cum_b AS DOUBLE) / n_b), 6) AS d
+  FROM cum, tot
+)
+SELECT n_a, n_b, MAX(d) AS ks_stat,
+       ROUND(1.36 * SQRT(CAST(n_a + n_b AS DOUBLE)
+                         / CAST(n_a * n_b AS DOUBLE)), 6) AS crit_5pct,
+       MAX(d) > 1.36 * SQRT(CAST(n_a + n_b AS DOUBLE)
+                            / CAST(n_a * n_b AS DOUBLE))
+         AS reject_same_dist
+FROM diff GROUP BY n_a, n_b
+""",
+)
+def lineitem_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test between returnflag
+    groups over quantity — distribution-shift testing with a bounded
+    value domain; cumulative shares via a broadcast triangle join."""
+    return R.ks_two_sample(load_table(spark, sf_dir, "lineitem"))
