@@ -2596,3 +2596,51 @@ def ks_two_sample(lineitem: DataFrame, groups: tuple[str, str] = KS_GROUPS) -> D
             (F.col("ks_stat") > crit).alias("reject_same_dist"),
         )
     )
+
+
+DC_AMOUNT_BUCKET = 1000_00  # cents: block by $1000 amount bands
+DC_MAX_DAYS = 30
+
+
+def double_charge_screen(orders: DataFrame) -> DataFrame:
+    """Duplicate-payment screen: same customer, similar amount (same
+    $1000 band), orders within {DC_MAX_DAYS} days — the fraud/billing
+    audit that flags likely double charges for review.  Blocked
+    self-join on (customer, amount band): pair space is
+    sum-of-block-squares; band-boundary near-misses are the documented
+    blocking tradeoff (halve the band and explode to both neighbors to
+    tighten recall, the grid-join trick).
+
+    Output: the candidate pairs with day gap and exact cent
+    difference, deterministic (o_orderkey ordering)."""
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    o = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("k"),
+        cents.alias("c"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        (cents / F.lit(DC_AMOUNT_BUCKET)).cast("long").alias("band"),
+    )
+    a = o.select(
+        "o_custkey", "band",
+        F.col("k").alias("order_a"), F.col("c").alias("c_a"),
+        F.col("d").alias("d_a"),
+    )
+    b = o.select(
+        "o_custkey", "band",
+        F.col("k").alias("order_b"), F.col("c").alias("c_b"),
+        F.col("d").alias("d_b"),
+    )
+    gap = F.abs(F.datediff(F.col("d_a"), F.col("d_b")))
+    return (
+        a.join(b, ["o_custkey", "band"])
+        .filter(F.col("order_a") < F.col("order_b"))
+        .filter(gap <= DC_MAX_DAYS)
+        .select(
+            "o_custkey",
+            "order_a",
+            "order_b",
+            gap.cast("int").alias("day_gap"),
+            F.abs(F.col("c_a") - F.col("c_b")).cast("long").alias("cents_diff"),
+        )
+    )

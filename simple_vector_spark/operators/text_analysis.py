@@ -1137,3 +1137,44 @@ def rm3_expansion(
         )
     )
     return w.orderBy(F.col("weight").desc(), F.col("term").asc()).limit(k)
+
+
+KWIC_TERM = "vector"
+KWIC_WINDOW = 2  # words of context each side
+
+
+def kwic_snippets(
+    docs: DataFrame, term: str = KWIC_TERM, window: int = KWIC_WINDOW
+) -> DataFrame:
+    """Keyword-in-context (KWIC) snippet extraction — the search-result
+    highlighting step: for each doc containing ``term``, the tokens
+    around its FIRST occurrence (deterministic), joined back to the
+    token array with an index-window slice.  No text rescan: positions
+    come from the positional explode, the snippet from one array
+    slice.
+
+    Scale: position filter before any join; one doc-keyed join of the
+    (term-posting-sized) first-occurrence table against the token
+    arrays."""
+    tk_arr = tokens(F.col("text"))
+    base = docs.select("doc_id", tk_arr.alias("tk"))
+    pos = (
+        base.select(
+            "doc_id", F.posexplode("tk").alias("pos", "term")
+        )
+        .filter(F.col("term") == term)
+        .groupBy("doc_id")
+        .agg(F.min("pos").alias("p"))  # 0-based first occurrence
+    )
+    start = F.greatest(F.col("p") + 1 - window, F.lit(1))  # slice is 1-based
+    length = F.col("p") + 1 + window - start + 1
+    return (
+        base.join(pos, "doc_id")
+        .select(
+            "doc_id",
+            F.col("p").cast("int").alias("first_pos"),
+            F.array_join(
+                F.slice(F.col("tk"), start, length), " "
+            ).alias("snippet"),
+        )
+    )

@@ -9940,3 +9940,69 @@ def lineitem_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups over quantity — distribution-shift testing with a bounded
     value domain; cumulative shares via a broadcast triangle join."""
     return R.ks_two_sample(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 65 (round 2): double-charge screen, KWIC snippets,
+# dropDuplicatesWithinWatermark.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_double_charge",
+    f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS c,
+         CAST(o_orderdate AS DATE) AS d,
+         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+           // {R.DC_AMOUNT_BUCKET} AS band
+  FROM orders
+)
+SELECT a.o_custkey, a.k AS order_a, b.k AS order_b,
+       CAST(abs(a.d - b.d) AS INT) AS day_gap,
+       CAST(abs(a.c - b.c) AS BIGINT) AS cents_diff
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.band = b.band AND a.k < b.k
+WHERE abs(a.d - b.d) <= {R.DC_MAX_DAYS}
+""",
+)
+def orders_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: same customer, same $1000 amount band,
+    within {R.DC_MAX_DAYS} days — blocked self-join, fraud-review
+    candidates with day gap and cent difference."""
+    return R.double_charge_screen(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "text_kwic_snippets",
+    f"""
+WITH base AS (SELECT doc_id, {_TK_SQL} AS tk FROM documents),
+pos AS (
+  SELECT doc_id, MIN(i) - 1 AS p
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM base)
+  WHERE tk[i] = '{T.KWIC_TERM}' GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(p AS INT) AS first_pos,
+       array_to_string(
+         tk[GREATEST(p + 1 - {T.KWIC_WINDOW}, 1) : p + 1 + {T.KWIC_WINDOW}],
+         ' ') AS snippet
+FROM base b JOIN pos USING (doc_id)
+""",
+)
+def text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets around the first occurrence of the
+    query term — search-result highlighting from the positional index
+    + one array slice, no text rescan."""
+    return T.kwic_snippets(load_table(spark, sf_dir, "documents"))
+
+
+@query("stream_dedup_within_watermark", _ORACLES["stream_dedup_counts"])
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: stateful dedup whose key state is
+    EVICTED when the watermark passes — bounded state for
+    at-least-once sources; doubled input availableNow == the batch
+    distinct (same oracle as stream_dedup_counts)."""
+    from .streaming.jobs import dedup_within_watermark_stream
+
+    return dedup_within_watermark_stream(spark, sf_dir)

@@ -562,3 +562,26 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "complete")
+
+
+def dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup via dropDuplicatesWithinWatermark (the
+    3.5+ API): unlike dropDuplicates, state for a key is EVICTED once
+    the watermark passes it — bounded state for at-least-once sources
+    whose duplicates arrive close together, the practical Kafka
+    posture.  Doubled input + availableNow == the batch distinct
+    (same per-type oracle as stream_dedup_counts)."""
+    a = _read_events_stream(spark, sf_dir)
+    b = _read_events_stream(spark, sf_dir)
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = _drain(deduped.select("event_id", "event_type", "value"), "append")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
