@@ -909,3 +909,41 @@ def kcore_peel(pairs: DataFrame, rounds: int = KCORE_ROUNDS, k: int = KCORE_K) -
     import functools
 
     return functools.reduce(lambda x, y: x.unionByName(y), out)
+
+
+def matcher_eval(
+    pairs: DataFrame, docs_plus: DataFrame, plant_mod: int, plant_shift: int
+) -> DataFrame:
+    """Matcher evaluation against the PLANTED ground truth: the
+    fixture's known duplicate pairs (doc_id % plant_mod == 0 copied to
+    doc_id + plant_shift) are the labels; candidate pairs from the LSH
+    matcher are scored as TP (planted) or FP (incidental collisions —
+    possibly real near-dups, but not planted, so they count against
+    planted-truth precision; stated semantics).  Recall counts planted
+    pairs the matcher missed (e.g. docs too short to signature).
+
+    One summary row: tp/fp/fn, precision, recall, f1 — the
+    record-linkage scorecard every dedup rollout reports."""
+    base_ids = docs_plus.filter(
+        (F.col("doc_id") % plant_mod == 0) & (F.col("doc_id") < plant_shift)
+    ).select("doc_id")
+    truth = base_ids.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + plant_shift).alias("doc_b"),
+    )
+    tp = pairs.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count("*").cast("long").alias("tp")
+    )
+    n_pairs = pairs.agg(F.count("*").cast("long").alias("n_cand"))
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    joined = tp.crossJoin(n_pairs).crossJoin(n_truth)
+    p = F.col("tp").cast("double") / F.col("n_cand")
+    r = F.col("tp").cast("double") / F.col("n_truth")
+    return joined.select(
+        "tp",
+        (F.col("n_cand") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("n_truth") - F.col("tp")).cast("long").alias("fn"),
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(2 * p * r / (p + r), 6).alias("f1"),
+    )

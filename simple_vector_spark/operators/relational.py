@@ -2644,3 +2644,42 @@ def double_charge_screen(orders: DataFrame) -> DataFrame:
             F.abs(F.col("c_a") - F.col("c_b")).cast("long").alias("cents_diff"),
         )
     )
+
+
+def chi2_independence(customer: DataFrame) -> DataFrame:
+    """Chi-square test of independence between nation and market
+    segment — 'is segment mix the same across nations': observed vs
+    expected cell counts over the (bounded) contingency table, with
+    the per-cell terms rounded-9 DECIMAL so the statistic is
+    association-order exact.
+
+    One (nation, segment) aggregate; margins broadcast back; the
+    cell table is |nations| x |segments|."""
+    cells = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    rows_m = cells.groupBy("c_nationkey").agg(F.sum("n").alias("_rn"))
+    cols_m = cells.groupBy("c_mktsegment").agg(F.sum("n").alias("_cn"))
+    tot = cells.agg(F.sum("n").cast("double").alias("_tot"))
+    e = F.col("_rn").cast("double") * F.col("_cn") / F.col("_tot")
+    term = (
+        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e
+    )
+    terms = (
+        cells.join(F.broadcast(rows_m), "c_nationkey")
+        .join(F.broadcast(cols_m), "c_mktsegment")
+        .crossJoin(F.broadcast(tot))
+        .select(F.round(term, 9).cast("decimal(20,9)").alias("_t"))
+    )
+    dims = cells.agg(
+        F.countDistinct("c_nationkey").alias("_r"),
+        F.countDistinct("c_mktsegment").alias("_s"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+    return terms.agg(
+        F.round(F.sum("_t").cast("double"), 6).alias("chi2")
+    ).crossJoin(F.broadcast(dims)).select(
+        "chi2",
+        ((F.col("_r") - 1) * (F.col("_s") - 1)).cast("int").alias("dof"),
+        "n_rows",
+    )

@@ -10006,3 +10006,90 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     from .streaming.jobs import dedup_within_watermark_stream
 
     return dedup_within_watermark_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Wave 66 (round 2): matcher scorecard vs planted truth, chi-square
+# independence.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_matcher_eval",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+{_BANDS_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT doc_id AS doc_a, doc_id + {PLANT_SHIFT} AS doc_b
+  FROM docs_plus
+  WHERE doc_id % {PLANT_MOD} = 0 AND doc_id < {PLANT_SHIFT}
+),
+m AS (
+  SELECT CAST((SELECT COUNT(*) FROM cand c
+               WHERE EXISTS (SELECT 1 FROM truth t
+                             WHERE t.doc_a = c.doc_a AND t.doc_b = c.doc_b))
+              AS BIGINT) AS tp,
+         CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+         CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth
+)
+SELECT tp, CAST(n_cand - tp AS BIGINT) AS fp, CAST(n_truth - tp AS BIGINT) AS fn,
+       ROUND(tp / CAST(n_cand AS DOUBLE), 6) AS precision,
+       ROUND(tp / CAST(n_truth AS DOUBLE), 6) AS recall,
+       ROUND(2 * (tp / CAST(n_cand AS DOUBLE)) * (tp / CAST(n_truth AS DOUBLE))
+             / (tp / CAST(n_cand AS DOUBLE) + tp / CAST(n_truth AS DOUBLE)), 6)
+         AS f1
+FROM m
+""",
+)
+def dedup_matcher_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage scorecard: the LSH matcher's candidate pairs
+    scored against the planted duplicate ground truth — tp/fp/fn,
+    precision, recall, f1 (incidental real near-dups count against
+    planted-truth precision; stated semantics)."""
+    return D.matcher_eval(
+        _minhash_pairs(spark, sf_dir),
+        _docs_plus_spark(spark, sf_dir),
+        PLANT_MOD,
+        PLANT_SHIFT,
+    )
+
+
+@query(
+    "customer_chi2_independence",
+    """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+),
+rm AS (SELECT c_nationkey, SUM(n) AS rn FROM cells GROUP BY 1),
+cm AS (SELECT c_mktsegment, SUM(n) AS cn FROM cells GROUP BY 1),
+tt AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM cells),
+terms AS (
+  SELECT CAST(ROUND(
+           (CAST(n AS DOUBLE) - CAST(rn AS DOUBLE) * cn / tot)
+           * (CAST(n AS DOUBLE) - CAST(rn AS DOUBLE) * cn / tot)
+           / (CAST(rn AS DOUBLE) * cn / tot), 9) AS DECIMAL(20,9)) AS t
+  FROM cells JOIN rm USING (c_nationkey) JOIN cm USING (c_mktsegment), tt
+),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS s,
+         CAST(SUM(n) AS BIGINT) AS n_rows
+  FROM cells
+)
+SELECT ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2,
+       CAST((r - 1) * (s - 1) AS INT) AS dof, n_rows
+FROM terms, dims GROUP BY r, s, n_rows
+""",
+)
+def customer_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of nation x market segment — observed vs
+    expected over the bounded contingency table, rounded-DECIMAL cell
+    terms."""
+    return R.chi2_independence(load_table(spark, sf_dir, "customer"))

@@ -50,3 +50,35 @@ def test_id_gaps_contiguous_is_clean(spark):
     r = V.id_gap_audit(docs).collect()[0]
     assert r["n_missing"] == 0
     assert r["n_gap_starts"] == 0
+
+
+def test_matcher_eval_perfect_and_missed(spark):
+    # truth: (0,1000000), (100,1000100); candidates hit one of them
+    # plus one false positive
+    docs = spark.createDataFrame(
+        [(0,), (100,), (1_000_000,), (1_000_100,), (5,), (7,)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1_000_000), (5, 7)], "doc_a long, doc_b long"
+    )
+    r = D.matcher_eval(pairs, docs, 100, 1_000_000).collect()[0]
+    assert r["tp"] == 1 and r["fp"] == 1 and r["fn"] == 1
+    assert r["precision"] == 0.5 and r["recall"] == 0.5
+    assert r["f1"] == 0.5
+
+
+def test_chi2_independent_table_is_zero(spark):
+    # perfectly proportional table -> chi2 exactly 0
+    rows = []
+    for nat in (0, 1):
+        for seg, mult in (("A", 2), ("B", 3)):
+            rows += [(i, nat, seg) for i in range(mult * (nat + 1) * 10)]
+    from simple_vector_spark.operators import relational as R
+
+    customer = spark.createDataFrame(
+        [(i, n, s) for i, (_, n, s) in enumerate(rows)],
+        "c_custkey long, c_nationkey long, c_mktsegment string",
+    )
+    r = R.chi2_independence(customer).collect()[0]
+    assert r["chi2"] == 0.0
+    assert r["dof"] == 1
