@@ -328,3 +328,33 @@ def phash_neardup_pairs(
         cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def exact_binary_dedup(docs_plus: DataFrame) -> DataFrame:
+    """Exact BINARY-asset dedup: content-address the payload column
+    (sha256 of the bytes) and report duplicate groups with the keeper
+    id and the bytes reclaimable — the storage dedup an image/audio
+    corpus runs before any perceptual matching (dedup_exact's twin at
+    the binary layer; phash handles the near-dup tier).
+
+    One shuffle on the digest; at 100 TB the digest is computed inside
+    the scan and the shuffle moves (digest, id, len) triples only."""
+    p = with_payload(docs_plus)
+    return (
+        p.groupBy("sha256")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+            F.sum("byte_len").cast("long").alias("total_bytes"),
+            F.max("byte_len").cast("long").alias("asset_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "sha256",
+            "n_copies",
+            "keeper",
+            (F.col("total_bytes") - F.col("asset_bytes"))
+            .cast("long")
+            .alias("reclaimable_bytes"),
+        )
+    )

@@ -2683,3 +2683,39 @@ def chi2_independence(customer: DataFrame) -> DataFrame:
         ((F.col("_r") - 1) * (F.col("_s") - 1)).cast("int").alias("dof"),
         "n_rows",
     )
+
+
+def supplier_hhi(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per supplier
+    nation: sum of squared supplier shares of supplied quantity
+    (0..10000 scale) — the market-concentration / single-source-risk
+    metric procurement monitors.
+
+    Exact DECIMAL quantity sums; per-supplier share terms rounded-9
+    DECIMAL before the nation sum, so the index is shuffle-order
+    exact.  One fact aggregate keyed (nation, supplier); everything
+    after is supplier-count-sized."""
+    q = F.col("l_quantity").cast("decimal(20,2)")
+    per_sup = (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(q).alias("qty"))
+    )
+    nat = per_sup.groupBy("s_nationkey").agg(
+        F.sum("qty").alias("_nq"),
+        F.count("*").cast("long").alias("n_suppliers"),
+    )
+    share = F.col("qty").cast("double") / F.col("_nq").cast("double")
+    terms = per_sup.join(F.broadcast(nat), "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        F.round(share * share * F.lit(10000.0), 9)
+        .cast("decimal(20,9)")
+        .alias("_t"),
+    )
+    return terms.groupBy("s_nationkey", "n_suppliers").agg(
+        F.round(F.sum("_t").cast("double"), 6).alias("hhi")
+    )

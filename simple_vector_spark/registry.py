@@ -10093,3 +10093,67 @@ def customer_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected over the bounded contingency table, rounded-DECIMAL cell
     terms."""
     return R.chi2_independence(load_table(spark, sf_dir, "customer"))
+
+
+# --------------------------------------------------------------------------
+# Wave 67 (round 2): supplier concentration (HHI), binary-asset dedup.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "supplier_hhi_concentration",
+    """
+WITH per_sup AS (
+  SELECT s_nationkey, s_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(20,2))) AS qty
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+nat AS (
+  SELECT s_nationkey, SUM(qty) AS nq,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM per_sup GROUP BY 1
+),
+terms AS (
+  SELECT p.s_nationkey, n.n_suppliers,
+         CAST(ROUND(CAST(p.qty AS DOUBLE) / CAST(n.nq AS DOUBLE)
+                    * (CAST(p.qty AS DOUBLE) / CAST(n.nq AS DOUBLE))
+                    * 10000.0, 9) AS DECIMAL(20,9)) AS t
+  FROM per_sup p JOIN nat n USING (s_nationkey)
+)
+SELECT s_nationkey, n_suppliers,
+       ROUND(CAST(SUM(t) AS DOUBLE), 6) AS hhi
+FROM terms GROUP BY s_nationkey, n_suppliers
+""",
+)
+def supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl supplier-concentration index per nation (0..10000):
+    single-source-risk monitoring, DECIMAL-exact shares."""
+    return R.supplier_hhi(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@query(
+    "multimodal_exact_dedup",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+p AS (
+  SELECT doc_id, sha256(text) AS sha256,
+         CAST(strlen(text) AS BIGINT) AS byte_len
+  FROM docs_plus
+)
+SELECT sha256, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS keeper,
+       CAST(SUM(byte_len) - MAX(byte_len) AS BIGINT) AS reclaimable_bytes
+FROM p GROUP BY sha256 HAVING COUNT(*) > 1
+""",
+)
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed BINARY dedup: sha256 payload groups with the
+    keeper and reclaimable bytes — the storage-layer dedup pass before
+    perceptual matching."""
+    from .operators import multimodal as MM
+
+    return MM.exact_binary_dedup(_docs_plus_spark(spark, sf_dir))

@@ -82,3 +82,35 @@ def test_chi2_independent_table_is_zero(spark):
     r = R.chi2_independence(customer).collect()[0]
     assert r["chi2"] == 0.0
     assert r["dof"] == 1
+
+
+def test_hhi_monopoly_vs_uniform(spark):
+    from simple_vector_spark.operators import relational as R
+
+    li = spark.createDataFrame(
+        [(1, 10.0), (1, 10.0), (2, 10.0), (3, 10.0)],
+        "l_suppkey long, l_quantity double",
+    )
+    sup = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1)], "s_suppkey long, s_nationkey long"
+    )
+    # nation 0: shares 1/2, 1/4, 1/4 -> HHI = 10000*(0.25+0.0625+0.0625)
+    out = {r["s_nationkey"]: r for r in R.supplier_hhi(li, sup).collect()}
+    assert abs(out[0]["hhi"] - 3750.0) < 1e-6
+    assert out[0]["n_suppliers"] == 3
+    assert 1 not in out  # supplier 4 shipped nothing
+
+
+def test_binary_dedup_reclaims_copies(spark):
+    from simple_vector_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same text"), (4, "unique")],
+        "doc_id long, text string",
+    )
+    out = MM.exact_binary_dedup(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_copies"] == 3
+    assert r["keeper"] == 1
+    assert r["reclaimable_bytes"] == 2 * len("same text")
