@@ -1271,3 +1271,23 @@ def disorder_audit(events: DataFrame) -> DataFrame:
         ).alias("p95_late_s"),
         F.max("late_s").cast("long").alias("max_late_s"),
     )
+
+
+def bounce_rate_daily(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Daily bounce rate: share of sessions containing exactly one
+    event, by session-start date — the engagement-quality KPI on top
+    of the shared gaps-and-islands sessionizer (one user shuffle, then
+    a |days|-sized aggregate)."""
+    s = sessionize(events, gap)
+    day = F.to_date(F.col("session_start"))
+    return (
+        s.groupBy(day.alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum((F.col("n") == 1).cast("long")).cast("long").alias("n_bounce"),
+        )
+        .withColumn(
+            "bounce_rate",
+            F.round(F.col("n_bounce") / F.col("n_sessions").cast("double"), 6),
+        )
+    )

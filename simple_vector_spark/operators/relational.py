@@ -2661,15 +2661,21 @@ def chi2_independence(customer: DataFrame) -> DataFrame:
     rows_m = cells.groupBy("c_nationkey").agg(F.sum("n").alias("_rn"))
     cols_m = cells.groupBy("c_mktsegment").agg(F.sum("n").alias("_cn"))
     tot = cells.agg(F.sum("n").cast("double").alias("_tot"))
+    # the full margin grid, NOT just observed cells: a structurally
+    # absent (nation, segment) combination contributes (0-e)^2/e, and
+    # dropping it understates the statistic exactly when association
+    # is strongest
+    grid = (
+        rows_m.crossJoin(cols_m)
+        .join(cells, ["c_nationkey", "c_mktsegment"], "left")
+        .withColumn("n0", F.coalesce(F.col("n"), F.lit(0)))
+    )
     e = F.col("_rn").cast("double") * F.col("_cn") / F.col("_tot")
     term = (
-        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e
+        (F.col("n0").cast("double") - e) * (F.col("n0").cast("double") - e) / e
     )
-    terms = (
-        cells.join(F.broadcast(rows_m), "c_nationkey")
-        .join(F.broadcast(cols_m), "c_mktsegment")
-        .crossJoin(F.broadcast(tot))
-        .select(F.round(term, 9).cast("decimal(20,9)").alias("_t"))
+    terms = grid.crossJoin(F.broadcast(tot)).select(
+        F.round(term, 9).cast("decimal(20,9)").alias("_t")
     )
     dims = cells.agg(
         F.countDistinct("c_nationkey").alias("_r"),
@@ -2682,6 +2688,16 @@ def chi2_independence(customer: DataFrame) -> DataFrame:
         "chi2",
         ((F.col("_r") - 1) * (F.col("_s") - 1)).cast("int").alias("dof"),
         "n_rows",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n_rows").cast("double")
+                    * F.least(F.col("_r") - 1, F.col("_s") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
     )
 
 
@@ -2718,4 +2734,169 @@ def supplier_hhi(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
     )
     return terms.groupBy("s_nationkey", "n_suppliers").agg(
         F.round(F.sum("_t").cast("double"), 6).alias("hhi")
+    )
+
+
+def mann_whitney_u(
+    lineitem: DataFrame, groups: tuple[str, str] = KS_GROUPS
+) -> DataFrame:
+    """Exact Mann-Whitney U (rank-sum) test between two returnflag
+    groups over l_quantity — the rank-based location-shift test that
+    complements lineitem_ks_test's shape test, computed exactly from
+    per-value counts on the bounded domain (midranks from cumulative
+    counts; tie-corrected normal approximation for z).
+
+    All rank arithmetic stays in exact integers/DECIMAL (midranks are
+    half-integers, carried as DECIMAL(38,1)); only the final z divide
+    is f64.  Same triangle-join shape as the KS CDFs."""
+    a_key, b_key = groups
+    q = F.col("l_quantity").cast("decimal(10,2)")
+    counts = (
+        lineitem.filter(F.col("l_returnflag").isin(a_key, b_key))
+        .groupBy(q.alias("v"))
+        .agg(
+            F.sum((F.col("l_returnflag") == a_key).cast("long")).alias("c_a"),
+            F.sum((F.col("l_returnflag") == b_key).cast("long")).alias("c_b"),
+        )
+        .withColumn("n_v", F.col("c_a") + F.col("c_b"))
+    )
+    other = counts.select(
+        F.col("v").alias("_v2"), F.col("n_v").alias("_n2")
+    )
+    before = (
+        counts.join(F.broadcast(other), F.col("_v2") < F.col("v"), "left")
+        .groupBy("v", "c_a", "c_b", "n_v")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("cb"))
+    )
+    # 2*midrank = 2*cb + n_v + 1 (integer); R_a carried as DECIMAL(38,1)
+    two_mid = (F.lit(2) * F.col("cb") + F.col("n_v") + 1).cast("decimal(38,0)")
+    agg = before.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+        (
+            F.sum(F.col("c_a").cast("decimal(38,0)") * two_mid)
+            / 2
+        ).cast("decimal(38,1)").alias("r_a"),
+        F.sum(
+            (
+                F.col("n_v").cast("decimal(38,0)")
+                * F.col("n_v")
+                * F.col("n_v")
+                - F.col("n_v")
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("tie_sum"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = n_a + n_b
+    u = F.col("r_a").cast("double") - n_a * (n_a + 1.0) / 2.0
+    mean_u = n_a * n_b / 2.0
+    var_u = (
+        n_a
+        * n_b
+        / 12.0
+        * ((n + 1.0) - F.col("tie_sum").cast("double") / (n * (n - 1.0)))
+    )
+    z = (u - mean_u) / F.sqrt(var_u)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u, 1).alias("u_stat"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("reject_same_location"),
+    )
+
+
+def cusum_detect(orders: DataFrame) -> DataFrame:
+    """CUSUM change detection on the daily revenue series, in EXACT
+    integer arithmetic: with daily cents x_t, prefix sum PS_t, total T
+    over n days, the scaled deviation D_t = n*PS_t - t*T equals
+    n^2 * (classic CUSUM S_t/n) with zero floats — the drift detector
+    whose peak |D| day is the change-point candidate (complements the
+    least-squares changepoint with the sequential-monitoring form).
+
+    Reports the peak day, the deviation in cents (D/n), and its share
+    of total revenue.  Day table is bounded; cumulatives ride a
+    broadcast triangle join."""
+    day = F.to_date("o_orderdate")
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    daily = (
+        orders.groupBy(day.alias("d"))
+        .agg(F.sum(cents).cast("decimal(38,0)").alias("x"))
+        .localCheckpoint()  # break lineage: the triangle self-join below
+    )
+    tot = daily.agg(
+        F.sum("x").cast("decimal(38,0)").alias("_T"),
+        F.count("*").cast("long").alias("_n"),
+    )
+    # rename BOTH sides of the self-join: the checkpointed plan shares
+    # attribute ids across branches, so a bare `d` would resolve
+    # ambiguously downstream
+    left = daily.select(F.col("d").alias("day"), F.col("x").alias("_x1"))
+    right = daily.select(F.col("d").alias("_d2"), F.col("x").alias("_x2"))
+    ps = (
+        left.join(F.broadcast(right), F.col("_d2") <= F.col("day"))
+        .groupBy("day")
+        .agg(
+            F.sum("_x2").cast("decimal(38,0)").alias("ps"),
+            F.count("*").cast("long").alias("t"),
+        )
+    )
+    dev = ps.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (
+            F.col("_n").cast("decimal(38,0)") * F.col("ps")
+            - F.col("t").cast("decimal(38,0)") * F.col("_T")
+        ).alias("D"),
+        "_n",
+        "_T",
+    )
+    mx = dev.select(
+        "day",
+        F.abs(F.col("D")).alias("absD"),
+        "D",
+        "_n",
+        "_T",
+    )
+    top = mx.orderBy(F.col("absD").desc(), F.col("day").asc()).limit(1)
+    return top.select(
+        F.col("day").alias("peak_day"),
+        F.round(
+            (F.col("D").cast("double") / F.col("_n").cast("double")) / 100.0,
+            2,
+        ).alias("peak_dev_dollars"),
+        F.round(
+            F.col("absD").cast("double")
+            / (F.col("_n").cast("double") * F.col("_T").cast("double")),
+            6,
+        ).alias("dev_share_of_total"),
+    )
+
+
+IQR_FENCE = 1.5
+
+
+def price_iqr_outliers(part: DataFrame) -> DataFrame:
+    """Tukey-fence outlier audit of part retail prices per brand:
+    exact q1/q3 (PERCENTILE_CONT) on the per-brand groups, fence =
+    {IQR_FENCE} * IQR, count outside — the per-segment data-quality
+    screen (at 100 TB swap exact percentiles for approx, as
+    documented in order_value_percentiles)."""
+    p = F.col("p_retailprice").cast("double")
+    q = part.groupBy("p_brand").agg(
+        F.round(F.percentile(p, F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile(p, F.lit(0.75)), 6).alias("q3"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    j = part.select("p_brand", p.alias("v")).join(F.broadcast(q), "p_brand")
+    lo = F.col("q1") - F.lit(IQR_FENCE) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(IQR_FENCE) * (F.col("q3") - F.col("q1"))
+    return (
+        j.groupBy("p_brand", "n_parts", "q1", "q3")
+        .agg(
+            F.sum(((F.col("v") < lo) | (F.col("v") > hi)).cast("long"))
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select("p_brand", "n_parts", "q1", "q3", "n_outliers")
     )

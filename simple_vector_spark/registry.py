@@ -10070,12 +10070,18 @@ WITH cells AS (
 rm AS (SELECT c_nationkey, SUM(n) AS rn FROM cells GROUP BY 1),
 cm AS (SELECT c_mktsegment, SUM(n) AS cn FROM cells GROUP BY 1),
 tt AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM cells),
+grid AS (
+  SELECT rm.c_nationkey, cm.c_mktsegment, rn, cn, COALESCE(n, 0) AS n0
+  FROM rm CROSS JOIN cm
+  LEFT JOIN cells ON cells.c_nationkey = rm.c_nationkey
+                 AND cells.c_mktsegment = cm.c_mktsegment
+),
 terms AS (
   SELECT CAST(ROUND(
-           (CAST(n AS DOUBLE) - CAST(rn AS DOUBLE) * cn / tot)
-           * (CAST(n AS DOUBLE) - CAST(rn AS DOUBLE) * cn / tot)
+           (CAST(n0 AS DOUBLE) - CAST(rn AS DOUBLE) * cn / tot)
+           * (CAST(n0 AS DOUBLE) - CAST(rn AS DOUBLE) * cn / tot)
            / (CAST(rn AS DOUBLE) * cn / tot), 9) AS DECIMAL(20,9)) AS t
-  FROM cells JOIN rm USING (c_nationkey) JOIN cm USING (c_mktsegment), tt
+  FROM grid, tt
 ),
 dims AS (
   SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS r,
@@ -10084,7 +10090,10 @@ dims AS (
   FROM cells
 )
 SELECT ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2,
-       CAST((r - 1) * (s - 1) AS INT) AS dof, n_rows
+       CAST((r - 1) * (s - 1) AS INT) AS dof, n_rows,
+       ROUND(SQRT(ROUND(CAST(SUM(t) AS DOUBLE), 6)
+                  / (CAST(n_rows AS DOUBLE)
+                     * CAST(LEAST(r - 1, s - 1) AS DOUBLE))), 6) AS cramers_v
 FROM terms, dims GROUP BY r, s, n_rows
 """,
 )
@@ -10157,3 +10166,165 @@ def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal as MM
 
     return MM.exact_binary_dedup(_docs_plus_spark(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Wave 68 (round 2): Mann-Whitney U, daily bounce rate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_mann_whitney",
+    f"""
+WITH counts AS (
+  SELECT CAST(l_quantity AS DECIMAL(10,2)) AS v,
+         SUM(CASE WHEN l_returnflag = '{R.KS_GROUPS[0]}' THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN l_returnflag = '{R.KS_GROUPS[1]}' THEN 1 ELSE 0 END) AS c_b,
+         SUM(CASE WHEN l_returnflag IN ('{R.KS_GROUPS[0]}', '{R.KS_GROUPS[1]}')
+                  THEN 1 ELSE 0 END) AS n_v
+  FROM lineitem WHERE l_returnflag IN ('{R.KS_GROUPS[0]}', '{R.KS_GROUPS[1]}')
+  GROUP BY 1
+),
+before AS (
+  SELECT a.v, a.c_a, a.c_b, a.n_v, COALESCE(SUM(b.n_v), 0) AS cb
+  FROM counts a LEFT JOIN counts b ON b.v < a.v
+  GROUP BY a.v, a.c_a, a.c_b, a.n_v
+),
+agg AS (
+  SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+         CAST(SUM(c_b) AS BIGINT) AS n_b,
+         CAST(SUM(CAST(c_a AS DECIMAL(38,0))
+                  * CAST(2 * cb + n_v + 1 AS DECIMAL(38,0))) / 2
+              AS DECIMAL(38,1)) AS r_a,
+         CAST(SUM(CAST(n_v AS DECIMAL(38,0)) * n_v * n_v - n_v)
+              AS DECIMAL(38,0)) AS tie_sum
+  FROM before
+)
+SELECT n_a, n_b,
+       ROUND(CAST(r_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1.0) / 2.0, 1)
+         AS u_stat,
+       ROUND((CAST(r_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1.0) / 2.0
+              - CAST(n_a AS DOUBLE) * n_b / 2.0)
+             / SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0
+                    * ((n_a + n_b + 1.0)
+                       - CAST(tie_sum AS DOUBLE)
+                         / ((n_a + CAST(n_b AS DOUBLE))
+                            * (n_a + n_b - 1.0)))), 6) AS z,
+       ABS((CAST(r_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1.0) / 2.0
+            - CAST(n_a AS DOUBLE) * n_b / 2.0)
+           / SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0
+                  * ((n_a + n_b + 1.0)
+                     - CAST(tie_sum AS DOUBLE)
+                       / ((n_a + CAST(n_b AS DOUBLE))
+                          * (n_a + n_b - 1.0))))) > 1.96
+         AS reject_same_location
+FROM agg
+""",
+)
+def lineitem_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U between returnflag groups over quantity —
+    rank-based location-shift test with tie-corrected z, midranks from
+    cumulative counts on the bounded value domain."""
+    return R.mann_whitney_u(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "events_bounce_rate",
+    """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+s AS (SELECT MIN(ts) AS st, COUNT(*) AS n FROM g GROUP BY user_id, sid)
+SELECT CAST(st AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+FROM s GROUP BY 1
+""",
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: single-event-session share by session-start
+    date — the engagement KPI off the shared sessionizer."""
+    return E.bounce_rate_daily(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 69 (round 2): CUSUM drift detection, IQR outlier fences.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_cusum_detect",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+              AS DECIMAL(38,0)) AS x
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(x) AS DECIMAL(38,0)) AS tt,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily
+),
+ps AS (
+  SELECT a.d, CAST(SUM(b.x) AS DECIMAL(38,0)) AS ps,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM daily a JOIN daily b ON b.d <= a.d GROUP BY a.d
+),
+dev AS (
+  SELECT d, CAST(n AS DECIMAL(38,0)) * ps - CAST(t AS DECIMAL(38,0)) * tt AS dv,
+         n, tt
+  FROM ps, tot
+)
+SELECT d AS peak_day,
+       ROUND((CAST(dv AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 2)
+         AS peak_dev_dollars,
+       ROUND(ABS(CAST(dv AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(tt AS DOUBLE)), 6)
+         AS dev_share_of_total
+FROM dev ORDER BY ABS(dv) DESC, d LIMIT 1
+""",
+)
+def orders_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection on daily revenue in exact integer
+    arithmetic (D_t = n*PS_t - t*Total): the sequential-monitoring
+    change detector; peak |D| day is the shift candidate."""
+    return R.cusum_detect(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "part_price_iqr_outliers",
+    f"""
+WITH q AS (
+  SELECT p_brand,
+         ROUND(quantile_cont(CAST(p_retailprice AS DOUBLE), 0.25), 6) AS q1,
+         ROUND(quantile_cont(CAST(p_retailprice AS DOUBLE), 0.75), 6) AS q3,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY p_brand
+)
+SELECT p.p_brand, n_parts, q1, q3,
+       CAST(SUM(CASE WHEN CAST(p_retailprice AS DOUBLE)
+                          < q1 - {R.IQR_FENCE!r} * (q3 - q1)
+                       OR CAST(p_retailprice AS DOUBLE)
+                          > q3 + {R.IQR_FENCE!r} * (q3 - q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM part p JOIN q ON p.p_brand = q.p_brand
+GROUP BY p.p_brand, n_parts, q1, q3
+""",
+)
+def part_price_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence price outliers per brand: exact quartiles, 1.5*IQR
+    fences, outlier counts — the per-segment data-quality screen."""
+    return R.price_iqr_outliers(load_table(spark, sf_dir, "part"))
