@@ -1291,3 +1291,32 @@ def bounce_rate_daily(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             F.round(F.col("n_bounce") / F.col("n_sessions").cast("double"), 6),
         )
     )
+
+
+def dispersion_index(events: DataFrame) -> DataFrame:
+    """Poisson-ness check of the arrival process: the index of
+    dispersion (sample variance / mean) of DAILY event counts, from
+    exact integer power sums — ~1 for a Poisson process,
+    overdispersed (>1) for bursty traffic, the statistic that decides
+    whether rate alerts can assume Poisson tails.  Day table is
+    bounded; sums exact."""
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    agg = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("decimal(38,0)").alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * mean) / (
+        n - F.lit(1.0)
+    )
+    return agg.select(
+        "n_days",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+        (var / mean > F.lit(1.5)).alias("overdispersed"),
+    )

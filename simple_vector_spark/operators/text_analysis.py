@@ -1178,3 +1178,83 @@ def kwic_snippets(
             ).alias("snippet"),
         )
     )
+
+
+def zlib_ratio_quality(docs: DataFrame) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher-style heuristic:
+    machine-generated/repetitive text compresses far better than
+    natural prose): per source, mean and extremes of
+    deflate(bytes)/bytes over an Arrow-batched zlib kernel
+    (mapInArrow — the bytes never leave the worker, one Python pass).
+
+    Declared rows-only: the exact deflate byte count is a zlib
+    implementation detail no SQL oracle can replay; the invariants
+    (repetitive text compresses harder; ratios in (0, ~1.1)) are
+    pytest-held instead."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("source", StringType(), True),
+            StructField("ratio", DoubleType(), True),
+            StructField("n_bytes", LongType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        import zlib
+
+        for batch in batches:
+            texts = batch.column("text").to_pylist()
+            sources = batch.column("source").to_pylist()
+            ratios, lens = [], []
+            for t in texts:
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, 6)
+                lens.append(len(raw))
+                ratios.append(len(comp) / len(raw) if raw else None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(sources, type=pa.string()),
+                    pa.array(ratios, type=pa.float64()),
+                    pa.array(lens, type=pa.int64()),
+                ],
+                names=["source", "ratio", "n_bytes"],
+            )
+
+    per_doc = docs.select("source", "text").mapInArrow(kernel, out_schema)
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("ratio"), 6).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+    )
+
+
+def hapax_ratio(docs: DataFrame) -> DataFrame:
+    """Vocabulary-richness profile per source: hapax share (terms seen
+    exactly once / vocabulary size) and type-token ratio — the corpus
+    statistics that flag template spam (low) vs diverse prose (high).
+    One tokenize pass, one (source, term) aggregate."""
+    tk = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    per_term = tk.groupBy("source", "term").agg(F.count("*").alias("n"))
+    return per_term.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("n") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.round(
+            F.sum((F.col("n") == 1).cast("long")) / F.count("*").cast("double"),
+            6,
+        ).alias("hapax_share"),
+        F.round(F.count("*") / F.sum("n").cast("double"), 6).alias(
+            "type_token_ratio"
+        ),
+    )

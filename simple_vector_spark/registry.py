@@ -9595,6 +9595,10 @@ def json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
+        # materialize the parse: Spark refuses downstream plans whose
+        # pruned column set is ONLY _corrupt_record (e.g. a bare
+        # count()), and the checkpoint also keeps the parse single-pass
+        .localCheckpoint()
     )
     return (
         back.select(
@@ -10328,3 +10332,74 @@ def part_price_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence price outliers per brand: exact quartiles, 1.5*IQR
     fences, outlier counts — the per-segment data-quality screen."""
     return R.price_iqr_outliers(load_table(spark, sf_dir, "part"))
+
+
+# --------------------------------------------------------------------------
+# Wave 70 (round 2): compression-ratio quality signal, vocabulary
+# richness, arrival dispersion.
+# --------------------------------------------------------------------------
+
+
+@query("doc_zlib_ratio")  # rows-only: deflate byte counts are zlib-internal
+def doc_zlib_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal per source (Gopher heuristic:
+    repetitive/templated text deflates much harder than prose) over an
+    Arrow-batched zlib kernel.  Rows-only by necessity — no SQL engine
+    replays deflate — with the monotonicity invariants pytest-held."""
+    return T.zlib_ratio_quality(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "vocab_hapax_ratio",
+    f"""
+WITH tk AS (SELECT source, unnest({_TK_SQL}) AS term FROM documents),
+per_term AS (SELECT source, term, COUNT(*) AS n FROM tk GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share,
+       ROUND(COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS type_token_ratio
+FROM per_term GROUP BY source
+""",
+)
+def vocab_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per source: hapax share + type-token ratio
+    — template-spam (low) vs diverse prose (high)."""
+    return T.hapax_ratio(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_dispersion_index",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+  FROM daily
+)
+SELECT n_days,
+       ROUND(CAST(s1 AS DOUBLE) / n_days, 6) AS mean_daily,
+       ROUND((CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n_days))
+             / (n_days - 1.0), 6) AS var_daily,
+       ROUND(((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n_days))
+              / (n_days - 1.0)) / (CAST(s1 AS DOUBLE) / n_days), 6)
+         AS dispersion_index,
+       ((CAST(s2 AS DOUBLE)
+         - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n_days))
+        / (n_days - 1.0)) / (CAST(s1 AS DOUBLE) / n_days) > 1.5
+         AS overdispersed
+FROM agg
+""",
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion of daily arrivals (var/mean from exact
+    power sums) — the Poisson-tail sanity check behind rate alerts."""
+    return E.dispersion_index(load_table(spark, sf_dir, "events"))
