@@ -2900,3 +2900,85 @@ def price_iqr_outliers(part: DataFrame) -> DataFrame:
         )
         .select("p_brand", "n_parts", "q1", "q3", "n_outliers")
     )
+
+
+def revenue_share_hierarchy(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Hierarchical share reporting: per nation, revenue plus its share
+    of the region subtotal and of the global total — the
+    share-of-parent pattern every drill-down report needs, in ONE scan
+    (windows partitioned by region are region-sized; the global total
+    rides a broadcast).
+
+    DECIMAL-exact revenue sums; shares are f64 of exact numerators."""
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)")).alias("_rev")
+        )
+    )
+    w_region = Window.partitionBy("r_name")
+    tot = rev.agg(F.sum("_rev").alias("_g"))
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "r_name",
+        "n_name",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("_rev").cast("double")
+            / F.sum("_rev").over(w_region).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.col("_rev").cast("double") / F.col("_g").cast("double"), 6
+        ).alias("share_of_total"),
+    )
+
+
+def cohens_d(lineitem: DataFrame, groups: tuple[str, str] = KS_GROUPS) -> DataFrame:
+    """Cohen's d effect size between two returnflag groups over
+    quantity, from exact DECIMAL power sums (pooled sample stddev) —
+    the magnitude companion to the MW/KS significance tests."""
+    a_key, b_key = groups
+    q = F.col("l_quantity").cast("decimal(10,2)")
+    g = (
+        lineitem.filter(F.col("l_returnflag").isin(a_key, b_key))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(q).alias("s1"),
+            F.sum((q * q).cast("decimal(38,4)")).alias("s2"),
+        )
+    )
+    a = g.filter(F.col("l_returnflag") == a_key).select(
+        F.col("n").alias("n_a"), F.col("s1").alias("s1a"), F.col("s2").alias("s2a")
+    )
+    b = g.filter(F.col("l_returnflag") == b_key).select(
+        F.col("n").alias("n_b"), F.col("s1").alias("s1b"), F.col("s2").alias("s2b")
+    )
+    j = a.crossJoin(b)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("s1a").cast("double") / na
+    mb = F.col("s1b").cast("double") / nb
+    ssa = F.col("s2a").cast("double") - F.col("s1a").cast("double") * ma
+    ssb = F.col("s2b").cast("double") - F.col("s1b").cast("double") * mb
+    sp = F.sqrt((ssa + ssb) / (na + nb - 2.0))
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round((ma - mb) / sp, 6).alias("cohens_d"),
+    )

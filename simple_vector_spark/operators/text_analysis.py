@@ -1258,3 +1258,51 @@ def hapax_ratio(docs: DataFrame) -> DataFrame:
             "type_token_ratio"
         ),
     )
+
+
+JS_SOURCES = ("src1", "src4")
+
+
+def js_divergence(
+    docs: DataFrame, sources: tuple[str, str] = JS_SOURCES
+) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' term
+    distributions — the symmetric, bounded corpus-drift metric (0 =
+    identical mixtures, ln 2 = disjoint): per-term probabilities from
+    exact counts, JS = 0.5*KL(p||m) + 0.5*KL(q||m) with m the
+    midpoint, each term's contribution rounded-9 DECIMAL so the sum is
+    order-exact.  Vocabulary-bounded after one tokenize pass."""
+    s_a, s_b = sources
+    tk = docs.filter(F.col("source").isin(s_a, s_b)).select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    counts = tk.groupBy("term").agg(
+        F.sum((F.col("source") == s_a).cast("long")).alias("c_a"),
+        F.sum((F.col("source") == s_b).cast("long")).alias("c_b"),
+    )
+    tot = counts.agg(
+        F.sum("c_a").cast("double").alias("_ta"),
+        F.sum("c_b").cast("double").alias("_tb"),
+    )
+    p = F.col("c_a") / F.col("_ta")
+    q_ = F.col("c_b") / F.col("_tb")
+    m = (p + q_) / 2
+    kl_p = F.when(F.col("c_a") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    kl_q = F.when(F.col("c_b") > 0, q_ * F.log(q_ / m)).otherwise(F.lit(0.0))
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        F.round(F.lit(0.5) * kl_p + F.lit(0.5) * kl_q, 9)
+        .cast("decimal(20,9)")
+        .alias("_t")
+    )
+    n_terms = counts.agg(F.count("*").cast("long").alias("n_shared_vocab"))
+    return terms.agg(
+        F.round(F.sum("_t").cast("double"), 6).alias("js_divergence")
+    ).crossJoin(F.broadcast(n_terms)).select(
+        F.lit(s_a).alias("source_a"),
+        F.lit(s_b).alias("source_b"),
+        "n_shared_vocab",
+        "js_divergence",
+        F.round(F.col("js_divergence") / F.lit(0.6931471805599453), 6).alias(
+            "normalized"
+        ),
+    )

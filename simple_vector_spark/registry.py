@@ -10403,3 +10403,121 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index of dispersion of daily arrivals (var/mean from exact
     power sums) — the Poisson-tail sanity check behind rate alerts."""
     return E.dispersion_index(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 71 (round 2): hierarchy shares, Cohen's d, Jensen-Shannon
+# source divergence.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "revenue_share_hierarchy",
+    """
+WITH rev AS (
+  SELECT r_name, n_name,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+reg AS (SELECT r_name, SUM(rev) AS rr FROM rev GROUP BY 1),
+tot AS (SELECT SUM(rev) AS g FROM rev)
+SELECT rev.r_name, n_name,
+       ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(rev AS DOUBLE) / CAST(rr AS DOUBLE), 6) AS share_of_region,
+       ROUND(CAST(rev AS DOUBLE) / CAST(g AS DOUBLE), 6) AS share_of_total
+FROM rev JOIN reg ON rev.r_name = reg.r_name, tot
+""",
+)
+def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent drill-down: nation revenue with its region and
+    global shares in one scan — region-partitioned windows plus a
+    broadcast grand total."""
+    return R.revenue_share_hierarchy(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "lineitem_cohens_d",
+    f"""
+WITH g AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(10,2))) AS s1,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(10,2))
+                  * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(38,4))) AS s2
+  FROM lineitem
+  WHERE l_returnflag IN ('{R.KS_GROUPS[0]}', '{R.KS_GROUPS[1]}')
+  GROUP BY 1
+),
+a AS (SELECT n AS n_a, s1 AS s1a, s2 AS s2a FROM g
+      WHERE l_returnflag = '{R.KS_GROUPS[0]}'),
+b AS (SELECT n AS n_b, s1 AS s1b, s2 AS s2b FROM g
+      WHERE l_returnflag = '{R.KS_GROUPS[1]}')
+SELECT n_a, n_b,
+       ROUND(CAST(s1a AS DOUBLE) / n_a, 6) AS mean_a,
+       ROUND(CAST(s1b AS DOUBLE) / n_b, 6) AS mean_b,
+       ROUND((CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b)
+             / SQRT(((CAST(s2a AS DOUBLE)
+                      - CAST(s1a AS DOUBLE) * (CAST(s1a AS DOUBLE) / n_a))
+                     + (CAST(s2b AS DOUBLE)
+                        - CAST(s1b AS DOUBLE) * (CAST(s1b AS DOUBLE) / n_b)))
+                    / (n_a + CAST(n_b AS DOUBLE) - 2.0)), 6) AS cohens_d
+FROM a, b
+""",
+)
+def lineitem_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between returnflag groups from exact
+    DECIMAL power sums — the magnitude companion to the MW/KS tests."""
+    return R.cohens_d(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "doc_js_divergence",
+    f"""
+WITH tk AS (
+  SELECT source, unnest({_TK_SQL}) AS term FROM documents
+  WHERE source IN ('{T.JS_SOURCES[0]}', '{T.JS_SOURCES[1]}')
+),
+counts AS (
+  SELECT term,
+         SUM(CASE WHEN source = '{T.JS_SOURCES[0]}' THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN source = '{T.JS_SOURCES[1]}' THEN 1 ELSE 0 END) AS c_b
+  FROM tk GROUP BY term
+),
+tot AS (
+  SELECT CAST(SUM(c_a) AS DOUBLE) AS ta, CAST(SUM(c_b) AS DOUBLE) AS tb
+  FROM counts
+),
+terms AS (
+  SELECT CAST(ROUND(
+           0.5 * (CASE WHEN c_a > 0
+                       THEN (c_a / ta) * ln((c_a / ta)
+                            / ((c_a / ta + c_b / tb) / 2))
+                       ELSE 0.0 END)
+           + 0.5 * (CASE WHEN c_b > 0
+                         THEN (c_b / tb) * ln((c_b / tb)
+                              / ((c_a / ta + c_b / tb) / 2))
+                         ELSE 0.0 END), 9) AS DECIMAL(20,9)) AS t
+  FROM counts, tot
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shared_vocab FROM counts)
+SELECT '{T.JS_SOURCES[0]}' AS source_a, '{T.JS_SOURCES[1]}' AS source_b,
+       n_shared_vocab,
+       ROUND(CAST(SUM(t) AS DOUBLE), 6) AS js_divergence,
+       ROUND(ROUND(CAST(SUM(t) AS DOUBLE), 6) / 0.6931471805599453, 6)
+         AS normalized
+FROM terms, nt GROUP BY n_shared_vocab
+""",
+)
+def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' term mixtures —
+    symmetric, bounded corpus-drift metric with rounded-DECIMAL term
+    contributions."""
+    return T.js_divergence(load_table(spark, sf_dir, "documents"))
