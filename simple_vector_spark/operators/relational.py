@@ -2982,3 +2982,92 @@ def cohens_d(lineitem: DataFrame, groups: tuple[str, str] = KS_GROUPS) -> DataFr
         F.round(mb, 6).alias("mean_b"),
         F.round((ma - mb) / sp, 6).alias("cohens_d"),
     )
+
+
+TOP_MOVERS_K = 10
+
+
+def customers_top_movers(orders: DataFrame, k: int = TOP_MOVERS_K) -> DataFrame:
+    """Top revenue movers: customers with the largest absolute spend
+    change between the last two calendar years in the data — the
+    account-management watchlist.  Two conditional DECIMAL sums in ONE
+    customer-keyed aggregate (no self-join), then a global top-k
+    (TakeOrderedAndProject — heap, not sort).
+
+    The year pair comes from one tiny aggregate broadcast back."""
+    yr = F.year("o_orderdate")
+    yrs = orders.agg(F.max(yr).alias("_y2")).select(
+        "_y2", (F.col("_y2") - 1).alias("_y1")
+    )
+    j = orders.crossJoin(F.broadcast(yrs))
+    per = (
+        j.filter((yr == F.col("_y1")) | (yr == F.col("_y2")))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(yr == F.col("_y1"),
+                       F.col("o_totalprice").cast("decimal(15,2)"))
+            ).alias("_r1"),
+            F.sum(
+                F.when(yr == F.col("_y2"),
+                       F.col("o_totalprice").cast("decimal(15,2)"))
+            ).alias("_r2"),
+        )
+    )
+    delta = F.coalesce(F.col("_r2"), F.lit(0).cast("decimal(15,2)")) - F.coalesce(
+        F.col("_r1"), F.lit(0).cast("decimal(15,2)")
+    )
+    return (
+        per.select(
+            "o_custkey",
+            F.round(F.coalesce(F.col("_r1"), F.lit(0)).cast("double"), 2).alias(
+                "rev_prev"
+            ),
+            F.round(F.coalesce(F.col("_r2"), F.lit(0)).cast("double"), 2).alias(
+                "rev_last"
+            ),
+            F.round(delta.cast("double"), 2).alias("delta"),
+            F.round(F.abs(delta).cast("double"), 2).alias("abs_delta"),
+        )
+        .orderBy(F.col("abs_delta").desc(), F.col("o_custkey").asc())
+        .limit(k)
+    )
+
+
+def return_rate_wilson(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Per-supplier-nation return rate with the 95% Wilson score
+    interval — the shrinkage-aware CI that stays sane at small n
+    (unlike the naive normal interval); exact integer counts, closed
+    form, one fact aggregate."""
+    z = 1.959963984540054  # 95%
+    g = (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long"))
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    n = F.col("n").cast("double")
+    p = F.col("r").cast("double") / n
+    z2 = F.lit(z * z)
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / denom
+    )
+    return g.select(
+        "s_nationkey",
+        "n",
+        "r",
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    )

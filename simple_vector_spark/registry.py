@@ -10521,3 +10521,78 @@ def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric, bounded corpus-drift metric with rounded-DECIMAL term
     contributions."""
     return T.js_divergence(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 72 (round 2): top revenue movers, Wilson-interval return rates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customers_top_movers",
+    f"""
+WITH yrs AS (
+  SELECT MAX(EXTRACT(year FROM o_orderdate)) AS y2,
+         MAX(EXTRACT(year FROM o_orderdate)) - 1 AS y1
+  FROM orders
+),
+per AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = y1
+                  THEN CAST(o_totalprice AS DECIMAL(15,2)) END) AS r1,
+         SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = y2
+                  THEN CAST(o_totalprice AS DECIMAL(15,2)) END) AS r2
+  FROM orders, yrs
+  WHERE EXTRACT(year FROM o_orderdate) IN (y1, y2)
+  GROUP BY o_custkey
+)
+SELECT o_custkey,
+       ROUND(CAST(COALESCE(r1, 0) AS DOUBLE), 2) AS rev_prev,
+       ROUND(CAST(COALESCE(r2, 0) AS DOUBLE), 2) AS rev_last,
+       ROUND(CAST(COALESCE(r2, 0) - COALESCE(r1, 0) AS DOUBLE), 2) AS delta,
+       ROUND(CAST(ABS(COALESCE(r2, 0) - COALESCE(r1, 0)) AS DOUBLE), 2)
+         AS abs_delta
+FROM per
+ORDER BY abs_delta DESC, o_custkey LIMIT {R.TOP_MOVERS_K}
+""",
+)
+def customers_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest absolute YoY spend changes — the account watchlist; two
+    conditional DECIMAL sums in one aggregate, global top-k heap."""
+    return R.customers_top_movers(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "lineitem_return_rate_wilson",
+    """
+WITH g AS (
+  SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS r
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey
+)
+SELECT s_nationkey, n, r,
+       ROUND(r / CAST(n AS DOUBLE), 6) AS rate,
+       ROUND(((r / CAST(n AS DOUBLE))
+              + 3.841458820694124 / (2.0 * n)) / (1.0 + 3.841458820694124 / n)
+             - 1.959963984540054
+               * SQRT((r / CAST(n AS DOUBLE)) * (1.0 - r / CAST(n AS DOUBLE)) / n
+                      + 3.841458820694124 / (4.0 * n * CAST(n AS DOUBLE)))
+               / (1.0 + 3.841458820694124 / n), 6) AS wilson_lo,
+       ROUND(((r / CAST(n AS DOUBLE))
+              + 3.841458820694124 / (2.0 * n)) / (1.0 + 3.841458820694124 / n)
+             + 1.959963984540054
+               * SQRT((r / CAST(n AS DOUBLE)) * (1.0 - r / CAST(n AS DOUBLE)) / n
+                      + 3.841458820694124 / (4.0 * n * CAST(n AS DOUBLE)))
+               / (1.0 + 3.841458820694124 / n), 6) AS wilson_hi
+FROM g
+""",
+)
+def lineitem_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier-nation return rate with the 95% Wilson score
+    interval — small-n-sane CIs from exact counts, closed form."""
+    return R.return_rate_wilson(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )

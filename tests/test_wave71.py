@@ -56,3 +56,38 @@ def test_js_divergence_identical_and_disjoint(spark):
     )
     r2 = T.js_divergence(disjoint).collect()[0]
     assert abs(r2["normalized"] - 1.0) < 1e-6  # fully disjoint = ln 2
+
+
+def test_top_movers_picks_biggest_delta(spark):
+    import datetime
+
+    rows = []
+    k = 0
+    for cust, y1_rev, y2_rev in ((1, 100.0, 1000.0), (2, 500.0, 510.0), (3, 900.0, 100.0)):
+        for year, rev in ((2023, y1_rev), (2024, y2_rev)):
+            rows.append((k, cust, rev, datetime.datetime(year, 6, 1)))
+            k += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    out = R.customers_top_movers(orders, k=2).collect()
+    assert [r["o_custkey"] for r in out] == [1, 3]  # |900| then |-800|
+    assert out[0]["delta"] == 900.0
+    assert out[1]["delta"] == -800.0
+
+
+def test_wilson_interval_brackets_rate_and_shrinks(spark):
+    li = spark.createDataFrame(
+        [(1, "R")] * 30 + [(1, "N")] * 70 + [(2, "R")] * 1 + [(2, "N")] * 1,
+        "l_suppkey long, l_returnflag string",
+    )
+    sup = spark.createDataFrame([(1, 0), (2, 1)], "s_suppkey long, s_nationkey long")
+    out = {r["s_nationkey"]: r for r in R.return_rate_wilson(li, sup).collect()}
+    big, small = out[0], out[1]
+    assert big["wilson_lo"] < big["rate"] < big["wilson_hi"]
+    # small n -> much wider interval
+    assert (small["wilson_hi"] - small["wilson_lo"]) > (
+        big["wilson_hi"] - big["wilson_lo"]
+    )
+    # Wilson stays inside [0, 1] even at n=2
+    assert 0.0 <= small["wilson_lo"] and small["wilson_hi"] <= 1.0
