@@ -10596,3 +10596,183 @@ def lineitem_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "supplier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 73 (round 2): Arrow IPC custom source, Hamming recall curve.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "arrow_ipc_source_roundtrip",
+    """
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(len(embedding)) AS BIGINT) AS sum_dims
+FROM embeddings GROUP BY label
+""",
+)
+def arrow_ipc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) round-trip through the second custom
+    Python DataSource: distributed per-task writer (mapInArrow), one
+    InputPartition per file, reader yields RecordBatches — Arrow in,
+    Arrow out, no per-row Python.  Oracle reads the ORIGINAL parquet,
+    proving the interchange lossless."""
+    import os
+
+    from .sources.arrow_ipc_source import ArrowIpcDataSource, write_arrow_ipc
+
+    if "arrow_ipc" not in getattr(spark, "_arrow_ipc_registered", set()):
+        spark.dataSource.register(ArrowIpcDataSource)
+        spark._arrow_ipc_registered = {"arrow_ipc"}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/emb_arrow_{tag}"
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    write_arrow_ipc(emb, path)
+    back = (
+        spark.read.format("arrow_ipc")
+        .schema(emb.schema)
+        .option("path", path)
+        .load()
+    )
+    return back.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vec_id").cast("long").alias("sum_ids"),
+        F.sum(F.size("embedding")).cast("long").alias("sum_dims"),
+    )
+
+
+HAMMING_CURVE_RS = (10, 25, 50)
+
+_HAM_CURVE_PARTS = " UNION ALL ".join(
+    f"""SELECT CAST({r} AS INT) AS shortlist,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       ROUND(COUNT(*) / CAST({{k}} AS DOUBLE), 6) AS recall
+FROM (
+  SELECT vec_id FROM hm WHERE hrnk <= {r}
+  ORDER BY dist, vec_id LIMIT {{k}}
+) t WHERE vec_id IN (SELECT vec_id FROM exact_top)"""
+    for r in HAMMING_CURVE_RS
+).format(k="{k}")
+
+
+@query(
+    "ann_hamming_recall_curve",
+    f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {ANN_QUERY_ID}
+),
+qp AS (
+  SELECT {_PACK_SQL.format(arr="qv", off=0)} AS qlo,
+         {_PACK_SQL.format(arr="qv", off=32)} AS qhi
+  FROM q
+),
+pk AS (
+  SELECT vec_id, e,
+         {_PACK_SQL.format(arr="e", off=0)} AS lo,
+         {_PACK_SQL.format(arr="e", off=32)} AS hi
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+),
+hmr AS (
+  SELECT vec_id, e,
+         CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS INT)
+           AS hamming
+  FROM pk, qp
+),
+hm AS (
+  SELECT vec_id, hamming,
+         ROW_NUMBER() OVER (ORDER BY hamming, vec_id) AS hrnk,
+         (SELECT ROUND(SUM((x - y) * (x - y)), 6)
+          FROM (SELECT unnest(hmr.e) AS x, unnest(q.qv) AS y)) AS dist
+  FROM hmr, q
+),
+exact_d AS (
+  SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+  FROM (
+    SELECT e.vec_id,
+           unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+           unnest(q.qv) AS y
+    FROM embeddings e CROSS JOIN q
+  )
+  GROUP BY vec_id
+),
+exact_top AS (SELECT vec_id FROM exact_d ORDER BY dist, vec_id LIMIT {ANN_K})
+{_HAM_CURVE_PARTS.format(k=ANN_K)}
+""",
+)
+def ann_hamming_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{ANN_K} of the binary-Hamming path as the shortlist
+    budget grows ({HAMMING_CURVE_RS}) — the ef_search-style dial for
+    1-bit quantization: candidates ranked once at the largest budget,
+    each point a rank filter + exact rerank + intersect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = A.fit_vectors(emb, [ANN_QUERY_ID])[0][1]
+    v = A.as_double_array(F.col("embedding"))
+    qlo = sum((1 << (d - 1)) for d in range(1, 33) if float(qv[d - 1]) > 0)
+    qhi = sum((1 << (d - 1)) for d in range(1, 33) if float(qv[d + 31]) > 0)
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.lit(qlo)))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.lit(qhi)))
+    ).cast("int")
+    qcol = F.lit([float(x) for x in qv]).cast("array<double>")
+    # shortlist via TakeOrderedAndProject (per-partition heaps — never a
+    # global window over the corpus), then ranks from a triangle join
+    # on the <= max(R)-row table
+    short = (
+        emb.select(
+            "vec_id",
+            A.sign_pack_bits(v, 0).alias("lo"),
+            A.sign_pack_bits(v, 32).alias("hi"),
+            F.round(A.squared_l2(v, qcol), 6).alias("dist"),
+        )
+        .withColumn("hamming", ham)
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(max(HAMMING_CURVE_RS))
+        .localCheckpoint()
+    )
+    peers = short.select(
+        F.col("hamming").alias("_h2"), F.col("vec_id").alias("_v2")
+    )
+    scored = (
+        short.join(
+            F.broadcast(peers),
+            (F.col("_h2") < F.col("hamming"))
+            | (
+                (F.col("_h2") == F.col("hamming"))
+                & (F.col("_v2") <= F.col("vec_id"))
+            ),
+        )
+        .groupBy("vec_id", "hamming", "dist")
+        .agg(F.count("*").cast("int").alias("hrnk"))
+        .localCheckpoint()
+    )
+    exact_top = (
+        emb.select(
+            "vec_id", F.round(A.squared_l2(v, qcol), 6).alias("dist")
+        )
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(ANN_K)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    parts = []
+    for r in HAMMING_CURVE_RS:
+        cand = (
+            scored.filter(F.col("hrnk") <= r)
+            .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+            .limit(ANN_K)
+        )
+        hit = cand.join(exact_top, "vec_id", "left_semi").agg(
+            F.lit(r).cast("int").alias("shortlist"),
+            F.count("*").cast("long").alias("n_hit"),
+            F.round(F.count("*") / F.lit(float(ANN_K)), 6).alias("recall"),
+        )
+        parts.append(hit)
+    import functools
+
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
