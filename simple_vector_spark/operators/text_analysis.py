@@ -1306,3 +1306,111 @@ def js_divergence(
             "normalized"
         ),
     )
+
+
+PERCOLATE_QUERIES = (
+    ("q_table_scan", ("table", "scan")),
+    ("q_hash_join", ("hash", "join")),
+    ("q_sort_merge", ("sort", "merge")),
+    ("q_stream_window", ("stream", "window")),
+)
+
+
+def saved_search_percolate(docs: DataFrame) -> DataFrame:
+    """Percolation (reverse search): STORED queries are matched against
+    the document stream instead of documents against a query — the
+    saved-search/alerting shape.  Each stored query is an AND of
+    terms; a doc fires it when it contains every term.  Reports per
+    stored query the firing-doc count.
+
+    Scale: the stored-query term table broadcasts (queries are tiny);
+    one tokenize pass, the (doc, query) match aggregates count
+    DISTINCT matched terms and keep rows hitting the query's arity —
+    no per-query rescan of the corpus."""
+    spark = docs.sparkSession
+    qrows = [
+        (name, term, len(terms))
+        for name, terms in PERCOLATE_QUERIES
+        for term in terms
+    ]
+    qterms = spark.createDataFrame(
+        qrows, "query_name string, term string, arity int"
+    )
+    tk = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    fired = (
+        tk.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "query_name", "arity")
+        .agg(F.count("*").alias("_hits"))
+        .filter(F.col("_hits") == F.col("arity"))
+    )
+    counts = fired.groupBy("query_name").agg(
+        F.count("*").cast("long").alias("n_docs_fired")
+    )
+    all_q = spark.createDataFrame(
+        [(name,) for name, _ in PERCOLATE_QUERIES], "query_name string"
+    )
+    return all_q.join(counts, "query_name", "left").select(
+        "query_name",
+        F.coalesce(F.col("n_docs_fired"), F.lit(0)).cast("long").alias(
+            "n_docs_fired"
+        ),
+    )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def pmi_bigrams(
+    docs: DataFrame, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K
+) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent token
+    pairs with PMI = ln(p(ab) / (p(a)p(b))) over the corpus, floored
+    at ``min_count`` occurrences (rare-pair PMI explodes) — the
+    phrase-discovery pass a tokenizer or query-suggester runs.
+
+    One tokenize pass feeds both the unigram and bigram aggregates;
+    probabilities are exact-count ratios, PMI rounded 6."""
+    tk = docs.select(tokens(F.col("text")).alias("tk"))
+    uni = (
+        tk.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    n_uni = uni.agg(F.sum("cw").cast("double").alias("_nu"))
+    pairs = tk.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) >= 2 THEN "
+                "transform(sequence(1, size(tk) - 1), "
+                " i -> struct(element_at(tk, i) AS w1, "
+                "            element_at(tk, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cp"))
+    n_big = big.agg(F.sum("cp").cast("double").alias("_nb"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    pmi = F.log(
+        (F.col("cp") / F.col("_nb"))
+        / ((F.col("c1") / F.col("_nu")) * (F.col("c2") / F.col("_nu")))
+    )
+    return (
+        big.filter(F.col("cp") >= min_count)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            F.col("cp").cast("long").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )

@@ -10776,3 +10776,85 @@ def ann_hamming_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import functools
 
     return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# --------------------------------------------------------------------------
+# Wave 74 (round 2): saved-search percolation, PMI collocations.
+# --------------------------------------------------------------------------
+
+_PERCOLATE_Q_SQL = " UNION ALL ".join(
+    f"SELECT '{name}' AS query_name, '{t}' AS term, {len(terms)} AS arity"
+    for name, terms in __import__(
+        "simple_vector_spark.operators.text_analysis",
+        fromlist=["PERCOLATE_QUERIES"],
+    ).PERCOLATE_QUERIES
+    for t in terms
+)
+_PERCOLATE_NAMES_SQL = " UNION ALL ".join(
+    f"SELECT '{name}' AS query_name"
+    for name, _ in __import__(
+        "simple_vector_spark.operators.text_analysis",
+        fromlist=["PERCOLATE_QUERIES"],
+    ).PERCOLATE_QUERIES
+)
+
+
+@query(
+    "saved_search_percolate",
+    f"""
+WITH qterms AS ({_PERCOLATE_Q_SQL}),
+tk AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({_TK_SQL}) AS term FROM documents
+  )
+),
+fired AS (
+  SELECT doc_id, query_name FROM tk JOIN qterms USING (term)
+  GROUP BY doc_id, query_name, arity HAVING COUNT(*) = arity
+),
+counts AS (
+  SELECT query_name, CAST(COUNT(*) AS BIGINT) AS n_docs_fired
+  FROM fired GROUP BY query_name
+),
+names AS ({_PERCOLATE_NAMES_SQL})
+SELECT query_name, CAST(COALESCE(n_docs_fired, 0) AS BIGINT) AS n_docs_fired
+FROM names LEFT JOIN counts USING (query_name)
+""",
+)
+def saved_search_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (percolation): stored AND-of-terms queries
+    matched against the document stream — the saved-search/alerting
+    shape; stored queries broadcast, one corpus pass."""
+    return T.saved_search_percolate(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "vocab_pmi_bigrams",
+    f"""
+WITH tkk AS (SELECT {_TK_SQL} AS tk FROM documents),
+uni AS (
+  SELECT w, COUNT(*) AS cw FROM (SELECT unnest(tk) AS w FROM tkk) GROUP BY w
+),
+nu AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n_u FROM uni),
+pairs AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tkk)
+),
+big AS (SELECT w1, w2, COUNT(*) AS cp FROM pairs GROUP BY w1, w2),
+nb AS (SELECT CAST(SUM(cp) AS DOUBLE) AS n_b FROM big)
+SELECT w1, w2, CAST(cp AS BIGINT) AS n_pair,
+       ROUND(ln((cp / n_b)
+                / ((ua.cw / n_u) * (ub.cw / n_u))), 6) AS pmi
+FROM big
+JOIN uni ua ON ua.w = w1
+JOIN uni ub ON ub.w = w2
+CROSS JOIN nu CROSS JOIN nb
+WHERE cp >= {T.PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2 LIMIT {T.PMI_TOP_K}
+""",
+)
+def vocab_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information with a
+    min-count floor — the phrase-discovery pass, exact-count
+    probabilities."""
+    return T.pmi_bigrams(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,36 @@
+"""Wave-74: percolation, PMI collocations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_vector_spark.operators import text_analysis as T
+
+
+def test_percolate_and_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "full table scan happening now"),   # fires q_table_scan
+            (2, "table only no second term"),        # partial -> no fire
+            (3, "scan table reversed order fine"),   # AND ignores order
+            (4, "hash and join words"),              # fires q_hash_join
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["query_name"]: r["n_docs_fired"] for r in T.saved_search_percolate(docs).collect()}
+    assert out["q_table_scan"] == 2   # docs 1 and 3
+    assert out["q_hash_join"] == 1
+    assert out["q_sort_merge"] == 0   # present with zero count
+    assert set(out) == {name for name, _ in T.PERCOLATE_QUERIES}
+
+
+def test_pmi_rewards_exclusive_pairs(spark):
+    # 'alpha beta' always co-occur exclusively; 'the x' pairs are mixed
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " * 6) for i in range(3)]
+        + [(100 + i, "the a the b the c the d the e") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = T.pmi_bigrams(docs, min_count=5, k=5).collect()
+    assert out[0]["w1"] == "alpha" and out[0]["w2"] == "beta"
+    assert out[0]["pmi"] > 0
