@@ -947,3 +947,34 @@ def matcher_eval(
         F.round(r, 6).alias("recall"),
         F.round(2 * p * r / (p + r), 6).alias("f1"),
     )
+
+
+def storage_savings(docs_plus: DataFrame, labels: DataFrame) -> DataFrame:
+    """Dedup business case: for every near-dup cluster keep the
+    smallest doc_id, count every other member's bytes as reclaimable —
+    per source, the doc counts and byte savings a storage-review deck
+    quotes.  Singletons (docs in no cluster) contribute nothing.
+
+    One join of the (candidate-sized) label table back to doc bytes,
+    then a source aggregate."""
+    lab = labels.select(F.col("node").alias("doc_id"), "cluster")
+    sized = docs_plus.select(
+        "doc_id", "source", F.length("text").cast("long").alias("bytes")
+    ).join(lab, "doc_id")
+    keepers = sized.groupBy("cluster").agg(F.min("doc_id").alias("keeper"))
+    merged = sized.join(F.broadcast(keepers), "cluster")
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_clustered_docs"),
+            F.sum((F.col("doc_id") != F.col("keeper")).cast("long"))
+            .cast("long")
+            .alias("n_redundant"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("keeper"), F.col("bytes"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("bytes_reclaimable"),
+        )
+    )

@@ -1320,3 +1320,34 @@ def dispersion_index(events: DataFrame) -> DataFrame:
         F.round(var / mean, 6).alias("dispersion_index"),
         (var / mean > F.lit(1.5)).alias("overdispersed"),
     )
+
+
+def srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for an A/B split: users gated
+    50/50 by md5(user_id); the observed arm sizes are tested with the
+    1-dof chi-square (closed form, exact integer counts) against the
+    declared ratio — the first thing any experimentation platform
+    checks before reading a metric.  chi2 > 3.841 flags a broken
+    assignment pipeline."""
+    from ..functions.text import md5_int
+
+    arm = (md5_int(F.col("user_id").cast("string")) % 2).cast("int")
+    g = events.select("user_id").distinct().select(arm.alias("arm"))
+    counts = g.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    e = n / 2.0
+    chi2 = (
+        (F.col("n_a").cast("double") - e) * (F.col("n_a").cast("double") - e)
+        / e
+        + (F.col("n_b").cast("double") - e) * (F.col("n_b").cast("double") - e)
+        / e
+    )
+    return counts.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("srm_detected"),
+    )

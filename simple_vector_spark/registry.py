@@ -10858,3 +10858,67 @@ def vocab_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-count floor — the phrase-discovery pass, exact-count
     probabilities."""
     return T.pmi_bigrams(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 75 (round 2): dedup storage savings, A/B sample-ratio check.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_storage_savings",
+    f"""
+WITH RECURSIVE {_CLUSTER_LABELS_CTES},
+sized AS (
+  SELECT dp.doc_id, dp.source, CAST(strlen(dp.text) AS BIGINT) AS bytes,
+         l.cluster
+  FROM docs_plus dp JOIN labels l ON l.node = dp.doc_id
+),
+keepers AS (SELECT cluster, MIN(doc_id) AS keeper FROM sized GROUP BY cluster)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_clustered_docs,
+       CAST(SUM(CASE WHEN doc_id != keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redundant,
+       CAST(SUM(CASE WHEN doc_id != keeper THEN bytes ELSE 0 END) AS BIGINT)
+         AS bytes_reclaimable
+FROM sized JOIN keepers USING (cluster)
+GROUP BY source
+""",
+)
+def dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup business case: per source, redundant docs and bytes
+    reclaimable if every near-dup cluster keeps one canonical member."""
+    return D.storage_savings(
+        _docs_plus_spark(spark, sf_dir), _dup_cluster_labels(spark, sf_dir)
+    )
+
+
+@query(
+    "events_srm_check",
+    """
+WITH arms AS (
+  SELECT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS INT) AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM arms
+)
+SELECT n_a, n_b,
+       ROUND((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0)
+             + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0), 6) AS chi2,
+       ((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+          / ((n_a + n_b) / 2.0)
+        + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+          / ((n_a + n_b) / 2.0)) > 3.841 AS srm_detected
+FROM c
+""",
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: 1-dof chi-square of the md5
+    50/50 user split — the pre-read sanity check of any A/B system."""
+    return E.srm_check(load_table(spark, sf_dir, "events"))

@@ -34,3 +34,37 @@ def test_pmi_rewards_exclusive_pairs(spark):
     out = T.pmi_bigrams(docs, min_count=5, k=5).collect()
     assert out[0]["w1"] == "alpha" and out[0]["w2"] == "beta"
     assert out[0]["pmi"] > 0
+
+
+def test_storage_savings_counts_non_keepers(spark):
+    from simple_vector_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa", "s1"),       # cluster 1 keeper
+            (2, "bbbbbb", "s1"),     # cluster 1 redundant (6 bytes)
+            (3, "cc", "s2"),         # cluster 1 redundant (2 bytes)
+            (9, "zzzz", "s2"),       # not clustered
+        ],
+        "doc_id long, text string, source string",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, cluster long"
+    )
+    out = {r["source"]: r for r in D.storage_savings(docs, labels).collect()}
+    assert out["s1"]["n_redundant"] == 1
+    assert out["s1"]["bytes_reclaimable"] == 6
+    assert out["s2"]["n_redundant"] == 1
+    assert out["s2"]["bytes_reclaimable"] == 2
+    assert "s2" in out and out["s2"]["n_clustered_docs"] == 1
+
+
+def test_srm_balanced_hash_split_passes(spark):
+    from simple_vector_spark.operators import events as E
+
+    ev = spark.createDataFrame(
+        [(i, i % 500) for i in range(2000)], "event_id long, user_id long"
+    )
+    r = E.srm_check(ev).collect()[0]
+    assert r["n_a"] + r["n_b"] == 500
+    assert r["srm_detected"] is False  # hash split of 500 users is fair
