@@ -1351,3 +1351,33 @@ def srm_check(events: DataFrame) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(3.841)).alias("srm_detected"),
     )
+
+
+def mde_power(events: DataFrame) -> DataFrame:
+    """Experiment power planning: given the md5 50/50 user split and
+    the observed baseline purchase-conversion rate, the minimal
+    detectable absolute effect at alpha=0.05 / power=0.80 (two-sided
+    normal approximation, MDE = (z_a + z_b) * sqrt(2 p (1-p) / n_arm))
+    — the pre-registration number an experimenter needs before
+    launching on this traffic.  Exact counts, closed form."""
+    z_a, z_b = 1.959963984540054, 0.8416212335729143
+    per_user = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    c = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_converted"),
+    )
+    n_arm = F.col("n_users").cast("double") / 2.0
+    p = F.col("n_converted").cast("double") / F.col("n_users").cast("double")
+    mde = (
+        F.lit(z_a + z_b)
+        * F.sqrt(2.0 * p * (1.0 - p) / n_arm)
+    )
+    return c.select(
+        "n_users",
+        "n_converted",
+        F.round(p, 6).alias("baseline_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+    )

@@ -3071,3 +3071,94 @@ def return_rate_wilson(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"),
     )
+
+
+def simpson_audit(lineitem: DataFrame) -> DataFrame:
+    """Simpson's-paradox audit for corr(quantity, discount): the GLOBAL
+    correlation sign vs each returnflag stratum's sign — when strata
+    disagree with the aggregate, any "discounts drive volume"
+    conclusion from the pooled number is confounded.  Correlations
+    from exact DECIMAL power sums (the engine's corr recipe), one
+    grouped and one global aggregate.
+
+    Output: one row per stratum with its corr, plus the global corr
+    and a `reverses` flag."""
+    q = F.col("l_quantity").cast("decimal(20,2)")
+    d = F.col("l_discount").cast("decimal(20,6)")
+
+    def corr_agg(df, keys):
+        g = df.groupBy(*keys) if keys else df.groupBy()
+        agg = g.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(q).alias("sq"),
+            F.sum(d).alias("sd"),
+            F.sum((q * q).cast("decimal(38,4)")).alias("sqq"),
+            F.sum((d * d).cast("decimal(38,12)")).alias("sdd"),
+            F.sum((q * d).cast("decimal(38,8)")).alias("sqd"),
+        )
+        n = F.col("n").cast("double")
+        num = F.col("sqd").cast("double") - F.col("sq").cast("double") * F.col(
+            "sd"
+        ).cast("double") / n
+        den = F.sqrt(
+            (
+                F.col("sqq").cast("double")
+                - F.col("sq").cast("double")
+                * F.col("sq").cast("double")
+                / n
+            )
+            * (
+                F.col("sdd").cast("double")
+                - F.col("sd").cast("double")
+                * F.col("sd").cast("double")
+                / n
+            )
+        )
+        return agg.withColumn("corr", F.round(num / den, 6))
+
+    per = corr_agg(lineitem, ["l_returnflag"]).select(
+        "l_returnflag", "n", "corr"
+    )
+    glob = corr_agg(lineitem, []).select(
+        F.col("corr").alias("global_corr")
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        "l_returnflag",
+        "n",
+        F.col("corr").alias("stratum_corr"),
+        "global_corr",
+        (
+            F.signum(F.col("corr")) != F.signum(F.col("global_corr"))
+        ).alias("reverses"),
+    )
+
+
+MONTH_END_DAYS = 3
+
+
+def month_end_effect(orders: DataFrame, last_days: int = MONTH_END_DAYS) -> DataFrame:
+    """Month-end effect: revenue share of each month's final
+    ``last_days`` days vs the uniform expectation (days/month-length)
+    — the quota-pushing / billing-cycle pattern finance asks about.
+    DECIMAL-exact sums, one scan, |months| output rows."""
+    day = F.dayofmonth("o_orderdate")
+    last = F.dayofmonth(F.last_day("o_orderdate"))
+    m = F.date_format("o_orderdate", "yyyy-MM")
+    in_tail = day > (last - last_days)
+    g = orders.groupBy(m.alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)")).alias("_tot"),
+        F.sum(
+            F.when(in_tail, F.col("o_totalprice").cast("decimal(15,2)"))
+        ).alias("_tail"),
+        F.max(last).alias("_mlen"),
+    )
+    share = F.coalesce(F.col("_tail"), F.lit(0)).cast("double") / F.col(
+        "_tot"
+    ).cast("double")
+    expect = F.lit(float(last_days)) / F.col("_mlen").cast("double")
+    return g.select(
+        "month",
+        F.round(share, 6).alias("tail_share"),
+        F.round(expect, 6).alias("uniform_share"),
+        F.round(share / expect, 6).alias("lift"),
+    )

@@ -10922,3 +10922,109 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail: 1-dof chi-square of the md5
     50/50 user split — the pre-read sanity check of any A/B system."""
     return E.srm_check(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 76 (round 2): Simpson audit, month-end effect, MDE power.
+# --------------------------------------------------------------------------
+
+_SIMPSON_SUMS = """CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(20,2))) AS sq,
+         SUM(CAST(l_discount AS DECIMAL(20,6))) AS sd,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(20,2))
+                  * CAST(l_quantity AS DECIMAL(20,2)) AS DECIMAL(38,4))) AS sqq,
+         SUM(CAST(CAST(l_discount AS DECIMAL(20,6))
+                  * CAST(l_discount AS DECIMAL(20,6)) AS DECIMAL(38,12))) AS sdd,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(20,2))
+                  * CAST(l_discount AS DECIMAL(20,6)) AS DECIMAL(38,8))) AS sqd"""
+
+_SIMPSON_CORR = """ROUND((CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE) / n)
+         / SQRT((CAST(sqq AS DOUBLE)
+                 - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
+                * (CAST(sdd AS DOUBLE)
+                   - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n)), 6)"""
+
+
+@query(
+    "lineitem_simpson_audit",
+    f"""
+WITH per0 AS (
+  SELECT l_returnflag, {_SIMPSON_SUMS}
+  FROM lineitem GROUP BY l_returnflag
+),
+gl0 AS (
+  SELECT {_SIMPSON_SUMS} FROM lineitem
+),
+per AS (SELECT l_returnflag, n, {_SIMPSON_CORR} AS corr FROM per0),
+gl AS (SELECT {_SIMPSON_CORR} AS global_corr FROM gl0)
+SELECT l_returnflag, n, corr AS stratum_corr, global_corr,
+       SIGN(corr) != SIGN(global_corr) AS reverses
+FROM per, gl
+""",
+)
+def lineitem_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: corr(quantity, discount) per stratum vs
+    pooled — flags when stratum signs disagree with the aggregate;
+    power-sum-exact correlations."""
+    return R.simpson_audit(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "orders_month_end_effect",
+    f"""
+WITH g AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS tot,
+         SUM(CASE WHEN EXTRACT(day FROM o_orderdate)
+                       > EXTRACT(day FROM last_day(CAST(o_orderdate AS DATE)))
+                         - {R.MONTH_END_DAYS}
+                  THEN CAST(o_totalprice AS DECIMAL(15,2)) END) AS tail,
+         MAX(EXTRACT(day FROM last_day(CAST(o_orderdate AS DATE)))) AS mlen
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       ROUND(CAST(COALESCE(tail, 0) AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         AS tail_share,
+       ROUND({R.MONTH_END_DAYS}.0 / mlen, 6) AS uniform_share,
+       ROUND((CAST(COALESCE(tail, 0) AS DOUBLE) / CAST(tot AS DOUBLE))
+             / ({R.MONTH_END_DAYS}.0 / mlen), 6) AS lift
+FROM g
+""",
+)
+def orders_month_end_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end revenue concentration vs the uniform expectation —
+    the quota/billing-cycle pattern, DECIMAL-exact."""
+    return R.month_end_effect(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "events_mde_power",
+    """
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(conv) AS BIGINT) AS n_converted
+  FROM pu
+)
+SELECT n_users, n_converted,
+       ROUND(n_converted / CAST(n_users AS DOUBLE), 6) AS baseline_rate,
+       ROUND((1.959963984540054 + 0.8416212335729143)
+             * SQRT(2.0 * (n_converted / CAST(n_users AS DOUBLE))
+                    * (1.0 - n_converted / CAST(n_users AS DOUBLE))
+                    / (CAST(n_users AS DOUBLE) / 2.0)), 6) AS mde_abs,
+       ROUND(((1.959963984540054 + 0.8416212335729143)
+              * SQRT(2.0 * (n_converted / CAST(n_users AS DOUBLE))
+                     * (1.0 - n_converted / CAST(n_users AS DOUBLE))
+                     / (CAST(n_users AS DOUBLE) / 2.0)))
+             / (n_converted / CAST(n_users AS DOUBLE)), 6) AS mde_rel
+FROM c
+""",
+)
+def events_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal detectable effect at alpha=.05/power=.80 for the 50/50
+    split on this traffic — the pre-registration power number."""
+    return E.mde_power(load_table(spark, sf_dir, "events"))

@@ -68,3 +68,57 @@ def test_srm_balanced_hash_split_passes(spark):
     r = E.srm_check(ev).collect()[0]
     assert r["n_a"] + r["n_b"] == 500
     assert r["srm_detected"] is False  # hash split of 500 users is fair
+
+
+def test_simpson_audit_detects_reversal(spark):
+    from simple_vector_spark.operators import relational as R
+
+    # stratum A: positive corr; stratum B: positive corr; but B sits at
+    # high qty / low discount -> pooled corr flips negative
+    rows = []
+    for i in range(50):
+        rows.append(("A", 1.0 + i * 0.1, 0.01 + i * 0.001))
+        rows.append(("B", 40.0 + i * 0.1, 0.001 + i * 0.0001))
+    li = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_discount double"
+    )
+    out = {r["l_returnflag"]: r for r in R.simpson_audit(li).collect()}
+    assert out["A"]["stratum_corr"] > 0.99
+    assert out["B"]["stratum_corr"] > 0.99
+    assert out["A"]["global_corr"] < 0  # pooled reverses
+    assert out["A"]["reverses"] is True
+
+
+def test_month_end_uniform_data_has_unit_lift(spark):
+    import datetime
+
+    rows = []
+    k = 0
+    for day in range(1, 31):  # April 2024: 30 days, equal revenue daily
+        rows.append((k, 100.0, datetime.datetime(2024, 4, day)))
+        k += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    from simple_vector_spark.operators import relational as R
+
+    r = R.month_end_effect(orders).collect()[0]
+    assert abs(r["tail_share"] - 0.1) < 1e-6    # 3/30 of revenue
+    assert abs(r["lift"] - 1.0) < 1e-6
+
+
+def test_mde_shrinks_with_traffic(spark):
+    from simple_vector_spark.operators import events as E
+
+    def mk(n_users):
+        rows = []
+        for u in range(n_users):
+            rows.append((u * 2, u, "view"))
+            if u % 10 == 0:
+                rows.append((u * 2 + 1, u, "purchase"))
+        return spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+
+    small = E.mde_power(mk(100)).collect()[0]
+    big = E.mde_power(mk(1000)).collect()[0]
+    assert abs(small["baseline_rate"] - 0.1) < 1e-6
+    assert big["mde_abs"] < small["mde_abs"]  # more traffic, finer MDE
