@@ -3162,3 +3162,29 @@ def month_end_effect(orders: DataFrame, last_days: int = MONTH_END_DAYS) -> Data
         F.round(expect, 6).alias("uniform_share"),
         F.round(share / expect, 6).alias("lift"),
     )
+
+
+PRICE_ENDING_TOP = 10
+
+
+def price_endings(orders: DataFrame, k: int = PRICE_ENDING_TOP) -> DataFrame:
+    """Cent-ending distribution of order values — the psychological-
+    pricing / fabricated-amounts screen Benford complements: top
+    endings by frequency with their share vs the uniform 1% baseline.
+    Exact integer cents, one 100-group aggregate."""
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    g = orders.select((cents % 100).cast("int").alias("ending")).groupBy(
+        "ending"
+    ).agg(F.count("*").cast("long").alias("n"))
+    tot = g.agg(F.sum("n").cast("double").alias("_t"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "ending",
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("share"),
+            F.round(F.col("n") / F.col("_t") / 0.01, 6).alias("lift_vs_uniform"),
+        )
+        .orderBy(F.col("n").desc(), F.col("ending").asc())
+        .limit(k)
+    )

@@ -1414,3 +1414,43 @@ def pmi_bigrams(
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(k)
     )
+
+
+BURST_MIN_DF = 10
+BURST_TOP_K = 15
+
+
+def term_burstiness(
+    docs: DataFrame, min_df: int = BURST_MIN_DF, k: int = BURST_TOP_K
+) -> DataFrame:
+    """Church-Gale term burstiness: for each term (df >= ``min_df``),
+    the variance/mean ratio of its per-document counts over the docs
+    that CONTAIN it — a bursty term (ratio >> 1, e.g. keyword
+    stuffing, boilerplate) clusters its occurrences; a well-behaved
+    content word stays near 1.  Exact integer power sums; top-k by
+    burstiness with deterministic tiebreaks.
+
+    One tokenize pass -> (term, doc) counts -> term-keyed moments."""
+    tk = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    per_doc = tk.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
+    g = per_doc.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("decimal(38,0)").alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+    )
+    n = F.col("df").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * mean) / (
+        n - F.lit(1.0)
+    )
+    return (
+        g.filter(F.col("df") >= min_df)
+        .select(
+            "term",
+            "df",
+            F.round(mean, 6).alias("mean_tf"),
+            F.round(var / mean, 6).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), F.col("term").asc())
+        .limit(k)
+    )

@@ -11028,3 +11028,56 @@ def events_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimal detectable effect at alpha=.05/power=.80 for the 50/50
     split on this traffic — the pre-registration power number."""
     return E.mde_power(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 77 (round 2): term burstiness, price-ending audit.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vocab_term_burstiness",
+    f"""
+WITH tk AS (SELECT doc_id, unnest({_TK_SQL}) AS term FROM documents),
+per_doc AS (SELECT term, doc_id, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+g AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+  FROM per_doc GROUP BY term
+)
+SELECT term, df,
+       ROUND(CAST(s1 AS DOUBLE) / df, 6) AS mean_tf,
+       ROUND(((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / df))
+              / (df - 1.0)) / (CAST(s1 AS DOUBLE) / df), 6) AS burstiness
+FROM g WHERE df >= {T.BURST_MIN_DF}
+ORDER BY burstiness DESC, term LIMIT {T.BURST_TOP_K}
+""",
+)
+def vocab_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness per term (var/mean of in-doc counts) —
+    keyword-stuffing/boilerplate terms cluster, content words don't."""
+    return T.term_burstiness(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "orders_price_endings",
+    f"""
+WITH g AS (
+  SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) % 100
+              AS INT) AS ending,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tt FROM g)
+SELECT ending, n,
+       ROUND(n / tt, 6) AS share,
+       ROUND(n / tt / 0.01, 6) AS lift_vs_uniform
+FROM g, t ORDER BY n DESC, ending LIMIT {R.PRICE_ENDING_TOP}
+""",
+)
+def orders_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cent-ending distribution vs the uniform baseline — the
+    psychological-pricing / fabricated-amounts screen."""
+    return R.price_endings(load_table(spark, sf_dir, "orders"))

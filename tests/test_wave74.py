@@ -122,3 +122,31 @@ def test_mde_shrinks_with_traffic(spark):
     big = E.mde_power(mk(1000)).collect()[0]
     assert abs(small["baseline_rate"] - 0.1) < 1e-6
     assert big["mde_abs"] < small["mde_abs"]  # more traffic, finer MDE
+
+
+def test_burstiness_flags_stuffed_term(spark):
+    from simple_vector_spark.operators import text_analysis as T
+
+    docs = spark.createDataFrame(
+        # 'stuffed' appears 10x in half its docs, 1x in the rest;
+        # 'even' appears exactly twice everywhere
+        [(i, ("stuffed " * 10 if i % 2 == 0 else "stuffed ") + "even even")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in T.term_burstiness(docs, min_df=10, k=5).collect()}
+    assert out["stuffed"]["burstiness"] > 1.0
+    assert out["even"]["burstiness"] == 0.0
+    assert out["stuffed"]["df"] == 20
+
+
+def test_price_endings_spot_the_9s(spark):
+    rows = [(k, 10.99) for k in range(60)] + [(100 + k, 10.0 + k) for k in range(40)]
+    orders = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    from simple_vector_spark.operators import relational as R
+
+    out = R.price_endings(orders).collect()
+    assert out[0]["ending"] == 99
+    assert out[0]["n"] == 60
+    assert abs(out[0]["share"] - 0.6) < 1e-9
+    assert abs(out[0]["lift_vs_uniform"] - 60.0) < 1e-6
