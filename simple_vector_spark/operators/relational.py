@@ -3188,3 +3188,97 @@ def price_endings(orders: DataFrame, k: int = PRICE_ENDING_TOP) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("ending").asc())
         .limit(k)
     )
+
+
+XYZ_THRESHOLDS = (0.5, 1.0)
+
+
+def abc_xyz_matrix(lineitem: DataFrame) -> DataFrame:
+    """ABC-XYZ inventory segmentation matrix: revenue importance (ABC,
+    from the two-phase cumulative share) crossed with demand
+    variability (XYZ: coefficient of variation of monthly shipped
+    quantity — X steady <= {XYZ_THRESHOLDS[0]}, Y seasonal <=
+    {XYZ_THRESHOLDS[1]}, Z erratic; single-month parts are Z by
+    definition).  The 9-cell matrix purchasing uses to pick stocking
+    policies.
+
+    Exact DECIMAL sums throughout; the only f64 is the final CV."""
+    from .ranking import ranked_prefix_sum
+
+    rev = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(15,2)")).alias("rev")
+    )
+    cum = ranked_prefix_sum(
+        rev,
+        [F.col("rev").desc(), F.col("l_partkey").asc()],
+        "rev",
+        cum_name="cum",
+        total_name="total",
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    abc = cum.select(
+        "l_partkey",
+        F.when(share <= ABC_THRESHOLDS[0], "A")
+        .when(share <= ABC_THRESHOLDS[1], "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    monthly = lineitem.groupBy(
+        "l_partkey", F.date_format("l_shipdate", "yyyy-MM").alias("m")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("q"))
+    mom = monthly.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("nm"),
+        F.sum("q").alias("s1"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,4)")).alias("s2"),
+    )
+    n = F.col("nm").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * mean) / (
+        n - F.lit(1.0)
+    )
+    cv = F.sqrt(F.greatest(var, F.lit(0.0))) / mean
+    xyz = mom.select(
+        "l_partkey",
+        F.when(F.col("nm") == 1, "Z")
+        .when(cv <= XYZ_THRESHOLDS[0], "X")
+        .when(cv <= XYZ_THRESHOLDS[1], "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc", "xyz")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+    )
+
+
+SLA_DAYS = (7, 14, 30)
+
+
+def sla_attainment(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Fulfilment SLA attainment by order priority: the share of orders
+    whose FIRST shipment left within each SLA window — the
+    operations scorecard on top of the latency percentiles.  One fact
+    aggregate for first-ship, one priority rollup with a conditional
+    share per SLA tier."""
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("ship")
+    )
+    j = orders.join(
+        first_ship, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("ship"), F.col("o_orderdate").cast("date")).alias(
+            "days"
+        ),
+    )
+    aggs = [F.count("*").cast("long").alias("n_orders")]
+    for d in SLA_DAYS:
+        aggs.append(
+            F.round(
+                F.sum((F.col("days") <= d).cast("long"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias(f"within_{d}d")
+        )
+    return j.groupBy("o_orderpriority").agg(*aggs)

@@ -11081,3 +11081,102 @@ def orders_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cent-ending distribution vs the uniform baseline — the
     psychological-pricing / fabricated-amounts screen."""
     return R.price_endings(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 78 (round 2): ABC-XYZ matrix, SLA attainment.
+# --------------------------------------------------------------------------
+
+_SLA_COLS_SQL = ",\n       ".join(
+    f"""ROUND(SUM(CASE WHEN days <= {d} THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS within_{d}d"""
+    for d in R.SLA_DAYS
+)
+
+
+@query(
+    "parts_abc_xyz_matrix",
+    f"""
+WITH per AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+cum AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev) OVER () AS total
+  FROM per
+),
+abc AS (
+  SELECT l_partkey,
+         CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+                   <= {R.ABC_THRESHOLDS[0]} THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+                   <= {R.ABC_THRESHOLDS[1]} THEN 'B'
+              ELSE 'C' END AS abc
+  FROM cum
+),
+monthly AS (
+  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS m,
+         SUM(CAST(l_quantity AS DECIMAL(20,2))) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+mom AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS nm,
+         SUM(q) AS s1,
+         SUM(CAST(q * q AS DECIMAL(38,4))) AS s2
+  FROM monthly GROUP BY l_partkey
+),
+xyz AS (
+  SELECT l_partkey,
+         CASE WHEN nm = 1 THEN 'Z'
+              WHEN SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / nm))
+                      / (nm - 1.0), 0.0))
+                   / (CAST(s1 AS DOUBLE) / nm) <= {R.XYZ_THRESHOLDS[0]}
+                THEN 'X'
+              WHEN SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / nm))
+                      / (nm - 1.0), 0.0))
+                   / (CAST(s1 AS DOUBLE) / nm) <= {R.XYZ_THRESHOLDS[1]}
+                THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM mom
+)
+SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM abc JOIN xyz USING (l_partkey)
+GROUP BY abc, xyz
+""",
+)
+def parts_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ segmentation matrix: revenue importance x demand
+    variability (CV of monthly quantity) — the stocking-policy grid;
+    ABC rides the two-phase prefix sum."""
+    return R.abc_xyz_matrix(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "orders_sla_attainment",
+    f"""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o_orderpriority,
+         ship - CAST(o_orderdate AS DATE) AS days
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_SLA_COLS_SQL}
+FROM j GROUP BY o_orderpriority
+""",
+)
+def orders_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-shipment SLA attainment per priority across
+    {R.SLA_DAYS}-day tiers — the fulfilment scorecard."""
+    return R.sla_attainment(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )

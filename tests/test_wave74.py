@@ -150,3 +150,48 @@ def test_price_endings_spot_the_9s(spark):
     assert out[0]["n"] == 60
     assert abs(out[0]["share"] - 0.6) < 1e-9
     assert abs(out[0]["lift_vs_uniform"] - 60.0) < 1e-6
+
+
+def test_abc_xyz_classes(spark):
+    import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    rows = []
+    # part 1: 60% of revenue, steady monthly qty -> A/X (cum share 0.6)
+    for m in range(1, 7):
+        rows.append((1, 10.0, 10.0, datetime.datetime(2024, m, 5)))
+    # part 2: the 40% tail, single month -> C/Z (cum share 1.0)
+    rows.append((2, 5.0, 40.0, datetime.datetime(2024, 3, 5)))
+    li = spark.createDataFrame(
+        rows,
+        "l_partkey long, l_quantity double, l_extendedprice double, l_shipdate timestamp",
+    )
+    out = {(r["abc"], r["xyz"]): r["n_parts"] for r in R.abc_xyz_matrix(li).collect()}
+    assert out[("A", "X")] == 1
+    assert out[("C", "Z")] == 1
+
+
+def test_sla_attainment_tiers(spark):
+    import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT", datetime.datetime(2024, 1, 1)),
+         (2, "1-URGENT", datetime.datetime(2024, 1, 1))],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 5)),    # 4 days
+            (1, datetime.datetime(2024, 2, 1)),    # later line ignored (min)
+            (2, datetime.datetime(2024, 1, 20)),   # 19 days
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    r = R.sla_attainment(orders, li).collect()[0]
+    assert r["n_orders"] == 2
+    assert r["within_7d"] == 0.5
+    assert r["within_14d"] == 0.5
+    assert r["within_30d"] == 1.0
