@@ -1381,3 +1381,36 @@ def mde_power(events: DataFrame) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / p, 6).alias("mde_rel"),
     )
+
+
+def hll_sketch_union_weekly(events: DataFrame) -> DataFrame:
+    """The MERGEABLE-sketch API surface (hll_sketch_agg /
+    hll_union_agg): per-day HLL sketches of active users built once,
+    then UNIONED per ISO week — the
+    build-small-sketches-merge-up-the-hierarchy pattern that answers
+    any rollup's distinct count without rescanning (what a 100-TB
+    daily pipeline materializes).  Rows-only: sketch estimates are
+    engine-internal; the <5% error contract vs exact is pytest-held."""
+    daily = events.groupBy(
+        F.weekofyear("ts").alias("week"), F.to_date("ts").alias("d")
+    ).agg(F.hll_sketch_agg(F.col("user_id")).alias("sk"))
+    weekly = daily.groupBy("week").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk")))
+        .cast("long")
+        .alias("est_users"),
+    )
+    exact = events.groupBy(F.weekofyear("ts").alias("week")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return weekly.join(exact, "week").select(
+        "week",
+        "n_days",
+        "est_users",
+        "exact_users",
+        F.round(
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            / F.col("exact_users").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )

@@ -3282,3 +3282,70 @@ def sla_attainment(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             ).alias(f"within_{d}d")
         )
     return j.groupBy("o_orderpriority").agg(*aggs)
+
+
+BACKTEST_POINTS = 3
+
+
+def forecast_backtest(orders: DataFrame, points: int = BACKTEST_POINTS) -> DataFrame:
+    """Forecast backtesting: for each of the last ``points`` months,
+    fit the least-squares revenue trend on STRICTLY EARLIER months
+    (expanding window, closed-form OLS from exact power sums — the
+    same estimator as orders_revenue_forecast) and score the one-step
+    prediction; reports per-point prediction vs actual and the
+    absolute percentage error (the MAPE inputs).
+
+    Scale: the monthly series is bounded; each backtest point is a
+    conditional aggregate over it — `points` tiny aggregates on a
+    |months| table, no refits over the fact data."""
+    m = F.date_format("o_orderdate", "yyyy-MM")
+    monthly = (
+        orders.groupBy(m.alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(15,2)")).alias("rev"))
+        .localCheckpoint()
+    )
+    peers = monthly.select(
+        F.col("month").alias("_m2"), F.col("rev").alias("_r2")
+    )
+    # t index of each month = count of months <= it (bounded triangle)
+    idx = (
+        monthly.join(F.broadcast(peers), F.col("_m2") <= F.col("month"))
+        .groupBy("month", "rev")
+        .agg(F.count("*").cast("long").alias("t"))
+        .localCheckpoint()
+    )
+    n_months = idx.count()
+    parts = []
+    for i in range(points):
+        cut = n_months - points + i  # train on t <= cut, predict t = cut+1
+        train = idx.filter(F.col("t") <= cut)
+        sums = train.agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("t").cast("double").alias("st"),
+            F.sum(F.col("t") * F.col("t")).cast("double").alias("stt"),
+            F.sum(F.col("rev").cast("double")).alias("sr"),
+            F.sum(F.col("t").cast("double") * F.col("rev").cast("double")).alias(
+                "str_"
+            ),
+        )
+        slope = (F.col("str_") - F.col("st") * F.col("sr") / F.col("n")) / (
+            F.col("stt") - F.col("st") * F.col("st") / F.col("n")
+        )
+        intercept = F.col("sr") / F.col("n") - slope * F.col("st") / F.col("n")
+        pred = intercept + slope * F.lit(float(cut + 1))
+        actual = idx.filter(F.col("t") == cut + 1).select(
+            "month", F.col("rev").cast("double").alias("actual")
+        )
+        parts.append(
+            actual.crossJoin(F.broadcast(sums)).select(
+                "month",
+                F.round(pred, 2).alias("predicted"),
+                F.round(F.col("actual"), 2).alias("actual"),
+                F.round(
+                    F.abs(pred - F.col("actual")) / F.col("actual"), 6
+                ).alias("ape"),
+            )
+        )
+    import functools
+
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)

@@ -11180,3 +11180,78 @@ def orders_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 79 (round 2): forecast backtest, HLL sketch union.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_forecast_backtest",
+    """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS rev
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT month, rev, ROW_NUMBER() OVER (ORDER BY month) AS t FROM monthly
+),
+nm AS (SELECT COUNT(*) AS n_months FROM idx)
+SELECT a.month,
+       ROUND((s.sr / s.n - ((s.str_ - s.st * s.sr / s.n) / (s.stt - s.st * s.st / s.n)) * s.st / s.n) + ((s.str_ - s.st * s.sr / s.n) / (s.stt - s.st * s.st / s.n)) * ((SELECT n_months FROM nm) - 2), 2) AS predicted,
+       ROUND(CAST(a.rev AS DOUBLE), 2) AS actual,
+       ROUND(ABS(((s.sr / s.n - ((s.str_ - s.st * s.sr / s.n) / (s.stt - s.st * s.st / s.n)) * s.st / s.n) + ((s.str_ - s.st * s.sr / s.n) / (s.stt - s.st * s.st / s.n)) * ((SELECT n_months FROM nm) - 2)) - CAST(a.rev AS DOUBLE))
+             / CAST(a.rev AS DOUBLE), 6) AS ape
+FROM idx a,
+     (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(t) AS DOUBLE) AS st,
+             CAST(SUM(t * t) AS DOUBLE) AS stt,
+             SUM(CAST(rev AS DOUBLE)) AS sr,
+             SUM(t * CAST(rev AS DOUBLE)) AS str_
+      FROM idx WHERE t <= (SELECT n_months FROM nm) - 3) s
+WHERE a.t = (SELECT n_months FROM nm) - 2
+UNION ALL
+SELECT a.month,
+       ROUND((s.sr / s.n - ((s.str_ - s.st * s.sr / s.n) / (s.stt - s.st * s.st / s.n)) * s.st / s.n) + ((s.str_ - s.st * s.sr / s.n) / (s.stt - s.st * s.st / s.n)) * ((SELECT n_months FROM nm) - 1), 2) AS predicted,
+       ROUND(CAST(a.rev AS DOUBLE), 2) AS actual,
+       ROUND(ABS(((s.sr / s.n - ((s.str_ - s.st * s.sr / s.n) / (s.stt - s.st * s.st / s.n)) * s.st / s.n) + ((s.str_ - s.st * s.sr / s.n) / (s.stt - s.st * s.st / s.n)) * ((SELECT n_months FROM nm) - 1)) - CAST(a.rev AS DOUBLE))
+             / CAST(a.rev AS DOUBLE), 6) AS ape
+FROM idx a,
+     (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(t) AS DOUBLE) AS st,
+             CAST(SUM(t * t) AS DOUBLE) AS stt,
+             SUM(CAST(rev AS DOUBLE)) AS sr,
+             SUM(t * CAST(rev AS DOUBLE)) AS str_
+      FROM idx WHERE t <= (SELECT n_months FROM nm) - 2) s
+WHERE a.t = (SELECT n_months FROM nm) - 1
+UNION ALL
+SELECT a.month,
+       ROUND((s.sr / s.n - ((s.str_ - s.st * s.sr / s.n) / (s.stt - s.st * s.st / s.n)) * s.st / s.n) + ((s.str_ - s.st * s.sr / s.n) / (s.stt - s.st * s.st / s.n)) * ((SELECT n_months FROM nm) - 0), 2) AS predicted,
+       ROUND(CAST(a.rev AS DOUBLE), 2) AS actual,
+       ROUND(ABS(((s.sr / s.n - ((s.str_ - s.st * s.sr / s.n) / (s.stt - s.st * s.st / s.n)) * s.st / s.n) + ((s.str_ - s.st * s.sr / s.n) / (s.stt - s.st * s.st / s.n)) * ((SELECT n_months FROM nm) - 0)) - CAST(a.rev AS DOUBLE))
+             / CAST(a.rev AS DOUBLE), 6) AS ape
+FROM idx a,
+     (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(t) AS DOUBLE) AS st,
+             CAST(SUM(t * t) AS DOUBLE) AS stt,
+             SUM(CAST(rev AS DOUBLE)) AS sr,
+             SUM(t * CAST(rev AS DOUBLE)) AS str_
+      FROM idx WHERE t <= (SELECT n_months FROM nm) - 1) s
+WHERE a.t = (SELECT n_months FROM nm) - 0
+""",
+)
+def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window backtest of the closed-form OLS revenue
+    forecast: the last 3 months scored one step ahead — the
+    MAPE inputs a forecast review reads."""
+    return R.forecast_backtest(load_table(spark, sf_dir, "orders"))
+
+
+@query("events_hll_sketch_union")  # rows-only: sketch estimates are engine-internal
+def events_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch surface: per-day HLL sketches unioned per week
+    (hll_sketch_agg -> hll_union_agg) vs the exact weekly distinct —
+    the materialize-small-merge-up pattern; error bound pytest-held."""
+    return E.hll_sketch_union_weekly(load_table(spark, sf_dir, "events"))

@@ -195,3 +195,36 @@ def test_sla_attainment_tiers(spark):
     assert r["within_7d"] == 0.5
     assert r["within_14d"] == 0.5
     assert r["within_30d"] == 1.0
+
+
+def test_forecast_backtest_perfect_linear_series(spark):
+    import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    # perfectly linear monthly revenue -> zero APE on every point
+    rows = []
+    k = 0
+    for m in range(1, 13):
+        for _ in range(2):
+            rows.append((k, 500.0 * m, datetime.datetime(2024, m, 10)))
+            k += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    out = R.forecast_backtest(orders).collect()
+    assert len(out) == R.BACKTEST_POINTS
+    for r in out:
+        assert r["ape"] < 1e-9
+        assert abs(r["predicted"] - r["actual"]) < 0.01
+
+
+def test_hll_union_error_bound(spark, sf_dir):
+    from simple_vector_spark.operators import events as E
+    from simple_vector_spark.sources.loaders import load_table
+
+    out = E.hll_sketch_union_weekly(load_table(spark, sf_dir, "events")).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["rel_err"] < 0.05  # HLL++ accuracy contract
+        assert r["n_days"] >= 1
