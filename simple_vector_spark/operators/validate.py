@@ -212,3 +212,81 @@ def id_gap_audit(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .alias("n_missing"),
         "n_gap_starts",
     )
+
+
+RANGE_CONSTRAINTS = (
+    # (name, column expr SQL-side handled in registry; here col + lo + hi)
+    ("l_quantity_1_50", "l_quantity", 1.0, 50.0),
+    ("l_discount_0_to_0p1", "l_discount", 0.0, 0.1),
+    ("l_tax_0_to_0p08", "l_tax", 0.0, 0.08),
+    ("l_extendedprice_pos", "l_extendedprice", 0.0, None),
+)
+
+
+def range_constraint_audit(lineitem: DataFrame) -> DataFrame:
+    """dbt accepted_range tests as one engine query: every declared
+    (column, lo, hi) contract checked in a single scan — one
+    conditional-count aggregate, |constraints| output rows (null
+    bounds mean unbounded on that side; NULL values count as
+    violations of a range contract)."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for name, col, lo, hi in RANGE_CONSTRAINTS:
+        c = F.col(col).cast("double")
+        ok = c.isNotNull()
+        if lo is not None:
+            ok = ok & (c >= lo)
+        if hi is not None:
+            ok = ok & (c <= hi)
+        aggs.append(F.sum((~ok).cast("long")).cast("long").alias(name))
+    wide = lineitem.agg(*aggs)
+    stack = ", ".join(f"'{name}', {name}" for name, *_ in RANGE_CONSTRAINTS)
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(RANGE_CONSTRAINTS)}, {stack}) AS (constraint, n_violations)",
+    ).select(
+        "constraint",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("holds"),
+    )
+
+
+ACCEPTED_VALUES = (
+    ("o_orderstatus", ("F", "O", "P")),
+    (
+        "o_orderpriority",
+        ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+    ),
+)
+
+
+def accepted_values_audit(orders: DataFrame) -> DataFrame:
+    """dbt accepted_values tests: every declared categorical domain
+    checked in one scan — per column, the row count outside the
+    declared set (NULLs violate) and the count of distinct offending
+    values."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for col, allowed in ACCEPTED_VALUES:
+        bad = ~F.col(col).isin(*allowed) | F.col(col).isNull()
+        parts.append(
+            orders.agg(
+                F.lit(col).alias("column_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(bad.cast("long")).cast("long").alias("n_violations"),
+                F.countDistinct(F.when(bad, F.col(col)))
+                .cast("long")
+                .alias("n_bad_values"),
+            )
+        )
+    import functools
+
+    return functools.reduce(lambda a, b: a.unionByName(b), parts).select(
+        "column_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("holds"),
+    )

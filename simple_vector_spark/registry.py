@@ -11255,3 +11255,60 @@ def events_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hll_sketch_agg -> hll_union_agg) vs the exact weekly distinct —
     the materialize-small-merge-up pattern; error bound pytest-held."""
     return E.hll_sketch_union_weekly(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 80 (round 2): range-constraint + accepted-values contracts —
+# completes the dbt test-type suite (not_null=null_profile,
+# unique/FD=fd_discovery, relationships=fk_orphan, ranges/values here).
+# --------------------------------------------------------------------------
+
+_RANGE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS constraint,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {col} IS NULL
+                      {f"OR CAST({col} AS DOUBLE) < {lo!r}" if lo is not None else ""}
+                      {f"OR CAST({col} AS DOUBLE) > {hi!r}" if hi is not None else ""}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       SUM(CASE WHEN {col} IS NULL
+                 {f"OR CAST({col} AS DOUBLE) < {lo!r}" if lo is not None else ""}
+                 {f"OR CAST({col} AS DOUBLE) > {hi!r}" if hi is not None else ""}
+           THEN 1 ELSE 0 END) = 0 AS holds
+FROM lineitem"""
+    for name, col, lo, hi in __import__(
+        "simple_vector_spark.operators.validate", fromlist=["RANGE_CONSTRAINTS"]
+    ).RANGE_CONSTRAINTS
+)
+
+
+@query("lineitem_range_constraints", _RANGE_ORACLE)
+def lineitem_range_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt accepted_range contracts over the fact table in ONE scan —
+    per declared (column, lo, hi): violation counts + holds flag."""
+    from .operators import validate as V
+
+    return V.range_constraint_audit(load_table(spark, sf_dir, "lineitem"))
+
+
+_ACCEPTED_ORACLE = "\nUNION ALL\n".join(
+    """SELECT '{col}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {col} IS NULL OR {col} NOT IN ({vals})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       SUM(CASE WHEN {col} IS NULL OR {col} NOT IN ({vals})
+           THEN 1 ELSE 0 END) = 0 AS holds
+FROM orders""".format(col=col, vals=", ".join(f"'{v}'" for v in allowed))
+    for col, allowed in __import__(
+        "simple_vector_spark.operators.validate", fromlist=["ACCEPTED_VALUES"]
+    ).ACCEPTED_VALUES
+)
+
+
+@query("orders_accepted_values", _ACCEPTED_ORACLE)
+def orders_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt accepted_values contracts for the categorical columns —
+    rows outside the declared domain (NULLs violate), one scan per
+    table."""
+    from .operators import validate as V
+
+    return V.accepted_values_audit(load_table(spark, sf_dir, "orders"))

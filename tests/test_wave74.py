@@ -228,3 +228,35 @@ def test_hll_union_error_bound(spark, sf_dir):
     for r in out:
         assert r["rel_err"] < 0.05  # HLL++ accuracy contract
         assert r["n_days"] >= 1
+
+
+def test_range_constraints_flag_planted_violation(spark):
+    from simple_vector_spark.operators import validate as V
+
+    li = spark.createDataFrame(
+        [
+            (10.0, 0.05, 0.04, 100.0),
+            (60.0, 0.05, 0.04, 100.0),     # quantity over 50
+            (10.0, 0.5, 0.04, 100.0),      # discount over 0.1
+            (10.0, 0.05, None, 100.0),     # NULL tax violates
+        ],
+        "l_quantity double, l_discount double, l_tax double, l_extendedprice double",
+    )
+    out = {r["constraint"]: r for r in V.range_constraint_audit(li).collect()}
+    assert out["l_quantity_1_50"]["n_violations"] == 1
+    assert out["l_discount_0_to_0p1"]["n_violations"] == 1
+    assert out["l_tax_0_to_0p08"]["n_violations"] == 1
+    assert out["l_extendedprice_pos"]["holds"] is True
+
+
+def test_accepted_values_flags_rogue_status(spark):
+    from simple_vector_spark.operators import validate as V
+
+    orders = spark.createDataFrame(
+        [("F", "1-URGENT"), ("X", "1-URGENT"), (None, "5-LOW")],
+        "o_orderstatus string, o_orderpriority string",
+    )
+    out = {r["column_name"]: r for r in V.accepted_values_audit(orders).collect()}
+    assert out["o_orderstatus"]["n_violations"] == 2  # 'X' and NULL
+    assert out["o_orderstatus"]["holds"] is False
+    assert out["o_orderpriority"]["holds"] is True
