@@ -66,6 +66,10 @@ HEADLINERS = [
     ("events_session_window_tvf", "native session_window aggregate: one user_id shuffle"),
     ("table_fingerprint_audit", "per-table single-pass partial-agg fingerprint — no sort, no join"),
     ("events_kaplan_meier", "one user reduction; curve windows on the |durations| table"),
+    ("lineitem_range_constraints", "every declared range contract in ONE scan: conditional counts, no per-constraint rescan"),
+    ("parts_abc_xyz_matrix", "two-phase prefix ABC x monthly-CV XYZ; one fact shuffle each"),
+    ("saved_search_percolate", "stored queries broadcast; one corpus pass, arity-matched semi-aggregation"),
+    ("arrow_ipc_source_roundtrip", "custom Python DataSource: RecordBatch-yielding reads, one InputPartition per file"),
 ]
 
 
