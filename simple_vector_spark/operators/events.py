@@ -1414,3 +1414,41 @@ def hll_sketch_union_weekly(events: DataFrame) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+FEATURE_HASH_BITS = 8
+
+
+def feature_hash_cross(events: DataFrame, bits: int = FEATURE_HASH_BITS) -> DataFrame:
+    """Hashing-trick collision audit for a crossed categorical feature
+    (user_id mod 100 x event_type) hashed into 2^bits buckets — the
+    measurement that sizes a feature-hashing space: distinct raw
+    crosses, occupied buckets, crosses sharing a bucket (collisions),
+    and the collision rate a model would silently absorb.
+
+    One distinct-cross aggregate (bounded), bucket ids via the same
+    md5 both engines share."""
+    from ..functions.text import md5_int
+
+    cross = F.concat_ws(
+        "_", (F.col("user_id") % 100).cast("string"), F.col("event_type")
+    )
+    buckets = 1 << bits
+    d = events.select(cross.alias("cross")).distinct().select(
+        "cross", (md5_int(F.col("cross")) % buckets).cast("int").alias("b")
+    )
+    per_bucket = d.groupBy("b").agg(F.count("*").alias("n_in_bucket"))
+    return per_bucket.agg(
+        F.sum("n_in_bucket").cast("long").alias("n_crosses"),
+        F.count("*").cast("long").alias("n_buckets_used"),
+        F.sum(F.when(F.col("n_in_bucket") > 1, F.col("n_in_bucket")).otherwise(0))
+        .cast("long")
+        .alias("n_colliding_crosses"),
+        F.round(
+            F.sum(
+                F.when(F.col("n_in_bucket") > 1, F.col("n_in_bucket")).otherwise(0)
+            )
+            / F.sum("n_in_bucket").cast("double"),
+            6,
+        ).alias("collision_rate"),
+    )

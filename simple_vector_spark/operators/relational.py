@@ -3349,3 +3349,40 @@ def forecast_backtest(orders: DataFrame, points: int = BACKTEST_POINTS) -> DataF
     import functools
 
     return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def rank_semantics_audit(orders: DataFrame) -> DataFrame:
+    """The three ranking semantics side by side on TIED data: per
+    order-priority, rank() (gaps), dense_rank() (no gaps) and
+    row_number() (arbitrary-but-deterministic tiebreak) over rounded
+    order-value thousands — the semantics choice every ranking query
+    silently makes, shown where they diverge.  Returns the first 5
+    ranks per priority with the count of each semantic at that level.
+
+    Windows partition by priority (5 bounded partitions of ties
+    grouped first — the pre-aggregate keeps them group-sized)."""
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    kilo = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) div 100000"
+    )
+    g = orders.groupBy(
+        "o_orderpriority", kilo.alias("value_k")
+    ).agg(F.count("*").cast("long").alias("n_orders"))
+    # rank/dense_rank rank on the TIED key alone (many value bands
+    # share a count); row_number adds the deterministic tiebreak —
+    # three semantics, two window specs, divergence visible
+    w_tied = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n_orders").desc()
+    )
+    w_det = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n_orders").desc(), F.col("value_k").asc()
+    )
+    ranked = g.select(
+        "o_orderpriority",
+        "value_k",
+        "n_orders",
+        F.rank().over(w_tied).cast("int").alias("rank"),
+        F.dense_rank().over(w_tied).cast("int").alias("dense_rank"),
+        F.row_number().over(w_det).cast("int").alias("row_number"),
+    )
+    return ranked.filter(F.col("row_number") <= 5)

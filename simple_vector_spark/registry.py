@@ -11312,3 +11312,97 @@ def orders_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import validate as V
 
     return V.accepted_values_audit(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 81 (round 2): streaming windowed top-k, feature-hash collisions,
+# ranking-semantics audit.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stream_window_topk",
+    """
+WITH agg AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, user_id, n, CAST(rnk AS INT) AS rnk FROM (
+  SELECT bucket, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY n DESC, user_id) AS rnk
+  FROM agg
+) WHERE rnk <= 3
+""",
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed top-k: tumbling-hour per-user counts
+    aggregated IN the stream, rank-limit applied on the drained
+    aggregate (the production split — per-window ranking can't live
+    inside a streaming query); availableNow == the batch top-k."""
+    from .streaming.jobs import window_topk_stream
+
+    return window_topk_stream(spark, sf_dir)
+
+
+@query(
+    "events_feature_hash_cross",
+    f"""
+WITH d AS (
+  SELECT DISTINCT concat_ws('_', CAST(user_id % 100 AS VARCHAR), event_type)
+           AS cr
+  FROM events
+),
+b AS (
+  SELECT cr, CAST(CAST(concat('0x', substr(md5(cr), 1, 8)) AS BIGINT)
+                  % {1 << E.FEATURE_HASH_BITS} AS INT) AS b
+  FROM d
+),
+per AS (SELECT b.b, COUNT(*) AS n_in_bucket FROM b GROUP BY b.b)
+SELECT CAST(SUM(n_in_bucket) AS BIGINT) AS n_crosses,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+       CAST(SUM(CASE WHEN n_in_bucket > 1 THEN n_in_bucket ELSE 0 END)
+            AS BIGINT) AS n_colliding_crosses,
+       ROUND(SUM(CASE WHEN n_in_bucket > 1 THEN n_in_bucket ELSE 0 END)
+             / CAST(SUM(n_in_bucket) AS DOUBLE), 6) AS collision_rate
+FROM per
+""",
+)
+def events_feature_hash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit for a crossed categorical feature
+    in a 2^{E.FEATURE_HASH_BITS} bucket space — the measurement that
+    sizes a hashed feature dimension."""
+    return E.feature_hash_cross(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "orders_rank_semantics",
+    """
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) // 100000
+           AS value_k,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, value_k, n_orders,
+       CAST(rank AS INT) AS rank, CAST(dense_rank AS INT) AS dense_rank,
+       CAST(row_number AS INT) AS row_number
+FROM (
+  SELECT o_orderpriority, value_k, n_orders,
+         RANK() OVER (PARTITION BY o_orderpriority
+                      ORDER BY n_orders DESC) AS rank,
+         DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY n_orders DESC) AS dense_rank,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY n_orders DESC, value_k) AS row_number
+  FROM g
+) WHERE row_number <= 5
+""",
+)
+def orders_rank_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() vs dense_rank() vs row_number() side by side on tied
+    data — the semantics choice every ranking query silently makes,
+    shown where they diverge."""
+    return R.rank_semantics_audit(load_table(spark, sf_dir, "orders"))

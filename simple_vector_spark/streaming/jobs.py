@@ -585,3 +585,35 @@ def dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
         ).alias("sum_value"),
     )
+
+
+def window_topk_stream(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Streaming windowed RANKING: per tumbling hour, the top-k users
+    by event count — aggregation runs in the stream (complete mode);
+    the rank-limit is applied on the drained result exactly as a
+    downstream consumer of the materialized aggregate would (per-window
+    ranking inside a live stream is unsupported by design — windows
+    would have to re-emit on every update; the aggregate + rank-on-read
+    split is the production pattern).  availableNow == the batch
+    windowed top-k (same oracle)."""
+    from pyspark.sql import Window
+
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("user_id")
+    ).agg(F.count("*").alias("n"))
+    drained = _drain(agg, "complete")
+    ranked = drained.select(
+        F.date_format("w.start", TS_FMT).alias("bucket"), "user_id", "n"
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy(
+                F.col("n").desc(), F.col("user_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= k).select(
+        "bucket", "user_id", F.col("n").cast("long").alias("n"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )

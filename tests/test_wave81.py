@@ -1,0 +1,65 @@
+"""Wave-81: streaming top-k, feature hashing, rank semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_stream_window_topk_matches_batch(spark, sf_dir):
+    from simple_vector_spark import registry as REG
+    from simple_vector_spark.sources.loaders import load_table
+
+    got = {tuple(r) for r in REG.stream_window_topk(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    from simple_vector_spark.operators.events import TS_FMT
+
+    agg = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), TS_FMT).alias("bucket"),
+        "user_id",
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("bucket").orderBy(F.col("n").desc(), F.col("user_id"))
+    expect = {
+        tuple(r)
+        for r in agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_feature_hash_small_space_collides(spark):
+    from simple_vector_spark.operators import events as E
+
+    ev = spark.createDataFrame(
+        [(i, i, "t%d" % ((i // 100) % 40)) for i in range(4000)],
+        "event_id long, user_id long, event_type string",
+    )
+    # 100 user mods x 40 types = 4000 crosses into 256 buckets: heavy
+    # collisions are certain
+    r = E.feature_hash_cross(ev).collect()[0]
+    assert r["n_crosses"] == 4000
+    assert r["n_buckets_used"] <= 256
+    assert r["collision_rate"] > 0.9
+
+
+def test_rank_semantics_diverge_on_ties(spark):
+    from simple_vector_spark.operators import relational as R
+
+    # two bands tie at count 2 -> rank gaps, dense_rank doesn't
+    rows = (
+        [(k, "P", 1000.0) for k in range(2)]
+        + [(10 + k, "P", 2000.0) for k in range(2)]
+        + [(20, "P", 3000.0)]
+    )
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    out = {r["value_k"]: r for r in R.rank_semantics_audit(orders).collect()}
+    # bands 1k and 2k tie with 2 orders; band 3k has 1
+    assert out[1]["rank"] == out[2]["rank"] == 1
+    assert out[1]["dense_rank"] == out[2]["dense_rank"] == 1
+    assert {out[1]["row_number"], out[2]["row_number"]} == {1, 2}
+    assert out[3]["rank"] == 3        # gap after the tie
+    assert out[3]["dense_rank"] == 2  # no gap
