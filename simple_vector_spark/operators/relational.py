@@ -3386,3 +3386,58 @@ def rank_semantics_audit(orders: DataFrame) -> DataFrame:
         F.row_number().over(w_det).cast("int").alias("row_number"),
     )
     return ranked.filter(F.col("row_number") <= 5)
+
+
+DID_CUTOFF = "1999-01-01"
+
+
+def promo_did(lineitem: DataFrame, part: DataFrame, orders: DataFrame) -> DataFrame:
+    """Difference-in-differences: PROMO-type parts (treatment) vs the
+    rest (control), before/after the fixed {DID_CUTOFF} cutoff, on the
+    average line revenue — the causal-inference primitive behind any
+    'did the promotion work' readout (parallel-trends caveat applies;
+    this is the estimator, not the identification argument).
+
+    Four conditional DECIMAL sums in one fact pass (part dim
+    broadcast for the treatment flag, orders for the date)."""
+    j = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("p_type") == "PROMO").alias("treated"),
+            (F.col("o_orderdate").cast("date") >= F.lit(DID_CUTOFF)).alias(
+                "post"
+            ),
+            F.col("l_extendedprice").cast("decimal(15,2)").alias("rev"),
+        )
+    )
+    g = j.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rev").alias("s"),
+    )
+    cells = g.select(
+        "treated", "post", "n",
+        (F.col("s").cast("double") / F.col("n")).alias("avg_rev"),
+    )
+    p = cells.groupBy().pivot("treated", [True, False]).agg(
+        F.max(F.when(F.col("post"), F.col("avg_rev"))).alias("post"),
+        F.max(F.when(~F.col("post"), F.col("avg_rev"))).alias("pre"),
+    )
+    # pivot makes columns true_post/true_pre/false_post/false_pre
+    did = (
+        (F.col("true_post") - F.col("true_pre"))
+        - (F.col("false_post") - F.col("false_pre"))
+    )
+    return p.select(
+        F.round("true_pre", 2).alias("treated_pre"),
+        F.round("true_post", 2).alias("treated_post"),
+        F.round("false_pre", 2).alias("control_pre"),
+        F.round("false_post", 2).alias("control_post"),
+        F.round(did, 2).alias("did_estimate"),
+    )

@@ -11406,3 +11406,53 @@ def orders_rank_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     data — the semantics choice every ranking query silently makes,
     shown where they diverge."""
     return R.rank_semantics_audit(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 82 (round 2): difference-in-differences estimator.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_promo_did",
+    f"""
+WITH j AS (
+  SELECT p_type = 'PROMO' AS treated,
+         CAST(o_orderdate AS DATE) >= DATE '{R.DID_CUTOFF}' AS post,
+         CAST(l_extendedprice AS DECIMAL(15,2)) AS rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+),
+g AS (
+  SELECT treated, post, CAST(COUNT(*) AS BIGINT) AS n, SUM(rev) AS s
+  FROM j GROUP BY treated, post
+),
+cells AS (
+  SELECT treated, post, CAST(s AS DOUBLE) / n AS avg_rev FROM g
+)
+SELECT
+  ROUND((SELECT avg_rev FROM cells WHERE treated AND NOT post), 2)
+    AS treated_pre,
+  ROUND((SELECT avg_rev FROM cells WHERE treated AND post), 2)
+    AS treated_post,
+  ROUND((SELECT avg_rev FROM cells WHERE NOT treated AND NOT post), 2)
+    AS control_pre,
+  ROUND((SELECT avg_rev FROM cells WHERE NOT treated AND post), 2)
+    AS control_post,
+  ROUND(((SELECT avg_rev FROM cells WHERE treated AND post)
+         - (SELECT avg_rev FROM cells WHERE treated AND NOT post))
+        - ((SELECT avg_rev FROM cells WHERE NOT treated AND post)
+           - (SELECT avg_rev FROM cells WHERE NOT treated AND NOT post)), 2)
+    AS did_estimate
+""",
+)
+def lineitem_promo_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on PROMO parts across the
+    {R.DID_CUTOFF} cutoff — the causal-readout estimator from four
+    conditional DECIMAL cells in one fact pass."""
+    return R.promo_did(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "orders"),
+    )

@@ -63,3 +63,36 @@ def test_rank_semantics_diverge_on_ties(spark):
     assert {out[1]["row_number"], out[2]["row_number"]} == {1, 2}
     assert out[3]["rank"] == 3        # gap after the tie
     assert out[3]["dense_rank"] == 2  # no gap
+
+
+def test_did_recovers_planted_effect(spark):
+    import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    # control: 100 pre, 110 post (+10 trend); treated: 100 pre,
+    # 140 post (+10 trend +30 effect) -> DiD = 30
+    rows, k = [], 0
+    for treated, pre_v, post_v in ((True, 100.0, 140.0), (False, 100.0, 110.0)):
+        pk = 1 if treated else 2
+        for post, v in ((False, pre_v), (True, post_v)):
+            for _ in range(5):
+                rows.append((k, pk, k, v))
+                k += 1
+    li = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3]) for r in rows],
+        "l_orderkey long, l_partkey long, _i long, l_extendedprice double",
+    ).drop("_i")
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "STANDARD")], "p_partkey long, p_type string"
+    )
+    # orders: keys 0..19; first 5 of each group pre-cutoff, rest post
+    orders_rows = []
+    for i, r in enumerate(rows):
+        post = (i % 10) >= 5
+        d = datetime.datetime(2000, 1, 1) if post else datetime.datetime(1998, 1, 1)
+        orders_rows.append((r[0], d))
+    orders = spark.createDataFrame(orders_rows, "o_orderkey long, o_orderdate timestamp")
+    out = R.promo_did(li, part, orders).collect()[0]
+    assert out["did_estimate"] == 30.0
+    assert out["treated_pre"] == 100.0 and out["control_post"] == 110.0
