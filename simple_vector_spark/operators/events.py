@@ -1452,3 +1452,44 @@ def feature_hash_cross(events: DataFrame, bits: int = FEATURE_HASH_BITS) -> Data
             6,
         ).alias("collision_rate"),
     )
+
+
+BURST_WINDOW_S = 60
+
+
+def burst_clustering(events: DataFrame, window_s: int = BURST_WINDOW_S) -> DataFrame:
+    """Temporal self-excitation check: the share of per-user
+    inter-event gaps under ``window_s`` seconds vs the Poisson
+    expectation 1 - exp(-lambda * w) at the user-stream's own mean
+    rate — observed >> expected means bursty/self-exciting traffic
+    (sessions, retries, bots), the property that invalidates Poisson
+    alert thresholds.  One user-keyed lag pass; rates from exact
+    sums."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "user_id",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    agg = gaps.agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum((F.col("gap_s") < window_s).cast("long"))
+        .cast("long")
+        .alias("n_short"),
+        F.sum("gap_s").cast("decimal(38,0)").alias("_sum_gap"),
+    )
+    lam = F.col("n_gaps").cast("double") / F.col("_sum_gap").cast("double")
+    expect = F.lit(1.0) - F.exp(-lam * F.lit(float(window_s)))
+    obs = F.col("n_short").cast("double") / F.col("n_gaps")
+    return agg.select(
+        "n_gaps",
+        "n_short",
+        F.round(obs, 6).alias("observed_short_share"),
+        F.round(expect, 6).alias("poisson_expected"),
+        F.round(obs / expect, 6).alias("burstiness_lift"),
+    )

@@ -3441,3 +3441,64 @@ def promo_did(lineitem: DataFrame, part: DataFrame, orders: DataFrame) -> DataFr
         F.round("false_post", 2).alias("control_post"),
         F.round(did, 2).alias("did_estimate"),
     )
+
+
+def littles_law_audit(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Little's law (L = λW) consistency audit on the order pipeline:
+    average work-in-progress L (orders open between placement and first
+    shipment, daily +1/-1 interval sweep over the bounded day table)
+    vs arrival rate λ (orders/day over the observed span) times average
+    wait W (days to first shipment).  The ratio ≈ 1 when the three
+    measurements are mutually consistent — the sanity check queueing
+    dashboards should run and rarely do.
+
+    Exact integer day arithmetic; the sweep's cumulative rides a
+    broadcast triangle join on |days|."""
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("ship")
+    )
+    span = orders.join(
+        first_ship, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        F.col("o_orderdate").cast("date").alias("start"),
+        F.col("ship").alias("end"),
+    ).localCheckpoint()
+    deltas = (
+        span.select(F.col("start").alias("d"), F.lit(1).alias("c"))
+        .unionByName(span.select(F.col("end").alias("d"), F.lit(-1).alias("c")))
+        .groupBy("d")
+        .agg(F.sum("c").cast("long").alias("net"))
+        .localCheckpoint()
+    )
+    peers = deltas.select(F.col("d").alias("_d2"), F.col("net").alias("_n2"))
+    open_by_day = (
+        deltas.join(F.broadcast(peers), F.col("_d2") <= F.col("d"))
+        .groupBy("d")
+        .agg(F.sum("_n2").cast("long").alias("open_orders"))
+    )
+    l_direct = open_by_day.agg(
+        (F.sum("open_orders").cast("double") / F.count("*")).alias("_L"),
+        F.count("*").cast("long").alias("n_days_observed"),
+    )
+    lam_w = span.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        (
+            F.count("*").cast("double")
+            / (
+                F.datediff(F.max("start"), F.min("start")).cast("double")
+                + F.lit(1.0)
+            )
+        ).alias("_lambda"),
+        F.avg(F.datediff(F.col("end"), F.col("start")).cast("double")).alias(
+            "_W"
+        ),
+    )
+    return l_direct.crossJoin(F.broadcast(lam_w)).select(
+        "n_orders",
+        F.round(F.col("_L"), 6).alias("avg_open_L"),
+        F.round(F.col("_lambda"), 6).alias("arrival_rate"),
+        F.round(F.col("_W"), 6).alias("avg_wait_W"),
+        F.round(
+            F.col("_L") / (F.col("_lambda") * F.col("_W")), 6
+        ).alias("littles_ratio"),
+    )

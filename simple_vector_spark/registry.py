@@ -11456,3 +11456,92 @@ def lineitem_promo_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "part"),
         load_table(spark, sf_dir, "orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 83 (round 2): Little's-law audit, burst clustering.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_littles_law",
+    """
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship
+  FROM lineitem GROUP BY l_orderkey
+),
+span AS (
+  SELECT CAST(o_orderdate AS DATE) AS s, ship AS e
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+),
+deltas AS (
+  SELECT d, CAST(SUM(c) AS BIGINT) AS net FROM (
+    SELECT s AS d, 1 AS c FROM span
+    UNION ALL SELECT e, -1 FROM span
+  ) GROUP BY d
+),
+obd AS (
+  SELECT a.d, CAST(SUM(b.net) AS BIGINT) AS open_orders
+  FROM deltas a JOIN deltas b ON b.d <= a.d GROUP BY a.d
+),
+ld AS (
+  SELECT CAST(SUM(open_orders) AS DOUBLE) / COUNT(*) AS L,
+         CAST(COUNT(*) AS BIGINT) AS n_days_observed
+  FROM obd
+),
+lw AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(*) AS DOUBLE) / ((MAX(s) - MIN(s)) + 1.0) AS lam,
+         AVG(CAST(e - s AS DOUBLE)) AS W
+  FROM span
+)
+SELECT n_orders,
+       ROUND(L, 6) AS avg_open_L,
+       ROUND(lam, 6) AS arrival_rate,
+       ROUND(W, 6) AS avg_wait_W,
+       ROUND(L / (lam * W), 6) AS littles_ratio
+FROM ld, lw
+""",
+)
+def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law (L = λW) consistency audit on the order pipeline —
+    WIP from the +1/-1 interval sweep vs arrival-rate x wait; the
+    queueing sanity check."""
+    return R.littles_law_audit(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "events_burst_clustering",
+    f"""
+WITH gaps AS (
+  SELECT epoch(ts) - lag(epoch(ts)) OVER w AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(CASE WHEN gap_s < {E.BURST_WINDOW_S} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_short,
+         CAST(SUM(gap_s) AS DECIMAL(38,0)) AS sum_gap
+  FROM g
+)
+SELECT n_gaps, n_short,
+       ROUND(n_short / CAST(n_gaps AS DOUBLE), 6) AS observed_short_share,
+       ROUND(1.0 - exp(-(n_gaps / CAST(sum_gap AS DOUBLE))
+                       * {float(E.BURST_WINDOW_S)!r}), 6) AS poisson_expected,
+       ROUND((n_short / CAST(n_gaps AS DOUBLE))
+             / (1.0 - exp(-(n_gaps / CAST(sum_gap AS DOUBLE))
+                          * {float(E.BURST_WINDOW_S)!r})), 6)
+         AS burstiness_lift
+FROM agg
+""",
+)
+def events_burst_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-excitation check: observed short-gap share vs the Poisson
+    expectation at the stream's own mean rate — the property that
+    invalidates Poisson alert thresholds when >> 1."""
+    return E.burst_clustering(load_table(spark, sf_dir, "events"))

@@ -96,3 +96,42 @@ def test_did_recovers_planted_effect(spark):
     out = R.promo_did(li, part, orders).collect()[0]
     assert out["did_estimate"] == 30.0
     assert out["treated_pre"] == 100.0 and out["control_post"] == 110.0
+
+
+def test_littles_law_exact_on_synthetic_queue(spark):
+    import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    # 10 orders arriving one per day, each taking exactly 2 days
+    orders_rows, li_rows = [], []
+    for i in range(10):
+        d0 = datetime.datetime(2024, 1, 1 + i)
+        orders_rows.append((i, d0))
+        li_rows.append((i, d0 + datetime.timedelta(days=2)))
+    orders = spark.createDataFrame(orders_rows, "o_orderkey long, o_orderdate timestamp")
+    li = spark.createDataFrame(li_rows, "l_orderkey long, l_shipdate timestamp")
+    r = R.littles_law_audit(orders, li).collect()[0]
+    assert r["avg_wait_W"] == 2.0
+    assert r["arrival_rate"] == 1.0
+    # ratio near 1 (edge effects at the span boundaries only)
+    assert 0.7 < r["littles_ratio"] < 1.3
+
+
+def test_burst_clustering_detects_tight_sessions(spark):
+    import datetime
+
+    from simple_vector_spark.operators import events as E
+
+    rows, eid = [], 0
+    t0 = datetime.datetime(2024, 1, 1)
+    for u in range(20):
+        base = t0 + datetime.timedelta(hours=u * 12)
+        # 5 events 10s apart (bursty), then one 6h later
+        for j in range(5):
+            rows.append((eid, u, base + datetime.timedelta(seconds=10 * j))); eid += 1
+        rows.append((eid, u, base + datetime.timedelta(hours=6))); eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    r = E.burst_clustering(ev).collect()[0]
+    assert r["observed_short_share"] == 0.8  # 4 of 5 gaps per user short
+    assert r["burstiness_lift"] > 5  # far above the Poisson expectation
