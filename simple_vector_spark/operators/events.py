@@ -1493,3 +1493,44 @@ def burst_clustering(events: DataFrame, window_s: int = BURST_WINDOW_S) -> DataF
         F.round(expect, 6).alias("poisson_expected"),
         F.round(obs / expect, 6).alias("burstiness_lift"),
     )
+
+
+def day_overlap_jaccard(events: DataFrame) -> DataFrame:
+    """Audience continuity: Jaccard overlap of active-user sets between
+    consecutive observed days — the day-over-day stickiness curve
+    (sister to DAU/MAU, but set-valued: it separates 'same people' from
+    'same count').  Per-day distinct user sets joined day-to-next-day;
+    day pairs are bounded by the calendar."""
+    du = events.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct().localCheckpoint()
+    sizes = du.groupBy("d").agg(F.count("*").cast("long").alias("n"))
+    nxt = du.select(F.date_sub(F.col("d"), 1).alias("d"), F.col("user_id"))
+    inter = (
+        du.join(nxt, ["d", "user_id"])
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    s2 = sizes.select(
+        F.date_sub(F.col("d"), 1).alias("d"), F.col("n").alias("n_next")
+    )
+    return (
+        sizes.join(s2, "d")
+        .join(inter, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            "n",
+            "n_next",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias(
+                "n_common"
+            ),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (
+                    F.col("n") + F.col("n_next")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -3502,3 +3502,30 @@ def littles_law_audit(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             F.col("_L") / (F.col("_lambda") * F.col("_W")), 6
         ).alias("littles_ratio"),
     )
+
+
+EOQ_SETUP_COST = 100.0
+EOQ_HOLD_COST = 2.0
+EOQ_TOP_K = 15
+
+
+def eoq_top_parts(lineitem: DataFrame, k: int = EOQ_TOP_K) -> DataFrame:
+    """Economic order quantity per part (EOQ = sqrt(2 D S / H) with the
+    declared setup/holding costs) for the top-demand parts — the
+    inventory-theory output the ABC-XYZ matrix feeds.  One fact
+    aggregate; EOQ is closed-form f64 over the exact demand sum."""
+    d = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("_d")
+    )
+    dd = F.col("_d").cast("double")
+    eoq = F.sqrt(2.0 * dd * EOQ_SETUP_COST / EOQ_HOLD_COST)
+    return (
+        d.select(
+            "l_partkey",
+            F.round(dd, 2).alias("annual_demand"),
+            F.round(eoq, 4).alias("eoq"),
+            F.round(dd / eoq, 4).alias("orders_per_period"),
+        )
+        .orderBy(F.col("annual_demand").desc(), F.col("l_partkey").asc())
+        .limit(k)
+    )

@@ -11545,3 +11545,57 @@ def events_burst_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectation at the stream's own mean rate — the property that
     invalidates Poisson alert thresholds when >> 1."""
     return E.burst_clustering(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 84 (round 2): EOQ, day-over-day audience overlap.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "parts_eoq_top",
+    f"""
+WITH d AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(20,2))) AS dd
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey,
+       ROUND(CAST(dd AS DOUBLE), 2) AS annual_demand,
+       ROUND(SQRT(2.0 * CAST(dd AS DOUBLE) * {R.EOQ_SETUP_COST!r}
+                  / {R.EOQ_HOLD_COST!r}), 4) AS eoq,
+       ROUND(CAST(dd AS DOUBLE)
+             / SQRT(2.0 * CAST(dd AS DOUBLE) * {R.EOQ_SETUP_COST!r}
+                    / {R.EOQ_HOLD_COST!r}), 4) AS orders_per_period
+FROM d ORDER BY annual_demand DESC, l_partkey LIMIT {R.EOQ_TOP_K}
+""",
+)
+def parts_eoq_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantities for the top-demand parts — the
+    inventory-theory output downstream of ABC-XYZ."""
+    return R.eoq_top_parts(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "events_day_overlap",
+    """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+sizes AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY d),
+inter AS (
+  SELECT a.d, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM du a JOIN du b ON b.d = a.d + 1 AND b.user_id = a.user_id
+  GROUP BY a.d
+)
+SELECT s.d AS day, s.n, s2.n AS n_next,
+       CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+       ROUND(COALESCE(n_common, 0)
+             / CAST(s.n + s2.n - COALESCE(n_common, 0) AS DOUBLE), 6)
+         AS jaccard
+FROM sizes s
+JOIN sizes s2 ON s2.d = s.d + 1
+LEFT JOIN inter ON inter.d = s.d
+""",
+)
+def events_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day active-user Jaccard — set-valued stickiness that
+    separates 'same people' from 'same count'."""
+    return E.day_overlap_jaccard(load_table(spark, sf_dir, "events"))

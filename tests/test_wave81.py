@@ -135,3 +135,34 @@ def test_burst_clustering_detects_tight_sessions(spark):
     r = E.burst_clustering(ev).collect()[0]
     assert r["observed_short_share"] == 0.8  # 4 of 5 gaps per user short
     assert r["burstiness_lift"] > 5  # far above the Poisson expectation
+
+
+def test_eoq_formula(spark):
+    import math
+
+    from simple_vector_spark.operators import relational as R
+
+    li = spark.createDataFrame(
+        [(1, 100.0), (1, 100.0), (2, 50.0)], "l_partkey long, l_quantity double"
+    )
+    out = {r["l_partkey"]: r for r in R.eoq_top_parts(li).collect()}
+    expect = math.sqrt(2 * 200.0 * R.EOQ_SETUP_COST / R.EOQ_HOLD_COST)
+    assert abs(out[1]["eoq"] - round(expect, 4)) < 1e-9
+    assert out[1]["annual_demand"] == 200.0
+
+
+def test_day_overlap_jaccard_hand_case(spark):
+    import datetime
+
+    from simple_vector_spark.operators import events as E
+
+    def ts(day, u):
+        return (u * 100 + day, u, datetime.datetime(2024, 5, day, 10))
+
+    rows = [ts(1, 1), ts(1, 2), ts(1, 3), ts(2, 2), ts(2, 3), ts(2, 4)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {str(r["day"]): r for r in E.day_overlap_jaccard(ev).collect()}
+    r = out["2024-05-01"]
+    assert r["n"] == 3 and r["n_next"] == 3
+    assert r["n_common"] == 2          # users 2, 3
+    assert abs(r["jaccard"] - 0.5) < 1e-9  # 2 / (3+3-2)
