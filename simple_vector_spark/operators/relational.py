@@ -3529,3 +3529,82 @@ def eoq_top_parts(lineitem: DataFrame, k: int = EOQ_TOP_K) -> DataFrame:
         .orderBy(F.col("annual_demand").desc(), F.col("l_partkey").asc())
         .limit(k)
     )
+
+
+def customers_skyline(orders: DataFrame) -> DataFrame:
+    """SKYLINE (Pareto-dominance) operator over per-customer (total
+    spend, order count): keep every customer no other customer beats
+    on both dimensions (>= on both, > on at least one) — the classic
+    multi-objective shortlist.  2D skylines reduce to a staircase
+    scan: rank by spend desc, keep each row whose order count exceeds
+    the running max of everything ranked above it — both passes ride
+    the two-phase ranked_global / ranked_prefix_max helpers, so the
+    operator scales like any global ranking, never pairwise.
+
+    Tie semantics: equal (spend, orders) pairs are mutually
+    non-dominating — the staircase keeps the smallest custkey (the
+    deterministic representative; stated)."""
+    from .ranking import ranked_global, ranked_prefix_max
+
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)")).alias("spend"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    # ties on spend scan highest-orders first: an equal-spend row with
+    # fewer orders is strictly dominated and must see the bigger count
+    # in its prefix; full (spend, orders) ties collapse to the smallest
+    # custkey representative
+    r = ranked_global(
+        per,
+        [
+            F.col("spend").desc(),
+            F.col("n_orders").desc(),
+            F.col("o_custkey").asc(),
+        ],
+        rank_name="rnk",
+    )
+    m = ranked_prefix_max(r, [F.col("rnk").asc()], "n_orders", cum_name="cum")
+    first_ach = m.groupBy("cum").agg(F.min("rnk").alias("_first"))
+    sky = (
+        m.join(F.broadcast(first_ach), "cum")
+        .filter((F.col("n_orders") == F.col("cum")) & (F.col("rnk") == F.col("_first")))
+    )
+    return sky.select(
+        "o_custkey",
+        F.round(F.col("spend").cast("double"), 2).alias("total_spend"),
+        "n_orders",
+    )
+
+
+def trade_reciprocity(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """Reciprocity of the nation trade graph: the share of directed
+    supplier->customer nation edges whose reverse edge also exists —
+    the mutual-trade coefficient that complements PageRank (flow
+    importance) and BFS (reach).  One fact shuffle builds the edge
+    set; reciprocity is a self-join on the |nations|² aggregate."""
+    edges = (
+        lineitem.join(orders.select("o_orderkey", "o_custkey"),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"),
+                F.col("c_nationkey").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = edges.join(rev, ["src", "dst"], "left_semi")
+    n_e = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    n_m = mutual.agg(F.count("*").cast("long").alias("n_mutual"))
+    return n_e.crossJoin(F.broadcast(n_m)).select(
+        "n_edges",
+        "n_mutual",
+        F.round(
+            F.col("n_mutual") / F.col("n_edges").cast("double"), 6
+        ).alias("reciprocity"),
+    )

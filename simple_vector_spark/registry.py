@@ -11599,3 +11599,68 @@ def events_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day active-user Jaccard — set-valued stickiness that
     separates 'same people' from 'same count'."""
     return E.day_overlap_jaccard(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 85 (round 2): skyline operator, trade reciprocity.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customers_skyline",
+    """
+WITH per AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS spend,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+sky0 AS (
+  SELECT * FROM per p WHERE NOT EXISTS (
+    SELECT 1 FROM per q
+    WHERE q.spend >= p.spend AND q.n_orders >= p.n_orders
+      AND (q.spend > p.spend OR q.n_orders > p.n_orders)
+  )
+)
+SELECT MIN(o_custkey) AS o_custkey,
+       ROUND(CAST(spend AS DOUBLE), 2) AS total_spend, n_orders
+FROM sky0 GROUP BY spend, n_orders
+""",
+)
+def customers_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE operator: customers Pareto-optimal on (total spend,
+    order count) — the 2D staircase on the two-phase global rank +
+    prefix max, never a pairwise dominance join."""
+    return R.customers_skyline(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "nation_trade_reciprocity",
+    """
+WITH edges AS (
+  SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_mutual FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges r
+                WHERE r.src = e.dst AND r.dst = e.src)
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+SELECT n_edges, n_mutual,
+       ROUND(n_mutual / CAST(n_edges AS DOUBLE), 6) AS reciprocity
+FROM n, m
+""",
+)
+def nation_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-trade share of the directed nation graph — the
+    reciprocity coefficient beside PageRank and BFS."""
+    return R.trade_reciprocity(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+    )

@@ -166,3 +166,47 @@ def test_day_overlap_jaccard_hand_case(spark):
     assert r["n"] == 3 and r["n_next"] == 3
     assert r["n_common"] == 2          # users 2, 3
     assert abs(r["jaccard"] - 0.5) < 1e-9  # 2 / (3+3-2)
+
+
+def test_skyline_dominance_and_ties(spark):
+    import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    d = datetime.datetime(2024, 1, 1)
+    # cust 1: spend 300/1 order; cust 2: spend 200/2; cust 3: 100/3
+    # cust 4: 200/1 (dominated by 2); cust 5: exact tie with 2
+    rows, k = [], 0
+    spec = {1: [300.0], 2: [100.0, 100.0], 3: [40.0, 30.0, 30.0],
+            4: [200.0], 5: [100.0, 100.0]}
+    for cust, vals in spec.items():
+        for v in vals:
+            rows.append((k, cust, v, d)); k += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    out = {r["o_custkey"]: r for r in R.customers_skyline(orders).collect()}
+    assert set(out) == {1, 2, 3}   # 4 dominated; 5 collapses into 2
+    assert out[2]["n_orders"] == 2
+
+
+def test_reciprocity_hand_graph(spark):
+    from simple_vector_spark.operators import relational as R
+
+    li = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "l_orderkey long, l_suppkey long"
+    )
+    orders = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "o_orderkey long, o_custkey long"
+    )
+    customer = spark.createDataFrame(
+        [(100, 1), (200, 0), (300, 2)], "c_custkey long, c_nationkey long"
+    )
+    supplier = spark.createDataFrame(
+        [(10, 0), (20, 1), (30, 0)], "s_suppkey long, s_nationkey long"
+    )
+    # edges: 0->1, 1->0 (mutual pair), 0->2 (one-way)
+    r = R.trade_reciprocity(li, orders, customer, supplier).collect()[0]
+    assert r["n_edges"] == 3
+    assert r["n_mutual"] == 2
+    assert abs(r["reciprocity"] - 2 / 3) < 1e-6
