@@ -3608,3 +3608,94 @@ def trade_reciprocity(
             F.col("n_mutual") / F.col("n_edges").cast("double"), 6
         ).alias("reciprocity"),
     )
+
+
+DIVISION_K = 2
+
+
+def customers_division(
+    orders: DataFrame, lineitem: DataFrame, k: int = DIVISION_K
+) -> DataFrame:
+    """RELATIONAL DIVISION — the textbook operator ("customers who
+    bought ALL of ...") engines never ship directly: the divisor is
+    the top-``k`` most-ordered parts (deterministic: line count desc,
+    partkey asc), the dividend the customer-part purchase relation;
+    result = customers whose purchases cover the whole divisor,
+    expressed as the standard count-distinct == |divisor| rewrite (one
+    semi-filtered fact pass + a customer aggregate, never double
+    NOT EXISTS)."""
+    top = (
+        lineitem.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("l_partkey").asc())
+        .limit(k)
+        .select("l_partkey")
+        .localCheckpoint()
+    )
+    cov = (
+        lineitem.join(F.broadcast(top), "l_partkey", "left_semi")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("l_partkey").alias("_nc"))
+    )
+    return cov.filter(F.col("_nc") == k).select("o_custkey").orderBy(
+        "o_custkey"
+    )
+
+
+BOOT_RESAMPLES = 20
+# exact Poisson(1) CDF cut points for a uniform-hash weight in {0,1,2,3+}
+_POIS = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058)
+
+
+def bootstrap_ci(orders: DataFrame, resamples: int = BOOT_RESAMPLES) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean order value: in
+    resample r, each row's weight is Poisson(1)-distributed — derived
+    by inverting the exact Poisson CDF on a uniform md5 hash of
+    (orderkey, r), so every engine reproduces the identical resample —
+    and the CI is the min/max band of the resample means (the scalable
+    bootstrap: one scan computes ALL resamples as conditional sums,
+    nothing is ever actually resampled).
+
+    Output: point estimate, resample count, and the bootstrap band."""
+    from ..functions.text import md5_int
+
+    v = F.col("o_totalprice").cast("decimal(15,2)")
+    aggs = []
+    for r in range(resamples):
+        u = (
+            md5_int(F.concat_ws("_", F.col("o_orderkey").cast("string"),
+                                F.lit(str(r))))
+            / F.lit(4294967296.0)
+        )
+        w = (
+            F.when(u < _POIS[0], 0)
+            .when(u < _POIS[1], 1)
+            .when(u < _POIS[2], 2)
+            .otherwise(3)
+        )
+        aggs.append(F.sum(v * w).alias(f"_s{r}"))
+        aggs.append(F.sum(w).cast("long").alias(f"_n{r}"))
+    base = orders.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(v).alias("_s"),
+        *aggs,
+    )
+    means = F.array(
+        *[
+            F.col(f"_s{r}").cast("double") / F.col(f"_n{r}")
+            for r in range(resamples)
+        ]
+    )
+    return base.select(
+        "n_rows",
+        F.round(F.col("_s").cast("double") / F.col("n_rows"), 2).alias(
+            "mean_value"
+        ),
+        F.lit(resamples).cast("int").alias("n_resamples"),
+        F.round(F.array_min(means), 2).alias("boot_lo"),
+        F.round(F.array_max(means), 2).alias("boot_hi"),
+    )

@@ -11664,3 +11664,101 @@ def nation_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "supplier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 86 (round 2): relational division, deterministic Poisson
+# bootstrap.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customers_division",
+    """
+WITH top AS (
+  SELECT l_partkey FROM (
+    SELECT l_partkey, COUNT(*) AS c FROM lineitem
+    GROUP BY 1 ORDER BY c DESC, l_partkey LIMIT 2
+  )
+),
+cov AS (
+  SELECT o_custkey, COUNT(DISTINCT l_partkey) AS nc
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_partkey IN (SELECT l_partkey FROM top)
+  GROUP BY o_custkey
+)
+SELECT o_custkey FROM cov WHERE nc = 2 ORDER BY o_custkey
+""",
+)
+def customers_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION: customers who bought ALL of the top-2
+    parts — the textbook operator via the count-distinct rewrite."""
+    return R.customers_division(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "orders_bootstrap_ci",
+    """
+WITH b AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+           / COUNT(*) AS mean_v,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '0')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '0')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '0')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '0')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '0')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '0')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m0,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '1')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '1')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '1')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '1')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '1')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '1')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m1,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '2')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '2')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '2')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '2')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '2')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '2')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m2,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '3')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '3')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '3')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '3')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '3')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '3')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m3,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '4')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '4')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '4')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '4')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '4')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '4')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m4,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '5')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '5')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '5')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '5')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '5')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '5')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m5,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '6')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '6')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '6')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '6')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '6')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '6')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m6,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '7')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '7')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '7')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '7')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '7')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '7')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m7,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '8')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '8')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '8')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '8')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '8')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '8')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m8,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '9')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '9')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '9')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '9')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '9')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '9')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m9,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '10')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '10')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '10')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '10')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '10')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '10')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m10,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '11')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '11')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '11')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '11')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '11')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '11')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m11,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '12')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '12')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '12')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '12')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '12')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '12')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m12,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '13')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '13')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '13')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '13')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '13')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '13')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m13,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '14')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '14')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '14')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '14')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '14')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '14')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m14,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '15')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '15')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '15')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '15')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '15')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '15')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m15,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '16')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '16')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '16')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '16')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '16')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '16')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m16,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '17')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '17')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '17')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '17')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '17')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '17')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m17,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '18')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '18')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '18')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '18')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '18')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '18')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m18,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)) * (CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '19')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '19')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '19')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS DOUBLE)
+         / SUM((CASE WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '19')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.36787944117144233 THEN 0 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '19')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.7357588823428847 THEN 1 WHEN (CAST(concat('0x', substr(md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), '19')), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9196986029286058 THEN 2 ELSE 3 END)) AS m19
+  FROM orders
+)
+SELECT n_rows, ROUND(mean_v, 2) AS mean_value,
+       CAST(20 AS INT) AS n_resamples,
+       ROUND(least(m0, m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11, m12, m13, m14, m15, m16, m17, m18, m19), 2) AS boot_lo,
+       ROUND(greatest(m0, m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11, m12, m13, m14, m15, m16, m17, m18, m19), 2) AS boot_hi
+FROM b
+""",
+)
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap band for the mean order value —
+    all 20 resamples as conditional sums in ONE scan,
+    weights from exact Poisson(1)-CDF inversion of a shared md5
+    uniform."""
+    return R.bootstrap_ci(load_table(spark, sf_dir, "orders"))

@@ -210,3 +210,39 @@ def test_reciprocity_hand_graph(spark):
     assert r["n_edges"] == 3
     assert r["n_mutual"] == 2
     assert abs(r["reciprocity"] - 2 / 3) < 1e-6
+
+
+def test_division_requires_full_coverage(spark):
+    from simple_vector_spark.operators import relational as R
+
+    # parts 1 and 2 are the top-2 by line count; cust 100 buys both,
+    # cust 200 only part 1, cust 300 buys both across two orders
+    li = spark.createDataFrame(
+        [
+            (1, 1), (1, 2),          # order 1 (cust 100): both
+            (2, 1),                  # order 2 (cust 200): only part 1
+            (3, 1), (4, 2),          # orders 3+4 (cust 300): both, split
+            (5, 1), (5, 2), (5, 9),  # order 5 (cust 100 again) + filler
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    orders = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300), (4, 300), (5, 100)],
+        "o_orderkey long, o_custkey long",
+    )
+    out = [r["o_custkey"] for r in R.customers_division(orders, li).collect()]
+    assert out == [100, 300]
+
+
+def test_bootstrap_band_brackets_mean_and_is_deterministic(spark):
+    from simple_vector_spark.operators import relational as R
+
+    orders = spark.createDataFrame(
+        [(k, 100.0 + (k % 7) * 10) for k in range(500)],
+        "o_orderkey long, o_totalprice double",
+    )
+    a = R.bootstrap_ci(orders).collect()[0]
+    b = R.bootstrap_ci(orders).collect()[0]
+    assert a == b  # hash-derived weights: bit-for-bit reproducible
+    assert a["boot_lo"] <= a["mean_value"] <= a["boot_hi"]
+    assert a["boot_hi"] - a["boot_lo"] < 20  # tight band at n=500
