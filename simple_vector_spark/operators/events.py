@@ -1534,3 +1534,37 @@ def day_overlap_jaccard(events: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+RETRY_GAP_S = 5
+
+
+def retry_collapse(events: DataFrame, gap_s: int = RETRY_GAP_S) -> DataFrame:
+    """Retry/duplicate-fire collapsing: within each (user, event_type)
+    stream, an event arriving within ``gap_s`` seconds of the previous
+    one is a retry of the same logical action and collapses into it —
+    the telemetry-cleaning rule that runs before any counting.
+    Reports per type the raw count, the kept (logical) count and the
+    collapse rate.  One (user, type)-keyed lag pass."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    marked = events.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap"),
+    )
+    return marked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum(
+            (F.col("gap").isNull() | (F.col("gap") >= gap_s)).cast("long")
+        )
+        .cast("long")
+        .alias("n_kept"),
+    ).withColumn(
+        "collapse_rate",
+        F.round(
+            (F.col("n_raw") - F.col("n_kept")) / F.col("n_raw").cast("double"),
+            6,
+        ),
+    )

@@ -3699,3 +3699,68 @@ def bootstrap_ci(orders: DataFrame, resamples: int = BOOT_RESAMPLES) -> DataFram
         F.round(F.array_min(means), 2).alias("boot_lo"),
         F.round(F.array_max(means), 2).alias("boot_hi"),
     )
+
+
+PROVENANCE_TOP = 5
+
+
+def revenue_cell_provenance(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame,
+    k: int = PROVENANCE_TOP,
+) -> DataFrame:
+    """Drill-through provenance: for the TOP revenue cell of the
+    per-nation rollup, the ``k`` largest contributing orders with
+    their share of the cell — the lineage answer to "why is this
+    number big", computed without rescanning (the probe filters to one
+    group and heap-selects).  Deterministic tiebreaks throughout."""
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("n_name", "o_orderkey",
+             F.col("o_totalprice").cast("decimal(15,2)").alias("rev"))
+    cells = j.groupBy("n_name").agg(F.sum("rev").alias("cell_rev"))
+    top_cell = cells.orderBy(
+        F.col("cell_rev").desc(), F.col("n_name").asc()
+    ).limit(1).localCheckpoint()
+    drill = (
+        j.join(F.broadcast(top_cell), "n_name")
+        .orderBy(F.col("rev").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+    return drill.select(
+        "n_name",
+        "o_orderkey",
+        F.round(F.col("rev").cast("double"), 2).alias("order_value"),
+        F.round(
+            F.col("rev").cast("double") / F.col("cell_rev").cast("double"), 6
+        ).alias("share_of_cell"),
+    )
+
+
+KEYSET_CURSOR = ("1998-06-01", 0)  # (date, orderkey) exclusive cursor
+KEYSET_PAGE = 20
+
+
+def keyset_page(orders: DataFrame) -> DataFrame:
+    """Keyset (seek) pagination: the page AFTER a (date, orderkey)
+    cursor in (o_orderdate, o_orderkey) order — the O(page) pattern
+    that replaces OFFSET (which scans and discards everything before
+    it; at 100 TB an OFFSET of a billion is a full sort, a keyset is
+    an index seek / pushed-down range filter).  The cursor predicate
+    reaches the scan as a pushed filter."""
+    d0, k0 = KEYSET_CURSOR
+    d = F.col("o_orderdate").cast("date")
+    after = (d > F.lit(d0)) | ((d == F.lit(d0)) & (F.col("o_orderkey") > k0))
+    return (
+        orders.filter(after)
+        .select(
+            d.alias("o_date"),
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(15,2)").alias("price"),
+        )
+        .orderBy(F.col("o_date").asc(), F.col("o_orderkey").asc())
+        .limit(KEYSET_PAGE)
+    )

@@ -11762,3 +11762,87 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights from exact Poisson(1)-CDF inversion of a shared md5
     uniform."""
     return R.bootstrap_ci(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 87 (round 2): retry collapsing, drill-through provenance,
+# keyset pagination.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_retry_collapse",
+    f"""
+WITH m AS (
+  SELECT event_type,
+         epoch(ts) - lag(epoch(ts)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap >= {E.RETRY_GAP_S}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND((COUNT(*) - SUM(CASE WHEN gap IS NULL OR gap >= {E.RETRY_GAP_S}
+                             THEN 1 ELSE 0 END))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS collapse_rate
+FROM m GROUP BY event_type
+""",
+)
+def events_retry_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry collapsing: events within {E.RETRY_GAP_S}s of the previous
+    same-(user,type) event fold into it — the telemetry-cleaning rule
+    before counting."""
+    return E.retry_collapse(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "revenue_cell_provenance",
+    f"""
+WITH j AS (
+  SELECT n_name, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(15,2)) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+cells AS (SELECT n_name, SUM(rev) AS cell_rev FROM j GROUP BY n_name),
+top_cell AS (
+  SELECT n_name, cell_rev FROM cells
+  ORDER BY cell_rev DESC, n_name LIMIT 1
+)
+SELECT j.n_name, o_orderkey,
+       ROUND(CAST(rev AS DOUBLE), 2) AS order_value,
+       ROUND(CAST(rev AS DOUBLE) / CAST(cell_rev AS DOUBLE), 6)
+         AS share_of_cell
+FROM j JOIN top_cell ON j.n_name = top_cell.n_name
+ORDER BY rev DESC, o_orderkey LIMIT {R.PROVENANCE_TOP}
+""",
+)
+def revenue_cell_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-through lineage for the top rollup cell: its largest
+    contributing orders and their cell shares — the "why is this
+    number big" answer."""
+    return R.revenue_cell_provenance(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "orders_keyset_page",
+    f"""
+SELECT CAST(o_orderdate AS DATE) AS o_date, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(15,2)) AS price
+FROM orders
+WHERE CAST(o_orderdate AS DATE) > DATE '{R.KEYSET_CURSOR[0]}'
+   OR (CAST(o_orderdate AS DATE) = DATE '{R.KEYSET_CURSOR[0]}'
+       AND o_orderkey > {R.KEYSET_CURSOR[1]})
+ORDER BY o_date, o_orderkey LIMIT {R.KEYSET_PAGE}
+""",
+)
+def orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination after a (date, key) cursor — the
+    O(page) replacement for OFFSET; the cursor predicate reaches the
+    scan as a pushed filter."""
+    return R.keyset_page(load_table(spark, sf_dir, "orders"))

@@ -246,3 +246,39 @@ def test_bootstrap_band_brackets_mean_and_is_deterministic(spark):
     assert a == b  # hash-derived weights: bit-for-bit reproducible
     assert a["boot_lo"] <= a["mean_value"] <= a["boot_hi"]
     assert a["boot_hi"] - a["boot_lo"] < 20  # tight band at n=500
+
+
+def test_retry_collapse_folds_rapid_fires(spark):
+    import datetime
+
+    from simple_vector_spark.operators import events as E
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        (1, 1, "click", at(0)), (2, 1, "click", at(2)), (3, 1, "click", at(3)),
+        (4, 1, "click", at(100)),
+        (5, 2, "view", at(0)), (6, 2, "view", at(60)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in E.retry_collapse(ev).collect()}
+    assert out["click"]["n_raw"] == 4
+    assert out["click"]["n_kept"] == 2   # burst of 3 -> 1, plus the late one
+    assert out["view"]["n_kept"] == 2    # 60s apart: both kept
+
+
+def test_keyset_page_starts_after_cursor(spark, sf_dir):
+    from simple_vector_spark import registry as REG
+    from simple_vector_spark.operators.relational import KEYSET_CURSOR, KEYSET_PAGE
+
+    import datetime
+
+    rows = REG.orders_keyset_page(spark, sf_dir).collect()
+    assert len(rows) == KEYSET_PAGE
+    cursor_d = datetime.date.fromisoformat(KEYSET_CURSOR[0])
+    keys = [(r["o_date"], r["o_orderkey"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(k > (cursor_d, KEYSET_CURSOR[1]) for k in keys)
