@@ -1568,3 +1568,33 @@ def retry_collapse(events: DataFrame, gap_s: int = RETRY_GAP_S) -> DataFrame:
             6,
         ),
     )
+
+
+FATIGUE_MAX_IDX = 5
+
+
+def session_fatigue(events: DataFrame, max_idx: int = FATIGUE_MAX_IDX) -> DataFrame:
+    """Engagement-fatigue curve: average session size by the session's
+    per-user INDEX (1st session, 2nd, ...) — the novelty-decay
+    readout (a steep drop after session 1 means onboarding carries the
+    product).  Session index is a per-user window over the per-user
+    session table (user-bounded partitions), sizes from the shared
+    sessionizer."""
+    s = sessionize(events)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    idx = s.withColumn("s_idx", F.row_number().over(w))
+    return (
+        idx.filter(F.col("s_idx") <= max_idx)
+        .groupBy("s_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.round(F.avg(F.col("n").cast("double")), 6).alias(
+                "avg_events_per_session"
+            ),
+        )
+        .select(
+            F.col("s_idx").cast("int").alias("session_index"),
+            "n_sessions",
+            "avg_events_per_session",
+        )
+    )

@@ -3764,3 +3764,26 @@ def keyset_page(orders: DataFrame) -> DataFrame:
         .orderBy(F.col("o_date").asc(), F.col("o_orderkey").asc())
         .limit(KEYSET_PAGE)
     )
+
+
+VELOCITY_LIMIT = 1  # orders per customer per day (same-day repeats flag)
+
+
+def velocity_screen(orders: DataFrame, limit: int = VELOCITY_LIMIT) -> DataFrame:
+    """Velocity screening (fraud ops): customers placing more than
+    ``limit`` orders in a single day — per offending customer, their
+    peak day rate and days over the limit.  One (customer, day)
+    aggregate then a customer rollup."""
+    per_day = orders.groupBy(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    ).agg(F.count("*").cast("long").alias("n"))
+    return (
+        per_day.groupBy("o_custkey")
+        .agg(
+            F.max("n").cast("long").alias("peak_daily_orders"),
+            F.sum((F.col("n") > limit).cast("long"))
+            .cast("long")
+            .alias("days_over_limit"),
+        )
+        .filter(F.col("peak_daily_orders") > limit)
+    )

@@ -11846,3 +11846,68 @@ def orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(page) replacement for OFFSET; the cursor predicate reaches the
     scan as a pushed filter."""
     return R.keyset_page(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 88 (round 2): velocity screening, session fatigue.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_velocity_screen",
+    f"""
+WITH per_day AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey,
+       CAST(MAX(n) AS BIGINT) AS peak_daily_orders,
+       CAST(SUM(CASE WHEN n > {R.VELOCITY_LIMIT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS days_over_limit
+FROM per_day GROUP BY o_custkey
+HAVING MAX(n) > {R.VELOCITY_LIMIT}
+""",
+)
+def orders_velocity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity screening: customers exceeding {R.VELOCITY_LIMIT}
+    orders in a day — peak rate and offending-day counts."""
+    return R.velocity_screen(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "events_session_fatigue",
+    f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+s AS (
+  SELECT user_id, MIN(ts) AS st, COUNT(*) AS n
+  FROM g GROUP BY user_id, sid
+),
+idx AS (
+  SELECT n, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY st) AS s_idx
+  FROM s
+)
+SELECT CAST(s_idx AS INT) AS session_index,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(AVG(CAST(n AS DOUBLE)), 6) AS avg_events_per_session
+FROM idx WHERE s_idx <= {E.FATIGUE_MAX_IDX}
+GROUP BY s_idx
+""",
+)
+def events_session_fatigue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-fatigue curve: average session size by per-user
+    session index — the novelty-decay readout."""
+    return E.session_fatigue(load_table(spark, sf_dir, "events"))

@@ -282,3 +282,42 @@ def test_keyset_page_starts_after_cursor(spark, sf_dir):
     keys = [(r["o_date"], r["o_orderkey"]) for r in rows]
     assert keys == sorted(keys)
     assert all(k > (cursor_d, KEYSET_CURSOR[1]) for k in keys)
+
+
+def test_velocity_screen_flags_multi_order_day(spark):
+    import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    d = datetime.datetime(2024, 2, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 10, d), (2, 10, d), (3, 10, d),                  # 3 in one day
+            (4, 20, d), (5, 20, d + datetime.timedelta(days=1)),  # spread out
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    out = {r["o_custkey"]: r for r in R.velocity_screen(orders).collect()}
+    assert set(out) == {10}
+    assert out[10]["peak_daily_orders"] == 3
+    assert out[10]["days_over_limit"] == 1
+
+
+def test_session_fatigue_decay_curve(spark):
+    import datetime
+
+    from simple_vector_spark.operators import events as E
+
+    rows, eid = [], 0
+    t0 = datetime.datetime(2024, 1, 1)
+    for u in range(10):
+        # session 1: 4 events; session 2 (next day): 2 events
+        for j in range(4):
+            rows.append((eid, u, t0 + datetime.timedelta(minutes=j), 1.0)); eid += 1
+        for j in range(2):
+            rows.append((eid, u, t0 + datetime.timedelta(days=1, minutes=j), 1.0)); eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    out = {r["session_index"]: r for r in E.session_fatigue(ev).collect()}
+    assert out[1]["avg_events_per_session"] == 4.0
+    assert out[2]["avg_events_per_session"] == 2.0
+    assert out[1]["n_sessions"] == 10
