@@ -978,3 +978,26 @@ def storage_savings(docs_plus: DataFrame, labels: DataFrame) -> DataFrame:
             .alias("bytes_reclaimable"),
         )
     )
+
+
+def embedding_exact_dupes(emb: DataFrame) -> DataFrame:
+    """Exact-duplicate vectors by content address: md5 of the
+    ROUND(x,6)-canonicalized component string (float noise below 1e-6
+    is storage jitter, not signal) — the cheap first pass before any
+    cosine blocking; duplicate groups with keeper and copy count.
+    One digest shuffle, digests computed inside the scan."""
+    from ..functions.vector import as_double_array
+
+    v = as_double_array(F.col("embedding"))
+    canon = F.array_join(
+        F.transform(v, lambda x: F.format_string("%.6f", F.round(x, 6))), ","
+    )
+    h = F.md5(canon)
+    return (
+        emb.groupBy(h.alias("vec_md5"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("vec_id").alias("keeper"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

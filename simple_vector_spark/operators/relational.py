@@ -3787,3 +3787,51 @@ def velocity_screen(orders: DataFrame, limit: int = VELOCITY_LIMIT) -> DataFrame
         )
         .filter(F.col("peak_daily_orders") > limit)
     )
+
+
+SUBSCRIPTION_CV = 0.35
+SUBSCRIPTION_MIN_ORDERS = 4
+
+
+def subscription_detect(
+    orders: DataFrame,
+    cv_max: float = SUBSCRIPTION_CV,
+    min_orders: int = SUBSCRIPTION_MIN_ORDERS,
+) -> DataFrame:
+    """Subscription-pattern detection: customers whose inter-order gaps
+    are REGULAR (coefficient of variation <= ``cv_max`` over >=
+    ``min_orders`` orders) — the replenishment/subscription cohort a
+    retention team treats differently from impulse buyers.  Gaps from
+    one per-customer lag pass; CV from exact integer day sums."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    g = gaps.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap").cast("decimal(38,0)").alias("s1"),
+        F.sum((F.col("gap") * F.col("gap")).cast("decimal(38,0)")).alias("s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * mean) / (
+        n - F.lit(1.0)
+    )
+    cv = F.sqrt(F.greatest(var, F.lit(0.0))) / mean
+    return (
+        g.filter(F.col("n_gaps") >= min_orders - 1)
+        .select(
+            "o_custkey",
+            (F.col("n_gaps") + 1).cast("long").alias("n_orders"),
+            F.round(mean, 4).alias("mean_gap_days"),
+            F.round(cv, 6).alias("gap_cv"),
+        )
+        .filter(F.col("gap_cv") <= cv_max)  # gap_cv is already ROUND 6
+    )

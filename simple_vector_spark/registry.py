@@ -11911,3 +11911,78 @@ def events_session_fatigue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engagement-fatigue curve: average session size by per-user
     session index — the novelty-decay readout."""
     return E.session_fatigue(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 89 (round 2): exact-vector dedup, subscription detection.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_exact_dupes",
+    f"""
+WITH emb_plus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_SHIFT}, embedding
+  FROM embeddings WHERE vec_id % {PLANT_MOD} = 0
+),
+canon AS (
+  SELECT vec_id,
+         md5(array_to_string(
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> printf('%.6f', ROUND(x, 6))), ',')) AS vec_md5
+  FROM emb_plus
+)
+SELECT vec_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(vec_id) AS keeper
+FROM canon GROUP BY vec_md5 HAVING COUNT(*) > 1
+""",
+)
+def embedding_exact_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate vectors by ROUND-6 content address (planted
+    copies, same fixture plant as text dedup) — the cheap first pass
+    before cosine blocking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % PLANT_MOD == 0).select(
+        (F.col("vec_id") + PLANT_SHIFT).alias("vec_id"), "embedding"
+    )
+    both = emb.select("vec_id", "embedding").unionByName(planted)
+    return D.embedding_exact_dupes(both)
+
+
+@query(
+    "customers_subscription_detect",
+    f"""
+WITH g AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS DATE)
+           - lag(CAST(o_orderdate AS DATE)) OVER w AS gap
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+a AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(gap * gap AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
+)
+SELECT o_custkey, CAST(n_gaps + 1 AS BIGINT) AS n_orders,
+       ROUND(CAST(s1 AS DOUBLE) / n_gaps, 4) AS mean_gap_days,
+       ROUND(SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n_gaps))
+               / (n_gaps - 1.0), 0.0))
+             / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS gap_cv
+FROM a
+WHERE n_gaps >= {R.SUBSCRIPTION_MIN_ORDERS - 1}
+  AND ROUND(SQRT(GREATEST((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n_gaps))
+              / (n_gaps - 1.0), 0.0))
+            / (CAST(s1 AS DOUBLE) / n_gaps), 6) <= {R.SUBSCRIPTION_CV!r}
+""",
+)
+def customers_subscription_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replenishment/subscription cohort: customers with regular
+    inter-order gaps (CV <= {R.SUBSCRIPTION_CV}) over >=
+    {R.SUBSCRIPTION_MIN_ORDERS} orders — power-sum-exact regularity."""
+    return R.subscription_detect(load_table(spark, sf_dir, "orders"))

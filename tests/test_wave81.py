@@ -321,3 +321,39 @@ def test_session_fatigue_decay_curve(spark):
     assert out[1]["avg_events_per_session"] == 4.0
     assert out[2]["avg_events_per_session"] == 2.0
     assert out[1]["n_sessions"] == 10
+
+
+def test_embedding_exact_dupes_round6_canonicalization(spark):
+    from simple_vector_spark.operators import dedup as D
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.5, 0.25]),
+            (2, [0.5000000001, 0.25]),   # sub-1e-6 jitter -> same address
+            (3, [0.51, 0.25]),           # genuinely different
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = D.embedding_exact_dupes(emb).collect()
+    assert len(out) == 1
+    assert out[0]["n_copies"] == 2
+    assert out[0]["keeper"] == 1
+
+
+def test_subscription_detect_regular_vs_erratic(spark):
+    import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    rows, k = [], 0
+    # cust 1: every 30 days exactly -> CV 0
+    for i in range(6):
+        rows.append((k, 1, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=30 * i))); k += 1
+    # cust 2: erratic gaps
+    for d in (0, 3, 100, 103, 290):
+        rows.append((k, 2, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d))); k += 1
+    orders = spark.createDataFrame(rows, "o_orderkey long, o_custkey long, o_orderdate timestamp")
+    out = {r["o_custkey"]: r for r in R.subscription_detect(orders).collect()}
+    assert set(out) == {1}
+    assert out[1]["gap_cv"] == 0.0
+    assert out[1]["mean_gap_days"] == 30.0
