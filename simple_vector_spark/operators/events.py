@@ -1598,3 +1598,71 @@ def session_fatigue(events: DataFrame, max_idx: int = FATIGUE_MAX_IDX) -> DataFr
             "avg_events_per_session",
         )
     )
+
+
+DECAY_HALFLIFE_D = 3.5
+DECAY_WINDOW_D = 7
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    halflife_d: float = DECAY_HALFLIFE_D,
+    window_d: int = DECAY_WINDOW_D,
+) -> DataFrame:
+    """Time-decay attribution — the third standard model beside first-
+    and last-touch: every purchase splits its value across the user's
+    preceding touches (views/clicks within ``window_d`` days), each
+    weighted 2^(-age/halflife) and normalized per purchase.  Reports
+    credited revenue per touch type.
+
+    Determinism: weights ROUND 9 before the per-purchase normalizer;
+    credits ROUND 6 -> DECIMAL sums, so the final aggregate is
+    association-order exact.  The touch join is user-keyed with a
+    bounded time-range residual (the two-sided interval join shape)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value"), 6).alias("p_val"),
+    )
+    touches = events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    age_s = F.unix_timestamp("p_ts") - F.unix_timestamp("t_ts")
+    j = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (age_s <= window_d * 86400)
+    )
+    w = F.round(
+        F.pow(F.lit(0.5), age_s.cast("double") / F.lit(halflife_d * 86400.0)),
+        9,
+    )
+    weighted = j.select(
+        "p_id", "p_val", "touch_type",
+        w.cast("decimal(12,9)").alias("w"),
+    )
+    # the normalizer sums EXACT decimals: an f64 sum here would absorb
+    # partial-aggregate merge order into every rounded credit
+    norm = weighted.groupBy("p_id").agg(F.sum("w").alias("_wsum"))
+    credit = (
+        weighted.join(norm, "p_id")
+        .select(
+            "touch_type",
+            F.round(
+                F.col("p_val")
+                * F.col("w").cast("double")
+                / F.col("_wsum").cast("double"),
+                6,
+            )
+            .cast("decimal(21,6)")
+            .alias("credit"),
+        )
+    )
+    return credit.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_credited_touches"),
+        F.round(F.sum("credit").cast("double"), 4).alias("credited_value"),
+    )

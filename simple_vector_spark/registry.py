@@ -9880,8 +9880,9 @@ def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_disorder_audit",
     """
 WITH wm AS (
-  SELECT epoch(ts) AS ts_s,
-         MAX(epoch(ts)) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+         MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+           OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
            AS wm
   FROM events
 ),
@@ -11517,7 +11518,8 @@ def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_burst_clustering",
     f"""
 WITH gaps AS (
-  SELECT epoch(ts) - lag(epoch(ts)) OVER w AS gap_s
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w AS gap_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -11775,7 +11777,8 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH m AS (
   SELECT event_type,
-         epoch(ts) - lag(epoch(ts)) OVER w AS gap
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w AS gap
   FROM events
   WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 )
@@ -11986,3 +11989,49 @@ def customers_subscription_detect(spark: SparkSession, sf_dir: str) -> DataFrame
     inter-order gaps (CV <= {R.SUBSCRIPTION_CV}) over >=
     {R.SUBSCRIPTION_MIN_ORDERS} orders — power-sum-exact regularity."""
     return R.subscription_detect(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 90 (round 2): time-decay attribution.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_touch_decay_attribution",
+    f"""
+WITH purchases AS (
+  SELECT user_id, event_id AS p_id, ts AS p_ts, ROUND(value, 6) AS p_val
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, event_type AS touch_type, ts AS t_ts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p_id, p_val, touch_type,
+         ROUND(POWER(0.5, (CAST(FLOOR(epoch(p_ts)) AS BIGINT) - CAST(FLOOR(epoch(t_ts)) AS BIGINT))
+                          / {E.DECAY_HALFLIFE_D * 86400.0!r}), 9) AS w
+  FROM purchases JOIN touches USING (user_id)
+  WHERE t_ts < p_ts
+    AND CAST(FLOOR(epoch(p_ts)) AS BIGINT) - CAST(FLOOR(epoch(t_ts)) AS BIGINT) <= {E.DECAY_WINDOW_D * 86400}
+),
+jd AS (
+  SELECT p_id, p_val, touch_type, CAST(w AS DECIMAL(12,9)) AS w FROM j
+),
+norm AS (SELECT p_id, SUM(w) AS wsum FROM jd GROUP BY p_id),
+credit AS (
+  SELECT touch_type,
+         CAST(ROUND(p_val * CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 6)
+              AS DECIMAL(21,6)) AS credit
+  FROM jd JOIN norm USING (p_id)
+)
+SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
+       ROUND(CAST(SUM(credit) AS DOUBLE), 4) AS credited_value
+FROM credit GROUP BY touch_type
+""",
+)
+def events_touch_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution (2^(-age/halflife), per-purchase
+    normalized) — the third standard model beside first/last touch;
+    rounded-DECIMAL credits."""
+    return E.time_decay_attribution(load_table(spark, sf_dir, "events"))

@@ -357,3 +357,29 @@ def test_subscription_detect_regular_vs_erratic(spark):
     assert set(out) == {1}
     assert out[1]["gap_cv"] == 0.0
     assert out[1]["mean_gap_days"] == 30.0
+
+
+def test_time_decay_attribution_hand_weights(spark):
+    import datetime
+    import math
+
+    from simple_vector_spark.operators import events as E
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # one purchase of 100 with two touches: a click 1 day before
+        # (weight 0.5^(1/3.5)) and a view 7 days before (0.5^2)
+        (1, 1, "click", t0 - datetime.timedelta(days=1), 0.0),
+        (2, 1, "view", t0 - datetime.timedelta(days=7), 0.0),
+        (3, 1, "purchase", t0, 100.0),
+        # a touch outside the window contributes nothing
+        (4, 1, "view", t0 - datetime.timedelta(days=30), 0.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp, value double")
+    out = {r["touch_type"]: r for r in E.time_decay_attribution(ev).collect()}
+    w_click = round(math.pow(0.5, 1 / 3.5), 9)
+    w_view = round(math.pow(0.5, 2.0), 9)
+    total = w_click + w_view
+    assert abs(out["click"]["credited_value"] - round(100 * w_click / total, 4)) < 1e-3
+    assert abs(out["view"]["credited_value"] - round(100 * w_view / total, 4)) < 1e-3
+    assert out["view"]["n_credited_touches"] == 1  # day-30 touch excluded
