@@ -199,3 +199,109 @@ def test_packing_matches_sequential_model(spark, rows):
     assert got["s"]["n_docs"] == n_docs
     assert got["s"]["n_tokens"] == n_tokens
     assert got["s"]["n_packs"] == len(packs)
+
+
+prefix_rows = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=25
+)
+
+
+@SET
+@given(vals=prefix_rows)
+def test_prefix_max_matches_sequential_model(spark, vals):
+    """ranked_prefix_max == a sequential running max over the sort
+    order, for arbitrary values including duplicates and negatives."""
+    from pyspark.sql import functions as F
+
+    from simple_vector_spark.operators.ranking import ranked_prefix_max
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    )
+    got = {
+        r["k"]: r["cum_max"]
+        for r in ranked_prefix_max(df, [F.col("k").asc()], "v").collect()
+    }
+    run = None
+    for i, v in enumerate(vals):
+        run = v if run is None else max(run, v)
+        assert got[i] == run
+
+
+fp_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.text(alphabet="abcxyz", max_size=4)),
+    min_size=1,
+    max_size=15,
+)
+
+
+@SET
+@given(rows=fp_rows)
+def test_fingerprint_permutation_invariant(spark, rows):
+    """table_fingerprint is invariant under row permutation and
+    changes under any single-row mutation (w.h.p.)."""
+    from pyspark.sql import functions as F
+
+    from simple_vector_spark.operators.validate import table_fingerprint
+
+    cols = [F.col("k").cast("string"), F.col("s")]
+    a = spark.createDataFrame(rows, "k long, s string")
+    b = spark.createDataFrame(list(reversed(rows)), "k long, s string")
+    fa = table_fingerprint(a, cols, "t").collect()[0]
+    fb = table_fingerprint(b, cols, "t").collect()[0]
+    assert fa["fingerprint"] == fb["fingerprint"]
+    mutated = rows[:-1] + [(rows[-1][0] + 1, rows[-1][1] + "Z")]
+    fc = table_fingerprint(
+        spark.createDataFrame(mutated, "k long, s string"), cols, "t"
+    ).collect()[0]
+    assert fc["fingerprint"] != fa["fingerprint"]
+
+
+sky_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),   # custkey bucket
+        st.integers(min_value=1, max_value=40),  # order value
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SET
+@given(rows=sky_rows)
+def test_skyline_matches_bruteforce_dominance(spark, rows):
+    """customers_skyline == brute-force strict-dominance filter with
+    min-custkey collapse of exact ties, on arbitrary order sets."""
+    import datetime
+
+    from simple_vector_spark.operators import relational as RR
+
+    d = datetime.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(i, c, float(v), d) for i, (c, v) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+    )
+    got = {
+        (r["o_custkey"], r["total_spend"], r["n_orders"])
+        for r in RR.customers_skyline(orders).collect()
+    }
+    per: dict[int, list[float]] = {}
+    for c, v in rows:
+        per.setdefault(c, []).append(float(v))
+    pts = {c: (sum(vs), len(vs)) for c, vs in per.items()}
+    sky = {
+        c
+        for c, (s, n) in pts.items()
+        if not any(
+            (s2 >= s and n2 >= n and (s2 > s or n2 > n))
+            for c2, (s2, n2) in pts.items()
+            if c2 != c
+        )
+    }
+    # collapse exact (spend, n) ties to min custkey
+    rep: dict[tuple[float, int], int] = {}
+    for c in sky:
+        key = pts[c]
+        rep[key] = min(rep.get(key, c), c)
+    model = {(c, round(s, 2), n) for (s, n), c in rep.items()}
+    assert got == model
