@@ -1666,3 +1666,39 @@ def time_decay_attribution(
         F.count("*").cast("long").alias("n_credited_touches"),
         F.round(F.sum("credit").cast("double"), 4).alias("credited_value"),
     )
+
+
+SLO_TARGET = 0.99  # success-rate objective
+
+
+def error_budget_burn(events: DataFrame, slo: float = SLO_TARGET) -> DataFrame:
+    """SRE error-budget accounting against a {SLO_TARGET:.0%}
+    success-rate SLO: per day, the error rate and the BURN RATE
+    (error_rate / allowed_rate — burn 1.0 consumes exactly the budget;
+    a 14.4x burn for an hour is the classic page threshold), plus each
+    day's share of the whole-period budget consumed.  Exact integer
+    counts, |days| output rows."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_err"),
+    )
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("_tn"),
+        F.sum("n_err").cast("long").alias("_te"),
+    )
+    allowed = 1.0 - slo
+    rate = F.col("n_err") / F.col("n").cast("double")
+    return daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        "n_err",
+        F.round(rate, 6).alias("error_rate"),
+        F.round(rate / F.lit(allowed), 6).alias("burn_rate"),
+        F.round(
+            F.col("n_err")
+            / (F.col("_tn").cast("double") * F.lit(allowed)),
+            6,
+        ).alias("period_budget_share"),
+    )

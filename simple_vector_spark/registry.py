@@ -12035,3 +12035,37 @@ def events_touch_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     normalized) — the third standard model beside first/last touch;
     rounded-DECIMAL credits."""
     return E.time_decay_attribution(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 91 (round 2): SRE error-budget burn.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_error_budget",
+    f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(n_err) AS BIGINT) AS te
+  FROM daily
+)
+SELECT day, n, n_err,
+       ROUND(n_err / CAST(n AS DOUBLE), 6) AS error_rate,
+       ROUND((n_err / CAST(n AS DOUBLE)) / {1.0 - E.SLO_TARGET!r}, 6)
+         AS burn_rate,
+       ROUND(n_err / (CAST(tn AS DOUBLE) * {1.0 - E.SLO_TARGET!r}), 6)
+         AS period_budget_share
+FROM daily, tot
+""",
+)
+def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget burn vs the {E.SLO_TARGET:.0%} SLO: daily burn rate
+    (1.0 = on budget; 14.4x = page) and period budget share — the SRE
+    accounting every alert policy is built on."""
+    return E.error_budget_burn(load_table(spark, sf_dir, "events"))

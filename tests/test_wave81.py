@@ -383,3 +383,24 @@ def test_time_decay_attribution_hand_weights(spark):
     assert abs(out["click"]["credited_value"] - round(100 * w_click / total, 4)) < 1e-3
     assert abs(out["view"]["credited_value"] - round(100 * w_view / total, 4)) < 1e-3
     assert out["view"]["n_credited_touches"] == 1  # day-30 touch excluded
+
+
+def test_error_budget_burn_rates(spark):
+    import datetime
+
+    from simple_vector_spark.operators import events as E
+
+    rows, eid = [], 0
+    # day 1: 100 events, 1 error -> exactly on budget (burn 1.0)
+    # day 2: 100 events, 5 errors -> burn 5.0
+    for day, n_err in ((1, 1), (2, 5)):
+        for i in range(100):
+            et = "error" if i < n_err else "view"
+            rows.append((eid, et, datetime.datetime(2024, 6, day, 10))); eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    out = {r["day"].day: r for r in E.error_budget_burn(ev).collect()}
+    assert out[1]["burn_rate"] == 1.0
+    assert out[2]["burn_rate"] == 5.0
+    # whole-period budget: 200 events * 1% = 2 allowed; day 2 alone
+    # consumed 2.5x of it
+    assert out[2]["period_budget_share"] == 2.5
