@@ -12069,3 +12069,51 @@ def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1.0 = on budget; 14.4x = page) and period budget share — the SRE
     accounting every alert policy is built on."""
     return E.error_budget_burn(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 92 (round 2): catalog storage statistics (ANALYZE surface).
+# --------------------------------------------------------------------------
+
+
+@query("table_storage_stats")  # rows-only: file bytes are layout-specific
+def table_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style catalog statistics per fixture table: file count,
+    on-disk bytes, row count, bytes/row — the inputs a cost-based
+    planner and a compaction policy read.  Rows-only by nature (byte
+    sizes depend on the writer/codec, no SQL oracle); invariants
+    (positive sizes, row counts match COUNT(*)) are pytest-held.
+
+    Scale note: file listing comes from the driver-side filesystem API
+    (metadata-only, like a catalog refresh); row counts are one
+    count(*) per table — parquet footer-only scans."""
+    import os
+
+    from .sources.loaders import TABLES
+
+    rows = []
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        n_bytes = sum(os.path.getsize(f) for f in files)
+        n_rows = load_table(spark, sf_dir, t).count()
+        rows.append((t, len(files), n_bytes, n_rows))
+    out = spark.createDataFrame(
+        rows, "table_name string, n_files int, total_bytes long, n_rows long"
+    )
+    return out.select(
+        "table_name",
+        "n_files",
+        "total_bytes",
+        "n_rows",
+        F.round(F.col("total_bytes") / F.col("n_rows").cast("double"), 2).alias(
+            "bytes_per_row"
+        ),
+    )

@@ -404,3 +404,16 @@ def test_error_budget_burn_rates(spark):
     # whole-period budget: 200 events * 1% = 2 allowed; day 2 alone
     # consumed 2.5x of it
     assert out[2]["period_budget_share"] == 2.5
+
+
+def test_storage_stats_invariants(spark, sf_dir):
+    from simple_vector_spark import registry as REG
+    from simple_vector_spark.sources.loaders import TABLES, load_table
+
+    out = {r["table_name"]: r for r in REG.table_storage_stats(spark, sf_dir).collect()}
+    assert set(out) == set(TABLES)
+    for t, r in out.items():
+        assert r["n_files"] >= 1
+        assert r["total_bytes"] > 0
+        assert r["bytes_per_row"] > 0
+    assert out["lineitem"]["n_rows"] == load_table(spark, sf_dir, "lineitem").count()
