@@ -1530,3 +1530,50 @@ def isotropy_audit(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.round(F.col("_an"), 6).alias("avg_vec_norm"),
         F.round(F.col("_mn") / F.col("_an"), 6).alias("anisotropy_ratio"),
     )
+
+
+def pq_distortion_audit(
+    emb: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ reconstruction-distortion audit: per vector, the squared
+    error the 8-byte code loses (sum over subspaces of the chosen —
+    i.e. minimum — codeword distance), reported as corpus mean/max and
+    as a share of the mean squared norm — THE quantization-quality
+    number that decides whether ADC shortlists can be trusted before
+    any recall measurement.
+
+    Per-subspace minima are the same rounded expressions pq_encode
+    ranks on; per-vector sums are DECIMAL-exact, so the corpus
+    aggregate is shuffle-order invariant."""
+    v = as_double_array(F.col(vec_col))
+    dsub = len(codebooks[0][0][1])
+    subs = []
+    for s, cb in enumerate(codebooks):
+        mat = F.lit([cw for _, cw in cb]).cast("array<array<double>>")
+        sub = F.slice(v, s * dsub + 1, dsub)
+        dists = F.transform(mat, lambda cw: F.round(squared_l2(sub, cw), 6))
+        subs.append(F.array_min(dists).cast("decimal(18,6)"))
+    dist = subs[0]
+    for extra in subs[1:]:
+        dist = dist + extra
+    norm2 = F.round(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    per_vec = emb.select(
+        dist.cast("decimal(28,6)").alias("dist"), norm2.alias("n2")
+    )
+    return per_vec.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(
+            F.sum("dist").cast("double") / F.count("*"), 6
+        ).alias("mean_distortion"),
+        F.round(F.max("dist").cast("double"), 6).alias("max_distortion"),
+        F.round(
+            F.sum("dist").cast("double") / F.sum("n2").cast("double"), 6
+        ).alias("distortion_share"),
+    )

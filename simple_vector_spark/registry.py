@@ -12117,3 +12117,40 @@ def table_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_per_row"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 93 (round 2): PQ reconstruction distortion.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ann_pq_distortion",
+    f"""
+WITH {_PQ_SQL},
+mind AS (SELECT vec_id, s, MIN(d) AS md FROM encdist GROUP BY vec_id, s),
+per_vec AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(md AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS dist
+  FROM mind GROUP BY vec_id
+),
+norm2 AS (
+  SELECT vec_id, CAST(ROUND(SUM(x * x), 6) AS DECIMAL(18,6)) AS n2
+  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings)
+  GROUP BY vec_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(dist) AS DOUBLE) / COUNT(*), 6) AS mean_distortion,
+       ROUND(CAST(MAX(dist) AS DOUBLE), 6) AS max_distortion,
+       ROUND(CAST(SUM(dist) AS DOUBLE) / CAST(SUM(n2) AS DOUBLE), 6)
+         AS distortion_share
+FROM per_vec JOIN norm2 USING (vec_id)
+""",
+)
+def ann_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction distortion: the squared error the 8-byte code
+    loses, corpus mean/max and share of mean norm² — the quantization
+    QA number before trusting ADC shortlists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return A.pq_distortion_audit(emb, A.pq_codebooks(emb))

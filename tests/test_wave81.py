@@ -417,3 +417,22 @@ def test_storage_stats_invariants(spark, sf_dir):
         assert r["total_bytes"] > 0
         assert r["bytes_per_row"] > 0
     assert out["lineitem"]["n_rows"] == load_table(spark, sf_dir, "lineitem").count()
+
+
+def test_pq_distortion_zero_when_corpus_is_codebook(spark):
+    from simple_vector_spark.operators import ann as A
+
+    # corpus vectors == centroid rows -> perfect reconstruction
+    rows = [(i, [float(i)] * 64) for i in A.CENTROID_IDS]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = A.pq_codebooks(emb)
+    r = A.pq_distortion_audit(emb, cbs).collect()[0]
+    assert r["mean_distortion"] == 0.0
+    assert r["max_distortion"] == 0.0
+    # a perturbed vector picks up exactly its offset energy
+    emb2 = spark.createDataFrame(
+        rows + [(999, [float(A.CENTROID_IDS[0]) + 1.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = A.pq_distortion_audit(emb2, cbs).collect()[0]
+    assert r2["max_distortion"] > 0
