@@ -3835,3 +3835,74 @@ def subscription_detect(
         )
         .filter(F.col("gap_cv") <= cv_max)  # gap_cv is already ROUND 6
     )
+
+
+LATENCY_MW_GROUPS = ("1-URGENT", "5-LOW")
+
+
+def latency_inversion_mw(
+    orders: DataFrame, lineitem: DataFrame,
+    groups: tuple[str, str] = LATENCY_MW_GROUPS,
+) -> DataFrame:
+    """Does priority actually buy speed?  Mann-Whitney U on order-to-
+    first-ship days between the {LATENCY_MW_GROUPS} classes — a
+    location shift toward zero for URGENT is the service working; z
+    near 0 means priority is theater.  Same exact midrank machinery as
+    lineitem_mann_whitney on the bounded day domain."""
+    a_key, b_key = groups
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("ship")
+    )
+    days = (
+        orders.filter(F.col("o_orderpriority").isin(a_key, b_key))
+        .join(first_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.datediff(F.col("ship"), F.col("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    counts = days.groupBy("v").agg(
+        F.sum((F.col("grp") == a_key).cast("long")).alias("c_a"),
+        F.sum((F.col("grp") == b_key).cast("long")).alias("c_b"),
+    ).withColumn("n_v", F.col("c_a") + F.col("c_b"))
+    other = counts.select(F.col("v").alias("_v2"), F.col("n_v").alias("_n2"))
+    before = (
+        counts.join(F.broadcast(other), F.col("_v2") < F.col("v"), "left")
+        .groupBy("v", "c_a", "c_b", "n_v")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("cb"))
+    )
+    two_mid = (F.lit(2) * F.col("cb") + F.col("n_v") + 1).cast("decimal(38,0)")
+    agg = before.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+        (F.sum(F.col("c_a").cast("decimal(38,0)") * two_mid) / 2)
+        .cast("decimal(38,1)")
+        .alias("r_a"),
+        F.sum(
+            (
+                F.col("n_v").cast("decimal(38,0)")
+                * F.col("n_v")
+                * F.col("n_v")
+                - F.col("n_v")
+            ).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("tie_sum"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = n_a + n_b
+    u = F.col("r_a").cast("double") - n_a * (n_a + 1.0) / 2.0
+    mean_u = n_a * n_b / 2.0
+    var_u = (
+        n_a * n_b / 12.0
+        * ((n + 1.0) - F.col("tie_sum").cast("double") / (n * (n - 1.0)))
+    )
+    z = (u - mean_u) / F.sqrt(var_u)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u, 1).alias("u_stat"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("latency_differs"),
+    )

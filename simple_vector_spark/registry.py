@@ -12154,3 +12154,76 @@ def ann_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     QA number before trusting ADC shortlists."""
     emb = load_table(spark, sf_dir, "embeddings")
     return A.pq_distortion_audit(emb, A.pq_codebooks(emb))
+
+
+# --------------------------------------------------------------------------
+# Wave 94 (round 2): priority-latency inversion test.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_latency_inversion_mw",
+    f"""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship
+  FROM lineitem GROUP BY l_orderkey
+),
+days AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ship - CAST(o_orderdate AS DATE) AS BIGINT) AS v
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+  WHERE o_orderpriority IN ('{R.LATENCY_MW_GROUPS[0]}',
+                            '{R.LATENCY_MW_GROUPS[1]}')
+),
+counts AS (
+  SELECT v,
+         SUM(CASE WHEN grp = '{R.LATENCY_MW_GROUPS[0]}' THEN 1 ELSE 0 END)
+           AS c_a,
+         SUM(CASE WHEN grp = '{R.LATENCY_MW_GROUPS[1]}' THEN 1 ELSE 0 END)
+           AS c_b,
+         COUNT(*) AS n_v
+  FROM days GROUP BY v
+),
+before AS (
+  SELECT a.v, a.c_a, a.c_b, a.n_v, COALESCE(SUM(b.n_v), 0) AS cb
+  FROM counts a LEFT JOIN counts b ON b.v < a.v
+  GROUP BY a.v, a.c_a, a.c_b, a.n_v
+),
+agg AS (
+  SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+         CAST(SUM(c_b) AS BIGINT) AS n_b,
+         CAST(SUM(CAST(c_a AS DECIMAL(38,0))
+                  * CAST(2 * cb + n_v + 1 AS DECIMAL(38,0))) / 2
+              AS DECIMAL(38,1)) AS r_a,
+         CAST(SUM(CAST(n_v AS DECIMAL(38,0)) * n_v * n_v - n_v)
+              AS DECIMAL(38,0)) AS tie_sum
+  FROM before
+)
+SELECT n_a, n_b,
+       ROUND(CAST(r_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1.0) / 2.0, 1)
+         AS u_stat,
+       ROUND((CAST(r_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1.0) / 2.0
+              - CAST(n_a AS DOUBLE) * n_b / 2.0)
+             / SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0
+                    * ((n_a + n_b + 1.0)
+                       - CAST(tie_sum AS DOUBLE)
+                         / ((n_a + CAST(n_b AS DOUBLE))
+                            * (n_a + n_b - 1.0)))), 6) AS z,
+       ABS((CAST(r_a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1.0) / 2.0
+            - CAST(n_a AS DOUBLE) * n_b / 2.0)
+           / SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0
+                  * ((n_a + n_b + 1.0)
+                     - CAST(tie_sum AS DOUBLE)
+                       / ((n_a + CAST(n_b AS DOUBLE))
+                          * (n_a + n_b - 1.0))))) > 1.96
+         AS latency_differs
+FROM agg
+""",
+)
+def orders_latency_inversion_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-vs-latency Mann-Whitney: does URGENT actually ship
+    faster than LOW — rank-exact on the bounded day domain."""
+    return R.latency_inversion_mw(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )

@@ -436,3 +436,26 @@ def test_pq_distortion_zero_when_corpus_is_codebook(spark):
     )
     r2 = A.pq_distortion_audit(emb2, cbs).collect()[0]
     assert r2["max_distortion"] > 0
+
+
+def test_latency_mw_detects_faster_urgent(spark):
+    import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    d0 = datetime.datetime(2024, 1, 1)
+    orders_rows, li_rows, k = [], [], 0
+    # URGENT ships in 1-2 days, LOW in 20-21 days
+    for prio, base in (("1-URGENT", 1), ("5-LOW", 20)):
+        for i in range(30):
+            orders_rows.append((k, prio, d0))
+            li_rows.append((k, d0 + datetime.timedelta(days=base + (i % 2))))
+            k += 1
+    orders = spark.createDataFrame(
+        orders_rows, "o_orderkey long, o_orderpriority string, o_orderdate timestamp"
+    )
+    li = spark.createDataFrame(li_rows, "l_orderkey long, l_shipdate timestamp")
+    r = R.latency_inversion_mw(orders, li).collect()[0]
+    assert r["u_stat"] == 0.0  # every URGENT beats every LOW
+    assert r["latency_differs"] is True
+    assert r["z"] < -5
