@@ -1702,3 +1702,42 @@ def error_budget_burn(events: DataFrame, slo: float = SLO_TARGET) -> DataFrame:
             6,
         ).alias("period_budget_share"),
     )
+
+
+ZIPF_USERS_TOP = 100
+
+
+def user_activity_zipf(events: DataFrame, top_n: int = ZIPF_USERS_TOP) -> DataFrame:
+    """Power-law audit of USER activity (vocab_zipf_slope's recipe on
+    behavior instead of language): ln(events) on ln(rank) over the
+    top-n users — a slope near -1 is organic heavy-tailed usage; flat
+    means synthetic/uniform traffic, very steep means a few accounts
+    (bots, integrations) dominate.  Same determinism recipe: exact
+    rank, ROUND-6 DECIMAL logs, f64 only at the closed-form end."""
+    from .ranking import ranked_global
+
+    per = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    top = per.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(top_n)
+    ranked = ranked_global(
+        top, [F.col("n").desc(), F.col("user_id").asc()], rank_name="rank"
+    ).select("rank", "n")
+    x = F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(20,6)")
+    y = F.round(F.log(F.col("n").cast("double")), 6).cast("decimal(20,6)")
+    sums = ranked.agg(
+        F.count("*").cast("bigint").alias("n_used"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum((x * y).cast("decimal(30,12)")).alias("_sxy"),
+        F.sum((x * x).cast("decimal(30,12)")).alias("_sxx"),
+    )
+    nn = F.col("n_used").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    slope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    return sums.select(
+        "n_used",
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / nn, 4).alias("intercept"),
+    )

@@ -12227,3 +12227,51 @@ def orders_latency_inversion_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 95 (round 2): user-activity power law.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_user_zipf",
+    f"""
+WITH per AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+top AS (
+  SELECT n FROM per ORDER BY n DESC, user_id LIMIT {E.ZIPF_USERS_TOP}
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC) AS BIGINT) AS rank, n
+  FROM top
+),
+logs AS (
+  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(20,6)) AS x,
+         CAST(ROUND(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(20,6)) AS y
+  FROM ranked
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * y AS DECIMAL(30,12))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(30,12))) AS sxx
+  FROM logs
+)
+SELECT n_used,
+       ROUND((n_used * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n_used * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((n_used * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n_used * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / n_used, 4) AS intercept
+FROM sums
+""",
+)
+def events_user_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law slope of user activity (Zipf recipe on behavior) —
+    organic heavy tail vs synthetic/bot-dominated traffic."""
+    return E.user_activity_zipf(load_table(spark, sf_dir, "events"))

@@ -459,3 +459,27 @@ def test_latency_mw_detects_faster_urgent(spark):
     assert r["u_stat"] == 0.0  # every URGENT beats every LOW
     assert r["latency_differs"] is True
     assert r["z"] < -5
+
+
+def test_user_zipf_flat_for_uniform_activity(spark):
+    import datetime
+
+    from simple_vector_spark.operators import events as E
+
+    rows = []
+    eid = 0
+    for u in range(50):
+        for j in range(10):  # everyone equally active
+            rows.append((eid, u, datetime.datetime(2024, 1, 1, 10, j))); eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    r = E.user_activity_zipf(ev).collect()[0]
+    assert r["slope"] == 0.0  # perfectly flat: no heavy tail
+
+    # power-law activity: user u gets ~1000/(u+1) events -> slope ~ -1
+    rows2, eid = [], 0
+    for u in range(40):
+        for j in range(max(1, 200 // (u + 1))):
+            rows2.append((eid, u, datetime.datetime(2024, 1, 1, 10, 0))); eid += 1
+    ev2 = spark.createDataFrame(rows2, "event_id long, user_id long, ts timestamp")
+    r2 = E.user_activity_zipf(ev2).collect()[0]
+    assert -1.3 < r2["slope"] < -0.7
