@@ -3906,3 +3906,43 @@ def latency_inversion_mw(
         F.round(z, 6).alias("z"),
         (F.abs(z) > 1.96).alias("latency_differs"),
     )
+
+
+SLA_TREND_DAYS = 14
+
+
+def sla_trend(orders: DataFrame, lineitem: DataFrame, days: int = SLA_TREND_DAYS) -> DataFrame:
+    """Fulfilment trend: the share of orders first-shipped within
+    {SLA_TREND_DAYS} days, by order QUARTER — is the pipeline getting
+    faster or slower over time (the direction the point-in-time SLA
+    scorecard can't show).  Same one-pass first-ship aggregate, then a
+    |quarters|-row rollup with QoQ delta via a bounded lag."""
+    first_ship = lineitem.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("ship")
+    )
+    j = orders.join(
+        first_ship, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        F.concat_ws(
+            "-",
+            F.year("o_orderdate").cast("string"),
+            F.quarter("o_orderdate").cast("string"),
+        ).alias("quarter"),
+        (
+            F.datediff(F.col("ship"), F.col("o_orderdate").cast("date"))
+            <= days
+        ).alias("ok"),
+    )
+    q = j.groupBy("quarter").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.col("ok").cast("long")) / F.count("*").cast("double"), 6
+        ).alias("on_time_share"),
+    )
+    w = Window.orderBy("quarter")  # |quarters| rows — calendar-bounded
+    return q.withColumn(
+        "qoq_delta",
+        F.round(
+            F.col("on_time_share") - F.lag("on_time_share").over(w), 6
+        ),
+    )

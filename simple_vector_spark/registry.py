@@ -12275,3 +12275,42 @@ def events_user_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-law slope of user activity (Zipf recipe on behavior) —
     organic heavy tail vs synthetic/bot-dominated traffic."""
     return E.user_activity_zipf(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 96 (round 2): SLA trend by quarter.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_sla_trend",
+    f"""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) || '-'
+           || CAST(EXTRACT(quarter FROM o_orderdate) AS VARCHAR) AS quarter,
+         ship - CAST(o_orderdate AS DATE) <= {R.SLA_TREND_DAYS} AS ok
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+),
+q AS (
+  SELECT quarter, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(SUM(CASE WHEN ok THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS on_time_share
+  FROM j GROUP BY quarter
+)
+SELECT quarter, n_orders, on_time_share,
+       ROUND(on_time_share - lag(on_time_share) OVER (ORDER BY quarter), 6)
+         AS qoq_delta
+FROM q
+""",
+)
+def orders_sla_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-time-within-{R.SLA_TREND_DAYS}-days share by quarter with QoQ
+    delta — the fulfilment direction-of-travel."""
+    return R.sla_trend(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )

@@ -483,3 +483,25 @@ def test_user_zipf_flat_for_uniform_activity(spark):
     ev2 = spark.createDataFrame(rows2, "event_id long, user_id long, ts timestamp")
     r2 = E.user_activity_zipf(ev2).collect()[0]
     assert -1.3 < r2["slope"] < -0.7
+
+
+def test_sla_trend_quarters_and_delta(spark):
+    import datetime
+
+    from simple_vector_spark.operators import relational as R
+
+    orders_rows, li_rows, k = [], [], 0
+    # Q1: all within 14d; Q2: none within 14d
+    for month, lat in ((1, 5), (4, 30)):
+        for i in range(10):
+            d0 = datetime.datetime(2024, month, 2)
+            orders_rows.append((k, d0))
+            li_rows.append((k, d0 + datetime.timedelta(days=lat)))
+            k += 1
+    orders = spark.createDataFrame(orders_rows, "o_orderkey long, o_orderdate timestamp")
+    li = spark.createDataFrame(li_rows, "l_orderkey long, l_shipdate timestamp")
+    out = {r["quarter"]: r for r in R.sla_trend(orders, li).collect()}
+    assert out["2024-1"]["on_time_share"] == 1.0
+    assert out["2024-2"]["on_time_share"] == 0.0
+    assert out["2024-2"]["qoq_delta"] == -1.0
+    assert out["2024-1"]["qoq_delta"] is None
