@@ -475,3 +475,74 @@ def ddsketch_quantile_audit(
             "rel_err"
         ),
     )
+
+
+AMS_D = 8  # independent +/-1 estimators (reuses the MINHASH_A/B hash rows)
+
+
+def ams_f2_audit(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch vs the
+    exact self-join size on ``key_col``.
+
+    F2 = sum over keys of count(key)^2 is exactly the row count of
+    ``events JOIN events`` on the key — the cardinality a join planner
+    needs BEFORE paying for the join.  The exact answer costs a shuffle
+    on the key; AMS estimates it from ONE map-side pass: D=8
+    deterministic +/-1 sign hashes s_j(key), S_j = sum of s_j over all
+    rows (a plain partial aggregate — no key shuffle, 9 counters per
+    partition), per-estimator estimate S_j^2, combined by the median.
+    Signs come from the shared universal-hash family
+    ((A_j*h + B_j) % P) % 2 over the md5-prefix integer h — exact
+    integer arithmetic end to end, so the ESTIMATE itself (not just an
+    error bound) hash-matches the DuckDB oracle.
+
+    Reference contrast: the reference keeps no statistics at all — its
+    only aggregate structure is the per-(field,value) roaring bitmap
+    (src/filter_index.cc:9-54).  At 100 TB this estimator answers
+    join-size/skew questions in one pass with O(D) memory, mergeable
+    across partitions by construction (sums of sums).
+
+    Output: one row (n_rows, n_keys, exact_f2, ams_median_est,
+    rel_err).  The exact side exists only for the audit."""
+    h = md5_int(F.col(key_col).cast("string"))
+
+    def sign(j: int) -> F.Column:
+        u = (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % MINHASH_P
+        return F.when(u % 2 == 0, 1).otherwise(-1)
+
+    sketch = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(sign(j)).alias(f"s{j}") for j in range(AMS_D)],
+    )
+    exact = (
+        events.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("exact_f2"),
+        )
+    )
+    ests = F.array_sort(
+        F.array(*[F.col(f"s{j}") * F.col(f"s{j}") for j in range(AMS_D)])
+    )
+    half = AMS_D // 2
+    return (
+        sketch.crossJoin(exact)
+        .withColumn("_e", ests)
+        .select(
+            "n_rows",
+            "n_keys",
+            "exact_f2",
+            F.round(
+                (F.col("_e")[half - 1] + F.col("_e")[half]) / F.lit(2.0), 1
+            ).alias("ams_median_est"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("ams_median_est") - F.col("exact_f2"))
+                / F.col("exact_f2"),
+                6,
+            ),
+        )
+    )

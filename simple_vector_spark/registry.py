@@ -12314,3 +12314,56 @@ def orders_sla_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 97 (round 2): AMS second-moment sketch — one-pass self-join-size
+# estimation, the planner statistic that prices a join before paying it.
+# --------------------------------------------------------------------------
+
+_AMS_SIGN_SQL = ", ".join(
+    f"""SUM(CASE WHEN (({SK.MINHASH_A[j]} * h + {SK.MINHASH_B[j]})
+        % {SK.MINHASH_P}) % 2 = 0 THEN 1 ELSE -1 END) AS s{j}"""
+    for j in range(SK.AMS_D)
+)
+_AMS_EST_SQL = " UNION ALL ".join(
+    f"SELECT s{j} * s{j} AS est FROM sk" for j in range(SK.AMS_D)
+)
+
+
+@query(
+    "events_ams_f2_sketch",
+    f"""
+WITH h AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM events
+),
+sk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {_AMS_SIGN_SQL}
+  FROM h
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id)
+),
+e AS (
+  SELECT est, ROW_NUMBER() OVER (ORDER BY est) AS rn
+  FROM ({_AMS_EST_SQL})
+),
+med AS (
+  SELECT ROUND(SUM(CAST(est AS DOUBLE)) / 2.0, 1) AS ams_median_est
+  FROM e WHERE rn IN ({SK.AMS_D // 2}, {SK.AMS_D // 2 + 1})
+)
+SELECT n_rows, n_keys, exact_f2, ams_median_est,
+       ROUND(ABS(ams_median_est - exact_f2) / exact_f2, 6) AS rel_err
+FROM sk, ex, med
+""",
+)
+def events_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch: |events SELF-JOIN events| on
+    user_id estimated in ONE map-side pass (8 deterministic +/-1 sign
+    sums, median of squares) vs the exact sum(count^2) — the join-size
+    statistic without the key shuffle."""
+    return SK.ams_f2_audit(load_table(spark, sf_dir, "events"))
