@@ -1577,3 +1577,177 @@ def pq_distortion_audit(
             F.sum("dist").cast("double") / F.sum("n2").cast("double"), 6
         ).alias("distortion_share"),
     )
+
+
+GRAPH_ASSIGN = 2  # cells per vector in the navigable graph build
+GRAPH_DEGREE = 8  # out-degree of the navigable graph (HNSW's M analog)
+GRAPH_BEAM = 4  # frontier width per hop (the ef_search analog)
+GRAPH_HOPS = 3  # fixed traversal depth — deterministic, oracle-unrollable
+
+
+def knn_graph_navigable(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    g: int = GRAPH_DEGREE,
+    assign: int = GRAPH_ASSIGN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """NAVIGABLE k-NN graph: like knn_graph_blocked, but each vector is
+    assigned to its top-``assign`` IVF cells, so vectors near a cell
+    boundary bridge adjacent cells and the graph is traversable ACROSS
+    cells — the property greedy search needs (the within-cell-only
+    graph is disconnected by construction; HNSW gets the same effect
+    from its long links, src/hnswlib_index.cc:7-20 M=16 degree cap).
+
+    Scale: membership is |corpus| x assign rows; pair space is
+    sum(cell_multiset²) — never n²; shuffle keys are the cell id then
+    src for the per-source top-g rank-limit window.  Output edge table
+    (src vec_id, nbr_id, dist, rnk) is the graph-ANN index artifact."""
+    from ..functions.vector import as_double_array, squared_l2
+
+    spark = emb.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+            "cid int, cv array<double>",
+        )
+    )
+    scored = emb.crossJoin(cdf).select(
+        F.col(id_col).alias("_gid"),
+        as_double_array(F.col(vec_col)).alias("_gv"),
+        F.col("cid"),
+        F.round(squared_l2(as_double_array(F.col(vec_col)), F.col("cv")), 6).alias(
+            "_cd"
+        ),
+    )
+    w = Window.partitionBy("_gid").orderBy(F.col("_cd").asc(), F.col("cid").asc())
+    member = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= assign)
+        .select("_gid", F.col("cid").alias("_gcell"), "_gv")
+        .localCheckpoint()
+    )
+    nbrs = member.select(
+        F.col("_gid").alias("_nid"),
+        F.col("_gcell").alias("_ncell"),
+        F.col("_gv").alias("_nv"),
+    ).localCheckpoint()
+    pairs = member.join(
+        nbrs,
+        (F.col("_gcell") == F.col("_ncell")) & (F.col("_gid") != F.col("_nid")),
+    )
+    # a pair sharing BOTH cells scores twice — collapse by key (dist is
+    # identical, min is just the dedupe)
+    scored_pairs = (
+        pairs.select(
+            F.col("_gid").alias("src"),
+            F.col("_nid").alias("nbr"),
+            F.round(squared_l2(F.col("_gv"), F.col("_nv")), 6).alias("dist"),
+        )
+        .groupBy("src", "nbr")
+        .agg(F.min("dist").alias("dist"))
+    )
+    wr = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("nbr").asc())
+    return (
+        scored_pairs.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= g)
+        .select(
+            F.col("src").alias("vec_id"), F.col("nbr").alias("nbr_id"), "dist", "rnk"
+        )
+    )
+
+
+def knn_graph_greedy_search(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    query_id: int,
+    k: int = 10,
+    beam: int = GRAPH_BEAM,
+    hops: int = GRAPH_HOPS,
+    g: int = GRAPH_DEGREE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy BEAM SEARCH over the navigable k-NN graph — the HNSW
+    query path (src/hnswlib_index.cc:27-53: greedy descent from an
+    entry point, candidate heap of width ef_search) re-expressed as a
+    fixed number of broadcast-joined hops.
+
+    Entry = LAYERED DESCENT, like HNSW's upper layers: the coarse layer
+    is the centroid seed rows (corpus members); frontier_0 = the best
+    ``beam`` of those by distance to the query.  Each hop then expands
+    the frontier by its base-graph neighbors, scores expansions against
+    the query, keeps the best ``beam`` (dist, id) — after ``hops``
+    rounds the answer is the top-k of EVERYTHING visited.
+
+    beam is the ef_search dial, hops the traversal depth; both fixed so
+    the walk is deterministic and the DuckDB oracle can unroll it hop
+    by hop.  Scale: the frontier is request-sized (<= beam rows) and is
+    broadcast against the edge table each hop — the corpus-sized work
+    is the edge lookup (an equi-join on src), never a full scan; only
+    the coarse layer and visited candidates are ever scored against the
+    query."""
+    from ..functions.vector import as_double_array, squared_l2
+
+    edges = (
+        knn_graph_navigable(emb, cents, g=g, id_col=id_col, vec_col=vec_col)
+        .select(F.col("vec_id").alias("_src"), F.col("nbr_id").alias("_dst"))
+        .localCheckpoint()
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("_cid2"), as_double_array(F.col(vec_col)).alias("_cv2")
+    )
+    qv = corpus.filter(F.col("_cid2") == query_id).select(F.col("_cv2").alias("_qv"))
+
+    def score(cand_ids: DataFrame) -> DataFrame:
+        return (
+            corpus.join(F.broadcast(cand_ids), F.col("_cid2") == F.col("_id"))
+            .crossJoin(F.broadcast(qv))
+            .select(
+                F.col("_cid2").alias("_id"),
+                F.round(squared_l2(F.col("_cv2"), F.col("_qv")), 6).alias("dist"),
+            )
+        )
+
+    spark = emb.sparkSession
+    seed_ids = spark.createDataFrame(
+        [(int(cid),) for cid, _ in cents], "_id long"
+    )
+    seed_scored = score(seed_ids).localCheckpoint()
+    frontier = (
+        seed_scored.orderBy(F.col("dist").asc(), F.col("_id").asc())
+        .limit(beam)
+        .select("_id")
+    )
+    visited = seed_scored
+    for _ in range(hops):
+        expanded = edges.join(
+            F.broadcast(frontier), F.col("_src") == F.col("_id")
+        ).select(F.col("_dst").alias("_id"))
+        cand = frontier.unionByName(expanded).distinct()
+        scored = score(cand).localCheckpoint()
+        visited = visited.unionByName(scored).dropDuplicates(["_id"])
+        frontier = (
+            scored.orderBy(F.col("dist").asc(), F.col("_id").asc())
+            .limit(beam)
+            .select("_id")
+        )
+    # rank the k survivors by a broadcast triangle join (k rows — no
+    # global single-partition window even in bounded form)
+    topk = (
+        visited.orderBy(F.col("dist").asc(), F.col("_id").asc())
+        .limit(k)
+        .localCheckpoint()
+    )
+    other = topk.select(F.col("_id").alias("_oid"), F.col("dist").alias("_od"))
+    return (
+        topk.join(
+            F.broadcast(other),
+            (F.col("_od") < F.col("dist"))
+            | ((F.col("_od") == F.col("dist")) & (F.col("_oid") <= F.col("_id"))),
+        )
+        .groupBy("_id", "dist")
+        .agg(F.count(F.lit(1)).cast("int").alias("rnk"))
+        .select(F.col("_id").alias("vec_id"), "dist", "rnk")
+    )

@@ -12367,3 +12367,122 @@ def events_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, median of squares) vs the exact sum(count^2) — the join-size
     statistic without the key shuffle."""
     return SK.ams_f2_audit(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 98 (round 2): navigable k-NN graph + greedy beam search — the HNSW
+# query-path analog (fixed entry point, beam = ef_search, fixed hops),
+# deterministic end to end so DuckDB can replay the walk hop by hop.
+# --------------------------------------------------------------------------
+
+_NAV_EDGES_SQL = f"""cents AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id IN ({{cents}})
+),
+pc AS (
+  SELECT e.vec_id, c.cid,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(c.cv) AS y
+  FROM embeddings e CROSS JOIN cents c
+),
+cd AS (SELECT vec_id, cid, ROUND(SUM((x - y) * (x - y)), 6) AS d
+       FROM pc GROUP BY vec_id, cid),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cd
+  ) WHERE rn <= {A.GRAPH_ASSIGN}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+pe AS (
+  SELECT p.src, p.nbr,
+         unnest(CAST(ea.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(eb.embedding AS DOUBLE[])) AS y
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.src
+  JOIN embeddings eb ON eb.vec_id = p.nbr
+),
+pd AS (SELECT src, nbr, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+       FROM pe GROUP BY src, nbr),
+rk AS (
+  SELECT src, nbr, dist,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, nbr) AS rnk
+  FROM pd
+)""".format(cents=_CENTS_SQL)
+
+
+@query(
+    "knn_graph_navigable",
+    f"""
+WITH {_NAV_EDGES_SQL}
+SELECT src AS vec_id, nbr AS nbr_id, dist, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= {A.GRAPH_DEGREE}
+""",
+)
+def knn_graph_navigable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigable k-NN graph: top-{A.GRAPH_DEGREE} neighbors under
+    top-{A.GRAPH_ASSIGN}-cell OVERLAPPED assignment — boundary vectors
+    bridge adjacent cells, making the graph greedy-traversable across
+    cells (the within-cell graph is disconnected by construction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return A.knn_graph_navigable(emb, A.fit_vectors(emb, A.CENTROID_IDS))
+
+
+def _graph_walk_sql() -> str:
+    hops = []
+    prev = "f0"
+    for i in range(1, A.GRAPH_HOPS + 1):
+        hops.append(
+            f"""c{i} AS (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM {prev}
+    UNION ALL
+    SELECT e.nbr AS id FROM edges e JOIN {prev} f ON e.src = f.id
+  )
+),
+s{i} AS (SELECT c.id, qd.d FROM c{i} c JOIN qd ON qd.vec_id = c.id),
+f{i} AS (SELECT id FROM s{i} ORDER BY d, id LIMIT {A.GRAPH_BEAM})"""
+        )
+        prev = f"f{i}"
+    visited = " UNION ".join(
+        f"SELECT id, d FROM s{i}" for i in range(0, A.GRAPH_HOPS + 1)
+    )
+    return (
+        ",\n".join(hops)
+        + f",\nvisited AS ({visited})"
+    )
+
+
+@query(
+    "knn_graph_search",
+    f"""
+WITH {_NAV_EDGES_SQL},
+edges AS (SELECT src, nbr FROM rk WHERE rnk <= {A.GRAPH_DEGREE}),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       WHERE vec_id = {ANN_QUERY_ID}),
+qe AS (SELECT e.vec_id, unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+              unnest(q.v) AS y
+       FROM embeddings e CROSS JOIN qv q),
+qd AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS d
+       FROM qe GROUP BY vec_id),
+s0 AS (SELECT vec_id AS id, d FROM qd WHERE vec_id IN ({_CENTS_SQL})),
+f0 AS (SELECT id FROM s0 ORDER BY d, id LIMIT {A.GRAPH_BEAM}),
+{_graph_walk_sql()}
+SELECT id AS vec_id, d AS dist,
+       CAST(ROW_NUMBER() OVER (ORDER BY d, id) AS INT) AS rnk
+FROM visited ORDER BY d, id LIMIT {ANN_K}
+""",
+)
+def knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy beam search over the navigable k-NN graph — the HNSW
+    query path (greedy descent from a fixed entry point, beam width
+    {A.GRAPH_BEAM} = the ef_search dial, {A.GRAPH_HOPS} hops,
+    src/hnswlib_index.cc:27-53) as broadcast-frontier joins against the
+    edge table; answer = top-{ANN_K} of everything visited."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return A.knn_graph_greedy_search(
+        emb, A.fit_vectors(emb, A.CENTROID_IDS), ANN_QUERY_ID, ANN_K
+    )
