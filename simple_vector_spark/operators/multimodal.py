@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = (
@@ -357,4 +357,64 @@ def exact_binary_dedup(docs_plus: DataFrame) -> DataFrame:
             .cast("long")
             .alias("reclaimable_bytes"),
         )
+    )
+
+
+SHARD_CAPACITY_BYTES = 16384  # WebDataset-style target shard payload size
+SHARD_GROUP_DOCS = 1000  # bounded contiguous id-range per cumsum window
+
+
+def shard_pack_audit(
+    docs_plus: DataFrame,
+    capacity: int = SHARD_CAPACITY_BYTES,
+    group_docs: int = SHARD_GROUP_DOCS,
+) -> DataFrame:
+    """WebDataset-style SHARD PACKING audit for the binary column:
+    payloads are packed contiguously in doc_id order within a
+    (source, group) range — an item starts the shard floor(bytes_before
+    / capacity) — and the report prices the layout per source: shards,
+    items/shard, fill ratio vs the byte budget, and how many single
+    payloads exceed a whole shard (they get a shard to themselves; at
+    real multimodal sizes that is the video-outlier case).
+
+    This is the step that turns 100 TB of small binary objects into
+    sequential-read training shards (tar-archive layout): packing is
+    pure accounting — one cumsum windowed by (source, bounded group),
+    so no task sees more than group_docs rows — and the actual shard
+    write is a partitionBy on the computed shard id.
+
+    The reference stores each record individually in RocksDB
+    (src/scalar_storage.cc:20-32) — no pack/layout concept at all."""
+    # same payload definition as with_payload (UTF-8 bytes of text),
+    # computed inline to keep the source column alongside
+    payload = F.encode(F.col("text"), "UTF-8")
+    p = docs_plus.select(
+        "source",
+        "doc_id",
+        F.floor(F.col("doc_id") / group_docs).alias("_grp"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+    )
+    w = (
+        Window.partitionBy("source", "_grp")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = p.withColumn(
+        "shard_id",
+        F.floor(F.coalesce(F.sum("byte_len").over(w), F.lit(0)) / capacity),
+    )
+    per_shard = packed.groupBy("source", "_grp", "shard_id").agg(
+        F.count(F.lit(1)).alias("_items"), F.sum("byte_len").alias("_bytes")
+    )
+    return per_shard.groupBy("source").agg(
+        F.sum("_items").cast("long").alias("n_items"),
+        F.sum("_bytes").cast("long").alias("n_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.round(F.sum("_items") / F.count(F.lit(1)), 6).alias("items_per_shard"),
+        F.round(
+            F.sum("_bytes") / (F.count(F.lit(1)) * F.lit(float(capacity))), 6
+        ).alias("fill_ratio"),
+        F.sum(F.when(F.col("_bytes") > capacity, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_capacity"),
     )

@@ -12486,3 +12486,49 @@ def knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.knn_graph_greedy_search(
         emb, A.fit_vectors(emb, A.CENTROID_IDS), ANN_QUERY_ID, ANN_K
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 99 (round 2): WebDataset-style shard packing for the binary column.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_shard_pack",
+    f"""
+WITH per AS (
+  SELECT source, doc_id,
+         CAST(FLOOR(doc_id / {MM.SHARD_GROUP_DOCS}) AS BIGINT) AS grp,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents
+),
+cum AS (
+  SELECT source, grp, byte_len,
+         CAST(FLOOR(COALESCE(SUM(byte_len) OVER (
+           PARTITION BY source, grp ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {MM.SHARD_CAPACITY_BYTES}) AS BIGINT) AS shard_id
+  FROM per
+),
+ps AS (
+  SELECT source, grp, shard_id, COUNT(*) AS items, SUM(byte_len) AS bytes
+  FROM cum GROUP BY source, grp, shard_id
+)
+SELECT source,
+       CAST(SUM(items) AS BIGINT) AS n_items,
+       CAST(SUM(bytes) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_shards,
+       ROUND(SUM(items) * 1.0 / COUNT(*), 6) AS items_per_shard,
+       ROUND(SUM(bytes) * 1.0 / (COUNT(*) * {float(MM.SHARD_CAPACITY_BYTES)!r}), 6)
+         AS fill_ratio,
+       CAST(SUM(CASE WHEN bytes > {MM.SHARD_CAPACITY_BYTES} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_over_capacity
+FROM ps GROUP BY source
+""",
+)
+def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing of binary payloads: greedy
+    sequential byte-budget packing within (source, bounded id-group)
+    — per-source shard count, items/shard, fill ratio, oversize items;
+    the layout audit before the tar-shard write."""
+    return MM.shard_pack_audit(load_table(spark, sf_dir, "documents"))
