@@ -581,3 +581,57 @@ def mixture_epoch_solver(
             2,
         ).alias("forfeited_tokens"),
     )
+
+
+DP_EPSILON = 1.0  # privacy budget for the noisy-count release audit
+
+
+def dp_noisy_counts(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    eps: float = DP_EPSILON,
+) -> DataFrame:
+    """Differential-privacy RELEASE AUDIT: per-nation order counts with
+    Laplace(sensitivity/eps) noise, next to the true counts and the
+    absolute utility loss — the epsilon-vs-utility table a data
+    steward signs off before publishing aggregates of a 100 TB corpus
+    (count queries have sensitivity 1: one customer's order moves one
+    cell by one).
+
+    Determinism: the Laplace draw uses inverse-CDF over an md5-seeded
+    uniform of the group key (the same content-stable PRNG as the
+    bootstrap/split gates) — auditable and oracle-checkable; a
+    production release would swap ONLY the uniform for a secure RNG.
+    ln goes through ROUND(...,9) so a 1-ulp library difference cannot
+    move a published cell.
+
+    Plan: dims broadcast onto the fact scan, one groupBy(nation);
+    noise is per-group arithmetic on the 25-row aggregate."""
+    j = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    from ..functions.text import md5_int
+
+    u = md5_int(F.col("nation")) / F.lit(4294967296.0) - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / eps)
+        * F.when(u < 0, -1.0).otherwise(1.0)
+        * F.round(F.log(F.greatest(1 - 2 * F.abs(u), F.lit(1e-9))), 9)
+    )
+    return j.select(
+        "nation",
+        F.col("n_true").cast("long"),
+        F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
+        F.round(F.abs(noise), 6).alias("abs_err"),
+        F.lit(float(eps)).alias("epsilon"),
+    )

@@ -3946,3 +3946,82 @@ def sla_trend(orders: DataFrame, lineitem: DataFrame, days: int = SLA_TREND_DAYS
             F.col("on_time_share") - F.lag("on_time_share").over(w), 6
         ),
     )
+
+
+TRIM_FRAC = 0.05  # symmetric tail fraction for trimmed/winsorized stats
+
+
+def trimmed_winsorized_stats(
+    lineitem: DataFrame, frac: float = TRIM_FRAC
+) -> DataFrame:
+    """Robust location per return flag: plain mean, TRIMMED mean (drop
+    the lowest/highest floor(frac*n) prices) and WINSORIZED mean (clamp
+    those tails to the surviving boundary values) of l_extendedprice —
+    the outlier-tolerant KPI pair next to the IQR fences.
+
+    Exactness: rank is the two-phase range-partitioned row_number
+    (ranked_global, grouped) with (price, orderkey, linenumber) as the
+    total order, so tail membership is deterministic; sums stay DECIMAL
+    until the final divide.  Plan: one range repartition + local sort,
+    the counts triangle join, one filtered aggregate, and a broadcast
+    join of the two boundary rows per group — no single-partition
+    window anywhere."""
+    from .ranking import ranked_global
+
+    base = lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = ranked_global(
+        base,
+        [F.col("price").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        group_cols=["flag"],
+        rank_name="rnk",
+        total_name="n",
+    )
+    ranked = ranked.withColumn(
+        "lo", F.floor(F.col("n") * F.lit(float(frac))).cast("long")
+    )
+    kept = ranked.filter(
+        (F.col("rnk") > F.col("lo")) & (F.col("rnk") <= F.col("n") - F.col("lo"))
+    )
+    kept_agg = kept.groupBy("flag").agg(
+        F.max("n").alias("n"),
+        F.max("lo").alias("n_trimmed_each"),
+        F.sum("price").alias("_ksum"),
+        F.count(F.lit(1)).alias("_kn"),
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("rnk") == F.col("lo") + 1) | (F.col("rnk") == F.col("n") - F.col("lo"))
+        )
+        .groupBy("flag")
+        .agg(F.min("price").alias("_pl"), F.max("price").alias("_ph"))
+    )
+    full = lineitem.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum("l_extendedprice").alias("_fsum")
+    )
+    return (
+        kept_agg.join(F.broadcast(bounds), "flag")
+        .join(F.broadcast(full), "flag")
+        .select(
+            "flag",
+            "n",
+            "n_trimmed_each",
+            F.round(F.col("_fsum").cast("double") / F.col("n"), 6).alias("mean"),
+            F.round(F.col("_ksum").cast("double") / F.col("_kn"), 6).alias(
+                "trimmed_mean"
+            ),
+            F.round(
+                (
+                    F.col("_ksum")
+                    + (F.col("_pl") + F.col("_ph")).cast("decimal(28,2)")
+                    * F.col("n_trimmed_each")
+                ).cast("double")
+                / F.col("n"),
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )

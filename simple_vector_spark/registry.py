@@ -12532,3 +12532,98 @@ def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     — per-source shard count, items/shard, fill ratio, oversize items;
     the layout audit before the tar-shard write."""
     return MM.shard_pack_audit(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 100 (round 2): trimmed + winsorized means — robust location on the
+# two-phase grouped rank, no single-partition window.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_trimmed_mean",
+    f"""
+WITH r AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS rnk,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+r2 AS (SELECT *, CAST(FLOOR(n * {R.TRIM_FRAC!r}) AS BIGINT) AS lo FROM r),
+kept AS (
+  SELECT flag, MAX(n) AS n, MAX(lo) AS n_trimmed_each,
+         SUM(price) AS ksum, COUNT(*) AS kn
+  FROM r2 WHERE rnk > lo AND rnk <= n - lo GROUP BY flag
+),
+b AS (
+  SELECT flag, MIN(price) AS pl, MAX(price) AS ph
+  FROM r2 WHERE rnk = lo + 1 OR rnk = n - lo GROUP BY flag
+),
+f AS (SELECT l_returnflag AS flag, SUM(l_extendedprice) AS fsum
+      FROM lineitem GROUP BY 1)
+SELECT kept.flag, CAST(kept.n AS BIGINT) AS n,
+       CAST(n_trimmed_each AS BIGINT) AS n_trimmed_each,
+       ROUND(CAST(fsum AS DOUBLE) / kept.n, 6) AS mean,
+       ROUND(CAST(ksum AS DOUBLE) / kn, 6) AS trimmed_mean,
+       ROUND(CAST(ksum + (pl + ph) * n_trimmed_each AS DOUBLE) / kept.n, 6)
+         AS winsorized_mean
+FROM kept JOIN b ON kept.flag = b.flag JOIN f ON kept.flag = f.flag
+""",
+)
+def lineitem_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed + winsorized means of l_extendedprice per return flag
+    (symmetric {R.TRIM_FRAC} tails) vs the plain mean — the robust
+    location pair, exact on the two-phase grouped rank with DECIMAL
+    sums."""
+    return R.trimmed_winsorized_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 101 (round 2): differential-privacy release audit — deterministic
+# Laplace counts, the epsilon-vs-utility table behind published aggregates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_dp_release",
+    f"""
+WITH c AS (
+  SELECT n_name AS nation, COUNT(*) AS n
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+),
+u AS (
+  SELECT nation, n,
+         CAST(concat('0x', substr(md5(nation), 1, 8)) AS BIGINT)
+           / 4294967296.0 - 0.5 AS up
+  FROM c
+),
+z AS (
+  SELECT nation, n,
+         {-1.0 / CU.DP_EPSILON!r}
+           * (CASE WHEN up < 0 THEN -1.0 ELSE 1.0 END)
+           * ROUND(ln(GREATEST(1 - 2 * ABS(up), 1e-9)), 9) AS noise
+  FROM u
+)
+SELECT nation, CAST(n AS BIGINT) AS n_true,
+       ROUND(n + noise, 6) AS n_noisy,
+       ROUND(ABS(noise), 6) AS abs_err,
+       {float(CU.DP_EPSILON)!r} AS epsilon
+FROM z
+""",
+)
+def orders_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release audit: per-nation order counts with
+    deterministic Laplace(1/epsilon) noise (md5 inverse-CDF draw) next
+    to the true counts — the epsilon-vs-utility sign-off table;
+    sensitivity-1 counts, dims broadcast, noise on the 25-row
+    aggregate."""
+    return CU.dp_noisy_counts(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
