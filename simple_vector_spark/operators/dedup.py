@@ -1001,3 +1001,66 @@ def embedding_exact_dupes(emb: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+def pair_graph_assortativity(pairs: DataFrame) -> DataFrame:
+    """Degree ASSORTATIVITY of the candidate-pair graph: Pearson
+    correlation of endpoint degrees over (symmetrized) edges — do
+    near-dup hubs link to other hubs (assortative boilerplate cliques,
+    r > 0) or to leaves (template-plus-variants stars, r < 0)?  The
+    network-structure companion to the degree histogram and triangle
+    census; r < 0 with high hub degree is the template-explosion
+    signature.
+
+    Exactness: degrees are integers, all five power sums stay integer
+    until one final double formula — shuffle-order invariant.  Plan:
+    degree agg (one shuffle on doc id), two broadcast-friendly degree
+    lookups on the edge list, one scalar aggregate."""
+    degrees = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint()
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y"))
+    )
+    e = (
+        sym.join(
+            degrees.select(F.col("doc_id").alias("x"), F.col("degree").alias("dx")),
+            "x",
+        )
+        .join(
+            degrees.select(F.col("doc_id").alias("y"), F.col("degree").alias("dy")),
+            "y",
+        )
+        .select("dx", "dy")
+    )
+    sums = e.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    nn = degrees.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.try_divide(
+                num.cast("double"),
+                F.nullif(
+                    F.sqrt(varx.cast("double") * vary.cast("double")), F.lit(0.0)
+                ),
+            ),
+            6,
+        ).alias("assortativity"),
+    )

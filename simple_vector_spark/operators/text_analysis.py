@@ -1454,3 +1454,40 @@ def term_burstiness(
         .orderBy(F.col("burstiness").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+CODE_SYMBOL_TAU = 0.02  # symbol-density threshold for the code gate
+
+
+def code_detect(docs: DataFrame, tau: float = CODE_SYMBOL_TAU) -> DataFrame:
+    """Code-vs-prose gate: per-source share of code-like documents by
+    structural-symbol density (the {}();=<> characters prose barely
+    uses) — the curation switch that routes code into its own mixture
+    bucket (or drops it) before LM training.
+
+    Everything is JVM expressions on one scan: symbol count = length
+    minus the symbol-stripped length (no per-row Python); per-source
+    aggregate is |sources| rows.  The threshold is the measured knob —
+    pair with a planted-corpus test, not a tuned constant."""
+    n_chars = F.length("text")
+    symbols = n_chars - F.length(F.regexp_replace("text", "[{}();=<>]", ""))
+    per = docs.select(
+        "source",
+        symbols.cast("double").alias("_sym"),
+        n_chars.cast("double").alias("_len"),
+    ).withColumn(
+        "_ratio",
+        F.when(F.col("_len") > 0, F.col("_sym") / F.col("_len")).otherwise(0.0),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_ratio") > tau, 1).otherwise(0))
+        .cast("long")
+        .alias("n_code"),
+        F.round(
+            F.sum(F.when(F.col("_ratio") > tau, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("code_share"),
+        F.round(F.sum("_sym") / F.sum("_len"), 6).alias("symbol_density"),
+    )

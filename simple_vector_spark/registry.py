@@ -12627,3 +12627,108 @@ def orders_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 102 (round 2): code-vs-prose curation gate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_code_detect",
+    f"""
+WITH per AS (
+  SELECT source,
+         CAST(length(text)
+              - length(regexp_replace(text, '[{{}}();=<>]', '', 'g'))
+              AS DOUBLE) AS sym,
+         CAST(length(text) AS DOUBLE) AS len
+  FROM documents
+),
+r AS (
+  SELECT source, sym, len,
+         CASE WHEN len > 0 THEN sym / len ELSE 0.0 END AS ratio
+  FROM per
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ratio > {T.CODE_SYMBOL_TAU!r} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_code,
+       ROUND(SUM(CASE WHEN ratio > {T.CODE_SYMBOL_TAU!r} THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS code_share,
+       ROUND(SUM(sym) / SUM(len), 6) AS symbol_density
+FROM r GROUP BY source
+""",
+)
+def doc_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose curation gate: per-source share of code-like docs
+    by structural-symbol density ({{}}();=<> chars / length) — the
+    mixture-routing switch before LM training; one scan, all JVM
+    expressions."""
+    return T.code_detect(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 103 (round 2): degree assortativity of the near-dup pair graph.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_graph_assortativity",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+sigs AS (
+  SELECT doc_id,
+  {_SIG_COLS_SQL}
+  FROM sh WHERE n_tk >= 3
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+degrees AS (
+  SELECT doc_id, COUNT(*) AS degree FROM (
+    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+  ) GROUP BY doc_id
+),
+sym AS (
+  SELECT doc_a AS x, doc_b AS y FROM pairs
+  UNION ALL
+  SELECT doc_b AS x, doc_a AS y FROM pairs
+),
+e AS (
+  SELECT da.degree AS dx, db.degree AS dy
+  FROM sym JOIN degrees da ON sym.x = da.doc_id
+           JOIN degrees db ON sym.y = db.doc_id
+),
+s AS (
+  SELECT COUNT(*) AS m, SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+  FROM e
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM degrees)
+SELECT n_nodes,
+       CAST(m / 2 AS BIGINT) AS n_edges,
+       ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                           * CAST(m * syy - sy * sy AS DOUBLE)), 0.0), 6)
+         AS assortativity
+FROM s, nn
+""",
+)
+def dedup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the MinHash candidate-pair graph —
+    hub-to-hub (boilerplate cliques) vs hub-to-leaf (template stars)
+    wiring, from exact integer power sums over symmetrized edges."""
+    return D.pair_graph_assortativity(_minhash_pairs(spark, sf_dir))
