@@ -1491,3 +1491,97 @@ def code_detect(docs: DataFrame, tau: float = CODE_SYMBOL_TAU) -> DataFrame:
         ).alias("code_share"),
         F.round(F.sum("_sym") / F.sum("_len"), 6).alias("symbol_density"),
     )
+
+
+TEXTRANK_VOCAB = 200  # graph restricted to the top-V corpus vocabulary
+TEXTRANK_ITERS = 3  # fixed power iterations — deterministic, unrollable
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_TOPK = 20
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    vocab: int = TEXTRANK_VOCAB,
+    iters: int = TEXTRANK_ITERS,
+    damping: float = TEXTRANK_DAMPING,
+    topk: int = TEXTRANK_TOPK,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction: damped PageRank over the corpus
+    co-occurrence graph (adjacent-token pairs, symmetrized, self-loops
+    dropped), restricted to the top-``vocab`` tokens by frequency —
+    centrality-based keywords instead of raw counts (a term that
+    co-occurs with many distinct central terms outranks a merely
+    frequent one).
+
+    Scale: bigrams are built inside the scan (zip_with on shifted
+    slices, no UDF); ONE shuffle aggregates corpus edge weights; the
+    vocabulary cap bounds the graph at |V| nodes / |V|² edges no matter
+    the corpus size, so the ``iters`` power iterations (per-iteration
+    ROUND 8, same determinism contract as nation_trade_pagerank) run on
+    a checkpointed constant-size table."""
+    from ..functions.text import tokens
+    from ..sources.loaders import fan_out
+
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, sz - 1),
+        F.slice(toks, 2, sz - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    guarded = F.when(sz >= 2, pairs).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>")
+    )
+    base = fan_out(docs.select(text_col))
+    adj = base.select(F.explode(guarded).alias("p")).select("p.a", "p.b")
+    tok_counts = (
+        base.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab_df = (
+        tok_counts.orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(vocab)
+        .select("token")
+        .localCheckpoint()
+    )
+    sym = adj.unionByName(
+        adj.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).filter(F.col("a") != F.col("b"))
+    edges = (
+        sym.join(F.broadcast(vocab_df), sym.a == vocab_df.token, "left_semi")
+        .join(F.broadcast(vocab_df), F.col("b") == vocab_df.token, "left_semi")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    outw = edges.groupBy("a").agg(F.sum("w").alias("wout"))
+    trans = (
+        edges.join(outw, "a")
+        .select("a", "b", (F.col("w").cast("double") / F.col("wout")).alias("p"))
+        .localCheckpoint()
+    )
+    nodes = vocab_df.select(F.col("token").alias("node"))
+    n_nodes = nodes.count()
+    rank = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    base_r = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contrib = (
+            trans.join(rank, trans.a == rank.node)
+            .groupBy("b")
+            .agg(F.sum(F.col("p") * F.col("r")).alias("inflow"))
+        )
+        rank = nodes.join(contrib, nodes.node == contrib.b, "left").select(
+            "node",
+            F.round(
+                F.lit(base_r)
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                8,
+            ).alias("r"),
+        )
+    return (
+        rank.orderBy(F.col("r").desc(), F.col("node").asc())
+        .limit(topk)
+        .select(F.col("node").alias("token"), F.round("r", 6).alias("textrank"))
+    )

@@ -12732,3 +12732,76 @@ def dedup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub-to-hub (boilerplate cliques) vs hub-to-leaf (template stars)
     wiring, from exact integer power sums over symmetrized edges."""
     return D.pair_graph_assortativity(_minhash_pairs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Wave 104 (round 2): TextRank keywords — PageRank centrality on the
+# co-occurrence graph, vocabulary-capped so the graph is constant-size.
+# --------------------------------------------------------------------------
+
+
+def _textrank_oracle() -> str:
+    d = T.TEXTRANK_DAMPING
+    ctes = [
+        f"tk AS (SELECT {_TK_SQL} AS t FROM documents)",
+        """adj AS (
+  SELECT t[i] AS a, t[i + 1] AS b
+  FROM tk, UNNEST(range(1, len(t))) AS u(i)
+)""",
+        """tc AS (
+  SELECT tok AS token, COUNT(*) AS tf
+  FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY 1
+)""",
+        f"""vocab AS (
+  SELECT token FROM tc ORDER BY tf DESC, token LIMIT {T.TEXTRANK_VOCAB}
+)""",
+        """sym AS (
+  SELECT a, b FROM adj UNION ALL SELECT b, a FROM adj
+)""",
+        """edges AS (
+  SELECT a, b, COUNT(*) AS w
+  FROM sym
+  WHERE a != b
+    AND a IN (SELECT token FROM vocab)
+    AND b IN (SELECT token FROM vocab)
+  GROUP BY a, b
+)""",
+        "outw AS (SELECT a, SUM(w) AS wout FROM edges GROUP BY a)",
+        """trans AS (
+  SELECT e.a, e.b, CAST(e.w AS DOUBLE) / o.wout AS p
+  FROM edges e JOIN outw o USING (a)
+)""",
+        "nodes AS (SELECT token AS node FROM vocab)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, T.TEXTRANK_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"""c{i} AS (
+  SELECT t.b, SUM(t.p * r.r) AS inflow
+  FROM trans t JOIN r{p} r ON t.a = r.node GROUP BY t.b
+),
+r{i} AS (
+  SELECT nodes.node,
+         ROUND((1.0 - {d}) / nn.n + {d} * COALESCE(c{i}.inflow, 0.0), 8) AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.b
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT node AS token, ROUND(r, 6) AS textrank
+FROM r{T.TEXTRANK_ITERS}
+ORDER BY r DESC, node LIMIT {T.TEXTRANK_TOPK}
+"""
+
+
+@query("vocab_textrank_keywords", _textrank_oracle())
+def vocab_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords: damped PageRank ({T.TEXTRANK_ITERS} fixed
+    iterations, per-iteration ROUND 8) over the symmetrized
+    adjacent-token co-occurrence graph capped at the top
+    {T.TEXTRANK_VOCAB} vocabulary — centrality keywords, not raw
+    counts; the graph is constant-size regardless of corpus volume."""
+    return T.textrank_keywords(load_table(spark, sf_dir, "documents"))
