@@ -418,3 +418,62 @@ def shard_pack_audit(
         .cast("long")
         .alias("n_over_capacity"),
     )
+
+
+_MAGIC_PREFIXES = (
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("52494646", "riff/container"),
+    ("4F676753", "audio/ogg"),
+)
+_TEXT_BYTES = ("09", "0A", "0D")  # tab / LF / CR count as text
+
+
+def sniff_mime(payload) -> F.Column:
+    """Magic-byte content sniffing: classify a binary payload by its
+    first four bytes (hex-prefix dispatch) — PNG/JPEG/GIF/PDF/RIFF/OGG
+    signatures, then a printable-ASCII heuristic for text, else opaque
+    octet-stream.  Pure JVM expressions on a 4-byte slice; the
+    trust-the-bytes-not-the-label rule every ingest pipeline needs."""
+    hex8 = F.upper(F.hex(F.expr(f"substring({payload}, 1, 4)")))
+
+    def textish(i: int) -> F.Column:
+        p = F.substring(hex8, 2 * i + 1, 2)
+        return (p.between("20", "7E")) | p.isin(*_TEXT_BYTES)
+
+    c = F.when(F.length(hex8) < 8, F.lit("application/octet-stream"))
+    for prefix, label in _MAGIC_PREFIXES:
+        c = c.when(F.substring(hex8, 1, len(prefix)) == prefix, F.lit(label))
+    c = c.when(
+        textish(0) & textish(1) & textish(2) & textish(3), F.lit("text/plain")
+    )
+    return c.otherwise(F.lit("application/octet-stream"))
+
+
+def mime_sniff_audit(docs_plus: DataFrame) -> DataFrame:
+    """Declared-vs-sniffed MIME audit over the binary column: per
+    (declared, sniffed) cell, document count and corpus share, plus
+    whether the cell agrees — mislabeled assets are the multimodal
+    sibling of schema violations, and decode dispatch must follow the
+    SNIFFED type (a 'image/png'-labeled text file sent to a PNG codec
+    is a task-killing poison row at 100 TB).  One scan, one tiny
+    groupBy."""
+    p = with_payload(docs_plus)
+    total = p.count()
+    return (
+        p.select(
+            F.col("mime").alias("declared_mime"),
+            sniff_mime("payload").alias("sniffed_mime"),
+        )
+        .groupBy("declared_mime", "sniffed_mime")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "declared_mime",
+            "sniffed_mime",
+            "n_docs",
+            F.round(F.col("n_docs") / F.lit(float(total)), 6).alias("share"),
+            (F.col("declared_mime") == F.col("sniffed_mime")).alias("agrees"),
+        )
+    )

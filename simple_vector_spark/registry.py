@@ -12805,3 +12805,50 @@ def vocab_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     {T.TEXTRANK_VOCAB} vocabulary — centrality keywords, not raw
     counts; the graph is constant-size regardless of corpus volume."""
     return T.textrank_keywords(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 105 (round 2): magic-byte MIME sniffing — trust the bytes, not the
+# label, before dispatching any codec.
+# --------------------------------------------------------------------------
+
+_SNIFF_TEXTISH_SQL = " AND ".join(
+    f"(substr(hex8, {2 * i + 1}, 2) BETWEEN '20' AND '7E'"
+    f" OR substr(hex8, {2 * i + 1}, 2) IN ('09', '0A', '0D'))"
+    for i in range(4)
+)
+_SNIFF_MAGIC_SQL = "\n    ".join(
+    f"WHEN substr(hex8, 1, {len(prefix)}) = '{prefix}' THEN '{label}'"
+    for prefix, label in MM._MAGIC_PREFIXES
+)
+
+
+@query(
+    "multimodal_mime_sniff",
+    f"""
+WITH p AS (
+  SELECT upper(substr(hex(encode(text)), 1, 8)) AS hex8 FROM documents
+),
+s AS (
+  SELECT CASE
+    WHEN length(hex8) < 8 THEN 'application/octet-stream'
+    {_SNIFF_MAGIC_SQL}
+    WHEN {_SNIFF_TEXTISH_SQL} THEN 'text/plain'
+    ELSE 'application/octet-stream' END AS sniffed
+  FROM p
+),
+t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents)
+SELECT 'application/octet-stream' AS declared_mime,
+       sniffed AS sniffed_mime,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(COUNT(*) / t.total, 6) AS share,
+       'application/octet-stream' = sniffed AS agrees
+FROM s, t GROUP BY sniffed, t.total
+""",
+)
+def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-sniffed MIME audit: magic-byte dispatch on the first
+    four payload bytes (PNG/JPEG/GIF/PDF/RIFF/OGG signatures, then a
+    printable-ASCII text heuristic) against the declared label — codec
+    routing must follow the BYTES; one scan, tiny groupBy."""
+    return MM.mime_sniff_audit(load_table(spark, sf_dir, "documents"))
