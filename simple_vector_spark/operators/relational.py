@@ -4025,3 +4025,229 @@ def trimmed_winsorized_stats(
             ).alias("winsorized_mean"),
         )
     )
+
+
+def theil_decomposition(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Theil-T inequality of customer spend DECOMPOSED into
+    between-nation and within-nation components — the additive
+    inequality accounting Gini cannot do (T = T_between + sum of
+    income-share-weighted within-group T_g): is spend concentration a
+    geography story or an individual-whale story?
+
+    Determinism contract: every ln-bearing term is ROUNDed to 9
+    decimals then summed as DECIMAL(38,12) (the Kaplan-Meier rounded-ln
+    recipe), so no f64 sum ever crosses a shuffle boundary; group means
+    are one decimal->double cast + divide, identical in both engines.
+
+    Plan: one customer aggregate off the fact (nation attached by a
+    broadcast dim join), per-row terms against the broadcast 25-row
+    group-stats table, two scalar folds."""
+    per = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("g"), "o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("x"))
+        .localCheckpoint()
+    )
+    gs = per.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("x").alias("sg")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("x").alias("s")
+    )
+    mu_g = F.col("sg").cast("double") / F.col("ng")
+    mu = F.col("s").cast("double") / F.col("n")
+    xd = F.col("x").cast("double")
+
+    def t9(c):
+        return F.round(c, 9).cast("decimal(38,12)")
+
+    terms = (
+        per.join(F.broadcast(gs), "g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            "ng",
+            "sg",
+            "n",
+            "s",
+            t9((xd / mu_g) * F.log(xd / mu_g)).alias("wg_term"),
+            t9((xd / mu) * F.log(xd / mu)).alias("tt_term"),
+        )
+    )
+    wg = terms.groupBy("g", "ng", "sg", "n", "s").agg(
+        F.sum("wg_term").alias("sw"), F.sum("tt_term").alias("st_g")
+    )
+    share = F.col("sg").cast("double") / F.col("s").cast("double")
+    folded = wg.agg(
+        F.max("n").alias("n_customers"),
+        F.sum(t9(share * (F.col("sw").cast("double") / F.col("ng")))).alias(
+            "_tw"
+        ),
+        F.sum(
+            t9(
+                share
+                * F.log(
+                    (F.col("sg").cast("double") / F.col("ng"))
+                    / (F.col("s").cast("double") / F.col("n"))
+                )
+            )
+        ).alias("_tb"),
+        F.sum("st_g").alias("_st"),
+    )
+    return folded.select(
+        "n_customers",
+        F.round(F.col("_st").cast("double") / F.col("n_customers"), 6).alias(
+            "theil_total"
+        ),
+        F.round(F.col("_tb").cast("double"), 6).alias("theil_between"),
+        F.round(F.col("_tw").cast("double"), 6).alias("theil_within"),
+        (
+            F.round(
+                F.col("_st").cast("double") / F.col("n_customers")
+                - F.col("_tb").cast("double")
+                - F.col("_tw").cast("double"),
+                6,
+            )
+            + F.lit(0.0)  # normalize -0.0
+        ).alias("residual"),
+    )
+
+
+def daily_runs_test(orders: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz RUNS TEST on the daily-revenue series: are
+    above/below-median days randomly interleaved, or do they clump
+    (momentum / regime persistence the dispersion index can't see)?
+    R = observed runs of consecutive same-side days vs its null
+    expectation 1 + 2*n1*n2/n with the closed-form variance; days equal
+    to the median are dropped (the standard tie rule, stated).
+
+    Exactness: the reference median is the lower-median rank value on
+    the two-phase rank; run counting is the shifted-rank equi-join (no
+    orderBy-only lag window); everything stays integer until the final
+    z formula.  The daily table is |days| rows — every step after the
+    one date aggregate is bounded."""
+    from .ranking import ranked_global
+
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+        .localCheckpoint()
+    )
+    by_rev = ranked_global(
+        daily, [F.col("rev").asc(), F.col("d").asc()], rank_name="vr",
+        total_name="nd",
+    )
+    med = by_rev.filter(
+        F.col("vr") == F.ceil(F.col("nd") / 2).cast("long")
+    ).select(F.col("rev").alias("med"))
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("med"))
+        .select(
+            "d", F.when(F.col("rev") > F.col("med"), 1).otherwise(0).alias("up")
+        )
+    )
+    seq = ranked_global(signed, [F.col("d").asc()], rank_name="t")
+    nxt = seq.select(
+        (F.col("t") - 1).alias("t"), F.col("up").alias("up_next")
+    )
+    flips = (
+        seq.join(nxt, "t")
+        .agg(
+            F.sum(
+                F.when(F.col("up") != F.col("up_next"), 1).otherwise(0)
+            ).alias("_flips")
+        )
+    )
+    counts = signed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_used"),
+        F.sum("up").cast("long").alias("n_above"),
+        F.sum(F.lit(1) - F.col("up")).cast("long").alias("n_below"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    n = n1 + n2
+    runs = (F.col("_flips") + 1).cast("long")
+    mu = 1.0 + 2.0 * n1 * n2 / n
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) / (n * n * (n - 1.0))
+    return counts.crossJoin(F.broadcast(flips)).select(
+        "n_days_used",
+        "n_above",
+        "n_below",
+        runs.alias("runs"),
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(
+            F.try_divide(
+                runs.cast("double") - mu, F.nullif(F.sqrt(var), F.lit(0.0))
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+DIM_WIDTH_BYTES = {
+    # static width estimates for the dimension tables the FK edges
+    # reference (the fact widths live in ROW_WIDTH_BYTES)
+    "customer": 180,
+    "supplier": 160,
+    "part": 140,
+    "nation": 120,
+    "region": 120,
+}
+BROADCAST_THRESHOLD_BYTES = 10 * 1024 * 1024  # Spark's autoBroadcastJoinThreshold default
+
+
+def join_strategy_advisor(tables: dict[str, DataFrame]) -> DataFrame:
+    """Join-strategy advisor over the declared FK edges: per join,
+    estimated bytes on each side (row count x static width) and the
+    physical strategy the numbers justify — broadcast the parent when
+    it fits under spark.sql.autoBroadcastJoinThreshold (10 MB default),
+    broadcast the child in the rare inverted case, else shuffle-merge
+    with a bucketing recommendation.  This is the arithmetic AQE does
+    at runtime, surfaced as a planning table — at 100 TB the wrong
+    side broadcast is an OOM and the missing broadcast is a full fact
+    shuffle.
+
+    One COUNT(*) per distinct table (parquet footer metadata in
+    practice), then pure per-edge arithmetic on the |edges|-row
+    aggregate."""
+    from .validate import FK_EDGES
+
+    widths = {**ROW_WIDTH_BYTES, **DIM_WIDTH_BYTES}
+    counts: dict[str, DataFrame] = {}
+    for name in sorted({t for _, c, _, p, _ in FK_EDGES for t in (c, p)}):
+        counts[name] = (
+            tables[name]
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .localCheckpoint()
+        )
+    out = None
+    for edge, child_t, _ck, parent_t, _pk in FK_EDGES:
+        cw, pw = widths[child_t], widths[parent_t]
+        row = (
+            counts[child_t]
+            .select(F.col("n").alias("child_rows"))
+            .crossJoin(counts[parent_t].select(F.col("n").alias("parent_rows")))
+            .select(
+                F.lit(edge).alias("edge"),
+                "child_rows",
+                "parent_rows",
+                (F.col("child_rows") * cw).cast("long").alias("child_bytes"),
+                (F.col("parent_rows") * pw).cast("long").alias("parent_bytes"),
+                F.when(
+                    F.col("parent_rows") * pw <= BROADCAST_THRESHOLD_BYTES,
+                    F.lit("broadcast_parent"),
+                )
+                .when(
+                    F.col("child_rows") * cw <= BROADCAST_THRESHOLD_BYTES,
+                    F.lit("broadcast_child"),
+                )
+                .otherwise(F.lit("shuffle_merge_bucket"))
+                .alias("strategy"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -12852,3 +12852,155 @@ def multimodal_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     printable-ASCII text heuristic) against the declared label — codec
     routing must follow the BYTES; one scan, tiny groupBy."""
     return MM.mime_sniff_audit(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 106 (round 2): Theil-T decomposition — additive between/within
+# inequality accounting over customer spend.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_theil_decomposition",
+    """
+WITH per AS (
+  SELECT c_nationkey AS g, o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+gs AS (SELECT g, COUNT(*) AS ng, SUM(x) AS sg FROM per GROUP BY g),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s FROM per),
+terms AS (
+  SELECT per.g, gs.ng, gs.sg, tot.n, tot.s,
+         CAST(ROUND((CAST(per.x AS DOUBLE) / (CAST(gs.sg AS DOUBLE) / gs.ng))
+               * ln(CAST(per.x AS DOUBLE) / (CAST(gs.sg AS DOUBLE) / gs.ng)), 9)
+              AS DECIMAL(38,12)) AS wg_term,
+         CAST(ROUND((CAST(per.x AS DOUBLE) / (CAST(tot.s AS DOUBLE) / tot.n))
+               * ln(CAST(per.x AS DOUBLE) / (CAST(tot.s AS DOUBLE) / tot.n)), 9)
+              AS DECIMAL(38,12)) AS tt_term
+  FROM per JOIN gs USING (g) CROSS JOIN tot
+),
+wg AS (
+  SELECT g, ng, sg, n, s, SUM(wg_term) AS sw, SUM(tt_term) AS st_g
+  FROM terms GROUP BY g, ng, sg, n, s
+),
+folded AS (
+  SELECT MAX(n) AS n_customers,
+         SUM(CAST(ROUND((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+               * (CAST(sw AS DOUBLE) / ng), 9) AS DECIMAL(38,12))) AS tw,
+         SUM(CAST(ROUND((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+               * ln((CAST(sg AS DOUBLE) / ng) / (CAST(s AS DOUBLE) / n)), 9)
+              AS DECIMAL(38,12))) AS tb,
+         SUM(st_g) AS st
+  FROM wg
+)
+SELECT n_customers,
+       ROUND(CAST(st AS DOUBLE) / n_customers, 6) AS theil_total,
+       ROUND(CAST(tb AS DOUBLE), 6) AS theil_between,
+       ROUND(CAST(tw AS DOUBLE), 6) AS theil_within,
+       ROUND(CAST(st AS DOUBLE) / n_customers - CAST(tb AS DOUBLE)
+             - CAST(tw AS DOUBLE), 6) + 0.0 AS residual
+FROM folded
+""",
+)
+def orders_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer spend split into between-nation +
+    within-nation components (additive accounting Gini can't do), with
+    the rounded-ln/DECIMAL determinism contract; one customer agg, the
+    25-row group table broadcast."""
+    return R.theil_decomposition(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wave 107 (round 2): Wald-Wolfowitz runs test — regime persistence in the
+# daily revenue series.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_runs_test",
+    """
+WITH daily AS (
+  SELECT o_orderdate AS d, SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS rev
+  FROM orders GROUP BY 1
+),
+rk AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, d) AS vr,
+         COUNT(*) OVER () AS nd
+  FROM daily
+),
+med AS (SELECT rev AS med FROM rk WHERE vr = CAST(ceil(nd / 2.0) AS BIGINT)),
+signed AS (
+  SELECT d, CASE WHEN rev > med THEN 1 ELSE 0 END AS up
+  FROM daily CROSS JOIN med WHERE rev != med
+),
+seq AS (SELECT up, ROW_NUMBER() OVER (ORDER BY d) AS t FROM signed),
+fl AS (
+  SELECT SUM(CASE WHEN a.up != b.up THEN 1 ELSE 0 END) AS flips
+  FROM seq a JOIN seq b ON b.t = a.t + 1
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days_used,
+         CAST(SUM(up) AS BIGINT) AS n_above,
+         CAST(SUM(1 - up) AS BIGINT) AS n_below
+  FROM signed
+)
+SELECT n_days_used, n_above, n_below,
+       CAST(flips + 1 AS BIGINT) AS runs,
+       ROUND(1.0 + 2.0 * n_above * n_below / (n_above + n_below), 6)
+         AS expected_runs,
+       ROUND((flips + 1 - (1.0 + 2.0 * n_above * n_below / (n_above + n_below)))
+             / NULLIF(sqrt((2.0 * n_above * n_below
+                     * (2.0 * n_above * n_below - n_above - n_below))
+                    / ((n_above + n_below) * (n_above + n_below)
+                       * (n_above + n_below - 1.0))), 0.0), 6) AS z
+FROM c, fl
+""",
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue vs the lower median:
+    observed same-side runs against the closed-form null — the
+    regime-persistence / momentum check; two-phase ranks + shifted-rank
+    join, integers until the final z."""
+    return R.daily_runs_test(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 108 (round 2): join-strategy advisor over the declared FK edges.
+# --------------------------------------------------------------------------
+
+_JOIN_ADV_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{edge}' AS edge,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS child_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {parent}) AS parent_rows,
+       (SELECT CAST(COUNT(*) * {({**R.ROW_WIDTH_BYTES, **R.DIM_WIDTH_BYTES})[child]} AS BIGINT) FROM {child}) AS child_bytes,
+       (SELECT CAST(COUNT(*) * {({**R.ROW_WIDTH_BYTES, **R.DIM_WIDTH_BYTES})[parent]} AS BIGINT) FROM {parent}) AS parent_bytes,
+       CASE
+         WHEN (SELECT COUNT(*) * {({**R.ROW_WIDTH_BYTES, **R.DIM_WIDTH_BYTES})[parent]} FROM {parent})
+              <= {R.BROADCAST_THRESHOLD_BYTES} THEN 'broadcast_parent'
+         WHEN (SELECT COUNT(*) * {({**R.ROW_WIDTH_BYTES, **R.DIM_WIDTH_BYTES})[child]} FROM {child})
+              <= {R.BROADCAST_THRESHOLD_BYTES} THEN 'broadcast_child'
+         ELSE 'shuffle_merge_bucket' END AS strategy"""
+    for edge, child, _ck, parent, _pk in __import__(
+        "simple_vector_spark.operators.validate", fromlist=["FK_EDGES"]
+    ).FK_EDGES
+)
+
+
+@query("join_strategy_advisor", _JOIN_ADV_SQL)
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy advisor: per declared FK edge, side sizes (rows x
+    static width) and the physical plan the numbers justify —
+    broadcast under the 10 MB autoBroadcastJoinThreshold, else
+    shuffle-merge with bucketing; AQE's arithmetic as a planning
+    table."""
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("orders", "lineitem", "customer", "supplier", "part",
+                  "nation", "region")
+    }
+    return R.join_strategy_advisor(tables)
