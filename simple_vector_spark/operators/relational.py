@@ -4251,3 +4251,53 @@ def join_strategy_advisor(tables: dict[str, DataFrame]) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+FRAME_DEMO_DAYS = 10
+
+
+def window_frame_semantics(orders: DataFrame, days: int = FRAME_DEMO_DAYS) -> DataFrame:
+    """ROWS vs RANGE frame semantics, shown where they diverge: a
+    running revenue total ordered by order DATE is ambiguous at
+    order grain — RANGE includes every tied-date order in the frame,
+    ROWS stops at the current row — so the 'same' cumulative differs
+    mid-tie by exactly (date revenue - revenue seen so far within the
+    date).  Reported per date for the first ``days`` dates: the RANGE
+    total, the ROWS total as of the date's FIRST order (min orderkey),
+    and the divergence — the silently-made frame choice, quantified.
+
+    Scale: order grain never meets a window — the demo is computed on
+    the bounded daily aggregate (prefix sums via the broadcast triangle
+    join, the bounded-table recipe) plus one arg-min lookup per date."""
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("rev"),
+            F.min_by("o_totalprice", "o_orderkey")
+            .cast("decimal(15,2)")
+            .alias("first_rev"),
+        )
+        .localCheckpoint()
+    )
+    other = daily.select(F.col("d").alias("_d2"), F.col("rev").alias("_r2"))
+    cum = (
+        daily.join(F.broadcast(other), F.col("_d2") <= F.col("d"))
+        .groupBy("d", "n_orders", "rev", "first_rev")
+        .agg(F.sum("_r2").alias("range_total"))
+    )
+    return (
+        cum.orderBy(F.col("d").asc())
+        .limit(days)
+        .select(
+            "d",
+            "n_orders",
+            F.col("range_total").cast("decimal(20,2)").alias("range_total"),
+            (F.col("range_total") - F.col("rev") + F.col("first_rev"))
+            .cast("decimal(20,2)")
+            .alias("rows_total_at_first"),
+            (F.col("rev") - F.col("first_rev"))
+            .cast("decimal(20,2)")
+            .alias("divergence"),
+        )
+    )

@@ -546,3 +546,64 @@ def ams_f2_audit(events: DataFrame, key_col: str = "user_id") -> DataFrame:
             ),
         )
     )
+
+
+CMS_WIDTHS = (64, 128, 256, 512)
+
+
+def cms_width_curve(
+    docs: DataFrame, topn: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Count-Min WIDTH TUNING CURVE: for each candidate sketch width,
+    the overcount the D=4-row CMS inflicts on the exact top-``topn``
+    tokens (mean / max / share answered exactly) — the measured
+    memory-vs-error dial for sizing the sketch before a 100 TB run,
+    the CMS sibling of dedup_lsh_band_tuning.
+
+    ONE exact token count feeds everything: each width's sketch is an
+    aggregation of that (token, cnt, h) table (W buckets per hash
+    row), and the top tokens probe it with four broadcast bucket
+    lookups.  Every arithmetic step is exact integers, so the curve
+    hash-matches the DuckDB oracle."""
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", md5_int(F.col("token")))
+        .localCheckpoint()
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(topn)
+        .localCheckpoint()
+    )
+
+    def bucket(j: int, w: int) -> F.Column:
+        return (
+            (F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % MINHASH_P
+        ) % w
+
+    out = None
+    for w in CMS_WIDTHS:
+        probe = top
+        for j in range(CMS_D):
+            totals = (
+                counts.groupBy(bucket(j, w).alias(f"_b{j}"))
+                .agg(F.sum("cnt").alias(f"_tot{j}"))
+            )
+            probe = probe.withColumn(f"_b{j}", bucket(j, w)).join(
+                F.broadcast(totals), f"_b{j}"
+            )
+        est = F.least(*[F.col(f"_tot{j}") for j in range(CMS_D)])
+        row = probe.select(
+            F.lit(w).alias("width"),
+            (est - F.col("cnt")).alias("_over"),
+        ).groupBy("width").agg(
+            F.round(F.avg("_over"), 6).alias("mean_overcount"),
+            F.max("_over").cast("long").alias("max_overcount"),
+            F.round(
+                F.avg(F.when(F.col("_over") == 0, 1.0).otherwise(0.0)), 6
+            ).alias("exact_share"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -13004,3 +13004,92 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "nation", "region")
     }
     return R.join_strategy_advisor(tables)
+
+
+# --------------------------------------------------------------------------
+# Wave 109 (round 2): ROWS vs RANGE frame semantics, quantified where the
+# two diverge (tied order dates).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_frame_semantics",
+    f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS rev,
+         CAST(arg_min(o_totalprice, o_orderkey) AS DECIMAL(15,2)) AS first_rev
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT a.d, a.n_orders, a.rev, a.first_rev, SUM(b.rev) AS range_total
+  FROM daily a JOIN daily b ON b.d <= a.d
+  GROUP BY a.d, a.n_orders, a.rev, a.first_rev
+)
+SELECT d, n_orders,
+       CAST(range_total AS DECIMAL(20,2)) AS range_total,
+       CAST(range_total - rev + first_rev AS DECIMAL(20,2))
+         AS rows_total_at_first,
+       CAST(rev - first_rev AS DECIMAL(20,2)) AS divergence
+FROM cum ORDER BY d LIMIT {R.FRAME_DEMO_DAYS}
+""",
+)
+def orders_frame_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS vs RANGE running-total divergence on tied order dates —
+    the silently-made frame choice quantified per date; computed on
+    the bounded daily aggregate (triangle prefix sums), order grain
+    never meets a window."""
+    return R.window_frame_semantics(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 110 (round 2): CMS width tuning curve — the sketch-sizing dial,
+# measured (the Count-Min sibling of dedup_lsh_band_tuning).
+# --------------------------------------------------------------------------
+
+
+def _cms_width_oracle() -> str:
+    ctes = [
+        f"""counts AS (
+  SELECT token, COUNT(*) AS cnt,
+         CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT unnest({_TK_SQL}) AS token FROM documents)
+  GROUP BY token
+)""",
+        "tops AS (SELECT token, cnt, h FROM counts ORDER BY cnt DESC, token LIMIT 20)",
+    ]
+    segs = []
+    for w in SK.CMS_WIDTHS:
+        for j in range(SK.CMS_D):
+            ctes.append(
+                f"""t_{w}_{j} AS (
+  SELECT (({SK.MINHASH_A[j]} * h + {SK.MINHASH_B[j]}) % {SK.MINHASH_P}) % {w}
+           AS b,
+         SUM(cnt) AS tot
+  FROM counts GROUP BY 1
+)"""
+            )
+        joins = " ".join(
+            f"JOIN t_{w}_{j} ON (({SK.MINHASH_A[j]} * tops.h"
+            f" + {SK.MINHASH_B[j]}) % {SK.MINHASH_P}) % {w} = t_{w}_{j}.b"
+            for j in range(SK.CMS_D)
+        )
+        least = ", ".join(f"t_{w}_{j}.tot" for j in range(SK.CMS_D))
+        segs.append(
+            f"""SELECT {w} AS width,
+       ROUND(AVG(est - cnt), 6) AS mean_overcount,
+       CAST(MAX(est - cnt) AS BIGINT) AS max_overcount,
+       ROUND(AVG(CASE WHEN est = cnt THEN 1.0 ELSE 0.0 END), 6) AS exact_share
+FROM (SELECT tops.cnt AS cnt, LEAST({least}) AS est FROM tops {joins})"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(segs)
+
+
+@query("cms_width_tuning", _cms_width_oracle())
+def cms_width_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min width tuning curve: mean/max overcount + exact-answer
+    share on the true top-20 tokens at widths {SK.CMS_WIDTHS} — the
+    measured memory-vs-error dial for sketch sizing; one exact token
+    count feeds all four sketches, exact-integer throughout."""
+    return SK.cms_width_curve(load_table(spark, sf_dir, "documents"))
