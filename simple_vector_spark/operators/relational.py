@@ -4301,3 +4301,49 @@ def window_frame_semantics(orders: DataFrame, days: int = FRAME_DEMO_DAYS) -> Da
             .alias("divergence"),
         )
     )
+
+
+AGING_BANDS = ((90, "000-090d"), (365, "091-365d"), (730, "366-730d"))
+AGING_TAIL = "730d+"
+
+
+def backlog_aging(orders: DataFrame) -> DataFrame:
+    """Open-order BACKLOG AGING: orders still in status 'O' bucketed by
+    age (days since order date, relative to the dataset's latest order
+    date — the as-of watermark), with count, locked-up value, value
+    share, and mean age per band — the WIP report that prices how stale
+    the open book is.
+
+    One scan: the as-of date is a broadcast scalar aggregate; bands are
+    a CASE expression; the aggregate is |bands| rows.  DECIMAL value
+    sums; mean age from integer day sums."""
+    asof = orders.agg(F.max("o_orderdate").alias("_asof"))
+    age = F.datediff(F.col("_asof"), F.col("o_orderdate"))
+    band = F.when(age <= AGING_BANDS[0][0], AGING_BANDS[0][1])
+    for days, label in AGING_BANDS[1:]:
+        band = band.when(age <= days, label)
+    band = band.otherwise(AGING_TAIL)
+    open_orders = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            band.alias("age_band"),
+            age.cast("long").alias("_age"),
+            _dec("o_totalprice").alias("_v"),
+        )
+    )
+    per = open_orders.groupBy("age_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("_v").alias("_val"),
+        F.sum("_age").alias("_ages"),
+    )
+    tot = per.agg(F.sum("_val").alias("_tv"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "age_band",
+        "n_orders",
+        F.col("_val").cast("decimal(20,2)").alias("backlog_value"),
+        F.round(
+            F.col("_val").cast("double") / F.col("_tv").cast("double"), 6
+        ).alias("value_share"),
+        F.round(F.col("_ages") / F.col("n_orders"), 6).alias("mean_age_days"),
+    )

@@ -13093,3 +13093,49 @@ def cms_width_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured memory-vs-error dial for sketch sizing; one exact token
     count feeds all four sketches, exact-integer throughout."""
     return SK.cms_width_curve(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 111 (round 2): open-order backlog aging — the WIP staleness report.
+# --------------------------------------------------------------------------
+
+_AGING_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN age <= {days} THEN '{label}'"
+        for days, label in R.AGING_BANDS
+    )
+    + f" ELSE '{R.AGING_TAIL}' END"
+)
+
+
+@query(
+    "orders_backlog_aging",
+    f"""
+WITH refd AS (SELECT MAX(o_orderdate) AS a FROM orders),
+o AS (
+  SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(refd.a AS DATE))
+           AS age,
+         CAST(o_totalprice AS DECIMAL(15,2)) AS v
+  FROM orders CROSS JOIN refd
+  WHERE o_orderstatus = 'O'
+),
+per AS (
+  SELECT {_AGING_CASE_SQL} AS age_band,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(v) AS val, SUM(age) AS ages
+  FROM o GROUP BY 1
+),
+tot AS (SELECT SUM(val) AS tv FROM per)
+SELECT age_band, n_orders,
+       CAST(val AS DECIMAL(20,2)) AS backlog_value,
+       ROUND(CAST(val AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS value_share,
+       ROUND(ages * 1.0 / n_orders, 6) AS mean_age_days
+FROM per, tot
+""",
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging bands (as-of the latest order date):
+    count, locked-up DECIMAL value, value share, mean age per band —
+    the WIP staleness report; one scan + broadcast scalar."""
+    return R.backlog_aging(load_table(spark, sf_dir, "orders"))
