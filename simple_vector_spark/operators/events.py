@@ -1741,3 +1741,158 @@ def user_activity_zipf(events: DataFrame, top_n: int = ZIPF_USERS_TOP) -> DataFr
         F.round(slope, 4).alias("slope"),
         F.round((sy - slope * sx) / nn, 4).alias("intercept"),
     )
+
+
+def cuped_adjustment(events: DataFrame) -> DataFrame:
+    """CUPED variance reduction for the md5 A/B split: per-user event
+    counts in the PRE period (first half of the time range, the
+    covariate) adjust the POST-period metric via
+    y_cv = y - theta (x - mean(x)), theta = cov(x,y)/var(x) — the
+    standard pre-experiment-data trick that shrinks metric variance by
+    corr(x,y)^2 and makes the same traffic detect smaller effects.
+
+    One user-grain aggregate (pre/post counts from the midpoint epoch,
+    a broadcast scalar), then every statistic — theta, per-arm raw and
+    adjusted means, the variance-reduction share — comes from exact
+    integer power sums in closed form.  Guarded for zero covariate
+    variance (try_divide -> NULL)."""
+    from ..functions.text import md5_int
+
+    span = events.agg(
+        F.floor(
+            (
+                F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts"))
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("_mid")
+    )
+    per_user = (
+        events.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.unix_timestamp("ts") < F.col("_mid")).cast("long")
+            ).alias("x"),
+            F.sum(
+                (F.unix_timestamp("ts") >= F.col("_mid")).cast("long")
+            ).alias("y"),
+        )
+        .select(
+            (md5_int(F.col("user_id").cast("string")) % 2).cast("int").alias("arm"),
+            "x",
+            "y",
+        )
+        .localCheckpoint()
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("x").alias("sxg"), F.sum("y").alias("syg")
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("ng").alias("na"), F.col("sxg").alias("sxa"), F.col("syg").alias("sya")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("ng").alias("nb"), F.col("sxg").alias("sxb"), F.col("syg").alias("syb")
+    )
+    j = g.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(b))
+    n = F.col("n_users").cast("double")
+    covn = n * F.col("sxy") - F.col("sx") * F.col("sy")  # n^2 * cov
+    varxn = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    varyn = n * F.col("syy") - F.col("sy") * F.col("sy")
+    theta = F.try_divide(covn.cast("double"), F.nullif(varxn.cast("double"), F.lit(0.0)))
+    mean_x = F.col("sx").cast("double") / n
+    mean = lambda s, c: F.col(s).cast("double") / F.col(c)  # noqa: E731
+    adj = lambda ms, mxs, cn: mean(ms, cn) - theta * (mean(mxs, cn) - mean_x)  # noqa: E731
+    var_red = F.try_divide(
+        (covn * covn).cast("double"),
+        F.nullif((varxn * varyn).cast("double"), F.lit(0.0)),
+    )
+    return j.select(
+        "n_users",
+        F.round(theta, 6).alias("theta"),
+        F.round(mean("sya", "na"), 6).alias("mean_a"),
+        F.round(mean("syb", "nb"), 6).alias("mean_b"),
+        F.round(adj("sya", "sxa", "na"), 6).alias("mean_a_adj"),
+        F.round(adj("syb", "sxb", "nb"), 6).alias("mean_b_adj"),
+        F.round(var_red, 6).alias("var_reduction"),
+    )
+
+
+def markov_entropy_rate(events: DataFrame) -> DataFrame:
+    """ENTROPY RATE of user behavior: conditional entropy H(next|prev)
+    of the first-order event-type chain vs the marginal next-event
+    entropy — how many bits of surprise each event carries once you
+    know the previous one, and how much knowing it buys
+    (predictability gain = H_marginal - H_conditional).  The
+    information-theoretic summary of the transition matrix: near-zero
+    gain says sequence modeling adds nothing over frequencies.
+
+    Plan: the pair build is the one user_id shuffle (lag with ts +
+    event_id tiebreak); both entropies are folds over the |types|² /
+    |types| aggregates.  Each p*log2(p) term is ROUNDed to 9 then
+    summed as DECIMAL(38,12) — the rounded-ln contract."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    row_tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("ns"))
+    tot = pairs.agg(
+        F.sum("n").cast("long").alias("n_transitions"),
+        F.countDistinct("prev_type").cast("long").alias("n_states"),
+    )
+
+    def t9(c):
+        return F.round(c, 9).cast("decimal(38,12)")
+
+    cond_terms = (
+        pairs.join(F.broadcast(row_tot), "prev_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            t9(
+                (F.col("n") / F.col("n_transitions"))
+                * F.log2(F.col("n") / F.col("ns"))
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("_hc"))
+    )
+    marg_terms = (
+        pairs.groupBy("next_type")
+        .agg(F.sum("n").alias("mt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            t9(
+                (F.col("mt") / F.col("n_transitions"))
+                * F.log2(F.col("mt") / F.col("n_transitions"))
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("_hm"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(cond_terms))
+        .crossJoin(F.broadcast(marg_terms))
+        .select(
+            "n_transitions",
+            "n_states",
+            F.round(-F.col("_hc").cast("double"), 6).alias("h_conditional_bits"),
+            F.round(-F.col("_hm").cast("double"), 6).alias("h_marginal_bits"),
+            F.round(
+                (F.col("_hc") - F.col("_hm")).cast("double"), 6
+            ).alias("predictability_gain"),
+        )
+    )

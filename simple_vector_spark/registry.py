@@ -13139,3 +13139,117 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, locked-up DECIMAL value, value share, mean age per band —
     the WIP staleness report; one scan + broadcast scalar."""
     return R.backlog_aging(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 112 (round 2): CUPED variance reduction — the pre-period covariate
+# adjustment that makes the same traffic detect smaller effects.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_cuped_adjustment",
+    """
+WITH mid AS (
+  SELECT CAST(FLOOR((MIN(FLOOR(epoch(ts))) + MAX(FLOOR(epoch(ts)))) / 2.0)
+              AS BIGINT) AS m
+  FROM events
+),
+pu AS (
+  SELECT user_id,
+         CAST((CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2) AS INT) AS arm,
+         SUM(CASE WHEN FLOOR(epoch(ts)) < mid.m THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN FLOOR(epoch(ts)) >= mid.m THEN 1 ELSE 0 END) AS y
+  FROM events CROSS JOIN mid
+  GROUP BY user_id
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pu
+),
+a AS (SELECT COUNT(*) AS na, SUM(x) AS sxa, SUM(y) AS sya FROM pu WHERE arm = 0),
+b AS (SELECT COUNT(*) AS nb, SUM(x) AS sxb, SUM(y) AS syb FROM pu WHERE arm = 1)
+SELECT n_users,
+       ROUND(CAST(n_users * sxy - sx * sy AS DOUBLE)
+             / NULLIF(CAST(n_users * sxx - sx * sx AS DOUBLE), 0.0), 6)
+         AS theta,
+       ROUND(CAST(sya AS DOUBLE) / na, 6) AS mean_a,
+       ROUND(CAST(syb AS DOUBLE) / nb, 6) AS mean_b,
+       ROUND(CAST(sya AS DOUBLE) / na
+             - (CAST(n_users * sxy - sx * sy AS DOUBLE)
+                / NULLIF(CAST(n_users * sxx - sx * sx AS DOUBLE), 0.0))
+               * (CAST(sxa AS DOUBLE) / na - CAST(sx AS DOUBLE) / n_users), 6)
+         AS mean_a_adj,
+       ROUND(CAST(syb AS DOUBLE) / nb
+             - (CAST(n_users * sxy - sx * sy AS DOUBLE)
+                / NULLIF(CAST(n_users * sxx - sx * sx AS DOUBLE), 0.0))
+               * (CAST(sxb AS DOUBLE) / nb - CAST(sx AS DOUBLE) / n_users), 6)
+         AS mean_b_adj,
+       ROUND(CAST((n_users * sxy - sx * sy) * (n_users * sxy - sx * sy) AS DOUBLE)
+             / NULLIF(CAST((n_users * sxx - sx * sx)
+                           * (n_users * syy - sy * sy) AS DOUBLE), 0.0), 6)
+         AS var_reduction
+FROM g, a, b
+""",
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED: pre-period per-user activity as the covariate for the
+    post-period metric under the md5 A/B split — theta, raw vs adjusted
+    arm means, and the corr² variance-reduction share, all from exact
+    integer power sums."""
+    return E.cuped_adjustment(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 113 (round 2): Markov entropy rate — bits of surprise per event and
+# what knowing the previous one buys.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_entropy",
+    """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+rt AS (SELECT prev_type, SUM(n) AS ns FROM counts GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_transitions,
+         CAST(COUNT(DISTINCT prev_type) AS BIGINT) AS n_states
+  FROM counts
+),
+hc AS (
+  SELECT SUM(CAST(ROUND((c.n * 1.0 / t.n_transitions)
+                        * log2(c.n * 1.0 / r.ns), 9) AS DECIMAL(38,12))) AS v
+  FROM counts c JOIN rt r USING (prev_type) CROSS JOIN tot t
+),
+hm AS (
+  SELECT SUM(CAST(ROUND((mt * 1.0 / t.n_transitions)
+                        * log2(mt * 1.0 / t.n_transitions), 9)
+                  AS DECIMAL(38,12))) AS v
+  FROM (SELECT next_type, SUM(n) AS mt FROM counts GROUP BY 1)
+  CROSS JOIN tot t
+)
+SELECT n_transitions, n_states,
+       ROUND(-CAST(hc.v AS DOUBLE), 6) AS h_conditional_bits,
+       ROUND(-CAST(hm.v AS DOUBLE), 6) AS h_marginal_bits,
+       ROUND(CAST(hc.v - hm.v AS DOUBLE), 6) AS predictability_gain
+FROM tot, hc, hm
+""",
+)
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type chain: H(next|prev) vs the
+    marginal next-event entropy with the predictability gain — the
+    information-theoretic read of the transition matrix; rounded-log2
+    DECIMAL folds over the |types|² aggregate."""
+    return E.markov_entropy_rate(load_table(spark, sf_dir, "events"))
