@@ -1780,7 +1780,7 @@ def nation_trade_pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("r")).alias("inflow"))
         )
-        rank = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+        rank = nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left").select(
             "node",
             F.round(
                 F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),

@@ -1572,7 +1572,7 @@ def textrank_keywords(
             .groupBy("b")
             .agg(F.sum(F.col("p") * F.col("r")).alias("inflow"))
         )
-        rank = nodes.join(contrib, nodes.node == contrib.b, "left").select(
+        rank = nodes.join(F.broadcast(contrib), nodes.node == contrib.b, "left").select(
             "node",
             F.round(
                 F.lit(base_r)

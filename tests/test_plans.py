@@ -428,3 +428,43 @@ def test_fingerprint_is_single_pass_aggregate(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "table_fingerprint_audit")
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_trimmed_mean_two_phase_rank_no_global_sort(spark, sf_dir):
+    """Wave 100: per-flag tail membership must come from the two-phase
+    grouped rank (range repartition + local sort + checkpointed
+    offsets) — never a Sort/Window over Exchange SinglePartition."""
+    plan = plan_of(spark, sf_dir, "lineitem_trimmed_mean")
+    assert "ExistingRDD" in plan  # the checkpointed ranked table
+    for i, line in enumerate(plan.splitlines()):
+        if "Exchange SinglePartition" in line:
+            above = "\n".join(plan.splitlines()[max(0, i - 3):i])
+            assert "Window" not in above and "Sort " not in above
+
+
+def test_graph_search_rank_is_broadcast_triangle(spark, sf_dir):
+    """Wave 98: the k-row final rank must be the broadcast triangle
+    join over the checkpointed top-k — never a sorted single-partition
+    window (hop joins run eagerly behind the checkpoints; the returned
+    plan is the rank stage)."""
+    plan = plan_of(spark, sf_dir, "knn_graph_search")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_textrank_iteration_broadcasts_contrib(spark, sf_dir):
+    """Wave 104: each power-iteration join of the |V|-row contribution
+    table against the node list must be a broadcast join — the model
+    state never rides a shuffle."""
+    plan = plan_of(spark, sf_dir, "vocab_textrank_keywords")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ams_sketch_is_map_side_partial_aggregate(spark, sf_dir):
+    """Wave 97: the AMS sign sums must partial-aggregate before the
+    single-row final merge — one map-side pass, no key shuffle on the
+    sketch side."""
+    plan = plan_of(spark, sf_dir, "events_ams_f2_sketch")
+    assert "partial_" in plan.lower() or "Partial" in plan
