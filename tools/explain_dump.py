@@ -70,6 +70,12 @@ HEADLINERS = [
     ("parts_abc_xyz_matrix", "two-phase prefix ABC x monthly-CV XYZ; one fact shuffle each"),
     ("saved_search_percolate", "stored queries broadcast; one corpus pass, arity-matched semi-aggregation"),
     ("arrow_ipc_source_roundtrip", "custom Python DataSource: RecordBatch-yielding reads, one InputPartition per file"),
+    ("knn_graph_search", "layered-descent beam search: broadcast frontier hops behind checkpoints; broadcast-triangle final rank"),
+    ("events_ams_f2_sketch", "map-side +/-1 sign sums — join-size estimate with no key shuffle"),
+    ("lineitem_trimmed_mean", "two-phase grouped rank; DECIMAL tail sums; broadcast boundary rows"),
+    ("vocab_textrank_keywords", "vocab-capped co-occurrence edges; broadcast power-iteration state"),
+    ("multimodal_shard_pack", "byte cumsum windowed by (source, group) — bounded tasks"),
+    ("cms_width_tuning", "one exact token count feeds all four sketch widths"),
 ]
 
 
