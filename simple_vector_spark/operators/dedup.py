@@ -1064,3 +1064,34 @@ def pair_graph_assortativity(pairs: DataFrame) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+def simhash_bit_balance(docs: DataFrame) -> DataFrame:
+    """SimHash QUALITY AUDIT: per-bit balance of the fingerprint
+    population (share of docs with each bit set).  A healthy SimHash
+    has every bit near 0.5 — a bit pinned toward 0 or 1 (corpus-wide
+    boilerplate dominating its votes) carries no discrimination, which
+    silently halves the effective band resolution of the 4x4-bit LSH
+    join.  This is the check to run BEFORE trusting simhash_pairs
+    candidate volumes.
+
+    Plan: fingerprints are a linear scan (no shuffle); the bit explode
+    is 16x in-scan fan-out feeding one 16-group partial aggregate."""
+    fp = simhash_fingerprints(docs)
+    bits = fp.select(
+        "simhash", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+    ).select(
+        "bit",
+        (
+            (F.floor(F.col("simhash") / F.pow(F.lit(2), F.col("bit"))).cast("long"))
+            % 2
+        ).alias("_set"),
+    )
+    return bits.groupBy("bit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_set").cast("long").alias("n_set"),
+        F.round(F.sum("_set") / F.count(F.lit(1)), 6).alias("share_set"),
+        F.round(
+            F.abs(F.sum("_set") / F.count(F.lit(1)) - 0.5), 6
+        ).alias("abs_dev"),
+    )

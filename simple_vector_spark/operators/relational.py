@@ -4347,3 +4347,133 @@ def backlog_aging(orders: DataFrame) -> DataFrame:
         ).alias("value_share"),
         F.round(F.col("_ages") / F.col("n_orders"), 6).alias("mean_age_days"),
     )
+
+
+HILL_K = 100  # top-order statistics used by the tail-index estimator
+
+
+def hill_tail_index(orders: DataFrame, k: int = HILL_K) -> DataFrame:
+    """Hill estimator of the Pareto tail index of order values:
+    H = mean ln(x_(i) / x_(k+1)) over the top-k order statistics,
+    alpha = 1/H — the quantitative heavy-tail number behind the Pareto
+    deciles (alpha < 2: variance effectively infinite, sampling and
+    mean-based KPIs misbehave).
+
+    Plan: the top-(k+1) set comes from a TakeOrdered heap (per-
+    partition heaps, no global sort); every ln term is ROUNDed to 9
+    and summed as DECIMAL over the request-sized k rows."""
+    top = (
+        orders.select(_dec("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.col("x").desc(), F.col("o_orderkey").asc())
+        .limit(k + 1)
+        .localCheckpoint()
+    )
+    thr = top.agg(F.min("x").alias("_thr"))
+    terms = (
+        top.orderBy(F.col("x").desc(), F.col("o_orderkey").asc())
+        .limit(k)  # drop exactly the (k+1)-th row — it IS the threshold
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.round(
+                F.log(F.col("x").cast("double") / F.col("_thr").cast("double")), 9
+            )
+            .cast("decimal(38,12)")
+            .alias("t"),
+            F.col("_thr"),
+        )
+    )
+    agg = terms.groupBy("_thr").agg(F.sum("t").alias("_s"), F.count(F.lit(1)).alias("_k"))
+    h = F.col("_s").cast("double") / F.col("_k")
+    return agg.select(
+        F.col("_k").cast("long").alias("k"),
+        F.col("_thr").cast("decimal(15,2)").alias("threshold"),
+        F.round(h, 6).alias("hill_h"),
+        F.round(
+            F.try_divide(F.lit(1.0), F.nullif(h, F.lit(0.0))), 6
+        ).alias("tail_alpha"),
+    )
+
+
+def categorical_mutual_info(
+    part: DataFrame, col_x: str = "p_brand", col_y: str = "p_type"
+) -> DataFrame:
+    """Mutual information (bits) between two categorical part
+    attributes, with both marginal entropies and the normalized MI —
+    the information-theoretic dependence measure next to chi-square /
+    Cramér's V (MI reads in bits: how much knowing the brand tells you
+    about the type; NMI = MI/min(Hx,Hy) puts it on [0,1]).
+
+    Exactness: every p*log2 term is ROUNDed to 9 then summed as
+    DECIMAL(38,12).  Plan: one (x,y) cell aggregate (|X||Y| rows),
+    marginals re-aggregated from the cells, three scalar folds."""
+    cells = (
+        part.groupBy(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    mx = cells.groupBy("x").agg(F.sum("n").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("n").alias("ny"))
+    tot = cells.agg(F.sum("n").cast("long").alias("nn"))
+
+    def t9(c):
+        return F.round(c, 9).cast("decimal(38,12)")
+
+    mi = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            t9(
+                (F.col("n") / F.col("nn"))
+                * F.log2(
+                    (F.col("n").cast("double") * F.col("nn"))
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                )
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("_mi"))
+    )
+
+    def entropy(marg: DataFrame, cnt: str) -> DataFrame:
+        return (
+            marg.crossJoin(F.broadcast(tot))
+            .select(
+                t9(
+                    (F.col(cnt) / F.col("nn"))
+                    * F.log2(F.col(cnt) / F.col("nn"))
+                ).alias("t")
+            )
+            .agg((-F.sum("t")).alias("_h"))
+        )
+
+    hx = entropy(mx, "nx").select(F.col("_h").alias("_hx"))
+    hy = entropy(my, "ny").select(F.col("_h").alias("_hy"))
+    nx_cnt = mx.agg(F.count(F.lit(1)).cast("long").alias("n_x_values"))
+    ny_cnt = my.agg(F.count(F.lit(1)).cast("long").alias("n_y_values"))
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(nx_cnt))
+        .crossJoin(F.broadcast(ny_cnt))
+        .select(
+            F.col("nn").alias("n_rows"),
+            "n_x_values",
+            "n_y_values",
+            F.round(F.col("_mi").cast("double"), 6).alias("mi_bits"),
+            F.round(F.col("_hx").cast("double"), 6).alias("h_x_bits"),
+            F.round(F.col("_hy").cast("double"), 6).alias("h_y_bits"),
+            F.round(
+                F.try_divide(
+                    F.col("_mi").cast("double"),
+                    F.nullif(
+                        F.least(
+                            F.col("_hx").cast("double"), F.col("_hy").cast("double")
+                        ),
+                        F.lit(0.0),
+                    ),
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )

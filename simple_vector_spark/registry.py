@@ -13253,3 +13253,143 @@ def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     information-theoretic read of the transition matrix; rounded-log2
     DECIMAL folds over the |types|² aggregate."""
     return E.markov_entropy_rate(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 114 (round 2): SimHash bit-balance QA — dead bits halve the LSH
+# band resolution silently.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_simhash_bit_balance",
+    """
+WITH docs_plus AS (SELECT doc_id, text, source FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS tk
+  FROM docs_plus
+),
+tokh AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(2 * (CAST(floor(h / pow(2, b)) AS BIGINT) % 2) - 1) AS w
+  FROM tokh, unnest(range(16)) AS bb(b)
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN w > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+bits AS (
+  SELECT b.b AS bit,
+         CAST(floor(simhash / pow(2, b.b)) AS BIGINT) % 2 AS s
+  FROM fp, unnest(range(16)) AS b(b)
+)
+SELECT CAST(bit AS INT) AS bit,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s) AS BIGINT) AS n_set,
+       ROUND(SUM(s) * 1.0 / COUNT(*), 6) AS share_set,
+       ROUND(ABS(SUM(s) * 1.0 / COUNT(*) - 0.5), 6) AS abs_dev
+FROM bits GROUP BY bit
+""",
+)
+def dedup_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bit population balance of the 16-bit SimHash — pinned bits
+    carry no discrimination and silently halve LSH band resolution;
+    linear fingerprint scan + one 16-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return D.simhash_bit_balance(docs)
+
+
+# --------------------------------------------------------------------------
+# Wave 115 (round 2): Hill tail-index estimator — the heavy-tail number
+# behind the Pareto deciles.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_hill_tail_index",
+    f"""
+WITH top AS (
+  SELECT CAST(o_totalprice AS DECIMAL(15,2)) AS x, o_orderkey
+  FROM orders ORDER BY x DESC, o_orderkey LIMIT {R.HILL_K + 1}
+),
+thr AS (SELECT MIN(x) AS t FROM top),
+terms AS (
+  SELECT CAST(ROUND(ln(CAST(x AS DOUBLE) / CAST(thr.t AS DOUBLE)), 9)
+              AS DECIMAL(38,12)) AS v, thr.t
+  FROM (SELECT x FROM top ORDER BY x DESC, o_orderkey LIMIT {R.HILL_K})
+  CROSS JOIN thr
+),
+agg AS (SELECT t, SUM(v) AS s, COUNT(*) AS k FROM terms GROUP BY t)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(t AS DECIMAL(15,2)) AS threshold,
+       ROUND(CAST(s AS DOUBLE) / k, 6) AS hill_h,
+       ROUND(1.0 / NULLIF(CAST(s AS DOUBLE) / k, 0.0), 6) AS tail_alpha
+FROM agg
+""",
+)
+def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator over the top-{R.HILL_K} order values: mean
+    rounded-ln excess over the (k+1)-th order statistic, alpha = 1/H —
+    the quantitative heavy-tail dial; TakeOrdered heap, request-sized
+    arithmetic."""
+    return R.hill_tail_index(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 116 (round 2): categorical mutual information — dependence in bits
+# beside chi-square / Cramér's V.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_brand_type_mi",
+    """
+WITH cells AS (
+  SELECT p_brand AS x, p_type AS y, COUNT(*) AS n
+  FROM part GROUP BY 1, 2
+),
+mx AS (SELECT x, SUM(n) AS nx FROM cells GROUP BY x),
+my AS (SELECT y, SUM(n) AS ny FROM cells GROUP BY y),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+mi AS (
+  SELECT SUM(CAST(ROUND((c.n * 1.0 / t.nn)
+                        * log2((c.n * 1.0 * t.nn) / (mx.nx * 1.0 * my.ny)), 9)
+                  AS DECIMAL(38,12))) AS v
+  FROM cells c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot t
+),
+hx AS (
+  SELECT -SUM(CAST(ROUND((nx * 1.0 / t.nn) * log2(nx * 1.0 / t.nn), 9)
+                   AS DECIMAL(38,12))) AS v
+  FROM mx CROSS JOIN tot t
+),
+hy AS (
+  SELECT -SUM(CAST(ROUND((ny * 1.0 / t.nn) * log2(ny * 1.0 / t.nn), 9)
+                   AS DECIMAL(38,12))) AS v
+  FROM my CROSS JOIN tot t
+),
+cx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_x_values FROM mx),
+cy AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_y_values FROM my)
+SELECT tot.nn AS n_rows, n_x_values, n_y_values,
+       ROUND(CAST(mi.v AS DOUBLE), 6) AS mi_bits,
+       ROUND(CAST(hx.v AS DOUBLE), 6) AS h_x_bits,
+       ROUND(CAST(hy.v AS DOUBLE), 6) AS h_y_bits,
+       ROUND(CAST(mi.v AS DOUBLE)
+             / NULLIF(LEAST(CAST(hx.v AS DOUBLE), CAST(hy.v AS DOUBLE)), 0.0), 6)
+         AS nmi
+FROM tot, mi, hx, hy, cx, cy
+""",
+)
+def part_brand_type_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between part brand and type (bits),
+    marginal entropies, and normalized MI — categorical dependence
+    beside chi-square; rounded-log2 DECIMAL folds over the cell
+    aggregate."""
+    return R.categorical_mutual_info(load_table(spark, sf_dir, "part"))
