@@ -1095,3 +1095,56 @@ def simhash_bit_balance(docs: DataFrame) -> DataFrame:
             F.abs(F.sum("_set") / F.count(F.lit(1)) - 0.5), 6
         ).alias("abs_dev"),
     )
+
+
+def lsh_scurve(docs: DataFrame) -> DataFrame:
+    """MEASURED LSH S-CURVE: for every within-source pair with any
+    shingle overlap, bucket its exact Jaccard into 0.1 bands and report
+    (a) the share the banded MinHash join actually surfaced as a
+    candidate — the empirical catch probability the theoretical
+    1-(1-s^r)^b curve promises — and (b) the mean signature-agreement
+    Jaccard estimate, the estimator-bias read.  Together they answer
+    'is the band config catching what it claims, and is the cheap
+    estimate honest' — per similarity band, measured, not derived.
+
+    Plan: the exact pair space is the source-blocked shingle equi-join
+    (bounded by block sizes); candidates and signatures reuse the
+    shared LSH machinery; agreement stays exact integers (sum of 8
+    equality indicators / 8n)."""
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0)
+    cands = minhash_candidate_pairs(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("_c")
+    )
+    sigs = minhash_signatures(docs).localCheckpoint()
+    n_h = len(MINHASH_A)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"_a{j}") for j in range(n_h)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"_b{j}") for j in range(n_h)],
+    )
+    agree = sum(
+        (F.col(f"_a{j}") == F.col(f"_b{j}")).cast("long") for j in range(n_h)
+    )
+    j = (
+        pairs.join(cands, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least(F.floor(F.col("jacc") * 10).cast("int"), F.lit(9)).alias(
+                "jacc_band"
+            ),
+            F.coalesce(F.col("_c"), F.lit(0)).alias("_hit"),
+            agree.alias("_agree"),
+        )
+    )
+    return j.groupBy("jacc_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_hit").cast("long").alias("n_candidates"),
+        F.round(F.sum("_hit") / F.count(F.lit(1)), 6).alias("hit_rate"),
+        F.round(F.sum("_agree") / (F.lit(float(n_h)) * F.count(F.lit(1))), 6).alias(
+            "mean_sig_jaccard"
+        ),
+    )

@@ -13393,3 +13393,78 @@ def part_brand_type_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside chi-square; rounded-log2 DECIMAL folds over the cell
     aggregate."""
     return R.categorical_mutual_info(load_table(spark, sf_dir, "part"))
+
+
+# --------------------------------------------------------------------------
+# Wave 117 (round 2): measured LSH S-curve — catch probability and
+# estimator bias per exact-Jaccard band.
+# --------------------------------------------------------------------------
+
+_SCURVE_AGREE_SQL = " + ".join(
+    f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(len(MINHASH_A))
+)
+
+
+@query(
+    "dedup_lsh_scurve",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+{_TOKS_SQL},
+shx AS (SELECT DISTINCT doc_id, source, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM shx a JOIN shx b
+    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ep AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jacc
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+sigs AS (
+  SELECT doc_id,
+  {_SIG_COLS_SQL}
+  FROM sh WHERE n_tk >= 3
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sigs
+),
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT LEAST(CAST(FLOOR(ep.jacc * 10) AS INT), 9) AS jacc_band,
+         CASE WHEN cp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         {_SCURVE_AGREE_SQL} AS agree
+  FROM ep
+  LEFT JOIN cpairs cp ON ep.doc_a = cp.doc_a AND ep.doc_b = cp.doc_b
+  JOIN sigs sa ON sa.doc_id = ep.doc_a
+  JOIN sigs sb ON sb.doc_id = ep.doc_b
+)
+SELECT jacc_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_candidates,
+       ROUND(SUM(hit) * 1.0 / COUNT(*), 6) AS hit_rate,
+       ROUND(SUM(agree) / ({float(len(MINHASH_A))!r} * COUNT(*)), 6)
+         AS mean_sig_jaccard
+FROM j GROUP BY jacc_band
+""",
+)
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH S-curve: per exact-Jaccard 0.1 band, the share of
+    pairs the banded MinHash join actually caught + the mean
+    signature-agreement estimate — catch probability and estimator
+    bias, measured against the blocked exact pair space."""
+    return D.lsh_scurve(_docs_plus_spark(spark, sf_dir))
