@@ -1896,3 +1896,45 @@ def markov_entropy_rate(events: DataFrame) -> DataFrame:
             ).alias("predictability_gain"),
         )
     )
+
+
+def error_rate_pchart(events: DataFrame) -> DataFrame:
+    """SPC p-CHART of the daily error share: per day, the error
+    proportion against 3-sigma binomial control limits around the
+    overall rate (pbar +/- 3*sqrt(pbar(1-pbar)/n_day)) with an
+    out-of-control flag — the classic statistical-process-control
+    monitor (CUSUM's threshold-free sibling; CUSUM detects slow drift,
+    the p-chart flags single broken days).
+
+    One scan -> daily conditional counts; pbar is a broadcast scalar;
+    limits are closed-form per day.  Exact integer counts, one final
+    double formula per row."""
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long"))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .localCheckpoint()
+    )
+    overall = daily.agg(
+        (F.sum("n_errors") / F.sum("n_events")).alias("_pbar")
+    )
+    p = F.col("n_errors") / F.col("n_events")
+    sig = F.sqrt(
+        F.col("_pbar") * (1.0 - F.col("_pbar")) / F.col("n_events")
+    )
+    ucl = F.col("_pbar") + 3.0 * sig
+    lcl = F.greatest(F.col("_pbar") - 3.0 * sig, F.lit(0.0))
+    return daily.crossJoin(F.broadcast(overall)).select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.round(p, 6).alias("p_day"),
+        F.round(F.col("_pbar"), 6).alias("p_bar"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        ((p > ucl) | (p < lcl)).alias("out_of_control"),
+    )

@@ -4477,3 +4477,75 @@ def categorical_mutual_info(
             ).alias("nmi"),
         )
     )
+
+
+def trade_flow_balance(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Trade-flow BALANCE per nation: cross-nation export revenue
+    (as supplier) vs import revenue (as customer), net balance, and
+    the normalized imbalance (net / total two-way flow) — the
+    surplus/deficit read on the same edge aggregate PageRank and
+    reciprocity consume.
+
+    One fact-fact shuffle builds the revenue edges (dims broadcast);
+    exports/imports are two re-aggregations of the |nations|² edge
+    table; DECIMAL-exact revenue."""
+    edges = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.sum(_dec("l_extendedprice")).alias("rev"))
+        .localCheckpoint()
+    )
+    exports = edges.groupBy(F.col("src").alias("nk")).agg(
+        F.sum("rev").alias("export_rev")
+    )
+    imports = edges.groupBy(F.col("dst").alias("nk")).agg(
+        F.sum("rev").alias("import_rev")
+    )
+    j = (
+        nation.select(F.col("n_nationkey").alias("nk"), "n_name")
+        .join(F.broadcast(exports), "nk", "left")
+        .join(F.broadcast(imports), "nk", "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce(F.col("export_rev"), F.lit(0).cast("decimal(25,2)"))
+            .cast("decimal(25,2)")
+            .alias("export_rev"),
+            F.coalesce(F.col("import_rev"), F.lit(0).cast("decimal(25,2)"))
+            .cast("decimal(25,2)")
+            .alias("import_rev"),
+        )
+    )
+    net = F.col("export_rev") - F.col("import_rev")
+    tot = F.col("export_rev") + F.col("import_rev")
+    return j.select(
+        "nation",
+        "export_rev",
+        "import_rev",
+        net.cast("decimal(25,2)").alias("net_balance"),
+        F.round(
+            F.try_divide(
+                net.cast("double"), F.nullif(tot.cast("double"), F.lit(0.0))
+            ),
+            6,
+        ).alias("imbalance"),
+    )

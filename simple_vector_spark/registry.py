@@ -13468,3 +13468,91 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature-agreement estimate — catch probability and estimator
     bias, measured against the blocked exact pair space."""
     return D.lsh_scurve(_docs_plus_spark(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Wave 118 (round 2): SPC p-chart — single-broken-day detection beside
+# CUSUM's slow-drift monitor.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_error_pchart",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM events GROUP BY 1
+),
+o AS (SELECT SUM(n_errors) * 1.0 / SUM(n_events) AS pbar FROM daily)
+SELECT day, n_events, n_errors,
+       ROUND(n_errors * 1.0 / n_events, 6) AS p_day,
+       ROUND(pbar, 6) AS p_bar,
+       ROUND(pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n_events), 6) AS ucl,
+       ROUND(GREATEST(pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / n_events), 0.0), 6)
+         AS lcl,
+       (n_errors * 1.0 / n_events
+          > pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n_events))
+       OR (n_errors * 1.0 / n_events
+          < GREATEST(pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / n_events), 0.0))
+         AS out_of_control
+FROM daily, o
+""",
+)
+def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC p-chart: daily error share vs 3-sigma binomial control
+    limits around the pooled rate with an out-of-control flag — the
+    single-broken-day monitor beside CUSUM's drift detector."""
+    return E.error_rate_pchart(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 119 (round 2): trade-flow balance on the nation edge aggregate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_trade_balance",
+    """
+WITH edges AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst,
+         SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2
+),
+ex AS (SELECT src AS nk, SUM(rev) AS export_rev FROM edges GROUP BY 1),
+im AS (SELECT dst AS nk, SUM(rev) AS import_rev FROM edges GROUP BY 1),
+j AS (
+  SELECT n_name AS nation,
+         CAST(COALESCE(export_rev, 0) AS DECIMAL(25,2)) AS export_rev,
+         CAST(COALESCE(import_rev, 0) AS DECIMAL(25,2)) AS import_rev
+  FROM nation
+  LEFT JOIN ex ON n_nationkey = ex.nk
+  LEFT JOIN im ON n_nationkey = im.nk
+)
+SELECT nation, export_rev, import_rev,
+       CAST(export_rev - import_rev AS DECIMAL(25,2)) AS net_balance,
+       ROUND(CAST(export_rev - import_rev AS DOUBLE)
+             / NULLIF(CAST(export_rev + import_rev AS DOUBLE), 0.0), 6)
+         AS imbalance
+FROM j
+""",
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation export vs import revenue with net balance and the
+    normalized imbalance — the surplus/deficit read on the same edge
+    aggregate PageRank and reciprocity consume; one fact shuffle, dims
+    broadcast."""
+    return R.trade_flow_balance(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
