@@ -1938,3 +1938,125 @@ def error_rate_pchart(events: DataFrame) -> DataFrame:
         F.round(lcl, 6).alias("lcl"),
         ((p > ucl) | (p < lcl)).alias("out_of_control"),
     )
+
+
+SESSION_GAP_GRID_MIN = (15, 30, 60, 120)
+
+
+def session_gap_tuning(events: DataFrame) -> DataFrame:
+    """Sessionizer GAP TUNING CURVE: for each candidate idle-timeout,
+    how many sessions the corpus splits into, mean session size, and
+    the share of single-event sessions — the measured elbow curve that
+    justifies (or indicts) the conventional 30-minute gap, the
+    sessionization sibling of dedup_lsh_band_tuning.
+
+    ONE user_id shuffle computes every inter-event gap; each candidate
+    threshold is then a conditional aggregate over the same lag table
+    (sessions = users + boundary-crossing gaps; singles via a second
+    pass over per-session sizes would need the full assignment, so the
+    single-share here is session-START events with no successor within
+    the gap — the equivalent count, computed without materializing
+    per-threshold session ids)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = (
+        events.select(
+            "user_id",
+            F.unix_timestamp("ts").alias("_t"),
+            F.lag(F.unix_timestamp("ts")).over(w).alias("_prev"),
+            F.lead(F.unix_timestamp("ts")).over(w).alias("_next"),
+            F.col("event_id"),
+        )
+        .localCheckpoint()
+    )
+    n_users = F.countDistinct("user_id")
+    out = None
+    for gap_min in SESSION_GAP_GRID_MIN:
+        g = gap_min * 60
+        new_session = F.when(
+            F.col("_prev").isNull() | (F.col("_t") - F.col("_prev") > g), 1
+        ).otherwise(0)
+        # a session is singleton iff its starting event has no successor
+        # within the gap
+        single = (
+            new_session
+            * F.when(
+                F.col("_next").isNull() | (F.col("_next") - F.col("_t") > g), 1
+            ).otherwise(0)
+        )
+        row = lagged.agg(
+            F.lit(gap_min).alias("gap_minutes"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(new_session).cast("long").alias("n_sessions"),
+            F.sum(single).cast("long").alias("n_single_sessions"),
+        ).select(
+            "gap_minutes",
+            "n_events",
+            "n_sessions",
+            F.round(F.col("n_events") / F.col("n_sessions"), 6).alias(
+                "mean_session_events"
+            ),
+            F.round(
+                F.col("n_single_sessions") / F.col("n_sessions"), 6
+            ).alias("single_share"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def time_axis_gap_audit(events: DataFrame) -> DataFrame:
+    """Time-axis GAP AUDIT: the dense minute grid between the first and
+    last event vs the minutes that actually carry events — slot counts,
+    coverage, and the longest silent stretch.  This is the
+    regularization report a time-series consumer (autocorrelation,
+    forecasting, anomaly scoring) needs BEFORE trusting lag arithmetic:
+    a 40% sparse axis makes lag-k neighbors lies.
+
+    The slot count comes from the bounded calendar span (not data
+    volume), counts from one to-minute truncation aggregate, and the
+    longest gap from a shifted-rank join over the bounded
+    occupied-minute table."""
+    mins = (
+        events.select(
+            F.date_trunc("minute", F.col("ts")).alias("m")
+        )
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    span = mins.agg(
+        F.min("m").alias("_lo"),
+        F.max("m").alias("_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_occupied"),
+    )
+    from .ranking import ranked_global
+
+    seq = ranked_global(mins.select("m"), [F.col("m").asc()], rank_name="r")
+    nxt = seq.select((F.col("r") - 1).alias("r"), F.col("m").alias("_nm"))
+    gaps = seq.join(nxt, "r").select(
+        ((F.unix_timestamp("_nm") - F.unix_timestamp("m")) / 60)
+        .cast("long")
+        .alias("_gap")
+    )
+    longest = gaps.agg(
+        F.coalesce(F.max("_gap"), F.lit(0)).cast("long").alias("longest_gap_minutes")
+    )
+    return span.crossJoin(F.broadcast(longest)).select(
+        (
+            F.floor(
+                (F.unix_timestamp("_hi") - F.unix_timestamp("_lo")) / 60
+            ).cast("long")
+            + 1
+        ).alias("n_slots"),
+        "n_occupied",
+        F.round(
+            F.col("n_occupied")
+            / (
+                F.floor(
+                    (F.unix_timestamp("_hi") - F.unix_timestamp("_lo")) / 60
+                )
+                + 1
+            ),
+            6,
+        ).alias("coverage"),
+        "longest_gap_minutes",
+    )

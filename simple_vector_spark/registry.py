@@ -13556,3 +13556,83 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 120 (round 2): sessionizer gap-tuning curve + time-axis gap audit.
+# --------------------------------------------------------------------------
+
+_GAP_SEGS = "\nUNION ALL\n".join(
+    f"""SELECT {gm} AS gap_minutes,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN prev IS NULL OR t - prev > {gm * 60}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       ROUND(COUNT(*) * 1.0
+             / SUM(CASE WHEN prev IS NULL OR t - prev > {gm * 60}
+                        THEN 1 ELSE 0 END), 6) AS mean_session_events,
+       ROUND(SUM(CASE WHEN (prev IS NULL OR t - prev > {gm * 60})
+                       AND (nxt IS NULL OR nxt - t > {gm * 60})
+                      THEN 1 ELSE 0 END) * 1.0
+             / SUM(CASE WHEN prev IS NULL OR t - prev > {gm * 60}
+                        THEN 1 ELSE 0 END), 6) AS single_share
+FROM lagged"""
+    for gm in E.SESSION_GAP_GRID_MIN
+)
+
+
+@query(
+    "events_session_gap_tuning",
+    f"""
+WITH lagged AS (
+  SELECT user_id,
+         FLOOR(epoch(ts)) AS t,
+         lag(FLOOR(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev,
+         lead(FLOOR(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+)
+{_GAP_SEGS}
+""",
+)
+def events_session_gap_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionizer idle-timeout tuning curve at {E.SESSION_GAP_GRID_MIN}
+    minutes: session count, mean size, single-event share per
+    threshold — one user shuffle, every candidate an aggregate over
+    the same lag table."""
+    return E.session_gap_tuning(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_time_axis_gaps",
+    """
+WITH mins AS (
+  SELECT date_trunc('minute', ts) AS m, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+span AS (
+  SELECT MIN(m) AS lo, MAX(m) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n_occupied
+  FROM mins
+),
+seq AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r FROM mins),
+gaps AS (
+  SELECT CAST((FLOOR(epoch(b.m)) - FLOOR(epoch(a.m))) / 60 AS BIGINT) AS g
+  FROM seq a JOIN seq b ON b.r = a.r + 1
+),
+lg AS (SELECT CAST(COALESCE(MAX(g), 0) AS BIGINT) AS longest_gap_minutes FROM gaps)
+SELECT CAST(FLOOR((FLOOR(epoch(hi)) - FLOOR(epoch(lo))) / 60) + 1 AS BIGINT)
+         AS n_slots,
+       n_occupied,
+       ROUND(n_occupied * 1.0
+             / (FLOOR((FLOOR(epoch(hi)) - FLOOR(epoch(lo))) / 60) + 1), 6)
+         AS coverage,
+       longest_gap_minutes
+FROM span, lg
+""",
+)
+def events_time_axis_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-minute-grid coverage of the event stream: slots vs
+    occupied minutes, coverage share, longest silent stretch — the
+    regularization report before any lag-based time-series read."""
+    return E.time_axis_gap_audit(load_table(spark, sf_dir, "events"))
