@@ -1585,3 +1585,86 @@ def textrank_keywords(
         .limit(topk)
         .select(F.col("node").alias("token"), F.round("r", 6).alias("textrank"))
     )
+
+
+HASH_EMBED_DIM = 64
+HASH_EMBED_QUERY = "system error rate under load"
+HASH_EMBED_K = 10
+
+
+def hash_embedding(text_col) -> F.Column:
+    """Signed-hashing-trick DENSE text embedding: token t contributes
+    +/-1 (simhash-style sign bit, floor(h/dim) % 2) to dimension
+    h % dim — the deterministic, vocabulary-free feature-hash encoder
+    (Weinberger et al.) as a per-row nested-HOF expression.  Integer
+    components, so downstream dot/norm arithmetic is EXACT and
+    oracle-checkable — the stub-free counterpart of a learned text
+    encoder with identical plumbing."""
+    from ..functions.text import md5_int, tokens
+
+    hs = F.transform(tokens(text_col), md5_int)
+    d = HASH_EMBED_DIM
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda dim: F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                h % d == dim,
+                F.lit(2) * ((F.floor(h / d).cast("long")) % 2) - 1,
+            ).otherwise(0),
+        ),
+    )
+
+
+def hash_embed_search(
+    docs: DataFrame,
+    query_text: str = HASH_EMBED_QUERY,
+    k: int = HASH_EMBED_K,
+) -> DataFrame:
+    """Dense retrieval over the hashing-trick embedding: the query
+    string is encoded with the SAME expression as every document (no
+    model artifact, no vocabulary), ranked by exact-integer cosine —
+    text-to-vector search whose scores hash-match the DuckDB oracle.
+
+    Plan: the doc vectors are per-row expressions inside the scan; the
+    query vector is a broadcast one-row frame; top-k is a TakeOrdered
+    heap on (cos desc, doc_id)."""
+    dv = docs.select(
+        "doc_id", hash_embedding(F.col("text")).alias("_v")
+    )
+    spark = docs.sparkSession
+    qv = F.broadcast(
+        spark.range(1).select(
+            hash_embedding(F.lit(query_text)).alias("_q")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = dv.crossJoin(qv).select(
+        "doc_id",
+        F.round(
+            F.try_divide(
+                dot.cast("double"),
+                F.nullif(
+                    F.sqrt(sq(F.col("_v")).cast("double") * sq(F.col("_q")).cast("double")),
+                    F.lit(0.0),
+                ),
+            ),
+            6,
+        ).alias("cos"),
+    )
+    return (
+        scored.filter(F.col("cos").isNotNull())
+        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

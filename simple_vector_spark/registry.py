@@ -13636,3 +13636,58 @@ def events_time_axis_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupied minutes, coverage share, longest silent stretch — the
     regularization report before any lag-based time-series read."""
     return E.time_axis_gap_audit(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 122 (round 2): hashing-trick dense text retrieval — the feature-hash
+# encoder as a vocabulary-free document vectorizer, exact-integer cosine.
+# --------------------------------------------------------------------------
+
+_HE_D = T.HASH_EMBED_DIM
+_HE_H = "CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)"
+_HE_VEC = (
+    f"list_transform(range(0, {_HE_D}), d -> "
+    f"list_aggregate(list_transform(tk, t -> CASE WHEN {_HE_H} % {_HE_D} = d "
+    f"THEN 2 * (CAST(floor({_HE_H} / {_HE_D}) AS BIGINT) % 2) - 1 "
+    f"ELSE 0 END), 'sum'))"
+)
+
+
+@query(
+    "doc_hash_embed_search",
+    f"""
+WITH tkq AS (
+  SELECT list_filter(regexp_split_to_array(lower('{T.HASH_EMBED_QUERY}'), '\\s+'),
+                     x -> x != '') AS tk
+),
+qv AS (SELECT {_HE_VEC} AS q FROM tkq),
+tkd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')
+           AS tk
+  FROM documents
+),
+dv AS (SELECT doc_id, {_HE_VEC} AS v FROM tkd),
+comp AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(range(1, {_HE_D} + 1),
+                        i -> v[i] * q[i]), 'sum') AS dot,
+         list_aggregate(list_transform(v, x -> x * x), 'sum') AS nv,
+         list_aggregate(list_transform(q, x -> x * x), 'sum') AS nq
+  FROM dv CROSS JOIN qv
+)
+SELECT doc_id,
+       ROUND(dot / NULLIF(sqrt(CAST(nv AS DOUBLE) * CAST(nq AS DOUBLE)), 0.0), 6)
+         AS cos
+FROM comp
+WHERE dot / NULLIF(sqrt(CAST(nv AS DOUBLE) * CAST(nq AS DOUBLE)), 0.0)
+      IS NOT NULL
+ORDER BY cos DESC, doc_id LIMIT {T.HASH_EMBED_K}
+""",
+)
+def doc_hash_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-free dense retrieval: query and corpus encoded by the
+    same signed hashing-trick expression ({_HE_D} dims), ranked by
+    exact-integer cosine — text-to-vector search with no model
+    artifact; per-row encode inside the scan, TakeOrdered top-k."""
+    return T.hash_embed_search(load_table(spark, sf_dir, "documents"))
