@@ -4549,3 +4549,73 @@ def trade_flow_balance(
             6,
         ).alias("imbalance"),
     )
+
+
+def segment_stability_kappa(
+    orders: DataFrame, y1: int = 1995, y2: int = 1996, k: int = MIGRATION_TILES
+) -> DataFrame:
+    """Cohen's KAPPA of the year-over-year spend segmentation: the
+    chance-corrected agreement between a customer's year-1 and year-2
+    tercile — the single-number answer to 'is the migration matrix
+    diagonal by loyalty or by luck' (kappa 0 = tile sizes alone explain
+    every diagonal cell; 1 = perfectly sticky segments).
+
+    Works on the same |k|² matrix the migration query renders
+    (customers active in both years), so the expensive part — two
+    two-phase ntile passes — is shared machinery; kappa itself is
+    closed-form integer arithmetic over k² cells."""
+    from .ranking import grouped_ntile
+
+    def tiles(year: int, name: str) -> DataFrame:
+        sp = (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum(_dec("o_totalprice")).alias("spend"))
+        )
+        return grouped_ntile(
+            sp, [F.col("spend").desc(), F.col("o_custkey").asc()], k, name
+        ).select("o_custkey", name)
+
+    cells = (
+        tiles(y1, "s1")
+        .join(tiles(y2, "s2"), "o_custkey")
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    m1 = cells.groupBy("s1").agg(F.sum("n").alias("n1"))
+    m2 = cells.groupBy("s2").agg(F.sum("n").alias("n2"))
+    tot = cells.agg(F.sum("n").cast("long").alias("nn"))
+    po = (
+        cells.filter(F.col("s1") == F.col("s2"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("agree"))
+    )
+    pe_sum = (
+        m1.join(m2, m1.s1 == m2.s2)
+        .agg(F.sum(F.col("n1") * F.col("n2")).cast("long").alias("pe_n"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(po))
+        .crossJoin(F.broadcast(pe_sum))
+        .select(
+            F.col("nn").alias("n_customers_both_years"),
+            F.col("agree").alias("n_same_segment"),
+            F.round(F.col("agree") / F.col("nn"), 6).alias("observed_agreement"),
+            F.round(
+                F.col("pe_n") / (F.col("nn").cast("double") * F.col("nn")), 6
+            ).alias("expected_agreement"),
+            F.round(
+                F.try_divide(
+                    F.col("agree") / F.col("nn")
+                    - F.col("pe_n") / (F.col("nn").cast("double") * F.col("nn")),
+                    F.nullif(
+                        F.lit(1.0)
+                        - F.col("pe_n")
+                        / (F.col("nn").cast("double") * F.col("nn")),
+                        F.lit(0.0),
+                    ),
+                ),
+                6,
+            ).alias("kappa"),
+        )
+    )

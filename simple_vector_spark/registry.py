@@ -13691,3 +13691,59 @@ def doc_hash_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer cosine — text-to-vector search with no model
     artifact; per-row encode inside the scan, TakeOrdered top-k."""
     return T.hash_embed_search(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 123 (round 2): Cohen's kappa — chance-corrected segment stickiness
+# on the shared ntile machinery.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customers_segment_kappa",
+    f"""
+WITH s1 AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS spend
+  FROM orders WHERE CAST(strftime(o_orderdate, '%Y') AS INT) = 1995
+  GROUP BY o_custkey
+),
+s2 AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS spend
+  FROM orders WHERE CAST(strftime(o_orderdate, '%Y') AS INT) = 1996
+  GROUP BY o_custkey
+),
+t1 AS (
+  SELECT o_custkey,
+         ntile({R.MIGRATION_TILES}) OVER (ORDER BY spend DESC, o_custkey) AS g1
+  FROM s1
+),
+t2 AS (
+  SELECT o_custkey,
+         ntile({R.MIGRATION_TILES}) OVER (ORDER BY spend DESC, o_custkey) AS g2
+  FROM s2
+),
+cells AS (
+  SELECT g1, g2, COUNT(*) AS n FROM t1 JOIN t2 USING (o_custkey) GROUP BY 1, 2
+),
+m1 AS (SELECT g1, SUM(n) AS n1 FROM cells GROUP BY 1),
+m2 AS (SELECT g2, SUM(n) AS n2 FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+po AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS agree
+       FROM cells WHERE g1 = g2),
+pe AS (SELECT CAST(SUM(n1 * n2) AS BIGINT) AS pe_n
+       FROM m1 JOIN m2 ON m1.g1 = m2.g2)
+SELECT nn AS n_customers_both_years,
+       agree AS n_same_segment,
+       ROUND(agree * 1.0 / nn, 6) AS observed_agreement,
+       ROUND(pe_n / (CAST(nn AS DOUBLE) * nn), 6) AS expected_agreement,
+       ROUND((agree * 1.0 / nn - pe_n / (CAST(nn AS DOUBLE) * nn))
+             / NULLIF(1.0 - pe_n / (CAST(nn AS DOUBLE) * nn), 0.0), 6) AS kappa
+FROM tot, po, pe
+""",
+)
+def customers_segment_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of year-over-year spend terciles: chance-corrected
+    segment stickiness for customers active in both years — the
+    single-number read on the migration matrix's diagonal; shared
+    two-phase ntile machinery, closed-form integer kappa."""
+    return R.segment_stability_kappa(load_table(spark, sf_dir, "orders"))
