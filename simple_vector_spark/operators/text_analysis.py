@@ -1668,3 +1668,37 @@ def hash_embed_search(
         .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def sentence_stats(docs: DataFrame) -> DataFrame:
+    """Sentence-grain text profile per source: sentences per doc and
+    mean sentence length in words — the readability/fragmentation
+    signal token- and char-level stats miss (OCR debris shows up as
+    one-word 'sentences'; run-on boilerplate as 200-word ones).
+
+    Segmentation is the deterministic [.!?]+ split (identical regex in
+    both engines); all counting stays in scan-stage array expressions,
+    aggregated per source."""
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), "[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    n_sent = F.size(sents)
+    n_words = F.size(
+        F.filter(F.split(F.col("text"), "\\s+"), lambda w: w != "")
+    )
+    per = docs.select(
+        "source",
+        n_sent.cast("long").alias("_ns"),
+        n_words.cast("long").alias("_nw"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_ns").cast("long").alias("n_sentences"),
+        F.round(F.sum("_ns") / F.count(F.lit(1)), 6).alias("sentences_per_doc"),
+        F.round(
+            F.try_divide(F.sum("_nw"), F.nullif(F.sum("_ns"), F.lit(0))), 6
+        ).alias("words_per_sentence"),
+    )

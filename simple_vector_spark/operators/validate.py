@@ -290,3 +290,46 @@ def accepted_values_audit(orders: DataFrame) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("holds"),
     )
+
+
+def unit_price_consistency(lineitem: DataFrame) -> DataFrame:
+    """Derived-column CONSISTENCY audit: is l_extendedprice /
+    l_quantity a stable per-part unit price?  For every part: line
+    count, distinct observed unit prices (cents-rounded), and the
+    min/max spread — then one summary row per violation class.  This
+    is the dbt-style 'derived column honors its formula' contract the
+    schema can't express, and the first query a migration runs to
+    catch silently-reconstructed columns.
+
+    One shuffle on partkey; unit price is exact DECIMAL division
+    rounded to cents inside the scan."""
+    from pyspark.sql import functions as F
+
+    unit = F.round(
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        / F.col("l_quantity").cast("decimal(18,6)"),
+        2,
+    ).cast("decimal(18,2)")
+    per = (
+        lineitem.select(F.col("l_partkey").alias("pk"), unit.alias("u"))
+        .groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("u").alias("n_units"),
+            F.min("u").alias("lo"),
+            F.max("u").alias("hi"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum((F.col("n_units") == 1).cast("long"))
+        .cast("long")
+        .alias("n_consistent"),
+        F.round(
+            F.sum((F.col("n_units") == 1).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("consistent_share"),
+        F.max("n_units").cast("long").alias("max_distinct_units"),
+        F.round(
+            F.max((F.col("hi") - F.col("lo")).cast("double")), 2
+        ).alias("max_unit_spread"),
+    )

@@ -13747,3 +13747,69 @@ def customers_segment_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-number read on the migration matrix's diagonal; shared
     two-phase ntile machinery, closed-form integer kappa."""
     return R.segment_stability_kappa(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 124 (round 2): derived-column consistency + sentence-grain profile.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_unit_price_audit",
+    """
+WITH per AS (
+  SELECT l_partkey AS pk,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         COUNT(DISTINCT CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
+                                   / CAST(l_quantity AS DECIMAL(18,6)), 2)
+                             AS DECIMAL(18,2))) AS n_units,
+         MIN(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
+                        / CAST(l_quantity AS DECIMAL(18,6)), 2)
+                  AS DECIMAL(18,2))) AS lo,
+         MAX(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6))
+                        / CAST(l_quantity AS DECIMAL(18,6)), 2)
+                  AS DECIMAL(18,2))) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN n_units = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_consistent,
+       ROUND(SUM(CASE WHEN n_units = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS consistent_share,
+       CAST(MAX(n_units) AS BIGINT) AS max_distinct_units,
+       ROUND(MAX(CAST(hi - lo AS DOUBLE)), 2) AS max_unit_spread
+FROM per
+""",
+)
+def lineitem_unit_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-column consistency: is extendedprice/quantity a stable
+    per-part unit price — the formula contract the schema can't
+    express; one partkey shuffle, cents-rounded DECIMAL division."""
+    from .operators import validate as V
+
+    return V.unit_price_consistency(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "doc_sentence_stats",
+    """
+WITH per AS (
+  SELECT source,
+         len(list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                        s -> trim(s)), s -> s != '')) AS ns,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')) AS nw
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ns) AS BIGINT) AS n_sentences,
+       ROUND(SUM(ns) * 1.0 / COUNT(*), 6) AS sentences_per_doc,
+       ROUND(SUM(nw) * 1.0 / NULLIF(SUM(ns), 0), 6) AS words_per_sentence
+FROM per GROUP BY source
+""",
+)
+def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grain profile per source ([.!?]+ segmentation):
+    sentences/doc and words/sentence — the readability signal between
+    char and token stats; scan-stage array expressions only."""
+    return T.sentence_stats(load_table(spark, sf_dir, "documents"))
