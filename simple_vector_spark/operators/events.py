@@ -2060,3 +2060,75 @@ def time_axis_gap_audit(events: DataFrame) -> DataFrame:
         ).alias("coverage"),
         "longest_gap_minutes",
     )
+
+
+COOC_MIN_SUPPORT = 5
+
+
+def session_type_pmi(
+    events: DataFrame, gap_sec: int = 1800, min_support: int = COOC_MIN_SUPPORT
+) -> DataFrame:
+    """Within-session event-type CO-OCCURRENCE by PMI: which actions
+    appear in the same session more than their individual prevalences
+    predict — the behavioral collocation read (market-basket lift on
+    actions instead of parts, vocab_pmi_bigrams on sessions instead of
+    adjacent words).
+
+    Plan: session ids from the gaps-and-islands cumsum (one user_id
+    shuffle); distinct (session, type) rows; pair candidates from a
+    session-keyed self-join (pair space bounded by |types| per
+    session); marginals and pairs are |types| / |types|² aggregates.
+    PMI = log2(n_ab * N / (n_a * n_b)) — exact integers inside, one
+    rounded log per row."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    sess = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(
+            F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_sid"),
+    )
+    st = (
+        sess.select(
+            F.concat_ws("#", F.col("user_id").cast("string"), F.col("_sid")).alias(
+                "sk"
+            ),
+            "event_type",
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_sessions = st.select("sk").distinct().count()
+    marg = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = st.select(F.col("sk"), F.col("event_type").alias("type_a"))
+    b = st.select(F.col("sk"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "sk")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    lift = (F.col("n_ab").cast("double") * n_sessions) / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_sessions_both"),
+            F.col("n_a").cast("long").alias("n_sessions_a"),
+            F.col("n_b").cast("long").alias("n_sessions_b"),
+            F.round(lift, 6).alias("lift"),
+            F.round(F.log2(lift), 6).alias("pmi_bits"),
+        )
+    )

@@ -13813,3 +13813,60 @@ def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentences/doc and words/sentence — the readability signal between
     char and token stats; scan-stage array expressions only."""
     return T.sentence_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 125 (round 2): within-session action co-occurrence PMI.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_session_type_pmi",
+    f"""
+WITH g AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(FLOOR(epoch(ts)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR FLOOR(epoch(ts))
+                   - lag(FLOOR(epoch(ts)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+st AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) || '#' || CAST(sid AS VARCHAR) AS sk,
+         event_type
+  FROM s
+),
+ns AS (SELECT CAST(COUNT(DISTINCT sk) AS BIGINT) AS n FROM st),
+marg AS (SELECT event_type, COUNT(*) AS n_t FROM st GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+  FROM st a JOIN st b ON a.sk = b.sk AND a.event_type < b.event_type
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {E.COOC_MIN_SUPPORT}
+)
+SELECT type_a, type_b,
+       CAST(n_ab AS BIGINT) AS n_sessions_both,
+       CAST(ma.n_t AS BIGINT) AS n_sessions_a,
+       CAST(mb.n_t AS BIGINT) AS n_sessions_b,
+       ROUND((n_ab * 1.0 * ns.n) / (ma.n_t * 1.0 * mb.n_t), 6) AS lift,
+       ROUND(log2((n_ab * 1.0 * ns.n) / (ma.n_t * 1.0 * mb.n_t)), 6) AS pmi_bits
+FROM pairs
+JOIN marg ma ON ma.event_type = pairs.type_a
+JOIN marg mb ON mb.event_type = pairs.type_b
+CROSS JOIN ns
+""",
+)
+def events_session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session action co-occurrence: PMI + lift of event-type
+    pairs against session-level marginals — behavioral collocation
+    (market-basket on actions); gaps-and-islands sessions, session-
+    keyed pair join bounded by |types|."""
+    return E.session_type_pmi(load_table(spark, sf_dir, "events"))
