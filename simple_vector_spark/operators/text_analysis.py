@@ -1628,35 +1628,56 @@ def hash_embed_search(
     model artifact, no vocabulary), ranked by exact-integer cosine —
     text-to-vector search whose scores hash-match the DuckDB oracle.
 
-    Plan: the doc vectors are per-row expressions inside the scan; the
-    query vector is a broadcast one-row frame; top-k is a TakeOrdered
-    heap on (cos desc, doc_id)."""
-    dv = docs.select(
-        "doc_id", hash_embedding(F.col("text")).alias("_v")
-    )
+    Plan (linear, no per-dim corpus scans): token contributions explode
+    once — (doc, dim = h % D, sign) — and ONE (doc, dim) aggregate
+    yields the sparse vectors; dot and norms come from that table
+    joined against the broadcast 64-row query-dimension table, so the
+    cost is O(total tokens), not O(dims x tokens) of the naive per-row
+    hash_embedding() expression (kept above as the semantic
+    reference).  Identical integers, identical cosine.  Top-k is a
+    TakeOrdered heap on (cos desc, doc_id)."""
+    from ..functions.text import md5_int, tokens
+
+    d = HASH_EMBED_DIM
+
+    def contribs(df, id_col):
+        h = md5_int(F.col("_tok"))
+        return (
+            df.select(id_col, F.explode(tokens(F.col("text"))).alias("_tok"))
+            .select(
+                id_col,
+                (h % d).alias("_dim"),
+                (F.lit(2) * ((F.floor(h / d).cast("long")) % 2) - 1).alias("_s"),
+            )
+            .groupBy(id_col, "_dim")
+            .agg(F.sum("_s").alias("_w"))
+        )
+
     spark = docs.sparkSession
-    qv = F.broadcast(
-        spark.range(1).select(
-            hash_embedding(F.lit(query_text)).alias("_q")
+    qc = F.broadcast(
+        contribs(
+            spark.range(1).select("id", F.lit(query_text).alias("text")), "id"
+        ).select(F.col("_dim"), F.col("_w").alias("_qw"))
+    )
+    nq = F.broadcast(
+        qc.agg(F.sum(F.col("_qw") * F.col("_qw")).alias("_nq"))
+    )
+    dc = contribs(docs, "doc_id")
+    per_doc = (
+        dc.join(qc, "_dim", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("_w") * F.coalesce(F.col("_qw"), F.lit(0))).alias("_dot"),
+            F.sum(F.col("_w") * F.col("_w")).alias("_nv"),
         )
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("_v"), F.col("_q"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = dv.crossJoin(qv).select(
+    scored = per_doc.crossJoin(nq).select(
         "doc_id",
         F.round(
             F.try_divide(
-                dot.cast("double"),
+                F.col("_dot").cast("double"),
                 F.nullif(
-                    F.sqrt(sq(F.col("_v")).cast("double") * sq(F.col("_q")).cast("double")),
+                    F.sqrt(F.col("_nv").cast("double") * F.col("_nq").cast("double")),
                     F.lit(0.0),
                 ),
             ),
