@@ -1603,7 +1603,7 @@ def knn_graph_navigable(
     Scale: membership is |corpus| x assign rows; the pair space is
     sum(cell_multiset²) — never n² — and it is scored INSIDE a per-cell
     applyInPandas kernel (dimension-ordered NumPy accumulation, same
-    bit-parity contract as cells_arrow/pair_dists_arrow), so the only
+    bit-parity contract as cells_arrow), so the only
     rows that ever cross an exchange are memberships in and per-source
     top-g candidate edges out — the vector-carrying pair join that
     would otherwise move sum(cell²) x 2 arrays never materializes.
@@ -1782,75 +1782,3 @@ def knn_graph_greedy_search(
         .agg(F.count(F.lit(1)).cast("int").alias("rnk"))
         .select(F.col("_id").alias("vec_id"), "dist", "rnk")
     )
-
-
-def pair_dists_arrow(
-    pairs: DataFrame,
-    a_col: str,
-    b_col: str,
-    id_cols: tuple[str, str] = ("src", "nbr"),
-) -> DataFrame:
-    """Vectorized pair scoring: mapInArrow + NumPy squared-L2 over two
-    array columns — the bulk-build companion of cells_arrow, for plans
-    that score MILLIONS of candidate pairs (graph construction, blocked
-    dedup) where interpreted higher-order functions cost ~10x the
-    arithmetic.
-
-    Bit-for-bit parity contract with ``F.round(squared_l2(a, b), 6)``:
-
-    - the fold accumulates (a_d - b_d)^2 dimension-by-dimension left to
-      right in f64 (one vectorized add per dimension) — identical
-      doubles to Spark's aggregate();
-    - ROUND 6 HALF_UP: fast path floor(x*1e6 + 0.5)/1e6 (exact-integer
-      quotient, the same closest-double Java's BigDecimal.valueOf
-      produces); rows whose scaled fraction sits within 1e-8 of the
-      .5 boundary fall back to the exact Decimal(repr(x)) HALF_UP
-      recipe — the cells_arrow margin argument."""
-    import numpy as np
-    import pyarrow as pa
-
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    cols = list(pairs.columns)
-    ia, ib = cols.index(a_col), cols.index(b_col)
-    idx = [cols.index(c) for c in id_cols]
-    out_schema = StructType(
-        [StructField(c, pairs.schema[c].dataType) for c in id_cols]
-        + [StructField("dist", DoubleType())]
-    )
-
-    def score(batches):
-        from decimal import ROUND_HALF_UP, Decimal
-
-        q6 = Decimal("0.000001")
-        for batch in batches:
-            n = batch.num_rows
-            if n == 0:
-                continue
-
-            def mat(ci):
-                arr = batch.column(ci)
-                if isinstance(arr, pa.ChunkedArray):
-                    arr = arr.combine_chunks()
-                flat = arr.flatten().to_numpy(zero_copy_only=False)
-                return flat.astype(np.float64).reshape(n, -1)
-
-            A, B = mat(ia), mat(ib)
-            D = np.zeros(n, dtype=np.float64)
-            for d in range(A.shape[1]):
-                diff = A[:, d] - B[:, d]
-                D += diff * diff
-            scaled = D * 1e6
-            r = np.floor(scaled + 0.5) / 1e6
-            frac = np.abs(scaled - np.floor(scaled) - 0.5)
-            for i in np.flatnonzero(frac < 1e-8):
-                r[i] = float(Decimal(repr(float(D[i]))).quantize(q6, ROUND_HALF_UP))
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(c) for c in idx] + [pa.array(r, type=pa.float64())],
-                schema=pa.schema(
-                    [batch.schema.field(c) for c in idx]
-                    + [pa.field("dist", pa.float64())]
-                ),
-            )
-
-    return pairs.mapInArrow(score, out_schema)
