@@ -1723,3 +1723,83 @@ def sentence_stats(docs: DataFrame) -> DataFrame:
             F.try_divide(F.sum("_nw"), F.nullif(F.sum("_ns"), F.lit(0))), 6
         ).alias("words_per_sentence"),
     )
+
+
+LSA_VOCAB = 150
+LSA_ITERS = 2
+LSA_TOPK = 20
+
+
+def lsa_power_iteration(
+    docs: DataFrame,
+    vocab: int = LSA_VOCAB,
+    iters: int = LSA_ITERS,
+    topk: int = LSA_TOPK,
+) -> DataFrame:
+    """Distributed LSA step: power iteration of AᵀA on the tf-idf
+    term-document matrix — the dominant singular direction, i.e. the
+    corpus's strongest topic axis, reported as its top term loadings.
+    The text-side sibling of embedding_pca_power_iter: same fixed
+    deterministic iteration recipe, but the matrix is the sparse
+    (doc, term, w) table, so each half-step is a JOIN + aggregate, not
+    a dense fold.
+
+    Determinism contract: idf and every product term are ROUNDed (6/9)
+    then summed as DECIMAL(38,12) so no f64 sum crosses a shuffle; the
+    loading vector is renormalized (ROUND 8) after every iteration.
+    tf-idf weights are nonnegative, so the iterate needs no sign fix.
+
+    Scale: tf is one (doc, term) aggregate; the vocabulary cap bounds
+    the model state at |V| rows; each iteration is two broadcast joins
+    against that |V|-row vector + two aggregates keyed on doc / term."""
+    from ..functions.text import tokens
+
+    base = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tf = base.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    vdf = (
+        dfreq.orderBy(F.col("df").desc(), F.col("t").asc())
+        .limit(vocab)
+        .select(
+            "t",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+        )
+        .localCheckpoint()
+    )
+    w = (
+        tf.join(F.broadcast(vdf), "t")
+        .select("doc_id", "t", (F.col("tf") * F.col("idf")).alias("w"))
+        .localCheckpoint()
+    )
+
+    def t9(c):
+        return F.round(c, 9).cast("decimal(38,12)")
+
+    v = vdf.select("t", F.lit(1.0).alias("v"))
+    for _ in range(iters):
+        s = (
+            w.join(F.broadcast(v), "t")
+            .groupBy("doc_id")
+            .agg(F.sum(t9(F.col("w") * F.col("v"))).alias("_s"))
+            .select("doc_id", F.col("_s").cast("double").alias("s"))
+        )
+        u = (
+            w.join(s, "doc_id")
+            .groupBy("t")
+            .agg(F.sum(t9(F.col("w") * F.col("s"))).alias("_u"))
+            .select("t", F.col("_u").cast("double").alias("u"))
+        )
+        norm = u.agg(
+            F.sqrt(F.sum(t9(F.col("u") * F.col("u"))).cast("double")).alias("_n")
+        )
+        v = (
+            u.crossJoin(F.broadcast(norm))
+            .select("t", F.round(F.col("u") / F.col("_n"), 8).alias("v"))
+            .localCheckpoint()
+        )
+    return (
+        v.orderBy(F.col("v").desc(), F.col("t").asc())
+        .limit(topk)
+        .select(F.col("t").alias("term"), F.round("v", 6).alias("loading"))
+    )

@@ -13870,3 +13870,60 @@ def events_session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (market-basket on actions); gaps-and-islands sessions, session-
     keyed pair join bounded by |types|."""
     return E.session_type_pmi(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 126 (round 2): LSA power iteration — the corpus's dominant topic
+# axis from the sparse tf-idf matrix.
+# --------------------------------------------------------------------------
+
+
+def _lsa_oracle() -> str:
+    ctes = [
+        f"tk AS (SELECT doc_id, unnest({_TK_SQL}) AS t FROM documents)",
+        "tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tk GROUP BY 1, 2)",
+        "dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1)",
+        "nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)",
+        f"""vdf AS (
+  SELECT t, ROUND(ln(nd.n / df), 6) AS idf
+  FROM dfreq CROSS JOIN nd
+  ORDER BY df DESC, t LIMIT {T.LSA_VOCAB}
+)""",
+        "w AS (SELECT tf.doc_id, tf.t, tf.tf * vdf.idf AS w FROM tf JOIN vdf USING (t))",
+        "v0 AS (SELECT t, 1.0 AS v FROM vdf)",
+    ]
+    for i in range(1, T.LSA_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"""s{i} AS (
+  SELECT w.doc_id,
+         CAST(SUM(CAST(ROUND(w.w * v{p}.v, 9) AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM w JOIN v{p} USING (t) GROUP BY w.doc_id
+),
+u{i} AS (
+  SELECT w.t,
+         CAST(SUM(CAST(ROUND(w.w * s{i}.s, 9) AS DECIMAL(38,12))) AS DOUBLE) AS u
+  FROM w JOIN s{i} USING (doc_id) GROUP BY w.t
+),
+n{i} AS (
+  SELECT sqrt(CAST(SUM(CAST(ROUND(u * u, 9) AS DECIMAL(38,12))) AS DOUBLE)) AS nn
+  FROM u{i}
+),
+v{i} AS (SELECT t, ROUND(u / n{i}.nn, 8) AS v FROM u{i} CROSS JOIN n{i})"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT t AS term, ROUND(v, 6) AS loading
+FROM v{T.LSA_ITERS}
+ORDER BY v DESC, t LIMIT {T.LSA_TOPK}
+"""
+
+
+@query("doc_lsa_topic_axis", _lsa_oracle())
+def doc_lsa_topic_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSA power iteration ({T.LSA_ITERS} fixed AᵀA steps, per-step
+    renormalize + rounded-DECIMAL sums) over the vocabulary-capped
+    tf-idf matrix: the corpus's dominant topic direction as its top
+    term loadings — distributed LSA with a |V|-row model state."""
+    return T.lsa_power_iteration(load_table(spark, sf_dir, "documents"))
