@@ -4619,3 +4619,88 @@ def segment_stability_kappa(
             ).alias("kappa"),
         )
     )
+
+
+COVISIT_MIN_CO = 2
+COVISIT_TOPK = 3
+
+
+def item_covisit_recs(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_co: int = COVISIT_MIN_CO,
+    topk: int = COVISIT_TOPK,
+) -> DataFrame:
+    """Item-item COLLABORATIVE FILTERING: per part, the top-k parts
+    most co-purchased by the same customers, ranked by co-visitation
+    cosine co(a,b)/sqrt(n(a)n(b)) — the classic neighborhood
+    recommender ('customers who bought X also bought'), the
+    customer-grain sibling of brand_affinity's order-grain lift.
+
+    Plan: ONE customer-keyed shuffle builds each customer's distinct
+    sorted part set; pairs explode from the per-customer array
+    in-expression (quadratic in basket size, never in customers); item
+    supports and pair counts are two aggregates; the per-part top-k is
+    a rank-limit window on the pair aggregate.  Exact integers into
+    one rounded cosine."""
+    baskets = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_parts"))
+    )
+    n = F.size("_parts")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_parts"), i + 2, n),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= min_co)
+    )
+    support = (
+        baskets.select(F.explode("_parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .localCheckpoint()
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "co")
+    )
+    scored = (
+        sym.join(support.select(F.col("pk").alias("a"), F.col("n_cust").alias("na")), "a")
+        .join(support.select(F.col("pk").alias("b"), F.col("n_cust").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            "co",
+            F.round(
+                F.col("co")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.col("cosine").desc(), F.col("b").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            F.col("a").alias("part_id"),
+            F.col("b").alias("rec_part_id"),
+            F.col("co").cast("long").alias("n_co_customers"),
+            "cosine",
+            "rnk",
+        )
+    )

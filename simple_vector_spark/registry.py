@@ -13927,3 +13927,58 @@ def doc_lsa_topic_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf-idf matrix: the corpus's dominant topic direction as its top
     term loadings — distributed LSA with a |V|-row model state."""
     return T.lsa_power_iteration(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 127 (round 2): item-item collaborative filtering on co-visitation
+# cosine — 'customers who bought X also bought'.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_covisit_recs",
+    f"""
+WITH rel AS (
+  SELECT DISTINCT o_custkey, l_partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+pairs AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS co
+  FROM rel a JOIN rel b
+    ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {R.COVISIT_MIN_CO}
+),
+support AS (SELECT l_partkey AS pk, COUNT(*) AS n_cust FROM rel GROUP BY 1),
+sym AS (
+  SELECT a, b, co FROM pairs
+  UNION ALL
+  SELECT b, a, co FROM pairs
+),
+scored AS (
+  SELECT sym.a, sym.b, sym.co,
+         ROUND(sym.co / sqrt(CAST(sa.n_cust AS DOUBLE) * sb.n_cust), 6)
+           AS cosine
+  FROM sym
+  JOIN support sa ON sa.pk = sym.a
+  JOIN support sb ON sb.pk = sym.b
+),
+rk AS (
+  SELECT a, b, co, cosine,
+         ROW_NUMBER() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rnk
+  FROM scored
+)
+SELECT a AS part_id, b AS rec_part_id,
+       CAST(co AS BIGINT) AS n_co_customers, cosine, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= {R.COVISIT_TOPK}
+""",
+)
+def part_covisit_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item CF: per part, the top-{R.COVISIT_TOPK} co-purchased
+    parts by co-visitation cosine — the neighborhood recommender; one
+    customer shuffle, in-expression basket pair explosion, rank-limit
+    window on the pair aggregate."""
+    return R.item_covisit_recs(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
