@@ -2132,3 +2132,74 @@ def session_type_pmi(
             F.round(F.log2(lift), 6).alias("pmi_bits"),
         )
     )
+
+
+def markov_prediction_accuracy(events: DataFrame) -> DataFrame:
+    """Closed-loop EVALUATION of the first-order Markov model: predict
+    each next event as the argmax transition out of the previous type
+    (ties to the lexicographically smaller type), score accuracy@1
+    against what actually happened, and compare with the
+    majority-class baseline (always predict the most common type) —
+    the lift-over-baseline read that says whether sequence context is
+    worth modeling on this stream.
+
+    In-sample by construction (the transition matrix summarizes the
+    same stream) — stated; the number is the model's CEILING.  One
+    user shuffle for the lag pairs; the argmax and baseline tables are
+    |types|-sized broadcasts; accuracy is one conditional fold."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    wa = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type").asc()
+    )
+    argmax = (
+        pairs.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    marg = pairs.groupBy("next_type").agg(F.sum("n").alias("m"))
+    base = (
+        marg.orderBy(F.col("m").desc(), F.col("next_type").asc())
+        .limit(1)
+        .select(F.col("next_type").alias("majority"), F.col("m").alias("_mm"))
+    )
+    tot = pairs.agg(F.sum("n").cast("long").alias("n_transitions"))
+    correct = (
+        pairs.join(F.broadcast(argmax), "prev_type")
+        .agg(
+            F.sum(
+                F.when(F.col("next_type") == F.col("predicted"), F.col("n")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_correct")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(correct))
+        .crossJoin(F.broadcast(base))
+        .select(
+            "n_transitions",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_transitions"), 6).alias(
+                "markov_accuracy"
+            ),
+            F.col("majority").alias("baseline_type"),
+            F.round(F.col("_mm") / F.col("n_transitions"), 6).alias(
+                "baseline_accuracy"
+            ),
+            F.round(
+                (F.col("n_correct") - F.col("_mm")) / F.col("n_transitions"), 6
+            ).alias("lift"),
+        )
+    )

@@ -4704,3 +4704,137 @@ def item_covisit_recs(
             "rnk",
         )
     )
+
+
+def _covisit_scored_pairs(rel: DataFrame, min_co: int) -> DataFrame:
+    """Symmetrized co-visitation cosine pairs from a distinct
+    (o_custkey, l_partkey) purchase relation — shared by the
+    recommender and its holdout evaluation."""
+    pairs = (
+        rel.alias("x")
+        .join(
+            rel.alias("y"),
+            (F.col("x.o_custkey") == F.col("y.o_custkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= min_co)
+    )
+    support = rel.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    ).localCheckpoint()
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "co")
+    )
+    return (
+        sym.join(
+            support.select(F.col("pk").alias("a"), F.col("n_cust").alias("na")), "a"
+        )
+        .join(
+            support.select(F.col("pk").alias("b"), F.col("n_cust").alias("nb")), "b"
+        )
+        .select(
+            "a",
+            "b",
+            "co",
+            F.round(
+                F.col("co") / F.sqrt(F.col("na").cast("double") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+
+
+def covisit_holdout_eval(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_co: int = COVISIT_MIN_CO,
+    topk: int = COVISIT_TOPK,
+) -> DataFrame:
+    """LEAVE-ONE-OUT evaluation of the co-visitation recommender: per
+    multi-part customer, hide one deterministic purchase (min
+    md5(cust#part) — the content-stable holdout gate), rebuild the
+    item-item top-{COVISIT_TOPK} lists from the remaining relation,
+    score each user's candidates as the DECIMAL-exact sum of cosines
+    from their kept items' rec lists (already-owned items excluded),
+    and measure hit@k of the hidden item — the recommender quality
+    number, not just the similarity table.
+
+    Scale: everything reuses the bounded covisit machinery; the user
+    scoring join is |kept relation| x top-k rows; the per-user top-k is
+    a rank-limit window."""
+    from ..functions.text import md5_int
+
+    rel = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    wh = Window.partitionBy("o_custkey")
+    h = md5_int(
+        F.concat_ws(
+            "#", F.col("o_custkey").cast("string"), F.col("l_partkey").cast("string")
+        )
+    )
+    marked = rel.select(
+        "o_custkey",
+        "l_partkey",
+        F.row_number()
+        .over(wh.orderBy(h.asc(), F.col("l_partkey").asc()))
+        .alias("_r"),
+        F.count(F.lit(1)).over(wh).alias("_n"),
+    ).localCheckpoint()
+    holdout = marked.filter((F.col("_r") == 1) & (F.col("_n") >= 2)).select(
+        "o_custkey", F.col("l_partkey").alias("held")
+    )
+    train = marked.filter((F.col("_r") > 1) | (F.col("_n") < 2)).select(
+        "o_custkey", "l_partkey"
+    )
+    scored = _covisit_scored_pairs(train, min_co)
+    wr = Window.partitionBy("a").orderBy(F.col("cosine").desc(), F.col("b").asc())
+    recs = (
+        scored.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= topk)
+        .select("a", "b", "cosine")
+        .localCheckpoint()
+    )
+    # exclude already-owned candidates: anti-join on (user, cand)
+    cand = (
+        train.join(recs, train.l_partkey == recs.a)
+        .select("o_custkey", F.col("b").alias("cand"), F.col("cosine"))
+        .join(
+            train.select("o_custkey", F.col("l_partkey").alias("cand")),
+            ["o_custkey", "cand"],
+            "left_anti",
+        )
+        .groupBy("o_custkey", "cand")
+        .agg(
+            F.sum(F.col("cosine").cast("decimal(18,6)")).alias("score")
+        )
+    )
+    wu = Window.partitionBy("o_custkey").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    top = (
+        cand.withColumn("_rk", F.row_number().over(wu))
+        .filter(F.col("_rk") <= topk)
+    )
+    hits = holdout.join(
+        top.select("o_custkey", F.col("cand").alias("held")),
+        ["o_custkey", "held"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    n_eval = holdout.agg(F.count(F.lit(1)).cast("long").alias("n_users_eval"))
+    return n_eval.crossJoin(F.broadcast(hits)).select(
+        "n_users_eval",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_users_eval"), 6).alias(
+            f"hit_rate_at_{topk}"
+        ),
+    )

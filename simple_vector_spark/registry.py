@@ -13982,3 +13982,146 @@ def part_covisit_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 128 (round 2): Markov accuracy@1 vs the majority baseline — is
+# sequence context worth modeling on this stream?
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_accuracy",
+    """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+am AS (
+  SELECT prev_type, next_type AS predicted FROM (
+    SELECT prev_type, next_type,
+           ROW_NUMBER() OVER (PARTITION BY prev_type
+                              ORDER BY n DESC, next_type) AS r
+    FROM counts
+  ) WHERE r = 1
+),
+marg AS (SELECT next_type, SUM(n) AS m FROM counts GROUP BY 1),
+base AS (SELECT next_type AS majority, m FROM marg
+         ORDER BY m DESC, next_type LIMIT 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_transitions FROM counts),
+corr AS (
+  SELECT CAST(SUM(CASE WHEN counts.next_type = am.predicted
+                       THEN counts.n ELSE 0 END) AS BIGINT) AS n_correct
+  FROM counts JOIN am USING (prev_type)
+)
+SELECT n_transitions, n_correct,
+       ROUND(n_correct * 1.0 / n_transitions, 6) AS markov_accuracy,
+       majority AS baseline_type,
+       ROUND(m * 1.0 / n_transitions, 6) AS baseline_accuracy,
+       ROUND((n_correct - m) * 1.0 / n_transitions, 6) AS lift
+FROM tot, corr, base
+""",
+)
+def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov accuracy@1: argmax-transition next-event prediction vs
+    the majority-class baseline with the lift — the is-sequence-
+    context-worth-it number (in-sample ceiling, stated); |types|-sized
+    model tables broadcast."""
+    return E.markov_prediction_accuracy(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 129 (round 2): leave-one-out recommender evaluation — hit@k of the
+# hidden purchase, the quality number behind the similarity table.
+# --------------------------------------------------------------------------
+
+_CV_H = (
+    "CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR) || '#' "
+    "|| CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+@query(
+    "part_covisit_holdout_eval",
+    f"""
+WITH rel AS (
+  SELECT DISTINCT o_custkey, l_partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+mk AS (
+  SELECT o_custkey, l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY {_CV_H}, l_partkey) AS r,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM rel
+),
+holdout AS (SELECT o_custkey, l_partkey AS held FROM mk WHERE r = 1 AND n >= 2),
+train AS (SELECT o_custkey, l_partkey FROM mk WHERE r > 1 OR n < 2),
+pairs AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS co
+  FROM train a JOIN train b
+    ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {R.COVISIT_MIN_CO}
+),
+support AS (SELECT l_partkey AS pk, COUNT(*) AS n_cust FROM train GROUP BY 1),
+sym AS (SELECT a, b, co FROM pairs UNION ALL SELECT b, a, co FROM pairs),
+scored AS (
+  SELECT sym.a, sym.b,
+         ROUND(sym.co / sqrt(CAST(sa.n_cust AS DOUBLE) * sb.n_cust), 6)
+           AS cosine
+  FROM sym
+  JOIN support sa ON sa.pk = sym.a
+  JOIN support sb ON sb.pk = sym.b
+),
+recs AS (
+  SELECT a, b, cosine FROM (
+    SELECT a, b, cosine,
+           ROW_NUMBER() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rk
+    FROM scored
+  ) WHERE rk <= {R.COVISIT_TOPK}
+),
+cand AS (
+  SELECT t.o_custkey, r.b AS cand,
+         SUM(CAST(r.cosine AS DECIMAL(18,6))) AS score
+  FROM train t JOIN recs r ON t.l_partkey = r.a
+  WHERE NOT EXISTS (SELECT 1 FROM train t2
+                    WHERE t2.o_custkey = t.o_custkey AND t2.l_partkey = r.b)
+  GROUP BY 1, 2
+),
+topc AS (
+  SELECT o_custkey, cand FROM (
+    SELECT o_custkey, cand,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY score DESC, cand) AS rk
+    FROM cand
+  ) WHERE rk <= {R.COVISIT_TOPK}
+),
+hits AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM holdout h
+  WHERE EXISTS (SELECT 1 FROM topc
+                WHERE topc.o_custkey = h.o_custkey AND topc.cand = h.held)
+),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users_eval FROM holdout)
+SELECT n_users_eval, n_hits,
+       ROUND(n_hits * 1.0 / n_users_eval, 6) AS hit_rate_at_{R.COVISIT_TOPK}
+FROM ne, hits
+""",
+)
+def part_covisit_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out recommender eval: hide one md5-gated purchase per
+    multi-part customer, rebuild the top-{R.COVISIT_TOPK} rec lists
+    from the rest, score user candidates by DECIMAL-exact cosine sums
+    (owned items excluded) and measure hit@{R.COVISIT_TOPK} of the
+    hidden item — recommender QUALITY, not just similarity."""
+    return R.covisit_holdout_eval(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
