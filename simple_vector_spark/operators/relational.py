@@ -4838,3 +4838,153 @@ def covisit_holdout_eval(
             f"hit_rate_at_{topk}"
         ),
     )
+
+
+RFM_KMEANS_SEEDS = (0, 40, 80, 120)  # deterministic seed customers
+RFM_KMEANS_ITERS = 2
+
+
+def rfm_kmeans_segments(
+    orders: DataFrame,
+    seeds: tuple[int, ...] = RFM_KMEANS_SEEDS,
+    iters: int = RFM_KMEANS_ITERS,
+) -> DataFrame:
+    """K-MEANS over z-scored RFM features: the clustering counterpart
+    of the rule-based rfm_segments terciles — recency/frequency/
+    monetary standardized from exact power sums, ``iters`` fixed Lloyd
+    steps from deterministic seed customers, distances and centroids
+    ROUNDed (6) each step so the trajectory is identical in both
+    engines.  Output: per final cluster, size and centroid.
+
+    Scale: the customer feature table is one fact aggregate; every
+    iteration is a broadcast of k=|seeds| centroids against it
+    (assignment = argmin over k in-expression) + a k-group mean —
+    model state never exceeds k rows, the embeddings-kmeans recipe on
+    DERIVED features."""
+    asof = orders.agg(F.max("o_orderdate").alias("_asof"))
+    feats = (
+        orders.crossJoin(F.broadcast(asof))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("_asof"), F.col("o_orderdate")))
+            .cast("long")
+            .alias("rec"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(_dec("o_totalprice")).alias("mon"),
+        )
+        .localCheckpoint()
+    )
+
+    def zstats(col, sq_type="decimal(38,6)"):
+        return (
+            F.sum(F.col(col).cast("decimal(28,4)")).alias(f"_s_{col}"),
+            F.sum(
+                (F.col(col).cast("decimal(18,2)") * F.col(col).cast("decimal(18,2)"))
+                .cast("decimal(38,4)")
+            ).alias(f"_q_{col}"),
+        )
+
+    stats = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *zstats("rec"),
+        *zstats("freq"),
+        *zstats("mon"),
+    )
+
+    def z(col):
+        n = F.col("_n").cast("double")
+        mu = F.col(f"_s_{col}").cast("double") / n
+        var = F.col(f"_q_{col}").cast("double") / n - mu * mu
+        return F.round(
+            (F.col(col).cast("double") - mu) / F.sqrt(var), 6
+        )
+
+    zf = feats.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
+        z("rec").alias("zr"),
+        z("freq").alias("zf"),
+        z("mon").alias("zm"),
+    ).localCheckpoint()
+    cents = (
+        zf.filter(F.col("o_custkey").isin(*seeds))
+        .orderBy("o_custkey")
+        .collect()
+    )
+    model = [(i, r["zr"], r["zf"], r["zm"]) for i, r in enumerate(cents)]
+    spark = orders.sparkSession
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(model, "c int, cr double, cf double, cm double")
+        )
+        d = F.round(
+            (F.col("zr") - F.col("cr")) * (F.col("zr") - F.col("cr"))
+            + (F.col("zf") - F.col("cf")) * (F.col("zf") - F.col("cf"))
+            + (F.col("zm") - F.col("cm")) * (F.col("zm") - F.col("cm")),
+            6,
+        )
+        wa = Window.partitionBy("o_custkey").orderBy(F.col("_d").asc(), F.col("c").asc())
+        assigned = (
+            zf.crossJoin(cdf)
+            .withColumn("_d", d)
+            .withColumn("_r", F.row_number().over(wa))
+            .filter(F.col("_r") == 1)
+            .select("o_custkey", "zr", "zf", "zm", "c")
+        )
+        new = (
+            assigned.groupBy("c")
+            .agg(
+                F.round(
+                    F.sum(F.col("zr").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("cr"),
+                F.round(
+                    F.sum(F.col("zf").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("cf"),
+                F.round(
+                    F.sum(F.col("zm").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("cm"),
+            )
+            .collect()
+        )
+        by_c = {r["c"]: r for r in new}
+        model = [
+            (
+                i,
+                by_c[i]["cr"] if i in by_c else model[i][1],
+                by_c[i]["cf"] if i in by_c else model[i][2],
+                by_c[i]["cm"] if i in by_c else model[i][3],
+            )
+            for i in range(len(model))
+        ]
+    cdf = F.broadcast(
+        spark.createDataFrame(model, "c int, cr double, cf double, cm double")
+    )
+    d = F.round(
+        (F.col("zr") - F.col("cr")) * (F.col("zr") - F.col("cr"))
+        + (F.col("zf") - F.col("cf")) * (F.col("zf") - F.col("cf"))
+        + (F.col("zm") - F.col("cm")) * (F.col("zm") - F.col("cm")),
+        6,
+    )
+    wa = Window.partitionBy("o_custkey").orderBy(F.col("_d").asc(), F.col("c").asc())
+    final = (
+        zf.crossJoin(cdf)
+        .withColumn("_d", d)
+        .withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") == 1)
+    )
+    return (
+        final.groupBy("c", "cr", "cf", "cm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .select(
+            F.col("c").alias("cluster"),
+            "n_customers",
+            F.col("cr").alias("centroid_recency_z"),
+            F.col("cf").alias("centroid_frequency_z"),
+            F.col("cm").alias("centroid_monetary_z"),
+        )
+    )

@@ -14125,3 +14125,108 @@ def part_covisit_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 130 (round 2): k-means on z-scored RFM — the clustering counterpart
+# of the rule-based tercile segments.
+# --------------------------------------------------------------------------
+
+
+def _rfm_kmeans_oracle() -> str:
+    seeds = ", ".join(str(s) for s in R.RFM_KMEANS_SEEDS)
+    z_of = (
+        "ROUND((CAST({c} AS DOUBLE) - CAST(s_{c} AS DOUBLE) / n)"
+        " / sqrt(CAST(q_{c} AS DOUBLE) / n"
+        " - (CAST(s_{c} AS DOUBLE) / n) * (CAST(s_{c} AS DOUBLE) / n)), 6)"
+    )
+    ctes = [
+        "refd AS (SELECT MAX(o_orderdate) AS a FROM orders)",
+        """feats AS (
+  SELECT o_custkey,
+         CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(refd.a AS DATE))) AS BIGINT) AS rec,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS mon
+  FROM orders CROSS JOIN refd GROUP BY o_custkey
+)""",
+        """stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(rec AS DECIMAL(28,4))) AS s_rec,
+         SUM(CAST(CAST(rec AS DECIMAL(18,2)) * CAST(rec AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS q_rec,
+         SUM(CAST(freq AS DECIMAL(28,4))) AS s_freq,
+         SUM(CAST(CAST(freq AS DECIMAL(18,2)) * CAST(freq AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS q_freq,
+         SUM(CAST(mon AS DECIMAL(28,4))) AS s_mon,
+         SUM(CAST(CAST(mon AS DECIMAL(18,2)) * CAST(mon AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS q_mon
+  FROM feats
+)""",
+        f"""z AS (
+  SELECT o_custkey,
+         {z_of.format(c='rec')} AS zr,
+         {z_of.format(c='freq')} AS zf,
+         {z_of.format(c='mon')} AS zm
+  FROM feats CROSS JOIN stats
+)""",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_custkey) - 1 AS INT) AS c,
+         zr AS cr, zf AS cf, zm AS cm
+  FROM z WHERE o_custkey IN ({seeds})
+)""",
+    ]
+    dist = (
+        "ROUND((zr - cr) * (zr - cr) + (zf - cf) * (zf - cf)"
+        " + (zm - cm) * (zm - cm), 6)"
+    )
+    for i in range(1, R.RFM_KMEANS_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"""a{i} AS (
+  SELECT o_custkey, zr, zf, zm, c FROM (
+    SELECT z.*, c{p}.c, {dist} AS d,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY {dist}, c{p}.c) AS rn
+    FROM z CROSS JOIN c{p}
+  ) WHERE rn = 1
+),
+c{i} AS (
+  SELECT c,
+         ROUND(CAST(SUM(CAST(zr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS cr,
+         ROUND(CAST(SUM(CAST(zf AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS cf,
+         ROUND(CAST(SUM(CAST(zm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS cm
+  FROM a{i} GROUP BY c
+)"""
+        )
+    last = R.RFM_KMEANS_ITERS
+    ctes.append(
+        f"""fin AS (
+  SELECT o_custkey, c, cr, cf, cm FROM (
+    SELECT z.o_custkey, c{last}.c, c{last}.cr, c{last}.cf, c{last}.cm,
+           ROW_NUMBER() OVER (PARTITION BY z.o_custkey
+                              ORDER BY {dist}, c{last}.c) AS rn
+    FROM z CROSS JOIN c{last}
+  ) WHERE rn = 1
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT c AS cluster, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       cr AS centroid_recency_z, cf AS centroid_frequency_z,
+       cm AS centroid_monetary_z
+FROM fin GROUP BY c, cr, cf, cm
+"""
+
+
+@query("customers_rfm_kmeans", _rfm_kmeans_oracle())
+def customers_rfm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means ({R.RFM_KMEANS_ITERS} fixed Lloyd steps, deterministic
+    seed customers, per-step ROUND 6) over z-scored RFM features —
+    clustering-based customer segments beside the rule-based terciles;
+    k-row model state broadcast each step."""
+    return R.rfm_kmeans_segments(load_table(spark, sf_dir, "orders"))
