@@ -2203,3 +2203,77 @@ def markov_prediction_accuracy(events: DataFrame) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+RET_FIT_K = 4  # offsets used by the decay fit
+
+
+def retention_halflife(events: DataFrame, k_max: int = RET_FIT_K) -> DataFrame:
+    """Retention HALF-LIFE: pooled weekly retention shares R(k) for
+    offsets 1..{RET_FIT_K} fit to an exponential decay by log-linear
+    least squares — the single number ('weeks until half the cohort is
+    gone') the retention grid only implies.  Only cohorts old enough
+    to have reached offset k_max pool (the ragged-grid bias guard).
+
+    The grid is the shared cohort_retention aggregate; the fit runs on
+    <= k_max rows with rounded-ln DECIMAL sums; slope >= 0 (no decay)
+    yields NULL half-life rather than a negative one."""
+    grid = cohort_retention(events).localCheckpoint()
+    eligible = (
+        grid.groupBy("cohort_week")
+        .agg(F.max("week_offset").alias("_mx"))
+        .filter(F.col("_mx") >= k_max)
+        .select("cohort_week")
+    )
+    g = grid.join(F.broadcast(eligible), "cohort_week")
+    base = g.filter(F.col("week_offset") == 0).agg(
+        F.sum("n_users").cast("long").alias("_n0"),
+        F.count(F.lit(1)).cast("long").alias("n_cohorts_used"),
+    )
+    pooled = (
+        g.filter(
+            (F.col("week_offset") >= 1) & (F.col("week_offset") <= k_max)
+        )
+        .groupBy("week_offset")
+        .agg(F.sum("n_users").alias("_nk"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("week_offset").cast("long").alias("k"),
+            "_n0",
+            "n_cohorts_used",
+            F.round(F.col("_nk") / F.col("_n0"), 6).alias("r"),
+            F.round(F.log(F.col("_nk") / F.col("_n0")), 9)
+            .cast("decimal(38,12)")
+            .alias("y"),
+        )
+    )
+    s = pooled.groupBy("_n0", "n_cohorts_used").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("k") * F.col("y")).cast("decimal(38,12)")).alias("sky"),
+        F.max(F.when(F.col("k") == 1, F.col("r"))).alias("r1_share"),
+    )
+    slope = F.try_divide(
+        (F.col("m") * F.col("sky").cast("double") - F.col("sk") * F.col("sy").cast("double")),
+        F.nullif(
+            (F.col("m") * F.col("skk") - F.col("sk") * F.col("sk")).cast("double"),
+            F.lit(0.0),
+        ),
+    )
+    import math
+
+    # half-life from the ROUNDED slope: 1/x amplifies the 1-ulp ln()
+    # divergence rounded-9 terms can carry, so the published KPI is
+    # derived from the published slope in both engines
+    slope6 = F.round(slope, 6)
+    return s.select(
+        "n_cohorts_used",
+        F.col("m").alias("n_points"),
+        "r1_share",
+        slope6.alias("decay_slope"),
+        F.round(
+            F.when(slope6 < 0, F.lit(-math.log(2.0)) / slope6), 6
+        ).alias("half_life_weeks"),
+    )

@@ -1803,3 +1803,58 @@ def lsa_power_iteration(
         .limit(topk)
         .select(F.col("t").alias("term"), F.round("v", 6).alias("loading"))
     )
+
+
+def source_language_entropy(docs: DataFrame) -> DataFrame:
+    """Language-MIX purity per source: the Shannon entropy (bits) of
+    the predicted-language distribution, the dominant language, and
+    its share — the mixture-design read ('is this crawl slice
+    monolingual?') built on the same deterministic profile-word
+    classifier as the confusion matrix.
+
+    One classify scan (integer argmax in-expression), one
+    (source, predicted) aggregate; entropy terms are rounded-log2
+    DECIMAL folds over <= |langs|+1 cells per source."""
+    pred = langid_predict(docs.withColumn("lang", F.lit("")), id_col="source")
+    cells = (
+        pred.groupBy(F.col("source"), F.col("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    tot = cells.groupBy("source").agg(F.sum("n").alias("nt"))
+    top = cells.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("n").desc(), F.col("predicted").asc()
+            )
+        ),
+    ).filter(F.col("_r") == 1).select(
+        "source",
+        F.col("predicted").alias("dominant_lang"),
+        F.col("n").alias("_dn"),
+    )
+    ent = (
+        cells.join(tot, "source")
+        .select(
+            "source",
+            F.round(
+                (F.col("n") / F.col("nt")) * F.log2(F.col("n") / F.col("nt")), 9
+            )
+            .cast("decimal(38,12)")
+            .alias("_t"),
+        )
+        .groupBy("source")
+        .agg((-F.sum("_t")).alias("_h"))
+    )
+    return (
+        tot.join(F.broadcast(top), "source")
+        .join(F.broadcast(ent), "source")
+        .select(
+            "source",
+            F.col("nt").cast("long").alias("n_docs"),
+            "dominant_lang",
+            F.round(F.col("_dn") / F.col("nt"), 6).alias("dominant_share"),
+            F.round(F.col("_h").cast("double"), 6).alias("lang_entropy_bits"),
+        )
+    )

@@ -14230,3 +14230,120 @@ def customers_rfm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering-based customer segments beside the rule-based terciles;
     k-row model state broadcast each step."""
     return R.rfm_kmeans_segments(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 131 (round 2): language-mix purity per source + retention half-life.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_lang_entropy",
+    f"""
+WITH t AS (SELECT source, {_TK_SQL} AS tk FROM documents),
+s AS (
+  SELECT source,
+    len(list_filter(tk, x -> list_contains(['{_PROFILE_SQL["en"]}'], x))) AS s_en,
+    len(list_filter(tk, x -> list_contains(['{_PROFILE_SQL["de"]}'], x))) AS s_de,
+    len(list_filter(tk, x -> list_contains(['{_PROFILE_SQL["fr"]}'], x))) AS s_fr,
+    len(list_filter(tk, x -> list_contains(['{_PROFILE_SQL["es"]}'], x))) AS s_es
+  FROM t
+),
+p AS (
+  SELECT source,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unk'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es' END AS predicted
+  FROM s
+),
+cells AS (SELECT source, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2),
+tot AS (SELECT source, SUM(n) AS nt FROM cells GROUP BY 1),
+top AS (
+  SELECT source, predicted AS dominant_lang, n AS dn FROM (
+    SELECT source, predicted, n,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n DESC, predicted) AS r
+    FROM cells
+  ) WHERE r = 1
+),
+ent AS (
+  SELECT source,
+         -SUM(CAST(ROUND((n * 1.0 / nt) * log2(n * 1.0 / nt), 9)
+                   AS DECIMAL(38,12))) AS h
+  FROM cells JOIN tot USING (source) GROUP BY source
+)
+SELECT source, CAST(nt AS BIGINT) AS n_docs, dominant_lang,
+       ROUND(dn * 1.0 / nt, 6) AS dominant_share,
+       ROUND(CAST(h AS DOUBLE), 6) AS lang_entropy_bits
+FROM tot JOIN top USING (source) JOIN ent USING (source)
+""",
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix purity per source: predicted-language entropy,
+    dominant language + share — the is-this-slice-monolingual read on
+    the deterministic profile-word classifier."""
+    return T.source_language_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_retention_halflife",
+    f"""
+WITH wk AS (
+  SELECT user_id, date_trunc('week', ts) AS w FROM events
+),
+first AS (SELECT user_id, MIN(w) AS cohort FROM wk GROUP BY 1),
+active AS (SELECT DISTINCT user_id, w FROM wk),
+grid AS (
+  SELECT CAST(first.cohort AS DATE) AS cohort_week,
+         CAST(date_diff('day', CAST(first.cohort AS DATE), CAST(active.w AS DATE))
+              / 7 AS INT) AS week_offset,
+         CAST(COUNT(DISTINCT active.user_id) AS BIGINT) AS n_users
+  FROM active JOIN first USING (user_id)
+  GROUP BY 1, 2
+),
+eligible AS (
+  SELECT cohort_week FROM grid GROUP BY cohort_week
+  HAVING MAX(week_offset) >= {E.RET_FIT_K}
+),
+g AS (SELECT grid.* FROM grid JOIN eligible USING (cohort_week)),
+base AS (
+  SELECT CAST(SUM(n_users) AS BIGINT) AS n0,
+         CAST(COUNT(*) AS BIGINT) AS n_cohorts_used
+  FROM g WHERE week_offset = 0
+),
+pooled AS (
+  SELECT CAST(week_offset AS BIGINT) AS k,
+         ROUND(SUM(n_users) * 1.0 / base.n0, 6) AS r,
+         CAST(ROUND(ln(SUM(n_users) * 1.0 / base.n0), 9) AS DECIMAL(38,12)) AS y,
+         base.n0, base.n_cohorts_used
+  FROM g CROSS JOIN base
+  WHERE week_offset BETWEEN 1 AND {E.RET_FIT_K}
+  GROUP BY week_offset, base.n0, base.n_cohorts_used
+),
+s AS (
+  SELECT n_cohorts_used, CAST(COUNT(*) AS BIGINT) AS m,
+         SUM(k) AS sk, SUM(k * k) AS skk, SUM(y) AS sy,
+         SUM(CAST(k * y AS DECIMAL(38,12))) AS sky,
+         MAX(CASE WHEN k = 1 THEN r END) AS r1_share
+  FROM pooled GROUP BY n_cohorts_used
+)
+SELECT n_cohorts_used, m AS n_points, r1_share,
+       ROUND((m * CAST(sky AS DOUBLE) - sk * CAST(sy AS DOUBLE))
+             / NULLIF(CAST(m * skk - sk * sk AS DOUBLE), 0.0), 6) AS decay_slope,
+       ROUND(CASE WHEN ROUND((m * CAST(sky AS DOUBLE) - sk * CAST(sy AS DOUBLE))
+                       / NULLIF(CAST(m * skk - sk * sk AS DOUBLE), 0.0), 6) < 0
+                  THEN -ln(2.0)
+                       / ROUND((m * CAST(sky AS DOUBLE) - sk * CAST(sy AS DOUBLE))
+                       / NULLIF(CAST(m * skk - sk * sk AS DOUBLE), 0.0), 6)
+             END, 6) AS half_life_weeks
+FROM s
+""",
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay fit of pooled weekly retention (offsets
+    1..{E.RET_FIT_K}, cohorts old enough to reach them): slope and the
+    half-life in weeks — the single number behind the retention grid;
+    rounded-ln DECIMAL sums on <= {E.RET_FIT_K} points."""
+    return E.retention_halflife(load_table(spark, sf_dir, "events"))
