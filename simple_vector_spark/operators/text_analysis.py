@@ -1858,3 +1858,83 @@ def source_language_entropy(docs: DataFrame) -> DataFrame:
             F.round(F.col("_h").cast("double"), 6).alias("lang_entropy_bits"),
         )
     )
+
+
+GATE_MIN_TOKENS = 10
+GATE_MAX_TOKENS = 5000
+GATE_MIN_STOP = 0.02
+GATE_MAX_SYMBOL = 0.02
+GATE_MAX_TOP_TOKEN = 0.2
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """COMPOSITE quality gate — the C4/Gopher-style SHIP-IT filter that
+    the individual audits feed: five deterministic rules per document
+    (token-count band, function-word floor, structural-symbol ceiling,
+    single-token-repetition ceiling, non-empty), a doc passes only if
+    ALL hold.  Reported per source: pass rate + per-rule failure
+    counts, so a failing slice names WHICH rule to tune rather than
+    just a number.
+
+    One scan computes every signal in-expression; the aggregate is
+    |sources| rows with six conditional sums."""
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_char = F.length("text")
+    n_stop = _count_in(toks, LANG_PROFILES["en"])
+    symbols = n_char - F.length(F.regexp_replace("text", "[{}();=<>]", ""))
+    # max single-token count via a LINEAR fold over the sorted array
+    # (the distinct x filter formulation is O(tokens²) interpreted —
+    # the HOF trap)
+    st = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_tok = st["best"].cast("long")
+    r_len = (n_tok >= GATE_MIN_TOKENS) & (n_tok <= GATE_MAX_TOKENS)
+    r_stop = F.when(n_tok > 0, n_stop / n_tok >= GATE_MIN_STOP).otherwise(False)
+    r_sym = F.when(
+        n_char > 0, symbols / n_char.cast("double") <= GATE_MAX_SYMBOL
+    ).otherwise(True)
+    r_rep = F.when(
+        n_tok > 0, top_tok / n_tok.cast("double") <= GATE_MAX_TOP_TOKEN
+    ).otherwise(False)
+    r_nonempty = n_char > 0
+    passes = r_len & r_stop & r_sym & r_rep & r_nonempty
+    per = docs.select(
+        "source",
+        r_len.alias("_l"),
+        r_stop.alias("_s"),
+        r_sym.alias("_y"),
+        r_rep.alias("_r"),
+        r_nonempty.alias("_e"),
+        passes.alias("_p"),
+    )
+
+    def fails(c, name):
+        return F.sum((~F.col(c)).cast("long")).cast("long").alias(name)
+
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("_p").cast("long")).cast("long").alias("n_pass"),
+        F.round(F.sum(F.col("_p").cast("long")) / F.count(F.lit(1)), 6).alias(
+            "pass_rate"
+        ),
+        fails("_l", "fail_length"),
+        fails("_s", "fail_stopword"),
+        fails("_y", "fail_symbols"),
+        fails("_r", "fail_repetition"),
+        fails("_e", "fail_empty"),
+    )

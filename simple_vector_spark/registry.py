@@ -14347,3 +14347,63 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-life in weeks — the single number behind the retention grid;
     rounded-ln DECIMAL sums on <= {E.RET_FIT_K} points."""
     return E.retention_halflife(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 133 (round 2): composite quality gate — the ship-it filter the
+# individual audits feed, with per-rule failure attribution.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_quality_gate",
+    f"""
+WITH sig AS (
+  SELECT source,
+         len({_TK_SQL}) AS n_tok,
+         length(text) AS n_char,
+         len(list_filter({_TK_SQL},
+             x -> list_contains(['{_PROFILE_SQL["en"]}'], x))) AS n_stop,
+         length(text) - length(regexp_replace(text, '[{{}}();=<>]', '', 'g'))
+           AS symbols,
+         COALESCE((SELECT MAX(c) FROM (
+            SELECT COUNT(*) AS c FROM unnest({_TK_SQL}) AS u(t) GROUP BY t
+         )), 0) AS top_tok
+  FROM documents
+),
+rules AS (
+  SELECT source,
+         (n_tok >= {T.GATE_MIN_TOKENS} AND n_tok <= {T.GATE_MAX_TOKENS}) AS r_l,
+         CASE WHEN n_tok > 0
+              THEN n_stop * 1.0 / n_tok >= {T.GATE_MIN_STOP!r}
+              ELSE FALSE END AS r_s,
+         CASE WHEN n_char > 0
+              THEN symbols * 1.0 / n_char <= {T.GATE_MAX_SYMBOL!r}
+              ELSE TRUE END AS r_y,
+         CASE WHEN n_tok > 0
+              THEN top_tok * 1.0 / n_tok <= {T.GATE_MAX_TOP_TOKEN!r}
+              ELSE FALSE END AS r_r,
+         n_char > 0 AS r_e
+  FROM sig
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN r_l AND r_s AND r_y AND r_r AND r_e
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       ROUND(SUM(CASE WHEN r_l AND r_s AND r_y AND r_r AND r_e
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS pass_rate,
+       CAST(SUM(CASE WHEN NOT r_l THEN 1 ELSE 0 END) AS BIGINT) AS fail_length,
+       CAST(SUM(CASE WHEN NOT r_s THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+       CAST(SUM(CASE WHEN NOT r_y THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbols,
+       CAST(SUM(CASE WHEN NOT r_r THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_repetition,
+       CAST(SUM(CASE WHEN NOT r_e THEN 1 ELSE 0 END) AS BIGINT) AS fail_empty
+FROM rules GROUP BY source
+""",
+)
+def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style quality gate: five deterministic
+    rules per doc (length band, function-word floor, symbol ceiling,
+    repetition ceiling, non-empty) — per-source pass rate with
+    per-rule failure attribution; one scan, linear-fold signals."""
+    return T.quality_gate(load_table(spark, sf_dir, "documents"))
