@@ -1938,3 +1938,57 @@ def quality_gate(docs: DataFrame) -> DataFrame:
         fails("_r", "fail_repetition"),
         fails("_e", "fail_empty"),
     )
+
+
+OOV_VOCAB = 1000
+
+
+def source_oov_rate(docs: DataFrame, vocab: int = OOV_VOCAB) -> DataFrame:
+    """OUT-OF-VOCABULARY audit per source: the share of token
+    occurrences (and of distinct types) falling outside the corpus's
+    top-``vocab`` vocabulary — the tokenizer-fit read that decides
+    whether a fixed vocab trained on this mixture will shred a given
+    slice into unknowns.
+
+    One token count feeds both the vocabulary (TakeOrdered cap) and
+    the per-source occurrence table; OOV membership is one broadcast
+    anti-semi pair of joins against the |vocab|-row list."""
+    from ..functions.text import tokens
+
+    occ = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    vocab_df = (
+        occ.groupBy("t")
+        .agg(F.sum("n").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("t").asc())
+        .limit(vocab)
+        .select("t")
+        .localCheckpoint()
+    )
+    flagged = occ.join(
+        F.broadcast(vocab_df.withColumn("_in", F.lit(1))), "t", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_oov_tokens"),
+        F.round(
+            F.sum(F.when(F.col("_in").isNull(), F.col("n")).otherwise(0))
+            / F.sum("n"),
+            6,
+        ).alias("oov_token_rate"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov_types"),
+        F.round(
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_type_rate"),
+    )

@@ -14407,3 +14407,43 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition ceiling, non-empty) — per-source pass rate with
     per-rule failure attribution; one scan, linear-fold signals."""
     return T.quality_gate(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 134 (round 2): OOV-rate tokenizer-fit audit per source.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_oov_rate",
+    f"""
+WITH occ AS (
+  SELECT source, t, COUNT(*) AS n
+  FROM (SELECT source, unnest({_TK_SQL}) AS t FROM documents)
+  GROUP BY 1, 2
+),
+vocab AS (
+  SELECT t FROM (SELECT t, SUM(n) AS tf FROM occ GROUP BY t)
+  ORDER BY tf DESC, t LIMIT {T.OOV_VOCAB}
+),
+fl AS (
+  SELECT occ.source, occ.n,
+         CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END AS oov
+  FROM occ LEFT JOIN vocab ON occ.t = vocab.t
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN oov = 1 THEN n ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+       ROUND(SUM(CASE WHEN oov = 1 THEN n ELSE 0 END) * 1.0 / SUM(n), 6)
+         AS oov_token_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(oov) AS BIGINT) AS n_oov_types,
+       ROUND(SUM(oov) * 1.0 / COUNT(*), 6) AS oov_type_rate
+FROM fl GROUP BY source
+""",
+)
+def source_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV share of token occurrences and distinct types
+    against the corpus top-{T.OOV_VOCAB} vocabulary — the
+    tokenizer-fit audit; one token count + a broadcast vocab join."""
+    return T.source_oov_rate(load_table(spark, sf_dir, "documents"))
