@@ -4988,3 +4988,58 @@ def rfm_kmeans_segments(
             F.col("cm").alias("centroid_monetary_z"),
         )
     )
+
+
+def gini_trend_by_quarter(orders: DataFrame) -> DataFrame:
+    """Spend-concentration TREND: the Gini coefficient of customer
+    spend computed PER QUARTER with its QoQ delta — is revenue
+    concentrating into whales or democratizing over time (the
+    direction-of-travel the single-number Gini hides).
+
+    Per-quarter rank via the two-phase GROUPED rank (quarters x
+    customers grow with data — never a single-partition sort); the
+    rank-formula Gini folds per quarter; the delta is a shifted-rank
+    join over the bounded quarter table."""
+    from .ranking import ranked_global
+
+    spend = (
+        orders.groupBy(
+            F.concat_ws(
+                "-",
+                F.year("o_orderdate").cast("string"),
+                F.quarter("o_orderdate").cast("string"),
+            ).alias("q"),
+            "o_custkey",
+        )
+        .agg(F.sum(_dec("o_totalprice")).alias("spend"))
+    )
+    ranked = ranked_global(
+        spend,
+        [F.col("spend").asc(), F.col("o_custkey").asc()],
+        group_cols=["q"],
+        rank_name="i",
+    )
+    per_q = ranked.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend").alias("_sx"),
+        F.sum((F.col("i") * F.col("spend")).cast("decimal(30,2)")).alias("_six"),
+    )
+    n = F.col("n_customers").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("_six").cast("double") / (n * F.col("_sx").cast("double"))
+        - (n + 1.0) / n
+    )
+    cur = per_q.select(
+        "q", "n_customers", F.round(gini, 6).alias("gini")
+    ).localCheckpoint()
+    seq = ranked_global(cur, [F.col("q").asc()], rank_name="t")
+    prev = seq.select((F.col("t") + 1).alias("t"), F.col("gini").alias("_pg"))
+    return (
+        seq.join(prev, "t", "left")
+        .select(
+            "q",
+            "n_customers",
+            "gini",
+            F.round(F.col("gini") - F.col("_pg"), 6).alias("qoq_delta"),
+        )
+    )

@@ -14447,3 +14447,50 @@ def source_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus top-{T.OOV_VOCAB} vocabulary — the
     tokenizer-fit audit; one token count + a broadcast vocab join."""
     return T.source_oov_rate(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 135 (round 2): Gini concentration trend — the direction-of-travel
+# the single-number inequality index hides.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_gini_trend",
+    """
+WITH spend AS (
+  SELECT CAST(year(o_orderdate) AS VARCHAR) || '-'
+           || CAST(quarter(o_orderdate) AS VARCHAR) AS q,
+         o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS spend
+  FROM orders GROUP BY 1, 2
+),
+rk AS (
+  SELECT q, spend,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY spend, o_custkey) AS i
+  FROM spend
+),
+per AS (
+  SELECT q, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(spend) AS sx,
+         SUM(CAST(i * spend AS DECIMAL(30,2))) AS six
+  FROM rk GROUP BY q
+),
+g AS (
+  SELECT q, n_customers,
+         ROUND(2.0 * CAST(six AS DOUBLE)
+               / (n_customers * CAST(sx AS DOUBLE))
+               - (n_customers + 1.0) / n_customers, 6) AS gini
+  FROM per
+),
+seq AS (SELECT g.*, ROW_NUMBER() OVER (ORDER BY q) AS t FROM g)
+SELECT a.q, a.n_customers, a.gini,
+       ROUND(a.gini - b.gini, 6) AS qoq_delta
+FROM seq a LEFT JOIN seq b ON a.t = b.t + 1
+""",
+)
+def orders_gini_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-quarter customer-spend Gini with QoQ delta — concentration
+    direction-of-travel; two-phase grouped ranks, shifted-rank delta
+    join on the bounded quarter table."""
+    return R.gini_trend_by_quarter(load_table(spark, sf_dir, "orders"))
