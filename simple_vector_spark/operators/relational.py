@@ -5043,3 +5043,51 @@ def gini_trend_by_quarter(orders: DataFrame) -> DataFrame:
             F.round(F.col("gini") - F.col("_pg"), 6).alias("qoq_delta"),
         )
     )
+
+
+def new_vs_returning_revenue(orders: DataFrame) -> DataFrame:
+    """NEW vs RETURNING revenue split per quarter: each customer's
+    first-ever quarter classifies their spend — the growth-quality
+    decomposition (is revenue growth acquisition or retention?) that
+    pairs with the cohort-LTV grid and the churn set ops.
+
+    Two aggregates: per-(quarter, customer) revenue off the fact, a
+    per-customer min-quarter, then one classified quarter rollup.
+    DECIMAL-exact revenue, string quarters sort correctly within a
+    millennium of data."""
+    q = F.concat_ws(
+        "-",
+        F.year("o_orderdate").cast("string"),
+        F.quarter("o_orderdate").cast("string"),
+    )
+    per = (
+        orders.groupBy(q.alias("q"), "o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+        .localCheckpoint()
+    )
+    first = per.groupBy("o_custkey").agg(F.min("q").alias("_fq"))
+    j = per.join(first, "o_custkey").withColumn(
+        "_new", (F.col("q") == F.col("_fq")).cast("int")
+    )
+    agg = j.groupBy("q").agg(
+        F.sum("_new").cast("long").alias("n_new_customers"),
+        F.sum(F.lit(1) - F.col("_new")).cast("long").alias("n_returning"),
+        F.sum(F.when(F.col("_new") == 1, F.col("rev")).otherwise(0))
+        .cast("decimal(20,2)")
+        .alias("new_revenue"),
+        F.sum(F.when(F.col("_new") == 0, F.col("rev")).otherwise(0))
+        .cast("decimal(20,2)")
+        .alias("returning_revenue"),
+    )
+    return agg.select(
+        "q",
+        "n_new_customers",
+        "n_returning",
+        "new_revenue",
+        "returning_revenue",
+        F.round(
+            F.col("new_revenue").cast("double")
+            / (F.col("new_revenue") + F.col("returning_revenue")).cast("double"),
+            6,
+        ).alias("new_share"),
+    )

@@ -14494,3 +14494,47 @@ def orders_gini_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction-of-travel; two-phase grouped ranks, shifted-rank delta
     join on the bounded quarter table."""
     return R.gini_trend_by_quarter(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 136 (round 2): acquisition-vs-retention revenue decomposition.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_new_vs_returning",
+    """
+WITH per AS (
+  SELECT CAST(year(o_orderdate) AS VARCHAR) || '-'
+           || CAST(quarter(o_orderdate) AS VARCHAR) AS q,
+         o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS rev
+  FROM orders GROUP BY 1, 2
+),
+first AS (SELECT o_custkey, MIN(q) AS fq FROM per GROUP BY 1),
+j AS (
+  SELECT per.q, per.rev,
+         CASE WHEN per.q = first.fq THEN 1 ELSE 0 END AS is_new
+  FROM per JOIN first USING (o_custkey)
+),
+agg AS (
+  SELECT q,
+         CAST(SUM(is_new) AS BIGINT) AS n_new_customers,
+         CAST(SUM(1 - is_new) AS BIGINT) AS n_returning,
+         CAST(SUM(CASE WHEN is_new = 1 THEN rev ELSE 0 END) AS DECIMAL(20,2))
+           AS new_revenue,
+         CAST(SUM(CASE WHEN is_new = 0 THEN rev ELSE 0 END) AS DECIMAL(20,2))
+           AS returning_revenue
+  FROM j GROUP BY q
+)
+SELECT q, n_new_customers, n_returning, new_revenue, returning_revenue,
+       ROUND(CAST(new_revenue AS DOUBLE)
+             / CAST(new_revenue + returning_revenue AS DOUBLE), 6) AS new_share
+FROM agg
+""",
+)
+def orders_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-vs-retention revenue split per quarter (customer's
+    first quarter classifies their spend) — growth quality beside the
+    cohort-LTV grid; two aggregates, DECIMAL-exact."""
+    return R.new_vs_returning_revenue(load_table(spark, sf_dir, "orders"))
