@@ -2277,3 +2277,49 @@ def retention_halflife(events: DataFrame, k_max: int = RET_FIT_K) -> DataFrame:
             F.when(slope6 < 0, F.lit(-math.log(2.0)) / slope6), 6
         ).alias("half_life_weeks"),
     )
+
+
+def props_schema_drift(events: DataFrame) -> DataFrame:
+    """Semi-structured SCHEMA DRIFT: per JSON props key, its presence
+    share in the two md5 halves of the user population and the drift —
+    the detector for a producer rollout that added/dropped/renamed a
+    field (schema evolution the table schema can't see, measured the
+    PSI way but at key grain).
+
+    One scan explodes key sets; the (key, half) aggregate is tiny; the
+    md5 gate is the shared content-stable split."""
+    from ..functions.text import md5_int
+
+    half = (md5_int(F.col("user_id").cast("string")) % 2).cast("int")
+    keys = events.select(
+        half.alias("h"),
+        F.explode(
+            F.map_keys(
+                F.from_json(F.col("props"), "map<string,string>")
+            )
+        ).alias("k"),
+    )
+    totals = events.select(half.alias("h")).groupBy("h").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    cells = keys.groupBy("k", "h").agg(F.count(F.lit(1)).alias("n"))
+    j = cells.join(F.broadcast(totals), "h").select(
+        "k", "h", (F.col("n") / F.col("nt")).alias("share")
+    )
+    a = j.filter(F.col("h") == 0).select("k", F.col("share").alias("_sa"))
+    b = j.filter(F.col("h") == 1).select("k", F.col("share").alias("_sb"))
+    return (
+        a.join(b, "k", "full_outer")
+        .select(
+            F.col("k").alias("prop_key"),
+            F.round(F.coalesce(F.col("_sa"), F.lit(0.0)), 6).alias("share_a"),
+            F.round(F.coalesce(F.col("_sb"), F.lit(0.0)), 6).alias("share_b"),
+            F.round(
+                F.abs(
+                    F.coalesce(F.col("_sa"), F.lit(0.0))
+                    - F.coalesce(F.col("_sb"), F.lit(0.0))
+                ),
+                6,
+            ).alias("abs_drift"),
+        )
+    )

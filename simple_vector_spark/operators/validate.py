@@ -333,3 +333,38 @@ def unit_price_consistency(lineitem: DataFrame) -> DataFrame:
             F.max((F.col("hi") - F.col("lo")).cast("double")), 2
         ).alias("max_unit_spread"),
     )
+
+
+def line_number_integrity(lineitem: DataFrame) -> DataFrame:
+    """GROUPED sequence-integrity contract: within every order,
+    l_linenumber must run 1..n with no gaps or duplicates (the
+    per-group sibling of the global doc_id gap audit).  The check
+    needs NO sort: a group satisfies 1..n contiguity iff
+    count = distinct count, min = 1 and max = count — four aggregates
+    per order key, one shuffle.
+
+    Output: one summary row (orders checked, violations by class) —
+    the contract a line-grain ingest must re-establish after any
+    repartition/merge step."""
+    from pyspark.sql import functions as F
+
+    per = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_linenumber").alias("nd"),
+        F.min("l_linenumber").alias("mn"),
+        F.max("l_linenumber").alias("mx"),
+    )
+    dup = F.col("nd") != F.col("n")
+    base = F.col("mn") != 1
+    gap = (F.col("mx") != F.col("n")) & ~dup & ~base
+    ok = ~dup & ~base & (F.col("mx") == F.col("n"))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(ok.cast("long")).cast("long").alias("n_contiguous"),
+        F.sum(dup.cast("long")).cast("long").alias("n_duplicate_lines"),
+        F.sum(base.cast("long")).cast("long").alias("n_bad_base"),
+        F.sum(gap.cast("long")).cast("long").alias("n_gapped"),
+        F.round(F.sum(ok.cast("long")) / F.count(F.lit(1)), 6).alias(
+            "contiguous_share"
+        ),
+    )

@@ -14538,3 +14538,69 @@ def orders_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     first quarter classifies their spend) — growth quality beside the
     cohort-LTV grid; two aggregates, DECIMAL-exact."""
     return R.new_vs_returning_revenue(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 137 (round 2): grouped sequence integrity + props schema drift.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_linenumber_audit",
+    """
+WITH per AS (
+  SELECT l_orderkey, COUNT(*) AS n, COUNT(DISTINCT l_linenumber) AS nd,
+         MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN nd = n AND mn = 1 AND mx = n THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contiguous,
+       CAST(SUM(CASE WHEN nd != n THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicate_lines,
+       CAST(SUM(CASE WHEN mn != 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_base,
+       CAST(SUM(CASE WHEN mx != n AND nd = n AND mn = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gapped,
+       ROUND(SUM(CASE WHEN nd = n AND mn = 1 AND mx = n THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS contiguous_share
+FROM per
+""",
+)
+def lineitem_linenumber_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order line-number contiguity contract (1..n, no gaps or
+    dups) WITHOUT sorting — count/distinct/min/max algebra per group;
+    the grouped sibling of the global id-gap audit."""
+    from .operators import validate as V
+
+    return V.line_number_integrity(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "events_props_schema_drift",
+    """
+WITH h AS (
+  SELECT CAST((CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2) AS INT) AS h,
+         props
+  FROM events
+),
+keys AS (SELECT h, unnest(json_keys(props)) AS k FROM h),
+totals AS (SELECT h, COUNT(*) AS nt FROM h GROUP BY 1),
+cells AS (SELECT k, h, COUNT(*) AS n FROM keys GROUP BY 1, 2),
+j AS (
+  SELECT k, h, n * 1.0 / nt AS share FROM cells JOIN totals USING (h)
+),
+a AS (SELECT k, share AS sa FROM j WHERE h = 0),
+b AS (SELECT k, share AS sb FROM j WHERE h = 1)
+SELECT COALESCE(a.k, b.k) AS prop_key,
+       ROUND(COALESCE(sa, 0.0), 6) AS share_a,
+       ROUND(COALESCE(sb, 0.0), 6) AS share_b,
+       ROUND(ABS(COALESCE(sa, 0.0) - COALESCE(sb, 0.0)), 6) AS abs_drift
+FROM a FULL OUTER JOIN b ON a.k = b.k
+""",
+)
+def events_props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props key-presence drift between the md5 halves of the
+    user population — producer-rollout schema evolution the table
+    schema can't see; one explode scan, tiny (key, half) aggregate."""
+    return E.props_schema_drift(load_table(spark, sf_dir, "events"))
