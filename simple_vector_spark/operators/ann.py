@@ -1782,3 +1782,57 @@ def knn_graph_greedy_search(
         .agg(F.count(F.lit(1)).cast("int").alias("rnk"))
         .select(F.col("_id").alias("vec_id"), "dist", "rnk")
     )
+
+
+def knn_graph_health(
+    emb: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Graph-ANN INDEX HEALTH on the navigable k-NN graph: edge
+    reciprocity (share of directed edges whose reverse exists — low
+    reciprocity = asymmetric neighborhoods, the hubness signature of
+    high intrinsic dimension), the maximum in-degree vs the out-degree
+    cap (hub concentration — hubs absorb beam traffic and starve
+    recall), and the orphan share (nodes no edge points AT — they can
+    be walked FROM but never found).  The three numbers that predict
+    greedy-search recall before any query runs (HNSW's heuristics for
+    M / neighbor diversity exist exactly to manage these).
+
+    All aggregates over the (src, nbr) edge list — the graph build is
+    the only heavy step and is shared machinery."""
+    edges = (
+        knn_graph_navigable(emb, cents)
+        .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+        .localCheckpoint()
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_mutual = (
+        edges.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mutual"))
+    )
+    tot = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("ind"))
+    in_stats = indeg.agg(F.max("ind").cast("long").alias("max_in_degree"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    orphans = (
+        nodes.join(indeg.select(F.col("dst").alias("node")), "node", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        tot.crossJoin(F.broadcast(n_mutual))
+        .crossJoin(F.broadcast(in_stats))
+        .crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_mutual",
+            F.round(F.col("n_mutual") / F.col("n_edges"), 6).alias("reciprocity"),
+            "max_in_degree",
+            F.round(F.col("max_in_degree") / F.lit(float(GRAPH_DEGREE)), 6).alias(
+                "hub_ratio"
+            ),
+            "n_orphans",
+            F.round(F.col("n_orphans") / F.col("n_nodes"), 6).alias("orphan_share"),
+        )
+    )

@@ -14604,3 +14604,45 @@ def events_props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     user population — producer-rollout schema evolution the table
     schema can't see; one explode scan, tiny (key, half) aggregate."""
     return E.props_schema_drift(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 139 (round 2): graph-ANN index health — reciprocity, hubness,
+# orphan share; the recall predictors HNSW's M-heuristics manage.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "knn_graph_health",
+    f"""
+WITH {_NAV_EDGES_SQL},
+edges AS (SELECT src, nbr AS dst FROM rk WHERE rnk <= {A.GRAPH_DEGREE}),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_mutual FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
+indeg AS (SELECT dst, COUNT(*) AS ind FROM edges GROUP BY 1),
+ins AS (SELECT CAST(MAX(ind) AS BIGINT) AS max_in_degree FROM indeg),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+orph AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans FROM nodes
+  WHERE node NOT IN (SELECT dst FROM indeg)
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)
+SELECT n_nodes, n_edges, n_mutual,
+       ROUND(n_mutual * 1.0 / n_edges, 6) AS reciprocity,
+       max_in_degree,
+       ROUND(max_in_degree / {float(A.GRAPH_DEGREE)!r}, 6) AS hub_ratio,
+       n_orphans,
+       ROUND(n_orphans * 1.0 / n_nodes, 6) AS orphan_share
+FROM tot, m, ins, orph, nn
+""",
+)
+def knn_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigable-graph health: edge reciprocity, hub concentration
+    (max in-degree vs the degree cap), orphan share — the greedy-
+    search recall predictors, all aggregates over the shared edge
+    build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return A.knn_graph_health(emb, A.fit_vectors(emb, A.CENTROID_IDS))
