@@ -1836,3 +1836,55 @@ def knn_graph_health(
             F.round(F.col("n_orphans") / F.col("n_nodes"), 6).alias("orphan_share"),
         )
     )
+
+
+def rp_multiprobe_search(
+    corpus: DataFrame,
+    query: DataFrame,
+    planes: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MULTI-PROBE sign-LSH (Lv et al.): search the query's bucket AND
+    every Hamming-1 neighbor bucket (one sign bit flipped) — the LSH
+    recall dial that buys candidates WITHOUT more tables: a near
+    neighbor that lands across one hyperplane is exactly one bit away,
+    so probing the |planes| flipped buckets recovers most single-probe
+    misses at (|planes|+1)x the candidate cost.
+
+    Plan: bucket assignment stays a zero-shuffle scan expression; the
+    probe set is a broadcast (|planes|+1)-row frame; candidates
+    re-rank exactly, TakeOrdered top-k."""
+    from ..functions.vector import as_double_array, squared_l2
+
+    c = corpus.withColumn(
+        "__bucket", rp_bucket(as_double_array(F.col(vec_col)), planes)
+    )
+    q = F.broadcast(
+        query.select(as_double_array(F.col(vec_col)).alias("__q_vec")).withColumn(
+            "__qb", rp_bucket(F.col("__q_vec"), planes)
+        )
+    )
+    flips = F.array(
+        F.col("__qb"),
+        *[
+            F.col("__qb").bitwiseXOR(F.lit(2 ** i).cast("long"))
+            for i in range(len(planes))
+        ],
+    )
+    probes = q.select(
+        "__q_vec", F.explode(flips).alias("__probe")
+    )
+    return (
+        c.join(F.broadcast(probes), F.col("__bucket") == F.col("__probe"))
+        .select(
+            F.col(id_col),
+            F.round(
+                squared_l2(as_double_array(F.col(vec_col)), F.col("__q_vec")), 6
+            ).alias("dist"),
+        )
+        .distinct()
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -14646,3 +14646,61 @@ def knn_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     build."""
     emb = load_table(spark, sf_dir, "embeddings")
     return A.knn_graph_health(emb, A.fit_vectors(emb, A.CENTROID_IDS))
+
+
+# --------------------------------------------------------------------------
+# Wave 140 (round 2): multi-probe LSH — the recall dial that buys
+# candidates without more hash tables.
+# --------------------------------------------------------------------------
+
+_MP_FLIPS = " UNION ".join(
+    ["SELECT bucket AS probe FROM qb"]
+    + [f"SELECT xor(bucket, {2 ** i}) FROM qb" for i in range(len(A.PLANE_IDS))]
+)
+
+
+@query(
+    "ann_rp_multiprobe",
+    f"""
+WITH planes AS (
+  SELECT vec_id AS p, CAST(embedding AS DOUBLE[]) AS pv
+  FROM embeddings WHERE vec_id IN ({_PLANES_SQL})
+),
+pp AS (
+  SELECT e.vec_id, p.p,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(p.pv) AS y
+  FROM embeddings e CROSS JOIN planes p
+),
+dots AS (SELECT vec_id, p, SUM(x * y) AS dot FROM pp GROUP BY vec_id, p),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN pow(2, p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = {ANN_QUERY_ID}),
+probes AS ({_MP_FLIPS}),
+cand AS (
+  SELECT DISTINCT b.vec_id FROM buckets b JOIN probes ON b.bucket = probes.probe
+),
+qp AS (
+  SELECT c.vec_id,
+         unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(q.embedding AS DOUBLE[])) AS y
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {ANN_QUERY_ID}) q
+),
+d AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM qp GROUP BY vec_id)
+SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT {ANN_K}
+""",
+)
+def ann_rp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: the query bucket plus every Hamming-1
+    flipped bucket probed in one pass — the Lv-et-al recall dial at
+    (|planes|+1)x candidate cost, no extra hash tables; zero-shuffle
+    buckets, broadcast probe set, exact rerank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = A.fit_vectors(emb, A.PLANE_IDS)
+    return A.rp_multiprobe_search(
+        emb, emb.filter(F.col("vec_id") == ANN_QUERY_ID), planes, ANN_K
+    )
