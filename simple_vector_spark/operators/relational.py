@@ -5091,3 +5091,38 @@ def new_vs_returning_revenue(orders: DataFrame) -> DataFrame:
             6,
         ).alias("new_share"),
     )
+
+
+HASH_PARTITIONS = 32
+
+
+def hash_partition_balance(
+    orders: DataFrame, n_parts: int = HASH_PARTITIONS
+) -> DataFrame:
+    """HASH-PARTITION balance: rows landing in each of ``n_parts``
+    md5-hash buckets of the customer join key — the direct picture of
+    what a shuffle on this key does to task sizes (the salt advisor
+    reports per-KEY skew; this reports per-TASK skew after hashing,
+    which is what executors actually feel).  Summary row: bucket
+    count, min/max/avg rows, the max/avg imbalance ratio, and the
+    share of rows in the heaviest bucket.
+
+    One scan, one {HASH_PARTITIONS}-group aggregate; md5 hashing keeps
+    the bucket map engine-neutral (Spark's Murmur3 partitioner isn't
+    reproducible in SQL — stated: this AUDITS the hash family, the
+    physical partitioner differs by constant factors only)."""
+    from ..functions.text import md5_int
+
+    b = (md5_int(F.col("o_custkey").cast("string")) % n_parts).alias("b")
+    per = orders.select(b).groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.round(F.sum("n") / F.count(F.lit(1)), 6).alias("avg_rows"),
+        F.round(
+            F.max("n") / (F.sum("n") / F.count(F.lit(1))), 6
+        ).alias("imbalance_ratio"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("max_bucket_share"),
+    )

@@ -1992,3 +1992,67 @@ def source_oov_rate(docs: DataFrame, vocab: int = OOV_VOCAB) -> DataFrame:
             6,
         ).alias("oov_type_rate"),
     )
+
+
+CHARGRAM_TOP = 20
+
+
+def chargram_langid_agreement(docs: DataFrame, top: int = CHARGRAM_TOP) -> DataFrame:
+    """SECOND language classifier + agreement audit: character-trigram
+    profiles TRAINED FROM THE LABELED DATA (top-``top`` trigrams per
+    declared lang — the Cavnar-Trenkle recipe) classify every doc;
+    the output is the agreement matrix against the word-profile
+    classifier.  Two independent weak classifiers agreeing is the
+    standard trick for trusting silver labels at 100 TB — the cells
+    where they DISAGREE are the review queue.
+
+    Plan: trigram explode is linear in chars; profiles are a
+    |langs| x top broadcast; classification is one join + argmax
+    window keyed per doc; the matrix is a tiny aggregate."""
+    lowered = F.lower(F.col("text"))
+    ln = F.length(lowered)
+    grams = F.when(
+        ln >= 3,
+        F.transform(
+            F.sequence(F.lit(1), ln - 2),
+            lambda i: lowered.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = docs.select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    ).localCheckpoint()
+    lang_counts = doc_grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("g").asc())
+    profiles = (
+        lang_counts.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= top)
+        .select(F.col("lang").alias("plang"), "g")
+        .localCheckpoint()
+    )
+    scores = (
+        doc_grams.join(F.broadcast(profiles), "g")
+        .groupBy("doc_id", "plang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), F.col("plang").asc()
+    )
+    best = (
+        scores.withColumn("_r", F.row_number().over(wd))
+        .filter(F.col("_r") == 1)
+        .select("doc_id", F.col("plang").alias("chargram_pred"))
+    )
+    cg = docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("chargram_pred"), F.lit("unk")).alias("cg")
+    )
+    word = langid_predict(docs).select(
+        "doc_id", F.col("predicted").alias("wd")
+    )
+    return (
+        cg.join(word, "doc_id")
+        .groupBy(
+            F.col("cg").alias("chargram_pred"), F.col("wd").alias("word_pred")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("agree", F.col("chargram_pred") == F.col("word_pred"))
+    )
