@@ -2323,3 +2323,73 @@ def props_schema_drift(events: DataFrame) -> DataFrame:
             ).alias("abs_drift"),
         )
     )
+
+
+def activation_analysis(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """ACTIVATION analysis: does first-session depth predict retention?
+    Per user, the event count of their FIRST session (gaps-and-islands,
+    30-min idle) against their total distinct active weeks — reported
+    as the Pearson correlation from exact integer power sums plus mean
+    active-weeks by first-session-size band (1 / 2-4 / 5+), the
+    aha-moment table a growth team reads before picking an onboarding
+    metric.
+
+    One user shuffle builds sessions; weeks-active is a second bounded
+    per-user aggregate; everything folds to a single row."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    sess = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_sid"),
+    )
+    first_size = (
+        sess.filter(F.col("_sid") == 1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    weeks = (
+        events.select("user_id", F.date_trunc("week", F.col("ts")).alias("_w"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("wk"))
+    )
+    j = first_size.join(weeks, "user_id").localCheckpoint()
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("s").alias("ss"),
+        F.sum("wk").alias("sw"),
+        F.sum(F.col("s") * F.col("wk")).alias("ssw"),
+        F.sum(F.col("s") * F.col("s")).alias("sss"),
+        F.sum(F.col("wk") * F.col("wk")).alias("sww"),
+        F.sum(F.when(F.col("s") == 1, F.col("wk"))).alias("w1"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("s").between(2, 4), F.col("wk"))).alias("w24"),
+        F.sum(F.when(F.col("s").between(2, 4), 1).otherwise(0)).alias("n24"),
+        F.sum(F.when(F.col("s") >= 5, F.col("wk"))).alias("w5"),
+        F.sum(F.when(F.col("s") >= 5, 1).otherwise(0)).alias("n5"),
+    )
+    n = F.col("n_users").cast("double")
+    num = n * F.col("ssw") - F.col("ss") * F.col("sw")
+    den = F.sqrt(
+        (n * F.col("sss") - F.col("ss") * F.col("ss")).cast("double")
+        * (n * F.col("sww") - F.col("sw") * F.col("sw")).cast("double")
+    )
+    mean_band = lambda wcol, ncol: F.round(  # noqa: E731
+        F.try_divide(F.col(wcol), F.nullif(F.col(ncol), F.lit(0))), 6
+    )
+    return agg.select(
+        "n_users",
+        F.round(
+            F.try_divide(num.cast("double"), F.nullif(den, F.lit(0.0))), 6
+        ).alias("depth_weeks_corr"),
+        F.col("n1").cast("long").alias("n_depth_1"),
+        mean_band("w1", "n1").alias("weeks_depth_1"),
+        F.col("n24").cast("long").alias("n_depth_2_4"),
+        mean_band("w24", "n24").alias("weeks_depth_2_4"),
+        F.col("n5").cast("long").alias("n_depth_5p"),
+        mean_band("w5", "n5").alias("weeks_depth_5p"),
+    )

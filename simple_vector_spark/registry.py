@@ -14814,3 +14814,69 @@ def text_langid_chargram_agreement(spark: SparkSession, sf_dir: str) -> DataFram
     return T.chargram_langid_agreement(
         load_table(spark, sf_dir, "documents")
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 143 (round 2): activation analysis — first-session depth vs
+# eventual retention.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_activation_analysis",
+    """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(FLOOR(epoch(ts)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR FLOOR(epoch(ts))
+                   - lag(FLOOR(epoch(ts)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+fs AS (SELECT user_id, COUNT(*) AS s FROM s WHERE sid = 1 GROUP BY 1),
+wks AS (
+  SELECT user_id, COUNT(*) AS wk
+  FROM (SELECT DISTINCT user_id, date_trunc('week', ts) FROM events)
+  GROUP BY 1
+),
+j AS (SELECT fs.user_id, fs.s, wks.wk FROM fs JOIN wks USING (user_id)),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         SUM(s) AS ss, SUM(wk) AS sw, SUM(s * wk) AS ssw,
+         SUM(s * s) AS sss, SUM(wk * wk) AS sww,
+         SUM(CASE WHEN s = 1 THEN wk END) AS w1,
+         SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN s BETWEEN 2 AND 4 THEN wk END) AS w24,
+         SUM(CASE WHEN s BETWEEN 2 AND 4 THEN 1 ELSE 0 END) AS n24,
+         SUM(CASE WHEN s >= 5 THEN wk END) AS w5,
+         SUM(CASE WHEN s >= 5 THEN 1 ELSE 0 END) AS n5
+  FROM j
+)
+SELECT n_users,
+       ROUND(CAST(n_users * ssw - ss * sw AS DOUBLE)
+             / NULLIF(sqrt(CAST(n_users * sss - ss * ss AS DOUBLE)
+                           * CAST(n_users * sww - sw * sw AS DOUBLE)), 0.0), 6)
+         AS depth_weeks_corr,
+       CAST(n1 AS BIGINT) AS n_depth_1,
+       ROUND(w1 * 1.0 / NULLIF(n1, 0), 6) AS weeks_depth_1,
+       CAST(n24 AS BIGINT) AS n_depth_2_4,
+       ROUND(w24 * 1.0 / NULLIF(n24, 0), 6) AS weeks_depth_2_4,
+       CAST(n5 AS BIGINT) AS n_depth_5p,
+       ROUND(w5 * 1.0 / NULLIF(n5, 0), 6) AS weeks_depth_5p
+FROM a
+""",
+)
+def events_activation_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-session depth vs total active weeks: Pearson correlation
+    from exact power sums + mean weeks by depth band (1 / 2-4 / 5+) —
+    the aha-moment table behind onboarding metrics; one user shuffle
+    plus bounded per-user aggregates."""
+    return E.activation_analysis(load_table(spark, sf_dir, "events"))
