@@ -2056,3 +2056,48 @@ def chargram_langid_agreement(docs: DataFrame, top: int = CHARGRAM_TOP) -> DataF
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .withColumn("agree", F.col("chargram_pred") == F.col("word_pred"))
     )
+
+
+SPECTRUM_TOP = 15
+
+
+def vocab_frequency_spectrum(docs: DataFrame, top: int = SPECTRUM_TOP) -> DataFrame:
+    """Frequency-of-frequencies SPECTRUM: how many vocabulary types
+    occur exactly k times — the Good-Turing input table.  Each row
+    carries the spectrum count n_k plus the corpus-level readouts the
+    spectrum exists for: the singleton share of the vocabulary
+    (hapax rate — high = vocab still growing) and the Good-Turing
+    unseen-mass estimate P0 = n_1/N (the probability the NEXT token is
+    a brand-new type — the number that sizes vocab headroom).
+
+    One token count, one count-of-counts aggregate; the ``top``
+    SMALLEST occupied k values reported (a synthetic corpus may have
+    no literal singletons — the spectrum head is wherever the rare
+    tail actually starts)."""
+    from ..functions.text import tokens
+
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    spectrum = counts.groupBy("c").agg(F.count(F.lit(1)).alias("n_types"))
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("_v"),
+        F.sum("c").cast("long").alias("_n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("_n1"),
+    )
+    return (
+        spectrum.orderBy(F.col("c").asc())
+        .limit(top)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("c").cast("long").alias("k"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("_v").alias("vocab_size"),
+            F.col("_n").alias("n_tokens"),
+            F.round(F.col("_n1") / F.col("_v"), 6).alias("hapax_share"),
+            F.round(F.col("_n1") / F.col("_n"), 6).alias("good_turing_p0"),
+        )
+    )

@@ -14880,3 +14880,40 @@ def events_activation_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aha-moment table behind onboarding metrics; one user shuffle
     plus bounded per-user aggregates."""
     return E.activation_analysis(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 144 (round 2): frequency-of-frequencies spectrum — Good-Turing
+# inputs, hapax rate, unseen-mass estimate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vocab_freq_spectrum",
+    f"""
+WITH counts AS (
+  SELECT t, COUNT(*) AS c
+  FROM (SELECT unnest({_TK_SQL}) AS t FROM documents)
+  GROUP BY t
+),
+spec AS (SELECT c, COUNT(*) AS n_types FROM counts GROUP BY c),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM counts
+)
+SELECT CAST(c AS BIGINT) AS k,
+       CAST(n_types AS BIGINT) AS n_types,
+       v AS vocab_size, n AS n_tokens,
+       ROUND(n1 * 1.0 / v, 6) AS hapax_share,
+       ROUND(n1 * 1.0 / n, 6) AS good_turing_p0
+FROM (SELECT * FROM spec ORDER BY c LIMIT {T.SPECTRUM_TOP}) spec
+CROSS JOIN tot
+""",
+)
+def vocab_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies (types occurring exactly k times) with
+    hapax share and the Good-Turing unseen-mass P0 = n1/N — the vocab-
+    headroom table; one token count + one count-of-counts."""
+    return T.vocab_frequency_spectrum(load_table(spark, sf_dir, "documents"))
