@@ -5126,3 +5126,52 @@ def hash_partition_balance(
         ).alias("imbalance_ratio"),
         F.round(F.max("n") / F.sum("n"), 6).alias("max_bucket_share"),
     )
+
+
+REPEAT_MIN_CUSTOMERS = 5
+REPEAT_TOPN = 20
+
+
+def part_repeat_purchase(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_customers: int = REPEAT_MIN_CUSTOMERS,
+    topn: int = REPEAT_TOPN,
+) -> DataFrame:
+    """REPLENISHABLE detection: per part, the share of its customers
+    who ordered it in two or more DISTINCT orders — the repeat-purchase
+    rate that separates consumables from one-off buys (the part-grain
+    complement of the customer-grain subscription detector).  Top-N by
+    rate among parts with at least ``min_customers`` buyers.
+
+    One (part, customer) aggregate counting distinct orders, one part
+    rollup, TakeOrdered head."""
+    per = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_partkey", "o_custkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_ord"))
+    )
+    agg = per.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum((F.col("n_ord") >= 2).cast("long")).cast("long").alias("n_repeat"),
+    )
+    return (
+        agg.filter(F.col("n_customers") >= min_customers)
+        .select(
+            F.col("l_partkey").alias("part_id"),
+            "n_customers",
+            "n_repeat",
+            F.round(F.col("n_repeat") / F.col("n_customers"), 6).alias(
+                "repeat_rate"
+            ),
+        )
+        .orderBy(
+            F.col("repeat_rate").desc(),
+            F.col("n_customers").desc(),
+            F.col("part_id").asc(),
+        )
+        .limit(topn)
+    )

@@ -14917,3 +14917,41 @@ def vocab_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     hapax share and the Good-Turing unseen-mass P0 = n1/N — the vocab-
     headroom table; one token count + one count-of-counts."""
     return T.vocab_frequency_spectrum(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 145 (round 2): repeat-purchase rate — replenishable detection at
+# part grain.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_repeat_purchase",
+    f"""
+WITH per AS (
+  SELECT l_partkey, o_custkey, COUNT(DISTINCT l_orderkey) AS n_ord
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
+  FROM per GROUP BY 1
+)
+SELECT l_partkey AS part_id, n_customers, n_repeat,
+       ROUND(n_repeat * 1.0 / n_customers, 6) AS repeat_rate
+FROM agg
+WHERE n_customers >= {R.REPEAT_MIN_CUSTOMERS}
+ORDER BY repeat_rate DESC, n_customers DESC, part_id
+LIMIT {R.REPEAT_TOPN}
+""",
+)
+def part_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part repeat-purchase rate (customers with 2+ distinct
+    orders of it) — replenishable vs one-off classification, top-N
+    among parts with enough buyers; two aggregates + a heap."""
+    return R.part_repeat_purchase(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
