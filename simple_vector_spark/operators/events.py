@@ -2393,3 +2393,42 @@ def activation_analysis(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         F.col("n5").cast("long").alias("n_depth_5p"),
         mean_band("w5", "n5").alias("weeks_depth_5p"),
     )
+
+
+FFILL_HEAD_DAYS = 15
+
+
+def daily_forward_fill(events: DataFrame, head: int = FFILL_HEAD_DAYS) -> DataFrame:
+    """FORWARD-FILL (LOCF) gap repair on the daily event-count series:
+    the dense calendar axis between the first and last event day, with
+    missing days carrying the last observed count — the
+    regularization every lag-based consumer (autocorrelation,
+    forecasting, control charts) silently assumes.  Reported: the
+    first ``head`` days with observed vs filled values and a fill
+    flag (the audit slice; the full filled frame is this same plan
+    unlimited).
+
+    The dense axis is one sequence explode over the bounded calendar
+    span; the LOCF window rides the |days| table (calendar-bounded —
+    it does not grow with event volume) ordered by date with
+    last-ignore-nulls semantics, identical in DuckDB."""
+    daily = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    span = daily.agg(F.min("d").alias("_lo"), F.max("d").alias("_hi"))
+    axis = span.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("d")
+    )
+    joined = axis.join(daily, "d", "left")
+    w = Window.orderBy(F.col("d").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = joined.select(
+        "d",
+        F.col("n").alias("observed"),
+        F.last("n", ignorenulls=True).over(w).alias("filled"),
+        F.col("n").isNull().alias("was_gap"),
+    )
+    return filled.orderBy(F.col("d").asc()).limit(head)

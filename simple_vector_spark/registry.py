@@ -14955,3 +14955,40 @@ def part_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 146 (round 2): forward-fill (LOCF) gap repair on the daily axis.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_daily_forward_fill",
+    f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+axis AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+),
+j AS (SELECT axis.d, daily.n FROM axis LEFT JOIN daily USING (d)),
+f AS (
+  SELECT d, n AS observed,
+         last_value(n IGNORE NULLS)
+           OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS filled,
+         n IS NULL AS was_gap
+  FROM j
+)
+SELECT d, observed, filled, was_gap
+FROM f ORDER BY d LIMIT {E.FFILL_HEAD_DAYS}
+""",
+)
+def events_daily_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF forward-fill over the dense calendar axis of daily event
+    counts (first {E.FFILL_HEAD_DAYS} days shown with fill flags) —
+    the time-series regularization lag-based consumers assume;
+    calendar-bounded axis, last-ignore-nulls window."""
+    return E.daily_forward_fill(load_table(spark, sf_dir, "events"))
