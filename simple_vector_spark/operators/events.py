@@ -2432,3 +2432,42 @@ def daily_forward_fill(events: DataFrame, head: int = FFILL_HEAD_DAYS) -> DataFr
         F.col("n").isNull().alias("was_gap"),
     )
     return filled.orderBy(F.col("d").asc()).limit(head)
+
+
+FC_EVAL_DAYS = 14
+
+
+def forecast_baseline_eval(events: DataFrame, eval_days: int = FC_EVAL_DAYS) -> DataFrame:
+    """FORECAST-BASELINE evaluation on the daily count series: MAE of
+    the naive (yesterday) vs the seasonal-naive (same weekday last
+    week) predictor over the last ``eval_days`` days — the two
+    baselines any real forecasting model must beat, and the cheap
+    answer to 'is there weekly seasonality worth modeling' (seasonal
+    winning = yes).  Exact integer errors; one date aggregate, two
+    shifted-rank joins on the calendar-bounded daily table."""
+    daily = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    from .ranking import ranked_global
+
+    seq = ranked_global(daily, [F.col("d").asc()], rank_name="t", total_name="nd")
+    lag1 = seq.select((F.col("t") + 1).alias("t"), F.col("n").alias("p1"))
+    lag7 = seq.select((F.col("t") + 7).alias("t"), F.col("n").alias("p7"))
+    j = (
+        seq.join(lag1, "t")
+        .join(lag7, "t")
+        .filter(F.col("t") > F.col("nd") - eval_days)
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_eval"),
+        F.round(F.avg(F.abs(F.col("n") - F.col("p1"))), 6).alias("mae_naive_1d"),
+        F.round(F.avg(F.abs(F.col("n") - F.col("p7"))), 6).alias(
+            "mae_seasonal_7d"
+        ),
+        (
+            F.sum(F.abs(F.col("n") - F.col("p7")))
+            < F.sum(F.abs(F.col("n") - F.col("p1")))
+        ).alias("weekly_seasonality_wins"),
+    )

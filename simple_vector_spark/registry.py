@@ -14992,3 +14992,43 @@ def events_daily_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the time-series regularization lag-based consumers assume;
     calendar-bounded axis, last-ignore-nulls window."""
     return E.daily_forward_fill(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 147 (round 2): forecast baselines — naive vs seasonal-naive MAE,
+# the bar any model must clear.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_forecast_baselines",
+    f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+seq AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY d) AS t,
+         COUNT(*) OVER () AS nd
+  FROM daily
+),
+j AS (
+  SELECT a.n, b.n AS p1, c.n AS p7, a.t, a.nd
+  FROM seq a
+  JOIN seq b ON a.t = b.t + 1
+  JOIN seq c ON a.t = c.t + 7
+  WHERE a.t > a.nd - {E.FC_EVAL_DAYS}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days_eval,
+       ROUND(AVG(ABS(n - p1)), 6) AS mae_naive_1d,
+       ROUND(AVG(ABS(n - p7)), 6) AS mae_seasonal_7d,
+       SUM(ABS(n - p7)) < SUM(ABS(n - p1)) AS weekly_seasonality_wins
+FROM j
+""",
+)
+def events_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive (t-1) vs seasonal-naive (t-7) MAE over the last
+    {E.FC_EVAL_DAYS} days of daily counts — the baselines any forecast
+    model must beat, and the cheap weekly-seasonality verdict; exact
+    integer errors, shifted-rank joins."""
+    return E.forecast_baseline_eval(load_table(spark, sf_dir, "events"))
