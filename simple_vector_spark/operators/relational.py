@@ -5175,3 +5175,76 @@ def part_repeat_purchase(
         )
         .limit(topn)
     )
+
+
+POISSON_CELLS = 8  # shifted counts 0..6 + pooled tail
+
+
+def lines_poisson_fit(lineitem: DataFrame, cells: int = POISSON_CELLS) -> DataFrame:
+    """DISTRIBUTION FIT: are lines-per-order Poisson?  The shifted
+    count (lines - 1) is fit to Poisson(lambda = its mean) and tested
+    with a chi-square GOF over {POISSON_CELLS - 1} cells plus a pooled
+    tail — the parametric-model sanity check behind any synthetic-data
+    or capacity assumption about order sizes (a fat tail or
+    underdispersion here invalidates Poisson-based sizing).
+
+    lambda comes from exact integer sums; expected cells use
+    exp/pow/factorial doubles ROUNDed 6; chi-square terms round 9 into
+    a DECIMAL fold.  One orderkey aggregate, |cells| model rows."""
+    import math
+
+    per = lineitem.groupBy("l_orderkey").agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("k")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"), F.sum("k").alias("_sk")
+    )
+    obs = per.groupBy(
+        F.least(F.col("k"), F.lit(cells - 1)).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("o")).localCheckpoint()
+    lam = F.col("_sk").cast("double") / F.col("_n")
+    spark = lineitem.sparkSession
+    cdf = spark.createDataFrame(
+        [(j, float(math.factorial(j))) for j in range(cells - 1)],
+        "cell long, fact double",
+    )
+    e_head = F.round(
+        F.col("_n") * F.exp(-lam) * F.pow(lam, F.col("cell")) / F.col("fact"), 6
+    )
+    head = cdf.crossJoin(F.broadcast(tot)).select(
+        "cell", e_head.alias("e")
+    )
+    head_sum = head.agg(F.sum("e").alias("_eh"))
+    tail = (
+        tot.crossJoin(F.broadcast(head_sum))
+        .select(
+            F.lit(cells - 1).cast("long").alias("cell"),
+            F.round(F.col("_n") - F.col("_eh"), 6).alias("e"),
+        )
+    )
+    expect = head.unionByName(tail)
+    j = expect.join(obs, "cell", "left").select(
+        "cell",
+        F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("observed"),
+        "e",
+    )
+    chi = j.select(
+        F.round(
+            (F.col("observed") - F.col("e")) * (F.col("observed") - F.col("e"))
+            / F.col("e"),
+            9,
+        )
+        .cast("decimal(38,12)")
+        .alias("t")
+    ).agg(F.round(F.sum("t").cast("double"), 6).alias("chi2"))
+    return (
+        j.crossJoin(F.broadcast(chi))
+        .crossJoin(F.broadcast(tot.select(F.round(lam, 6).alias("lambda_hat"))))
+        .select(
+            "cell",
+            "observed",
+            F.col("e").alias("expected"),
+            "lambda_hat",
+            "chi2",
+        )
+    )

@@ -15032,3 +15032,64 @@ def events_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
     model must beat, and the cheap weekly-seasonality verdict; exact
     integer errors, shifted-rank joins."""
     return E.forecast_baseline_eval(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 148 (round 2): Poisson goodness-of-fit on order sizes.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_POIS_HEAD_SQL = "\nUNION ALL\n".join(
+    f"""SELECT CAST({j} AS BIGINT) AS cell,
+       ROUND(n * exp(-lam) * pow(lam, {j}) / {{0}}, 6) AS e
+FROM tot""".format(float(_math.factorial(j)))
+    for j in range(R.POISSON_CELLS - 1)
+)
+
+
+@query(
+    "orders_lines_poisson_fit",
+    f"""
+WITH per AS (
+  SELECT l_orderkey, COUNT(*) - 1 AS k FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(k) * 1.0 / COUNT(*) AS lam
+  FROM per
+),
+obs AS (
+  SELECT LEAST(k, {R.POISSON_CELLS - 1}) AS cell, COUNT(*) AS o
+  FROM per GROUP BY 1
+),
+head AS ({_POIS_HEAD_SQL}),
+hs AS (SELECT SUM(e) AS eh FROM head),
+tail AS (
+  SELECT CAST({R.POISSON_CELLS - 1} AS BIGINT) AS cell,
+         ROUND(n - eh, 6) AS e
+  FROM tot, hs
+),
+expect AS (SELECT * FROM head UNION ALL SELECT * FROM tail),
+j AS (
+  SELECT expect.cell,
+         CAST(COALESCE(obs.o, 0) AS BIGINT) AS observed,
+         expect.e
+  FROM expect LEFT JOIN obs ON expect.cell = obs.cell
+),
+chi AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND((observed - e) * (observed - e) / e, 9)
+                             AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2
+  FROM j
+)
+SELECT j.cell, j.observed, j.e AS expected,
+       ROUND(lam, 6) AS lambda_hat, chi.chi2
+FROM j CROSS JOIN chi CROSS JOIN tot
+""",
+)
+def orders_lines_poisson_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson GOF on shifted lines-per-order: observed vs expected
+    cells + pooled tail and the chi-square statistic — the parametric
+    sanity check behind order-size assumptions; exact-sum lambda,
+    rounded model cells."""
+    return R.lines_poisson_fit(load_table(spark, sf_dir, "lineitem"))
