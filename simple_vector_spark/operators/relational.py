@@ -5248,3 +5248,61 @@ def lines_poisson_fit(lineitem: DataFrame, cells: int = POISSON_CELLS) -> DataFr
             "chi2",
         )
     )
+
+
+def bullwhip_ratio(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """BULLWHIP ratio: variance amplification between the demand
+    signal (monthly ordered quantity, by order date) and the
+    fulfilment signal (monthly shipped quantity, by ship date) —
+    CV²(ship) / CV²(order) > 1 means the chain AMPLIFIES demand
+    variability downstream, the classic supply-chain instability
+    number.
+
+    Both monthly series come from one fact scan each (quantity summed
+    as DECIMAL); CV² from exact power sums over the bounded month
+    tables; one row out."""
+    def monthly(df, date_col):
+        return (
+            df.groupBy(F.date_trunc("month", F.col(date_col)).alias("m"))
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        )
+
+    demand = monthly(
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ),
+        "o_orderdate",
+    )
+    supply = monthly(lineitem, "l_shipdate")
+
+    def cv2(df, n_name, cv_name):
+        s = df.agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("q").alias("_s"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,4)")).alias("_ss"),
+        )
+        n = F.col("_n").cast("double")
+        mu = F.col("_s").cast("double") / n
+        var = F.col("_ss").cast("double") / n - mu * mu
+        return s.select(
+            F.col("_n").alias(n_name),
+            F.round(
+                F.try_divide(var, F.nullif(mu * mu, F.lit(0.0))), 6
+            ).alias(cv_name),
+        )
+
+    d = cv2(demand, "n_months_order", "cv2_order")
+    sp = cv2(supply, "n_months_ship", "cv2_ship")
+    return d.crossJoin(F.broadcast(sp)).select(
+        "n_months_order",
+        "cv2_order",
+        "n_months_ship",
+        "cv2_ship",
+        F.round(
+            F.try_divide(
+                F.col("cv2_ship"), F.nullif(F.col("cv2_order"), F.lit(0.0))
+            ),
+            6,
+        ).alias("bullwhip_ratio"),
+    )

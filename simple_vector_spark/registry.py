@@ -15093,3 +15093,58 @@ def orders_lines_poisson_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanity check behind order-size assumptions; exact-sum lambda,
     rounded model cells."""
     return R.lines_poisson_fit(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 149 (round 2): bullwhip ratio — does the chain amplify demand
+# variability downstream?
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_bullwhip_ratio",
+    """
+WITH demand AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+supply AS (
+  SELECT date_trunc('month', l_shipdate) AS m,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY 1
+),
+d AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_months_order,
+         ROUND((CAST(SUM(CAST(q * q AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+                - (CAST(SUM(q) AS DOUBLE) / COUNT(*))
+                  * (CAST(SUM(q) AS DOUBLE) / COUNT(*)))
+               / NULLIF((CAST(SUM(q) AS DOUBLE) / COUNT(*))
+                        * (CAST(SUM(q) AS DOUBLE) / COUNT(*)), 0.0), 6)
+           AS cv2_order
+  FROM demand
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_months_ship,
+         ROUND((CAST(SUM(CAST(q * q AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+                - (CAST(SUM(q) AS DOUBLE) / COUNT(*))
+                  * (CAST(SUM(q) AS DOUBLE) / COUNT(*)))
+               / NULLIF((CAST(SUM(q) AS DOUBLE) / COUNT(*))
+                        * (CAST(SUM(q) AS DOUBLE) / COUNT(*)), 0.0), 6)
+           AS cv2_ship
+  FROM supply
+)
+SELECT n_months_order, cv2_order, n_months_ship, cv2_ship,
+       ROUND(cv2_ship / NULLIF(cv2_order, 0.0), 6) AS bullwhip_ratio
+FROM d, s
+""",
+)
+def lineitem_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CV² of monthly shipped quantity over CV² of monthly ordered
+    quantity — the bullwhip variance-amplification index; exact power
+    sums on the bounded month tables."""
+    return R.bullwhip_ratio(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
