@@ -2471,3 +2471,75 @@ def forecast_baseline_eval(events: DataFrame, eval_days: int = FC_EVAL_DAYS) -> 
             < F.sum(F.abs(F.col("n") - F.col("p1")))
         ).alias("weekly_seasonality_wins"),
     )
+
+
+UPLIFT_DECILES = 5
+
+
+def uplift_by_activity_band(
+    events: DataFrame, bands: int = UPLIFT_DECILES
+) -> DataFrame:
+    """UPLIFT table: purchase-conversion difference between the md5
+    A/B arms WITHIN pre-period activity bands (grouped ntile) — the
+    Qini/uplift-curve input that says WHERE a treatment moves users
+    (heavy users may saturate while light users respond; the flat
+    average hides it).  On an untreated stream the uplift column is a
+    placebo check: ~0 everywhere, and a band far from 0 measures the
+    split's residual imbalance.
+
+    One user-grain aggregate (pre-period activity + converted flag),
+    the two-phase grouped ntile for bands, one (band, arm) rollup."""
+    from ..functions.text import md5_int
+    from .ranking import grouped_ntile
+
+    span = events.agg(
+        F.floor(
+            (F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts"))) / 2
+        )
+        .cast("long")
+        .alias("_mid")
+    )
+    per_user = (
+        events.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.unix_timestamp("ts") < F.col("_mid")).cast("long")
+            ).alias("pre"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+        )
+        .select(
+            "user_id",
+            "pre",
+            "conv",
+            (md5_int(F.col("user_id").cast("string")) % 2).cast("int").alias("arm"),
+        )
+    )
+    banded = grouped_ntile(
+        per_user,
+        [F.col("pre").desc(), F.col("user_id").asc()],
+        bands,
+        "band",
+    )
+    cells = banded.groupBy("band", "arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    a = cells.filter(F.col("arm") == 0).select(
+        "band", F.col("n").alias("na"), F.col("c").alias("ca")
+    )
+    b = cells.filter(F.col("arm") == 1).select(
+        "band", F.col("n").alias("nb"), F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, "band")
+        .select(
+            F.col("band").cast("int").alias("band"),
+            F.col("na").cast("long").alias("n_arm_a"),
+            F.col("nb").cast("long").alias("n_arm_b"),
+            F.round(F.col("ca") / F.col("na"), 6).alias("rate_a"),
+            F.round(F.col("cb") / F.col("nb"), 6).alias("rate_b"),
+            F.round(
+                F.col("cb") / F.col("nb") - F.col("ca") / F.col("na"), 6
+            ).alias("uplift"),
+        )
+    )

@@ -15148,3 +15148,51 @@ def lineitem_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 150 (round 2): uplift-by-activity-band table — where a treatment
+# moves users; a placebo check on untreated traffic.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_uplift_bands",
+    f"""
+WITH mid AS (
+  SELECT CAST(FLOOR((MIN(FLOOR(epoch(ts))) + MAX(FLOOR(epoch(ts)))) / 2.0)
+              AS BIGINT) AS m
+  FROM events
+),
+pu AS (
+  SELECT user_id,
+         SUM(CASE WHEN FLOOR(epoch(ts)) < mid.m THEN 1 ELSE 0 END) AS pre,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         CAST((CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2) AS INT) AS arm
+  FROM events CROSS JOIN mid
+  GROUP BY user_id
+),
+banded AS (
+  SELECT *, ntile({E.UPLIFT_DECILES}) OVER (ORDER BY pre DESC, user_id) AS band
+  FROM pu
+),
+cells AS (
+  SELECT band, arm, COUNT(*) AS n, SUM(conv) AS c
+  FROM banded GROUP BY 1, 2
+),
+a AS (SELECT band, n AS na, c AS ca FROM cells WHERE arm = 0),
+b AS (SELECT band, n AS nb, c AS cb FROM cells WHERE arm = 1)
+SELECT CAST(a.band AS INT) AS band,
+       CAST(na AS BIGINT) AS n_arm_a, CAST(nb AS BIGINT) AS n_arm_b,
+       ROUND(ca * 1.0 / na, 6) AS rate_a,
+       ROUND(cb * 1.0 / nb, 6) AS rate_b,
+       ROUND(cb * 1.0 / nb - ca * 1.0 / na, 6) AS uplift
+FROM a JOIN b USING (band)
+""",
+)
+def events_uplift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-activity-band conversion uplift between the md5 arms
+    ({E.UPLIFT_DECILES} grouped-ntile bands) — the Qini-table input /
+    placebo imbalance check; user-grain aggregate + two-phase ntile."""
+    return E.uplift_by_activity_band(load_table(spark, sf_dir, "events"))
