@@ -5306,3 +5306,97 @@ def bullwhip_ratio(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             6,
         ).alias("bullwhip_ratio"),
     )
+
+
+# -- Kaplan-Meier survival ---------------------------------------------------
+
+KM_CENSOR_DAYS = 180  # last order within this of dataset end => censored
+KM_MONTH_DAYS = 30  # lifetime bucketed to floor(days/30) "months"
+
+
+def km_survival(orders: DataFrame) -> DataFrame:
+    """KAPLAN-MEIER survival curve over customer lifetimes: per
+    customer, lifetime t = floor(days between first and last order /
+    {KM_MONTH_DAYS}); a customer whose last order falls within
+    {KM_CENSOR_DAYS} days of the dataset's end is right-CENSORED
+    (still plausibly active), otherwise the churn event is observed.
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i) with d_i = events at t_i and
+    n_i = at-risk count (lifetime >= t_i, censored included) — the
+    estimator that uses censored customers correctly instead of
+    dropping them (contrast customers_churned_yoy's hard cutoff).
+
+    Scale: one customer-keyed aggregate; the time axis is bounded by
+    the dataset's calendar span (~espan/30 rows at ANY scale factor), so
+    the at-risk suffix-sum window and the cumulative-product fold both
+    run on a provably tiny table.  The product folds left over the
+    t-sorted factor array from 1.0 — double multiplies in a fixed
+    order, bit-identical to the DuckDB oracle's list_reduce fold."""
+    maxd = F.broadcast(orders.agg(F.max("o_orderdate").alias("_md")))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("_first"),
+            F.max("o_orderdate").alias("_last"),
+        )
+        .crossJoin(maxd)
+        .select(
+            F.floor(
+                F.datediff("_last", "_first") / F.lit(KM_MONTH_DAYS)
+            ).alias("t"),
+            F.when(
+                F.datediff("_md", "_last") >= KM_CENSOR_DAYS, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("ev"),
+        )
+    )
+    times = per.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    tot = F.broadcast(per.agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    # the times table is bounded by the calendar span -> a global window
+    # over <~200 rows is safe at any SF (documented cardinality bound).
+    w = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        times.crossJoin(tot)
+        .withColumn(
+            "n_risk",
+            F.col("_n") - F.coalesce(F.sum("m").over(w), F.lit(0)),
+        )
+        .withColumn(
+            "factor",
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double"),
+        )
+    )
+    packed = risk.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "n_risk", "d", "c", "factor"))
+        ).alias("arr")
+    )
+    s = F.col("s")
+    return (
+        packed.select(F.col("arr"), F.posexplode("arr").alias("i", "s"))
+        .select(
+            s["t"].cast("long").alias("t_months"),
+            s["n_risk"].cast("long").alias("n_risk"),
+            s["d"].alias("n_events"),
+            s["c"].alias("n_censored"),
+            F.round(
+                F.aggregate(
+                    F.slice(
+                        F.transform(F.col("arr"), lambda x: x["factor"]),
+                        F.lit(1),
+                        F.col("i") + F.lit(1),
+                    ),
+                    F.lit(1.0),
+                    lambda acc, x: acc * x,
+                ),
+                6,
+            ).alias("km_survival"),
+        )
+    )

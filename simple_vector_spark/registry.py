@@ -1973,7 +1973,7 @@ def quantize_int8_audit(spark, sf_dir):
 
 @query(
     "ann_quantized_recall",
-    """
+    f"""
 WITH deq AS (
   SELECT vec_id,
          list_transform(e, x -> CAST(CAST(round(x / scale) AS TINYINT) AS DOUBLE) * scale) AS e
@@ -1985,16 +1985,16 @@ WITH deq AS (
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 qpairs AS (SELECT d.vec_id, unnest(d.e) AS x, unnest(q.qv) AS y FROM deq d CROSS JOIN q),
 qd AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM qpairs GROUP BY vec_id),
-qtop AS (SELECT vec_id FROM qd ORDER BY dist, vec_id LIMIT 10),
+qtop AS (SELECT vec_id FROM qd ORDER BY dist, vec_id LIMIT {KNN_K}),
 epairs AS (
   SELECT e.vec_id, unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(q.qv) AS y
   FROM embeddings e CROSS JOIN q
 ),
 ed AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM epairs GROUP BY vec_id),
-etop AS (SELECT vec_id FROM ed ORDER BY dist, vec_id LIMIT 10),
+etop AS (SELECT vec_id FROM ed ORDER BY dist, vec_id LIMIT {KNN_K}),
 hits AS (SELECT vec_id FROM etop WHERE vec_id IN (SELECT vec_id FROM qtop))
-SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
-       ROUND(COUNT(*) / 10.0, 6) AS recall
+SELECT {KNN_K} AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       ROUND(COUNT(*) / CAST({KNN_K} AS DOUBLE), 6) AS recall
 FROM hits
 """,
 )
@@ -2091,16 +2091,16 @@ def ann_pq_adc(spark, sf_dir):
     "ann_pq_recall",
     f"""
 WITH {_PQ_SQL},
-qtop AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 10),
+qtop AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT {KNN_K}),
 epairs AS (
   SELECT e.vec_id, unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(q.qv) AS y
   FROM embeddings e CROSS JOIN q
 ),
 ed AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM epairs GROUP BY vec_id),
-etop AS (SELECT vec_id FROM ed ORDER BY dist, vec_id LIMIT 10),
+etop AS (SELECT vec_id FROM ed ORDER BY dist, vec_id LIMIT {KNN_K}),
 hits AS (SELECT vec_id FROM etop WHERE vec_id IN (SELECT vec_id FROM qtop))
-SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
-       ROUND(COUNT(*) / 10.0, 6) AS recall
+SELECT {KNN_K} AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       ROUND(COUNT(*) / CAST({KNN_K} AS DOUBLE), 6) AS recall
 FROM hits
 """,
 )
@@ -15196,3 +15196,58 @@ def events_uplift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({E.UPLIFT_DECILES} grouped-ntile bands) — the Qini-table input /
     placebo imbalance check; user-grain aggregate + two-phase ntile."""
     return E.uplift_by_activity_band(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 151 (round 2): Kaplan-Meier customer-lifetime survival — censoring
+# done right, on a provably bounded time axis.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customers_km_survival",
+    f"""
+WITH maxd AS (SELECT MAX(o_orderdate) AS md FROM orders),
+per AS (
+  SELECT CAST(FLOOR(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                    / {R.KM_MONTH_DAYS}.0) AS BIGINT) AS t,
+         CASE WHEN date_diff('day', MAX(o_orderdate), ANY_VALUE(maxd.md))
+                   >= {R.KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS ev
+  FROM orders CROSS JOIN maxd
+  GROUP BY o_custkey
+),
+tot AS (SELECT COUNT(*) AS n FROM per),
+times AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM per GROUP BY t
+),
+f AS (
+  SELECT t, d, c,
+         tot.n - COALESCE(SUM(m) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM times CROSS JOIN tot
+),
+g AS (
+  SELECT t, d, c, n_risk,
+         CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+           AS factor
+  FROM f
+)
+SELECT CAST(a.t AS BIGINT) AS t_months,
+       CAST(a.n_risk AS BIGINT) AS n_risk,
+       a.d AS n_events, a.c AS n_censored,
+       ROUND(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                                      list(b.factor ORDER BY b.t)),
+                         (x, y) -> x * y), 6) AS km_survival
+FROM g a JOIN g b ON b.t <= a.t
+GROUP BY a.t, a.n_risk, a.d, a.c
+""",
+)
+def customers_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over customer lifetimes with
+    {R.KM_CENSOR_DAYS}-day right-censoring; the cumulative product
+    folds doubles in t-order from 1.0 in BOTH engines (bit-parity)."""
+    return R.km_survival(load_table(spark, sf_dir, "orders"))
