@@ -2101,3 +2101,106 @@ def vocab_frequency_spectrum(docs: DataFrame, top: int = SPECTRUM_TOP) -> DataFr
             F.round(F.col("_n1") / F.col("_n"), 6).alias("good_turing_p0"),
         )
     )
+
+
+# -- URL parsing / normalization --------------------------------------------
+
+URL_PATH_MOD = 50  # path bucket, so normalization genuinely collapses dups
+URL_REF_MOD = 7  # the one query param normalization must KEEP
+URL_FRAG_MOD = 3  # fragment variants normalization must DROP
+URL_PORT_MOD = 5  # every 5th URL carries an explicit default :443 port
+
+
+def doc_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic per-doc crawl URL (the fixtures ship no URL
+    column): mixed-case WWW host from ``source``, an explicit default
+    port on every {URL_PORT_MOD}th doc, a bucketed path, utm_* tracking
+    params around one meaningful ``ref`` param, and a fragment — every
+    hazard a URL normalizer must handle, reproducible in the oracle."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("https://WWW."),
+            F.upper("source"),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % URL_PORT_MOD == 0, F.lit(":443")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/docs/"),
+            F.col("lang"),
+            F.lit("/"),
+            (F.col("doc_id") % URL_PATH_MOD).cast("string"),
+            F.lit("?utm_source=feed&ref="),
+            (F.col("doc_id") % URL_REF_MOD).cast("string"),
+            F.lit("&utm_campaign=x#sec"),
+            (F.col("doc_id") % URL_FRAG_MOD).cast("string"),
+        ).alias("url"),
+    )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL form via Spark's JVM ``parse_url``: lowercase
+    host, leading ``www.`` and explicit port stripped (HOST already
+    excludes the port), fragment dropped, query params sorted with
+    ``utm_*`` tracking params removed — the crawl-dedup key."""
+    host = F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", ""
+    )
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.parse_url(url, F.lit("QUERY")), "&"),
+            lambda p: ~p.startswith("utm_"),
+        )
+    )
+    return F.concat(
+        host,
+        F.parse_url(url, F.lit("PATH")),
+        F.lit("?"),
+        F.array_join(kept, "&"),
+    )
+
+
+def url_normalize_audit(docs: DataFrame) -> DataFrame:
+    """Per-domain URL-canonicalization audit: raw-distinct vs
+    normalized-distinct URL counts and the share of raw variants the
+    normalizer collapses (tracking params / fragments / case / default
+    ports), plus how many carried an explicit port.
+
+    Scale: URL build + parse + normalize are all JVM string
+    expressions in one projection (no UDF); the audit is ONE
+    domain-keyed aggregate with two distinct-counts — at crawl scale
+    swap the exact distincts for approx_count_distinct without
+    touching the normalizer."""
+    u = doc_urls(docs)
+    norm = u.select(
+        "url",
+        normalize_url(F.col("url")).alias("norm_url"),
+        F.regexp_replace(
+            F.lower(F.parse_url(F.col("url"), F.lit("HOST"))), r"^www\.", ""
+        ).alias("domain"),
+    )
+    return (
+        norm.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("url").cast("long").alias("n_raw_distinct"),
+            F.countDistinct("norm_url").cast("long").alias("n_norm_distinct"),
+            F.sum(F.col("url").contains(":443").cast("int"))
+            .cast("long")
+            .alias("n_port_urls"),
+        )
+        .select(
+            "domain",
+            "n_urls",
+            "n_raw_distinct",
+            "n_norm_distinct",
+            "n_port_urls",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_norm_distinct").cast("double")
+                / F.col("n_raw_distinct").cast("double"),
+                6,
+            ).alias("collapse_share"),
+        )
+    )

@@ -15251,3 +15251,46 @@ def customers_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     {R.KM_CENSOR_DAYS}-day right-censoring; the cumulative product
     folds doubles in t-order from 1.0 in BOTH engines (bit-parity)."""
     return R.km_survival(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 152 (round 2): URL canonicalization — the crawl-dedup key, built on
+# Spark's JVM parse_url against an oracle that recomputes the contract.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "url_normalize_audit",
+    f"""
+WITH u AS (
+  SELECT doc_id, source,
+         'https://WWW.' || upper(source) || '.Example.COM'
+           || CASE WHEN doc_id % {T.URL_PORT_MOD} = 0 THEN ':443' ELSE '' END
+           || '/docs/' || lang || '/' || CAST(doc_id % {T.URL_PATH_MOD} AS VARCHAR)
+           || '?utm_source=feed&ref=' || CAST(doc_id % {T.URL_REF_MOD} AS VARCHAR)
+           || '&utm_campaign=x#sec' || CAST(doc_id % {T.URL_FRAG_MOD} AS VARCHAR)
+           AS url,
+         source || '.example.com/docs/' || lang || '/'
+           || CAST(doc_id % {T.URL_PATH_MOD} AS VARCHAR)
+           || '?ref=' || CAST(doc_id % {T.URL_REF_MOD} AS VARCHAR) AS norm_url,
+         source || '.example.com' AS domain
+  FROM documents
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+       CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_norm_distinct,
+       CAST(SUM(CASE WHEN doc_id % {T.URL_PORT_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_port_urls,
+       ROUND(CAST(1.0 AS DOUBLE)
+             - CAST(COUNT(DISTINCT norm_url) AS DOUBLE)
+               / CAST(COUNT(DISTINCT url) AS DOUBLE), 6) AS collapse_share
+FROM u
+GROUP BY domain
+""",
+)
+def url_normalize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain raw-vs-canonical URL collapse audit; the Spark side
+    genuinely parses (parse_url HOST/PATH/QUERY) and normalizes, the
+    oracle recomputes the canonical contract from the URL formula."""
+    return T.url_normalize_audit(load_table(spark, sf_dir, "documents"))
