@@ -5400,3 +5400,91 @@ def km_survival(orders: DataFrame) -> DataFrame:
             ).alias("km_survival"),
         )
     )
+
+
+# -- Theil-Sen robust trend --------------------------------------------------
+
+
+def _arr_median(arr: Column) -> Column:
+    """Median of a sorted double array by explicit position selection —
+    identical element picks + (a+b)/2 arithmetic in the oracle, no
+    reliance on either engine's median() interpolation rules."""
+    n = F.size(arr)
+    odd = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, F.floor(n / 2).cast("int"))
+        + F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    ) / F.lit(2.0)
+    return F.when(n % 2 == 1, odd).otherwise(even)
+
+
+def theil_sen_trend(orders: DataFrame) -> DataFrame:
+    """THEIL-SEN robust slope of monthly revenue vs month index — the
+    median of all pairwise slopes, immune to the outlier months that
+    drag the OLS line (reported beside it for contrast), plus the
+    median-residual intercept.
+
+    Scale: the month table is bounded by the calendar span at ANY SF
+    (~80 rows -> ~3k pairs), so the pairwise self-join and the sorted
+    in-array median selection are constant-size no matter the order
+    volume; the only data-sized work is the one month-keyed DECIMAL
+    aggregate.  Slopes are single f64 divisions of exact DECIMAL/int
+    differences — bit-identical across engines."""
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    mi = (F.year("m") * 12 + F.month("m")).cast("long")
+    base = monthly.select(mi.alias("mi"), "y")
+    mn = F.broadcast(base.agg(F.min("mi").alias("_mn")))
+    idx = base.crossJoin(mn).select(
+        (F.col("mi") - F.col("_mn")).alias("i"), "y"
+    ).localCheckpoint()
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.i") - F.col("a.i")).cast("double")
+        ).alias("s")
+    )
+    med = F.broadcast(
+        slopes.agg(F.array_sort(F.collect_list("s")).alias("arr")).select(
+            F.size("arr").cast("long").alias("n_pairs"),
+            _arr_median(F.col("arr")).alias("slope_med"),
+        )
+    )
+    resid = idx.crossJoin(med).select(
+        "n_pairs",
+        "slope_med",
+        (
+            F.col("y").cast("double")
+            - F.col("slope_med") * F.col("i").cast("double")
+        ).alias("r"),
+    )
+    ts = resid.groupBy("n_pairs", "slope_med").agg(
+        _arr_median(F.array_sort(F.collect_list("r"))).alias("intercept_med")
+    )
+    ols = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("i").alias("sx"),
+        F.sum(F.col("i") * F.col("i")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("i") * F.col("y")).cast("decimal(38,2)")).alias("sxy"),
+    ).select(
+        "n_months",
+        (
+            (
+                F.col("n_months") * F.col("sxy")
+                - F.col("sx") * F.col("sy")
+            ).cast("double")
+            / (
+                F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double")
+        ).alias("slope_ols"),
+    )
+    return ols.crossJoin(F.broadcast(ts)).select(
+        "n_months",
+        "n_pairs",
+        F.round("slope_med", 6).alias("theil_slope"),
+        F.round("intercept_med", 6).alias("theil_intercept"),
+        F.round("slope_ols", 6).alias("ols_slope"),
+    )

@@ -15294,3 +15294,77 @@ def url_normalize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely parses (parse_url HOST/PATH/QUERY) and normalizes, the
     oracle recomputes the canonical contract from the URL formula."""
     return T.url_normalize_audit(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 153 (round 2): Theil-Sen robust revenue trend — outlier-immune slope
+# beside the OLS line, on the bounded month table.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_theil_sen_trend",
+    """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM orders GROUP BY 1
+),
+base AS (SELECT CAST(year(m)*12 + month(m) AS BIGINT) AS mi, y FROM monthly),
+idx AS (
+  SELECT mi - (SELECT MIN(mi) FROM base) AS i, y FROM base
+),
+pairs AS (
+  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS s
+  FROM idx a JOIN idx b ON a.i < b.i
+),
+sl AS (SELECT list_sort(list(s)) AS arr, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM pairs),
+med AS (
+  SELECT n_pairs,
+         CASE WHEN n_pairs % 2 = 1
+              THEN arr[CAST(FLOOR((n_pairs + 1) / 2.0) AS INT)]
+              ELSE (arr[CAST(FLOOR(n_pairs / 2.0) AS INT)]
+                    + arr[CAST(FLOOR(n_pairs / 2.0) AS INT) + 1]) / 2.0
+         END AS slope_med
+  FROM sl
+),
+resid AS (
+  SELECT med.n_pairs, med.slope_med,
+         CAST(y AS DOUBLE) - med.slope_med * CAST(i AS DOUBLE) AS r
+  FROM idx CROSS JOIN med
+),
+rs AS (
+  SELECT n_pairs, slope_med, list_sort(list(r)) AS arr,
+         CAST(COUNT(*) AS BIGINT) AS nm
+  FROM resid GROUP BY n_pairs, slope_med
+),
+ts AS (
+  SELECT n_pairs, slope_med,
+         CASE WHEN nm % 2 = 1
+              THEN arr[CAST(FLOOR((nm + 1) / 2.0) AS INT)]
+              ELSE (arr[CAST(FLOOR(nm / 2.0) AS INT)]
+                    + arr[CAST(FLOOR(nm / 2.0) AS INT) + 1]) / 2.0
+         END AS intercept_med
+  FROM rs
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(COUNT(*) * SUM(CAST(i * y AS DECIMAL(38,2)))
+              - SUM(i) * SUM(y) AS DOUBLE)
+         / CAST(COUNT(*) * SUM(i * i) - SUM(i) * SUM(i) AS DOUBLE)
+           AS slope_ols
+  FROM idx
+)
+SELECT n_months, n_pairs,
+       ROUND(slope_med, 6) AS theil_slope,
+       ROUND(intercept_med, 6) AS theil_intercept,
+       ROUND(slope_ols, 6) AS ols_slope
+FROM ols CROSS JOIN ts
+""",
+)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen median-of-pairwise-slopes revenue trend with
+    median-residual intercept, OLS beside it — medians picked by
+    explicit sorted-array position in both engines."""
+    return R.theil_sen_trend(load_table(spark, sf_dir, "orders"))
