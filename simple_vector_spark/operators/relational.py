@@ -5488,3 +5488,63 @@ def theil_sen_trend(orders: DataFrame) -> DataFrame:
         F.round("intercept_med", 6).alias("theil_intercept"),
         F.round("slope_ols", 6).alias("ols_slope"),
     )
+
+
+# -- Holt double-exponential smoothing ---------------------------------------
+
+HOLT_ALPHA = 0.5  # level smoothing
+HOLT_BETA = 0.3  # trend smoothing
+
+
+def holt_linear_trend(orders: DataFrame) -> DataFrame:
+    """HOLT linear-trend (double exponential) smoothing of monthly
+    revenue: l_t = a*y_t + (1-a)(l+b), b_t = B*(l_t-l) + (1-B)*b,
+    initialized l_0=y_0, b_0=y_1-y_0 — the trend-aware upgrade of
+    orders_revenue_ewma, with the one-step-ahead MSE accumulated in
+    the same pass and h-step forecasts off the final state.
+
+    Scale: one month-keyed DECIMAL aggregate is the only data-sized
+    work; the recursion folds a (level, trend, sse) double-struct over
+    the month-sorted array on ONE row — fixed evaluation order, so the
+    oracle's list_reduce fold is bit-identical (no driver loop, no
+    ln/exp)."""
+    a, b_ = HOLT_ALPHA, HOLT_BETA
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    packed = monthly.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("m"), F.col("y").cast("double").alias("y"))
+                )
+            ),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    n = F.size(ys)
+    init = F.struct(
+        F.element_at(ys, 1).alias("l"),
+        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("b"),
+        F.lit(0.0).alias("sse"),
+    )
+
+    def step(acc, x):
+        pred = acc["l"] + acc["b"]
+        newl = a * x + (1 - a) * pred
+        return F.struct(
+            newl.alias("l"),
+            (b_ * (newl - acc["l"]) + (1 - b_) * acc["b"]).alias("b"),
+            (acc["sse"] + (pred - x) * (pred - x)).alias("sse"),
+        )
+
+    st = F.aggregate(F.slice(ys, 2, n - 1), init, step)
+    return packed.select(
+        n.cast("long").alias("n_months"),
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(st["sse"] / (n - 1).cast("double"), 6).alias("mse_1step"),
+        F.round(st["l"] + st["b"], 6).alias("forecast_1m"),
+        F.round(st["l"] + F.lit(3.0) * st["b"], 6).alias("forecast_3m"),
+    )

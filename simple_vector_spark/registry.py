@@ -15368,3 +15368,58 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     median-residual intercept, OLS beside it — medians picked by
     explicit sorted-array position in both engines."""
     return R.theil_sen_trend(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 154 (round 2): Holt linear-trend smoothing — the trend-aware EWMA,
+# recursion as a fixed-order fold in BOTH engines.
+# --------------------------------------------------------------------------
+
+_HOLT_A = repr(R.HOLT_ALPHA)
+_HOLT_OMA = repr(1 - R.HOLT_ALPHA)
+_HOLT_B = repr(R.HOLT_BETA)
+_HOLT_OMB = repr(1 - R.HOLT_BETA)
+
+
+@query(
+    "orders_holt_trend",
+    f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+),
+arr AS (
+  SELECT list(CAST(y AS DOUBLE) ORDER BY m) AS ys,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM monthly
+),
+st AS (
+  SELECT n,
+         list_reduce(
+           list_prepend([ys[1], ys[2] - ys[1], CAST(0.0 AS DOUBLE)],
+                        list_transform(ys[2:],
+                                       x -> [x, CAST(0.0 AS DOUBLE),
+                                             CAST(0.0 AS DOUBLE)])),
+           (acc, e) -> [
+             {_HOLT_A} * e[1] + {_HOLT_OMA} * (acc[1] + acc[2]),
+             {_HOLT_B} * (({_HOLT_A} * e[1] + {_HOLT_OMA} * (acc[1] + acc[2]))
+                          - acc[1]) + {_HOLT_OMB} * acc[2],
+             acc[3] + (acc[1] + acc[2] - e[1]) * (acc[1] + acc[2] - e[1])
+           ]) AS s
+  FROM arr
+)
+SELECT n AS n_months,
+       ROUND(s[1], 6) AS level,
+       ROUND(s[2], 6) AS trend,
+       ROUND(s[3] / CAST(n - 1 AS DOUBLE), 6) AS mse_1step,
+       ROUND(s[1] + s[2], 6) AS forecast_1m,
+       ROUND(s[1] + 3.0 * s[2], 6) AS forecast_3m
+FROM st
+""",
+)
+def orders_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of monthly revenue with
+    one-step MSE and 1/3-month forecasts; the (level, trend, sse)
+    recursion folds in identical order in both engines."""
+    return R.holt_linear_trend(load_table(spark, sf_dir, "orders"))
