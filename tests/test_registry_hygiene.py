@@ -53,3 +53,19 @@ def test_all_oracles_parse_in_duckdb(con):
         except Exception as ex:  # noqa: BLE001
             bad[name] = str(ex).splitlines()[0]
     assert not bad, f"oracles failing to parse: {bad}"
+
+
+def test_no_duplicate_query_names_in_source():
+    # @query registration is a dict write, so a re-used name silently
+    # SHADOWS the earlier query; catch collisions at the source level.
+    import pathlib
+    import re
+
+    src = (
+        pathlib.Path(__file__).parent.parent
+        / "simple_vector_spark"
+        / "registry.py"
+    ).read_text()
+    names = re.findall(r'@query\(\s*\n?\s*"([^"]+)"', src)
+    dupes = {n for n in names if names.count(n) > 1}
+    assert not dupes, f"duplicate @query names: {sorted(dupes)}"
