@@ -5548,3 +5548,95 @@ def holt_linear_trend(orders: DataFrame) -> DataFrame:
         F.round(st["l"] + st["b"], 6).alias("forecast_1m"),
         F.round(st["l"] + F.lit(3.0) * st["b"], 6).alias("forecast_3m"),
     )
+
+
+# -- periodogram -------------------------------------------------------------
+
+PERIODOGRAM_TOPK = 5
+
+
+def revenue_periodogram(orders: DataFrame, topk: int = PERIODOGRAM_TOPK) -> DataFrame:
+    """DFT PERIODOGRAM of monthly revenue: per frequency k = 1..n/2,
+    spectral power of the mean-centered series, reported as the share
+    of total power with the top-{PERIODOGRAM_TOPK} ranked — the
+    frequency-domain seasonality detector (orders_seasonality asserts
+    a 12-month profile; this measures WHICH period actually dominates).
+
+    Determinism: centered values use the integer-scaled z_t = n*y_t -
+    Sy trick (exact DECIMAL, no mean division); cos/sin are rounded to
+    9 decimals and cast to DECIMAL so the per-frequency sums are exact
+    and shuffle-order invariant; power ratios are single f64 ops.
+
+    Scale: the month table is calendar-bounded, so the (month x
+    frequency) grid is ~80x40 at ANY SF; the only data-sized work is
+    the monthly DECIMAL aggregate."""
+    import math
+
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    mi = (F.year("m") * 12 + F.month("m")).cast("long")
+    base = monthly.select(mi.alias("mi"), "y")
+    stats = F.broadcast(
+        base.agg(
+            F.min("mi").alias("_mn"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").alias("sy"),
+        )
+    )
+    idx = base.crossJoin(stats).select(
+        (F.col("mi") - F.col("_mn")).alias("i"),
+        (F.col("n") * F.col("y") - F.col("sy")).cast("decimal(28,2)").alias("z"),
+        "n",
+    )
+    ks = (
+        stats.select(
+            F.explode(
+                F.sequence(F.lit(1), F.floor(F.col("n") / 2).cast("long"))
+            ).alias("k"),
+            "n",
+        )
+    )
+    grid = idx.join(F.broadcast(ks.select("k")), how="cross")
+    angle = (
+        F.lit(2.0)
+        * F.lit(math.pi)
+        * F.col("k").cast("double")
+        * F.col("i").cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = grid.select(
+        "k",
+        (F.col("z") * F.round(F.cos(angle), 9).cast("decimal(12,9)"))
+        .cast("decimal(38,11)")
+        .alias("tc"),
+        (F.col("z") * F.round(F.sin(angle), 9).cast("decimal(12,9)"))
+        .cast("decimal(38,11)")
+        .alias("ts"),
+    )
+    power = terms.groupBy("k").agg(
+        (
+            F.pow(F.sum("tc").cast("double"), 2)
+            + F.pow(F.sum("ts").cast("double"), 2)
+        ).alias("p")
+    )
+    tot = F.broadcast(power.agg(F.sum("p").alias("_tp")))
+    shared = power.crossJoin(tot).crossJoin(
+        F.broadcast(stats.select("n"))
+    ).select(
+        "k",
+        F.round(F.col("n").cast("double") / F.col("k").cast("double"), 2).alias(
+            "period_months"
+        ),
+        F.round(F.try_divide(F.col("p"), F.nullif(F.col("_tp"), F.lit(0.0))), 6).alias(
+            "power_share"
+        ),
+    )
+    # frequency table is bounded (<= ~40 rows) -> global rank is safe
+    w = Window.orderBy(F.col("power_share").desc(), F.col("k").asc())
+    return (
+        shared.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= topk)
+        .select(F.col("k").cast("long").alias("freq_k"), "period_months",
+                "power_share", "rnk")
+    )

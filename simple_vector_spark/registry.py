@@ -15423,3 +15423,68 @@ def orders_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-step MSE and 1/3-month forecasts; the (level, trend, sse)
     recursion folds in identical order in both engines."""
     return R.holt_linear_trend(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 155 (round 2): DFT periodogram — which period actually dominates
+# monthly revenue, in the frequency domain.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_periodogram",
+    f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+),
+base AS (SELECT CAST(year(m)*12 + month(m) AS BIGINT) AS mi, y FROM monthly),
+stats AS (
+  SELECT MIN(mi) AS mn, CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS sy FROM base
+),
+idx AS (
+  SELECT b.mi - s.mn AS i,
+         CAST(s.n * b.y - s.sy AS DECIMAL(28,2)) AS z, s.n
+  FROM base b CROSS JOIN stats s
+),
+ks AS (
+  SELECT unnest(range(1, CAST(FLOOR(n / 2.0) AS BIGINT) + 1)) AS k FROM stats
+),
+grid AS (SELECT idx.i, idx.z, idx.n, ks.k FROM idx CROSS JOIN ks),
+terms AS (
+  SELECT k,
+         CAST(z * CAST(ROUND(COS(2.0 * 3.141592653589793 * CAST(k AS DOUBLE)
+                                 * CAST(i AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                       AS DECIMAL(12,9)) AS DECIMAL(38,11)) AS tc,
+         CAST(z * CAST(ROUND(SIN(2.0 * 3.141592653589793 * CAST(k AS DOUBLE)
+                                 * CAST(i AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                       AS DECIMAL(12,9)) AS DECIMAL(38,11)) AS ts
+  FROM grid
+),
+power AS (
+  SELECT k, POW(CAST(SUM(tc) AS DOUBLE), 2) + POW(CAST(SUM(ts) AS DOUBLE), 2)
+            AS p
+  FROM terms GROUP BY k
+),
+tot AS (SELECT SUM(p) AS tp FROM power),
+shared AS (
+  SELECT k,
+         ROUND(CAST(s.n AS DOUBLE) / CAST(k AS DOUBLE), 2) AS period_months,
+         ROUND(p / NULLIF(tp, 0.0), 6) AS power_share
+  FROM power CROSS JOIN tot CROSS JOIN stats s
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY power_share DESC, k ASC) AS INT)
+              AS rnk
+  FROM shared
+)
+SELECT CAST(k AS BIGINT) AS freq_k, period_months, power_share, rnk
+FROM ranked WHERE rnk <= {R.PERIODOGRAM_TOPK}
+""",
+)
+def orders_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top spectral peaks of monthly revenue: DFT power shares on the
+    mean-centered integer-scaled series, cos/sin rounded to 9 decimals
+    into exact DECIMAL sums in both engines."""
+    return R.revenue_periodogram(load_table(spark, sf_dir, "orders"))
