@@ -2543,3 +2543,67 @@ def uplift_by_activity_band(
             ).alias("uplift"),
         )
     )
+
+
+# -- sequential testing (SPRT) ----------------------------------------------
+
+SPRT_P0 = 0.30  # H0 conversion rate
+SPRT_P1 = 0.35  # H1 conversion rate the test is powered to detect
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.20
+
+
+def sprt_monitor(events: DataFrame) -> DataFrame:
+    """Wald SPRT sequential monitor on the treatment arm's user
+    conversion rate: users enter in first-seen-day order; the
+    cumulative log-likelihood ratio for H1: p={SPRT_P1} vs
+    H0: p={SPRT_P0} is checked daily against the Wald boundaries
+    ln((1-B)/a) / ln(B/(1-a)) — the always-valid peeking answer the
+    fixed-horizon events_mde_power cannot give.
+
+    Determinism: the LLR is a*conv + b*(n-conv) with a,b constant
+    Python doubles interpolated into both engines — exact integer
+    counts, two multiplies and an add, no per-term rounding.  The
+    cumulative window runs on the calendar-bounded day table."""
+    import math
+
+    from ..functions.text import md5_int
+
+    la = math.log(SPRT_P1 / SPRT_P0)
+    lb = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    upper = round(math.log((1 - SPRT_BETA) / SPRT_ALPHA), 6)
+    lower = round(math.log(SPRT_BETA / (1 - SPRT_ALPHA)), 6)
+    arm = (md5_int(F.col("user_id").cast("string")) % 2).cast("int")
+    per_user = (
+        events.withColumn("_arm", arm)
+        .filter(F.col("_arm") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.to_date(F.min("ts")).alias("day"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+        )
+    )
+    daily = per_user.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("n").over(w).cast("long").alias("n_users_cum"),
+        F.sum("c").over(w).cast("long").alias("n_conv_cum"),
+    )
+    llr = F.round(
+        F.lit(la) * F.col("n_conv_cum").cast("double")
+        + F.lit(lb) * (F.col("n_users_cum") - F.col("n_conv_cum")).cast("double"),
+        6,
+    )
+    return cum.select(
+        "day",
+        "n_users_cum",
+        "n_conv_cum",
+        llr.alias("llr"),
+        F.when(llr >= upper, F.lit("accept_h1"))
+        .when(llr <= lower, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

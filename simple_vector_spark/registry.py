@@ -15488,3 +15488,47 @@ def orders_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-centered integer-scaled series, cos/sin rounded to 9 decimals
     into exact DECIMAL sums in both engines."""
     return R.revenue_periodogram(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 156 (round 2): Wald SPRT sequential monitor — always-valid peeking
+# on the treatment arm's conversion rate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_sprt_monitor",
+    """
+WITH u AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS day,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events
+  WHERE CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 1
+  GROUP BY user_id
+),
+daily AS (SELECT day, COUNT(*) AS n, SUM(conv) AS c FROM u GROUP BY day),
+cum AS (
+  SELECT day,
+         CAST(SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_users_cum,
+         CAST(SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_conv_cum
+  FROM daily
+),
+scored AS (
+  SELECT day, n_users_cum, n_conv_cum,
+         ROUND(0.15415067982725836 * CAST(n_conv_cum AS DOUBLE)
+               + -0.07410797215372172 * CAST(n_users_cum - n_conv_cum AS DOUBLE), 6) AS llr
+  FROM cum
+)
+SELECT day, n_users_cum, n_conv_cum, llr,
+       CASE WHEN llr >= 2.772589 THEN 'accept_h1'
+            WHEN llr <= -1.558145 THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM scored
+""",
+)
+def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cumulative Wald-SPRT log-likelihood ratio with
+    accept/continue decisions on the md5 treatment arm."""
+    return E.sprt_monitor(load_table(spark, sf_dir, "events"))
