@@ -5640,3 +5640,110 @@ def revenue_periodogram(orders: DataFrame, topk: int = PERIODOGRAM_TOPK) -> Data
         .select(F.col("k").cast("long").alias("freq_k"), "period_months",
                 "power_share", "rnk")
     )
+
+
+# -- graph modularity --------------------------------------------------------
+
+
+def nation_trade_modularity(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Directed weighted MODULARITY of the region partition over the
+    nation trade graph: Q = sum_c [ W_in(c)/W - Kout(c)*Kin(c)/W^2 ]
+    — does intra-region trade exceed the degree-preserving null model?
+    The community-QUALITY companion to nation_trade_pagerank (node
+    centrality) and dedup_clusters (community discovery): here the
+    candidate communities are the catalog's own regions, and Q says
+    whether that grouping is real structure or label noise.
+
+    Determinism: every term is an exact-integer aggregate (edge
+    weights, strengths, W); Q's two divisions are single f64 ops.
+    Scale: ONE fact shuffle builds the 25x25 edge aggregate; the rest
+    runs on nation/region-bounded tables (per-community row output +
+    a __total__ Q row)."""
+    nat = F.broadcast(nation.select("n_nationkey", "n_regionkey"))
+    edges = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .join(nat.select(F.col("n_nationkey").alias("src"),
+                         F.col("n_regionkey").alias("src_r")), "src")
+        .join(nat.select(F.col("n_nationkey").alias("dst"),
+                         F.col("n_regionkey").alias("dst_r")), "dst")
+        .localCheckpoint()
+    )
+    W = F.broadcast(edges.agg(F.sum("w").alias("_W")))
+    win = edges.filter(F.col("src_r") == F.col("dst_r")).groupBy(
+        F.col("src_r").alias("r")
+    ).agg(F.sum("w").alias("w_in"))
+    kout = edges.groupBy(F.col("src_r").alias("r")).agg(
+        F.sum("w").alias("k_out")
+    )
+    kin = edges.groupBy(F.col("dst_r").alias("r")).agg(F.sum("w").alias("k_in"))
+    per = (
+        kout.join(kin, "r", "full")
+        .join(win, "r", "left")
+        .select(
+            "r",
+            F.coalesce("w_in", F.lit(0)).cast("long").alias("w_in"),
+            F.coalesce("k_out", F.lit(0)).cast("long").alias("k_out"),
+            F.coalesce("k_in", F.lit(0)).cast("long").alias("k_in"),
+        )
+        .crossJoin(W)
+        .select(
+            F.col("r").cast("long").alias("region_key"),
+            "w_in",
+            "k_out",
+            "k_in",
+            F.round(
+                F.col("w_in").cast("double") / F.col("_W").cast("double")
+                - (
+                    F.col("k_out").cast("decimal(19,0)")
+                    * F.col("k_in").cast("decimal(19,0)")
+                ).cast("double")
+                / (F.col("_W").cast("double") * F.col("_W").cast("double")),
+                6,
+            ).alias("q_contrib"),
+        )
+    )
+    # total Q from the EXACT integers (never a sum of rounded doubles):
+    # Q = sum(w_in)/W - sum(k_out*k_in)/W^2.
+    total = per.agg(
+        F.lit(-1).cast("long").alias("region_key"),
+        F.sum("w_in").cast("long").alias("w_in"),
+        F.sum("k_out").cast("long").alias("k_out"),
+        F.sum("k_in").cast("long").alias("k_in"),
+        F.sum("w_in").alias("_sw"),
+        F.sum(
+            F.col("k_out").cast("decimal(19,0)") * F.col("k_in").cast("decimal(19,0)")
+        ).alias("_skk"),
+    ).crossJoin(W).select(
+        "region_key",
+        "w_in",
+        "k_out",
+        "k_in",
+        F.round(
+            F.col("_sw").cast("double") / F.col("_W").cast("double")
+            - F.col("_skk").cast("double")
+            / (F.col("_W").cast("double") * F.col("_W").cast("double")),
+            6,
+        ).alias("q_contrib"),
+    )
+    return per.unionByName(total)

@@ -15532,3 +15532,74 @@ def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cumulative Wald-SPRT log-likelihood ratio with
     accept/continue decisions on the md5 treatment arm."""
     return E.sprt_monitor(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 157 (round 2): region-partition modularity of the trade graph —
+# community QUALITY beside pagerank's centrality.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_trade_modularity",
+    """
+WITH edges AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         ns.n_regionkey AS src_r, nc.n_regionkey AS dst_r,
+         COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  GROUP BY 1, 2, 3, 4
+),
+W AS (SELECT SUM(w) AS tw FROM edges),
+win AS (SELECT src_r AS r, SUM(w) AS w_in FROM edges
+        WHERE src_r = dst_r GROUP BY 1),
+kout AS (SELECT src_r AS r, SUM(w) AS k_out FROM edges GROUP BY 1),
+kin AS (SELECT dst_r AS r, SUM(w) AS k_in FROM edges GROUP BY 1),
+per AS (
+  SELECT COALESCE(kout.r, kin.r) AS r,
+         COALESCE(w_in, 0) AS w_in,
+         COALESCE(k_out, 0) AS k_out,
+         COALESCE(k_in, 0) AS k_in
+  FROM kout FULL JOIN kin ON kout.r = kin.r
+  LEFT JOIN win ON COALESCE(kout.r, kin.r) = win.r
+),
+rows_ AS (
+  SELECT CAST(r AS BIGINT) AS region_key,
+         CAST(w_in AS BIGINT) AS w_in,
+         CAST(k_out AS BIGINT) AS k_out,
+         CAST(k_in AS BIGINT) AS k_in,
+         ROUND(CAST(w_in AS DOUBLE) / CAST(tw AS DOUBLE)
+               - CAST(CAST(k_out AS DECIMAL(19,0))
+                      * CAST(k_in AS DECIMAL(19,0)) AS DOUBLE)
+                 / (CAST(tw AS DOUBLE) * CAST(tw AS DOUBLE)), 6) AS q_contrib
+  FROM per CROSS JOIN W
+)
+SELECT * FROM rows_
+UNION ALL
+SELECT CAST(-1 AS BIGINT),
+       CAST(SUM(w_in) AS BIGINT), CAST(SUM(k_out) AS BIGINT),
+       CAST(SUM(k_in) AS BIGINT),
+       ROUND(CAST(SUM(w_in) AS DOUBLE) / CAST(ANY_VALUE(tw) AS DOUBLE)
+             - CAST(SUM(CAST(k_out AS DECIMAL(19,0))
+                        * CAST(k_in AS DECIMAL(19,0))) AS DOUBLE)
+               / (CAST(ANY_VALUE(tw) AS DOUBLE) * CAST(ANY_VALUE(tw) AS DOUBLE)),
+             6)
+FROM per CROSS JOIN W
+""",
+)
+def nation_trade_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed weighted modularity Q of the region partition over the
+    supplier->customer nation trade graph, per-region contributions
+    plus a region_key=-1 total recomputed from exact integers."""
+    return R.nation_trade_modularity(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
