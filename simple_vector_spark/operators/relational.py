@@ -5747,3 +5747,74 @@ def nation_trade_modularity(
         ).alias("q_contrib"),
     )
     return per.unionByName(total)
+
+
+# -- isotonic calibration (PAV via minimax) ----------------------------------
+
+
+def isotonic_calibration(orders: DataFrame, bins: int = CALIBRATION_BINS) -> DataFrame:
+    """ISOTONIC REGRESSION over the calibration bins: the
+    monotone-nondecreasing fit to the per-bin positive rates, computed
+    with the closed-form minimax identity iso_i = max_{k<=i} min_{j>=i}
+    mean(y_k..y_j) — mathematically identical to pool-adjacent-
+    violators but expressible as bounded triangular joins instead of a
+    sequential merge stack (the right shape for an engine: PAV's stack
+    is inherently serial, the minimax is a B^3 relational grid on the
+    FIXED bin table, B={CALIBRATION_BINS}).
+
+    Calibrated-probability repair for the reliability diagram
+    orders_calibration_bins draws.  Range means are single f64
+    divisions of exact long prefix sums; one data-sized scan total."""
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    rng = orders.select(cents.alias("_c")).agg(
+        F.min("_c").alias("_lo"), F.max("_c").alias("_hi")
+    )
+    pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    scored = orders.crossJoin(F.broadcast(rng)).select(
+        cents.alias("c"), F.col("_lo"), F.col("_hi"), pos.alias("y")
+    )
+    b = F.expr(
+        f"least(((c - _lo) * {bins}) div (_hi - _lo + 1), {bins - 1})"
+    ).cast("int")
+    per = scored.groupBy(b.alias("bin")).agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("p")
+    )
+    # prefix sums on the <=B-row bin table: bounded global window.
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = per.select(
+        "bin",
+        "n",
+        "p",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("p").over(w).alias("cp"),
+    ).localCheckpoint()
+    a, c = pre.alias("a"), pre.alias("c")
+    ranges = a.join(c, F.col("a.bin") <= F.col("c.bin")).select(
+        F.col("a.bin").alias("k"),
+        F.col("c.bin").alias("j"),
+        (
+            (F.col("c.cp") - (F.col("a.cp") - F.col("a.p"))).cast("double")
+            / (F.col("c.cn") - (F.col("a.cn") - F.col("a.n"))).cast("double")
+        ).alias("m"),
+    )
+    i_tab = pre.select(F.col("bin").alias("i"))
+    inner = (
+        ranges.join(
+            i_tab, (F.col("k") <= F.col("i")) & (F.col("i") <= F.col("j"))
+        )
+        .groupBy("k", "i")
+        .agg(F.min("m").alias("mn"))
+    )
+    fitted = inner.groupBy("i").agg(F.max("mn").alias("iso"))
+    return (
+        per.join(fitted, per.bin == fitted.i)
+        .select(
+            "bin",
+            "n",
+            F.col("p").alias("n_pos"),
+            F.round(F.col("p").cast("double") / F.col("n").cast("double"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
+        )
+    )

@@ -15603,3 +15603,60 @@ def nation_trade_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 158 (round 2): isotonic calibration — PAV as a bounded minimax grid.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_isotonic_calibration",
+    f"""
+WITH rng AS (
+  SELECT MIN(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS lo,
+         MAX(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS hi
+  FROM orders
+),
+scored AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS c,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+           AS y,
+         lo, hi
+  FROM orders CROSS JOIN rng
+),
+per AS (
+  SELECT CAST(LEAST(((c - lo) * {R.CALIBRATION_BINS}) // (hi - lo + 1),
+                    {R.CALIBRATION_BINS - 1}) AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p
+  FROM scored GROUP BY 1
+),
+pre AS (
+  SELECT bin, n, p,
+         SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+         SUM(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+  FROM per
+),
+ranges AS (
+  SELECT a.bin AS k, c.bin AS j,
+         CAST(c.cp - (a.cp - a.p) AS DOUBLE)
+           / CAST(c.cn - (a.cn - a.n) AS DOUBLE) AS m
+  FROM pre a JOIN pre c ON a.bin <= c.bin
+),
+inner_ AS (
+  SELECT r.k, i.bin AS i, MIN(r.m) AS mn
+  FROM ranges r JOIN pre i ON r.k <= i.bin AND i.bin <= r.j
+  GROUP BY r.k, i.bin
+),
+fitted AS (SELECT i, MAX(mn) AS iso FROM inner_ GROUP BY i)
+SELECT per.bin, per.n, per.p AS n_pos,
+       ROUND(CAST(per.p AS DOUBLE) / CAST(per.n AS DOUBLE), 6) AS raw_rate,
+       ROUND(iso, 6) AS iso_rate
+FROM per JOIN fitted ON per.bin = fitted.i
+""",
+)
+def orders_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone isotonic fit to the per-bin positive rates via the
+    minimax identity (PAV without the serial stack), on the fixed
+    calibration-bin grid."""
+    return R.isotonic_calibration(load_table(spark, sf_dir, "orders"))
