@@ -5818,3 +5818,96 @@ def isotonic_calibration(orders: DataFrame, bins: int = CALIBRATION_BINS) -> Dat
             F.round(F.col("iso"), 6).alias("iso_rate"),
         )
     )
+
+
+# -- conformal forecast band -------------------------------------------------
+
+CONFORMAL_H = 19  # calibration points (last H one-step backtests)
+CONFORMAL_ALPHA = 0.1  # 90% interval
+
+
+def conformal_forecast(orders: DataFrame) -> DataFrame:
+    """Split-CONFORMAL prediction interval for next month's revenue:
+    the last {CONFORMAL_H} months each get a one-step OLS forecast fit
+    on strictly earlier months (the orders_forecast_backtest
+    estimator, set-based); the band half-width is the
+    ceil((H+1)(1-alpha))-th smallest absolute residual — a
+    DISTRIBUTION-FREE finite-sample-valid interval, no normality
+    assumption behind the +-.
+
+    Determinism: OLS sums are exact DECIMAL/int; predictions are a
+    fixed f64 expression of them; residuals ROUND 6 before the sorted
+    -array order-statistic pick.  Scale: everything after the monthly
+    DECIMAL aggregate runs on the calendar-bounded month table
+    (triangular joins, <=80 rows at any SF)."""
+    import math as _math
+
+    k = _math.ceil((CONFORMAL_H + 1) * (1 - CONFORMAL_ALPHA))
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    peers = monthly.select(F.col("m").alias("_m2"), F.col("y").alias("_y2"))
+    idx = (
+        monthly.join(F.broadcast(peers), F.col("_m2") <= F.col("m"))
+        .groupBy("m", "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .localCheckpoint()
+    )
+    nrow = F.broadcast(idx.agg(F.count(F.lit(1)).cast("long").alias("_n")))
+
+    def _ols_pred(grouped, at_col):
+        slope = (
+            F.col("_nn") * F.col("_sty") - F.col("_st") * F.col("_sy")
+        ).cast("double") / (
+            F.col("_nn") * F.col("_stt") - F.col("_st") * F.col("_st")
+        ).cast("double")
+        return (
+            (F.col("_sy").cast("double") - slope * F.col("_st").cast("double"))
+            / F.col("_nn").cast("double")
+            + slope * at_col.cast("double")
+        )
+
+    targets = idx.crossJoin(nrow).filter(
+        F.col("t") > F.col("_n") - CONFORMAL_H
+    ).select(F.col("t").alias("tt"), F.col("y").alias("yt"))
+    sums = (
+        targets.join(
+            F.broadcast(idx.select(F.col("t").alias("tp"), F.col("y").alias("yp"))),
+            F.col("tp") < F.col("tt"),
+        )
+        .groupBy("tt", "yt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nn"),
+            F.sum("tp").alias("_st"),
+            F.sum(F.col("tp") * F.col("tp")).alias("_stt"),
+            F.sum("yp").alias("_sy"),
+            F.sum((F.col("tp") * F.col("yp")).cast("decimal(38,2)")).alias("_sty"),
+        )
+    )
+    resid = sums.select(
+        F.round(
+            F.abs(F.col("yt").cast("double") - _ols_pred(sums, F.col("tt"))), 6
+        ).alias("e")
+    )
+    q = resid.agg(
+        F.element_at(F.array_sort(F.collect_list("e")), k).alias("q_hat"),
+        F.count(F.lit(1)).cast("long").alias("h_backtest"),
+    )
+    full = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("_nn"),
+        F.sum("t").alias("_st"),
+        F.sum(F.col("t") * F.col("t")).alias("_stt"),
+        F.sum("y").alias("_sy"),
+        F.sum((F.col("t") * F.col("y")).cast("decimal(38,2)")).alias("_sty"),
+    )
+    fc = full.select(
+        F.round(_ols_pred(full, F.col("_nn") + F.lit(1)), 6).alias("forecast_next")
+    )
+    return fc.crossJoin(F.broadcast(q)).select(
+        "h_backtest",
+        F.lit(1 - CONFORMAL_ALPHA).alias("q_level"),
+        F.round("q_hat", 6).alias("q_hat"),
+        "forecast_next",
+        F.round(F.col("forecast_next") - F.col("q_hat"), 6).alias("lo"),
+        F.round(F.col("forecast_next") + F.col("q_hat"), 6).alias("hi"),
+    )

@@ -15660,3 +15660,80 @@ def orders_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimax identity (PAV without the serial stack), on the fixed
     calibration-bin grid."""
     return R.isotonic_calibration(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 159 (round 2): split-conformal forecast interval — distribution-free
+# band around the OLS revenue forecast.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_conformal_forecast",
+    f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT a.m, a.y, CAST(COUNT(*) AS BIGINT) AS t
+  FROM monthly a JOIN monthly b ON b.m <= a.m
+  GROUP BY a.m, a.y
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM idx),
+targets AS (
+  SELECT t AS tt, y AS yt FROM idx CROSS JOIN n
+  WHERE t > nn - {R.CONFORMAL_H}
+),
+sums AS (
+  SELECT tt, yt, CAST(COUNT(*) AS BIGINT) AS nn2,
+         SUM(tp.t) AS st, SUM(tp.t * tp.t) AS stt, SUM(tp.y) AS sy,
+         SUM(CAST(tp.t * tp.y AS DECIMAL(38,2))) AS sty
+  FROM targets JOIN idx tp ON tp.t < targets.tt
+  GROUP BY tt, yt
+),
+resid AS (
+  SELECT ROUND(ABS(CAST(yt AS DOUBLE)
+    - ((CAST(sy AS DOUBLE)
+        - (CAST(nn2 * sty - st * sy AS DOUBLE)
+           / CAST(nn2 * stt - st * st AS DOUBLE)) * CAST(st AS DOUBLE))
+       / CAST(nn2 AS DOUBLE)
+       + (CAST(nn2 * sty - st * sy AS DOUBLE)
+          / CAST(nn2 * stt - st * st AS DOUBLE)) * CAST(tt AS DOUBLE))), 6)
+    AS e
+  FROM sums
+),
+q AS (
+  SELECT list_sort(list(e))[18] AS q_hat,
+         CAST(COUNT(*) AS BIGINT) AS h_backtest
+  FROM resid
+),
+full_ AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn2, SUM(t) AS st, SUM(t * t) AS stt,
+         SUM(y) AS sy, SUM(CAST(t * y AS DECIMAL(38,2))) AS sty
+  FROM idx
+),
+fc AS (
+  SELECT ROUND((CAST(sy AS DOUBLE)
+        - (CAST(nn2 * sty - st * sy AS DOUBLE)
+           / CAST(nn2 * stt - st * st AS DOUBLE)) * CAST(st AS DOUBLE))
+       / CAST(nn2 AS DOUBLE)
+       + (CAST(nn2 * sty - st * sy AS DOUBLE)
+          / CAST(nn2 * stt - st * st AS DOUBLE)) * CAST(nn2 + 1 AS DOUBLE), 6)
+    AS forecast_next
+  FROM full_
+)
+SELECT h_backtest, CAST(0.9 AS DOUBLE) AS q_level,
+       ROUND(q_hat, 6) AS q_hat, forecast_next,
+       ROUND(forecast_next - q_hat, 6) AS lo,
+       ROUND(forecast_next + q_hat, 6) AS hi
+FROM fc CROSS JOIN q
+""",
+)
+def orders_conformal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% interval for next month's revenue: the
+    ceil((H+1)*0.9)-th smallest one-step backtest |residual| is the
+    band half-width — finite-sample valid with no error-distribution
+    assumption."""
+    return R.conformal_forecast(load_table(spark, sf_dir, "orders"))
