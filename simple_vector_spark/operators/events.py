@@ -2607,3 +2607,72 @@ def sprt_monitor(events: DataFrame) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+# -- token-bucket rate limiting ---------------------------------------------
+
+RL_CAP = 3  # bucket capacity (tokens)
+RL_REFILL_SECONDS = 600  # one token per this many seconds
+
+
+def rate_limit_audit(events: DataFrame) -> DataFrame:
+    """TOKEN-BUCKET rate-limit replay per user: bucket of
+    {RL_CAP} tokens refilling one per {RL_REFILL_SECONDS}s, events
+    admitted in (ts, event_id) order while a token is available — the
+    quota/abuse-control simulation that says who WOULD have been
+    throttled under a proposed policy, before enforcing it at the
+    edge.
+
+    Semantics pinned for both engines: integer seconds; refill =
+    (now - last_refill) div {RL_REFILL_SECONDS}; a FULL bucket resets
+    the refill clock to now (excess idle time is discarded); admission
+    consumes one token after refill.  Every quantity is an exact
+    integer, so the per-user left fold is engine-independent.
+
+    Scale: ONE user-keyed shuffle; the fold runs inside each user's
+    collected event array (bounded by per-user activity — at heavy
+    per-user volume the same integer recursion drops into an
+    applyInPandas kernel unchanged)."""
+    cap, rf = RL_CAP, RL_REFILL_SECONDS
+    per = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_timestamp("ts").alias("s"),
+                    F.col("event_id").alias("eid"),
+                )
+            )
+        ).alias("evs"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    init = F.struct(
+        F.lit(cap).cast("long").alias("tok"),
+        F.element_at(F.col("evs"), 1)["s"].alias("lrt"),
+        F.lit(0).cast("long").alias("adm"),
+        F.lit(0).cast("long").alias("rej"),
+    )
+
+    def step(acc, e):
+        refill = ((e["s"] - acc["lrt"]) / F.lit(rf)).cast("long")
+        tok2 = F.least(F.lit(cap).cast("long"), acc["tok"] + refill)
+        lrt2 = F.when(tok2 == cap, e["s"]).otherwise(
+            acc["lrt"] + refill * F.lit(rf)
+        )
+        admitted = tok2 >= 1
+        return F.struct(
+            F.when(admitted, tok2 - 1).otherwise(tok2).alias("tok"),
+            lrt2.alias("lrt"),
+            F.when(admitted, acc["adm"] + 1).otherwise(acc["adm"]).alias("adm"),
+            F.when(admitted, acc["rej"]).otherwise(acc["rej"] + 1).alias("rej"),
+        )
+
+    st = F.aggregate(F.col("evs"), init, step)
+    return per.select(
+        "user_id",
+        "n_events",
+        st["adm"].alias("n_admitted"),
+        st["rej"].alias("n_rejected"),
+        F.round(
+            st["rej"].cast("double") / F.col("n_events").cast("double"), 6
+        ).alias("rejected_share"),
+    )

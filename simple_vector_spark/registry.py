@@ -15737,3 +15737,53 @@ def orders_conformal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     band half-width — finite-sample valid with no error-distribution
     assumption."""
     return R.conformal_forecast(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 160 (round 2): token-bucket rate-limit replay — who would a proposed
+# quota policy throttle?
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_rate_limit_audit",
+    """
+WITH per AS (
+  SELECT user_id,
+         list([CAST(FLOOR(epoch(ts)) AS BIGINT), event_id]
+              ORDER BY FLOOR(epoch(ts)), event_id) AS evs,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, n_events,
+         list_reduce(
+           list_prepend([CAST(3 AS BIGINT), evs[1][1],
+                         CAST(0 AS BIGINT), CAST(0 AS BIGINT)], evs),
+           (acc, e) -> CASE
+             WHEN least(3, acc[1] + (e[1] - acc[2]) // 600) >= 1
+             THEN [least(3, acc[1] + (e[1] - acc[2]) // 600) - 1,
+                   CASE WHEN least(3, acc[1] + (e[1] - acc[2]) // 600)
+                             = 3
+                        THEN e[1]
+                        ELSE acc[2] + ((e[1] - acc[2]) // 600) * 600 END,
+                   acc[3] + 1, acc[4]]
+             ELSE [least(3, acc[1] + (e[1] - acc[2]) // 600),
+                   CASE WHEN least(3, acc[1] + (e[1] - acc[2]) // 600)
+                             = 3
+                        THEN e[1]
+                        ELSE acc[2] + ((e[1] - acc[2]) // 600) * 600 END,
+                   acc[3], acc[4] + 1] END) AS st
+  FROM per
+)
+SELECT user_id, n_events, st[3] AS n_admitted, st[4] AS n_rejected,
+       ROUND(CAST(st[4] AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+         AS rejected_share
+FROM folded
+""",
+)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user token-bucket replay (3 tokens, one per 600s):
+    admitted/rejected counts under the proposed quota — exact-integer
+    fold, identical admission order in both engines."""
+    return E.rate_limit_audit(load_table(spark, sf_dir, "events"))
