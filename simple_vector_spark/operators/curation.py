@@ -635,3 +635,111 @@ def dp_noisy_counts(
         F.round(F.abs(noise), 6).alias("abs_err"),
         F.lit(float(eps)).alias("epsilon"),
     )
+
+
+# -- Neyman allocation -------------------------------------------------------
+
+NEYMAN_BUDGET = 1000  # total sample size to allocate
+
+
+def neyman_allocation(docs: DataFrame, budget: int = NEYMAN_BUDGET) -> DataFrame:
+    """NEYMAN OPTIMAL ALLOCATION for a stratified sample of documents
+    (strata = source, target = mean n_chars): n_h proportional to
+    N_h * s_h beats proportional allocation whenever strata differ in
+    spread — the survey-sampling answer to 'how many docs should each
+    source contribute to the eval sample'.  Reports both allocations
+    per stratum and, on the source='__total__' row, the stratified-
+    mean variances under each plus the efficiency ratio.
+
+    Determinism: per-stratum power sums are exact; sd/weights are
+    fixed f64 expressions; the two cross-stratum sums (the N_h*s_h
+    normalizer and the variance totals) sum ROUND-9/ROUND-4 DECIMAL
+    terms, so 20-way addition order cannot flip a digit.  Allocations
+    FLOOR (never round) with a 1-doc floor per stratum.
+
+    Scale: one source-keyed aggregate; everything downstream is
+    |sources|-sized."""
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("decimal(38,0)").alias("_sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("decimal(38,0)")
+        .alias("_sxx"),
+    )
+    nd = F.col("n_docs").cast("double")
+    sxd = F.col("_sx").cast("double")
+    sxxd = F.col("_sxx").cast("double")
+    sd = F.sqrt((sxxd - sxd * sxd / nd) / (nd - F.lit(1.0)))
+    scored = per.select(
+        "source",
+        "n_docs",
+        F.round(sd, 6).alias("sd_chars"),
+        F.round(nd * sd, 4).cast("decimal(28,4)").alias("_term"),
+    ).localCheckpoint()
+    tot = F.broadcast(
+        scored.agg(
+            F.sum("_term").alias("_D"),
+            F.sum("n_docs").cast("long").alias("_N"),
+        )
+    )
+    alloc = scored.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "sd_chars",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(
+                F.lit(float(budget))
+                * F.col("_term").cast("double")
+                / F.col("_D").cast("double")
+            ).cast("long"),
+        ).alias("alloc_neyman"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(
+                F.lit(float(budget))
+                * F.col("n_docs").cast("double")
+                / F.col("_N").cast("double")
+            ).cast("long"),
+        ).alias("alloc_prop"),
+        (F.col("n_docs").cast("double") / F.col("_N").cast("double")).alias("_w"),
+    ).localCheckpoint()
+    vterm = lambda a: F.round(  # noqa: E731
+        F.col("_w")
+        * F.col("_w")
+        * F.col("sd_chars")
+        * F.col("sd_chars")
+        / F.col(a).cast("double"),
+        9,
+    ).cast("decimal(28,9)")
+    totals = alloc.agg(
+        F.lit("__total__").alias("source"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.lit(None).cast("double").alias("sd_chars"),
+        F.sum("alloc_neyman").cast("long").alias("alloc_neyman"),
+        F.sum("alloc_prop").cast("long").alias("alloc_prop"),
+        F.sum(vterm("alloc_prop")).alias("_vp"),
+        F.sum(vterm("alloc_neyman")).alias("_vn"),
+    ).select(
+        "source",
+        "n_docs",
+        "sd_chars",
+        "alloc_neyman",
+        "alloc_prop",
+        F.round(F.col("_vp").cast("double"), 6).alias("var_prop"),
+        F.round(F.col("_vn").cast("double"), 6).alias("var_neyman"),
+        F.round(
+            F.col("_vp").cast("double") / F.col("_vn").cast("double"), 6
+        ).alias("efficiency"),
+    )
+    pers = alloc.select(
+        "source",
+        "n_docs",
+        "sd_chars",
+        "alloc_neyman",
+        "alloc_prop",
+        F.lit(None).cast("double").alias("var_prop"),
+        F.lit(None).cast("double").alias("var_neyman"),
+        F.lit(None).cast("double").alias("efficiency"),
+    )
+    return pers.unionByName(totals)

@@ -15787,3 +15787,73 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     admitted/rejected counts under the proposed quota — exact-integer
     fold, identical admission order in both engines."""
     return E.rate_limit_audit(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 161 (round 2): Neyman allocation — how many docs each source should
+# contribute to a fixed eval-sample budget.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sample_neyman_allocation",
+    f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(n_chars * n_chars) AS DECIMAL(38,0)) AS sxx
+  FROM documents GROUP BY source
+),
+scored AS (
+  SELECT source, n_docs,
+         ROUND(SQRT((CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       / CAST(n_docs AS DOUBLE))
+                    / (CAST(n_docs AS DOUBLE) - 1.0)), 6) AS sd_chars,
+         CAST(ROUND(CAST(n_docs AS DOUBLE)
+                    * SQRT((CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                              / CAST(n_docs AS DOUBLE))
+                           / (CAST(n_docs AS DOUBLE) - 1.0)), 4)
+              AS DECIMAL(28,4)) AS term
+  FROM per
+),
+tot AS (SELECT SUM(term) AS D, CAST(SUM(n_docs) AS BIGINT) AS N FROM scored),
+alloc AS (
+  SELECT source, n_docs, sd_chars,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(FLOOR({CU.NEYMAN_BUDGET}.0 * CAST(term AS DOUBLE)
+                             / CAST(D AS DOUBLE)) AS BIGINT)) AS alloc_neyman,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(FLOOR({CU.NEYMAN_BUDGET}.0 * CAST(n_docs AS DOUBLE)
+                             / CAST(N AS DOUBLE)) AS BIGINT)) AS alloc_prop,
+         CAST(n_docs AS DOUBLE) / CAST(N AS DOUBLE) AS w
+  FROM scored CROSS JOIN tot
+)
+SELECT source, n_docs, sd_chars, alloc_neyman, alloc_prop,
+       CAST(NULL AS DOUBLE) AS var_prop, CAST(NULL AS DOUBLE) AS var_neyman,
+       CAST(NULL AS DOUBLE) AS efficiency
+FROM alloc
+UNION ALL
+SELECT '__total__', CAST(SUM(n_docs) AS BIGINT), CAST(NULL AS DOUBLE),
+       CAST(SUM(alloc_neyman) AS BIGINT), CAST(SUM(alloc_prop) AS BIGINT),
+       ROUND(CAST(SUM(CAST(ROUND(w * w * sd_chars * sd_chars
+                                 / CAST(alloc_prop AS DOUBLE), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE), 6),
+       ROUND(CAST(SUM(CAST(ROUND(w * w * sd_chars * sd_chars
+                                 / CAST(alloc_neyman AS DOUBLE), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE), 6),
+       ROUND(CAST(SUM(CAST(ROUND(w * w * sd_chars * sd_chars
+                                 / CAST(alloc_prop AS DOUBLE), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(w * w * sd_chars * sd_chars
+                                   / CAST(alloc_neyman AS DOUBLE), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE), 6)
+FROM alloc
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Neyman vs proportional sample allocation for a
+    {CU.NEYMAN_BUDGET}-doc budget, with stratified-mean variances and
+    the efficiency ratio on the __total__ row."""
+    return CU.neyman_allocation(load_table(spark, sf_dir, "documents"))
