@@ -5911,3 +5911,78 @@ def conformal_forecast(orders: DataFrame) -> DataFrame:
         F.round(F.col("forecast_next") - F.col("q_hat"), 6).alias("lo"),
         F.round(F.col("forecast_next") + F.col("q_hat"), 6).alias("hi"),
     )
+
+
+# -- empirical-Bayes shrinkage -----------------------------------------------
+
+EB_TOPK = 50
+
+
+def return_rate_shrunk(lineitem: DataFrame, topk: int = EB_TOPK) -> DataFrame:
+    """EMPIRICAL-BAYES (beta-binomial moment-matched) shrinkage of
+    per-part return rates: small-sample parts get pulled toward the
+    cross-part mean with prior strength M = max(1, m(1-m)/v - 1) from
+    the method of moments — the league-table repair that stops a
+    2-of-3-returned part from topping a ranking built on thousands of
+    observations.  Returns the {EB_TOPK} parts the shrinkage moves
+    most (|shrunk - raw|) — exactly the rows a naive ranking gets
+    wrong.
+
+    Determinism: per-part rates ROUND 6 before the cross-part moment
+    sums (DECIMAL-exact, shuffle-order invariant); m, v, M and the
+    shrunk rates are fixed f64 expressions of those sums; top-k ranks
+    on the rounded delta with a part tiebreak (TakeOrdered heap, no
+    global sort materialized)."""
+    per = lineitem.groupBy(F.col("l_partkey").alias("part_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("int")).cast("long").alias("ret"),
+    )
+    rated = per.select(
+        "part_id",
+        "n",
+        "ret",
+        F.round(F.col("ret").cast("double") / F.col("n").cast("double"), 6).alias(
+            "raw_rate"
+        ),
+    ).localCheckpoint()
+    stats = F.broadcast(
+        rated.agg(
+            F.count(F.lit(1)).cast("long").alias("_K"),
+            F.sum(F.col("raw_rate").cast("decimal(18,6)")).alias("_sm"),
+            F.sum(
+                F.round(F.col("raw_rate") * F.col("raw_rate"), 12).cast(
+                    "decimal(20,12)"
+                )
+            ).alias("_sm2"),
+        )
+    )
+    kd = F.col("_K").cast("double")
+    m = F.col("_sm").cast("double") / kd
+    v = (F.col("_sm2").cast("double") - kd * m * m) / (kd - F.lit(1.0))
+    # v == 0 (all rates identical) => infinite prior strength; a 1e12
+    # cap makes shrunk == m to 6 decimals without the ANSI /0 trap.
+    M = F.greatest(
+        F.lit(1.0),
+        F.coalesce(
+            F.try_divide(m * (F.lit(1.0) - m), F.nullif(v, F.lit(0.0)))
+            - F.lit(1.0),
+            F.lit(1.0e12),
+        ),
+    )
+    scored = rated.crossJoin(stats).select(
+        "part_id",
+        "n",
+        "ret",
+        "raw_rate",
+        F.round(
+            (F.col("ret").cast("double") + M * m)
+            / (F.col("n").cast("double") + M),
+            6,
+        ).alias("shrunk_rate"),
+    )
+    delta = F.round(F.abs(F.col("shrunk_rate") - F.col("raw_rate")), 6)
+    return (
+        scored.withColumn("shrink_delta", delta)
+        .orderBy(F.col("shrink_delta").desc(), F.col("part_id").asc())
+        .limit(topk)
+    )

@@ -15857,3 +15857,64 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     {CU.NEYMAN_BUDGET}-doc budget, with stratified-mean variances and
     the efficiency ratio on the __total__ row."""
     return CU.neyman_allocation(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 162 (round 2): empirical-Bayes shrinkage — the small-sample repair
+# for per-part return-rate rankings.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_return_rate_shrunk",
+    f"""
+WITH per AS (
+  SELECT l_partkey AS part_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ret
+  FROM lineitem GROUP BY 1
+),
+rated AS (
+  SELECT part_id, n, ret,
+         ROUND(CAST(ret AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate
+  FROM per
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS K,
+         SUM(CAST(raw_rate AS DECIMAL(18,6))) AS sm,
+         SUM(CAST(ROUND(raw_rate * raw_rate, 12) AS DECIMAL(20,12))) AS sm2
+  FROM rated
+),
+scored AS (
+  SELECT part_id, n, ret, raw_rate,
+         ROUND((CAST(ret AS DOUBLE)
+                + GREATEST(1.0, COALESCE((CAST(sm AS DOUBLE) / CAST(K AS DOUBLE))
+                    * (1.0 - CAST(sm AS DOUBLE) / CAST(K AS DOUBLE))
+                    / NULLIF(((CAST(sm2 AS DOUBLE)
+                        - CAST(K AS DOUBLE)
+                          * (CAST(sm AS DOUBLE) / CAST(K AS DOUBLE))
+                          * (CAST(sm AS DOUBLE) / CAST(K AS DOUBLE)))
+                       / (CAST(K AS DOUBLE) - 1.0)), 0.0) - 1.0, 1.0e12))
+                  * (CAST(sm AS DOUBLE) / CAST(K AS DOUBLE)))
+               / (CAST(n AS DOUBLE)
+                  + GREATEST(1.0, COALESCE((CAST(sm AS DOUBLE) / CAST(K AS DOUBLE))
+                      * (1.0 - CAST(sm AS DOUBLE) / CAST(K AS DOUBLE))
+                      / NULLIF(((CAST(sm2 AS DOUBLE)
+                          - CAST(K AS DOUBLE)
+                            * (CAST(sm AS DOUBLE) / CAST(K AS DOUBLE))
+                            * (CAST(sm AS DOUBLE) / CAST(K AS DOUBLE)))
+                         / (CAST(K AS DOUBLE) - 1.0)), 0.0) - 1.0, 1.0e12))), 6)
+           AS shrunk_rate
+  FROM rated CROSS JOIN stats
+)
+SELECT part_id, n, ret, raw_rate, shrunk_rate,
+       ROUND(ABS(shrunk_rate - raw_rate), 6) AS shrink_delta
+FROM scored
+ORDER BY shrink_delta DESC, part_id ASC
+LIMIT {R.EB_TOPK}
+""",
+)
+def part_return_rate_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-binomial moment-matched shrinkage of per-part return
+    rates; the {R.EB_TOPK} parts the prior moves most."""
+    return R.return_rate_shrunk(load_table(spark, sf_dir, "lineitem"))
