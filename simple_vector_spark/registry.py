@@ -15918,3 +15918,68 @@ def part_return_rate_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beta-binomial moment-matched shrinkage of per-part return
     rates; the {R.EB_TOPK} parts the prior moves most."""
     return R.return_rate_shrunk(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 163 (round 2): dynamic partition pruning — the dim filter reaches the
+# fact scan's partition filters at runtime.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dpp_prune_join",
+    """
+SELECT CAST(year(o_orderdate) AS VARCHAR) || 'Q'
+         || CAST((month(o_orderdate) - 1) // 3 + 1 AS VARCHAR) AS quarter,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+         AS revenue
+FROM orders
+WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 3
+GROUP BY 1
+""",
+)
+def dpp_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING end to end: orders written partitioned
+    by month, then joined to an unpartitioned month->quarter dim with
+    the selective predicate on the DIM side — Catalyst plants a
+    dynamicpruning#N subquery into the fact scan's PartitionFilters
+    (asserted in tests/test_plans.py), so only the three 1995Q1
+    month directories are read at runtime.  The static sibling is
+    partitioned_write_prune (literal predicate); this is the join-
+    driven case that matters for star schemas at 100 TB.  Oracle
+    recomputes from the unpartitioned base table."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/orders_by_month_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            orders.withColumn(
+                "o_month", F.date_format("o_orderdate", "yyyy-MM")
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_month")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            (f"{y}-{m:02d}", f"{y}Q{(m - 1) // 3 + 1}")
+            for y in range(1992, 1999)
+            for m in range(1, 13)
+        ],
+        "d_month string, d_quarter string",
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_month == dim.d_month)
+        .filter(F.col("d_quarter") == "1995Q1")
+        .groupBy(F.col("d_quarter").alias("quarter"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
+        )
+    )
