@@ -2676,3 +2676,103 @@ def rate_limit_audit(events: DataFrame) -> DataFrame:
             st["rej"].cast("double") / F.col("n_events").cast("double"), 6
         ).alias("rejected_share"),
     )
+
+
+FDR_Q = 0.10  # Benjamini-Hochberg target false-discovery rate
+
+
+def _norm_sf2(az: Column) -> Column:
+    """Two-sided normal p-value 2*(1 - Phi(|z|)) via the Zelen-Severo
+    polynomial (Abramowitz & Stegun 26.2.17) — no erf() dependency, the
+    IDENTICAL float64 expression in Spark and the DuckDB oracle, so
+    cross-engine parity is bitwise.  |abs error| < 7.5e-8."""
+    pdf = F.lit(0.3989422804014327) * F.exp(-(az * az) / F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    poly = (
+        (
+            (
+                (F.lit(1.330274429) * t - F.lit(1.821255978)) * t
+                + F.lit(1.781477937)
+            )
+            * t
+            - F.lit(0.356563782)
+        )
+        * t
+        + F.lit(0.319381530)
+    ) * t
+    return F.least(F.lit(1.0), F.lit(2.0) * pdf * poly)
+
+
+def fdr_weekend_shift(events: DataFrame, q: float = FDR_Q) -> DataFrame:
+    """MULTIPLE-TESTING CONTROL: per event type, a two-sided binomial
+    z-test of "is this type's weekend share different from the pooled
+    weekend share?", then BENJAMINI-HOCHBERG step-up at FDR q — the
+    procedure that separates real weekly-rhythm effects from the
+    false positives a dashboard of raw p<0.05 cells mass-produces.
+
+    BH: rank p ascending, threshold_i = i*q/m, discover every test
+    with rank <= k* = max{i : p_i <= threshold_i}.
+
+    Scale: one conditional aggregate per type (map-side combined), a
+    broadcast pooled row, and a :func:`ranking.ranked_global` pass
+    over the TEST table (one row per type — the rank machinery is
+    scale-safe even when the tested families grow to thousands of
+    cells).  p-values are rounded to 9dp before ranking so the rank
+    key is FP-stable across engines."""
+    from .ranking import ranked_global
+
+    per = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.dayofweek("ts").isin(1, 7).cast("int")).cast("long").alias("nw"),
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.sum("n").cast("long").alias("tn"),
+            F.sum("nw").cast("long").alias("tnw"),
+            F.count(F.lit(1)).cast("long").alias("m"),
+        )
+    )
+    pt = F.col("nw").cast("double") / F.col("n").cast("double")
+    p0 = F.col("tnw").cast("double") / F.col("tn").cast("double")
+    se = F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("n").cast("double"))
+    z = F.try_divide(pt - p0, F.nullif(se, F.lit(0.0)))
+    tested = per.crossJoin(tot).select(
+        "event_type",
+        "n",
+        "m",
+        (F.round(pt, 6) + F.lit(0.0)).alias("weekend_share"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+        F.round(_norm_sf2(F.abs(z)), 9).alias("_p9"),
+    )
+    ranked = ranked_global(
+        tested,
+        [F.col("_p9").asc(), F.col("event_type").asc()],
+        rank_name="bh_rank",
+    ).localCheckpoint()
+    thr = F.col("bh_rank").cast("double") * F.lit(q) / F.col("m").cast("double")
+    flagged = ranked.withColumn("_thr", thr).withColumn(
+        "_pass", (F.col("_p9") <= F.col("_thr")).cast("int")
+    )
+    kstar = F.broadcast(
+        flagged.agg(
+            F.coalesce(
+                F.max(F.when(F.col("_pass") == 1, F.col("bh_rank"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("_kstar")
+        )
+    )
+    return (
+        flagged.crossJoin(kstar)
+        .select(
+            "event_type",
+            "n",
+            "weekend_share",
+            "z_score",
+            (F.col("_p9").cast("double") + F.lit(0.0)).alias("p_value"),
+            F.col("bh_rank").cast("int").alias("bh_rank"),
+            (F.round(F.col("_thr"), 6) + F.lit(0.0)).alias("bh_threshold"),
+            (F.col("bh_rank") <= F.col("_kstar")).cast("int").alias("discovery"),
+        )
+        .orderBy("bh_rank")
+    )

@@ -215,3 +215,100 @@ def ranked_prefix_max(
         )
         .drop("_pid", "_lmax", "_off")
     )
+
+
+def avg_rank2(
+    df: DataFrame,
+    value_col: str,
+    tiebreak: Sequence[Column],
+    out_name: str = "avg2",
+) -> DataFrame:
+    """Twice the tie-averaged (fractional) rank of ``value_col``, as an
+    exact long — the quantity every rank statistic (Spearman rho,
+    Kruskal-Wallis H, Mann-Whitney U) is built from, with no
+    single-partition window anywhere in the plan.
+
+    avg_rank(v) = min_rank(v) + (ties(v) - 1) / 2, so
+    2*avg_rank(v) = 2*min_rank(v) + ties(v) - 1 is an integer; keeping
+    the doubled value exact means downstream moment sums can run in
+    DECIMAL (order-insensitive) and only the final statistic touches
+    float64.
+
+    Plan shape: :func:`ranked_global` row_number over
+    (value, tiebreak) — range-partitioned two-phase rank — then one
+    window partitioned BY THE VALUE (min rank + tie count per distinct
+    value; values are hash-distributed, so no funnel).  ``tiebreak``
+    must make the sort total; it only disambiguates equal values and
+    cancels out of the tie-averaged result.
+    """
+    ranked = ranked_global(
+        df, [F.col(value_col).asc(), *tiebreak], rank_name="_ar_rank"
+    )
+    vw = Window.partitionBy(value_col)
+    return ranked.withColumn(
+        out_name,
+        (
+            F.lit(2) * F.min("_ar_rank").over(vw)
+            + F.count(F.lit(1)).over(vw)
+            - F.lit(1)
+        ).cast("long"),
+    ).drop("_ar_rank")
+
+
+def ordered_cdf(
+    df: DataFrame,
+    sort_exprs: Sequence[Column],
+    value_cols: Sequence[str],
+    rank_name: str = "grank",
+    suffix: str = "_cum",
+) -> DataFrame:
+    """One two-phase pass producing BOTH the exact global row_number
+    (``rank_name``) and the exact inclusive prefix sum of every column
+    in ``value_cols`` (as ``<col><suffix>``) over ``sort_exprs`` — the
+    empirical-CDF primitive (sorted support + cumulative masses) with
+    no single-partition window.
+
+    Same recipe as :func:`ranked_prefix_sum`, but rank and all the
+    sums share one range partitioning, one local-window stage and one
+    broadcast offsets table, instead of N separate passes.  Sum
+    columns should be exact types (long / DECIMAL)."""
+    part = df.repartitionByRange(*sort_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_lrank", F.row_number().over(lw).cast("long"))
+    for c in value_cols:
+        local = local.withColumn(f"_l_{c}", F.sum(c).over(lw))
+    local = local.localCheckpoint()
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("_pn_rows")] + [
+        F.sum(c).alias(f"_pn_{c}") for c in value_cols
+    ]
+    sums = local.groupBy("_pid").agg(*aggs)
+    lower = sums.select(
+        F.col("_pid").alias("_bpid"),
+        F.col("_pn_rows").alias("_bpn_rows"),
+        *[F.col(f"_pn_{c}").alias(f"_bpn_{c}") for c in value_cols],
+    )
+    offs = (
+        sums.join(F.broadcast(lower), F.col("_bpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(
+            F.coalesce(F.sum("_bpn_rows"), F.lit(0)).cast("long").alias("_off_rows"),
+            *[F.sum(f"_bpn_{c}").alias(f"_off_{c}") for c in value_cols],
+        )
+    )
+    out = local.join(F.broadcast(offs), "_pid").withColumn(
+        rank_name, (F.col("_off_rows") + F.col("_lrank")).cast("long")
+    )
+    for c in value_cols:
+        out = out.withColumn(
+            c + suffix, F.col(f"_l_{c}") + F.coalesce(F.col(f"_off_{c}"), F.lit(0))
+        )
+    drop = ["_pid", "_lrank", "_off_rows"]
+    drop += [f"_l_{c}" for c in value_cols] + [f"_off_{c}" for c in value_cols]
+    return out.drop(*drop)

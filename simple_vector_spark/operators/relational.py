@@ -5986,3 +5986,311 @@ def return_rate_shrunk(lineitem: DataFrame, topk: int = EB_TOPK) -> DataFrame:
         .orderBy(F.col("shrink_delta").desc(), F.col("part_id").asc())
         .limit(topk)
     )
+
+
+def spearman_quantity_price(lineitem: DataFrame) -> DataFrame:
+    """SPEARMAN rank correlation (tie-averaged) between l_quantity and
+    l_extendedprice, next to the raw-value Pearson r — the robust
+    monotone-association check (Spearman is Pearson on fractional
+    ranks, immune to the price outliers that inflate r).  The reference
+    ranks all scoring in one thread (src/simple_vector.cc top-k loop);
+    this is the distributed total-order analog applied to statistics.
+
+    Scale: two CHAINED :func:`avg_rank2` passes (range-partitioned
+    two-phase rank + a value-partitioned tie window — no
+    single-partition window and no row-key pair join: (l_orderkey,
+    l_linenumber) is not unique in the fixture, and avg2 depends only
+    on the value, so chaining keeps rows 1:1 by construction), then a
+    single DECIMAL moment aggregation.  Doubled ranks are exact longs,
+    so every sum is order-insensitive; float64 appears only in the
+    final closed-form correlation.
+    """
+    from .ranking import avg_rank2
+
+    base = lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    tb = [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
+    rx = avg_rank2(base, "l_quantity", tb, out_name="ax")
+    j = avg_rank2(rx, "l_extendedprice", tb, out_name="ay")
+
+    d38 = "decimal(38,0)"
+    q = F.col("l_quantity").cast("decimal(15,2)")
+    p = F.col("l_extendedprice").cast("decimal(15,2)")
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("ax").cast(d38)).alias("sx"),
+        F.sum(F.col("ay").cast(d38)).alias("sy"),
+        F.sum((F.col("ax") * F.col("ax")).cast(d38)).alias("sxx"),
+        F.sum((F.col("ay") * F.col("ay")).cast(d38)).alias("syy"),
+        F.sum((F.col("ax") * F.col("ay")).cast(d38)).alias("sxy"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+        F.sum(q * p).alias("sqp"),
+    )
+
+    def _corr(n, sx, sy, sxx, syy, sxy):
+        nd = n.cast("double")
+        xd, yd = sx.cast("double"), sy.cast("double")
+        xxd, yyd, xyd = sxx.cast("double"), syy.cast("double"), sxy.cast("double")
+        num = nd * xyd - xd * yd
+        den = F.sqrt(nd * xxd - xd * xd) * F.sqrt(nd * yyd - yd * yd)
+        return F.round(F.try_divide(num, F.nullif(den, F.lit(0.0))), 6) + F.lit(0.0)
+
+    return s.select(
+        "n",
+        _corr(
+            F.col("n"), F.col("sx"), F.col("sy"),
+            F.col("sxx"), F.col("syy"), F.col("sxy"),
+        ).alias("spearman_rho"),
+        _corr(
+            F.col("n"), F.col("sq"), F.col("sp"),
+            F.col("sqq"), F.col("spp"), F.col("sqp"),
+        ).alias("pearson_r"),
+    )
+
+
+def kruskal_wallis_priority(orders: DataFrame) -> DataFrame:
+    """KRUSKAL-WALLIS rank test: does o_totalprice differ across the 5
+    order priorities?  The nonparametric sibling of
+    ``orders_dow_anova`` — H is computed from tie-averaged global
+    ranks, with the standard tie correction, so a heavy-tailed price
+    distribution cannot fake (or hide) a group effect the way it does
+    under a plain F-test.
+
+    Per-group mean ranks surface WHERE the shift is; every row carries
+    the shared H statistics (k-1 df chi-square under H0).
+
+    Scale: one :func:`avg_rank2` pass (no single-partition window),
+    one groupBy on the 5 priorities, one groupBy per distinct price for
+    the tie term.  All moment sums DECIMAL-exact; the 5-element
+    cross-group reduction is pre-rounded to fixed decimals so the
+    final fold is order-insensitive too.
+    """
+    from .ranking import avg_rank2
+
+    ranked = avg_rank2(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_totalprice",
+        [F.col("o_orderkey").asc()],
+        out_name="a2",
+    ).localCheckpoint()
+
+    d38 = "decimal(38,0)"
+    groups = ranked.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("a2").cast(d38)).alias("r2_g"),
+    )
+    # Sum_g (R_g^2 / n_g) with R_g = r2_g/2: per-group term rounded to
+    # 3dp then DECIMAL-summed so the cross-group fold order is moot.
+    terms = groups.select(
+        F.round(
+            (F.col("r2_g").cast("double") / F.lit(2.0))
+            * (F.col("r2_g").cast("double") / F.lit(2.0))
+            / F.col("n_g").cast("double"),
+            3,
+        )
+        .cast("decimal(30,3)")
+        .alias("term"),
+        F.col("n_g"),
+    )
+    hstats = terms.agg(
+        F.sum("term").alias("sum_terms"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+    )
+    ties = (
+        ranked.groupBy("o_totalprice")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(d38)
+            ).alias("tie3")
+        )
+    )
+    nd = F.col("n_total").cast("double")
+    h = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0)))
+        * F.col("sum_terms").cast("double")
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.try_divide(
+        F.col("tie3").cast("double"),
+        F.nullif(nd * nd * nd - nd, F.lit(0.0)),
+    )
+    glob = F.broadcast(
+        hstats.crossJoin(F.broadcast(ties)).select(
+            "n_total",
+            (F.col("k") - F.lit(1)).cast("int").alias("df"),
+            (F.round(h, 6) + F.lit(0.0)).alias("h_stat"),
+            (F.round(F.try_divide(h, F.nullif(corr, F.lit(0.0))), 6) + F.lit(0.0)).alias(
+                "h_tie_corrected"
+            ),
+        )
+    )
+    return (
+        groups.select(
+            "priority",
+            "n_g",
+            (
+                F.round(
+                    F.col("r2_g").cast("double")
+                    / (F.lit(2.0) * F.col("n_g").cast("double")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_rank"),
+        )
+        .crossJoin(glob)
+        .orderBy("priority")
+    )
+
+
+def wasserstein_price_drift(
+    orders: DataFrame, year_a: int = 1996, year_b: int = 1997
+) -> DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth-mover) distance between the
+    o_totalprice distributions of two years — the drift measure with
+    units (dollars of probability mass moved), unlike KS's unitless
+    sup-gap: W1 = integral |F_a - F_b| dx over the pooled support.
+
+    Scale: groupBy distinct price (one shuffle), then ONE
+    :func:`ordered_cdf` pass (range-partitioned rank + both cumulative
+    masses together — no single-partition window, no LEAD over a
+    global sort: the "next support point" comes from an equi-join on
+    rank+1).  Per-interval terms |F_a-F_b|*dx are rounded to 9dp and
+    DECIMAL-summed, so the fold is order-insensitive; both engines run
+    the identical float64 expression per interval.
+    """
+    from .ranking import ordered_cdf
+
+    v = F.col("o_totalprice").cast(DEC_PRICE)
+    base = orders.select(
+        F.year("o_orderdate").alias("yr"), v.alias("v")
+    ).filter(F.col("yr").isin(year_a, year_b))
+    counts = base.groupBy("v").agg(
+        F.sum(F.when(F.col("yr") == year_a, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("yr") == year_b, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    cdf = ordered_cdf(counts, [F.col("v").asc()], ["ca", "cb"], rank_name="g")
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("ca").cast("long").alias("na"),
+            F.sum("cb").cast("long").alias("nb"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+    )
+    cur = cdf.select("g", "v", "ca_cum", "cb_cum")
+    nxt = cdf.select((F.col("g") - F.lit(1)).alias("g"), F.col("v").alias("v_next"))
+    fa = F.try_divide(
+        F.col("ca_cum").cast("double"), F.nullif(F.col("na").cast("double"), F.lit(0.0))
+    )
+    fb = F.try_divide(
+        F.col("cb_cum").cast("double"), F.nullif(F.col("nb").cast("double"), F.lit(0.0))
+    )
+    terms = (
+        cur.join(nxt, "g")
+        .crossJoin(tot)
+        .select(
+            F.round(
+                F.abs(fa - fb) * (F.col("v_next") - F.col("v")).cast("double"), 9
+            )
+            .cast("decimal(25,9)")
+            .alias("term")
+        )
+    )
+    s = terms.agg(F.sum("term").alias("s"))
+    return s.crossJoin(tot).select(
+        F.lit(year_a).alias("year_a"),
+        F.lit(year_b).alias("year_b"),
+        "na",
+        "nb",
+        (F.round(F.col("s").cast("double"), 6) + F.lit(0.0)).alias("w1"),
+        (
+            F.round(
+                F.try_divide(
+                    F.col("s").cast("double"),
+                    F.nullif(
+                        (F.col("vmax") - F.col("vmin")).cast("double"), F.lit(0.0)
+                    ),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("w1_norm"),
+    )
+
+
+def ols_price_model(lineitem: DataFrame) -> DataFrame:
+    """CLOSED-FORM multiple OLS: l_extendedprice ~ 1 + l_quantity +
+    l_discount, solved from the 3x3 normal equations by Cramer's rule
+    — multi-feature regression as ONE aggregation pass, no iterative
+    solver, no MLlib dependency, no second scan.  The estimator a
+    100-TB pipeline can actually afford: every X'X / X'y entry is a
+    DECIMAL-exact power sum (order-insensitive partial aggregation),
+    and only the final 3x3 solve touches float64 — the identical
+    expression in both engines, so parity is bitwise.
+
+    Returns one row: n, intercept b0, quantity slope b1, discount
+    slope b2, and R^2 (1 - SSE/SST with SSE = y'y - b'X'y).
+    """
+    q = F.col("l_quantity").cast("decimal(15,2)")
+    d = F.col("l_discount").cast("decimal(15,2)")
+    p = F.col("l_extendedprice").cast("decimal(15,2)")
+    s = lineitem.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(d).alias("sd"),
+        F.sum(p).alias("sp"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * d).alias("sqd"),
+        F.sum(q * p).alias("sqp"),
+        F.sum(d * p).alias("sdp"),
+        F.sum(p * p).alias("spp"),
+    )
+    nn = F.col("n").cast("double")
+    sq, sd, sp = (F.col(c).cast("double") for c in ("sq", "sd", "sp"))
+    sqq, sdd, sqd = (F.col(c).cast("double") for c in ("sqq", "sdd", "sqd"))
+    sqp, sdp, spp = (F.col(c).cast("double") for c in ("sqp", "sdp", "spp"))
+
+    det = (
+        nn * (sqq * sdd - sqd * sqd)
+        - sq * (sq * sdd - sqd * sd)
+        + sd * (sq * sqd - sqq * sd)
+    )
+    det0 = (
+        sp * (sqq * sdd - sqd * sqd)
+        - sq * (sqp * sdd - sqd * sdp)
+        + sd * (sqp * sqd - sqq * sdp)
+    )
+    det1 = (
+        nn * (sqp * sdd - sqd * sdp)
+        - sp * (sq * sdd - sqd * sd)
+        + sd * (sq * sdp - sqp * sd)
+    )
+    det2 = (
+        nn * (sqq * sdp - sqp * sqd)
+        - sq * (sq * sdp - sqp * sd)
+        + sp * (sq * sqd - sqq * sd)
+    )
+    b0 = F.try_divide(det0, F.nullif(det, F.lit(0.0)))
+    b1 = F.try_divide(det1, F.nullif(det, F.lit(0.0)))
+    b2 = F.try_divide(det2, F.nullif(det, F.lit(0.0)))
+    sse = spp - b0 * sp - b1 * sqp - b2 * sdp
+    sst = spp - sp * sp / nn
+    r2 = F.lit(1.0) - F.try_divide(sse, F.nullif(sst, F.lit(0.0)))
+    return s.select(
+        "n",
+        (F.round(b0, 6) + F.lit(0.0)).alias("b0_intercept"),
+        (F.round(b1, 6) + F.lit(0.0)).alias("b1_quantity"),
+        (F.round(b2, 6) + F.lit(0.0)).alias("b2_discount"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
+    )

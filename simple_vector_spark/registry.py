@@ -15983,3 +15983,329 @@ def dpp_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 164 (round 2): rank statistics — Spearman rho and Kruskal-Wallis H
+# on tie-averaged global ranks (scale-safe avg_rank2, no single-partition
+# window).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_spearman_corr",
+    """
+WITH base AS (
+  SELECT l_orderkey AS k1, l_linenumber AS k2,
+         l_quantity AS q, l_extendedprice AS p
+  FROM lineitem
+),
+rr AS (
+  SELECT q, p,
+         2 * RANK() OVER (ORDER BY q) + COUNT(*) OVER (PARTITION BY q) - 1
+           AS ax,
+         2 * RANK() OVER (ORDER BY p) + COUNT(*) OVER (PARTITION BY p) - 1
+           AS ay
+  FROM base
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ax AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(ay AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(ax * ax AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(ay * ay AS DECIMAL(38,0))) AS syy,
+         SUM(CAST(ax * ay AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(q AS DECIMAL(15,2))) AS sq,
+         SUM(CAST(p AS DECIMAL(15,2))) AS sp,
+         SUM(CAST(q AS DECIMAL(15,2)) * CAST(q AS DECIMAL(15,2))) AS sqq,
+         SUM(CAST(p AS DECIMAL(15,2)) * CAST(p AS DECIMAL(15,2))) AS spp,
+         SUM(CAST(q AS DECIMAL(15,2)) * CAST(p AS DECIMAL(15,2))) AS sqp
+  FROM rr
+)
+SELECT n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                      0.0), 6) + 0.0 AS spearman_rho,
+       ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / NULLIF(SQRT(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                           - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                      * SQRT(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                             - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)),
+                      0.0), 6) + 0.0 AS pearson_r
+FROM s
+""",
+)
+def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho (tie-averaged ranks) vs Pearson r for quantity x
+    extendedprice; doubled ranks exact, DECIMAL moment sums."""
+    return R.spearman_quantity_price(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "orders_kruskal_wallis",
+    """
+WITH ranked AS (
+  SELECT o_orderpriority AS priority, o_totalprice AS v,
+         2 * RANK() OVER (ORDER BY o_totalprice)
+           + COUNT(*) OVER (PARTITION BY o_totalprice) - 1 AS a2
+  FROM orders
+),
+groups AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_g,
+         SUM(CAST(a2 AS DECIMAL(38,0))) AS r2_g
+  FROM ranked GROUP BY 1
+),
+terms AS (
+  SELECT n_g,
+         CAST(ROUND((CAST(r2_g AS DOUBLE) / 2.0)
+                    * (CAST(r2_g AS DOUBLE) / 2.0)
+                    / CAST(n_g AS DOUBLE), 3) AS DECIMAL(30,3)) AS term
+  FROM groups
+),
+hs AS (
+  SELECT SUM(term) AS sum_terms, CAST(SUM(n_g) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS INT) AS k
+  FROM terms
+),
+ties AS (
+  SELECT SUM(CAST(t * t * t - t AS DECIMAL(38,0))) AS tie3
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ranked GROUP BY v)
+),
+raw AS (
+  SELECT n_total, k,
+         12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+           * CAST(sum_terms AS DOUBLE)
+           - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h,
+         1.0 - CAST(tie3 AS DOUBLE)
+           / NULLIF(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                      * CAST(n_total AS DOUBLE)
+                    - CAST(n_total AS DOUBLE), 0.0) AS corr
+  FROM hs CROSS JOIN ties
+),
+gstats AS (
+  SELECT n_total, CAST(k - 1 AS INT) AS df,
+         ROUND(h, 6) + 0.0 AS h_stat,
+         ROUND(h / NULLIF(corr, 0.0), 6) + 0.0 AS h_tie_corrected
+  FROM raw
+)
+SELECT priority, n_g,
+       ROUND(CAST(r2_g AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE)), 6) + 0.0
+         AS mean_rank,
+       n_total, df, h_stat, h_tie_corrected
+FROM groups CROSS JOIN gstats
+ORDER BY priority
+""",
+)
+def orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (tie-corrected) of o_totalprice across the 5
+    order priorities, from scale-safe tie-averaged ranks."""
+    return R.kruskal_wallis_priority(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 165 (round 2): exact 1-D Wasserstein drift between yearly price
+# distributions on the ordered_cdf primitive.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_wasserstein_drift",
+    """
+WITH base AS (
+  SELECT year(o_orderdate) AS yr, CAST(o_totalprice AS DECIMAL(15,2)) AS v
+  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+),
+counts AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM base GROUP BY v
+),
+cdf AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v) AS ca_cum,
+         SUM(cb) OVER (ORDER BY v) AS cb_cum,
+         LEAD(v) OVER (ORDER BY v) AS v_next
+  FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         MIN(v) AS vmin, MAX(v) AS vmax
+  FROM counts
+),
+terms AS (
+  SELECT CAST(ROUND(ABS(CAST(ca_cum AS DOUBLE) / NULLIF(CAST(na AS DOUBLE), 0.0)
+                        - CAST(cb_cum AS DOUBLE) / NULLIF(CAST(nb AS DOUBLE), 0.0))
+                    * CAST(v_next - v AS DOUBLE), 9) AS DECIMAL(25,9)) AS term
+  FROM cdf CROSS JOIN tot
+  WHERE v_next IS NOT NULL
+),
+s AS (SELECT SUM(term) AS s FROM terms)
+SELECT 1996 AS year_a, 1997 AS year_b, na, nb,
+       ROUND(CAST(s AS DOUBLE), 6) + 0.0 AS w1,
+       ROUND(CAST(s AS DOUBLE) / NULLIF(CAST(vmax - vmin AS DOUBLE), 0.0), 6)
+         + 0.0 AS w1_norm
+FROM s CROSS JOIN tot
+""",
+)
+def orders_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact earth-mover distance between 1994 and 1995 order-value
+    distributions; ordered_cdf two-phase pass, DECIMAL term sums."""
+    return R.wasserstein_price_drift(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 166 (round 2): closed-form multiple OLS from DECIMAL power sums.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_ols_price_model",
+    """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(15,2))) AS sq,
+         SUM(CAST(l_discount AS DECIMAL(15,2))) AS sd,
+         SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS sp,
+         SUM(CAST(l_quantity AS DECIMAL(15,2))
+             * CAST(l_quantity AS DECIMAL(15,2))) AS sqq,
+         SUM(CAST(l_discount AS DECIMAL(15,2))
+             * CAST(l_discount AS DECIMAL(15,2))) AS sdd,
+         SUM(CAST(l_quantity AS DECIMAL(15,2))
+             * CAST(l_discount AS DECIMAL(15,2))) AS sqd,
+         SUM(CAST(l_quantity AS DECIMAL(15,2))
+             * CAST(l_extendedprice AS DECIMAL(15,2))) AS sqp,
+         SUM(CAST(l_discount AS DECIMAL(15,2))
+             * CAST(l_extendedprice AS DECIMAL(15,2))) AS sdp,
+         SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+             * CAST(l_extendedprice AS DECIMAL(15,2))) AS spp
+  FROM lineitem
+),
+d AS (
+  SELECT n, CAST(n AS DOUBLE) AS nn,
+         CAST(sq AS DOUBLE) AS sqv, CAST(sd AS DOUBLE) AS sdv,
+         CAST(sp AS DOUBLE) AS spv, CAST(sqq AS DOUBLE) AS sqqv,
+         CAST(sdd AS DOUBLE) AS sddv, CAST(sqd AS DOUBLE) AS sqdv,
+         CAST(sqp AS DOUBLE) AS sqpv, CAST(sdp AS DOUBLE) AS sdpv,
+         CAST(spp AS DOUBLE) AS sppv
+  FROM s
+),
+dets AS (
+  SELECT n, nn, spv, sqpv, sdpv, sppv,
+         nn * (sqqv * sddv - sqdv * sqdv)
+           - sqv * (sqv * sddv - sqdv * sdv)
+           + sdv * (sqv * sqdv - sqqv * sdv) AS det,
+         spv * (sqqv * sddv - sqdv * sqdv)
+           - sqv * (sqpv * sddv - sqdv * sdpv)
+           + sdv * (sqpv * sqdv - sqqv * sdpv) AS det0,
+         nn * (sqpv * sddv - sqdv * sdpv)
+           - spv * (sqv * sddv - sqdv * sdv)
+           + sdv * (sqv * sdpv - sqpv * sdv) AS det1,
+         nn * (sqqv * sdpv - sqpv * sqdv)
+           - sqv * (sqv * sdpv - sqpv * sdv)
+           + spv * (sqv * sqdv - sqqv * sdv) AS det2
+  FROM d
+),
+betas AS (
+  SELECT n, nn, spv, sqpv, sdpv, sppv,
+         det0 / NULLIF(det, 0.0) AS b0,
+         det1 / NULLIF(det, 0.0) AS b1,
+         det2 / NULLIF(det, 0.0) AS b2
+  FROM dets
+)
+SELECT n,
+       ROUND(b0, 6) + 0.0 AS b0_intercept,
+       ROUND(b1, 6) + 0.0 AS b1_quantity,
+       ROUND(b2, 6) + 0.0 AS b2_discount,
+       ROUND(1.0 - (sppv - b0 * spv - b1 * sqpv - b2 * sdpv)
+                   / NULLIF(sppv - spv * spv / nn, 0.0), 6) + 0.0 AS r2
+FROM betas
+""",
+)
+def lineitem_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS extendedprice ~ 1 + quantity + discount via
+    Cramer's rule on DECIMAL-exact normal equations; one scan."""
+    return R.ols_price_model(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 167 (round 2): Benjamini-Hochberg FDR over per-type weekend-shift
+# z-tests — multiple-testing control as a first-class operator.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_fdr_bh",
+    f"""
+WITH per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+              AS BIGINT) AS nw
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(nw) AS BIGINT) AS tnw,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM per
+),
+tested AS (
+  SELECT event_type, n, m,
+         ROUND(CAST(nw AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+           AS weekend_share,
+         ROUND((CAST(nw AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(tnw AS DOUBLE) / CAST(tn AS DOUBLE))
+               / NULLIF(SQRT((CAST(tnw AS DOUBLE) / CAST(tn AS DOUBLE))
+                             * (1.0 - CAST(tnw AS DOUBLE) / CAST(tn AS DOUBLE))
+                             / CAST(n AS DOUBLE)), 0.0), 6) + 0.0 AS z_score,
+         ABS((CAST(nw AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(tnw AS DOUBLE) / CAST(tn AS DOUBLE))
+             / NULLIF(SQRT((CAST(tnw AS DOUBLE) / CAST(tn AS DOUBLE))
+                           * (1.0 - CAST(tnw AS DOUBLE) / CAST(tn AS DOUBLE))
+                           / CAST(n AS DOUBLE)), 0.0)) AS az
+  FROM per CROSS JOIN tot
+),
+pvals AS (
+  SELECT event_type, n, m, weekend_share, z_score,
+         ROUND(LEAST(1.0,
+             2.0 * (0.3989422804014327 * EXP(-(az * az) / 2.0))
+                 * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * az))
+                        - 1.821255978) * (1.0 / (1.0 + 0.2316419 * az))
+                       + 1.781477937) * (1.0 / (1.0 + 0.2316419 * az))
+                      - 0.356563782) * (1.0 / (1.0 + 0.2316419 * az))
+                     + 0.319381530) * (1.0 / (1.0 + 0.2316419 * az)))), 9)
+           AS p9
+  FROM tested
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p9 ASC, event_type ASC)
+                 AS BIGINT) AS bh_rank
+  FROM pvals
+),
+flagged AS (
+  SELECT *,
+         CAST(bh_rank AS DOUBLE) * {E.FDR_Q} / CAST(m AS DOUBLE) AS thr
+  FROM ranked
+),
+ks AS (
+  SELECT COALESCE(MAX(CASE WHEN p9 <= thr THEN bh_rank END), 0) AS kstar
+  FROM flagged
+)
+SELECT event_type, n, weekend_share, z_score,
+       p9 + 0.0 AS p_value,
+       CAST(bh_rank AS INT) AS bh_rank,
+       ROUND(thr, 6) + 0.0 AS bh_threshold,
+       CAST(CASE WHEN bh_rank <= kstar THEN 1 ELSE 0 END AS INT) AS discovery
+FROM flagged CROSS JOIN ks
+ORDER BY bh_rank
+""",
+)
+def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type weekend-shift z-tests with Benjamini-Hochberg step-up
+    at FDR q=FDR_Q — multiple-testing control, rank machinery
+    scale-safe via ranked_global."""
+    return E.fdr_weekend_shift(load_table(spark, sf_dir, "events"))
