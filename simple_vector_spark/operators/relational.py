@@ -6294,3 +6294,267 @@ def ols_price_model(lineitem: DataFrame) -> DataFrame:
         (F.round(b2, 6) + F.lit(0.0)).alias("b2_discount"),
         (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
     )
+
+
+MAD_TOPK = 20
+MAD_FLAG_Z = 3.5  # Iglewicz-Hoaglin modified z-score cutoff
+
+
+def robust_price_outliers(orders: DataFrame, topk: int = MAD_TOPK) -> DataFrame:
+    """ROBUST per-segment outlier screen: modified z-score
+    0.6745*(x - median_g) / MAD_g within each order priority — the
+    median/MAD pair has a 50% breakdown point, so unlike mean/stddev
+    z-scores (events_anomaly_zscore) the outliers themselves cannot
+    mask the fence.  Top-{MAD_TOPK} rows by |z| with the
+    Iglewicz-Hoaglin |z| > 3.5 flag.
+
+    Scale: two grouped EXACT medians (median per priority, then median
+    of absolute deviations — each one shuffle on the 5-way group key;
+    at 100 TB swap F.median for approx_percentile(0.5) with the same
+    plan shape), broadcast joins of the 5-row model tables back to the
+    fact, and a TakeOrdered heap for the top-k — no global sort."""
+    x = F.col("o_totalprice").cast("double")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.median(x).alias("med_g")
+    )
+    j = orders.join(F.broadcast(med), "o_orderpriority")
+    mad = j.groupBy("o_orderpriority").agg(
+        F.median(F.abs(x - F.col("med_g"))).alias("mad_g")
+    )
+    z = F.lit(0.6745) * F.try_divide(
+        x - F.col("med_g"), F.nullif(F.col("mad_g"), F.lit(0.0))
+    )
+    return (
+        j.join(F.broadcast(mad), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").cast(DEC_PRICE).alias("o_totalprice"),
+            (F.round(F.col("med_g"), 6) + F.lit(0.0)).alias("group_median"),
+            (F.round(z, 6) + F.lit(0.0)).alias("robust_z"),
+            (F.abs(F.round(z, 6)) > F.lit(MAD_FLAG_Z)).cast("int").alias(
+                "is_outlier"
+            ),
+        )
+        .filter(F.col("robust_z").isNotNull())
+        .orderBy(
+            F.abs(F.col("robust_z")).desc(), F.col("o_orderkey").asc()
+        )
+        .limit(topk)
+    )
+
+
+def brown_forsythe_priority(orders: DataFrame) -> DataFrame:
+    """BROWN-FORSYTHE equality-of-variances test across the 5 order
+    priorities: one-way ANOVA on z_ij = |x_ij - median_j| — the
+    median-centered Levene variant that stays honest under skewed
+    price distributions.  The missing premise check under
+    ``orders_dow_anova``'s equal-variance assumption.
+
+    Per-group rows (n, median, mean |dev|) carry the shared F
+    statistic with (k-1, N-k) degrees of freedom.
+
+    Scale: one grouped exact median + broadcast join back, then a
+    single DECIMAL power-sum aggregation of the 6dp-rounded absolute
+    deviations (order-insensitive); the 5-element cross-group folds
+    are rounded-DECIMAL too, so no float summation order anywhere."""
+    x = F.col("o_totalprice").cast("double")
+    med = orders.groupBy("o_orderpriority").agg(F.median(x).alias("med_g"))
+    zs = (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "med_g",
+            F.round(F.abs(x - F.col("med_g")), 6)
+            .cast("decimal(18,6)")
+            .alias("z"),
+        )
+    )
+    groups = zs.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.first("med_g").alias("med_g"),
+        F.sum("z").alias("sz"),
+        F.sum(
+            F.round(F.col("z").cast("double") * F.col("z").cast("double"), 6)
+            .cast("decimal(28,6)")
+        ).alias("szz"),
+    ).localCheckpoint()
+    # SSW_g = szz - sz^2/n_g ; SSB needs the grand mean of z
+    tot = F.broadcast(
+        groups.agg(
+            F.sum("n_g").cast("long").alias("n_total"),
+            F.sum("sz").alias("tsz"),
+            F.count(F.lit(1)).cast("int").alias("k"),
+        )
+    )
+    zbar_g = F.col("sz").cast("double") / F.col("n_g").cast("double")
+    zbar = F.col("tsz").cast("double") / F.col("n_total").cast("double")
+    terms = groups.crossJoin(tot).select(
+        "n_total",
+        "k",
+        F.round(
+            F.col("n_g").cast("double") * (zbar_g - zbar) * (zbar_g - zbar), 6
+        )
+        .cast("decimal(28,6)")
+        .alias("ssb_t"),
+        F.round(
+            F.col("szz").cast("double")
+            - F.col("sz").cast("double") * F.col("sz").cast("double")
+            / F.col("n_g").cast("double"),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("ssw_t"),
+    )
+    fstat = terms.groupBy("n_total", "k").agg(
+        F.sum("ssb_t").alias("ssb"), F.sum("ssw_t").alias("ssw")
+    )
+    fcol = F.try_divide(
+        F.col("ssb").cast("double") / (F.col("k").cast("double") - F.lit(1.0)),
+        F.nullif(
+            F.col("ssw").cast("double")
+            / (F.col("n_total").cast("double") - F.col("k").cast("double")),
+            F.lit(0.0),
+        ),
+    )
+    fglob = F.broadcast(
+        fstat.select(
+            "n_total",
+            (F.col("k") - F.lit(1)).cast("int").alias("df1"),
+            (F.col("n_total") - F.col("k")).cast("long").alias("df2"),
+            (F.round(fcol, 6) + F.lit(0.0)).alias("f_stat"),
+        )
+    )
+    return (
+        groups.select(
+            "priority",
+            "n_g",
+            (F.round(F.col("med_g"), 6) + F.lit(0.0)).alias("group_median"),
+            (
+                F.round(
+                    F.col("sz").cast("double") / F.col("n_g").cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("mean_absdev"),
+        )
+        .crossJoin(fglob)
+        .orderBy("priority")
+    )
+
+
+def mann_kendall_trend(orders: DataFrame) -> DataFrame:
+    """MANN-KENDALL monotone-trend test on monthly revenue: S = sum of
+    sign(rev_j - rev_i) over all month pairs i<j, tie-corrected normal
+    variance, continuity-corrected z — the distribution-free "is
+    revenue actually trending" verdict that pairs with
+    ``orders_theil_sen_trend``'s slope estimate (same pairwise logic,
+    test vs estimator).
+
+    Scale: the pairwise self-join runs on the MONTH aggregate (rows
+    bounded by the calendar, not the data), so the only data-sized
+    work is one monthly groupBy; revenue compares in DECIMAL, making
+    every sign exact, and S / the tie term are integer sums."""
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    a = m.select(F.col("month").alias("m1"), F.col("rev").alias("r1"))
+    b = m.select(F.col("month").alias("m2"), F.col("rev").alias("r2"))
+    s = (
+        a.join(b, F.col("m1") < F.col("m2"))
+        .agg(
+            F.sum(F.signum((F.col("r2") - F.col("r1")).cast("double")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        m.groupBy("rev")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("t3")
+        )
+    )
+    n = m.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    nd = F.col("n_months").cast("double")
+    var = (
+        nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+        - F.col("t3").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    z = F.when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(var)).when(
+        F.col("s_stat") < 0, (sd + F.lit(1.0)) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return (
+        n.crossJoin(s)
+        .crossJoin(ties)
+        .select(
+            "n_months",
+            "s_stat",
+            (F.round(var, 6) + F.lit(0.0)).alias("var_s"),
+            (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+            F.when(F.col("s_stat") > 0, F.lit("increasing"))
+            .when(F.col("s_stat") < 0, F.lit("decreasing"))
+            .otherwise(F.lit("none"))
+            .alias("trend"),
+        )
+    )
+
+
+BLOOM_JOIN_MIN_PRICE = 300000.0
+# Used by registry.bloom_filter_join, which runs in an isolated
+# spark.newSession() (private SQLConf: auto-broadcast off + runtime
+# bloom-filter thresholds floored) so the injected
+# bloom_filter_might_contain probe is exercised at test scale without
+# touching any other query's plans.
+
+
+def observed_quality_metrics(orders: DataFrame) -> DataFrame:
+    """OBSERVATION API: data-quality metrics (row count, null count,
+    min/max) piggybacked on the SAME physical scan that computes the
+    real workload (revenue by priority) — ``df.observe`` attaches
+    accumulator-backed aggregates to the plan, so the metrics cost
+    ZERO extra passes.  The pattern every 100-TB pipeline needs:
+    profiling a table you were already reading, instead of a second
+    full scan (compare ``profile_documents``, which pays for its own
+    pass).
+
+    The workload result is intentionally small (5 priority groups, a
+    request-sized driver collect like the knn query batch); the
+    returned DataFrame is the metrics row plus the observed workload
+    cardinality, reproducible by the plain-SQL oracle."""
+    from pyspark.sql import Observation
+
+    spark = orders.sparkSession
+    obs = Observation()
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("int"))
+        .cast("long")
+        .alias("null_prices"),
+        F.min(_dec("o_totalprice")).alias("min_price"),
+        F.max(_dec("o_totalprice")).alias("max_price"),
+    )
+    workload = (
+        observed.groupBy("o_orderpriority")
+        .agg(F.sum(_dec("o_totalprice")).alias("revenue"))
+        .collect()
+    )
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["null_prices"],
+                m["min_price"],
+                m["max_price"],
+                len(workload),
+            )
+        ],
+        "n_rows long, null_prices long, min_price decimal(15,2),"
+        " max_price decimal(15,2), priority_groups long",
+    )

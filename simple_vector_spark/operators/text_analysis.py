@@ -2204,3 +2204,92 @@ def url_normalize_audit(docs: DataFrame) -> DataFrame:
             ).alias("collapse_share"),
         )
     )
+
+
+def heaps_law_fit(docs: DataFrame) -> DataFrame:
+    """HEAPS-LAW fit V(N) = K * N^beta for vocabulary growth along the
+    doc_id order: the sizing law behind tokenizer-vocab and
+    dedup-memory budgets (beta ~ 0.4-0.6 for natural text; beta near 1
+    screams boilerplate/ID-like tokens, near 0 screams duplication).
+
+    Construction with no per-prefix recompute: each term contributes
+    only at its FIRST document (min doc_id per token), so V at doc d =
+    cumulative count of first-occurrences up to d, and N = cumulative
+    token count — both from ONE :func:`ranking.ordered_cdf` pass over
+    the per-doc axis (bounded by |docs|, not |tokens|).  The log-log
+    OLS runs on 9dp-rounded ln's summed in DECIMAL, so the fit is
+    shuffle-order invariant; only the closed-form slope touches raw
+    float64, identically in both engines.
+    """
+    from ..sources.loaders import fan_out
+    from .ranking import ordered_cdf
+
+    toks = (
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .localCheckpoint()
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    firsts = toks.groupBy("token").agg(F.min("doc_id").alias("doc_id"))
+    news = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("new_terms")
+    )
+    axis = per_doc.join(news, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce(F.col("new_terms"), F.lit(0)).cast("long").alias("new_terms"),
+    )
+    cdf = ordered_cdf(
+        axis, [F.col("doc_id").asc()], ["n_toks", "new_terms"]
+    )
+    pts = cdf.filter(
+        (F.col("n_toks_cum") > 0) & (F.col("new_terms_cum") > 0)
+    ).select(
+        F.round(F.log(F.col("n_toks_cum").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("lx"),
+        F.round(F.log(F.col("new_terms_cum").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    tot = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    )
+    voc = firsts.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    num = nd * sxy - sx * sy
+    denx = nd * sxx - sx * sx
+    deny = nd * syy - sy * sy
+    beta = F.try_divide(num, F.nullif(denx, F.lit(0.0)))
+    k = F.exp((sy - beta * sx) / nd)
+    r2 = F.try_divide(num * num, F.nullif(denx * deny, F.lit(0.0)))
+    return (
+        tot.crossJoin(voc)
+        .crossJoin(s)
+        .select(
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+            (F.round(k, 6) + F.lit(0.0)).alias("heaps_k"),
+            (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
+            (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
+        )
+    )

@@ -16309,3 +16309,334 @@ def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at FDR q=FDR_Q — multiple-testing control, rank machinery
     scale-safe via ranked_global."""
     return E.fdr_weekend_shift(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 168 (round 2): robust location/scale — MAD modified z-scores and the
+# Brown-Forsythe equality-of-variances test, both on exact grouped medians.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_mad_outliers",
+    f"""
+WITH med AS (
+  SELECT o_orderpriority, median(CAST(o_totalprice AS DOUBLE)) AS med_g
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, m.med_g
+  FROM orders o JOIN med m USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority,
+         median(ABS(CAST(o_totalprice AS DOUBLE) - med_g)) AS mad_g
+  FROM j GROUP BY 1
+),
+z AS (
+  SELECT j.o_orderkey, j.o_orderpriority AS priority,
+         CAST(j.o_totalprice AS DECIMAL(15,2)) AS o_totalprice,
+         ROUND(j.med_g, 6) + 0.0 AS group_median,
+         ROUND(0.6745 * ((CAST(j.o_totalprice AS DOUBLE) - j.med_g)
+                         / NULLIF(m2.mad_g, 0.0)), 6) + 0.0 AS robust_z
+  FROM j JOIN mad m2 USING (o_orderpriority)
+)
+SELECT o_orderkey, priority, o_totalprice, group_median, robust_z,
+       CAST(CASE WHEN ABS(robust_z) > {R.MAD_FLAG_Z} THEN 1 ELSE 0 END AS INT)
+         AS is_outlier
+FROM z
+WHERE robust_z IS NOT NULL
+ORDER BY ABS(robust_z) DESC, o_orderkey ASC
+LIMIT {R.MAD_TOPK}
+""",
+)
+def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified z-scores per priority with the 3.5 flag —
+    the 50%-breakdown robust sibling of the stddev z-screen."""
+    return R.robust_price_outliers(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "orders_brown_forsythe",
+    """
+WITH med AS (
+  SELECT o_orderpriority, median(CAST(o_totalprice AS DOUBLE)) AS med_g
+  FROM orders GROUP BY 1
+),
+zs AS (
+  SELECT o.o_orderpriority AS priority, m.med_g,
+         CAST(ROUND(ABS(CAST(o.o_totalprice AS DOUBLE) - m.med_g), 6)
+              AS DECIMAL(18,6)) AS z
+  FROM orders o JOIN med m USING (o_orderpriority)
+),
+groups AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_g,
+         ANY_VALUE(med_g) AS med_g, SUM(z) AS sz,
+         SUM(CAST(ROUND(CAST(z AS DOUBLE) * CAST(z AS DOUBLE), 6)
+                  AS DECIMAL(28,6))) AS szz
+  FROM zs GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n_total, SUM(sz) AS tsz,
+         CAST(COUNT(*) AS INT) AS k
+  FROM groups
+),
+terms AS (
+  SELECT n_total, k,
+         CAST(ROUND(CAST(n_g AS DOUBLE)
+                    * (CAST(sz AS DOUBLE) / CAST(n_g AS DOUBLE)
+                       - CAST(tsz AS DOUBLE) / CAST(n_total AS DOUBLE))
+                    * (CAST(sz AS DOUBLE) / CAST(n_g AS DOUBLE)
+                       - CAST(tsz AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS ssb_t,
+         CAST(ROUND(CAST(szz AS DOUBLE)
+                    - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                      / CAST(n_g AS DOUBLE), 6) AS DECIMAL(28,6)) AS ssw_t
+  FROM groups CROSS JOIN tot
+),
+fstat AS (
+  SELECT n_total, k, SUM(ssb_t) AS ssb, SUM(ssw_t) AS ssw
+  FROM terms GROUP BY 1, 2
+),
+fglob AS (
+  SELECT n_total, CAST(k - 1 AS INT) AS df1,
+         CAST(n_total - k AS BIGINT) AS df2,
+         ROUND((CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+               / NULLIF(CAST(ssw AS DOUBLE)
+                        / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)), 0.0),
+               6) + 0.0 AS f_stat
+  FROM fstat
+)
+SELECT priority, n_g, ROUND(med_g, 6) + 0.0 AS group_median,
+       ROUND(CAST(sz AS DOUBLE) / CAST(n_g AS DOUBLE), 6) + 0.0
+         AS mean_absdev,
+       n_total, df1, df2, f_stat
+FROM groups CROSS JOIN fglob
+ORDER BY priority
+""",
+)
+def orders_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) equality-of-variances F
+    across priorities — the premise check under any pooled-variance
+    ANOVA."""
+    return R.brown_forsythe_priority(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 169 (round 2): Mann-Kendall monotone-trend test on the month table.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_mann_kendall",
+    """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS rev
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(CAST(SIGN(CAST(b.rev - a.rev AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS s_stat
+  FROM m a JOIN m b ON a.month < b.month
+),
+ties AS (
+  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS t3
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY rev)
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM m),
+raw AS (
+  SELECT n_months, s_stat,
+         (CAST(n_months AS DOUBLE) * (CAST(n_months AS DOUBLE) - 1.0)
+          * (2.0 * CAST(n_months AS DOUBLE) + 5.0)
+          - CAST(t3 AS DOUBLE)) / 18.0 AS var_s
+  FROM n CROSS JOIN s CROSS JOIN ties
+)
+SELECT n_months, s_stat,
+       ROUND(var_s, 6) + 0.0 AS var_s,
+       ROUND(CASE WHEN s_stat > 0
+                    THEN (CAST(s_stat AS DOUBLE) - 1.0) / SQRT(var_s)
+                  WHEN s_stat < 0
+                    THEN (CAST(s_stat AS DOUBLE) + 1.0) / SQRT(var_s)
+                  ELSE 0.0 END, 6) + 0.0 AS z_score,
+       CASE WHEN s_stat > 0 THEN 'increasing'
+            WHEN s_stat < 0 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM raw
+""",
+)
+def orders_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Kendall trend test on monthly revenue — the
+    significance verdict beside Theil-Sen's slope."""
+    return R.mann_kendall_trend(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 170 (round 2): Heaps-law vocabulary-growth fit along the doc axis.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vocab_heaps_law",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TK_SQL}) AS token FROM documents
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks FROM toks GROUP BY 1
+),
+firsts AS (
+  SELECT token, MIN(doc_id) AS doc_id FROM toks GROUP BY 1
+),
+news AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS new_terms FROM firsts GROUP BY 1
+),
+axis AS (
+  SELECT p.doc_id, p.n_toks, COALESCE(n.new_terms, 0) AS new_terms
+  FROM per_doc p LEFT JOIN news n USING (doc_id)
+),
+cdf AS (
+  SELECT doc_id,
+         SUM(n_toks) OVER (ORDER BY doc_id) AS nc,
+         SUM(new_terms) OVER (ORDER BY doc_id) AS vc
+  FROM axis
+),
+pts AS (
+  SELECT CAST(ROUND(ln(CAST(nc AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lx,
+         CAST(ROUND(ln(CAST(vc AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ly
+  FROM cdf WHERE nc > 0 AND vc > 0
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy
+  FROM pts
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+  FROM per_doc
+),
+voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM firsts),
+raw AS (
+  SELECT n_docs, total_tokens, vocab_size,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(syy AS DOUBLE) AS syyd
+  FROM tot CROSS JOIN voc CROSS JOIN s
+),
+fit AS (
+  SELECT n_docs, total_tokens, vocab_size, nd, sxd, syd,
+         nd * sxyd - sxd * syd AS num,
+         nd * sxxd - sxd * sxd AS denx,
+         nd * syyd - syd * syd AS deny
+  FROM raw
+)
+SELECT n_docs, total_tokens, vocab_size,
+       ROUND(EXP((syd - (num / NULLIF(denx, 0.0)) * sxd) / nd), 6) + 0.0
+         AS heaps_k,
+       ROUND(num / NULLIF(denx, 0.0), 6) + 0.0 AS heaps_beta,
+       ROUND(num * num / NULLIF(denx * deny, 0.0), 6) + 0.0 AS r2
+FROM fit
+""",
+)
+def vocab_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law K*N^beta vocabulary-growth fit: first-occurrence
+    cumulative counts from one ordered_cdf pass, log-log OLS on
+    9dp-rounded DECIMAL sums."""
+    return T.heaps_law_fit(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 171 (round 2): runtime bloom-filter join — pre-shuffle fact pruning
+# from a selective dim predicate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bloom_filter_join",
+    f"""
+SELECT l_returnflag AS returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1 AS DECIMAL(15,2))
+                   - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(38,4))
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+  AND o_totalprice > {R.BLOOM_JOIN_MIN_PRICE}
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER JOIN: the selective urgent-order predicate
+    becomes an injected BloomFilterAggregate on the build side and a
+    bloom_filter_might_contain probe under the lineitem scan — rows
+    that cannot match are dropped BEFORE the shuffle, the biggest
+    exchange-volume lever for selective star joins at 100 TB (the
+    non-partition-key sibling of dpp_prune_join).
+
+    Spark only injects for genuine shuffle joins (a broadcastable
+    build side already avoids the fact shuffle), so at test scale the
+    query runs in an ISOLATED spark.newSession() — same SparkContext,
+    private SQLConf — with auto-broadcast off and the scan-size
+    threshold floored there alone; no other query's plans change.  At
+    cluster scale the 10 MB / 10 GB defaults make the same decision
+    organically.  Join semantics are untouched (the oracle is the
+    plain join); tests/test_plans.py asserts the probe is planted."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    orders = load_table(s2, sf_dir, "orders")
+    lineitem = load_table(s2, sf_dir, "lineitem")
+    sel = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > F.lit(R.BLOOM_JOIN_MIN_PRICE))
+    ).select("o_orderkey")
+    return (
+        lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,2)")
+                * (
+                    F.lit(1).cast("decimal(15,2)")
+                    - F.col("l_discount").cast("decimal(15,2)")
+                )
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Wave 172 (round 2): Observation API — zero-extra-pass data-quality
+# metrics on the workload's own scan.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "observed_scan_metrics",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_prices,
+       MIN(CAST(o_totalprice AS DECIMAL(15,2))) AS min_price,
+       MAX(CAST(o_totalprice AS DECIMAL(15,2))) AS max_price,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS priority_groups
+FROM orders
+""",
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.observe data-quality metrics riding the revenue workload's
+    single scan — no second pass over the table."""
+    return R.observed_quality_metrics(load_table(spark, sf_dir, "orders"))

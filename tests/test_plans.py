@@ -468,3 +468,17 @@ def test_ams_sketch_is_map_side_partial_aggregate(spark, sf_dir):
     sketch side."""
     plan = plan_of(spark, sf_dir, "events_ams_f2_sketch")
     assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_bloom_filter_join_probe_planted(spark):
+    """The runtime bloom filter must actually appear: build-side
+    BloomFilterAggregate feeding a bloom_filter_might_contain probe on
+    the lineitem side, pre-shuffle."""
+    from simple_vector_spark.registry import _QUERIES
+
+    df = _QUERIES["bloom_filter_join"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "might_contain" in plan
+    # and the probe must not have degraded the join to broadcast
+    # (broadcast joins never receive an injected bloom filter)
+    assert "broadcasthashjoin" not in plan.replace(" ", "")
