@@ -6558,3 +6558,130 @@ def observed_quality_metrics(orders: DataFrame) -> DataFrame:
         "n_rows long, null_prices long, min_price decimal(15,2),"
         " max_price decimal(15,2), priority_groups long",
     )
+
+
+HW_ALPHA = 0.3
+HW_BETA = 0.1
+HW_GAMMA = 0.2
+HW_PERIOD = 12
+
+
+def holt_winters_seasonal(orders: DataFrame) -> DataFrame:
+    """HOLT-WINTERS additive seasonal smoothing of monthly revenue —
+    level + trend + 12 seasonal states, completing the forecasting
+    ladder (EWMA -> Holt -> Holt-Winters) with the model that can
+    actually track the seasonality ``orders_periodogram`` detects.
+
+    The seasonal state is a ROTATING array: the season of the element
+    being folded is always the array HEAD, and each step re-appends
+    the updated head to the tail — so the recursion needs no indexed
+    array writes, just concat/slice, and the DuckDB list_reduce mirror
+    is bit-identical.  Init: l0 = mean(year1), b0 = (mean(year2) -
+    mean(year1)) / 12 with DETRENDED seasonals s_j = y_j - m1 -
+    (j - 6.5)*b0 and l0 = m1 + 5.5*b0 (the level AT month 12), so a
+    pure linear trend is a fixed point of the recursion; fold runs
+    from month 13.  Scale: one month-keyed DECIMAL aggregate is the only
+    data-sized work; the fold happens on ONE row over the
+    calendar-bounded month array."""
+    a, b_, g = HW_ALPHA, HW_BETA, HW_GAMMA
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    packed = monthly.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("m"), F.col("y").cast("double").alias("y"))
+                )
+            ),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    n = F.size(ys)
+    m1 = F.aggregate(
+        F.slice(ys, 1, 12), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.lit(12.0)
+    m2 = F.aggregate(
+        F.slice(ys, 13, 12), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.lit(12.0)
+    b0 = (m2 - m1) / F.lit(12.0)
+    init = F.concat(
+        F.array(m1 + F.lit(5.5) * b0, b0, F.lit(0.0)),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(12)),
+            lambda j: F.element_at(ys, j.cast("int"))
+            - m1
+            - (j.cast("double") - F.lit(6.5)) * b0,
+        ),
+    )
+
+    def step(acc, y):
+        sj = F.element_at(acc, 4)
+        l0 = F.element_at(acc, 1)
+        b0 = F.element_at(acc, 2)
+        pred = l0 + b0 + sj
+        newl = a * (y - sj) + (1 - a) * (l0 + b0)
+        newb = b_ * (newl - l0) + (1 - b_) * b0
+        news = g * (y - newl) + (1 - g) * sj
+        sse = F.element_at(acc, 3) + (pred - y) * (pred - y)
+        return F.concat(
+            F.array(newl, newb, sse), F.slice(acc, 5, 11), F.array(news)
+        )
+
+    st = F.aggregate(F.slice(ys, 13, n - 12), init, step)
+    seas = F.slice(st, 4, 12)
+    return packed.select(
+        n.cast("long").alias("n_months"),
+        F.round(F.element_at(st, 1), 6).alias("level"),
+        F.round(F.element_at(st, 2), 6).alias("trend"),
+        F.round(
+            F.element_at(st, 3) / (n - F.lit(12)).cast("double"), 6
+        ).alias("mse_1step"),
+        F.round(
+            F.element_at(st, 1) + F.element_at(st, 2) + F.element_at(st, 4), 6
+        ).alias("forecast_1m"),
+        F.round(F.array_max(seas) - F.array_min(seas), 6).alias(
+            "seasonal_range"
+        ),
+    )
+
+
+def nbinom_lines_fit(lineitem: DataFrame) -> DataFrame:
+    """NEGATIVE-BINOMIAL moment fit of lines-per-order — the
+    overdispersion upgrade of ``orders_lines_poisson_fit``: when the
+    dispersion ratio var/mean exceeds 1 (Poisson demands exactly 1),
+    the method-of-moments NB parameters are r = m^2/(v-m), p = m/v —
+    the count model that actually fits bursty order sizes, and the
+    right sampling model for synthetic-workload generators.
+
+    Scale: one groupBy on l_orderkey (map-side combined), then a
+    single DECIMAL power-sum aggregate over the per-order counts; the
+    final algebra runs on one row.  v <= m (under-dispersed) yields
+    NULL r/p rather than a nonsense fit."""
+    per = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    s = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    nd = F.col("n_orders").cast("double")
+    m = F.col("sx").cast("double") / nd
+    v = (F.col("sxx").cast("double") - nd * m * m) / (nd - F.lit(1.0))
+    disp = F.try_divide(v, F.nullif(m, F.lit(0.0)))
+    r = F.when(
+        v > m, F.try_divide(m * m, F.nullif(v - m, F.lit(0.0)))
+    ).otherwise(F.lit(None).cast("double"))
+    p = F.when(v > m, F.try_divide(m, F.nullif(v, F.lit(0.0)))).otherwise(
+        F.lit(None).cast("double")
+    )
+    return s.select(
+        "n_orders",
+        (F.round(m, 6) + F.lit(0.0)).alias("mean_lines"),
+        (F.round(v, 6) + F.lit(0.0)).alias("var_lines"),
+        (F.round(disp, 6) + F.lit(0.0)).alias("dispersion"),
+        (F.round(r, 6) + F.lit(0.0)).alias("nb_r"),
+        (F.round(p, 6) + F.lit(0.0)).alias("nb_p"),
+    )

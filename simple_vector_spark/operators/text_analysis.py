@@ -2293,3 +2293,87 @@ def heaps_law_fit(docs: DataFrame) -> DataFrame:
             (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
         )
     )
+
+
+DSIR_TOPK = 20
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(docs: DataFrame, topk: int = DSIR_TOPK) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): importance weight
+    of each NON-target document under a hashed-unigram bag-of-words
+    model of the target domain — w(d) = mean_t log(p_target(t) /
+    p_raw(t)) — the cheap, trainable-model-free way to pick "looks
+    like the target domain" pretraining data at corpus scale.  Target
+    here: lang='{DSIR_TARGET_LANG}' documents; candidates: the rest;
+    add-1 smoothing over the shared corpus vocabulary.
+
+    Scale: ONE token explode (checkpointed), two term-count groupBys
+    (target and corpus — term-keyed, map-side combined), one
+    term-keyed join of the candidate tokens to the 2-count ratio
+    table, one per-doc sum.  Per-term log-ratios are 9dp-rounded into
+    DECIMAL sums so the per-doc fold is order-insensitive; top-k is a
+    TakeOrdered heap.
+    """
+    from ..sources.loaders import fan_out
+
+    toks = (
+        fan_out(docs.select("doc_id", "lang", "text"))
+        .select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .localCheckpoint()
+    )
+    corpus = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("cr")
+    )
+    target = (
+        toks.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    vocab = corpus.join(target, "token", "left").select(
+        "token", "cr", F.coalesce(F.col("ct"), F.lit(0)).cast("long").alias("ct")
+    )
+    tot = F.broadcast(
+        vocab.agg(
+            F.sum("cr").cast("long").alias("r_total"),
+            F.sum("ct").cast("long").alias("t_total"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+    )
+    ratio = vocab.crossJoin(tot).select(
+        "token",
+        F.round(
+            F.log(
+                ((F.col("ct").cast("double") + F.lit(1.0))
+                 / (F.col("t_total").cast("double") + F.col("v").cast("double")))
+                / ((F.col("cr").cast("double") + F.lit(1.0))
+                   / (F.col("r_total").cast("double")
+                      + F.col("v").cast("double")))
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("lr"),
+    )
+    cand = toks.filter(F.col("lang") != DSIR_TARGET_LANG)
+    per_doc = (
+        cand.join(ratio, "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("lr").alias("slr"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        (
+            F.round(
+                F.col("slr").cast("double") / F.col("n_toks").cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("dsir_weight"),
+    ).orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc()).limit(topk)

@@ -16640,3 +16640,251 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.observe data-quality metrics riding the revenue workload's
     single scan — no second pass over the table."""
     return R.observed_quality_metrics(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 173 (round 2): Holt-Winters additive seasonal smoothing with a
+# rotating seasonal-state array (no indexed writes in the fold).
+# --------------------------------------------------------------------------
+
+_HW_A = repr(R.HW_ALPHA)
+_HW_OMA = repr(1 - R.HW_ALPHA)
+_HW_B = repr(R.HW_BETA)
+_HW_OMB = repr(1 - R.HW_BETA)
+_HW_G = repr(R.HW_GAMMA)
+_HW_OMG = repr(1 - R.HW_GAMMA)
+
+
+@query(
+    "orders_holt_winters",
+    f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+),
+arr AS (
+  SELECT list(CAST(y AS DOUBLE) ORDER BY m) AS ys,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM monthly
+),
+ini AS (
+  SELECT ys, n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:12]),
+                     (a, x) -> a + x) / 12.0 AS m1,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[13:24]),
+                     (a, x) -> a + x) / 12.0 AS m2
+  FROM arr
+),
+st AS (
+  SELECT n,
+         list_reduce(
+           list_prepend(
+             [m1 + 5.5 * ((m2 - m1) / 12.0), (m2 - m1) / 12.0,
+              CAST(0.0 AS DOUBLE)]
+               || list_transform(range(1, 13),
+                                 j -> ys[j] - m1
+                                      - (CAST(j AS DOUBLE) - 6.5)
+                                        * ((m2 - m1) / 12.0)),
+             list_transform(ys[13:], x -> [x])),
+           (acc, e) -> [
+             {_HW_A} * (e[1] - acc[4]) + {_HW_OMA} * (acc[1] + acc[2]),
+             {_HW_B} * (({_HW_A} * (e[1] - acc[4])
+                         + {_HW_OMA} * (acc[1] + acc[2])) - acc[1])
+               + {_HW_OMB} * acc[2],
+             acc[3] + (acc[1] + acc[2] + acc[4] - e[1])
+                      * (acc[1] + acc[2] + acc[4] - e[1])
+           ] || acc[5:]
+             || [{_HW_G} * (e[1] - ({_HW_A} * (e[1] - acc[4])
+                                    + {_HW_OMA} * (acc[1] + acc[2])))
+                 + {_HW_OMG} * acc[4]]) AS s
+  FROM ini
+)
+SELECT n AS n_months,
+       ROUND(s[1], 6) AS level,
+       ROUND(s[2], 6) AS trend,
+       ROUND(s[3] / CAST(n - 12 AS DOUBLE), 6) AS mse_1step,
+       ROUND(s[1] + s[2] + s[4], 6) AS forecast_1m,
+       ROUND(list_max(s[4:]) - list_min(s[4:]), 6) AS seasonal_range
+FROM st
+""",
+)
+def orders_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive level/trend/12-seasonal smoothing of
+    monthly revenue; rotating-head seasonal array fold, bit-identical
+    to the oracle's list_reduce."""
+    return R.holt_winters_seasonal(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 174 (round 2): AQE skew-join — runtime splitting of a hot shuffle
+# partition, the adaptive sibling of the declared salting in
+# skew_salted_enrich.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "aqe_skew_join",
+    """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 6 THEN 0
+              ELSE l_orderkey % 1000 END AS k,
+         CAST(l_quantity AS DECIMAL(15,2)) AS qty
+  FROM lineitem
+)
+SELECT CAST(k % 7 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(qty) AS DECIMAL(38,2)) AS total_qty
+FROM fact GROUP BY 1 ORDER BY 1
+""",
+)
+def aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE SKEW JOIN: a deliberately hot key (60% of lineitem rows land
+    on k=0) joined to a 1000-row dim as a forced sort-merge join — AQE
+    detects the oversized shuffle partition at RUNTIME and splits it
+    (SortMergeJoin(skew=true) in the final adaptive plan, asserted in
+    tests/test_plans.py), duplicating the matching build rows per
+    split.  The adaptive complement to skew_salted_enrich's declared
+    salting: same problem, zero query rewrite.
+
+    Isolated spark.newSession(): auto-broadcast off (a 1000-row dim
+    would otherwise broadcast and hide the skew) and the skew
+    thresholds floored to fire at test scale — production defaults
+    (256 MB) make the same call at 100 TB.  Join semantics unchanged:
+    the dim covers every key, so the oracle folds band = k % 7
+    directly into the fact aggregate."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB"
+    )
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    lineitem = load_table(s2, sf_dir, "lineitem")
+    # At test scale the whole table is ONE scan task, and AQE splits a
+    # skewed reduce partition by MAP-index ranges — one mapper is
+    # unsplittable.  The repartition emulates the thousands of map
+    # tasks a 100-TB scan produces naturally.
+    fact = lineitem.repartition(32).select(
+        F.when(F.col("l_orderkey") % 10 < 6, F.lit(0).cast("long"))
+        .otherwise(F.col("l_orderkey") % 1000)
+        .alias("k"),
+        F.col("l_quantity").cast("decimal(15,2)").alias("qty"),
+    )
+    dim = s2.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("band")
+    )
+    return (
+        fact.join(dim, "k")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("qty").cast("decimal(38,2)").alias("total_qty"),
+        )
+        .orderBy("band")
+    )
+
+
+# --------------------------------------------------------------------------
+# Wave 175 (round 2): DSIR importance-weighted data selection.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_dsir_weights",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_TK_SQL}) AS token FROM documents
+),
+corpus AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cr FROM toks GROUP BY 1
+),
+target AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS ct FROM toks
+  WHERE lang = '{T.DSIR_TARGET_LANG}' GROUP BY 1
+),
+vocab AS (
+  SELECT c.token, c.cr, COALESCE(t.ct, 0) AS ct
+  FROM corpus c LEFT JOIN target t USING (token)
+),
+tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS r_total,
+         CAST(SUM(ct) AS BIGINT) AS t_total,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab
+),
+ratio AS (
+  SELECT token,
+         CAST(ROUND(ln(((CAST(ct AS DOUBLE) + 1.0)
+                        / (CAST(t_total AS DOUBLE) + CAST(v AS DOUBLE)))
+                       / ((CAST(cr AS DOUBLE) + 1.0)
+                          / (CAST(r_total AS DOUBLE) + CAST(v AS DOUBLE)))),
+                    9) AS DECIMAL(18,9)) AS lr
+  FROM vocab CROSS JOIN tot
+),
+per_doc AS (
+  SELECT k.doc_id, k.lang, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         SUM(r.lr) AS slr
+  FROM toks k JOIN ratio r USING (token)
+  WHERE k.lang <> '{T.DSIR_TARGET_LANG}'
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_toks,
+       ROUND(CAST(slr AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) + 0.0
+         AS dsir_weight
+FROM per_doc
+ORDER BY dsir_weight DESC, doc_id ASC
+LIMIT {T.DSIR_TOPK}
+""",
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: mean unigram log p_target/p_raw per
+    non-target doc — cheap target-domain data selection."""
+    return T.dsir_importance_weights(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 176 (round 2): negative-binomial moment fit — the overdispersion
+# companion to the Poisson GOF.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_nbinom_fit",
+    """
+WITH per AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x FROM lineitem GROUP BY 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx
+  FROM per
+),
+raw AS (
+  SELECT n_orders,
+         CAST(sx AS DOUBLE) / CAST(n_orders AS DOUBLE) AS m,
+         (CAST(sxx AS DOUBLE)
+          - CAST(n_orders AS DOUBLE)
+            * (CAST(sx AS DOUBLE) / CAST(n_orders AS DOUBLE))
+            * (CAST(sx AS DOUBLE) / CAST(n_orders AS DOUBLE)))
+         / (CAST(n_orders AS DOUBLE) - 1.0) AS v
+  FROM s
+)
+SELECT n_orders,
+       ROUND(m, 6) + 0.0 AS mean_lines,
+       ROUND(v, 6) + 0.0 AS var_lines,
+       ROUND(v / NULLIF(m, 0.0), 6) + 0.0 AS dispersion,
+       ROUND(CASE WHEN v > m THEN m * m / NULLIF(v - m, 0.0) END, 6) + 0.0
+         AS nb_r,
+       ROUND(CASE WHEN v > m THEN m / NULLIF(v, 0.0) END, 6) + 0.0 AS nb_p
+FROM raw
+""",
+)
+def orders_nbinom_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit of lines-per-order with
+    the dispersion ratio; NULL fit when under-dispersed."""
+    return R.nbinom_lines_fit(load_table(spark, sf_dir, "lineitem"))

@@ -482,3 +482,14 @@ def test_bloom_filter_join_probe_planted(spark):
     # and the probe must not have degraded the join to broadcast
     # (broadcast joins never receive an injected bloom filter)
     assert "broadcasthashjoin" not in plan.replace(" ", "")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """After execution the final adaptive plan must show the skew-join
+    rewrite (skew=true) on the forced sort-merge join."""
+    from simple_vector_spark.registry import _QUERIES
+
+    df = _QUERIES["aqe_skew_join"](spark, "/root/testdata/sf0.01")
+    df.collect()  # AQE decides at runtime; plan is final only now
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan
