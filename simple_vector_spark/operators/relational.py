@@ -6685,3 +6685,166 @@ def nbinom_lines_fit(lineitem: DataFrame) -> DataFrame:
         (F.round(r, 6) + F.lit(0.0)).alias("nb_r"),
         (F.round(p, 6) + F.lit(0.0)).alias("nb_p"),
     )
+
+
+def ar2_yule_walker(orders: DataFrame) -> DataFrame:
+    """AR(2) fit of mean-centered monthly revenue by YULE-WALKER:
+    phi1 = r1(1-r2)/(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2) from the
+    lag-1/lag-2 autocorrelations — the autoregressive member of the
+    forecasting suite (EWMA/Holt/Holt-Winters smooth; AR(2) can model
+    oscillation, phi2 < 0), plus a stationarity verdict
+    (|phi2| < 1 and phi2 +- phi1 < 1).
+
+    Scale: everything after the one month-keyed DECIMAL aggregate runs
+    on the calendar-bounded month table; autocovariances come from a
+    rank self-join at lags 1 and 2 (exact month alignment), with
+    6dp-rounded DECIMAL product sums so the folds are
+    order-insensitive."""
+    from .ranking import ranked_global
+
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    mu = F.broadcast(
+        monthly.agg(
+            (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mu"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    cent = (
+        ranked_global(monthly, [F.col("m").asc()], rank_name="t")
+        .crossJoin(mu)
+        .select(
+            "t",
+            "n",
+            F.round(F.col("y").cast("double") - F.col("mu"), 6)
+            .cast("decimal(24,6)")
+            .alias("c"),
+        )
+        .localCheckpoint()
+    )
+    c0 = cent.agg(
+        F.sum(
+            F.round(F.col("c").cast("double") * F.col("c").cast("double"), 6)
+            .cast("decimal(30,6)")
+        ).alias("g0"),
+        F.max("n").alias("n"),
+    )
+
+    def _lagcov(k: int, name: str):
+        a = cent.select(F.col("t"), F.col("c").alias("ca"))
+        b = cent.select((F.col("t") - F.lit(k)).alias("t"), F.col("c").alias("cb"))
+        return a.join(b, "t").agg(
+            F.sum(
+                F.round(
+                    F.col("ca").cast("double") * F.col("cb").cast("double"), 6
+                ).cast("decimal(30,6)")
+            ).alias(name)
+        )
+
+    j = c0.crossJoin(_lagcov(1, "g1")).crossJoin(_lagcov(2, "g2"))
+    r1 = F.try_divide(
+        F.col("g1").cast("double"), F.nullif(F.col("g0").cast("double"), F.lit(0.0))
+    )
+    r2 = F.try_divide(
+        F.col("g2").cast("double"), F.nullif(F.col("g0").cast("double"), F.lit(0.0))
+    )
+    den = F.lit(1.0) - r1 * r1
+    phi1 = F.try_divide(r1 * (F.lit(1.0) - r2), F.nullif(den, F.lit(0.0)))
+    phi2 = F.try_divide(r2 - r1 * r1, F.nullif(den, F.lit(0.0)))
+    stationary = (
+        (F.abs(phi2) < 1)
+        & (phi2 + phi1 < 1)
+        & (phi2 - phi1 < 1)
+    ).cast("int")
+    return j.select(
+        "n",
+        (F.round(r1, 6) + F.lit(0.0)).alias("acf_lag1"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("acf_lag2"),
+        (F.round(phi1, 6) + F.lit(0.0)).alias("phi1"),
+        (F.round(phi2, 6) + F.lit(0.0)).alias("phi2"),
+        stationary.alias("stationary"),
+    )
+
+
+EWMA_CHART_LAMBDA = 0.2
+EWMA_CHART_L = 3.0
+
+
+def ewma_control_chart(orders: DataFrame) -> DataFrame:
+    """EWMA CONTROL CHART on daily order counts — the SPC member that
+    catches small persistent mean shifts the 3-sigma p-chart misses
+    and reacts faster than CUSUM to slow drifts: z_t = λy_t +
+    (1-λ)z_{t-1} against time-varying limits μ ± Lσ√(λ/(2-λ)
+    (1-(1-λ)^{2t})).  Completes the monitoring trio (p-chart, CUSUM,
+    EWMA).
+
+    The recursion folds once over the calendar-bounded daily array on
+    ONE row, carrying (z, (1-λ)^{2t}, breaches, first-breach,
+    t) — the pow term updates multiplicatively so no exponentiation
+    appears, and the DuckDB list_reduce mirror is bit-identical.  μ/σ
+    come from DECIMAL-exact count sums; only the fold is float64."""
+    lam, L = EWMA_CHART_LAMBDA, EWMA_CHART_L
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    packed = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("d"), F.col("x").cast("double").alias("x"))
+                )
+            ),
+            lambda s: s["x"],
+        ).alias("ys"),
+    )
+    nd = F.col("n_days").cast("double")
+    mu = F.col("sx").cast("double") / nd
+    sig = F.sqrt(
+        (F.col("sxx").cast("double") - nd * mu * mu) / (nd - F.lit(1.0))
+    )
+    base = packed.select(
+        "n_days",
+        "ys",
+        F.round(mu, 9).alias("mu"),
+        F.round(sig, 9).alias("sig"),
+    )
+
+    def step(acc, y):
+        z = lam * y + (1 - lam) * F.element_at(acc, 1)
+        w = F.element_at(acc, 2) * F.lit((1 - lam) * (1 - lam))
+        hw = (
+            F.lit(L)
+            * F.col("sig")
+            * F.sqrt(F.lit(lam / (2 - lam)) * (F.lit(1.0) - w))
+        )
+        ooc = (z > F.col("mu") + hw) | (z < F.col("mu") - hw)
+        t = F.element_at(acc, 5) + F.lit(1.0)
+        return F.array(
+            z,
+            w,
+            F.element_at(acc, 3) + ooc.cast("double"),
+            F.when(
+                (F.element_at(acc, 4) == 0.0) & ooc, t
+            ).otherwise(F.element_at(acc, 4)),
+            t,
+        )
+
+    st = F.aggregate(
+        F.col("ys"),
+        F.array(F.col("mu"), F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+        step,
+    )
+    return base.select(
+        "n_days",
+        (F.round(F.col("mu"), 6) + F.lit(0.0)).alias("mean_daily"),
+        (F.round(F.col("sig"), 6) + F.lit(0.0)).alias("sigma_daily"),
+        F.round(F.element_at(st, 1), 6).alias("ewma_final"),
+        F.element_at(st, 3).cast("long").alias("n_out_of_control"),
+        F.element_at(st, 4).cast("long").alias("first_breach_day"),
+    )

@@ -16888,3 +16888,150 @@ def orders_nbinom_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Method-of-moments negative-binomial fit of lines-per-order with
     the dispersion ratio; NULL fit when under-dispersed."""
     return R.nbinom_lines_fit(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 177 (round 2): AR(2) Yule-Walker fit — the autoregressive member of
+# the forecasting suite.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_ar2_yule_walker",
+    """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+),
+mu AS (
+  SELECT CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM monthly
+),
+cent AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) AS BIGINT) AS t, n,
+         CAST(ROUND(CAST(y AS DOUBLE) - mu, 6) AS DECIMAL(24,6)) AS c
+  FROM monthly CROSS JOIN mu
+),
+g0 AS (
+  SELECT SUM(CAST(ROUND(CAST(c AS DOUBLE) * CAST(c AS DOUBLE), 6)
+                  AS DECIMAL(30,6))) AS g0,
+         MAX(n) AS n
+  FROM cent
+),
+g1 AS (
+  SELECT SUM(CAST(ROUND(CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE), 6)
+                  AS DECIMAL(30,6))) AS g1
+  FROM cent a JOIN cent b ON a.t = b.t - 1
+),
+g2 AS (
+  SELECT SUM(CAST(ROUND(CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE), 6)
+                  AS DECIMAL(30,6))) AS g2
+  FROM cent a JOIN cent b ON a.t = b.t - 2
+),
+raw AS (
+  SELECT n,
+         CAST(g1 AS DOUBLE) / NULLIF(CAST(g0 AS DOUBLE), 0.0) AS r1,
+         CAST(g2 AS DOUBLE) / NULLIF(CAST(g0 AS DOUBLE), 0.0) AS r2
+  FROM g0 CROSS JOIN g1 CROSS JOIN g2
+),
+fit AS (
+  SELECT n, r1, r2,
+         r1 * (1.0 - r2) / NULLIF(1.0 - r1 * r1, 0.0) AS phi1,
+         (r2 - r1 * r1) / NULLIF(1.0 - r1 * r1, 0.0) AS phi2
+  FROM raw
+)
+SELECT n,
+       ROUND(r1, 6) + 0.0 AS acf_lag1,
+       ROUND(r2, 6) + 0.0 AS acf_lag2,
+       ROUND(phi1, 6) + 0.0 AS phi1,
+       ROUND(phi2, 6) + 0.0 AS phi2,
+       CAST(CASE WHEN ABS(phi2) < 1 AND phi2 + phi1 < 1 AND phi2 - phi1 < 1
+                 THEN 1 ELSE 0 END AS INT) AS stationary
+FROM fit
+""",
+)
+def orders_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule-Walker AR(2) on mean-centered monthly revenue: lag-1/2
+    autocorrelations from rank self-joins, closed-form phi's and a
+    stationarity verdict."""
+    return R.ar2_yule_walker(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 178 (round 2): EWMA control chart — the small-shift SPC monitor.
+# --------------------------------------------------------------------------
+
+_EWL = repr(R.EWMA_CHART_LAMBDA)
+_EWOML = repr(1 - R.EWMA_CHART_LAMBDA)
+_EWOML2 = repr((1 - R.EWMA_CHART_LAMBDA) ** 2)
+_EWRAT = repr(R.EWMA_CHART_LAMBDA / (2 - R.EWMA_CHART_LAMBDA))
+_EWLIM = repr(R.EWMA_CHART_L)
+
+
+@query(
+    "orders_ewma_chart",
+    f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+packed AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+         list(CAST(x AS DOUBLE) ORDER BY d) AS ys
+  FROM daily
+),
+base AS (
+  SELECT n_days, ys,
+         ROUND(CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE), 9) AS mu,
+         ROUND(SQRT((CAST(sxx AS DOUBLE)
+                     - CAST(n_days AS DOUBLE)
+                       * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+                    / (CAST(n_days AS DOUBLE) - 1.0)), 9) AS sig
+  FROM packed
+),
+st AS (
+  SELECT n_days, mu, sig,
+         list_reduce(
+           list_prepend([mu, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                        list_transform(ys, y -> [y])),
+           (acc, e) -> [
+             {_EWL} * e[1] + {_EWOML} * acc[1],
+             acc[2] * {_EWOML2},
+             acc[3] + CASE WHEN ({_EWL} * e[1] + {_EWOML} * acc[1])
+                             > mu + {_EWLIM} * sig
+                               * SQRT({_EWRAT} * (1.0 - acc[2] * {_EWOML2}))
+                        OR ({_EWL} * e[1] + {_EWOML} * acc[1])
+                             < mu - {_EWLIM} * sig
+                               * SQRT({_EWRAT} * (1.0 - acc[2] * {_EWOML2}))
+                      THEN 1.0 ELSE 0.0 END,
+             CASE WHEN acc[4] = 0.0
+                   AND (({_EWL} * e[1] + {_EWOML} * acc[1])
+                          > mu + {_EWLIM} * sig
+                            * SQRT({_EWRAT} * (1.0 - acc[2] * {_EWOML2}))
+                        OR ({_EWL} * e[1] + {_EWOML} * acc[1])
+                          < mu - {_EWLIM} * sig
+                            * SQRT({_EWRAT} * (1.0 - acc[2] * {_EWOML2})))
+                  THEN acc[5] + 1.0 ELSE acc[4] END,
+             acc[5] + 1.0
+           ]) AS s
+  FROM base
+)
+SELECT n_days,
+       ROUND(mu, 6) + 0.0 AS mean_daily,
+       ROUND(sig, 6) + 0.0 AS sigma_daily,
+       ROUND(s[1], 6) AS ewma_final,
+       CAST(s[3] AS BIGINT) AS n_out_of_control,
+       CAST(s[4] AS BIGINT) AS first_breach_day
+FROM st
+""",
+)
+def orders_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart on daily order counts with time-varying
+    limits; single-row array fold, list_reduce-mirrored."""
+    return R.ewma_control_chart(load_table(spark, sf_dir, "orders"))
