@@ -6848,3 +6848,102 @@ def ewma_control_chart(orders: DataFrame) -> DataFrame:
         F.element_at(st, 3).cast("long").alias("n_out_of_control"),
         F.element_at(st, 4).cast("long").alias("first_breach_day"),
     )
+
+
+HITS_ITERS = 6
+
+
+def nation_trade_hits(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    iters: int = HITS_ITERS,
+) -> DataFrame:
+    """HITS hubs-and-authorities over the supplier-nation ->
+    customer-nation trade graph: hubs = nations whose EXPORTS feed the
+    big importers, authorities = nations whose IMPORTS draw on the big
+    exporters — the dual-role centrality PageRank's single score
+    conflates.  Fixed {HITS_ITERS} mutual-reinforcement iterations
+    with L1 normalization.
+
+    Determinism: per-edge contributions w*score are ROUNDed to 8dp
+    into DECIMAL sums each half-step (edge weights exact ints), so
+    both the inflow folds and the normalizing total are
+    order-insensitive; the only raw f64 op is the final normalized
+    division, identical in both engines.  Scale: same shape as
+    ``nation_trade_pagerank`` — ONE fact shuffle builds the edge
+    aggregate, iterations run on the checkpointed |nations|² table."""
+    edges = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node")).localCheckpoint()
+    n_nodes = nodes.count()
+    h = nodes.select(
+        "node", F.round(F.lit(1.0 / n_nodes), 8).alias("s")
+    ).localCheckpoint()
+
+    def _halfstep(vec: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        raw = (
+            edges.join(vec, edges[from_col] == vec["node"])
+            .groupBy(edges[to_col].alias("node"))
+            .agg(
+                F.sum(
+                    F.round(F.col("w").cast("double") * F.col("s"), 8).cast(
+                        "decimal(20,8)"
+                    )
+                ).alias("raw")
+            )
+        )
+        tot = F.broadcast(raw.agg(F.sum("raw").alias("tot")))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(tot)
+            .select(
+                "node",
+                F.round(
+                    F.try_divide(
+                        F.coalesce(F.col("raw"), F.lit(0)).cast("double"),
+                        F.nullif(F.col("tot").cast("double"), F.lit(0.0)),
+                    ),
+                    8,
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+
+    a = None
+    for _ in range(iters):
+        a = _halfstep(h, "src", "dst")
+        h = _halfstep(a, "dst", "src")
+    return (
+        nodes.join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),
+            "node",
+        )
+        .join(h.select("node", F.col("s").alias("hub")), "node")
+        .join(a.select("node", F.col("s").alias("authority")), "node")
+        .select(
+            F.col("n_name").alias("nation"),
+            (F.round(F.col("hub"), 6) + F.lit(0.0)).alias("hub"),
+            (F.round(F.col("authority"), 6) + F.lit(0.0)).alias("authority"),
+        )
+        .orderBy("nation")
+    )

@@ -2377,3 +2377,67 @@ def dsir_importance_weights(docs: DataFrame, topk: int = DSIR_TOPK) -> DataFrame
             + F.lit(0.0)
         ).alias("dsir_weight"),
     ).orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc()).limit(topk)
+
+
+QL_MU = 300.0  # Dirichlet smoothing pseudo-count
+
+
+def lm_dirichlet_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """QUERY-LIKELIHOOD retrieval with Dirichlet smoothing — the
+    language-modeling ranker beside BM25 (score = sum_q log((tf_qd +
+    mu*p_c(q)) / (dl_d + mu))): probabilistically grounded, one knob
+    (mu), and the standard baseline BM25 is judged against.  Zero-tf
+    query terms still contribute (the smoothing mass), so candidates
+    are scored over the FULL query via a small broadcast grid, not
+    just their matching terms.
+
+    Plan: one explode pass -> per-doc lengths + per-(doc,term) tfs
+    (map-side combined); collection term probabilities are a
+    |query|-row broadcast; the candidate x query grid left-joins tfs
+    and folds per-doc with 9dp-rounded DECIMAL term scores
+    (order-insensitive).  Top-k via TakeOrdered heap."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    ).localCheckpoint()
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    coll = F.broadcast(
+        toks.filter(F.col("t").isin(query_terms))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+        .crossJoin(
+            F.broadcast(toks.agg(F.count(F.lit(1)).cast("long").alias("ctot")))
+        )
+    )
+    tf = (
+        toks.filter(F.col("t").isin(query_terms))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cands = tf.select(id_col).distinct().join(dl, id_col)
+    grid = cands.crossJoin(coll).join(tf, [id_col, "t"], "left")
+    term_score = F.log(
+        (
+            F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+            + F.lit(QL_MU)
+            * (F.col("cf").cast("double") / F.col("ctot").cast("double"))
+        )
+        / (F.col("dl").cast("double") + F.lit(QL_MU))
+    )
+    return (
+        grid.select(
+            F.col(id_col),
+            F.round(term_score, 9).cast("decimal(18,9)").alias("ts"),
+        )
+        .groupBy(id_col)
+        .agg(
+            (F.round(F.sum("ts").cast("double"), 4) + F.lit(0.0)).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -17035,3 +17035,126 @@ def orders_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA control chart on daily order counts with time-varying
     limits; single-row array fold, list_reduce-mirrored."""
     return R.ewma_control_chart(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 179 (round 2): HITS hubs/authorities — dual-role trade centrality.
+# --------------------------------------------------------------------------
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        """edges AS MATERIALIZED (
+  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+)""",
+        """nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation)""",
+        """nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)""",
+        """h0 AS (SELECT node, ROUND(1.0 / nn.n, 8) AS s
+  FROM nodes CROSS JOIN nn)""",
+    ]
+
+    def half(i: int, vec: str, out: str, from_c: str, to_c: str) -> str:
+        return f"""{out}raw{i} AS (
+  SELECT e.{to_c} AS node,
+         SUM(CAST(ROUND(CAST(e.w AS DOUBLE) * v.s, 8) AS DECIMAL(20,8)))
+           AS raw
+  FROM edges e JOIN {vec} v ON e.{from_c} = v.node GROUP BY 1
+),
+{out}tot{i} AS (SELECT SUM(raw) AS tot FROM {out}raw{i}),
+{out}{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         ROUND(CAST(COALESCE(r.raw, 0) AS DOUBLE)
+               / NULLIF(CAST(t.tot AS DOUBLE), 0.0), 8) AS s
+  FROM nodes LEFT JOIN {out}raw{i} r ON nodes.node = r.node
+  CROSS JOIN {out}tot{i} t
+)"""
+
+    for i in range(1, R.HITS_ITERS + 1):
+        ctes.append(half(i, f"h{i-1}", "a", "src", "dst"))
+        ctes.append(half(i, f"a{i}", "h", "dst", "src"))
+    body = ",\n".join(ctes)
+    k = R.HITS_ITERS
+    return f"""
+WITH {body}
+SELECT n_name AS nation,
+       ROUND(h.s, 6) + 0.0 AS hub,
+       ROUND(a.s, 6) + 0.0 AS authority
+FROM nodes
+JOIN nation ON nodes.node = n_nationkey
+JOIN h{k} h ON nodes.node = h.node
+JOIN a{k} a ON nodes.node = a.node
+ORDER BY nation
+"""
+
+
+@query("nation_trade_hits", _hits_oracle())
+def nation_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the nation trade graph (fixed
+    iterations, per-half-step 8dp DECIMAL normalization) — the
+    dual-role centrality beside PageRank."""
+    return R.nation_trade_hits(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wave 180 (round 2): Dirichlet query-likelihood retrieval — the LM ranker
+# beside BM25.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_lm_dirichlet_search",
+    f"""
+WITH tk AS (SELECT doc_id, unnest({_TK_SQL}) AS t FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ctot FROM tk),
+coll AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cf FROM tk
+  WHERE t IN ({_BM25_TERMS_SQL}) GROUP BY 1
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+  WHERE t IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT doc_id FROM tf
+),
+grid AS (
+  SELECT c.doc_id, d.dl, co.t, co.cf, ct.ctot, tf.tf
+  FROM cands c
+  JOIN dl d USING (doc_id)
+  CROSS JOIN coll co
+  CROSS JOIN ctot ct
+  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.t = co.t
+),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(ln((CAST(COALESCE(tf, 0) AS DOUBLE)
+                        + {T.QL_MU} * (CAST(cf AS DOUBLE)
+                                       / CAST(ctot AS DOUBLE)))
+                       / (CAST(dl AS DOUBLE) + {T.QL_MU})), 9)
+              AS DECIMAL(18,9)) AS ts
+  FROM grid
+)
+SELECT doc_id, ROUND(CAST(SUM(ts) AS DOUBLE), 4) + 0.0 AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def text_lm_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-20 for the shared BM25
+    query terms — the LM retrieval baseline beside BM25."""
+    return T.lm_dirichlet_search(
+        load_table(spark, sf_dir, "documents"), BM25_TERMS, 20
+    )
