@@ -4676,9 +4676,21 @@ def item_covisit_recs(
     sym = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "co")
     )
+    # support is part-dimension-sized: broadcast both sides so the pair
+    # aggregate is never re-shuffled (it dwarfs the support table).
     scored = (
-        sym.join(support.select(F.col("pk").alias("a"), F.col("n_cust").alias("na")), "a")
-        .join(support.select(F.col("pk").alias("b"), F.col("n_cust").alias("nb")), "b")
+        sym.join(
+            F.broadcast(
+                support.select(F.col("pk").alias("a"), F.col("n_cust").alias("na"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                support.select(F.col("pk").alias("b"), F.col("n_cust").alias("nb"))
+            ),
+            "b",
+        )
         .select(
             "a",
             "b",
@@ -4731,10 +4743,16 @@ def _covisit_scored_pairs(rel: DataFrame, min_co: int) -> DataFrame:
     )
     return (
         sym.join(
-            support.select(F.col("pk").alias("a"), F.col("n_cust").alias("na")), "a"
+            F.broadcast(
+                support.select(F.col("pk").alias("a"), F.col("n_cust").alias("na"))
+            ),
+            "a",
         )
         .join(
-            support.select(F.col("pk").alias("b"), F.col("n_cust").alias("nb")), "b"
+            F.broadcast(
+                support.select(F.col("pk").alias("b"), F.col("n_cust").alias("nb"))
+            ),
+            "b",
         )
         .select(
             "a",
