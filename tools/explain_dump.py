@@ -76,6 +76,13 @@ HEADLINERS = [
     ("vocab_textrank_keywords", "vocab-capped co-occurrence edges; broadcast power-iteration state"),
     ("multimodal_shard_pack", "byte cumsum windowed by (source, group) — bounded tasks"),
     ("cms_width_tuning", "one exact token count feeds all four sketch widths"),
+    ("dpp_prune_join", "dynamic partition pruning: dim predicate plants a dynamicpruning subquery in the fact scan's PartitionFilters"),
+    ("bloom_filter_join", "runtime bloom filter: BloomFilterAggregate build side, bloom_filter_might_contain probe under the fact scan, pre-shuffle"),
+    ("aqe_skew_join", "forced SMJ on a hot key; AQE splits the oversized partition at runtime (skew=true in the final plan)"),
+    ("orders_wasserstein_drift", "one ordered_cdf two-phase pass: range-partitioned rank + both cumulative masses; no single-partition window"),
+    ("lineitem_spearman_corr", "two chained avg_rank2 passes; value-partitioned tie windows; one DECIMAL moment aggregate"),
+    ("nation_trade_hits", "one fact shuffle builds edges; hub/authority half-steps on the checkpointed aggregate"),
+    ("observed_scan_metrics", "CollectMetrics rides the workload scan — profiling with zero extra passes"),
 ]
 
 
