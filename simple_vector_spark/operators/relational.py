@@ -6965,3 +6965,143 @@ def nation_trade_hits(
         )
         .orderBy("nation")
     )
+
+
+def welch_ttest(
+    lineitem: DataFrame, groups: tuple[str, str] = KS_GROUPS
+) -> DataFrame:
+    """WELCH'S unequal-variances t-test between two returnflag groups
+    over quantity — the significance member of the family whose
+    magnitude is ``lineitem_cohens_d`` and whose nonparametric
+    siblings are the MW/KS tests: same DECIMAL power sums, no pooled-
+    variance assumption, Welch-Satterthwaite df, normal-tail p (the t
+    and normal tails agree to ~1e-4 at these df).
+
+    Scale: one conditional-aggregate pass over the fact table; the
+    test algebra runs on one row."""
+    from .events import _norm_sf2
+
+    a_key, b_key = groups
+    q = F.col("l_quantity").cast("decimal(10,2)")
+    g = (
+        lineitem.filter(F.col("l_returnflag").isin(a_key, b_key))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(q).alias("s1"),
+            F.sum((q * q).cast("decimal(38,4)")).alias("s2"),
+        )
+    )
+    a = g.filter(F.col("l_returnflag") == a_key).select(
+        F.col("n").alias("n_a"), F.col("s1").alias("s1a"), F.col("s2").alias("s2a")
+    )
+    b = g.filter(F.col("l_returnflag") == b_key).select(
+        F.col("n").alias("n_b"), F.col("s1").alias("s1b"), F.col("s2").alias("s2b")
+    )
+    j = a.crossJoin(b)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("s1a").cast("double") / na
+    mb = F.col("s1b").cast("double") / nb
+    va = (F.col("s2a").cast("double") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("s2b").cast("double") - nb * mb * mb) / (nb - F.lit(1.0))
+    se2 = va / na + vb / nb
+    t = F.try_divide(ma - mb, F.nullif(F.sqrt(se2), F.lit(0.0)))
+    df_w = F.try_divide(
+        se2 * se2,
+        F.nullif(
+            (va / na) * (va / na) / (na - F.lit(1.0))
+            + (vb / nb) * (vb / nb) / (nb - F.lit(1.0)),
+            F.lit(0.0),
+        ),
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        (F.round(ma, 6) + F.lit(0.0)).alias("mean_a"),
+        (F.round(mb, 6) + F.lit(0.0)).alias("mean_b"),
+        (F.round(t, 6) + F.lit(0.0)).alias("t_stat"),
+        (F.round(df_w, 6) + F.lit(0.0)).alias("welch_df"),
+        (F.round(_norm_sf2(F.abs(t)), 6) + F.lit(0.0)).alias("p_value"),
+    )
+
+
+def pacf_durbin_levinson(orders: DataFrame) -> DataFrame:
+    """PARTIAL autocorrelations of monthly revenue at lags 1-3 by
+    Durbin-Levinson — the model-order dial for the AR fits: pacf(k)
+    is the lag-k coefficient after regressing out lags < k, so an
+    AR(p) series shows pacf cutting off after p (the ACF, which
+    ``orders_ar2_yule_walker`` also reports, instead tails forever).
+
+    Same scale shape as the AR(2) fit: one month-keyed aggregate, lag
+    autocovariances from rank self-joins with 6dp-rounded DECIMAL
+    product sums, closed-form recursion on one row."""
+    from .ranking import ranked_global
+
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    mu = F.broadcast(
+        monthly.agg(
+            (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mu"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    cent = (
+        ranked_global(monthly, [F.col("m").asc()], rank_name="t")
+        .crossJoin(mu)
+        .select(
+            "t",
+            "n",
+            F.round(F.col("y").cast("double") - F.col("mu"), 6)
+            .cast("decimal(24,6)")
+            .alias("c"),
+        )
+        .localCheckpoint()
+    )
+
+    def _g(k: int, name: str):
+        a = cent.select(F.col("t"), F.col("c").alias("ca"))
+        b = cent.select((F.col("t") - F.lit(k)).alias("t"), F.col("c").alias("cb"))
+        if k == 0:
+            return cent.agg(
+                F.sum(
+                    F.round(
+                        F.col("c").cast("double") * F.col("c").cast("double"), 6
+                    ).cast("decimal(30,6)")
+                ).alias(name),
+                F.max("n").alias("n"),
+            )
+        return a.join(b, "t").agg(
+            F.sum(
+                F.round(
+                    F.col("ca").cast("double") * F.col("cb").cast("double"), 6
+                ).cast("decimal(30,6)")
+            ).alias(name)
+        )
+
+    j = (
+        _g(0, "g0")
+        .crossJoin(_g(1, "g1"))
+        .crossJoin(_g(2, "g2"))
+        .crossJoin(_g(3, "g3"))
+    )
+    g0 = F.col("g0").cast("double")
+    r1 = F.try_divide(F.col("g1").cast("double"), F.nullif(g0, F.lit(0.0)))
+    r2 = F.try_divide(F.col("g2").cast("double"), F.nullif(g0, F.lit(0.0)))
+    r3 = F.try_divide(F.col("g3").cast("double"), F.nullif(g0, F.lit(0.0)))
+    p11 = r1
+    p22 = F.try_divide(r2 - r1 * r1, F.nullif(F.lit(1.0) - r1 * r1, F.lit(0.0)))
+    # Durbin-Levinson order-2 AR coefficients, then the order-3 pacf
+    a21 = p11 - p22 * p11  # = phi_{2,1}
+    p33 = F.try_divide(
+        r3 - a21 * r2 - p22 * r1,
+        F.nullif(F.lit(1.0) - a21 * r1 - p22 * r2, F.lit(0.0)),
+    )
+    return j.select(
+        "n",
+        (F.round(p11, 6) + F.lit(0.0)).alias("pacf_1"),
+        (F.round(p22, 6) + F.lit(0.0)).alias("pacf_2"),
+        (F.round(p33, 6) + F.lit(0.0)).alias("pacf_3"),
+    )

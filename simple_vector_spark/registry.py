@@ -17158,3 +17158,151 @@ def text_lm_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lm_dirichlet_search(
         load_table(spark, sf_dir, "documents"), BM25_TERMS, 20
     )
+
+
+# --------------------------------------------------------------------------
+# Waves 181-182 (round 2): Welch's unequal-variances t-test and
+# Durbin-Levinson partial autocorrelations.
+# --------------------------------------------------------------------------
+
+
+def _nsf2_sql(col: str) -> str:
+    """Two-sided normal tail 2*(1-Phi(col)) as SQL — the same
+    Zelen-Severo polynomial operators/events._norm_sf2 evaluates, so
+    both engines share one float64 expression."""
+    t = f"(1.0 / (1.0 + 0.2316419 * {col}))"
+    return (
+        f"LEAST(1.0, 2.0 * (0.3989422804014327 * EXP(-({col} * {col}) / 2.0))"
+        f" * (((((1.330274429 * {t} - 1.821255978) * {t}"
+        f" + 1.781477937) * {t} - 0.356563782) * {t}"
+        f" + 0.319381530) * {t}))"
+    )
+
+
+@query(
+    "lineitem_welch_ttest",
+    f"""
+WITH g AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(10,2))) AS s1,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(10,2))
+                  * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(38,4))) AS s2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+  GROUP BY 1
+),
+j AS (
+  SELECT a.n AS n_a, a.s1 AS s1a, a.s2 AS s2a,
+         b.n AS n_b, b.s1 AS s1b, b.s2 AS s2b
+  FROM (SELECT * FROM g WHERE l_returnflag = 'R') a
+  CROSS JOIN (SELECT * FROM g WHERE l_returnflag = 'N') b
+),
+raw AS (
+  SELECT n_a, n_b,
+         CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         (CAST(s2a AS DOUBLE) - CAST(n_a AS DOUBLE)
+            * (CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE))
+            * (CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+           / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+         (CAST(s2b AS DOUBLE) - CAST(n_b AS DOUBLE)
+            * (CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE))
+            * (CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+           / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+  FROM j
+),
+tstat AS (
+  SELECT n_a, n_b, ma, mb, va, vb,
+         va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2,
+         (ma - mb) / NULLIF(SQRT(va / CAST(n_a AS DOUBLE)
+                                 + vb / CAST(n_b AS DOUBLE)), 0.0) AS t
+  FROM raw
+)
+SELECT n_a, n_b,
+       ROUND(ma, 6) + 0.0 AS mean_a,
+       ROUND(mb, 6) + 0.0 AS mean_b,
+       ROUND(t, 6) + 0.0 AS t_stat,
+       ROUND(se2 * se2
+             / NULLIF((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
+                        / (CAST(n_a AS DOUBLE) - 1.0)
+                      + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE))
+                        / (CAST(n_b AS DOUBLE) - 1.0), 0.0), 6) + 0.0
+         AS welch_df,
+       ROUND({_nsf2_sql("ABS(t)")}, 6) + 0.0 AS p_value
+FROM tstat
+""",
+)
+def lineitem_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between R and N returnflag quantity means — the
+    significance member beside Cohen's d and the MW/KS tests."""
+    return R.welch_ttest(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "orders_pacf",
+    """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+),
+mu AS (
+  SELECT CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM monthly
+),
+cent AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) AS BIGINT) AS t, n,
+         CAST(ROUND(CAST(y AS DOUBLE) - mu, 6) AS DECIMAL(24,6)) AS c
+  FROM monthly CROSS JOIN mu
+),
+g0 AS (
+  SELECT SUM(CAST(ROUND(CAST(c AS DOUBLE) * CAST(c AS DOUBLE), 6)
+                  AS DECIMAL(30,6))) AS g0,
+         MAX(n) AS n
+  FROM cent
+),
+g1 AS (
+  SELECT SUM(CAST(ROUND(CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE), 6)
+                  AS DECIMAL(30,6))) AS g1
+  FROM cent a JOIN cent b ON a.t = b.t - 1
+),
+g2 AS (
+  SELECT SUM(CAST(ROUND(CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE), 6)
+                  AS DECIMAL(30,6))) AS g2
+  FROM cent a JOIN cent b ON a.t = b.t - 2
+),
+g3 AS (
+  SELECT SUM(CAST(ROUND(CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE), 6)
+                  AS DECIMAL(30,6))) AS g3
+  FROM cent a JOIN cent b ON a.t = b.t - 3
+),
+raw AS (
+  SELECT n,
+         CAST(g1 AS DOUBLE) / NULLIF(CAST(g0 AS DOUBLE), 0.0) AS r1,
+         CAST(g2 AS DOUBLE) / NULLIF(CAST(g0 AS DOUBLE), 0.0) AS r2,
+         CAST(g3 AS DOUBLE) / NULLIF(CAST(g0 AS DOUBLE), 0.0) AS r3
+  FROM g0 CROSS JOIN g1 CROSS JOIN g2 CROSS JOIN g3
+),
+lvl2 AS (
+  SELECT n, r1, r2, r3,
+         r1 AS p11,
+         (r2 - r1 * r1) / NULLIF(1.0 - r1 * r1, 0.0) AS p22
+  FROM raw
+),
+lvl3 AS (
+  SELECT n, r1, r2, r3, p11, p22,
+         p11 - p22 * p11 AS a21
+  FROM lvl2
+)
+SELECT n,
+       ROUND(p11, 6) + 0.0 AS pacf_1,
+       ROUND(p22, 6) + 0.0 AS pacf_2,
+       ROUND((r3 - a21 * r2 - p22 * r1)
+             / NULLIF(1.0 - a21 * r1 - p22 * r2, 0.0), 6) + 0.0 AS pacf_3
+FROM lvl3
+""",
+)
+def orders_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Levinson partial autocorrelations (lags 1-3) of monthly
+    revenue — the AR model-order dial beside the Yule-Walker fit."""
+    return R.pacf_durbin_levinson(load_table(spark, sf_dir, "orders"))
