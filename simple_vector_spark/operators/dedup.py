@@ -1148,3 +1148,85 @@ def lsh_scurve(docs: DataFrame) -> DataFrame:
             "mean_sig_jaccard"
         ),
     )
+
+
+def dup_clusters_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the provably O(log^2 n)-round variant :func:`dup_clusters`'s
+    docstring promises for web scale: label propagation needs
+    O(diameter) rounds, which is fine for near-clique dup clusters but
+    collapses on chain-shaped candidate graphs (transitive near-dup
+    chains do occur in crawl data); star operations flatten chains
+    exponentially fast regardless of shape.
+
+      large-star: every neighbor v > u re-points to m(u) = min(N(u)+u)
+      small-star: every neighbor v <= u re-points to m(u)
+
+    Each half-round is ONE groupBy(src) for m plus ONE semi-sized
+    join back to the edge list, checkpointed; convergence is an
+    edge-checksum compare (cheap scalar), and the result is the same
+    (node, min-of-component) labeling the recursive-CTE oracle
+    computes."""
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods are undirected: process every edge from both
+        # endpoints, as the MapReduce formulation's map phase does
+        und = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        m = (
+            und.groupBy("src")
+            .agg(F.min("dst").alias("_mn"))
+            .select("src", F.least(F.col("_mn"), F.col("src")).alias("m"))
+        )
+        nbrs = und.join(m, "src")
+        cond = F.col("dst") > F.col("src") if large else F.col("dst") <= F.col("src")
+        out = nbrs.filter(cond).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        if not large:
+            out = out.unionByName(m.select(F.col("src"), F.col("m").alias("dst")))
+        return (
+            out.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+        )
+
+    def _checksum(e: DataFrame) -> int:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.hash("src", "dst").cast("long")), F.lit(0)).alias(
+                "h"
+            ),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        edges = _star(edges, large=True)
+        edges = _star(edges, large=False)
+        cs = _checksum(edges)
+        if cs == prev:
+            break
+        prev = cs
+    # after convergence every edge points node -> component min; nodes
+    # that ARE the minimum appear only as dst, so union them back
+    labels = edges.select(F.col("src").alias("node"), F.col("dst").alias("cluster"))
+    roots = edges.select(F.col("dst").alias("node")).subtract(
+        edges.select(F.col("src").alias("node"))
+    )
+    return labels.unionByName(
+        roots.withColumn("cluster", F.col("node"))
+    ).distinct()

@@ -17306,3 +17306,25 @@ def orders_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durbin-Levinson partial autocorrelations (lags 1-3) of monthly
     revenue — the AR model-order dial beside the Yule-Walker fit."""
     return R.pacf_durbin_levinson(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 183 (round 2): large-star/small-star connected components — the
+# O(log^2 n)-round CC the label-propagation docstring promises at web scale.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters_star",
+    f"""
+WITH RECURSIVE {_CLUSTER_LABELS_CTES}
+SELECT node, cluster FROM labels
+""",
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash candidate pairs by
+    alternating large-star/small-star — same labeling as
+    dedup_clusters, rounds bounded by O(log^2 n) instead of the
+    cluster diameter (the difference that matters on chain-shaped
+    near-dup graphs in crawl data)."""
+    return D.dup_clusters_star(_minhash_pairs(spark, sf_dir))
