@@ -607,3 +607,63 @@ def cms_width_curve(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+MG_K = 120  # Misra-Gries counter budget: guarantees items with f > n/k
+
+
+def misra_gries_heavy_users(events: DataFrame, k: int = MG_K) -> DataFrame:
+    """MISRA-GRIES guaranteed heavy hitters over user_id — the
+    DETERMINISTIC-GUARANTEE member of the sketch family: unlike
+    Count-Min (probabilistic overestimates) the MG summary provably
+    contains EVERY item with frequency > n/k using k-1 counters, and
+    the two-pass shape (candidates -> exact recount of candidates
+    only) makes the final answer exact and partitioning-independent.
+
+    Pass 1: a mergeable MG summary per partition (mapInPandas, batch
+    counts merged with the subtract-k-th-largest rule of Agarwal et
+    al.'s mergeable summaries) — bounded memory however large the
+    partition.  Pass 2: semi-join the candidate set (tiny) back and
+    count exactly; keep f*k > n.  The candidate SET may vary with
+    partitioning, but the thresholded output cannot — which is what
+    the DuckDB oracle (plain GROUP BY ... HAVING) checks."""
+    import pandas as pd
+
+    cap = k - 1
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf["user_id"].value_counts()
+            for u, c in vc.items():
+                counters[u] = counters.get(u, 0) + int(c)
+            if len(counters) > cap:
+                kth = sorted(counters.values(), reverse=True)[cap]
+                counters = {u: c - kth for u, c in counters.items() if c > kth}
+        yield pd.DataFrame({"user_id": list(counters.keys())})
+
+    candidates = (
+        events.select("user_id").mapInPandas(mg, "user_id long").distinct()
+    )
+    tot = F.broadcast(events.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    exact = (
+        events.join(candidates, "user_id", "leftsemi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return (
+        exact.crossJoin(tot)
+        .filter(F.col("n_events") * F.lit(k) > F.col("n"))
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.round(
+                    F.col("n_events").cast("double") / F.col("n").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("share"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    )

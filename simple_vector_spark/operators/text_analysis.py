@@ -2441,3 +2441,71 @@ def lm_dirichlet_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+SYMSPELL_TYPOS = ["vektor", "hashh", "scann", "cash"]
+SYMSPELL_TOPK = 3
+
+
+def symspell_candidates(
+    docs: DataFrame,
+    queries: list[str] | None = None,
+    topk: int = SYMSPELL_TOPK,
+    text_col: str = "text",
+) -> DataFrame:
+    """SYMSPELL spelling correction by the DELETES JOIN: a term and a
+    query within edit distance 1 always share a member of their
+    {self} ∪ {drop one char} variant sets, so candidate generation is
+    an equi-join on variant strings — O(len) variants per term versus
+    the |vocab| x |queries| Levenshtein cross join a naive matcher
+    pays.  The industry trick for spell-checking against a corpus
+    vocabulary at scale; exact Levenshtein <= 1 then verifies the
+    (tiny) candidate set, and corpus frequency ranks suggestions.
+
+    Plan: one token explode -> vocab aggregate, variants exploded
+    in-expression on both sides, variant-keyed equi-join (queries side
+    broadcast), per-query top-{SYMSPELL_TOPK} window."""
+    qs = SYMSPELL_TYPOS if queries is None else queries
+    spark = docs.sparkSession
+
+    def variants(col):
+        return F.transform(
+            F.sequence(F.lit(0), F.length(col)),
+            lambda i: F.when(i == 0, col).otherwise(
+                F.concat(
+                    F.substr(col, F.lit(1), i - F.lit(1)),
+                    F.substr(col, i + F.lit(1), F.length(col)),
+                )
+            ),
+        )
+
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    vvar = vocab.select(
+        "term", "freq", F.explode(variants(F.col("term"))).alias("v")
+    )
+    qdf = spark.createDataFrame([(q,) for q in qs], "query string")
+    qvar = F.broadcast(
+        qdf.select("query", F.explode(variants(F.col("query"))).alias("v"))
+    )
+    cands = (
+        vvar.join(qvar, "v")
+        .select("query", "term", "freq")
+        .distinct()
+        .filter(
+            (F.levenshtein(F.col("query"), F.col("term")) <= 1)
+            & (F.col("query") != F.col("term"))
+        )
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    return (
+        cands.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= topk)
+        .select("query", F.col("term").alias("suggestion"), "freq", "rnk")
+        .orderBy("query", "rnk")
+    )

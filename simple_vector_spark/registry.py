@@ -17328,3 +17328,76 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster diameter (the difference that matters on chain-shaped
     near-dup graphs in crawl data)."""
     return D.dup_clusters_star(_minhash_pairs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Wave 184 (round 2): Misra-Gries guaranteed heavy hitters (two-pass exact).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_misra_gries_hh",
+    f"""
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.n) AS DOUBLE), 6) + 0.0
+         AS share
+FROM events CROSS JOIN tot
+GROUP BY user_id
+HAVING CAST(COUNT(*) AS BIGINT) * {SK.MG_K} > MAX(tot.n)
+ORDER BY n_events DESC, user_id ASC
+""",
+)
+def events_misra_gries_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries two-pass heavy hitters over user_id: bounded-memory
+    mergeable candidate summary, exact recount of candidates, f*k > n
+    threshold — deterministic despite partitioning."""
+    return SK.misra_gries_heavy_users(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 185 (round 2): SymSpell deletes-join spelling correction.
+# --------------------------------------------------------------------------
+
+_SYMSPELL_VALUES = ", ".join(f"('{q}')" for q in T.SYMSPELL_TYPOS)
+_SS_VAR = (
+    "unnest(list_transform(range(0, length({c}) + 1),"
+    " i -> CASE WHEN i = 0 THEN {c}"
+    " ELSE substr({c}, 1, CAST(i AS INT) - 1)"
+    " || substr({c}, CAST(i AS INT) + 1, length({c})) END)) AS v"
+)
+
+
+@query(
+    "vocab_symspell_suggest",
+    f"""
+WITH tk AS (SELECT unnest({_TK_SQL}) AS term FROM documents),
+vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY 1),
+vvar AS (
+  SELECT term, freq, {_SS_VAR.format(c="term")} FROM vocab
+),
+q(query) AS (VALUES {_SYMSPELL_VALUES}),
+qvar AS (
+  SELECT query, {_SS_VAR.format(c="query")} FROM q
+),
+cands AS (
+  SELECT DISTINCT query, term, freq
+  FROM vvar JOIN qvar USING (v)
+  WHERE levenshtein(query, term) <= 1 AND query <> term
+),
+ranked AS (
+  SELECT query, term AS suggestion, freq,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query
+                                 ORDER BY freq DESC, term ASC) AS INT) AS rnk
+  FROM cands
+)
+SELECT query, suggestion, freq, rnk
+FROM ranked WHERE rnk <= {T.SYMSPELL_TOPK}
+ORDER BY query, rnk
+""",
+)
+def vocab_symspell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell deletes-join spell suggestions against the corpus
+    vocabulary: O(len) variants + equi-join instead of a vocab x
+    queries Levenshtein cross join; frequency-ranked top-3."""
+    return T.symspell_candidates(load_table(spark, sf_dir, "documents"))
