@@ -7105,3 +7105,66 @@ def pacf_durbin_levinson(orders: DataFrame) -> DataFrame:
         (F.round(p22, 6) + F.lit(0.0)).alias("pacf_2"),
         (F.round(p33, 6) + F.lit(0.0)).alias("pacf_3"),
     )
+
+
+PRICE_INDEX_YEARS = (1996, 1997)
+
+
+def price_indices(lineitem: DataFrame) -> DataFrame:
+    """LASPEYRES / PAASCHE / FISHER price indices between two ship
+    years over the common part basket — the index-number economics of
+    "did prices rise, or did the mix shift?": Laspeyres weights by the
+    base-year basket, Paasche by the current one, Fisher is their
+    geometric mean (the superlative index).  Per part-year unit price
+    = revenue / quantity.
+
+    Scale: one (part, year) aggregate off the fact scan, a part-keyed
+    self-join restricted to the common basket, one DECIMAL sum of
+    6dp-rounded cross terms; index algebra on a single row."""
+    y0, y1 = PRICE_INDEX_YEARS
+    py = (
+        lineitem.filter(F.year("l_shipdate").isin(y0, y1))
+        .groupBy(
+            F.col("l_partkey").alias("part_id"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice")).alias("rev"),
+            F.sum(_dec("l_quantity")).alias("qty"),
+        )
+        .filter(F.col("qty") > 0)
+    )
+    p = F.round(
+        F.col("rev").cast("double") / F.col("qty").cast("double"), 6
+    )
+    priced = py.select("part_id", "yr", p.alias("p"), F.col("qty"))
+    base = priced.filter(F.col("yr") == y0).select(
+        "part_id", F.col("p").alias("p0"), F.col("qty").alias("q0")
+    )
+    cur = priced.filter(F.col("yr") == y1).select(
+        "part_id", F.col("p").alias("p1"), F.col("qty").alias("q1")
+    )
+    j = base.join(cur, "part_id")
+
+    def term(a, b):
+        return F.round(a * b.cast("double"), 6).cast("decimal(30,6)")
+
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(term(F.col("p1"), F.col("q0"))).alias("s10"),
+        F.sum(term(F.col("p0"), F.col("q0"))).alias("s00"),
+        F.sum(term(F.col("p1"), F.col("q1"))).alias("s11"),
+        F.sum(term(F.col("p0"), F.col("q1"))).alias("s01"),
+    )
+    lasp = F.try_divide(
+        F.col("s10").cast("double"), F.nullif(F.col("s00").cast("double"), F.lit(0.0))
+    )
+    paas = F.try_divide(
+        F.col("s11").cast("double"), F.nullif(F.col("s01").cast("double"), F.lit(0.0))
+    )
+    return s.select(
+        "n_parts",
+        (F.round(lasp, 6) + F.lit(0.0)).alias("laspeyres"),
+        (F.round(paas, 6) + F.lit(0.0)).alias("paasche"),
+        (F.round(F.sqrt(lasp * paas), 6) + F.lit(0.0)).alias("fisher"),
+    )

@@ -2509,3 +2509,86 @@ def symspell_candidates(
         .select("query", F.col("term").alias("suggestion"), "freq", "rnk")
         .orderBy("query", "rnk")
     )
+
+
+RAKE_TOPK = 15
+RAKE_STOPWORDS = LANG_PROFILES["en"] + ["in", "on", "is", "for", "with"]
+
+
+def rake_keyphrases(
+    docs: DataFrame, topk: int = RAKE_TOPK, text_col: str = "text"
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al.): candidate phrases are
+    maximal stopword-free token runs (a gaps-and-islands segmentation
+    over token positions), word scores are degree/frequency over the
+    phrase graph, and a phrase scores the sum of its words — the
+    classic unsupervised keyphrase baseline beside
+    ``vocab_textrank_keywords``'s graph centrality.
+
+    Plan: one posexplode pass; islands via pos - rank within
+    (doc, non-stop) — a doc-partitioned window, never global; word
+    stats are one token-keyed aggregate; phrase scores join words back
+    to (tiny) phrase rows.  Degree/freq ratios and phrase sums are
+    6dp-rounded DECIMAL, so folds are order-insensitive; top-k ranks
+    on (score, phrase) via a TakeOrdered heap."""
+    sw = F.lit(RAKE_STOPWORDS).cast("array<string>")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
+    ).filter(F.length("w") > 0)
+    nonstop = toks.filter(~F.array_contains(sw, F.col("w")))
+    iw = Window.partitionBy("doc_id").orderBy("pos")
+    islands = nonstop.withColumn(
+        "island", F.col("pos") - F.row_number().over(iw)
+    )
+    phrases = (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("w")))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .localCheckpoint()
+    )
+    members = islands.join(phrases, ["doc_id", "island"]).select(
+        "w", "plen", "doc_id", "island", "phrase"
+    )
+    words = members.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    wscore = words.select(
+        "w",
+        F.round(
+            F.col("degree").cast("double") / F.col("freq").cast("double"), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("ws"),
+    )
+    scored = (
+        members.join(F.broadcast(wscore), "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum("ws").alias("raw"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+    )
+    # the same phrase string in several docs/islands accumulates its
+    # members once per occurrence: score sums every occurrence's words
+    return (
+        scored.select(
+            "phrase",
+            (F.round(F.col("raw").cast("double"), 6) + F.lit(0.0)).alias(
+                "score"
+            ),
+            "n_occurrences",
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(topk)
+    )

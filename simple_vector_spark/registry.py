@@ -17401,3 +17401,116 @@ def vocab_symspell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary: O(len) variants + equi-join instead of a vocab x
     queries Levenshtein cross join; frequency-ranked top-3."""
     return T.symspell_candidates(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 186 (round 2): RAKE keyphrase extraction (stopword-island phrases,
+# degree/freq word scores).
+# --------------------------------------------------------------------------
+
+_RAKE_SW_SQL = ", ".join(f"'{w}'" for w in T.RAKE_STOPWORDS)
+
+
+@query(
+    "doc_rake_keyphrases",
+    f"""
+WITH t AS (SELECT doc_id, {_TK_SQL} AS tk FROM documents),
+tok AS (
+  SELECT doc_id, i AS pos, tk[i] AS w
+  FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)
+),
+ns AS (
+  SELECT doc_id, pos, w,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM tok
+  WHERE w NOT IN ({_RAKE_SW_SQL})
+),
+phrases AS (
+  SELECT doc_id, island,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM ns GROUP BY 1, 2
+),
+members AS (
+  SELECT ns.w, p.plen, p.phrase
+  FROM ns JOIN phrases p USING (doc_id, island)
+),
+words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS degree
+  FROM members GROUP BY 1
+),
+wscore AS (
+  SELECT w, CAST(ROUND(CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE), 6)
+                 AS DECIMAL(18,6)) AS ws
+  FROM words
+),
+scored AS (
+  SELECT phrase, SUM(ws) AS raw, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM members JOIN wscore USING (w)
+  GROUP BY 1
+)
+SELECT phrase, ROUND(CAST(raw AS DOUBLE), 6) + 0.0 AS score, n_occurrences
+FROM scored
+ORDER BY score DESC, phrase ASC
+LIMIT {T.RAKE_TOPK}
+""",
+)
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases: stopword-island phrase segmentation,
+    degree/freq word scores, phrase-sum ranking — the unsupervised
+    keyphrase baseline beside TextRank."""
+    return T.rake_keyphrases(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 187 (round 2): Laspeyres/Paasche/Fisher price indices.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_price_indices",
+    f"""
+WITH py AS (
+  SELECT l_partkey AS part_id, year(l_shipdate) AS yr,
+         SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS rev,
+         SUM(CAST(l_quantity AS DECIMAL(15,2))) AS qty
+  FROM lineitem
+  WHERE year(l_shipdate) IN ({R.PRICE_INDEX_YEARS[0]}, {R.PRICE_INDEX_YEARS[1]})
+  GROUP BY 1, 2
+  HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 0
+),
+priced AS (
+  SELECT part_id, yr,
+         ROUND(CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE), 6) AS p, qty
+  FROM py
+),
+j AS (
+  SELECT b.part_id, b.p AS p0, b.qty AS q0, c.p AS p1, c.qty AS q1
+  FROM (SELECT * FROM priced WHERE yr = {R.PRICE_INDEX_YEARS[0]}) b
+  JOIN (SELECT * FROM priced WHERE yr = {R.PRICE_INDEX_YEARS[1]}) c
+    USING (part_id)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         SUM(CAST(ROUND(p1 * CAST(q0 AS DOUBLE), 6) AS DECIMAL(30,6))) AS s10,
+         SUM(CAST(ROUND(p0 * CAST(q0 AS DOUBLE), 6) AS DECIMAL(30,6))) AS s00,
+         SUM(CAST(ROUND(p1 * CAST(q1 AS DOUBLE), 6) AS DECIMAL(30,6))) AS s11,
+         SUM(CAST(ROUND(p0 * CAST(q1 AS DOUBLE), 6) AS DECIMAL(30,6))) AS s01
+  FROM j
+)
+SELECT n_parts,
+       ROUND(CAST(s10 AS DOUBLE) / NULLIF(CAST(s00 AS DOUBLE), 0.0), 6) + 0.0
+         AS laspeyres,
+       ROUND(CAST(s11 AS DOUBLE) / NULLIF(CAST(s01 AS DOUBLE), 0.0), 6) + 0.0
+         AS paasche,
+       ROUND(SQRT((CAST(s10 AS DOUBLE) / NULLIF(CAST(s00 AS DOUBLE), 0.0))
+                  * (CAST(s11 AS DOUBLE) / NULLIF(CAST(s01 AS DOUBLE), 0.0))),
+             6) + 0.0 AS fisher
+FROM s
+""",
+)
+def lineitem_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices 1996->1997 over the
+    common part basket — index-number economics on one fact pass."""
+    return R.price_indices(load_table(spark, sf_dir, "lineitem"))
