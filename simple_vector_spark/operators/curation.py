@@ -15,7 +15,7 @@ the corpus is never shuffled, only scanned.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles
@@ -743,3 +743,93 @@ def neyman_allocation(docs: DataFrame, budget: int = NEYMAN_BUDGET) -> DataFrame
         F.lit(None).cast("double").alias("efficiency"),
     )
     return pers.unionByName(totals)
+
+
+MASK_DENSITY_GATE = 644245094  # floor(0.15 * 2^32): ~15% of tokens masked
+
+
+def span_masking_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """T5-STYLE SPAN-CORRUPTION masking plan, audited per source: a
+    deterministic md5 gate marks ~15% of token positions as noise,
+    adjacent masked positions fuse into spans (one sentinel each), and
+    the audit reports the numbers a pretraining run budgets around —
+    realized mask rate, span count, mean span length, sentinel share
+    of the output sequence.  Content-keyed determinism (md5 of
+    doc_id:pos) means the same corpus always yields the same plan —
+    reproducible data pipelines, no RNG state to ship.
+
+    Plan: one posexplode pass; the span fuse is a doc-partitioned
+    gaps-and-islands window (pos - row_number among masked — never a
+    global window); per-source aggregate closes it out."""
+    from ..functions.text import md5_int, tokens
+
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    ).withColumn(
+        "masked",
+        (
+            md5_int(
+                F.concat_ws(":", F.col("doc_id").cast("string"),
+                            F.col("pos").cast("string"))
+            )
+            < F.lit(MASK_DENSITY_GATE)
+        ).cast("int"),
+    ).localCheckpoint()
+    mw = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        toks.filter(F.col("masked") == 1)
+        .withColumn("island", F.col("pos") - F.row_number().over(mw))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("span_len"),
+            F.first("source").alias("source"),
+        )
+    )
+    per_doc = toks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.sum("masked").cast("long").alias("n_masked"),
+    )
+    src_tok = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_masked").cast("long").alias("masked_tokens"),
+    )
+    src_span = spans.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    out = src_tok.join(src_span, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "masked_tokens",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    )
+    rate = F.try_divide(
+        F.col("masked_tokens").cast("double"),
+        F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+    )
+    mean_span = F.try_divide(
+        F.col("masked_tokens").cast("double"),
+        F.nullif(F.col("n_spans").cast("double"), F.lit(0.0)),
+    )
+    # output seq = kept tokens + one sentinel per span
+    sentinel_share = F.try_divide(
+        F.col("n_spans").cast("double"),
+        F.nullif(
+            (F.col("n_tokens") - F.col("masked_tokens") + F.col("n_spans"))
+            .cast("double"),
+            F.lit(0.0),
+        ),
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "masked_tokens",
+        "n_spans",
+        (F.round(rate, 6) + F.lit(0.0)).alias("mask_rate"),
+        (F.round(mean_span, 6) + F.lit(0.0)).alias("mean_span_len"),
+        (F.round(sentinel_share, 6) + F.lit(0.0)).alias("sentinel_share"),
+    ).orderBy("source")

@@ -7168,3 +7168,97 @@ def price_indices(lineitem: DataFrame) -> DataFrame:
         (F.round(paas, 6) + F.lit(0.0)).alias("paasche"),
         (F.round(F.sqrt(lasp * paas), 6) + F.lit(0.0)).alias("fisher"),
     )
+
+
+def cmh_promo_returns(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """COCHRAN-MANTEL-HAENSZEL stratified 2x2 test: does PROMO part
+    type associate with returns AFTER controlling for ship year?  The
+    adjusted-inference companion to ``lineitem_simpson_audit``: the
+    Simpson screen flags when pooled and per-stratum conclusions
+    disagree; CMH is the principled pooled test that weights each
+    year's 2x2 by its information, plus the Mantel-Haenszel common
+    odds ratio beside the confounded crude OR.
+
+    chi2_CMH = (sum_s a_s - sum_s E_s)^2 / sum_s V_s with
+    E = n1*m1/N, V = n1*n0*m1*m0 / (N^2 (N-1)); OR_MH =
+    sum(a*d/N) / sum(b*c/N).
+
+    Scale: broadcast part dimension into one fact scan, one
+    (year)-keyed conditional aggregate (cells exact ints), per-stratum
+    doubles rounded 9dp into DECIMAL sums — the whole test is two
+    aggregates."""
+    promo = F.col("p_type").startswith("PROMO")
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        lineitem.l_partkey == F.col("p_partkey"),
+    )
+    cells = (
+        j.groupBy(F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.sum((promo & (F.col("l_returnflag") == "R")).cast("long")).alias("a"),
+            F.sum((promo & (F.col("l_returnflag") != "R")).cast("long")).alias("b"),
+            F.sum(((~promo) & (F.col("l_returnflag") == "R")).cast("long")).alias(
+                "c"
+            ),
+            F.sum(((~promo) & (F.col("l_returnflag") != "R")).cast("long")).alias(
+                "d"
+            ),
+        )
+        .localCheckpoint()
+    )
+    n1 = (F.col("a") + F.col("b")).cast("double")
+    n0 = (F.col("c") + F.col("d")).cast("double")
+    m1 = (F.col("a") + F.col("c")).cast("double")
+    m0 = (F.col("b") + F.col("d")).cast("double")
+    nn = n1 + n0
+    e = n1 * m1 / nn
+    v = F.try_divide(n1 * n0 * m1 * m0, F.nullif(nn * nn * (nn - F.lit(1.0)), F.lit(0.0)))
+    terms = cells.select(
+        F.col("a").alias("ai"),
+        F.round(e, 9).cast("decimal(28,9)").alias("e"),
+        F.round(v, 9).cast("decimal(28,9)").alias("v"),
+        F.round(
+            F.col("a").cast("double") * F.col("d").cast("double") / nn, 9
+        )
+        .cast("decimal(28,9)")
+        .alias("ad"),
+        F.round(
+            F.col("b").cast("double") * F.col("c").cast("double") / nn, 9
+        )
+        .cast("decimal(28,9)")
+        .alias("bc"),
+        "a",
+        "b",
+        "c",
+        "d",
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("int").alias("n_strata"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("e").alias("se"),
+        F.sum("v").alias("sv"),
+        F.sum("ad").alias("sad"),
+        F.sum("bc").alias("sbc"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum("d").cast("long").alias("sd"),
+    )
+    diff = F.col("sa").cast("double") - F.col("se").cast("double")
+    chi2 = F.try_divide(
+        diff * diff, F.nullif(F.col("sv").cast("double"), F.lit(0.0))
+    )
+    or_mh = F.try_divide(
+        F.col("sad").cast("double"), F.nullif(F.col("sbc").cast("double"), F.lit(0.0))
+    )
+    crude = F.try_divide(
+        F.col("sa").cast("double") * F.col("sd").cast("double"),
+        F.nullif(
+            F.col("sb").cast("double") * F.col("sc").cast("double"), F.lit(0.0)
+        ),
+    )
+    return s.select(
+        "n_strata",
+        (F.round(chi2, 6) + F.lit(0.0)).alias("cmh_chi2"),
+        (F.round(or_mh, 6) + F.lit(0.0)).alias("or_mh"),
+        (F.round(crude, 6) + F.lit(0.0)).alias("or_crude"),
+    )

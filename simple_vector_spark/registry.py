@@ -17514,3 +17514,130 @@ def lineitem_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laspeyres / Paasche / Fisher price indices 1996->1997 over the
     common part basket — index-number economics on one fact pass."""
     return R.price_indices(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 188 (round 2): Cochran-Mantel-Haenszel stratified 2x2 test.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_cmh_test",
+    """
+WITH cells AS (
+  SELECT year(l_shipdate) AS yr,
+         CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' AND l_returnflag = 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' AND l_returnflag <> 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN p_type NOT LIKE 'PROMO%' AND l_returnflag = 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN p_type NOT LIKE 'PROMO%' AND l_returnflag <> 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+),
+terms AS (
+  SELECT a,
+         CAST(ROUND(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                    / CAST(a + b + c + d AS DOUBLE), 9) AS DECIMAL(28,9)) AS e,
+         CAST(ROUND((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                     * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+                    / NULLIF(CAST(a + b + c + d AS DOUBLE)
+                             * CAST(a + b + c + d AS DOUBLE)
+                             * (CAST(a + b + c + d AS DOUBLE) - 1.0), 0.0), 9)
+              AS DECIMAL(28,9)) AS v,
+         CAST(ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    / CAST(a + b + c + d AS DOUBLE), 9) AS DECIMAL(28,9)) AS ad,
+         CAST(ROUND(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                    / CAST(a + b + c + d AS DOUBLE), 9) AS DECIMAL(28,9)) AS bc,
+         b, c, d
+  FROM cells
+),
+s AS (
+  SELECT CAST(COUNT(*) AS INT) AS n_strata,
+         CAST(SUM(a) AS BIGINT) AS sa, SUM(e) AS se, SUM(v) AS sv,
+         SUM(ad) AS sad, SUM(bc) AS sbc,
+         CAST(SUM(b) AS BIGINT) AS sb, CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(d) AS BIGINT) AS sd
+  FROM terms
+)
+SELECT n_strata,
+       ROUND((CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
+             * (CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
+             / NULLIF(CAST(sv AS DOUBLE), 0.0), 6) + 0.0 AS cmh_chi2,
+       ROUND(CAST(sad AS DOUBLE) / NULLIF(CAST(sbc AS DOUBLE), 0.0), 6) + 0.0
+         AS or_mh,
+       ROUND(CAST(sa AS DOUBLE) * CAST(sd AS DOUBLE)
+             / NULLIF(CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE), 0.0), 6) + 0.0
+         AS or_crude
+FROM s
+""",
+)
+def lineitem_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMH chi-square + Mantel-Haenszel common OR for PROMO-vs-return
+    stratified by ship year — the adjusted test beside the Simpson
+    audit's confounding flag."""
+    return R.cmh_promo_returns(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+# --------------------------------------------------------------------------
+# Wave 189 (round 2): T5-style span-corruption masking audit.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_span_masking_audit",
+    f"""
+WITH t AS (SELECT doc_id, source, {_TK_SQL} AS tk FROM documents),
+tok AS (
+  SELECT doc_id, source, i AS pos,
+         CASE WHEN {_H_SQL.format(v="CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")}
+                   < {CU.MASK_DENSITY_GATE} THEN 1 ELSE 0 END AS masked
+  FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)
+),
+spans AS (
+  SELECT doc_id, ANY_VALUE(source) AS source,
+         CAST(COUNT(*) AS BIGINT) AS span_len
+  FROM (
+    SELECT doc_id, source, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+             AS island
+    FROM tok WHERE masked = 1
+  )
+  GROUP BY doc_id, island
+),
+src_tok AS (
+  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(masked) AS BIGINT) AS masked_tokens
+  FROM tok GROUP BY 1
+),
+src_span AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_spans FROM spans GROUP BY 1
+),
+j AS (
+  SELECT t.source, t.n_docs, t.n_tokens, t.masked_tokens,
+         CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans
+  FROM src_tok t LEFT JOIN src_span s USING (source)
+)
+SELECT source, n_docs, n_tokens, masked_tokens, n_spans,
+       ROUND(CAST(masked_tokens AS DOUBLE)
+             / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) + 0.0 AS mask_rate,
+       ROUND(CAST(masked_tokens AS DOUBLE)
+             / NULLIF(CAST(n_spans AS DOUBLE), 0.0), 6) + 0.0
+         AS mean_span_len,
+       ROUND(CAST(n_spans AS DOUBLE)
+             / NULLIF(CAST(n_tokens - masked_tokens + n_spans AS DOUBLE),
+                      0.0), 6) + 0.0 AS sentinel_share
+FROM j
+ORDER BY source
+""",
+)
+def doc_span_masking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5-style span-corruption plan per source: md5-
+    gated ~15% token noise, gaps-and-islands span fuse, sentinel
+    budget — the reproducible masking schedule audit."""
+    return CU.span_masking_audit(load_table(spark, sf_dir, "documents"))
