@@ -2776,3 +2776,89 @@ def fdr_weekend_shift(events: DataFrame, q: float = FDR_Q) -> DataFrame:
         )
         .orderBy("bh_rank")
     )
+
+
+SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def shapley_attribution(events: DataFrame) -> DataFrame:
+    """EXACT SHAPLEY-VALUE conversion attribution over the four
+    non-purchase channels — the coalition-game answer to "which
+    touches actually drive purchases" that last-touch / linear /
+    time-decay (events_touch_attribution, events_touch_decay_
+    attribution) can only approximate: each channel gets its average
+    marginal contribution across all orderings of the touch set.
+
+    v(S) = conversions among users whose touch set is contained in S
+    (monotone coalition value); with 4 channels the 16-subset lattice
+    is exact and tiny, so the ONLY data-sized work is one user-keyed
+    aggregate to (touch bitmask, converted).  phi sums are 9dp-rounded
+    DECIMAL; sum(phi) = v(full) - v(empty) by construction (tested).
+    """
+    spark = events.sparkSession
+    chans = SHAPLEY_CHANNELS
+    n = len(chans)
+    users = events.groupBy("user_id").agg(
+        *[
+            F.max((F.col("event_type") == c).cast("int")).alias(f"_c{i}")
+            for i, c in enumerate(chans)
+        ],
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    mask = sum(
+        (F.col(f"_c{i}") * F.lit(1 << i) for i in range(n)), F.lit(0)
+    )
+    cT = (
+        users.select(mask.alias("t"), "conv")
+        .groupBy("t")
+        .agg(F.sum("conv").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    subsets = spark.range(1 << n).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(cT), (F.col("t").bitwiseAND(F.col("s")) == F.col("t")), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+        .localCheckpoint()
+    )
+    # |S|-dependent ordering weight |S|! (n-1-|S|)! / n!
+    import math
+
+    wmap = {k: math.factorial(k) * math.factorial(n - 1 - k) / math.factorial(n)
+            for k in range(n)}
+    wcol = F.col("s")
+    weight = None
+    for k, wv in wmap.items():
+        cond = F.bit_count(wcol) == k
+        weight = F.when(cond, F.lit(wv)) if weight is None else weight.when(
+            cond, F.lit(wv)
+        )
+    outs = []
+    for i, c in enumerate(chans):
+        s0 = v.filter((F.shiftright(F.col("s"), i).bitwiseAND(1)) == 0).select(
+            F.col("s"), F.col("v").alias("v0")
+        )
+        s1 = v.select(F.col("s").alias("sf"), F.col("v").alias("v1"))
+        pair = s0.join(s1, F.col("sf") == F.col("s") + F.lit(1 << i))
+        outs.append(
+            pair.select(
+                F.lit(c).alias("channel"),
+                F.round(
+                    weight * (F.col("v1") - F.col("v0")).cast("double"), 9
+                )
+                .cast("decimal(20,9)")
+                .alias("term"),
+            )
+        )
+    allterms = outs[0]
+    for o in outs[1:]:
+        allterms = allterms.unionByName(o)
+    return (
+        allterms.groupBy("channel")
+        .agg((F.round(F.sum("term").cast("double"), 6) + F.lit(0.0)).alias(
+            "shapley_conversions"
+        ))
+        .orderBy("channel")
+    )

@@ -17641,3 +17641,67 @@ def doc_span_masking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated ~15% token noise, gaps-and-islands span fuse, sentinel
     budget — the reproducible masking schedule audit."""
     return CU.span_masking_audit(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 190 (round 2): exact Shapley-value conversion attribution.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_shapley_attribution",
+    """
+WITH users AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT) AS c0,
+         CAST(MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INT) AS c1,
+         CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INT) AS c2,
+         CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT) AS c3,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+ct AS (
+  SELECT c0 * 1 + c1 * 2 + c2 * 4 + c3 * 8 AS t, CAST(SUM(conv) AS BIGINT) AS c
+  FROM users GROUP BY 1
+),
+subsets AS (SELECT CAST(i AS INT) AS s FROM UNNEST(range(0, 16)) AS u(i)),
+v AS (
+  SELECT s, CAST(COALESCE(SUM(c), 0) AS BIGINT) AS v
+  FROM subsets LEFT JOIN ct ON (t & s) = t
+  GROUP BY s
+),
+terms AS (
+  SELECT 'click' AS channel,
+         CAST(ROUND((CASE WHEN bit_count(a.s) = 0 THEN 0.25 WHEN bit_count(a.s) = 1 THEN 0.08333333333333333 WHEN bit_count(a.s) = 2 THEN 0.08333333333333333 WHEN bit_count(a.s) = 3 THEN 0.25 ELSE 0.0 END)
+                    * CAST(b.v - a.v AS DOUBLE), 9) AS DECIMAL(20,9)) AS term
+  FROM v a JOIN v b ON b.s = a.s + 1
+  WHERE ((a.s >> 0) & 1) = 0
+  UNION ALL
+  SELECT 'error' AS channel,
+         CAST(ROUND((CASE WHEN bit_count(a.s) = 0 THEN 0.25 WHEN bit_count(a.s) = 1 THEN 0.08333333333333333 WHEN bit_count(a.s) = 2 THEN 0.08333333333333333 WHEN bit_count(a.s) = 3 THEN 0.25 ELSE 0.0 END)
+                    * CAST(b.v - a.v AS DOUBLE), 9) AS DECIMAL(20,9)) AS term
+  FROM v a JOIN v b ON b.s = a.s + 2
+  WHERE ((a.s >> 1) & 1) = 0
+  UNION ALL
+  SELECT 'signup' AS channel,
+         CAST(ROUND((CASE WHEN bit_count(a.s) = 0 THEN 0.25 WHEN bit_count(a.s) = 1 THEN 0.08333333333333333 WHEN bit_count(a.s) = 2 THEN 0.08333333333333333 WHEN bit_count(a.s) = 3 THEN 0.25 ELSE 0.0 END)
+                    * CAST(b.v - a.v AS DOUBLE), 9) AS DECIMAL(20,9)) AS term
+  FROM v a JOIN v b ON b.s = a.s + 4
+  WHERE ((a.s >> 2) & 1) = 0
+  UNION ALL
+  SELECT 'view' AS channel,
+         CAST(ROUND((CASE WHEN bit_count(a.s) = 0 THEN 0.25 WHEN bit_count(a.s) = 1 THEN 0.08333333333333333 WHEN bit_count(a.s) = 2 THEN 0.08333333333333333 WHEN bit_count(a.s) = 3 THEN 0.25 ELSE 0.0 END)
+                    * CAST(b.v - a.v AS DOUBLE), 9) AS DECIMAL(20,9)) AS term
+  FROM v a JOIN v b ON b.s = a.s + 8
+  WHERE ((a.s >> 3) & 1) = 0
+)
+SELECT channel, ROUND(CAST(SUM(term) AS DOUBLE), 6) + 0.0
+         AS shapley_conversions
+FROM terms GROUP BY 1 ORDER BY 1
+""",
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley conversion attribution over the 4 touch channels
+    (16-subset lattice; v(S) = conversions with touch set within S) —
+    the coalition-game upgrade of the heuristic attribution models."""
+    return E.shapley_attribution(load_table(spark, sf_dir, "events"))
