@@ -17705,3 +17705,33 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (16-subset lattice; v(S) = conversions with touch set within S) —
     the coalition-game upgrade of the heuristic attribution models."""
     return E.shapley_attribution(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 191 (round 2): streaming CDC apply with tombstones.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stream_cdc_apply",
+    """
+WITH latest AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, CAST(event_id AS BIGINT) AS last_event_id,
+       ROUND(value, 6) AS last_value
+FROM latest
+WHERE rn = 1 AND op <> 'd'
+""",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC with deletes: error events are tombstones merged
+    latest-wins into the snapshot via foreachBatch; keys whose latest
+    op is a delete vanish from the visible state."""
+    from .streaming.jobs import cdc_apply_stream
+
+    return cdc_apply_stream(spark, sf_dir)

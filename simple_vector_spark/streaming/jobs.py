@@ -617,3 +617,62 @@ def window_topk_stream(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFram
         "bucket", "user_id", F.col("n").cast("long").alias("n"),
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+def cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC APPLY with DELETES: the event log is read as a
+    change stream — 'error' events are tombstones (op=d), everything
+    else an upsert — and each micro-batch is merged into the
+    materialized snapshot with latest-wins semantics that RETAIN the
+    tombstone row, so a delete arriving batches after its upsert still
+    wins (and a later upsert resurrects the key).  The delete-aware
+    upgrade of :func:`foreach_batch_merge`, i.e. the full O11/O12/O13
+    mutation set applied continuously; final visible state excludes
+    keys whose latest op is a tombstone.
+
+    Deterministic: latest-wins on (ts, event_id) is associative across
+    any batch split, so availableNow equals the batch oracle."""
+    import os
+
+    from ..operators.mutation import apply_upserts, restore, snapshot
+
+    ev = _read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    )
+    base = tempfile.mkdtemp(prefix="svs_cdc_")
+    state = {"path": None}
+
+    def merge(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        if state["path"] is None:
+            cur = sess.createDataFrame([], batch_df.schema)
+        else:
+            cur = restore(sess, state["path"])
+        nxt = os.path.join(base, f"v{batch_id}")
+        snapshot(
+            apply_upserts(cur, batch_df, ["user_id"], ["ts", "event_id"]), nxt
+        )
+        state["path"] = nxt
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="svs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        restore(spark, state["path"])
+        .filter(F.col("op") != "d")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.round(F.col("value"), 6).alias("last_value"),
+        )
+    )
