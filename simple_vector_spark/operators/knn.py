@@ -510,3 +510,84 @@ def retrieval_metrics(
         ).alias("rr"),
         F.round(F.col("_dcg") / idcg, 4).alias("ndcg"),
     )
+
+
+LOO_K = 5
+
+
+def knn_loo_accuracy(corpus: DataFrame, k: int = LOO_K) -> DataFrame:
+    """LEAVE-ONE-OUT k-NN classifier evaluation over the embedding
+    corpus: every vector is classified by majority label of its k
+    nearest OTHER vectors, scored against its own label — the
+    label-quality / separability report (a high LOO accuracy means the
+    embedding space actually clusters by label; a low one means the
+    labels or the embeddings are noise).  Extends the search surface
+    (O3/O9) into evaluation, beside label_centroid_accuracy's
+    prototype classifier.
+
+    This is the brute-force evaluation: all-pairs distances ranked
+    per query with an id tiebreak, majority vote with (count desc,
+    label asc) tie-break.  At corpus scale swap the all-pairs stage
+    for the IVF-cell-blocked kNN graph (knn_graph_blocked) — the vote
+    and scoring stages are unchanged.  Determinism: distances ROUND 6
+    before ranking; every later step is integer counting."""
+    from ..functions.vector import as_double_array, squared_l2
+
+    a = corpus.select(
+        F.col("vec_id").alias("qid"),
+        as_double_array("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("cid"),
+        as_double_array("embedding").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "qlabel",
+            "cid",
+            "clabel",
+            F.round(squared_l2(F.col("qv"), F.col("cv")), 6).alias("dist"),
+        )
+    )
+    tw = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc(), F.col("cid").asc()
+    )
+    top = pairs.withColumn("rnk", F.row_number().over(tw)).filter(
+        F.col("rnk") <= k
+    )
+    votes = top.groupBy("qid", "qlabel", "clabel").agg(
+        F.count(F.lit(1)).cast("long").alias("nv")
+    )
+    vw = Window.partitionBy("qid").orderBy(
+        F.col("nv").desc(), F.col("clabel").asc()
+    )
+    pred = votes.withColumn("vr", F.row_number().over(vw)).filter(
+        F.col("vr") == 1
+    )
+    return (
+        pred.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("clabel") == F.col("qlabel")).cast("int"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            (
+                F.round(
+                    F.col("n_correct").cast("double") / F.col("n").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

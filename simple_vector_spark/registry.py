@@ -17735,3 +17735,57 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.jobs import cdc_apply_stream
 
     return cdc_apply_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Wave 192 (round 2): leave-one-out kNN classifier evaluation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_knn_loo_accuracy",
+    f"""
+WITH pairs AS (
+  SELECT a.vec_id AS qid, a.label AS qlabel,
+         b.vec_id AS cid, b.label AS clabel,
+         unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(b.embedding AS DOUBLE[])) AS y
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+d AS (
+  SELECT qid, qlabel, cid, clabel, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+  FROM pairs GROUP BY qid, qlabel, cid, clabel
+),
+top AS (
+  SELECT qid, qlabel, clabel
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY dist ASC, cid ASC) AS rnk
+    FROM d
+  ) WHERE rnk <= {K.LOO_K}
+),
+votes AS (
+  SELECT qid, qlabel, clabel, CAST(COUNT(*) AS BIGINT) AS nv
+  FROM top GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT qid, qlabel, clabel
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY nv DESC, clabel ASC) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS accuracy
+FROM pred GROUP BY 1 ORDER BY 1
+""",
+)
+def embedding_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN majority-vote accuracy per label over the
+    embedding corpus — the separability report for labels + space."""
+    return K.knn_loo_accuracy(load_table(spark, sf_dir, "embeddings"))
