@@ -2862,3 +2862,69 @@ def shapley_attribution(events: DataFrame) -> DataFrame:
         ))
         .orderBy("channel")
     )
+
+
+BURSTINESS_MIN_GAPS = 5
+
+
+def interarrival_burstiness(
+    events: DataFrame, min_gaps: int = BURSTINESS_MIN_GAPS
+) -> DataFrame:
+    """GOH-BARABASI burstiness B = (sigma - mu) / (sigma + mu) of each
+    user's inter-event times, summarized across users: B in [-1, 1) —
+    -1 = perfectly periodic, 0 = Poisson, -> 1 = extreme bursts.  The
+    single-number "is user activity clocklike or bursty" diagnostic
+    that the Fano dispersion index (events_dispersion_index) gives for
+    COUNTS; this is the inter-arrival-time version, and they disagree
+    exactly when timing structure hides inside stable rates.
+
+    Scale: per-user lag window (user-partitioned, never global), gap
+    moments as 3dp-rounded DECIMAL sums per user, then one summary
+    aggregate over users with >= {BURSTINESS_MIN_GAPS} gaps."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id",
+            F.round(
+                F.unix_timestamp("ts").cast("double")
+                - F.unix_timestamp("prev").cast("double"),
+                3,
+            )
+            .cast("decimal(20,3)")
+            .alias("g"),
+        )
+    )
+    per = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("g").alias("sg"),
+            F.sum(
+                F.round(F.col("g").cast("double") * F.col("g").cast("double"), 3)
+                .cast("decimal(30,3)")
+            ).alias("sgg"),
+        )
+        .filter(F.col("n") >= min_gaps)
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("sg").cast("double") / nd
+    var = (F.col("sgg").cast("double") - nd * mu * mu) / (nd - F.lit(1.0))
+    sig = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = F.try_divide(sig - mu, F.nullif(sig + mu, F.lit(0.0)))
+    scored = per.select(
+        "user_id", F.round(b, 6).cast("decimal(10,6)").alias("b")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (
+            F.round(
+                F.sum("b").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("mean_burstiness"),
+        (F.round(F.min("b").cast("double"), 6) + F.lit(0.0)).alias("min_b"),
+        (F.round(F.max("b").cast("double"), 6) + F.lit(0.0)).alias("max_b"),
+        F.sum((F.col("b") > 0).cast("int")).cast("long").alias("n_bursty"),
+    )

@@ -2592,3 +2592,100 @@ def rake_keyphrases(
         .orderBy(F.col("score").desc(), F.col("phrase").asc())
         .limit(topk)
     )
+
+
+COHERENCE_TOPN = 10
+
+
+def umass_coherence(
+    docs: DataFrame, topn: int = COHERENCE_TOPN, text_col: str = "text"
+) -> DataFrame:
+    """UMASS TOPIC COHERENCE of the top-{COHERENCE_TOPN} (non-stopword)
+    corpus terms: C = sum over ordered pairs (w_i less frequent than
+    w_j) of log((D(w_i, w_j) + 1) / D(w_j)), with D = document
+    co-occurrence counts — the intrinsic "do these words actually
+    belong together" score used to evaluate topic models, here applied
+    to the frequency head the LSA axis / TextRank queries surface.
+
+    Scale: one distinct (doc, term) incidence shuffle; the top-N term
+    set is a broadcast; pair co-counts join incidence to itself
+    restricted to those N terms (N^2-bounded output).  Log terms are
+    9dp-rounded DECIMAL so the pair fold is order-insensitive."""
+    sw = F.lit(RAKE_STOPWORDS).cast("array<string>")
+    inc = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        .filter(~F.array_contains(sw, F.col("term")))
+        .distinct()
+        .localCheckpoint()
+    )
+    df_ = inc.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    top = F.broadcast(
+        df_.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(topn)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("df").desc(), F.col("term").asc())
+            ).cast("int"),
+        )
+    )
+    ti = inc.join(top.select("term", "rnk", "df"), "term")
+    a = ti.select(
+        "doc_id", F.col("term").alias("wi"), F.col("rnk").alias("ri")
+    )
+    b = ti.select(
+        "doc_id",
+        F.col("term").alias("wj"),
+        F.col("rnk").alias("rj"),
+        F.col("df").alias("dfj"),
+    )
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("ri") > F.col("rj"))
+        .groupBy("wi", "wj")
+        .agg(F.count(F.lit(1)).cast("long").alias("dij"))
+    )
+    # the FULL ordered-pair grid: pairs that never co-occur still owe
+    # the log(1/D(wj)) penalty — dropping them inflates coherence
+    ga = top.select(F.col("term").alias("wi"), F.col("rnk").alias("ri"))
+    gb = top.select(
+        F.col("term").alias("wj"),
+        F.col("rnk").alias("rj"),
+        F.col("df").alias("dfj"),
+    )
+    grid = ga.crossJoin(gb).filter(F.col("ri") > F.col("rj"))
+    terms_ = grid.join(co, ["wi", "wj"], "left").select(
+        "wi",
+        "ri",
+        F.round(
+            F.log(
+                (F.coalesce(F.col("dij"), F.lit(0)).cast("double") + F.lit(1.0))
+                / F.col("dfj").cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("t"),
+    )
+    per_term = terms_.groupBy("wi", "ri").agg(F.sum("t").alias("contrib"))
+    tot = F.broadcast(
+        per_term.agg(F.sum("contrib").alias("coh"))
+    )
+    return (
+        per_term.crossJoin(tot)
+        .join(F.broadcast(top.select(F.col("term").alias("wi"), "df")), "wi")
+        .select(
+            F.col("wi").alias("term"),
+            F.col("ri").alias("rank"),
+            F.col("df").alias("doc_freq"),
+            (F.round(F.col("contrib").cast("double"), 6) + F.lit(0.0)).alias(
+                "contribution"
+            ),
+            (F.round(F.col("coh").cast("double"), 6) + F.lit(0.0)).alias(
+                "umass_coherence"
+            ),
+        )
+        .orderBy("rank")
+    )

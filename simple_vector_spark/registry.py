@@ -17789,3 +17789,115 @@ def embedding_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out 5-NN majority-vote accuracy per label over the
     embedding corpus — the separability report for labels + space."""
     return K.knn_loo_accuracy(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Wave 193 (round 2): Goh-Barabasi inter-arrival burstiness.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_burstiness_coefficient",
+    f"""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(ROUND(epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)), 3)
+              AS DECIMAL(20,3)) AS g
+  FROM events
+  QUALIFY LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            IS NOT NULL
+),
+per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(g) AS sg,
+         SUM(CAST(ROUND(CAST(g AS DOUBLE) * CAST(g AS DOUBLE), 3)
+                  AS DECIMAL(30,3))) AS sgg
+  FROM gaps GROUP BY 1
+  HAVING COUNT(*) >= {E.BURSTINESS_MIN_GAPS}
+),
+scored AS (
+  SELECT user_id,
+         CAST(ROUND((SQRT(GREATEST((CAST(sgg AS DOUBLE)
+                      - CAST(n AS DOUBLE)
+                        * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (CAST(n AS DOUBLE) - 1.0), 0.0))
+                     - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                    / NULLIF(SQRT(GREATEST((CAST(sgg AS DOUBLE)
+                        - CAST(n AS DOUBLE)
+                          * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)))
+                       / (CAST(n AS DOUBLE) - 1.0), 0.0))
+                       + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 0.0), 6)
+              AS DECIMAL(10,6)) AS b
+  FROM per
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+         AS mean_burstiness,
+       ROUND(CAST(MIN(b) AS DOUBLE), 6) + 0.0 AS min_b,
+       ROUND(CAST(MAX(b) AS DOUBLE), 6) + 0.0 AS max_b,
+       CAST(SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursty
+FROM scored
+""",
+)
+def events_burstiness_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi inter-arrival burstiness per user, summarized —
+    the timing-structure diagnostic beside the count-based Fano
+    dispersion index."""
+    return E.interarrival_burstiness(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 194 (round 2): UMass topic coherence of the frequency head.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vocab_umass_coherence",
+    f"""
+WITH inc AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM (SELECT doc_id, unnest({_TK_SQL}) AS term FROM documents) t
+  WHERE t.term NOT IN ({_RAKE_SW_SQL})
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM inc GROUP BY 1),
+top AS (
+  SELECT term, df,
+         CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS INT) AS rnk
+  FROM df ORDER BY df DESC, term ASC LIMIT {T.COHERENCE_TOPN}
+),
+ti AS (SELECT i.doc_id, t.term, t.rnk, t.df FROM inc i JOIN top t USING (term)),
+co AS (
+  SELECT a.term AS wi, b.term AS wj, CAST(COUNT(*) AS BIGINT) AS dij
+  FROM ti a JOIN ti b ON a.doc_id = b.doc_id AND a.rnk > b.rnk
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT a.term AS wi, a.rnk AS ri, b.term AS wj, b.df AS dfj
+  FROM top a CROSS JOIN top b WHERE a.rnk > b.rnk
+),
+terms AS (
+  SELECT wi, ri,
+         CAST(ROUND(ln((CAST(COALESCE(co.dij, 0) AS DOUBLE) + 1.0)
+                       / CAST(dfj AS DOUBLE)), 9) AS DECIMAL(18,9)) AS t
+  FROM grid LEFT JOIN co USING (wi, wj)
+),
+per_term AS (
+  SELECT wi, ri, SUM(t) AS contrib FROM terms GROUP BY 1, 2
+),
+tot AS (SELECT SUM(contrib) AS coh FROM per_term)
+SELECT p.wi AS term, p.ri AS rank, t.df AS doc_freq,
+       ROUND(CAST(p.contrib AS DOUBLE), 6) + 0.0 AS contribution,
+       ROUND(CAST(tot.coh AS DOUBLE), 6) + 0.0 AS umass_coherence
+FROM per_term p
+CROSS JOIN tot
+JOIN top t ON p.wi = t.term
+ORDER BY rank
+""",
+)
+def vocab_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UMass coherence over the top-10 non-stopword terms (full
+    ordered-pair grid including zero-co-occurrence penalties) — the
+    intrinsic topic-quality score."""
+    return T.umass_coherence(load_table(spark, sf_dir, "documents"))
