@@ -1230,3 +1230,150 @@ def dup_clusters_star(
     return labels.unionByName(
         roots.withColumn("cluster", F.col("node"))
     ).distinct()
+
+
+WMH_TOPK = 30
+
+
+def weighted_minhash_pairs(docs: DataFrame, topk: int = WMH_TOPK) -> DataFrame:
+    """WEIGHTED-Jaccard near-dup detection by INTEGER-EXPANSION
+    MinHash: expanding each token t with term frequency tf into
+    elements (t,1)..(t,tf) makes plain Jaccard over the expanded sets
+    EXACTLY the weighted Jaccard sum(min tf)/sum(max tf) — so the
+    ordinary MinHash machinery estimates the tf-aware similarity that
+    plain set MinHash (dedup_minhash_*) throws away (a doc repeating
+    'spam' 500 times looks very different from one mentioning it
+    once).  The standard trick for integer weights; ICWS generalizes
+    to reals but needs per-(token,hash) sampled exponentials.
+
+    Plan: (doc, token) tf aggregate; copies exploded in-expression;
+    per-doc signature = 8 MIN aggregates over universal hashes (one
+    shuffle); banded (2-row bands) candidate join — never all-pairs;
+    exact weighted Jaccard recomputed ONLY for candidates via a
+    token-keyed pair join; output the top candidate pairs with
+    estimate vs exact and the absolute estimator error."""
+    from ..functions.text import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        md5_int,
+        tokens,
+    )
+
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .localCheckpoint()
+    )
+    expanded = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("tf"))).alias("copy"),
+        "t",
+    ).select(
+        "doc_id",
+        md5_int(F.concat_ws("#", F.col("t"), F.col("copy").cast("string"))).alias(
+            "h"
+        ),
+    )
+    sigs = expanded.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P))
+            .cast("long")
+            .alias(f"mh{k}")
+            for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    ).localCheckpoint()
+    bands = None
+    for bidx in range(4):
+        part = sigs.select(
+            "doc_id",
+            F.lit(bidx).alias("band"),
+            F.concat_ws(
+                "_",
+                F.col(f"mh{2 * bidx}").cast("string"),
+                F.col(f"mh{2 * bidx + 1}").cast("string"),
+            ).alias("bucket"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    est = (
+        cand.join(sigs.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"mh{k}").alias(f"a{k}") for k in range(8)],
+        ), "doc_a")
+        .join(sigs.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"mh{k}").alias(f"b{k}") for k in range(8)],
+        ), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                sum(
+                    (F.col(f"a{k}") == F.col(f"b{k}")).cast("int")
+                    for k in range(8)
+                ).cast("double")
+                / F.lit(8.0),
+                6,
+            ).alias("est_wjaccard"),
+        )
+    )
+    ta = tf.select(F.col("doc_id").alias("doc_a"), "t", F.col("tf").alias("tfa"))
+    tb = tf.select(F.col("doc_id").alias("doc_b"), "t", F.col("tf").alias("tfb"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "t"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.least(F.col("tfa"), F.col("tfb"))).cast("long").alias("smin")
+        )
+    )
+    sizes = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("sz"))
+    exact = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("smin"), F.lit(0)).cast("double")
+                / (
+                    F.col("sza") + F.col("szb")
+                    - F.coalesce(F.col("smin"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("exact_wjaccard"),
+        )
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_wjaccard",
+            "exact_wjaccard",
+            F.round(
+                F.abs(F.col("est_wjaccard") - F.col("exact_wjaccard")), 6
+            ).alias("abs_err"),
+        )
+        .orderBy(
+            F.col("exact_wjaccard").desc(),
+            F.col("doc_a").asc(),
+            F.col("doc_b").asc(),
+        )
+        .limit(topk)
+    )

@@ -17901,3 +17901,96 @@ def vocab_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered-pair grid including zero-co-occurrence penalties) — the
     intrinsic topic-quality score."""
     return T.umass_coherence(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 195 (round 2): weighted MinHash by integer expansion.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_weighted_minhash",
+    """
+WITH docs_plus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, source
+  FROM documents WHERE doc_id % 100 = 0
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS INT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x != '')) AS t
+    FROM docs_plus
+  ) GROUP BY 1, 2
+),
+expanded AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(t || '#' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM tf, UNNEST(range(1, tf + 1)) AS u(i)
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(MIN((1000003 * h + 12345) % 2147483647) AS BIGINT) AS mh0,
+         CAST(MIN((1000033 * h + 23456) % 2147483647) AS BIGINT) AS mh1,
+         CAST(MIN((1000037 * h + 34567) % 2147483647) AS BIGINT) AS mh2,
+         CAST(MIN((1000039 * h + 45678) % 2147483647) AS BIGINT) AS mh3,
+         CAST(MIN((1000081 * h + 56789) % 2147483647) AS BIGINT) AS mh4,
+         CAST(MIN((1000099 * h + 67890) % 2147483647) AS BIGINT) AS mh5,
+         CAST(MIN((1000117 * h + 78901) % 2147483647) AS BIGINT) AS mh6,
+         CAST(MIN((1000121 * h + 89012) % 2147483647) AS BIGINT) AS mh7
+  FROM expanded GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 2 AS band, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 3 AS band, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) AS bucket FROM sigs
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END + CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END + CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END + CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END + CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END AS DOUBLE) / 8.0, 6) AS est_wjaccard
+  FROM cand c
+  JOIN sigs sa ON c.doc_a = sa.doc_id
+  JOIN sigs sb ON c.doc_b = sb.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(LEAST(ta.tf, tb.tf)) AS BIGINT) AS smin
+  FROM cand c
+  JOIN tf ta ON ta.doc_id = c.doc_a
+  JOIN tf tb ON tb.doc_id = c.doc_b AND tb.t = ta.t
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS sz FROM tf GROUP BY 1),
+exact AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(COALESCE(i.smin, 0) AS DOUBLE)
+               / CAST(za.sz + zb.sz - COALESCE(i.smin, 0) AS DOUBLE), 6)
+           AS exact_wjaccard
+  FROM cand c
+  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN sizes za ON c.doc_a = za.doc_id
+  JOIN sizes zb ON c.doc_b = zb.doc_id
+)
+SELECT e.doc_a, e.doc_b, e.est_wjaccard, x.exact_wjaccard,
+       ROUND(ABS(e.est_wjaccard - x.exact_wjaccard), 6) AS abs_err
+FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+ORDER BY x.exact_wjaccard DESC, e.doc_a ASC, e.doc_b ASC
+LIMIT 30
+""",
+)
+def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-aware near-dup pairs: integer-expansion MinHash makes plain
+    signatures estimate WEIGHTED Jaccard; banded candidates, exact
+    sum-min/sum-max verification, estimator error reported."""
+    return D.weighted_minhash_pairs(_docs_plus_spark(spark, sf_dir))
