@@ -2928,3 +2928,73 @@ def interarrival_burstiness(
         (F.round(F.max("b").cast("double"), 6) + F.lit(0.0)).alias("max_b"),
         F.sum((F.col("b") > 0).cast("int")).cast("long").alias("n_bursty"),
     )
+
+
+BAYES_PRIOR_A = 1.0  # Beta(1,1) uniform prior
+BAYES_PRIOR_B = 1.0
+
+
+def bayes_ab_conversion(events: DataFrame) -> DataFrame:
+    """BAYESIAN A/B readout for the md5-gated 50/50 split (same
+    assignment as ``events_srm_check``): per-arm Beta(1+conv, 1+n-conv)
+    posterior over conversion-to-purchase, with posterior means,
+    credible-interval half-widths (normal approximation of the Beta),
+    and P(B > A) via the normal approximation of the posterior
+    difference — the decision-ready companion to the frequentist SPRT
+    monitor: "how sure are we B is better, today", valid at any
+    peeking cadence.
+
+    Scale: one user-grain aggregate (converted = any purchase) and a
+    two-row arm table; every posterior quantity is closed-form.  The
+    normal tail is the shared Zelen-Severo polynomial, so parity is
+    bitwise."""
+    from ..functions.text import md5_int
+
+    users = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    arm = (md5_int(F.col("user_id").cast("string")) % 2).cast("int")
+    arms = (
+        users.select(arm.alias("arm"), "conv")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("conv").cast("long").alias("c"),
+        )
+    )
+    a_ = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("c_a")
+    )
+    b_ = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("c_b")
+    )
+    j = a_.crossJoin(b_)
+
+    def post(n, c):
+        al = c.cast("double") + F.lit(BAYES_PRIOR_A)
+        be = (n - c).cast("double") + F.lit(BAYES_PRIOR_B)
+        mean = al / (al + be)
+        var = al * be / ((al + be) * (al + be) * (al + be + F.lit(1.0)))
+        return mean, var
+
+    ma, va = post(F.col("n_a"), F.col("c_a"))
+    mb, vb = post(F.col("n_b"), F.col("c_b"))
+    zdiff = F.try_divide(mb - ma, F.nullif(F.sqrt(va + vb), F.lit(0.0)))
+    # P(B > A) = Phi(zdiff) = 1 - sf2(|z|)/2 on the right side
+    p_tail = _norm_sf2(F.abs(zdiff)) / F.lit(2.0)
+    p_b_gt_a = F.when(zdiff >= 0, F.lit(1.0) - p_tail).otherwise(p_tail)
+    return j.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        (F.round(ma, 6) + F.lit(0.0)).alias("post_mean_a"),
+        (F.round(mb, 6) + F.lit(0.0)).alias("post_mean_b"),
+        (F.round(F.lit(1.959964) * F.sqrt(va), 6) + F.lit(0.0)).alias(
+            "ci95_halfwidth_a"
+        ),
+        (F.round(F.lit(1.959964) * F.sqrt(vb), 6) + F.lit(0.0)).alias(
+            "ci95_halfwidth_b"
+        ),
+        (F.round(p_b_gt_a, 6) + F.lit(0.0)).alias("p_b_beats_a"),
+    )

@@ -17994,3 +17994,71 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures estimate WEIGHTED Jaccard; banded candidates, exact
     sum-min/sum-max verification, estimator error reported."""
     return D.weighted_minhash_pairs(_docs_plus_spark(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Wave 196 (round 2): Bayesian beta-binomial A/B readout.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_bayes_ab",
+    f"""
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+arms AS (
+  SELECT CAST({_H_SQL.format(v="CAST(user_id AS VARCHAR)")} % 2 AS INT)
+           AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+  FROM users GROUP BY 1
+),
+j AS (
+  SELECT a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
+  FROM (SELECT * FROM arms WHERE arm = 0) a
+  CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+),
+post AS (
+  SELECT n_a, c_a, n_b, c_b,
+         (CAST(c_a AS DOUBLE) + 1.0)
+           / ((CAST(c_a AS DOUBLE) + 1.0)
+              + (CAST(n_a - c_a AS DOUBLE) + 1.0)) AS ma,
+         (CAST(c_a AS DOUBLE) + 1.0) * (CAST(n_a - c_a AS DOUBLE) + 1.0)
+           / (((CAST(c_a AS DOUBLE) + 1.0) + (CAST(n_a - c_a AS DOUBLE) + 1.0))
+              * ((CAST(c_a AS DOUBLE) + 1.0)
+                 + (CAST(n_a - c_a AS DOUBLE) + 1.0))
+              * ((CAST(c_a AS DOUBLE) + 1.0)
+                 + (CAST(n_a - c_a AS DOUBLE) + 1.0) + 1.0)) AS va,
+         (CAST(c_b AS DOUBLE) + 1.0)
+           / ((CAST(c_b AS DOUBLE) + 1.0)
+              + (CAST(n_b - c_b AS DOUBLE) + 1.0)) AS mb,
+         (CAST(c_b AS DOUBLE) + 1.0) * (CAST(n_b - c_b AS DOUBLE) + 1.0)
+           / (((CAST(c_b AS DOUBLE) + 1.0) + (CAST(n_b - c_b AS DOUBLE) + 1.0))
+              * ((CAST(c_b AS DOUBLE) + 1.0)
+                 + (CAST(n_b - c_b AS DOUBLE) + 1.0))
+              * ((CAST(c_b AS DOUBLE) + 1.0)
+                 + (CAST(n_b - c_b AS DOUBLE) + 1.0) + 1.0)) AS vb
+  FROM j
+),
+zed AS (
+  SELECT *, (mb - ma) / NULLIF(SQRT(va + vb), 0.0) AS zdiff
+  FROM post
+)
+SELECT n_a, c_a, n_b, c_b,
+       ROUND(ma, 6) + 0.0 AS post_mean_a,
+       ROUND(mb, 6) + 0.0 AS post_mean_b,
+       ROUND(1.959964 * SQRT(va), 6) + 0.0 AS ci95_halfwidth_a,
+       ROUND(1.959964 * SQRT(vb), 6) + 0.0 AS ci95_halfwidth_b,
+       ROUND(CASE WHEN zdiff >= 0
+                  THEN 1.0 - {_nsf2_sql("ABS(zdiff)")} / 2.0
+                  ELSE {_nsf2_sql("ABS(zdiff)")} / 2.0 END, 6) + 0.0
+         AS p_b_beats_a
+FROM zed
+""",
+)
+def events_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta(1,1)-posterior A/B conversion readout with P(B>A) via the
+    shared normal tail — the any-time Bayesian companion to SPRT."""
+    return E.bayes_ab_conversion(load_table(spark, sf_dir, "events"))
