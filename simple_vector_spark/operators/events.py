@@ -2998,3 +2998,188 @@ def bayes_ab_conversion(events: DataFrame) -> DataFrame:
         ),
         (F.round(p_b_gt_a, 6) + F.lit(0.0)).alias("p_b_beats_a"),
     )
+
+
+PERM_B = 200  # deterministic permutation resamples
+
+
+def permutation_test_conversion(
+    events: DataFrame, n_perms: int = PERM_B
+) -> DataFrame:
+    """PERMUTATION TEST on the A/B conversion difference — exact
+    nonparametric inference with NO normal approximation: under H0 the
+    arm labels are exchangeable, so the null distribution is the
+    observed statistic under relabelings.  Every "random" relabeling
+    is an md5 gate keyed by (perm_id, user_id) — content-keyed
+    determinism, so both engines enumerate the IDENTICAL {PERM_B}
+    permutations and the p-value is reproducible bit-for-bit (the same
+    trick as orders_bootstrap_ci, applied to testing).
+
+    p = (1 + #{{perm : |diff_perm| >= |diff_obs|}}) / (1 + B), the
+    add-one unbiased form.  Scale: one user-grain pass, then a
+    users x B explode — B is a constant, so the work is B scans'
+    worth of conditional sums in ONE shuffle, nothing driver-side."""
+    from ..functions.text import md5_int
+
+    users = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    ).localCheckpoint()
+    arm = (md5_int(F.col("user_id").cast("string")) % 2).cast("int")
+    base = users.select("user_id", "conv", arm.alias("arm"))
+    obs = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv"))).cast("long").alias("cb"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv"))).cast("long").alias("ca"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("na"),
+    )
+    dobs = F.abs(
+        F.col("cb").cast("double") / F.col("nb").cast("double")
+        - F.col("ca").cast("double") / F.col("na").cast("double")
+    )
+    perms = base.select(
+        "user_id",
+        "conv",
+        F.explode(F.sequence(F.lit(1), F.lit(n_perms))).alias("pid"),
+    ).select(
+        "pid",
+        "conv",
+        (
+            md5_int(
+                F.concat_ws(
+                    "@",
+                    F.col("pid").cast("string"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % 2
+        ).cast("int").alias("parm"),
+    )
+    pstats = perms.groupBy("pid").agg(
+        F.sum(F.when(F.col("parm") == 1, F.col("conv"))).cast("long").alias("cb"),
+        F.sum(F.when(F.col("parm") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("parm") == 0, F.col("conv"))).cast("long").alias("ca"),
+        F.sum(F.when(F.col("parm") == 0, 1).otherwise(0)).cast("long").alias("na"),
+    )
+    pdiff = F.abs(
+        F.try_divide(
+            F.col("cb").cast("double"), F.nullif(F.col("nb").cast("double"), F.lit(0.0))
+        )
+        - F.try_divide(
+            F.col("ca").cast("double"), F.nullif(F.col("na").cast("double"), F.lit(0.0))
+        )
+    )
+    exceed = (
+        pstats.crossJoin(F.broadcast(obs.select(F.round(dobs, 9).alias("dobs"))))
+        .agg(
+            F.sum(
+                (F.round(pdiff, 9) >= F.col("dobs")).cast("int")
+            )
+            .cast("long")
+            .alias("n_exceed")
+        )
+    )
+    return (
+        obs.crossJoin(exceed)
+        .select(
+            "n_users",
+            (F.round(
+                F.col("ca").cast("double") / F.col("na").cast("double"), 6
+            ) + F.lit(0.0)).alias("rate_a"),
+            (F.round(
+                F.col("cb").cast("double") / F.col("nb").cast("double"), 6
+            ) + F.lit(0.0)).alias("rate_b"),
+            (F.round(dobs, 6) + F.lit(0.0)).alias("abs_diff"),
+            F.col("n_exceed"),
+            (
+                F.round(
+                    (F.col("n_exceed").cast("double") + F.lit(1.0))
+                    / F.lit(float(n_perms + 1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("p_value"),
+        )
+    )
+
+
+WEIBULL_MAX_T = 30
+
+
+def weibull_retention_fit(
+    events: DataFrame, max_t: int = WEIBULL_MAX_T
+) -> DataFrame:
+    """WEIBULL retention fit via the linearized hazard: the empirical
+    activity-span survival R(t) = P(lifetime >= t days) obeys
+    ln(-ln R(t)) = k ln t - k ln lambda under Weibull, so one OLS on
+    the transformed curve recovers the SHAPE k — the number the
+    exponential half-life fit (events_retention_halflife) structurally
+    cannot see: k < 1 means churn risk is front-loaded (fix
+    onboarding), k > 1 means users wear out (fix longevity), k = 1
+    collapses to the exponential.
+
+    Scale: one user-grain span aggregate, survival over the bounded
+    1..{WEIBULL_MAX_T}-day grid via a grid x span-histogram join, OLS
+    from 9dp-rounded DECIMAL log sums."""
+    spans = events.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("span")
+    )
+    hist = spans.groupBy("span").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = F.broadcast(hist.agg(F.sum("c").cast("long").alias("n_users")))
+    grid = events.sparkSession.range(1, max_t + 1).select(
+        F.col("id").cast("int").alias("t")
+    )
+    surv = (
+        grid.join(hist, hist.span >= grid.t)
+        .groupBy("t")
+        .agg(F.sum("c").cast("long").alias("alive"))
+        .crossJoin(tot)
+        .select(
+            "t",
+            "n_users",
+            (F.col("alive").cast("double") / F.col("n_users").cast("double")).alias(
+                "r"
+            ),
+        )
+        .filter((F.col("r") > 0) & (F.col("r") < 1))
+    )
+    pts = surv.select(
+        "n_users",
+        F.round(F.log(F.col("t").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("lx"),
+        F.round(F.log(-F.log(F.col("r"))), 9).cast("decimal(18,9)").alias("ly"),
+    )
+    s = pts.groupBy("n_users").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    num = md * sxy - sx * sy
+    denx = md * sxx - sx * sx
+    deny = md * syy - sy * sy
+    k = F.try_divide(num, F.nullif(denx, F.lit(0.0)))
+    c = (sy - k * sx) / md
+    lam = F.exp(-F.try_divide(c, F.nullif(k, F.lit(0.0))))
+    r2 = F.try_divide(num * num, F.nullif(denx * deny, F.lit(0.0)))
+    return s.select(
+        "n_users",
+        F.col("m").alias("n_points"),
+        (F.round(k, 6) + F.lit(0.0)).alias("weibull_k"),
+        (F.round(lam, 6) + F.lit(0.0)).alias("weibull_lambda"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
+        F.when(F.round(k, 6) < 0.95, F.lit("front_loaded"))
+        .when(F.round(k, 6) > 1.05, F.lit("wear_out"))
+        .otherwise(F.lit("exponential_like"))
+        .alias("churn_shape"),
+    )

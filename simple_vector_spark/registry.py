@@ -18062,3 +18062,144 @@ def events_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beta(1,1)-posterior A/B conversion readout with P(B>A) via the
     shared normal tail — the any-time Bayesian companion to SPRT."""
     return E.bayes_ab_conversion(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 197 (round 2): deterministic permutation test on the A/B diff.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_permutation_test",
+    f"""
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT user_id, conv,
+         CAST({_H_SQL.format(v="CAST(user_id AS VARCHAR)")} % 2 AS INT) AS arm
+  FROM users
+),
+obs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv END) AS BIGINT) AS cb,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na
+  FROM base
+),
+perms AS (
+  SELECT i AS pid, conv,
+         CAST({_H_SQL.format(v="CAST(i AS VARCHAR) || '@' || CAST(user_id AS VARCHAR)")} % 2 AS INT)
+           AS parm
+  FROM base, UNNEST(range(1, {E.PERM_B} + 1)) AS u(i)
+),
+pstats AS (
+  SELECT pid,
+         CAST(SUM(CASE WHEN parm = 1 THEN conv END) AS BIGINT) AS cb,
+         CAST(SUM(CASE WHEN parm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN parm = 0 THEN conv END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN parm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na
+  FROM perms GROUP BY 1
+),
+exceed AS (
+  SELECT CAST(SUM(CASE WHEN
+           ROUND(ABS(CAST(p.cb AS DOUBLE) / NULLIF(CAST(p.nb AS DOUBLE), 0.0)
+                     - CAST(p.ca AS DOUBLE)
+                       / NULLIF(CAST(p.na AS DOUBLE), 0.0)), 9)
+           >= ROUND(ABS(CAST(o.cb AS DOUBLE) / CAST(o.nb AS DOUBLE)
+                        - CAST(o.ca AS DOUBLE) / CAST(o.na AS DOUBLE)), 9)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed
+  FROM pstats p CROSS JOIN obs o
+)
+SELECT n_users,
+       ROUND(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), 6) + 0.0 AS rate_a,
+       ROUND(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), 6) + 0.0 AS rate_b,
+       ROUND(ABS(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+                 - CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)), 6) + 0.0
+         AS abs_diff,
+       n_exceed,
+       ROUND((CAST(n_exceed AS DOUBLE) + 1.0) / {float(E.PERM_B + 1)}, 6)
+         + 0.0 AS p_value
+FROM obs CROSS JOIN exceed
+""",
+)
+def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-style permutation test on the A/B conversion difference:
+    200 md5-keyed deterministic relabelings, add-one p — reproducible
+    nonparametric inference with no normal approximation."""
+    return E.permutation_test_conversion(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 198 (round 2): Weibull retention-shape fit.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_weibull_retention",
+    f"""
+WITH spans AS (
+  SELECT user_id,
+         date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+           AS span
+  FROM events GROUP BY 1
+),
+hist AS (SELECT span, CAST(COUNT(*) AS BIGINT) AS c FROM spans GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_users FROM hist),
+grid AS (SELECT CAST(i AS INT) AS t
+         FROM UNNEST(range(1, {E.WEIBULL_MAX_T} + 1)) AS u(i)),
+surv AS (
+  SELECT g.t, tot.n_users,
+         CAST(SUM(h.c) AS DOUBLE) / CAST(tot.n_users AS DOUBLE) AS r
+  FROM grid g JOIN hist h ON h.span >= g.t CROSS JOIN tot
+  GROUP BY g.t, tot.n_users
+  HAVING CAST(SUM(h.c) AS DOUBLE) / CAST(tot.n_users AS DOUBLE) > 0
+     AND CAST(SUM(h.c) AS DOUBLE) / CAST(tot.n_users AS DOUBLE) < 1
+),
+pts AS (
+  SELECT n_users,
+         CAST(ROUND(ln(CAST(t AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lx,
+         CAST(ROUND(ln(-ln(r)), 9) AS DECIMAL(18,9)) AS ly
+  FROM surv
+),
+s AS (
+  SELECT n_users, CAST(COUNT(*) AS BIGINT) AS m,
+         SUM(lx) AS sx, SUM(ly) AS sy, SUM(lx * ly) AS sxy,
+         SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy
+  FROM pts GROUP BY 1
+),
+fit AS (
+  SELECT n_users, m,
+         CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+         CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM s
+),
+kk AS (
+  SELECT n_users, m, num, denx, deny, sxd, syd,
+         num / NULLIF(denx, 0.0) AS k
+  FROM fit
+)
+SELECT n_users, m AS n_points,
+       ROUND(k, 6) + 0.0 AS weibull_k,
+       ROUND(EXP(-(((syd - k * sxd) / CAST(m AS DOUBLE))
+                   / NULLIF(k, 0.0))), 6) + 0.0 AS weibull_lambda,
+       ROUND(num * num / NULLIF(denx * deny, 0.0), 6) + 0.0 AS r2,
+       CASE WHEN ROUND(k, 6) < 0.95 THEN 'front_loaded'
+            WHEN ROUND(k, 6) > 1.05 THEN 'wear_out'
+            ELSE 'exponential_like' END AS churn_shape
+FROM kk
+""",
+)
+def events_weibull_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull shape/scale fit of the activity-span survival curve —
+    front-loaded vs wear-out churn, the dimension the exponential
+    half-life collapses."""
+    return E.weibull_retention_fit(load_table(spark, sf_dir, "events"))
