@@ -7262,3 +7262,117 @@ def cmh_promo_returns(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         (F.round(or_mh, 6) + F.lit(0.0)).alias("or_mh"),
         (F.round(crude, 6) + F.lit(0.0)).alias("or_crude"),
     )
+
+
+SBC_ADI_CUT = 1.32
+SBC_CV2_CUT = 0.49
+
+
+def sbc_demand_classification(lineitem: DataFrame) -> DataFrame:
+    """SYNTETOS-BOYLAN demand classification: every part lands in the
+    forecastability quadrant (smooth / intermittent / erratic / lumpy)
+    by ADI (average inter-demand interval, = months-in-horizon /
+    demand-months) x CV^2 of nonzero monthly demand sizes, cut at the
+    standard 1.32 / 0.49 — the triage that decides which forecasting
+    model each SKU gets (smooth -> exponential smoothing, intermittent
+    -> Croston-family, lumpy -> don't trust point forecasts).  The
+    missing upstream step for the EOQ/forecast suite.
+
+    Scale: one (part, month) aggregate, one part aggregate with
+    DECIMAL power sums, bounded class rollup; per-part ratios rounded
+    6dp before the class cut so the boundary is engine-stable."""
+    pm = (
+        lineitem.groupBy(
+            F.col("l_partkey").alias("part_id"),
+            F.date_trunc("month", "l_shipdate").alias("m"),
+        )
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 0)
+        .localCheckpoint()
+    )
+    horizon = F.broadcast(
+        pm.agg(F.countDistinct("m").cast("long").alias("mm"))
+    )
+    per = pm.groupBy("part_id").agg(
+        F.count(F.lit(1)).cast("long").alias("p"),
+        F.sum("q").alias("sq"),
+        F.sum(
+            F.round(F.col("q").cast("double") * F.col("q").cast("double"), 4)
+            .cast("decimal(30,4)")
+        ).alias("sqq"),
+    )
+    pd_ = F.col("p").cast("double")
+    mean = F.col("sq").cast("double") / pd_
+    var = F.when(
+        F.col("p") > 1,
+        (F.col("sqq").cast("double") - pd_ * mean * mean) / (pd_ - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    scored = per.crossJoin(horizon).select(
+        "part_id",
+        F.round(F.col("mm").cast("double") / pd_, 6).alias("adi"),
+        F.round(
+            F.try_divide(var, F.nullif(mean * mean, F.lit(0.0))), 6
+        ).alias("cv2"),
+    )
+    cls = (
+        F.when(
+            (F.col("adi") < SBC_ADI_CUT) & (F.col("cv2") < SBC_CV2_CUT),
+            F.lit("smooth"),
+        )
+        .when(
+            (F.col("adi") >= SBC_ADI_CUT) & (F.col("cv2") < SBC_CV2_CUT),
+            F.lit("intermittent"),
+        )
+        .when(
+            (F.col("adi") < SBC_ADI_CUT) & (F.col("cv2") >= SBC_CV2_CUT),
+            F.lit("erratic"),
+        )
+        .otherwise(F.lit("lumpy"))
+    )
+    tagged = scored.select(
+        "part_id",
+        cls.alias("demand_class"),
+        F.col("adi").cast("decimal(12,6)").alias("adi"),
+        F.col("cv2").cast("decimal(12,6)").alias("cv2"),
+    )
+    tot = F.broadcast(
+        tagged.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    )
+    return (
+        tagged.groupBy("demand_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("adi").alias("s_adi"),
+            F.sum("cv2").alias("s_cv2"),
+        )
+        .crossJoin(tot)
+        .select(
+            "demand_class",
+            "n_parts",
+            (
+                F.round(
+                    F.col("n_parts").cast("double")
+                    / F.col("n_total").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("share"),
+            (
+                F.round(
+                    F.col("s_adi").cast("double")
+                    / F.col("n_parts").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_adi"),
+            (
+                F.round(
+                    F.col("s_cv2").cast("double")
+                    / F.col("n_parts").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_cv2"),
+        )
+        .orderBy("demand_class")
+    )

@@ -18203,3 +18203,70 @@ def events_weibull_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     front-loaded vs wear-out churn, the dimension the exponential
     half-life collapses."""
     return E.weibull_retention_fit(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 199 (round 2): Syntetos-Boylan demand-forecastability quadrants.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "parts_sbc_classification",
+    f"""
+WITH pm AS (
+  SELECT l_partkey AS part_id, date_trunc('month', l_shipdate) AS m,
+         SUM(CAST(l_quantity AS DECIMAL(15,2))) AS q
+  FROM lineitem GROUP BY 1, 2
+  HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 0
+),
+horizon AS (SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS mm FROM pm),
+per AS (
+  SELECT part_id, CAST(COUNT(*) AS BIGINT) AS p, SUM(q) AS sq,
+         SUM(CAST(ROUND(CAST(q AS DOUBLE) * CAST(q AS DOUBLE), 4)
+                  AS DECIMAL(30,4))) AS sqq
+  FROM pm GROUP BY 1
+),
+scored AS (
+  SELECT part_id,
+         ROUND(CAST(mm AS DOUBLE) / CAST(p AS DOUBLE), 6) AS adi,
+         ROUND((CASE WHEN p > 1
+                     THEN (CAST(sqq AS DOUBLE)
+                           - CAST(p AS DOUBLE)
+                             * (CAST(sq AS DOUBLE) / CAST(p AS DOUBLE))
+                             * (CAST(sq AS DOUBLE) / CAST(p AS DOUBLE)))
+                          / (CAST(p AS DOUBLE) - 1.0)
+                     ELSE 0.0 END)
+               / NULLIF((CAST(sq AS DOUBLE) / CAST(p AS DOUBLE))
+                        * (CAST(sq AS DOUBLE) / CAST(p AS DOUBLE)), 0.0), 6)
+           AS cv2
+  FROM per CROSS JOIN horizon
+),
+tagged AS (
+  SELECT part_id,
+         CASE WHEN adi < {R.SBC_ADI_CUT} AND cv2 < {R.SBC_CV2_CUT}
+                THEN 'smooth'
+              WHEN adi >= {R.SBC_ADI_CUT} AND cv2 < {R.SBC_CV2_CUT}
+                THEN 'intermittent'
+              WHEN adi < {R.SBC_ADI_CUT} AND cv2 >= {R.SBC_CV2_CUT}
+                THEN 'erratic'
+              ELSE 'lumpy' END AS demand_class,
+         CAST(adi AS DECIMAL(12,6)) AS adi,
+         CAST(cv2 AS DECIMAL(12,6)) AS cv2
+  FROM scored
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tagged)
+SELECT demand_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.n_total) AS DOUBLE), 6)
+         + 0.0 AS share,
+       ROUND(CAST(SUM(adi) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+         AS avg_adi,
+       ROUND(CAST(SUM(cv2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+         AS avg_cv2
+FROM tagged CROSS JOIN tot
+GROUP BY 1 ORDER BY 1
+""",
+)
+def parts_sbc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan ADI x CV^2 forecastability quadrants per part,
+    rolled up — which forecasting family each SKU deserves."""
+    return R.sbc_demand_classification(load_table(spark, sf_dir, "lineitem"))
