@@ -3183,3 +3183,81 @@ def weibull_retention_fit(
         .otherwise(F.lit("exponential_like"))
         .alias("churn_shape"),
     )
+
+
+def feature_mi_ranking(events: DataFrame) -> DataFrame:
+    """FEATURE-SELECTION TABLE: mutual information (bits) between each
+    candidate feature and the is-purchase label, ranked — the
+    model-free screen that says which engineered features carry
+    signal before anyone trains anything.  Features: hour band,
+    weekend flag, value quartile band (fixed edges so the binning is
+    engine-stable).  Generalizes the single-pair
+    ``part_brand_type_mi`` into a per-feature ranking.
+
+    Scale: ONE scan emits the long (feature, value, label) form via a
+    stacked select; per-feature MI is a (feature,value,label) count
+    aggregate plus broadcast marginals; p*log terms are 9dp-rounded
+    DECIMAL so the fold order is moot."""
+    lbl = (F.col("event_type") == "purchase").cast("int").alias("y")
+    hour = F.hour("ts")
+    base = events.select(
+        lbl,
+        F.concat(
+            F.lit("h"), F.floor(hour / F.lit(6)).cast("int").cast("string")
+        ).alias("hour_band"),
+        F.dayofweek("ts").isin(1, 7).cast("int").cast("string").alias("weekend"),
+        F.when(F.col("value") < 50, "q1")
+        .when(F.col("value") < 100, "q2")
+        .when(F.col("value") < 150, "q3")
+        .otherwise("q4")
+        .alias("value_band"),
+    )
+    long = None
+    for feat in ("hour_band", "weekend", "value_band"):
+        part = base.select(
+            F.lit(feat).alias("feature"), F.col(feat).alias("v"), "y"
+        )
+        long = part if long is None else long.unionByName(part)
+    cells = long.groupBy("feature", "v", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint()
+    fx = cells.groupBy("feature", "v").agg(F.sum("n").cast("long").alias("nx"))
+    fy = cells.groupBy("feature", "y").agg(F.sum("n").cast("long").alias("ny"))
+    ft = cells.groupBy("feature").agg(F.sum("n").cast("long").alias("nt"))
+    j = (
+        cells.join(fx, ["feature", "v"])
+        .join(fy, ["feature", "y"])
+        .join(F.broadcast(ft), "feature")
+    )
+    p = F.col("n").cast("double") / F.col("nt").cast("double")
+    px = F.col("nx").cast("double") / F.col("nt").cast("double")
+    py = F.col("ny").cast("double") / F.col("nt").cast("double")
+    term = F.round(
+        p * F.log2(F.try_divide(p, F.nullif(px * py, F.lit(0.0)))), 9
+    ).cast("decimal(18,9)")
+    hx_term = F.round(-px * F.log2(px), 9).cast("decimal(18,9)")
+    mi = j.groupBy("feature").agg(F.sum(term).alias("mi"))
+    hx = (
+        fx.join(F.broadcast(ft), "feature")
+        .select("feature", hx_term.alias("t"))
+        .groupBy("feature")
+        .agg(F.sum("t").alias("hx"))
+    )
+    out = mi.join(hx, "feature").select(
+        "feature",
+        (F.round(F.col("mi").cast("double"), 6) + F.lit(0.0)).alias("mi_bits"),
+        (
+            F.round(
+                F.try_divide(
+                    F.col("mi").cast("double"),
+                    F.nullif(F.col("hx").cast("double"), F.lit(0.0)),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mi_over_hx"),
+    )
+    w = Window.orderBy(F.col("mi_bits").desc(), F.col("feature").asc())
+    return out.withColumn("rank", F.row_number().over(w).cast("int")).orderBy(
+        "rank"
+    )

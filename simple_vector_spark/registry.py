@@ -18270,3 +18270,83 @@ def parts_sbc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Syntetos-Boylan ADI x CV^2 forecastability quadrants per part,
     rolled up — which forecasting family each SKU deserves."""
     return R.sbc_demand_classification(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 200 (round 2): feature-vs-label mutual-information ranking.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_feature_mi_ranking",
+    """
+WITH base AS (
+  SELECT CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS INT)
+           AS y,
+         'h' || CAST(CAST(FLOOR(hour(ts) / 6) AS INT) AS VARCHAR)
+           AS hour_band,
+         CAST(CAST(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                   AS INT) AS VARCHAR) AS weekend,
+         CASE WHEN value < 50 THEN 'q1' WHEN value < 100 THEN 'q2'
+              WHEN value < 150 THEN 'q3' ELSE 'q4' END AS value_band
+  FROM events
+),
+long AS (
+  SELECT 'hour_band' AS feature, hour_band AS v, y FROM base
+  UNION ALL
+  SELECT 'weekend', weekend, y FROM base
+  UNION ALL
+  SELECT 'value_band', value_band, y FROM base
+),
+cells AS (
+  SELECT feature, v, y, CAST(COUNT(*) AS BIGINT) AS n
+  FROM long GROUP BY 1, 2, 3
+),
+fx AS (SELECT feature, v, CAST(SUM(n) AS BIGINT) AS nx
+       FROM cells GROUP BY 1, 2),
+fy AS (SELECT feature, y, CAST(SUM(n) AS BIGINT) AS ny
+       FROM cells GROUP BY 1, 2),
+ft AS (SELECT feature, CAST(SUM(n) AS BIGINT) AS nt FROM cells GROUP BY 1),
+j AS (
+  SELECT c.feature, c.n, x.nx, yy.ny, t.nt
+  FROM cells c
+  JOIN fx x ON c.feature = x.feature AND c.v = x.v
+  JOIN fy yy ON c.feature = yy.feature AND c.y = yy.y
+  JOIN ft t ON c.feature = t.feature
+),
+mi AS (
+  SELECT feature,
+         SUM(CAST(ROUND((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * log2((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+                               / NULLIF((CAST(nx AS DOUBLE)
+                                         / CAST(nt AS DOUBLE))
+                                        * (CAST(ny AS DOUBLE)
+                                           / CAST(nt AS DOUBLE)), 0.0)), 9)
+                  AS DECIMAL(18,9))) AS mi
+  FROM j GROUP BY 1
+),
+hx AS (
+  SELECT x.feature,
+         SUM(CAST(ROUND(-(CAST(nx AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * log2(CAST(nx AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
+                  AS DECIMAL(18,9))) AS hx
+  FROM fx x JOIN ft t ON x.feature = t.feature
+  GROUP BY 1
+),
+out AS (
+  SELECT m.feature,
+         ROUND(CAST(m.mi AS DOUBLE), 6) + 0.0 AS mi_bits,
+         ROUND(CAST(m.mi AS DOUBLE)
+               / NULLIF(CAST(h.hx AS DOUBLE), 0.0), 6) + 0.0 AS mi_over_hx
+  FROM mi m JOIN hx h ON m.feature = h.feature
+)
+SELECT feature, mi_bits, mi_over_hx,
+       CAST(ROW_NUMBER() OVER (ORDER BY mi_bits DESC, feature ASC) AS INT)
+         AS rank
+FROM out ORDER BY rank
+""",
+)
+def events_feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature mutual information with the purchase label, ranked
+    — the model-free feature-selection table."""
+    return E.feature_mi_ranking(load_table(spark, sf_dir, "events"))
