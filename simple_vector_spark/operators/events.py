@@ -3261,3 +3261,58 @@ def feature_mi_ranking(events: DataFrame) -> DataFrame:
     return out.withColumn("rank", F.row_number().over(w).cast("int")).orderBy(
         "rank"
     )
+
+
+def offpolicy_eval_ips(events: DataFrame) -> DataFrame:
+    """OFF-POLICY EVALUATION of "always serve arm B" from logs
+    collected under the 50/50 md5-gated behavior policy: inverse-
+    propensity scoring (IPS), its self-normalized variant (SNIPS), and
+    the effective sample size — the counterfactual-readout toolkit
+    that answers "what would the B-only policy earn" WITHOUT running
+    it, and says how much logged data actually supports the answer
+    (ESS).  Complements the on-policy A/B readouts (bayes_ab, SPRT,
+    permutation test).
+
+    Known propensities (0.5) make the estimators exact: w_i =
+    1{{a_i = B}} / 0.5, V_IPS = mean(w r), V_SNIPS = sum(w r)/sum(w),
+    ESS = (sum w)^2 / sum w^2.  Scale: one user-grain aggregate;
+    everything else is a handful of exact-integer sums."""
+    from ..functions.text import md5_int
+
+    users = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("r")
+    )
+    a = (md5_int(F.col("user_id").cast("string")) % 2).cast("int")
+    base = users.select("r", a.alias("a"))
+    s = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.when(F.col("a") == 1, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("srb"),
+        F.sum((F.col("a") == 1).cast("int")).cast("long").alias("nb"),
+    )
+    nd = F.col("n_users").cast("double")
+    # w = 2 for matched users, 0 otherwise: sum w = 2*nb, sum w^2 = 4*nb
+    v_ips = F.lit(2.0) * F.col("srb").cast("double") / nd
+    v_snips = F.try_divide(
+        F.lit(2.0) * F.col("srb").cast("double"),
+        F.nullif(F.lit(2.0) * F.col("nb").cast("double"), F.lit(0.0)),
+    )
+    ess = F.try_divide(
+        (F.lit(2.0) * F.col("nb").cast("double"))
+        * (F.lit(2.0) * F.col("nb").cast("double")),
+        F.nullif(F.lit(4.0) * F.col("nb").cast("double"), F.lit(0.0)),
+    )
+    return s.select(
+        "n_users",
+        (F.round(F.col("sr").cast("double") / nd, 6) + F.lit(0.0)).alias(
+            "v_behavior"
+        ),
+        (F.round(v_ips, 6) + F.lit(0.0)).alias("v_ips"),
+        (F.round(v_snips, 6) + F.lit(0.0)).alias("v_snips"),
+        (F.round(ess, 6) + F.lit(0.0)).alias("ess"),
+        (F.round(F.try_divide(ess, F.nullif(nd, F.lit(0.0))), 6) + F.lit(0.0)).alias(
+            "ess_fraction"
+        ),
+    )

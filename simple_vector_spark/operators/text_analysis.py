@@ -2689,3 +2689,82 @@ def umass_coherence(
         )
         .orderBy("rank")
     )
+
+
+KN_DISCOUNT = 0.75
+
+
+def bigram_kneser_ney(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """KNESER-NEY smoothed bigram LM, scored per source: absolute
+    discounting with the CONTINUATION probability backoff — the
+    smoothing that asks "how many contexts does this word complete"
+    instead of "how often does it occur", which is why 'francisco'
+    (frequent, one context) stops stealing mass from 'the'.  The
+    standard n-gram LM the interpolated baseline (doc_bigram_logprob)
+    approximates: P(w|v) = max(c(v,w)-d, 0)/c(v) +
+    (d*N1+(v.)/c(v)) * N1+(.w)/|types|.
+
+    Per-source mean ln-prob over bigram occurrences and e-based
+    perplexity — the source-quality read under a properly smoothed LM.
+
+    Plan: one tokenize pass; in-expression bigram zip; type-keyed
+    count aggregates (v,w)/(v)/(w) + one broadcast scalar; per-source
+    scores fold 9dp-rounded DECIMAL ln terms weighted by occurrence
+    counts."""
+    from ..sources.loaders import fan_out
+
+    d = KN_DISCOUNT
+    tk = fan_out(docs.select("source", text_col)).select(
+        "source", tokens(F.col(text_col)).alias("tk")
+    )
+    n = F.size("tk")
+    bg = tk.filter(n >= 2).select(
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, n - 1).alias("v"),
+                F.slice(F.col("tk"), 2, n - 1).alias("w"),
+            )
+        ).alias("b"),
+    ).select("source", F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+    occ = bg.groupBy("source", "v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint()
+    cvw = occ.groupBy("v", "w").agg(F.sum("cnt").cast("long").alias("cvw"))
+    cv = cvw.groupBy("v").agg(
+        F.sum("cvw").cast("long").alias("cv"),
+        F.count(F.lit(1)).cast("long").alias("n1v"),
+    )
+    n1w = cvw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n1w"))
+    types = F.broadcast(cvw.agg(F.count(F.lit(1)).cast("long").alias("tt")))
+    scored = (
+        occ.join(cvw, ["v", "w"])
+        .join(cv, "v")
+        .join(n1w, "w")
+        .crossJoin(types)
+    )
+    pkn = (
+        F.greatest(F.col("cvw").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("cv").cast("double")
+        + (F.lit(d) * F.col("n1v").cast("double") / F.col("cv").cast("double"))
+        * (F.col("n1w").cast("double") / F.col("tt").cast("double"))
+    )
+    terms = scored.select(
+        "source",
+        "cnt",
+        (
+            F.round(F.log(pkn), 9).cast("decimal(18,9)")
+            * F.col("cnt").cast("decimal(20,0)")
+        ).alias("t"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.sum("t").alias("st"),
+    )
+    avg = F.col("st").cast("double") / F.col("n_bigrams").cast("double")
+    return agg.select(
+        "source",
+        "n_bigrams",
+        (F.round(avg, 6) + F.lit(0.0)).alias("avg_ln_prob"),
+        (F.round(F.exp(-avg), 6) + F.lit(0.0)).alias("perplexity"),
+    ).orderBy("source")

@@ -18350,3 +18350,108 @@ def events_feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-feature mutual information with the purchase label, ranked
     — the model-free feature-selection table."""
     return E.feature_mi_ranking(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 201 (round 2): Kneser-Ney smoothed bigram LM per source.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_kneser_ney_ppl",
+    f"""
+WITH t AS (SELECT source, {_TK_SQL} AS tk FROM documents),
+bg AS (
+  SELECT source, tk[i] AS v, tk[i + 1] AS w
+  FROM t, UNNEST(range(1, len(tk))) AS u(i)
+),
+occ AS (
+  SELECT source, v, w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bg GROUP BY 1, 2, 3
+),
+cvw AS (SELECT v, w, CAST(SUM(cnt) AS BIGINT) AS cvw FROM occ GROUP BY 1, 2),
+cv AS (
+  SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv, CAST(COUNT(*) AS BIGINT) AS n1v
+  FROM cvw GROUP BY 1
+),
+n1w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1w FROM cvw GROUP BY 1),
+types AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM cvw),
+terms AS (
+  SELECT o.source, o.cnt,
+         CAST(ROUND(ln(GREATEST(CAST(c.cvw AS DOUBLE) - {T.KN_DISCOUNT}, 0.0)
+                       / CAST(g.cv AS DOUBLE)
+                       + ({T.KN_DISCOUNT} * CAST(g.n1v AS DOUBLE)
+                          / CAST(g.cv AS DOUBLE))
+                         * (CAST(nw.n1w AS DOUBLE) / CAST(ty.tt AS DOUBLE))),
+                    9) AS DECIMAL(18,9))
+           * CAST(o.cnt AS DECIMAL(20,0)) AS t
+  FROM occ o
+  JOIN cvw c USING (v, w)
+  JOIN cv g USING (v)
+  JOIN n1w nw USING (w)
+  CROSS JOIN types ty
+),
+agg AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_bigrams, SUM(t) AS st
+  FROM terms GROUP BY 1
+)
+SELECT source, n_bigrams,
+       ROUND(CAST(st AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) + 0.0
+         AS avg_ln_prob,
+       ROUND(EXP(-(CAST(st AS DOUBLE) / CAST(n_bigrams AS DOUBLE))), 6) + 0.0
+         AS perplexity
+FROM agg ORDER BY source
+""",
+)
+def source_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram perplexity per source — absolute discounting
+    + continuation-probability backoff, the properly smoothed LM
+    beside the interpolated baseline."""
+    return T.bigram_kneser_ney(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 202 (round 2): IPS / SNIPS off-policy evaluation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_offpolicy_ips",
+    f"""
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT r,
+         CAST({_H_SQL.format(v="CAST(user_id AS VARCHAR)")} % 2 AS INT) AS a
+  FROM users
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(r) AS BIGINT) AS sr,
+         CAST(SUM(CASE WHEN a = 1 THEN r ELSE 0 END) AS BIGINT) AS srb,
+         CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM base
+)
+SELECT n_users,
+       ROUND(CAST(sr AS DOUBLE) / CAST(n_users AS DOUBLE), 6) + 0.0
+         AS v_behavior,
+       ROUND(2.0 * CAST(srb AS DOUBLE) / CAST(n_users AS DOUBLE), 6) + 0.0
+         AS v_ips,
+       ROUND(2.0 * CAST(srb AS DOUBLE)
+             / NULLIF(2.0 * CAST(nb AS DOUBLE), 0.0), 6) + 0.0 AS v_snips,
+       ROUND((2.0 * CAST(nb AS DOUBLE)) * (2.0 * CAST(nb AS DOUBLE))
+             / NULLIF(4.0 * CAST(nb AS DOUBLE), 0.0), 6) + 0.0 AS ess,
+       ROUND(((2.0 * CAST(nb AS DOUBLE)) * (2.0 * CAST(nb AS DOUBLE))
+              / NULLIF(4.0 * CAST(nb AS DOUBLE), 0.0))
+             / NULLIF(CAST(n_users AS DOUBLE), 0.0), 6) + 0.0
+         AS ess_fraction
+FROM s
+""",
+)
+def events_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPS / SNIPS value of the B-only policy from 50/50 logs with
+    effective sample size — counterfactual policy evaluation."""
+    return E.offpolicy_eval_ips(load_table(spark, sf_dir, "events"))
