@@ -591,3 +591,82 @@ def knn_loo_accuracy(corpus: DataFrame, k: int = LOO_K) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def twonn_intrinsic_dim(corpus: DataFrame) -> DataFrame:
+    """TWO-NN intrinsic-dimension estimate (Facco et al. 2017):
+    ID = (n-1) / sum_i ln(r2_i / r1_i) from just each vector's two
+    nearest-neighbor distances — the representation-analysis number
+    that says how many degrees of freedom the embedding cloud actually
+    uses (ID far below the ambient 64 means the space is compressible;
+    ID near ambient means distance concentration will hurt ANN
+    recall).  Pairs with the isotropy/variance audits on the same
+    table.
+
+    Exact duplicates (r1 = 0) break the ratio and are excluded and
+    counted.  Brute-force all-pairs top-2 at test scale (swap in the
+    cell-blocked kNN graph at corpus scale); ln-ratio terms are
+    9dp-rounded DECIMAL so the fold is order-insensitive."""
+    from ..functions.vector import as_double_array, squared_l2
+
+    a = corpus.select(
+        F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qv")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("cid"), as_double_array("embedding").alias("cv")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(squared_l2(F.col("qv"), F.col("cv")), 6).alias("d"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cid").asc())
+    top2 = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .groupBy("qid")
+        .agg(
+            F.min(F.when(F.col("rnk") == 1, F.col("d"))).alias("d1"),
+            F.min(F.when(F.col("rnk") == 2, F.col("d"))).alias("d2"),
+        )
+    )
+    valid = top2.filter(F.col("d1") > 0)
+    terms = valid.select(
+        # ln(r2/r1) = 0.5 * ln(d2/d1) on squared distances
+        F.round(
+            F.lit(0.5)
+            * F.log(
+                F.try_divide(F.col("d2"), F.nullif(F.col("d1"), F.lit(0.0)))
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("lr")
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_valid"),
+        F.sum("lr").alias("slr"),
+    )
+    dupes = top2.agg(
+        F.sum((F.col("d1") == 0).cast("int")).cast("long").alias("n_dupes")
+    )
+    idhat = F.try_divide(
+        (F.col("n_valid") - F.lit(1)).cast("double"),
+        F.nullif(F.col("slr").cast("double"), F.lit(0.0)),
+    )
+    return s.crossJoin(dupes).select(
+        "n_valid",
+        "n_dupes",
+        (F.round(idhat, 6) + F.lit(0.0)).alias("intrinsic_dim"),
+        (
+            F.round(
+                F.col("slr").cast("double") / F.col("n_valid").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_ln_ratio"),
+    )

@@ -7376,3 +7376,180 @@ def sbc_demand_classification(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("demand_class")
     )
+
+
+LEONTIEF_ITERS = 8
+LEONTIEF_DAMP = 0.8  # column-sum cap: a_ij = z_ij / (inflow_j / 0.8)
+
+
+def leontief_multipliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    iters: int = LEONTIEF_ITERS,
+) -> DataFrame:
+    """LEONTIEF input-output multipliers on the nation trade matrix:
+    with technical coefficients a_ij = z_ij / (inflow_j / {LEONTIEF_DAMP})
+    (column sums capped at {LEONTIEF_DAMP} so the Neumann series
+    converges), the truncated Leontief inverse column sum
+    m_j = [1^T (I + A + A^2 + ...)]_j answers the ripple question
+    PageRank's centrality does not: "one unit of extra demand in
+    nation j pulls how much TOTAL production through the whole
+    system?"  The economics member of the trade-graph family.
+
+    Scale: identical shape to nation_trade_pagerank — ONE fact shuffle
+    builds the flow aggregate; {LEONTIEF_ITERS} vector-matrix
+    iterations run on the checkpointed |nations|^2 table with
+    9dp-rounded components per round (cross-engine f64 association
+    cannot accumulate)."""
+    flows = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("i"), F.col("c_nationkey").alias("j")
+        )
+        .agg(F.sum(_dec("l_extendedprice")).alias("z"))
+        .localCheckpoint()
+    )
+    inflow = flows.groupBy("j").agg(F.sum("z").alias("inflow"))
+    a = (
+        flows.join(inflow, "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.lit(LEONTIEF_DAMP)
+                * F.col("z").cast("double")
+                / F.col("inflow").cast("double"),
+                9,
+            ).alias("a"),
+        )
+        .localCheckpoint()
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node")).localCheckpoint()
+    v = nodes.select("node", F.lit(1.0).alias("s")).localCheckpoint()
+    acc = v
+    for _ in range(iters):
+        nxt = (
+            a.join(v, a["i"] == v["node"])
+            .groupBy(F.col("j").alias("node"))
+            .agg(
+                F.sum(
+                    F.round(F.col("a") * F.col("s"), 9).cast("decimal(20,9)")
+                ).alias("raw")
+            )
+        )
+        v = (
+            nodes.join(nxt, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("raw"), F.lit(0)).cast("double"), 9
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+        acc = (
+            acc.unionByName(v)
+            .groupBy("node")
+            .agg(
+                F.sum(F.round(F.col("s"), 9).cast("decimal(20,9)"))
+                .cast("double")
+                .alias("s")
+            )
+            .localCheckpoint()
+        )
+    return (
+        acc.join(
+            F.broadcast(
+                nation.select(F.col("n_nationkey").alias("node"), "n_name")
+            ),
+            "node",
+        )
+        .join(inflow.select(F.col("j").alias("node"), "inflow"), "node", "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce(F.col("inflow"), F.lit(0))
+            .cast("decimal(38,2)")
+            .alias("inflow"),
+            (F.round(F.col("s"), 6) + F.lit(0.0)).alias("output_multiplier"),
+        )
+        .orderBy("nation")
+    )
+
+
+DF_CRIT_5PCT = -2.86  # Dickey-Fuller tau_mu 5% critical value (constant)
+
+
+def dickey_fuller_test(orders: DataFrame) -> DataFrame:
+    """DICKEY-FULLER unit-root test on monthly revenue: regress
+    delta_y on y_{{t-1}} (with constant) and compare the slope t-ratio
+    to the DF tau distribution (5% critical {DF_CRIT_5PCT}) — "is this
+    series actually mean-reverting, or a random walk?", the
+    stationarity PRE-CONDITION every ARMA-family fit in the suite
+    (AR(2), Holt, seasonal models) silently assumes, and the
+    complement of Mann-Kendall's monotone-trend verdict.
+
+    Scale: month aggregate + rank lag join (calendar-bounded), one
+    DECIMAL power-sum aggregate of 4dp-rounded cross terms, simple-
+    regression algebra on one row."""
+    from .ranking import ranked_global
+
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    ranked = ranked_global(monthly, [F.col("m").asc()], rank_name="t").select(
+        "t", F.col("y").cast("double").alias("y")
+    ).localCheckpoint()
+    cur = ranked.select(F.col("t"), F.col("y").alias("y1"))
+    prv = ranked.select((F.col("t") + F.lit(1)).alias("t"), F.col("y").alias("y0"))
+    pairs = cur.join(prv, "t").select(
+        F.col("y0").alias("x"), (F.col("y1") - F.col("y0")).alias("dy")
+    )
+
+    def rd(c):
+        return F.round(c, 4).cast("decimal(38,4)")
+
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(rd(F.col("x"))).alias("sx"),
+        F.sum(rd(F.col("dy"))).alias("sy"),
+        F.sum(rd(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(rd(F.col("x") * F.col("dy"))).alias("sxy"),
+        F.sum(rd(F.col("dy") * F.col("dy"))).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    sxx_c = sxx - sx * sx / nd
+    b = F.try_divide(sxy - sx * sy / nd, F.nullif(sxx_c, F.lit(0.0)))
+    a_ = (sy - b * sx) / nd
+    sse = syy - a_ * sy - b * sxy
+    s2 = F.try_divide(sse, F.nullif(nd - F.lit(2.0), F.lit(0.0)))
+    se_b = F.sqrt(F.try_divide(s2, F.nullif(sxx_c, F.lit(0.0))))
+    tau = F.try_divide(b, F.nullif(se_b, F.lit(0.0)))
+    return s.select(
+        "n",
+        (F.round(b, 6) + F.lit(0.0)).alias("beta"),
+        (F.round(tau, 6) + F.lit(0.0)).alias("df_tau"),
+        F.lit(DF_CRIT_5PCT).alias("crit_5pct"),
+        (F.round(tau, 6) < F.lit(DF_CRIT_5PCT)).cast("int").alias(
+            "stationary_5pct"
+        ),
+    )

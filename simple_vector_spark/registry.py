@@ -18455,3 +18455,202 @@ def events_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IPS / SNIPS value of the B-only policy from 50/50 logs with
     effective sample size — counterfactual policy evaluation."""
     return E.offpolicy_eval_ips(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 203 (round 2): Leontief input-output multipliers (truncated Neumann
+# series on the trade coefficient matrix).
+# --------------------------------------------------------------------------
+
+
+def _leontief_oracle() -> str:
+    ctes = [
+        """flows AS MATERIALIZED (
+  SELECT s_nationkey AS i, c_nationkey AS j,
+         SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS z
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+)""",
+        """inflow AS (SELECT j, SUM(z) AS inflow FROM flows GROUP BY 1)""",
+        f"""a AS MATERIALIZED (
+  SELECT i, j,
+         ROUND({R.LEONTIEF_DAMP} * CAST(z AS DOUBLE)
+               / CAST(inflow AS DOUBLE), 9) AS a
+  FROM flows JOIN inflow USING (j)
+)""",
+        """nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation)""",
+        """v0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS s FROM nodes)""",
+    ]
+    for k in range(1, R.LEONTIEF_ITERS + 1):
+        ctes.append(f"""r{k} AS (
+  SELECT a.j AS node,
+         SUM(CAST(ROUND(a.a * v.s, 9) AS DECIMAL(20,9))) AS raw
+  FROM a JOIN v{k-1} v ON a.i = v.node GROUP BY 1
+),
+v{k} AS MATERIALIZED (
+  SELECT nodes.node,
+         ROUND(CAST(COALESCE(r.raw, 0) AS DOUBLE), 9) AS s
+  FROM nodes LEFT JOIN r{k} r ON nodes.node = r.node
+)""")
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT node, s FROM v{k}" for k in range(0, R.LEONTIEF_ITERS + 1)
+    )
+    ctes.append(f"""acc AS (
+  SELECT node,
+         CAST(SUM(CAST(ROUND(s, 9) AS DECIMAL(20,9))) AS DOUBLE) AS s
+  FROM (
+  {unions}
+  ) GROUP BY node
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT n_name AS nation,
+       CAST(COALESCE(inflow, 0) AS DECIMAL(38,2)) AS inflow,
+       ROUND(s, 6) + 0.0 AS output_multiplier
+FROM acc
+JOIN nation ON acc.node = n_nationkey
+LEFT JOIN inflow ON acc.node = inflow.j
+ORDER BY nation
+"""
+
+
+@query("nation_leontief_multipliers", _leontief_oracle())
+def nation_leontief_multipliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leontief output multipliers per nation: truncated Neumann series
+    over damped trade coefficients — the demand-ripple economics the
+    centrality scores don't give."""
+    return R.leontief_multipliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wave 204 (round 2): Dickey-Fuller unit-root test.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_dickey_fuller",
+    f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) AS BIGINT) AS t,
+         CAST(y AS DOUBLE) AS y
+  FROM monthly
+),
+pairs AS (
+  SELECT p.y AS x, c.y - p.y AS dy
+  FROM ranked c JOIN ranked p ON c.t = p.t + 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(x, 4) AS DECIMAL(38,4))) AS sx,
+         SUM(CAST(ROUND(dy, 4) AS DECIMAL(38,4))) AS sy,
+         SUM(CAST(ROUND(x * x, 4) AS DECIMAL(38,4))) AS sxx,
+         SUM(CAST(ROUND(x * dy, 4) AS DECIMAL(38,4))) AS sxy,
+         SUM(CAST(ROUND(dy * dy, 4) AS DECIMAL(38,4))) AS syy
+  FROM pairs
+),
+fit AS (
+  SELECT n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(syy AS DOUBLE) AS syyd
+  FROM s
+),
+bet AS (
+  SELECT n, nd, sxd, syd, sxyd, syyd,
+         sxxd - sxd * sxd / nd AS sxx_c,
+         (sxyd - sxd * syd / nd) / NULLIF(sxxd - sxd * sxd / nd, 0.0) AS b
+  FROM fit
+),
+tau AS (
+  SELECT n, b,
+         b / NULLIF(SQRT(((syyd - ((syd - b * sxd) / nd) * syd - b * sxyd)
+                          / NULLIF(nd - 2.0, 0.0))
+                         / NULLIF(sxx_c, 0.0)), 0.0) AS tau
+  FROM bet
+)
+SELECT n,
+       ROUND(b, 6) + 0.0 AS beta,
+       ROUND(tau, 6) + 0.0 AS df_tau,
+       {R.DF_CRIT_5PCT} AS crit_5pct,
+       CAST(CASE WHEN ROUND(tau, 6) < {R.DF_CRIT_5PCT} THEN 1 ELSE 0 END
+            AS INT) AS stationary_5pct
+FROM tau
+""",
+)
+def orders_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller tau on monthly revenue (constant, no trend) vs
+    the -2.86 5% critical value — the stationarity precondition check
+    under the ARMA-family fits."""
+    return R.dickey_fuller_test(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 205 (round 2): Two-NN intrinsic-dimension estimate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_intrinsic_dim",
+    """
+WITH pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(b.embedding AS DOUBLE[])) AS y
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+d AS (
+  SELECT qid, cid, ROUND(SUM((x - y) * (x - y)), 6) AS d
+  FROM pairs GROUP BY qid, cid
+),
+top2 AS (
+  SELECT qid,
+         MIN(CASE WHEN rnk = 1 THEN d END) AS d1,
+         MIN(CASE WHEN rnk = 2 THEN d END) AS d2
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY d ASC, cid ASC) AS rnk
+    FROM d
+  ) WHERE rnk <= 2
+  GROUP BY qid
+),
+terms AS (
+  SELECT CAST(ROUND(0.5 * ln(d2 / NULLIF(d1, 0.0)), 9) AS DECIMAL(18,9))
+           AS lr
+  FROM top2 WHERE d1 > 0
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_valid, SUM(lr) AS slr FROM terms
+),
+dupes AS (
+  SELECT CAST(SUM(CASE WHEN d1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
+  FROM top2
+)
+SELECT n_valid, n_dupes,
+       ROUND(CAST(n_valid - 1 AS DOUBLE)
+             / NULLIF(CAST(slr AS DOUBLE), 0.0), 6) + 0.0 AS intrinsic_dim,
+       ROUND(CAST(slr AS DOUBLE) / CAST(n_valid AS DOUBLE), 6) + 0.0
+         AS mean_ln_ratio
+FROM s CROSS JOIN dupes
+""",
+)
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facco two-NN intrinsic dimension of the embedding cloud —
+    degrees of freedom actually used vs the ambient 64."""
+    return K.twonn_intrinsic_dim(load_table(spark, sf_dir, "embeddings"))
