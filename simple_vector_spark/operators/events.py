@@ -2888,9 +2888,7 @@ def interarrival_burstiness(
         .select(
             "user_id",
             F.round(
-                F.unix_timestamp("ts").cast("double")
-                - F.unix_timestamp("prev").cast("double"),
-                3,
+                F.col("ts").cast("double") - F.col("prev").cast("double"), 3
             )
             .cast("decimal(20,3)")
             .alias("g"),
@@ -3315,4 +3313,105 @@ def offpolicy_eval_ips(events: DataFrame) -> DataFrame:
         (F.round(F.try_divide(ess, F.nullif(nd, F.lit(0.0))), 6) + F.lit(0.0)).alias(
             "ess_fraction"
         ),
+    )
+
+
+BOT_TOPK = 15
+
+
+def bot_detection_screen(events: DataFrame, topk: int = BOT_TOPK) -> DataFrame:
+    """BOT / AUTOMATION SCREEN: per-user composite of the three
+    signatures scripted traffic actually has — abnormal RATE
+    (events per active day), degenerate VARIETY (low event-type
+    entropy), and clockwork TIMING (burstiness near -1, i.e. fixed
+    inter-event gaps) — combined into one ranked score:
+    score = rate/10 + (log2(5) - type_entropy) + (-burstiness).
+    Weights are a documented operating point, not learned; each signal
+    column ships alongside so reviewers can re-weight.
+
+    Scale: one user-grain pass for rate/entropy, one lag window for
+    gaps (user-partitioned), DECIMAL-rounded folds, TakeOrdered
+    top-{BOT_TOPK}."""
+    per = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("days"),
+    )
+    tcnt = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ent = (
+        tcnt.join(per.select("user_id", "n_events"), "user_id")
+        .select(
+            "user_id",
+            F.round(
+                -(F.col("c").cast("double") / F.col("n_events").cast("double"))
+                * F.log2(
+                    F.col("c").cast("double") / F.col("n_events").cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("t"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("t").cast("double").alias("type_entropy"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id",
+            F.round(
+                F.col("ts").cast("double") - F.col("prev").cast("double"), 3
+            )
+            .cast("decimal(20,3)")
+            .alias("g"),
+        )
+    )
+    bur = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum("g").alias("sg"),
+            F.sum(
+                F.round(
+                    F.col("g").cast("double") * F.col("g").cast("double"), 3
+                ).cast("decimal(30,3)")
+            ).alias("sgg"),
+        )
+        .filter(F.col("ng") >= 2)
+    )
+    ngd = F.col("ng").cast("double")
+    mu = F.col("sg").cast("double") / ngd
+    var = (F.col("sgg").cast("double") - ngd * mu * mu) / (ngd - F.lit(1.0))
+    sig = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = F.try_divide(sig - mu, F.nullif(sig + mu, F.lit(0.0)))
+    bcol = bur.select("user_id", F.round(b, 6).alias("burstiness"))
+    rate = F.round(
+        F.col("n_events").cast("double") / F.col("days").cast("double"), 6
+    )
+    joined = (
+        per.join(ent, "user_id")
+        .join(bcol, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            rate.alias("rate_per_day"),
+            (F.round(F.col("type_entropy"), 6) + F.lit(0.0)).alias(
+                "type_entropy"
+            ),
+            "burstiness",
+        )
+    )
+    score = F.round(
+        F.col("rate_per_day") / F.lit(10.0)
+        + (F.lit(2.321928094887362) - F.col("type_entropy"))
+        - F.col("burstiness"),
+        6,
+    )
+    return (
+        joined.withColumn("bot_score", score + F.lit(0.0))
+        .orderBy(F.col("bot_score").desc(), F.col("user_id").asc())
+        .limit(topk)
     )

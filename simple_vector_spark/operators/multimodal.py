@@ -477,3 +477,77 @@ def mime_sniff_audit(docs_plus: DataFrame) -> DataFrame:
             (F.col("declared_mime") == F.col("sniffed_mime")).alias("agrees"),
         )
     )
+
+
+ENTROPY_PREFIX_BYTES = 256
+ENTROPY_HIGH_BITS = 6.0
+
+
+def payload_entropy_sniff(docs: DataFrame) -> DataFrame:
+    """BYTE-ENTROPY content sniffing over the opaque payload column —
+    the magic-bytes complement (multimodal_mime_sniff reads headers;
+    entropy reads the BODY): near-8-bit entropy means compressed or
+    encrypted content that a text pipeline should quarantine, ~4-5
+    bits is natural text, near-0 is padding/constant junk.  Computed
+    on the first {ENTROPY_PREFIX_BYTES} bytes, the standard sniffing
+    window.
+
+    Plan: payload attached in-scan (with_payload recipe inline to keep
+    ``source``), bytes exploded from the hex string in-expression, one
+    (doc, byte) count shuffle, per-doc entropy as 9dp DECIMAL sums,
+    per-source rollup with the high-entropy share."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.substring(F.hex(payload), 1, 2 * ENTROPY_PREFIX_BYTES).alias("hx"),
+    )
+    n = (F.length("hx") / 2).cast("int")
+    bytes_ = base.filter(n > 0).select(
+        "doc_id",
+        "source",
+        n.alias("nb"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.substr(
+                    F.col("hx"), (i - F.lit(1)) * F.lit(2) + F.lit(1), F.lit(2)
+                ),
+            )
+        ).alias("b"),
+    )
+    cnt = bytes_.groupBy("doc_id", "source", "nb", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    p = F.col("c").cast("double") / F.col("nb").cast("double")
+    ent = (
+        cnt.select(
+            "doc_id",
+            "source",
+            F.round(-p * F.log2(p), 9).cast("decimal(18,9)").alias("t"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.sum("t").cast("double").alias("h"))
+    )
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.round(
+                    F.sum(F.round(F.col("h"), 6).cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_entropy_bits"),
+            (F.round(F.max(F.round(F.col("h"), 6)), 6) + F.lit(0.0)).alias(
+                "max_entropy_bits"
+            ),
+            F.sum((F.round(F.col("h"), 6) > ENTROPY_HIGH_BITS).cast("int"))
+            .cast("long")
+            .alias("n_high_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -18654,3 +18654,130 @@ def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facco two-NN intrinsic dimension of the embedding cloud —
     degrees of freedom actually used vs the ambient 64."""
     return K.twonn_intrinsic_dim(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Wave 206 (round 2): composite bot / automation screen.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_bot_screen",
+    f"""
+WITH per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days
+  FROM events GROUP BY 1
+),
+tcnt AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+ent AS (
+  SELECT t.user_id,
+         CAST(SUM(CAST(ROUND(-(CAST(t.c AS DOUBLE)
+                               / CAST(p.n_events AS DOUBLE))
+                             * log2(CAST(t.c AS DOUBLE)
+                                    / CAST(p.n_events AS DOUBLE)), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS type_entropy
+  FROM tcnt t JOIN per p USING (user_id)
+  GROUP BY 1
+),
+gaps AS (
+  SELECT user_id,
+         CAST(ROUND(epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)), 3)
+              AS DECIMAL(20,3)) AS g
+  FROM events
+  QUALIFY LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            IS NOT NULL
+),
+bur AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ng, SUM(g) AS sg,
+         SUM(CAST(ROUND(CAST(g AS DOUBLE) * CAST(g AS DOUBLE), 3)
+                  AS DECIMAL(30,3))) AS sgg
+  FROM gaps GROUP BY 1 HAVING COUNT(*) >= 2
+),
+bcol AS (
+  SELECT user_id,
+         ROUND((SQRT(GREATEST((CAST(sgg AS DOUBLE)
+                    - CAST(ng AS DOUBLE)
+                      * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+                      * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)))
+                   / (CAST(ng AS DOUBLE) - 1.0), 0.0))
+                - CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+               / NULLIF(SQRT(GREATEST((CAST(sgg AS DOUBLE)
+                      - CAST(ng AS DOUBLE)
+                        * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+                        * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)))
+                     / (CAST(ng AS DOUBLE) - 1.0), 0.0))
+                     + CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE), 0.0), 6)
+           AS burstiness
+  FROM bur
+),
+joined AS (
+  SELECT p.user_id, p.n_events,
+         ROUND(CAST(p.n_events AS DOUBLE) / CAST(p.days AS DOUBLE), 6)
+           AS rate_per_day,
+         ROUND(e.type_entropy, 6) + 0.0 AS type_entropy,
+         b.burstiness
+  FROM per p JOIN ent e USING (user_id) JOIN bcol b USING (user_id)
+)
+SELECT user_id, n_events, rate_per_day, type_entropy, burstiness,
+       ROUND(rate_per_day / 10.0 + (2.321928094887362 - type_entropy)
+             - burstiness, 6) + 0.0 AS bot_score
+FROM joined
+ORDER BY bot_score DESC, user_id ASC
+LIMIT {E.BOT_TOPK}
+""",
+)
+def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate x variety x timing composite bot score per user, ranked —
+    the abuse screen with every signal column shipped for re-weighting."""
+    return E.bot_detection_screen(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 207 (round 2): payload byte-entropy content sniffing.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_entropy_sniff",
+    f"""
+WITH base AS (
+  SELECT doc_id, source,
+         substr(hex(encode(text)), 1, 2 * {MM.ENTROPY_PREFIX_BYTES}) AS hx
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, source, CAST(length(hx) / 2 AS INT) AS nb,
+         substr(hx, (i - 1) * 2 + 1, 2) AS b
+  FROM base, UNNEST(range(1, CAST(length(hx) / 2 AS INT) + 1)) AS u(i)
+  WHERE length(hx) >= 2
+),
+cnt AS (
+  SELECT doc_id, source, nb, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bytes GROUP BY 1, 2, 3, 4
+),
+ent AS (
+  SELECT doc_id, source,
+         CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE))
+                             * log2(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE)),
+                             9) AS DECIMAL(18,9))) AS DOUBLE) AS h
+  FROM cnt GROUP BY 1, 2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(ROUND(h, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_entropy_bits,
+       ROUND(MAX(ROUND(h, 6)), 6) + 0.0 AS max_entropy_bits,
+       CAST(SUM(CASE WHEN ROUND(h, 6) > {MM.ENTROPY_HIGH_BITS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_entropy
+FROM ent GROUP BY 1 ORDER BY 1
+""",
+)
+def multimodal_entropy_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source byte-entropy triage of payload prefixes — the body
+    complement to magic-byte mime sniffing; flags compressed/encrypted
+    blobs a text pipeline should quarantine."""
+    return MM.payload_entropy_sniff(load_table(spark, sf_dir, "documents"))
