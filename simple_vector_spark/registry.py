@@ -18781,3 +18781,77 @@ def multimodal_entropy_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to magic-byte mime sniffing; flags compressed/encrypted
     blobs a text pipeline should quarantine."""
     return MM.payload_entropy_sniff(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 208 (round 2): link prediction on the major-lane trade graph.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_link_prediction",
+    f"""
+WITH flows AS MATERIALIZED (
+  SELECT s_nationkey AS u, c_nationkey AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v,
+           ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rnk
+    FROM flows
+  ) WHERE rnk <= 3
+),
+und AS MATERIALIZED (
+  SELECT u, v FROM edges UNION SELECT v, u FROM edges
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+hop AS (
+  SELECT x.u AS a, x.v AS z, y.v AS b
+  FROM und x JOIN und y ON x.v = y.u
+  WHERE x.u < y.v
+),
+cand AS (
+  SELECT a, z, b FROM hop
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = hop.a AND e.v = hop.b)
+),
+scored AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,
+         SUM(CAST(ROUND(1.0 / NULLIF(ln(CAST(d.deg AS DOUBLE)), 0.0), 9)
+                  AS DECIMAL(18,9))) AS aa
+  FROM cand JOIN deg d ON cand.z = d.u
+  GROUP BY 1, 2
+),
+out AS (
+  SELECT s.a, s.b, s.common,
+         ROUND(CAST(s.common AS DOUBLE)
+               / CAST(da.deg + db.deg - s.common AS DOUBLE), 6) AS jaccard,
+         ROUND(CAST(s.aa AS DOUBLE), 6) + 0.0 AS adamic_adar
+  FROM scored s
+  JOIN deg da ON s.a = da.u
+  JOIN deg db ON s.b = db.u
+)
+SELECT na.n_name AS nation_a, nb.n_name AS nation_b, common, jaccard,
+       adamic_adar
+FROM out
+JOIN nation na ON out.a = na.n_nationkey
+JOIN nation nb ON out.b = nb.n_nationkey
+ORDER BY adamic_adar DESC, nation_a ASC, nation_b ASC
+LIMIT {R.LINKPRED_TOPK}
+""",
+)
+def nation_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard + Adamic-Adar link prediction over non-edges of the
+    top-3-partner trade graph, candidates from 2-hop paths only."""
+    return R.trade_link_prediction(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
