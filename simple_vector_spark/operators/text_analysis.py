@@ -2768,3 +2768,104 @@ def bigram_kneser_ney(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (F.round(avg, 6) + F.lit(0.0)).alias("avg_ln_prob"),
         (F.round(F.exp(-avg), 6) + F.lit(0.0)).alias("perplexity"),
     ).orderBy("source")
+
+
+LM_LAMBDA_GRID = [0.1, 0.3, 0.5, 0.7, 0.9]
+LM_HELDOUT_MOD = 5  # md5(doc_id) % 5 == 0 -> held-out (~20%)
+
+
+def bigram_lambda_sweep(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """HYPERPARAMETER TUNING AS A QUERY: the interpolated bigram LM's
+    mixing weight swept over {LM_LAMBDA_GRID} and scored on a PROPER
+    md5-gated held-out split (20% of docs the counts never saw) — the
+    evaluation discipline the self-scored doc_bigram_logprob skips,
+    which is exactly why its lambda can't be trusted: on training data
+    more bigram weight always looks better; held-out data pushes back
+    with unseen contexts.  Best row flagged (min perplexity).
+
+    Scale: train counts are the usual (v,w)-keyed aggregates; the
+    held-out bigram-type table joins them once and a 5-row broadcast
+    lambda grid fans scoring out — grid size, not data size, is the
+    multiplier.  Unseen mass gets add-1 unigram smoothing so no
+    log(0)."""
+    from ..functions.text import md5_int
+    from ..sources.loaders import fan_out
+
+    spark = docs.sparkSession
+    tagged = fan_out(docs.select("doc_id", text_col)).select(
+        "doc_id",
+        tokens(F.col(text_col)).alias("tk"),
+        (md5_int(F.col("doc_id").cast("string")) % LM_HELDOUT_MOD == 0).alias(
+            "held"
+        ),
+    )
+    n = F.size("tk")
+    bg = tagged.filter(n >= 2).select(
+        "held",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, n - 1).alias("v"),
+                F.slice(F.col("tk"), 2, n - 1).alias("w"),
+            )
+        ).alias("b"),
+    ).select("held", F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+    train = bg.filter(~F.col("held"))
+    cvw = train.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cvw")
+    ).localCheckpoint()
+    cv = cvw.groupBy("v").agg(F.sum("cvw").cast("long").alias("cv"))
+    cw = cvw.groupBy("w").agg(F.sum("cvw").cast("long").alias("cw"))
+    tot = F.broadcast(
+        cw.agg(
+            F.sum("cw").cast("long").alias("nn"),
+            F.count(F.lit(1)).cast("long").alias("vv"),
+        )
+    )
+    held = bg.filter(F.col("held")).groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    joined = (
+        held.join(cvw, ["v", "w"], "left")
+        .join(cv, "v", "left")
+        .join(cw, "w", "left")
+        .crossJoin(tot)
+    )
+    lam_df = F.broadcast(
+        spark.createDataFrame([(l,) for l in LM_LAMBDA_GRID], "lam double")
+    )
+    pb = F.coalesce(
+        F.try_divide(
+            F.col("cvw").cast("double"), F.nullif(F.col("cv").cast("double"), F.lit(0.0))
+        ),
+        F.lit(0.0),
+    )
+    pu = (F.coalesce(F.col("cw"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("nn").cast("double") + F.col("vv").cast("double")
+    )
+    p = F.col("lam") * pb + (F.lit(1.0) - F.col("lam")) * pu
+    scored = joined.crossJoin(lam_df).select(
+        "lam",
+        "cnt",
+        (
+            F.round(F.log(p), 9).cast("decimal(18,9)")
+            * F.col("cnt").cast("decimal(20,0)")
+        ).alias("t"),
+    )
+    agg = scored.groupBy("lam").agg(
+        F.sum("cnt").cast("long").alias("n_scored"),
+        F.sum("t").alias("st"),
+    )
+    avg = F.col("st").cast("double") / F.col("n_scored").cast("double")
+    out = agg.select(
+        "lam",
+        "n_scored",
+        (F.round(avg, 6) + F.lit(0.0)).alias("avg_ln_prob"),
+        (F.round(F.exp(-avg), 6) + F.lit(0.0)).alias("perplexity"),
+    )
+    w_ = Window.orderBy(F.col("perplexity").asc(), F.col("lam").asc())
+    return (
+        out.withColumn(
+            "is_best", (F.row_number().over(w_) == 1).cast("int")
+        )
+        .orderBy("lam")
+    )

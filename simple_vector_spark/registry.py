@@ -18855,3 +18855,80 @@ def nation_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 209 (round 2): held-out lambda sweep for the interpolated bigram LM.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_lm_lambda_sweep",
+    """
+WITH tagged AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS tk,
+         (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0) AS held
+  FROM documents
+),
+bg AS (
+  SELECT held, tk[i] AS v, tk[i + 1] AS w
+  FROM tagged, UNNEST(range(1, len(tk))) AS u(i)
+),
+cvw AS (
+  SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cvw
+  FROM bg WHERE NOT held GROUP BY 1, 2
+),
+cv AS (SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv FROM cvw GROUP BY 1),
+cw AS (SELECT w, CAST(SUM(cvw) AS BIGINT) AS cw FROM cvw GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(cw) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS vv
+  FROM cw
+),
+held AS (
+  SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bg WHERE held GROUP BY 1, 2
+),
+joined AS (
+  SELECT h.cnt, c.cvw, g.cv, x.cw, t.nn, t.vv
+  FROM held h
+  LEFT JOIN cvw c USING (v, w)
+  LEFT JOIN cv g USING (v)
+  LEFT JOIN cw x USING (w)
+  CROSS JOIN tot t
+),
+lams(lam) AS (VALUES (0.1), (0.3), (0.5), (0.7), (0.9)),
+scored AS (
+  SELECT l.lam, j.cnt,
+         CAST(ROUND(ln(l.lam * COALESCE(CAST(j.cvw AS DOUBLE)
+                                        / NULLIF(CAST(j.cv AS DOUBLE), 0.0),
+                                        0.0)
+                       + (1.0 - l.lam)
+                         * ((CAST(COALESCE(j.cw, 0) AS DOUBLE) + 1.0)
+                            / (CAST(j.nn AS DOUBLE) + CAST(j.vv AS DOUBLE)))),
+                    9) AS DECIMAL(18,9))
+           * CAST(j.cnt AS DECIMAL(20,0)) AS t
+  FROM joined j CROSS JOIN lams l
+),
+agg AS (
+  SELECT lam, CAST(SUM(cnt) AS BIGINT) AS n_scored, SUM(t) AS st
+  FROM scored GROUP BY 1
+),
+out AS (
+  SELECT lam, n_scored,
+         ROUND(CAST(st AS DOUBLE) / CAST(n_scored AS DOUBLE), 6) + 0.0
+           AS avg_ln_prob,
+         ROUND(EXP(-(CAST(st AS DOUBLE) / CAST(n_scored AS DOUBLE))), 6) + 0.0
+           AS perplexity
+  FROM agg
+)
+SELECT lam, n_scored, avg_ln_prob, perplexity,
+       CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY perplexity ASC, lam ASC) = 1
+                 THEN 1 ELSE 0 END AS INT) AS is_best
+FROM out ORDER BY lam
+""",
+)
+def source_lm_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolation-weight sweep for the bigram LM scored on an
+    md5-gated held-out split — tuning with honest evaluation, best
+    lambda flagged by held-out perplexity."""
+    return T.bigram_lambda_sweep(load_table(spark, sf_dir, "documents"))
