@@ -7683,3 +7683,67 @@ def trade_link_prediction(
         )
         .limit(topk)
     )
+
+
+KEY_CANDIDATES = {
+    "orders": ["o_orderkey", "o_custkey", "o_orderdate"],
+    "customer": ["c_custkey", "c_nationkey", "c_mktsegment"],
+    "part": ["p_partkey", "p_type"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+}
+
+
+def key_discovery(tables: dict) -> DataFrame:
+    """SCHEMA PROFILING: discover which candidate columns actually
+    behave as keys — per (table, column): row count, distinct count,
+    null count, uniqueness ratio, and the is_key / is_near_key
+    verdicts (ratio = 1, ratio >= 0.99 among non-nulls) — the
+    constraint-mining pass (sibling of fd_discovery_audit's
+    functional dependencies) that feeds join planning, dedup-key
+    choice, and CDC merge-key validation.
+
+    Scale: ONE aggregate per table computes every candidate's
+    approx-free exact distinct via count(distinct) over the declared
+    candidate list; output is |candidates|-bounded."""
+    outs = []
+    for tname, cols in KEY_CANDIDATES.items():
+        df = tables[tname]
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        for c in cols:
+            aggs.append(F.countDistinct(c).cast("long").alias(f"d_{c}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"z_{c}")
+            )
+        stats = df.agg(*aggs)
+        for c in cols:
+            outs.append(
+                stats.select(
+                    F.lit(tname).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    "n_rows",
+                    F.col(f"d_{c}").alias("n_distinct"),
+                    F.col(f"z_{c}").alias("n_nulls"),
+                )
+            )
+    all_ = outs[0]
+    for o in outs[1:]:
+        all_ = all_.unionByName(o)
+    ratio = F.round(
+        F.try_divide(
+            F.col("n_distinct").cast("double"),
+            F.nullif((F.col("n_rows") - F.col("n_nulls")).cast("double"), F.lit(0.0)),
+        ),
+        6,
+    )
+    return all_.select(
+        "table_name",
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        "n_nulls",
+        (ratio + F.lit(0.0)).alias("uniqueness"),
+        (
+            (F.col("n_distinct") == F.col("n_rows")) & (F.col("n_nulls") == 0)
+        ).cast("int").alias("is_key"),
+        (ratio >= 0.99).cast("int").alias("is_near_key"),
+    ).orderBy("table_name", "column_name")

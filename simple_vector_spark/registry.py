@@ -18932,3 +18932,46 @@ def source_lm_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-gated held-out split — tuning with honest evaluation, best
     lambda flagged by held-out perplexity."""
     return T.bigram_lambda_sweep(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 210 (round 2): candidate-key discovery profiling.
+# --------------------------------------------------------------------------
+
+_KEY_UNIONS = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+FROM {t}"""
+    for t, cols in R.KEY_CANDIDATES.items()
+    for c in cols
+)
+
+
+@query(
+    "table_key_discovery",
+    f"""
+WITH stats AS (
+{_KEY_UNIONS}
+)
+SELECT table_name, column_name, n_rows, n_distinct, n_nulls,
+       ROUND(CAST(n_distinct AS DOUBLE)
+             / NULLIF(CAST(n_rows - n_nulls AS DOUBLE), 0.0), 6) + 0.0
+         AS uniqueness,
+       CAST(CASE WHEN n_distinct = n_rows AND n_nulls = 0
+                 THEN 1 ELSE 0 END AS INT) AS is_key,
+       CAST(CASE WHEN ROUND(CAST(n_distinct AS DOUBLE)
+                            / NULLIF(CAST(n_rows - n_nulls AS DOUBLE), 0.0),
+                            6) >= 0.99
+                 THEN 1 ELSE 0 END AS INT) AS is_near_key
+FROM stats
+ORDER BY table_name, column_name
+""",
+)
+def table_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key mining per table: uniqueness ratios + key /
+    near-key verdicts off one aggregate per table."""
+    return R.key_discovery(
+        {t: load_table(spark, sf_dir, t) for t in R.KEY_CANDIDATES}
+    )
