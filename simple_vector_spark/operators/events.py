@@ -3415,3 +3415,95 @@ def bot_detection_screen(events: DataFrame, topk: int = BOT_TOPK) -> DataFrame:
         .orderBy(F.col("bot_score").desc(), F.col("user_id").asc())
         .limit(topk)
     )
+
+
+LOGNORM_GAP_MIN = 30  # session gap, minutes (same as events_sessionize)
+
+
+def session_lognormal_fit(events: DataFrame) -> DataFrame:
+    """LOGNORMAL fit of session durations (method of moments on ln d):
+    dwell/duration distributions are classically lognormal, and the
+    fitted (mu, sigma) gives the model quantiles capacity planning
+    uses — compared here against the EMPIRICAL mean so the fit's
+    multiplicative-vs-additive story is visible (lognormal mean
+    e^(mu+sigma^2/2) exceeds the median e^mu by exactly the skew the
+    arithmetic average hides).
+
+    Sessions: 30-minute-gap islands per user (the events_sessionize
+    construction); zero-length (single-event) sessions are excluded
+    from the log fit and counted.  Scale: user-partitioned windows,
+    DECIMAL-rounded ln moments, closed-form everything."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "new_s",
+        (
+            F.col("prev").isNull()
+            | (
+                F.col("ts").cast("double") - F.col("prev").cast("double")
+                > LOGNORM_GAP_MIN * 60
+            )
+        ).cast("int"),
+    )
+    sw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.withColumn("sid", F.sum("new_s").over(sw))
+    durs = sess.groupBy("user_id", "sid").agg(
+        F.round(
+            F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")),
+            3,
+        ).alias("d")
+    )
+    valid = durs.filter(F.col("d") > 0)
+    pts = valid.select(
+        F.round(F.log(F.col("d")), 9).cast("decimal(18,9)").alias("l")
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("l").alias("sl"),
+        F.sum(
+            F.round(F.col("l").cast("double") * F.col("l").cast("double"), 9)
+            .cast("decimal(28,9)")
+        ).alias("sll"),
+    )
+    zero = durs.agg(
+        F.sum((F.col("d") == 0).cast("int")).cast("long").alias("n_single")
+    )
+    emp = valid.agg(
+        F.sum(F.col("d").cast("decimal(20,3)")).alias("sd")
+    )
+    nd = F.col("n_sessions").cast("double")
+    mu = F.try_divide(F.col("sl").cast("double"), F.nullif(nd, F.lit(0.0)))
+    var = F.try_divide(
+        F.col("sll").cast("double") - nd * mu * mu,
+        F.nullif(nd - F.lit(1.0), F.lit(0.0)),
+    )
+    sig = F.sqrt(F.greatest(F.coalesce(var, F.lit(0.0)), F.lit(0.0)))
+    return (
+        s.crossJoin(zero)
+        .crossJoin(emp)
+        .select(
+            "n_sessions",
+            "n_single",
+            (F.round(mu, 6) + F.lit(0.0)).alias("mu_ln"),
+            (F.round(sig, 6) + F.lit(0.0)).alias("sigma_ln"),
+            (F.round(F.exp(mu), 6) + F.lit(0.0)).alias("median_model_s"),
+            (
+                F.round(F.exp(mu + sig * sig / F.lit(2.0)), 6) + F.lit(0.0)
+            ).alias("mean_model_s"),
+            (
+                F.round(
+                    F.try_divide(
+                        F.col("sd").cast("double"), F.nullif(nd, F.lit(0.0))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_empirical_s"),
+            (
+                F.round(F.exp(mu + F.lit(1.644854) * sig), 6) + F.lit(0.0)
+            ).alias("p95_model_s"),
+        )
+    )

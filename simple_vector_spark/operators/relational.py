@@ -7747,3 +7747,100 @@ def key_discovery(tables: dict) -> DataFrame:
         ).cast("int").alias("is_key"),
         (ratio >= 0.99).cast("int").alias("is_near_key"),
     ).orderBy("table_name", "column_name")
+
+
+HAZARD_HORIZON_DAYS = 30
+
+
+def recency_purchase_hazard(orders: DataFrame) -> DataFrame:
+    """NEXT-PURCHASE HAZARD BY RECENCY, built with point-in-time
+    discipline: anchor the cutoff {HAZARD_HORIZON_DAYS} days before
+    the data's end, bucket every customer by how long ago (as of the
+    cutoff) they last ordered, and measure who actually purchased in
+    the following {HAZARD_HORIZON_DAYS} days — the empirical
+    calibration table behind "recency predicts reactivation" (and the
+    honest way to build it: features strictly before the cutoff,
+    label strictly after; see events_pit_user_state for the
+    general PIT join).  Lift vs the base rate per bucket.
+
+    Scale: two passes over orders split by the cutoff (one customer
+    aggregate each), broadcast base rate; buckets are fixed edges so
+    the binning is engine-stable."""
+    maxd = orders.agg(F.max("o_orderdate").alias("mx"))
+    cut = F.broadcast(
+        maxd.select(
+            F.date_sub(F.col("mx"), HAZARD_HORIZON_DAYS).alias("cutoff")
+        )
+    )
+    before = (
+        orders.crossJoin(cut)
+        .filter(F.col("o_orderdate") <= F.col("cutoff"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.first("cutoff").alias("cutoff"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("cutoff"), F.col("last_order")).alias("recency"),
+        )
+    )
+    after = (
+        orders.crossJoin(cut)
+        .filter(F.col("o_orderdate") > F.col("cutoff"))
+        .select("o_custkey")
+        .distinct()
+        .withColumn("bought", F.lit(1))
+    )
+    bucket = (
+        F.when(F.col("recency") <= 30, "a_0_30")
+        .when(F.col("recency") <= 60, "b_31_60")
+        .when(F.col("recency") <= 120, "c_61_120")
+        .when(F.col("recency") <= 365, "d_121_365")
+        .otherwise("e_365_plus")
+    )
+    tagged = before.join(after, "o_custkey", "left").select(
+        bucket.alias("recency_bucket"),
+        F.coalesce(F.col("bought"), F.lit(0)).alias("bought"),
+    )
+    base = F.broadcast(
+        tagged.agg(
+            (
+                F.sum("bought").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("base_rate")
+        )
+    )
+    return (
+        tagged.groupBy("recency_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("bought").cast("long").alias("n_purchased"),
+        )
+        .crossJoin(base)
+        .select(
+            "recency_bucket",
+            "n_customers",
+            "n_purchased",
+            (
+                F.round(
+                    F.col("n_purchased").cast("double")
+                    / F.col("n_customers").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("next30_rate"),
+            (
+                F.round(
+                    F.try_divide(
+                        F.col("n_purchased").cast("double")
+                        / F.col("n_customers").cast("double"),
+                        F.nullif(F.col("base_rate"), F.lit(0.0)),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lift_vs_base"),
+        )
+        .orderBy("recency_bucket")
+    )

@@ -18975,3 +18975,129 @@ def table_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.key_discovery(
         {t: load_table(spark, sf_dir, t) for t in R.KEY_CANDIDATES}
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 211 (round 2): lognormal session-duration fit.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_session_lognormal",
+    f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w)
+                   > {E.LOGNORM_GAP_MIN} * 60
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+durs AS (
+  SELECT user_id, sid,
+         ROUND(MAX(epoch(ts)) - MIN(epoch(ts)), 3) AS d
+  FROM sess GROUP BY 1, 2
+),
+pts AS (
+  SELECT CAST(ROUND(ln(d), 9) AS DECIMAL(18,9)) AS l FROM durs WHERE d > 0
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, SUM(l) AS sl,
+         SUM(CAST(ROUND(CAST(l AS DOUBLE) * CAST(l AS DOUBLE), 9)
+                  AS DECIMAL(28,9))) AS sll
+  FROM pts
+),
+zero AS (
+  SELECT CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_single
+  FROM durs
+),
+emp AS (
+  SELECT SUM(CAST(d AS DECIMAL(20,3))) AS sd FROM durs WHERE d > 0
+),
+fit AS (
+  SELECT n_sessions, n_single, sd,
+         CAST(sl AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS mu,
+         SQRT(GREATEST((CAST(sll AS DOUBLE)
+                        - CAST(n_sessions AS DOUBLE)
+                          * (CAST(sl AS DOUBLE) / CAST(n_sessions AS DOUBLE))
+                          * (CAST(sl AS DOUBLE) / CAST(n_sessions AS DOUBLE)))
+                       / (CAST(n_sessions AS DOUBLE) - 1.0), 0.0)) AS sig
+  FROM s CROSS JOIN zero CROSS JOIN emp
+)
+SELECT n_sessions, n_single,
+       ROUND(mu, 6) + 0.0 AS mu_ln,
+       ROUND(sig, 6) + 0.0 AS sigma_ln,
+       ROUND(EXP(mu), 6) + 0.0 AS median_model_s,
+       ROUND(EXP(mu + sig * sig / 2.0), 6) + 0.0 AS mean_model_s,
+       ROUND(CAST(sd AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6) + 0.0
+         AS mean_empirical_s,
+       ROUND(EXP(mu + 1.644854 * sig), 6) + 0.0 AS p95_model_s
+FROM fit
+""",
+)
+def events_session_lognormal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal (mu, sigma) of session durations by log-moment
+    matching, with model median/mean/p95 beside the empirical mean —
+    the parametric capacity-planning fit."""
+    return E.session_lognormal_fit(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 212 (round 2): recency-bucket next-purchase hazard (PIT cutoff).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_recency_hazard",
+    f"""
+WITH cut AS (
+  SELECT MAX(o_orderdate) - INTERVAL {R.HAZARD_HORIZON_DAYS} DAY AS cutoff
+  FROM orders
+),
+bef AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), MAX(c.cutoff)) AS recency
+  FROM orders CROSS JOIN cut c
+  WHERE o_orderdate <= c.cutoff
+  GROUP BY 1
+),
+aft AS (
+  SELECT DISTINCT o_custkey, 1 AS bought
+  FROM orders CROSS JOIN cut c
+  WHERE o_orderdate > c.cutoff
+),
+tagged AS (
+  SELECT CASE WHEN recency <= 30 THEN 'a_0_30'
+              WHEN recency <= 60 THEN 'b_31_60'
+              WHEN recency <= 120 THEN 'c_61_120'
+              WHEN recency <= 365 THEN 'd_121_365'
+              ELSE 'e_365_plus' END AS recency_bucket,
+         COALESCE(a.bought, 0) AS bought
+  FROM bef b LEFT JOIN aft a USING (o_custkey)
+),
+base AS (
+  SELECT CAST(SUM(bought) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS base_rate
+  FROM tagged
+)
+SELECT recency_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bought) AS BIGINT) AS n_purchased,
+       ROUND(CAST(SUM(bought) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+         AS next30_rate,
+       ROUND((CAST(SUM(bought) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             / NULLIF(MAX(base.base_rate), 0.0), 6) + 0.0 AS lift_vs_base
+FROM tagged CROSS JOIN base
+GROUP BY 1 ORDER BY 1
+""",
+)
+def orders_recency_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-bucket next-30-day purchase rates with lift vs base —
+    the PIT-disciplined reactivation calibration table."""
+    return R.recency_purchase_hazard(load_table(spark, sf_dir, "orders"))
