@@ -670,3 +670,58 @@ def twonn_intrinsic_dim(corpus: DataFrame) -> DataFrame:
             + F.lit(0.0)
         ).alias("mean_ln_ratio"),
     )
+
+
+OOD_K = 5
+OOD_TOPN = 15
+
+
+def knn_ood_scores(corpus: DataFrame, k: int = OOD_K, topn: int = OOD_TOPN) -> DataFrame:
+    """kNN-DISTANCE OUT-OF-DISTRIBUTION detection (Sun et al. 2022):
+    a vector's OOD score is its distance to its k-th nearest neighbor
+    — points in dense regions score low, isolated points high — the
+    non-parametric OOD baseline that beats norm heuristics
+    (embedding_norm_outliers) when the cloud is multi-modal: a vector
+    can have a perfectly typical norm and still sit in nobody's
+    neighborhood.
+
+    Output: top-{OOD_TOPN} OOD candidates by d_k with their d_1 (gap
+    between 1st and k-th separates "isolated" from "edge of a sparse
+    cluster").  Brute-force pairs at test scale; swap the all-pairs
+    stage for the cell-blocked graph at corpus scale."""
+    from ..functions.vector import as_double_array, squared_l2
+
+    a = corpus.select(
+        F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qv")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("cid"), as_double_array("embedding").alias("cv")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(squared_l2(F.col("qv"), F.col("cv")), 6).alias("d"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cid").asc())
+    tops = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .groupBy("qid")
+        .agg(
+            F.min(F.when(F.col("rnk") == 1, F.col("d"))).alias("d1"),
+            F.min(F.when(F.col("rnk") == k, F.col("d"))).alias("dk"),
+        )
+    )
+    return (
+        tops.select(
+            F.col("qid").alias("vec_id"),
+            F.round(F.sqrt(F.col("d1")), 6).alias("dist_nn1"),
+            F.round(F.sqrt(F.col("dk")), 6).alias("ood_score"),
+        )
+        .orderBy(F.col("ood_score").desc(), F.col("vec_id").asc())
+        .limit(topn)
+    )

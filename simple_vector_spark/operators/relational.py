@@ -7844,3 +7844,92 @@ def recency_purchase_hazard(orders: DataFrame) -> DataFrame:
         )
         .orderBy("recency_bucket")
     )
+
+
+GPD_THRESHOLD_Q = 0.95
+GPD_RET_MULT = 10  # return level at exceedance prob 1/(mult*N)
+
+
+def gpd_tail_fit(orders: DataFrame) -> DataFrame:
+    """EXTREME-VALUE TAIL: peaks-over-threshold GPD fit by
+    probability-weighted moments (Hosking-Wallis closed form — no
+    iterative MLE): exceedances over the P{GPD_THRESHOLD_Q*100:.0f}
+    threshold get shape xi and scale sigma from the first two sample
+    L-moments, plus the 10N-observation return level —
+    the principled "how bad can it get" quantification the Hill
+    estimator (orders_hill_tail_index) only sketches (Hill assumes a
+    pure Pareto tail; GPD nests light, exponential and heavy tails
+    and says WHICH via xi's sign).
+
+    l1 = b0, l2 = 2*b1 - b0 with b1 = sum((r-1)/(n-1) * y_(r))/n over
+    ascending exceedances; k = l1/l2 - 2, sigma = l1*(1+k), xi = -k.
+
+    Scale: one exact-percentile pass for the threshold (broadcast
+    scalar), one scale-safe :func:`ranking.ranked_global` over the
+    exceedance set (tail-sized, not data-sized), DECIMAL-rounded
+    weighted sums."""
+    from .ranking import ranked_global
+
+    x = F.col("o_totalprice").cast("double")
+    u = F.broadcast(
+        orders.agg(
+            F.round(F.percentile(x, GPD_THRESHOLD_Q), 6).alias("u"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+    )
+    exc = (
+        orders.crossJoin(u)
+        .filter(x > F.col("u"))
+        .select(
+            "o_orderkey",
+            "u",
+            "n_total",
+            F.round(x - F.col("u"), 6).alias("y"),
+        )
+    )
+    ranked = ranked_global(
+        exc,
+        [F.col("y").asc(), F.col("o_orderkey").asc()],
+        rank_name="r",
+        total_name="n",
+    )
+    terms = ranked.select(
+        "u",
+        "n_total",
+        "n",
+        F.col("y").cast("decimal(20,6)").alias("y_dec"),
+        F.round(
+            (F.col("r") - F.lit(1)).cast("double")
+            / (F.col("n") - F.lit(1)).cast("double")
+            * F.col("y"),
+            6,
+        )
+        .cast("decimal(24,6)")
+        .alias("wy"),
+    )
+    s = terms.groupBy("u", "n_total", "n").agg(
+        F.sum("y_dec").alias("sy"), F.sum("wy").alias("swy")
+    )
+    nd = F.col("n").cast("double")
+    b0 = F.col("sy").cast("double") / nd
+    b1 = F.col("swy").cast("double") / nd
+    l2 = F.lit(2.0) * b1 - b0
+    k = F.try_divide(b0, F.nullif(l2, F.lit(0.0))) - F.lit(2.0)
+    sigma = b0 * (F.lit(1.0) + k)
+    xi = -k
+    pu = nd / F.col("n_total").cast("double")
+    p = F.lit(1.0) / (F.lit(float(GPD_RET_MULT)) * F.col("n_total").cast("double"))
+    ret = F.col("u") + F.try_divide(sigma, F.nullif(xi, F.lit(0.0))) * (
+        F.pow(pu / p, xi) - F.lit(1.0)
+    )
+    return s.select(
+        F.col("u").alias("threshold"),
+        F.col("n").alias("n_exceed"),
+        (F.round(xi, 6) + F.lit(0.0)).alias("gpd_xi"),
+        (F.round(sigma, 6) + F.lit(0.0)).alias("gpd_sigma"),
+        (F.round(ret, 6) + F.lit(0.0)).alias("return_level_10n"),
+        F.when(F.round(xi, 6) > 0.05, F.lit("heavy"))
+        .when(F.round(xi, 6) < -0.05, F.lit("bounded"))
+        .otherwise(F.lit("exponential_like"))
+        .alias("tail_class"),
+    )

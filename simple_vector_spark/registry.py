@@ -19101,3 +19101,112 @@ def orders_recency_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-bucket next-30-day purchase rates with lift vs base —
     the PIT-disciplined reactivation calibration table."""
     return R.recency_purchase_hazard(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 213 (round 2): kNN-distance out-of-distribution scores.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_knn_ood",
+    f"""
+WITH pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(b.embedding AS DOUBLE[])) AS y
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+d AS (
+  SELECT qid, cid, ROUND(SUM((x - y) * (x - y)), 6) AS d
+  FROM pairs GROUP BY qid, cid
+),
+tops AS (
+  SELECT qid,
+         MIN(CASE WHEN rnk = 1 THEN d END) AS d1,
+         MIN(CASE WHEN rnk = {K.OOD_K} THEN d END) AS dk
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY d ASC, cid ASC) AS rnk
+    FROM d
+  ) WHERE rnk <= {K.OOD_K}
+  GROUP BY qid
+)
+SELECT qid AS vec_id,
+       ROUND(SQRT(d1), 6) AS dist_nn1,
+       ROUND(SQRT(dk), 6) AS ood_score
+FROM tops
+ORDER BY ood_score DESC, vec_id ASC
+LIMIT {K.OOD_TOPN}
+""",
+)
+def embedding_knn_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-th-NN distance OOD scores, top candidates — the
+    non-parametric outlier detector beside the norm screen."""
+    return K.knn_ood_scores(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Wave 214 (round 2): GPD peaks-over-threshold tail fit (PWM closed form).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_gpd_tail",
+    f"""
+WITH u AS (
+  SELECT ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE),
+                             {R.GPD_THRESHOLD_Q}), 6) AS u,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM orders
+),
+exc AS (
+  SELECT o_orderkey, u.u, u.n_total,
+         ROUND(CAST(o_totalprice AS DOUBLE) - u.u, 6) AS y
+  FROM orders CROSS JOIN u
+  WHERE CAST(o_totalprice AS DOUBLE) > u.u
+),
+ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (ORDER BY y ASC, o_orderkey ASC) AS BIGINT)
+           AS r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM exc
+),
+s AS (
+  SELECT u, n_total, n,
+         SUM(CAST(y AS DECIMAL(20,6))) AS sy,
+         SUM(CAST(ROUND(CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) * y, 6)
+                  AS DECIMAL(24,6))) AS swy
+  FROM ranked GROUP BY 1, 2, 3
+),
+fit AS (
+  SELECT u, n_total, n,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS b0,
+         CAST(swy AS DOUBLE) / CAST(n AS DOUBLE) AS b1
+  FROM s
+),
+kk AS (
+  SELECT u, n_total, n, b0, b1,
+         b0 / NULLIF(2.0 * b1 - b0, 0.0) - 2.0 AS k
+  FROM fit
+)
+SELECT u AS threshold, n AS n_exceed,
+       ROUND(-k, 6) + 0.0 AS gpd_xi,
+       ROUND(b0 * (1.0 + k), 6) + 0.0 AS gpd_sigma,
+       ROUND(u + (b0 * (1.0 + k)) / NULLIF(-k, 0.0)
+                 * (pow((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+                        / (1.0 / ({float(R.GPD_RET_MULT)}
+                                  * CAST(n_total AS DOUBLE))), -k)
+                    - 1.0), 6) + 0.0 AS return_level_10n,
+       CASE WHEN ROUND(-k, 6) > 0.05 THEN 'heavy'
+            WHEN ROUND(-k, 6) < -0.05 THEN 'bounded'
+            ELSE 'exponential_like' END AS tail_class
+FROM kk
+""",
+)
+def orders_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosking-Wallis PWM fit of the GPD over P95 exceedances with the
+    10N return level — the full EVT read beside the Hill index."""
+    return R.gpd_tail_fit(load_table(spark, sf_dir, "orders"))
