@@ -2869,3 +2869,118 @@ def bigram_lambda_sweep(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("lam")
     )
+
+
+DELTA_TOP_WORDS = 30
+DELTA_TOPK_PAIRS = 10
+
+
+def burrows_delta_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BURROWS' DELTA stylometry between sources: z-score each
+    source's relative frequency of the corpus's top-{DELTA_TOP_WORDS}
+    words (function words dominate that head — the authorship signal),
+    then Delta(s1, s2) = mean |z1 - z2| over those words — the
+    classic "same author/pipeline?" distance.  Near-zero Delta between
+    two supposedly independent sources is how template farms and
+    mirrored scrapes show up; the stylometric sibling of the
+    content-hash dedup suite.
+
+    Output: the {DELTA_TOPK_PAIRS} most stylistically SIMILAR source
+    pairs (smallest Delta).  Scale: one token pass; a
+    |sources| x {DELTA_TOP_WORDS} frequency grid; the pair join runs
+    on the tiny grid, never the corpus."""
+    toks = docs.select(
+        "source", F.explode(tokens(F.col(text_col))).alias("t")
+    ).localCheckpoint()
+    stot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    top = F.broadcast(
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(DELTA_TOP_WORDS)
+        .select("t")
+    )
+    grid = (
+        toks.join(top, "t")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .join(stot, "source")
+        .select(
+            "source",
+            "t",
+            F.round(
+                F.col("c").cast("double") / F.col("n_src").cast("double"), 9
+            ).alias("f"),
+        )
+    )
+    # complete the grid: missing (source, word) cells are zero freq
+    full = (
+        stot.select("source")
+        .crossJoin(top)
+        .join(grid, ["source", "t"], "left")
+        .select(
+            "source", "t", F.coalesce(F.col("f"), F.lit(0.0)).alias("f")
+        )
+        .localCheckpoint()
+    )
+    stats = full.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("f").cast("decimal(18,9)")).alias("sf"),
+        F.sum(
+            F.round(F.col("f") * F.col("f"), 12).cast("decimal(24,12)")
+        ).alias("sff"),
+    )
+    kd = F.col("k").cast("double")
+    mu = F.col("sf").cast("double") / kd
+    var = (F.col("sff").cast("double") - kd * mu * mu) / (kd - F.lit(1.0))
+    wstats = stats.select(
+        "t",
+        F.round(mu, 9).alias("mu"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 9).alias("sd"),
+    )
+    z = full.join(F.broadcast(wstats), "t").select(
+        "source",
+        "t",
+        F.round(
+            F.try_divide(
+                F.col("f") - F.col("mu"), F.nullif(F.col("sd"), F.lit(0.0))
+            ),
+            6,
+        ).alias("z"),
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "t", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "t", F.col("z").alias("zb")
+    )
+    pairs = (
+        a.join(b, "t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(
+                F.round(F.abs(F.col("za") - F.col("zb")), 6).cast(
+                    "decimal(20,6)"
+                )
+            ).alias("sdz"),
+        )
+    )
+    return (
+        pairs.select(
+            "source_a",
+            "source_b",
+            (
+                F.round(
+                    F.col("sdz").cast("double") / F.col("n_words").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("delta"),
+        )
+        .orderBy(F.col("delta").asc(), F.col("source_a").asc(), F.col("source_b").asc())
+        .limit(DELTA_TOPK_PAIRS)
+    )

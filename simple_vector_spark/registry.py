@@ -19210,3 +19210,110 @@ def orders_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hosking-Wallis PWM fit of the GPD over P95 exceedances with the
     10N return level — the full EVT read beside the Hill index."""
     return R.gpd_tail_fit(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 215 (round 2): Burrows' Delta stylometric source similarity.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_burrows_delta",
+    f"""
+WITH toks AS (
+  SELECT source, unnest({_TK_SQL}) AS t FROM documents
+),
+stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+         FROM toks GROUP BY 1),
+top AS (
+  SELECT t FROM (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+  ) ORDER BY c DESC, t ASC LIMIT {T.DELTA_TOP_WORDS}
+),
+grid AS (
+  SELECT k.source, k.t,
+         ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(s.n_src) AS DOUBLE), 9)
+           AS f
+  FROM toks k JOIN top USING (t) JOIN stot s USING (source)
+  GROUP BY 1, 2
+),
+full_grid AS (
+  SELECT s.source, top.t, COALESCE(g.f, 0.0) AS f
+  FROM stot s CROSS JOIN top
+  LEFT JOIN grid g ON g.source = s.source AND g.t = top.t
+),
+stats AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(f AS DECIMAL(18,9))) AS sf,
+         SUM(CAST(ROUND(f * f, 12) AS DECIMAL(24,12))) AS sff
+  FROM full_grid GROUP BY 1
+),
+wstats AS (
+  SELECT t,
+         ROUND(CAST(sf AS DOUBLE) / CAST(k AS DOUBLE), 9) AS mu,
+         ROUND(SQRT(GREATEST((CAST(sff AS DOUBLE)
+                              - CAST(k AS DOUBLE)
+                                * (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+                                * (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE)))
+                             / (CAST(k AS DOUBLE) - 1.0), 0.0)), 9) AS sd
+  FROM stats
+),
+z AS (
+  SELECT g.source, g.t,
+         ROUND((g.f - w.mu) / NULLIF(w.sd, 0.0), 6) AS z
+  FROM full_grid g JOIN wstats w USING (t)
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         SUM(CAST(ROUND(ABS(a.z - b.z), 6) AS DECIMAL(20,6))) AS sdz
+  FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       ROUND(CAST(sdz AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0
+         AS delta
+FROM pairs
+ORDER BY delta ASC, source_a ASC, source_b ASC
+LIMIT {T.DELTA_TOPK_PAIRS}
+""",
+)
+def source_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta over the top-30 corpus words: the most
+    stylistically similar source pairs — template farms and mirrored
+    scrapes show up as near-zero Delta."""
+    return T.burrows_delta_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 216 (round 2): quantile treatment effects for the A/B split.
+# --------------------------------------------------------------------------
+
+_QTE_LIST = "[" + ", ".join(repr(q) for q in E.QTE_DECILES) + "]"
+
+
+@query(
+    "events_quantile_effects",
+    f"""
+WITH users AS (
+  SELECT user_id, ROUND(SUM(value), 6) AS y FROM events GROUP BY 1
+),
+base AS (
+  SELECT CAST({_H_SQL.format(v="CAST(user_id AS VARCHAR)")} % 2 AS INT)
+           AS arm, y
+  FROM users
+),
+qa AS (SELECT quantile_cont(y, {_QTE_LIST}) AS q FROM base WHERE arm = 0),
+qb AS (SELECT quantile_cont(y, {_QTE_LIST}) AS q FROM base WHERE arm = 1)
+SELECT CAST(i * 10 AS INT) AS decile,
+       ROUND(qa.q[i], 6) + 0.0 AS q_control,
+       ROUND(qb.q[i], 6) + 0.0 AS q_treatment,
+       ROUND(qb.q[i] - qa.q[i], 6) + 0.0 AS qte
+FROM qa CROSS JOIN qb, UNNEST(range(1, 10)) AS u(i)
+ORDER BY decile
+""",
+)
+def events_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile treatment-vs-control quantile differences of user
+    total value — where in the distribution the effect lives."""
+    return E.quantile_treatment_effects(load_table(spark, sf_dir, "events"))
