@@ -1888,3 +1888,93 @@ def rp_multiprobe_search(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+CKA_DIM_FULL = 64
+CKA_DIM_HALF = 32
+CKA_DIM_QUARTER = 16
+
+
+def linear_cka_views(emb: DataFrame) -> DataFrame:
+    """LINEAR CKA (centered kernel alignment) between the full
+    embedding and its matryoshka prefixes: CKA(X, Y) =
+    ||X'Y||_F^2 / (||X'X||_F ||Y'Y||_F) over column-centered views —
+    THE representation-similarity metric (Kornblith et al. 2019),
+    answering "how much of the full space's geometry does the
+    truncated view keep" with a basis-invariant number in [0, 1];
+    the principled companion to ann_matryoshka_recall's behavioral
+    check.
+
+    Everything reduces to ONE pair-gram table P_ab = sum_rows
+    (x_a - m_a)(x_b - m_b) over the 64x64 dim pairs: the three
+    Frobenius terms for each view are conditional sums of P_ab^2 —
+    so the data-sized work is a single dim-pair aggregate
+    (|rows| x 4096 product terms, map-side combined), never an n x n
+    kernel.  9dp-rounded DECIMAL folds throughout."""
+    d = CKA_DIM_FULL
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("a", "xa"),
+    ).localCheckpoint()
+    means = F.broadcast(
+        e.groupBy("a").agg(
+            F.round(
+                F.sum(F.col("xa").cast("decimal(24,9)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("m")
+        )
+    )
+    cx = e.join(means, "a").select(
+        "id", "a", (F.col("xa") - F.col("m")).alias("x")
+    )
+    p = (
+        cx.join(
+            cx.select(
+                F.col("id"), F.col("a").alias("b"), F.col("x").alias("y")
+            ),
+            "id",
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.col("y"), 9).cast("decimal(28,9)")
+            ).alias("p")
+        )
+    )
+    n = F.broadcast(emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs")))
+    sq = F.round(
+        F.col("p").cast("double") * F.col("p").cast("double"), 6
+    ).cast("decimal(38,6)")
+    sums = p.agg(
+        F.sum(sq).alias("sxx"),
+        F.sum(F.when((F.col("a") < CKA_DIM_HALF) & (F.col("b") < CKA_DIM_HALF), sq)).alias(
+            "syy32"
+        ),
+        F.sum(F.when(F.col("b") < CKA_DIM_HALF, sq)).alias("sxy32"),
+        F.sum(
+            F.when(
+                (F.col("a") < CKA_DIM_QUARTER) & (F.col("b") < CKA_DIM_QUARTER),
+                sq,
+            )
+        ).alias("syy16"),
+        F.sum(F.when(F.col("b") < CKA_DIM_QUARTER, sq)).alias("sxy16"),
+    )
+
+    def cka(sxy, syy):
+        return F.round(
+            F.try_divide(
+                F.col(sxy).cast("double"),
+                F.nullif(
+                    F.sqrt(F.col("sxx").cast("double"))
+                    * F.sqrt(F.col(syy).cast("double")),
+                    F.lit(0.0),
+                ),
+            ),
+            6,
+        ) + F.lit(0.0)
+    return sums.crossJoin(n).select(
+        "n_vecs",
+        cka("sxy32", "syy32").alias("cka_dim32"),
+        cka("sxy16", "syy16").alias("cka_dim16"),
+    )

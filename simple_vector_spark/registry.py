@@ -19317,3 +19317,69 @@ def events_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-decile treatment-vs-control quantile differences of user
     total value — where in the distribution the effect lives."""
     return E.quantile_treatment_effects(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Wave 217 (round 2): linear CKA between the full embedding and its
+# matryoshka prefixes.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_cka_views",
+    f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id AS id, i AS a, CAST(embedding[i] AS DOUBLE) AS xa
+  FROM embeddings, UNNEST(range(1, {A.CKA_DIM_FULL} + 1)) AS u(i)
+),
+means AS (
+  SELECT a,
+         ROUND(CAST(SUM(CAST(xa AS DECIMAL(24,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 9) AS m
+  FROM e GROUP BY 1
+),
+cx AS MATERIALIZED (
+  SELECT id, a, xa - m AS x FROM e JOIN means USING (a)
+),
+p AS (
+  SELECT l.a, r.a AS b,
+         SUM(CAST(ROUND(l.x * r.x, 9) AS DECIMAL(28,9))) AS p
+  FROM cx l JOIN cx r ON l.id = r.id
+  GROUP BY 1, 2
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings),
+sums AS (
+  SELECT
+    SUM(CAST(ROUND(CAST(p AS DOUBLE) * CAST(p AS DOUBLE), 6)
+             AS DECIMAL(38,6))) AS sxx,
+    SUM(CASE WHEN a <= {A.CKA_DIM_HALF} AND b <= {A.CKA_DIM_HALF}
+             THEN CAST(ROUND(CAST(p AS DOUBLE) * CAST(p AS DOUBLE), 6)
+                       AS DECIMAL(38,6)) END) AS syy32,
+    SUM(CASE WHEN b <= {A.CKA_DIM_HALF}
+             THEN CAST(ROUND(CAST(p AS DOUBLE) * CAST(p AS DOUBLE), 6)
+                       AS DECIMAL(38,6)) END) AS sxy32,
+    SUM(CASE WHEN a <= {A.CKA_DIM_QUARTER} AND b <= {A.CKA_DIM_QUARTER}
+             THEN CAST(ROUND(CAST(p AS DOUBLE) * CAST(p AS DOUBLE), 6)
+                       AS DECIMAL(38,6)) END) AS syy16,
+    SUM(CASE WHEN b <= {A.CKA_DIM_QUARTER}
+             THEN CAST(ROUND(CAST(p AS DOUBLE) * CAST(p AS DOUBLE), 6)
+                       AS DECIMAL(38,6)) END) AS sxy16
+  FROM p
+)
+SELECT n_vecs,
+       ROUND(CAST(sxy32 AS DOUBLE)
+             / NULLIF(SQRT(CAST(sxx AS DOUBLE))
+                      * SQRT(CAST(syy32 AS DOUBLE)), 0.0), 6) + 0.0
+         AS cka_dim32,
+       ROUND(CAST(sxy16 AS DOUBLE)
+             / NULLIF(SQRT(CAST(sxx AS DOUBLE))
+                      * SQRT(CAST(syy16 AS DOUBLE)), 0.0), 6) + 0.0
+         AS cka_dim16
+FROM sums CROSS JOIN n
+""",
+)
+def embedding_cka_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA of the full 64-dim space vs its 32/16-dim matryoshka
+    prefixes — basis-invariant representation similarity from one
+    dim-pair gram aggregate."""
+    return A.linear_cka_views(load_table(spark, sf_dir, "embeddings"))
