@@ -7933,3 +7933,183 @@ def gpd_tail_fit(orders: DataFrame) -> DataFrame:
         .otherwise(F.lit("exponential_like"))
         .alias("tail_class"),
     )
+
+
+def panel_fixed_effects(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TWO-WAY FIXED-EFFECTS (within) estimator: the effect of
+    discount on quantity with PART and SHIP-MONTH fixed effects —
+    the panel-econometrics workhorse that kills both "some parts just
+    move in bulk" and "some months are just big" confounding, which
+    the pooled OLS (lineitem_discount_elasticity) absorbs into its
+    slope.  Demeaning identity: regress (y - y_bar_i - y_bar_t +
+    y_bar) on the same transform of x; slope = S_xy / S_xx of the
+    demeaned cross moments.
+
+    Scale: two group-mean aggregates (part-keyed, month-keyed) + a
+    broadcast grand mean joined back in ONE pass over the fact; the
+    demeaned moments are 6dp-rounded DECIMAL sums."""
+    base = lineitem.join(
+        F.broadcast(part.select("p_partkey")),
+        lineitem.l_partkey == F.col("p_partkey"),
+    ).select(
+        F.col("l_partkey").alias("i"),
+        F.date_trunc("month", "l_shipdate").alias("t"),
+        F.col("l_discount").cast("decimal(15,2)").alias("x"),
+        F.col("l_quantity").cast("decimal(15,2)").alias("y"),
+    ).localCheckpoint()
+
+    def _means(*keys):
+        g = base.groupBy(*keys) if keys else base.groupBy()
+        return g.agg(
+            F.round(
+                F.sum("x").cast("double") / F.count(F.lit(1)).cast("double"), 9
+            ).alias("xm"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"), 9
+            ).alias("ym"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+
+    gi = _means("i").select(
+        "i", F.col("xm").alias("xi"), F.col("ym").alias("yi")
+    )
+    gt = _means("t").select(
+        "t", F.col("xm").alias("xt"), F.col("ym").alias("yt")
+    )
+    gg = F.broadcast(
+        _means().select(
+            F.col("xm").alias("xg"),
+            F.col("ym").alias("yg"),
+            F.col("cnt").alias("n"),
+        )
+    )
+    dem = (
+        base.join(gi, "i")
+        .join(F.broadcast(gt), "t")
+        .crossJoin(gg)
+        .select(
+            "n",
+            (
+                F.col("x").cast("double")
+                - F.col("xi")
+                - F.col("xt")
+                + F.col("xg")
+            ).alias("xd"),
+            (
+                F.col("y").cast("double")
+                - F.col("yi")
+                - F.col("yt")
+                + F.col("yg")
+            ).alias("yd"),
+        )
+    )
+    s = dem.groupBy("n").agg(
+        F.sum(
+            F.round(F.col("xd") * F.col("yd"), 6).cast("decimal(30,6)")
+        ).alias("sxy"),
+        F.sum(
+            F.round(F.col("xd") * F.col("xd"), 6).cast("decimal(30,6)")
+        ).alias("sxx"),
+        F.sum(
+            F.round(F.col("yd") * F.col("yd"), 6).cast("decimal(30,6)")
+        ).alias("syy"),
+    )
+    b = F.try_divide(
+        F.col("sxy").cast("double"), F.nullif(F.col("sxx").cast("double"), F.lit(0.0))
+    )
+    r2w = F.try_divide(
+        F.col("sxy").cast("double") * F.col("sxy").cast("double"),
+        F.nullif(
+            F.col("sxx").cast("double") * F.col("syy").cast("double"), F.lit(0.0)
+        ),
+    )
+    return s.select(
+        "n",
+        (F.round(b, 6) + F.lit(0.0)).alias("fe_slope"),
+        (F.round(r2w, 6) + F.lit(0.0)).alias("within_r2"),
+    )
+
+
+FAIRNESS_IMPACT_FLOOR = 0.8  # four-fifths rule
+
+
+def priority_parity_audit(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """DISPARATE-IMPACT AUDIT (four-fifths rule) on urgent-priority
+    assignment across market segments: per segment the URGENT rate,
+    its ratio to the most-favored segment's rate, and the 80%-rule
+    flag — the fairness screen every automated decision table should
+    ship with, applied to the fixture's decision proxy.
+
+    Scale: one broadcast dim join + one segment aggregate; the
+    max-rate reference is a broadcast scalar."""
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    g = j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("int"))
+        .cast("long")
+        .alias("n_urgent"),
+    )
+    rate = F.round(
+        F.col("n_urgent").cast("double") / F.col("n_orders").cast("double"), 6
+    )
+    rated = g.select("segment", "n_orders", "n_urgent", rate.alias("rate"))
+    mx = F.broadcast(rated.agg(F.max("rate").alias("max_rate")))
+    ratio = F.round(
+        F.try_divide(F.col("rate"), F.nullif(F.col("max_rate"), F.lit(0.0))), 6
+    )
+    return (
+        rated.crossJoin(mx)
+        .select(
+            "segment",
+            "n_orders",
+            "n_urgent",
+            (F.col("rate") + F.lit(0.0)).alias("urgent_rate"),
+            (ratio + F.lit(0.0)).alias("impact_ratio"),
+            (ratio < F.lit(FAIRNESS_IMPACT_FLOOR)).cast("int").alias(
+                "four_fifths_flag"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+ES_ALPHA = 0.95
+
+
+def expected_shortfall(orders: DataFrame) -> DataFrame:
+    """VaR + EXPECTED SHORTFALL (CVaR) at {ES_ALPHA}: the tail mean
+    beyond the quantile — the coherent risk number that answers "WHEN
+    we land in the worst 5%, how bad is it on average" (VaR alone says
+    nothing past its own cut).  Pairs with orders_gpd_tail: GPD models
+    the tail shape, ES summarizes its realized cost.
+
+    Scale: one exact-percentile pass (broadcast threshold), one
+    filtered DECIMAL aggregate."""
+    x = F.col("o_totalprice").cast("double")
+    u = F.broadcast(
+        orders.agg(F.round(F.percentile(x, ES_ALPHA), 6).alias("var"))
+    )
+    tail = (
+        orders.crossJoin(u)
+        .filter(x > F.col("var"))
+        .agg(
+            F.first("var").alias("var"),
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+            F.sum(_dec("o_totalprice")).alias("st"),
+        )
+    )
+    es = F.col("st").cast("double") / F.col("n_tail").cast("double")
+    return tail.select(
+        (F.col("var") + F.lit(0.0)).alias("var_95"),
+        "n_tail",
+        (F.round(es, 6) + F.lit(0.0)).alias("expected_shortfall"),
+        (
+            F.round(
+                F.try_divide(es, F.nullif(F.col("var"), F.lit(0.0))), 6
+            )
+            + F.lit(0.0)
+        ).alias("es_to_var_ratio"),
+    )

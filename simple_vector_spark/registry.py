@@ -19383,3 +19383,129 @@ def embedding_cka_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes — basis-invariant representation similarity from one
     dim-pair gram aggregate."""
     return A.linear_cka_views(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Waves 218-220 (round 2): panel fixed effects, fairness parity audit,
+# expected shortfall.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_panel_fe",
+    """
+WITH base AS (
+  SELECT l_partkey AS i, date_trunc('month', l_shipdate) AS t,
+         CAST(l_discount AS DECIMAL(15,2)) AS x,
+         CAST(l_quantity AS DECIMAL(15,2)) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+gi AS (
+  SELECT i,
+         ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS xi,
+         ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS yi
+  FROM base GROUP BY 1
+),
+gt AS (
+  SELECT t,
+         ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS xt,
+         ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS yt
+  FROM base GROUP BY 1
+),
+gg AS (
+  SELECT ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS xg,
+         ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS yg,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base
+),
+dem AS (
+  SELECT n,
+         CAST(b.x AS DOUBLE) - xi - xt + xg AS xd,
+         CAST(b.y AS DOUBLE) - yi - yt + yg AS yd
+  FROM base b JOIN gi USING (i) JOIN gt USING (t) CROSS JOIN gg
+),
+s AS (
+  SELECT n,
+         SUM(CAST(ROUND(xd * yd, 6) AS DECIMAL(30,6))) AS sxy,
+         SUM(CAST(ROUND(xd * xd, 6) AS DECIMAL(30,6))) AS sxx,
+         SUM(CAST(ROUND(yd * yd, 6) AS DECIMAL(30,6))) AS syy
+  FROM dem GROUP BY 1
+)
+SELECT n,
+       ROUND(CAST(sxy AS DOUBLE) / NULLIF(CAST(sxx AS DOUBLE), 0.0), 6) + 0.0
+         AS fe_slope,
+       ROUND(CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE)
+             / NULLIF(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE), 0.0), 6)
+         + 0.0 AS within_r2
+FROM s
+""",
+)
+def lineitem_panel_fe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way fixed-effects slope of quantity on discount (part +
+    ship-month FE via demeaning) — panel econometrics beside the
+    pooled elasticity."""
+    return R.panel_fixed_effects(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@query(
+    "orders_priority_parity",
+    f"""
+WITH g AS (
+  SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_urgent
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+),
+rated AS (
+  SELECT segment, n_orders, n_urgent,
+         ROUND(CAST(n_urgent AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS rate
+  FROM g
+),
+mx AS (SELECT MAX(rate) AS max_rate FROM rated)
+SELECT segment, n_orders, n_urgent,
+       rate + 0.0 AS urgent_rate,
+       ROUND(rate / NULLIF(max_rate, 0.0), 6) + 0.0 AS impact_ratio,
+       CAST(CASE WHEN ROUND(rate / NULLIF(max_rate, 0.0), 6)
+                      < {R.FAIRNESS_IMPACT_FLOOR} THEN 1 ELSE 0 END AS INT)
+         AS four_fifths_flag
+FROM rated CROSS JOIN mx
+ORDER BY segment
+""",
+)
+def orders_priority_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-fifths disparate-impact audit of urgent-priority rates
+    across market segments."""
+    return R.priority_parity_audit(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@query(
+    "orders_expected_shortfall",
+    f"""
+WITH u AS (
+  SELECT ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), {R.ES_ALPHA}), 6)
+           AS var
+  FROM orders
+),
+tail AS (
+  SELECT MAX(u.var) AS var, CAST(COUNT(*) AS BIGINT) AS n_tail,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS st
+  FROM orders CROSS JOIN u
+  WHERE CAST(o_totalprice AS DOUBLE) > u.var
+)
+SELECT var + 0.0 AS var_95, n_tail,
+       ROUND(CAST(st AS DOUBLE) / CAST(n_tail AS DOUBLE), 6) + 0.0
+         AS expected_shortfall,
+       ROUND((CAST(st AS DOUBLE) / CAST(n_tail AS DOUBLE))
+             / NULLIF(var, 0.0), 6) + 0.0 AS es_to_var_ratio
+FROM tail
+""",
+)
+def orders_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VaR(95) + expected shortfall of order values — the coherent
+    tail-cost summary beside the GPD shape fit."""
+    return R.expected_shortfall(load_table(spark, sf_dir, "orders"))
