@@ -8113,3 +8113,74 @@ def expected_shortfall(orders: DataFrame) -> DataFrame:
             + F.lit(0.0)
         ).alias("es_to_var_ratio"),
     )
+
+
+PVM_YEARS = (1996, 1997)
+
+
+def pvm_revenue_bridge(lineitem: DataFrame) -> DataFrame:
+    """PRICE-VOLUME-MIX BRIDGE: the FP&A decomposition of the YoY
+    revenue change over the common part basket — price effect
+    sum((p1-p0)*q1), volume effect (total-quantity growth at base
+    prices and base mix), and mix effect (the residual: shifting WHICH
+    parts sold) — the "why did revenue move" waterfall that the
+    Laspeyres/Paasche indices (lineitem_price_indices) summarize into
+    ratios.  Identity: delta = price + volume + mix exactly (tested).
+
+    Scale: one (part, year) aggregate, a part-keyed self-join on the
+    common basket, 6dp-rounded DECIMAL effect terms."""
+    y0, y1 = PVM_YEARS
+    py = (
+        lineitem.filter(F.year("l_shipdate").isin(y0, y1))
+        .groupBy(
+            F.col("l_partkey").alias("part_id"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice")).alias("rev"),
+            F.sum(_dec("l_quantity")).alias("qty"),
+        )
+        .filter(F.col("qty") > 0)
+    )
+    p = F.round(F.col("rev").cast("double") / F.col("qty").cast("double"), 6)
+    priced = py.select(
+        "part_id", "yr", p.alias("p"), F.col("qty").cast("double").alias("q")
+    )
+    base = priced.filter(F.col("yr") == y0).select(
+        "part_id", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    cur = priced.filter(F.col("yr") == y1).select(
+        "part_id", F.col("p").alias("p1"), F.col("q").alias("q1")
+    )
+    j = base.join(cur, "part_id")
+
+    def dsum(expr, name):
+        return F.sum(F.round(expr, 6).cast("decimal(30,6)")).alias(name)
+
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        dsum(F.col("p0") * F.col("q0"), "rev0"),
+        dsum(F.col("p1") * F.col("q1"), "rev1"),
+        dsum((F.col("p1") - F.col("p0")) * F.col("q1"), "price_eff"),
+        dsum(F.col("p0") * F.col("q0"), "pq00"),
+        F.sum(F.round(F.col("q0"), 6).cast("decimal(30,6)")).alias("tq0"),
+        F.sum(F.round(F.col("q1"), 6).cast("decimal(30,6)")).alias("tq1"),
+    )
+    rev0 = F.col("rev0").cast("double")
+    rev1 = F.col("rev1").cast("double")
+    price = F.col("price_eff").cast("double")
+    growth = F.try_divide(
+        F.col("tq1").cast("double"), F.nullif(F.col("tq0").cast("double"), F.lit(0.0))
+    )
+    volume = (growth - F.lit(1.0)) * rev0
+    delta = rev1 - rev0
+    mix = delta - price - volume
+    return s.select(
+        "n_parts",
+        (F.round(rev0, 2) + F.lit(0.0)).alias("revenue_base"),
+        (F.round(rev1, 2) + F.lit(0.0)).alias("revenue_current"),
+        (F.round(delta, 2) + F.lit(0.0)).alias("delta_total"),
+        (F.round(price, 2) + F.lit(0.0)).alias("price_effect"),
+        (F.round(volume, 2) + F.lit(0.0)).alias("volume_effect"),
+        (F.round(mix, 2) + F.lit(0.0)).alias("mix_effect"),
+    )

@@ -2984,3 +2984,78 @@ def burrows_delta_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .orderBy(F.col("delta").asc(), F.col("source_a").asc(), F.col("source_b").asc())
         .limit(DELTA_TOPK_PAIRS)
     )
+
+
+FW_ALPHA0 = 50.0  # total Dirichlet prior mass (informative, Monroe et al.)
+FW_TOPK = 12
+FW_TARGET_SOURCE_IDX = 0  # compare the alphabetically first source vs rest
+
+
+def fightin_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """"FIGHTIN' WORDS" (Monroe-Colaresi-Quinn log-odds with an
+    informative Dirichlet prior): which words are genuinely
+    OVER-represented in one source vs the rest — the prior shrinks
+    rare-word noise that raw log-odds and TF-IDF both amplify, and
+    the variance estimate turns the difference into a z-score.
+    delta_w = ln((y_aw + a_w)/(n_a + a0 - y_aw - a_w))
+            - ln((y_bw + a_w)/(n_b + a0 - y_bw - a_w)),
+    var = 1/(y_aw + a_w) + 1/(y_bw + a_w); z = delta/sqrt(var).
+
+    The slop-phrase / house-style detector for corpus curation.
+    Scale: one token pass, one word-keyed aggregate; the target source
+    is chosen deterministically (first alphabetically)."""
+    toks = docs.select(
+        "source", F.explode(tokens(F.col(text_col))).alias("w")
+    ).localCheckpoint()
+    tgt = F.broadcast(
+        toks.select("source").distinct().orderBy("source").limit(1)
+        .withColumnRenamed("source", "tgt")
+    )
+    counts = (
+        toks.crossJoin(tgt)
+        .groupBy("w")
+        .agg(
+            F.sum((F.col("source") == F.col("tgt")).cast("int"))
+            .cast("long")
+            .alias("ya"),
+            F.sum((F.col("source") != F.col("tgt")).cast("int"))
+            .cast("long")
+            .alias("yb"),
+            F.first("tgt").alias("tgt"),
+        )
+        .localCheckpoint()
+    )
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("ya").cast("long").alias("na"),
+            F.sum("yb").cast("long").alias("nb"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+    )
+    j = counts.crossJoin(tot)
+    aw = F.lit(FW_ALPHA0) * (F.col("ya") + F.col("yb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    ta = (F.col("ya").cast("double") + aw) / (
+        F.col("na").cast("double") + F.lit(FW_ALPHA0) - F.col("ya").cast("double") - aw
+    )
+    tb = (F.col("yb").cast("double") + aw) / (
+        F.col("nb").cast("double") + F.lit(FW_ALPHA0) - F.col("yb").cast("double") - aw
+    )
+    delta = F.log(ta) - F.log(tb)
+    var = F.lit(1.0) / (F.col("ya").cast("double") + aw) + F.lit(1.0) / (
+        F.col("yb").cast("double") + aw
+    )
+    z = F.try_divide(delta, F.nullif(F.sqrt(var), F.lit(0.0)))
+    return (
+        j.select(
+            F.col("tgt").alias("target_source"),
+            "w",
+            "ya",
+            "yb",
+            (F.round(delta, 6) + F.lit(0.0)).alias("log_odds"),
+            (F.round(z, 6) + F.lit(0.0)).alias("z_score"),
+        )
+        .orderBy(F.col("z_score").desc(), F.col("w").asc())
+        .limit(FW_TOPK)
+    )

@@ -19509,3 +19509,115 @@ def orders_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VaR(95) + expected shortfall of order values — the coherent
     tail-cost summary beside the GPD shape fit."""
     return R.expected_shortfall(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Waves 221-222 (round 2): price-volume-mix bridge; fightin'-words log-odds.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_pvm_bridge",
+    f"""
+WITH py AS (
+  SELECT l_partkey AS part_id, year(l_shipdate) AS yr,
+         SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS rev,
+         SUM(CAST(l_quantity AS DECIMAL(15,2))) AS qty
+  FROM lineitem
+  WHERE year(l_shipdate) IN ({R.PVM_YEARS[0]}, {R.PVM_YEARS[1]})
+  GROUP BY 1, 2
+  HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 0
+),
+priced AS (
+  SELECT part_id, yr,
+         ROUND(CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE), 6) AS p,
+         CAST(qty AS DOUBLE) AS q
+  FROM py
+),
+j AS (
+  SELECT b.part_id, b.p AS p0, b.q AS q0, c.p AS p1, c.q AS q1
+  FROM (SELECT * FROM priced WHERE yr = {R.PVM_YEARS[0]}) b
+  JOIN (SELECT * FROM priced WHERE yr = {R.PVM_YEARS[1]}) c USING (part_id)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         SUM(CAST(ROUND(p0 * q0, 6) AS DECIMAL(30,6))) AS rev0,
+         SUM(CAST(ROUND(p1 * q1, 6) AS DECIMAL(30,6))) AS rev1,
+         SUM(CAST(ROUND((p1 - p0) * q1, 6) AS DECIMAL(30,6))) AS price_eff,
+         SUM(CAST(ROUND(q0, 6) AS DECIMAL(30,6))) AS tq0,
+         SUM(CAST(ROUND(q1, 6) AS DECIMAL(30,6))) AS tq1
+  FROM j
+)
+SELECT n_parts,
+       ROUND(CAST(rev0 AS DOUBLE), 2) + 0.0 AS revenue_base,
+       ROUND(CAST(rev1 AS DOUBLE), 2) + 0.0 AS revenue_current,
+       ROUND(CAST(rev1 AS DOUBLE) - CAST(rev0 AS DOUBLE), 2) + 0.0
+         AS delta_total,
+       ROUND(CAST(price_eff AS DOUBLE), 2) + 0.0 AS price_effect,
+       ROUND((CAST(tq1 AS DOUBLE) / NULLIF(CAST(tq0 AS DOUBLE), 0.0) - 1.0)
+             * CAST(rev0 AS DOUBLE), 2) + 0.0 AS volume_effect,
+       ROUND((CAST(rev1 AS DOUBLE) - CAST(rev0 AS DOUBLE))
+             - CAST(price_eff AS DOUBLE)
+             - (CAST(tq1 AS DOUBLE) / NULLIF(CAST(tq0 AS DOUBLE), 0.0) - 1.0)
+               * CAST(rev0 AS DOUBLE), 2) + 0.0 AS mix_effect
+FROM s
+""",
+)
+def lineitem_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix waterfall of the YoY revenue change over the
+    common basket; delta = price + volume + mix exactly."""
+    return R.pvm_revenue_bridge(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "source_fightin_words",
+    f"""
+WITH toks AS (
+  SELECT source, unnest({_TK_SQL}) AS w FROM documents
+),
+tgt AS (SELECT MIN(source) AS tgt FROM toks),
+counts AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN source = (SELECT tgt FROM tgt)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+         CAST(SUM(CASE WHEN source <> (SELECT tgt FROM tgt)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS yb
+  FROM toks GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(ya) AS BIGINT) AS na, CAST(SUM(yb) AS BIGINT) AS nb
+  FROM counts
+),
+scored AS (
+  SELECT w, ya, yb,
+         ln((CAST(ya AS DOUBLE)
+             + {T.FW_ALPHA0}
+               * CAST(ya + yb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+            / (CAST(na AS DOUBLE) + {T.FW_ALPHA0} - CAST(ya AS DOUBLE)
+               - {T.FW_ALPHA0} * CAST(ya + yb AS DOUBLE)
+                 / CAST(na + nb AS DOUBLE)))
+         - ln((CAST(yb AS DOUBLE)
+               + {T.FW_ALPHA0} * CAST(ya + yb AS DOUBLE)
+                 / CAST(na + nb AS DOUBLE))
+              / (CAST(nb AS DOUBLE) + {T.FW_ALPHA0} - CAST(yb AS DOUBLE)
+                 - {T.FW_ALPHA0} * CAST(ya + yb AS DOUBLE)
+                   / CAST(na + nb AS DOUBLE))) AS delta,
+         1.0 / (CAST(ya AS DOUBLE) + {T.FW_ALPHA0}
+                * CAST(ya + yb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+         + 1.0 / (CAST(yb AS DOUBLE) + {T.FW_ALPHA0}
+                  * CAST(ya + yb AS DOUBLE) / CAST(na + nb AS DOUBLE)) AS var
+  FROM counts CROSS JOIN tot
+)
+SELECT (SELECT tgt FROM tgt) AS target_source, w, ya, yb,
+       ROUND(delta, 6) + 0.0 AS log_odds,
+       ROUND(delta / NULLIF(SQRT(var), 0.0), 6) + 0.0 AS z_score
+FROM scored
+ORDER BY z_score DESC, w ASC
+LIMIT {T.FW_TOPK}
+""",
+)
+def source_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe log-odds with informative Dirichlet prior: words
+    over-represented in the first source vs the rest, z-scored —
+    the house-style / slop-phrase detector."""
+    return T.fightin_words(load_table(spark, sf_dir, "documents"))
