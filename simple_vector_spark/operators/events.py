@@ -3543,3 +3543,113 @@ def quantile_treatment_effects(events: DataFrame) -> DataFrame:
         (F.round(F.col("q.qb"), 6) + F.lit(0.0)).alias("q_treatment"),
         (F.round(F.col("q.qb") - F.col("q.qa"), 6) + F.lit(0.0)).alias("qte"),
     ).orderBy("decile")
+
+
+ABSORB_ITERS = 24
+
+
+def absorbing_chain_funnel(events: DataFrame, iters: int = ABSORB_ITERS) -> DataFrame:
+    """ABSORBING-CHAIN funnel analytics: with 'purchase' and
+    sequence-end ('exit') as absorbing states, the fundamental-matrix
+    quantities answer the questions raw transition counts
+    (events_markov_transitions) cannot: from each state, the EXPECTED
+    number of further events before the journey ends, and the
+    probability it ends in a purchase rather than silent exit.
+    t = (I-Q)^-1 1 and b = (I-Q)^-1 r, computed as {ABSORB_ITERS}
+    damped-free Neumann iterations (geometric convergence — every row
+    leaks absorption mass) with 9dp rounding per round, so the
+    DuckDB unrolled-CTE oracle is bit-identical.
+
+    Scale: one lead-window pass over the log builds the transition
+    aggregate; iterations run on the |states|^2 table."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.withColumn("nxt", F.lead("event_type").over(w)).select(
+        F.col("event_type").alias("s"),
+        F.coalesce(F.col("nxt"), F.lit("__exit__")).alias("t"),
+    )
+    trans = (
+        seq.filter(F.col("s") != "purchase")
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    outs = trans.groupBy("s").agg(F.sum("c").cast("long").alias("n_out"))
+    probs = trans.join(outs, "s").select(
+        "s",
+        "t",
+        F.round(
+            F.col("c").cast("double") / F.col("n_out").cast("double"), 9
+        ).alias("p"),
+    ).localCheckpoint()
+    q = probs.filter(~F.col("t").isin("purchase", "__exit__"))
+    r_pur = probs.filter(F.col("t") == "purchase").select(
+        "s", F.col("p").alias("r")
+    )
+    p_exit = probs.filter(F.col("t") == "__exit__").select(
+        "s", F.col("p").alias("pe")
+    )
+    states = outs.select("s").localCheckpoint()
+
+    def _iterate(init_col, add_df, add_col):
+        # v_{k+1}(s) = add(s) + sum_t q(s,t) v_k(t)
+        v = states.join(add_df, "s", "left").select(
+            "s",
+            F.round(
+                F.coalesce(F.col(add_col), F.lit(0.0)) + F.lit(init_col), 9
+            ).alias("v"),
+        ).localCheckpoint()
+        base_add = states.join(add_df, "s", "left").select(
+            "s", F.coalesce(F.col(add_col), F.lit(0.0)).alias("a")
+        ).localCheckpoint()
+        for _ in range(iters):
+            nxt = (
+                q.join(v.select(F.col("s").alias("t"), "v"), "t")
+                .groupBy("s")
+                .agg(
+                    F.sum(
+                        F.round(F.col("p") * F.col("v"), 9).cast(
+                            "decimal(20,9)"
+                        )
+                    ).alias("qv")
+                )
+            )
+            v = (
+                base_add.join(nxt, "s", "left")
+                .select(
+                    "s",
+                    F.round(
+                        F.col("a")
+                        + F.coalesce(F.col("qv"), F.lit(0)).cast("double"),
+                        9,
+                    ).alias("v"),
+                )
+                .localCheckpoint()
+            )
+        return v
+
+    ones = states.select("s", F.lit(1.0).alias("one"))
+    t_exp = _iterate(0.0, ones, "one").select(
+        "s", F.col("v").alias("exp_steps")
+    )
+    b_pur = _iterate(0.0, r_pur, "r").select(
+        "s", F.col("v").alias("p_purchase")
+    )
+    return (
+        outs.join(p_exit, "s", "left")
+        .join(t_exp, "s")
+        .join(b_pur, "s")
+        .select(
+            F.col("s").alias("state"),
+            "n_out",
+            (
+                F.round(F.coalesce(F.col("pe"), F.lit(0.0)), 6) + F.lit(0.0)
+            ).alias("p_exit_next"),
+            (F.round(F.col("exp_steps"), 6) + F.lit(0.0)).alias(
+                "expected_steps"
+            ),
+            (F.round(F.col("p_purchase"), 6) + F.lit(0.0)).alias(
+                "p_end_in_purchase"
+            ),
+        )
+        .orderBy("state")
+    )

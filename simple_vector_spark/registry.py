@@ -19621,3 +19621,539 @@ def source_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-represented in the first source vs the rest, z-scored —
     the house-style / slop-phrase detector."""
     return T.fightin_words(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 223 (round 2): absorbing-chain funnel (fundamental-matrix reads).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_absorbing_funnel",
+    """
+WITH seq AS (
+  SELECT event_type AS s,
+         COALESCE(LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id),
+                  '__exit__') AS t
+  FROM events
+),
+trans AS MATERIALIZED (
+  SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE s <> 'purchase' GROUP BY 1, 2
+),
+outs AS MATERIALIZED (
+  SELECT s, CAST(SUM(c) AS BIGINT) AS n_out FROM trans GROUP BY 1
+),
+probs AS MATERIALIZED (
+  SELECT trans.s, trans.t,
+         ROUND(CAST(c AS DOUBLE) / CAST(n_out AS DOUBLE), 9) AS p
+  FROM trans JOIN outs USING (s)
+),
+q AS MATERIALIZED (
+  SELECT * FROM probs WHERE t NOT IN ('purchase', '__exit__')
+),
+radd AS (SELECT s, p AS a FROM probs WHERE t = 'purchase'),
+eprob AS (SELECT s, p AS pe FROM probs WHERE t = '__exit__'),
+states AS MATERIALIZED (SELECT s FROM outs),
+tv0 AS (SELECT s, CAST(1.0 AS DOUBLE) AS v FROM states),
+bv0 AS (
+  SELECT states.s, ROUND(COALESCE(radd.a, 0.0), 9) AS v
+  FROM states LEFT JOIN radd USING (s)
+),
+tvq1 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv0 v ON q.t = v.s GROUP BY 1
+),
+tv1 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq1 ON states.s = tvq1.s
+),
+bvq1 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv0 v ON q.t = v.s GROUP BY 1
+),
+bv1 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq1 ON states.s = bvq1.s
+),
+tvq2 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv1 v ON q.t = v.s GROUP BY 1
+),
+tv2 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq2 ON states.s = tvq2.s
+),
+bvq2 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv1 v ON q.t = v.s GROUP BY 1
+),
+bv2 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq2 ON states.s = bvq2.s
+),
+tvq3 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv2 v ON q.t = v.s GROUP BY 1
+),
+tv3 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq3 ON states.s = tvq3.s
+),
+bvq3 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv2 v ON q.t = v.s GROUP BY 1
+),
+bv3 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq3 ON states.s = bvq3.s
+),
+tvq4 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv3 v ON q.t = v.s GROUP BY 1
+),
+tv4 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq4 ON states.s = tvq4.s
+),
+bvq4 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv3 v ON q.t = v.s GROUP BY 1
+),
+bv4 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq4 ON states.s = bvq4.s
+),
+tvq5 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv4 v ON q.t = v.s GROUP BY 1
+),
+tv5 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq5 ON states.s = tvq5.s
+),
+bvq5 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv4 v ON q.t = v.s GROUP BY 1
+),
+bv5 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq5 ON states.s = bvq5.s
+),
+tvq6 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv5 v ON q.t = v.s GROUP BY 1
+),
+tv6 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq6 ON states.s = tvq6.s
+),
+bvq6 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv5 v ON q.t = v.s GROUP BY 1
+),
+bv6 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq6 ON states.s = bvq6.s
+),
+tvq7 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv6 v ON q.t = v.s GROUP BY 1
+),
+tv7 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq7 ON states.s = tvq7.s
+),
+bvq7 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv6 v ON q.t = v.s GROUP BY 1
+),
+bv7 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq7 ON states.s = bvq7.s
+),
+tvq8 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv7 v ON q.t = v.s GROUP BY 1
+),
+tv8 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq8 ON states.s = tvq8.s
+),
+bvq8 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv7 v ON q.t = v.s GROUP BY 1
+),
+bv8 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq8 ON states.s = bvq8.s
+),
+tvq9 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv8 v ON q.t = v.s GROUP BY 1
+),
+tv9 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq9 ON states.s = tvq9.s
+),
+bvq9 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv8 v ON q.t = v.s GROUP BY 1
+),
+bv9 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq9 ON states.s = bvq9.s
+),
+tvq10 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv9 v ON q.t = v.s GROUP BY 1
+),
+tv10 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq10 ON states.s = tvq10.s
+),
+bvq10 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv9 v ON q.t = v.s GROUP BY 1
+),
+bv10 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq10 ON states.s = bvq10.s
+),
+tvq11 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv10 v ON q.t = v.s GROUP BY 1
+),
+tv11 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq11 ON states.s = tvq11.s
+),
+bvq11 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv10 v ON q.t = v.s GROUP BY 1
+),
+bv11 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq11 ON states.s = bvq11.s
+),
+tvq12 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv11 v ON q.t = v.s GROUP BY 1
+),
+tv12 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq12 ON states.s = tvq12.s
+),
+bvq12 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv11 v ON q.t = v.s GROUP BY 1
+),
+bv12 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq12 ON states.s = bvq12.s
+),
+tvq13 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv12 v ON q.t = v.s GROUP BY 1
+),
+tv13 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq13 ON states.s = tvq13.s
+),
+bvq13 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv12 v ON q.t = v.s GROUP BY 1
+),
+bv13 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq13 ON states.s = bvq13.s
+),
+tvq14 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv13 v ON q.t = v.s GROUP BY 1
+),
+tv14 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq14 ON states.s = tvq14.s
+),
+bvq14 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv13 v ON q.t = v.s GROUP BY 1
+),
+bv14 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq14 ON states.s = bvq14.s
+),
+tvq15 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv14 v ON q.t = v.s GROUP BY 1
+),
+tv15 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq15 ON states.s = tvq15.s
+),
+bvq15 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv14 v ON q.t = v.s GROUP BY 1
+),
+bv15 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq15 ON states.s = bvq15.s
+),
+tvq16 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv15 v ON q.t = v.s GROUP BY 1
+),
+tv16 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq16 ON states.s = tvq16.s
+),
+bvq16 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv15 v ON q.t = v.s GROUP BY 1
+),
+bv16 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq16 ON states.s = bvq16.s
+),
+tvq17 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv16 v ON q.t = v.s GROUP BY 1
+),
+tv17 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq17 ON states.s = tvq17.s
+),
+bvq17 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv16 v ON q.t = v.s GROUP BY 1
+),
+bv17 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq17 ON states.s = bvq17.s
+),
+tvq18 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv17 v ON q.t = v.s GROUP BY 1
+),
+tv18 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq18 ON states.s = tvq18.s
+),
+bvq18 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv17 v ON q.t = v.s GROUP BY 1
+),
+bv18 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq18 ON states.s = bvq18.s
+),
+tvq19 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv18 v ON q.t = v.s GROUP BY 1
+),
+tv19 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq19 ON states.s = tvq19.s
+),
+bvq19 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv18 v ON q.t = v.s GROUP BY 1
+),
+bv19 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq19 ON states.s = bvq19.s
+),
+tvq20 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv19 v ON q.t = v.s GROUP BY 1
+),
+tv20 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq20 ON states.s = tvq20.s
+),
+bvq20 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv19 v ON q.t = v.s GROUP BY 1
+),
+bv20 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq20 ON states.s = bvq20.s
+),
+tvq21 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv20 v ON q.t = v.s GROUP BY 1
+),
+tv21 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq21 ON states.s = tvq21.s
+),
+bvq21 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv20 v ON q.t = v.s GROUP BY 1
+),
+bv21 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq21 ON states.s = bvq21.s
+),
+tvq22 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv21 v ON q.t = v.s GROUP BY 1
+),
+tv22 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq22 ON states.s = tvq22.s
+),
+bvq22 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv21 v ON q.t = v.s GROUP BY 1
+),
+bv22 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq22 ON states.s = bvq22.s
+),
+tvq23 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv22 v ON q.t = v.s GROUP BY 1
+),
+tv23 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq23 ON states.s = tvq23.s
+),
+bvq23 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv22 v ON q.t = v.s GROUP BY 1
+),
+bv23 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq23 ON states.s = bvq23.s
+),
+tvq24 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN tv23 v ON q.t = v.s GROUP BY 1
+),
+tv24 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(1.0 + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states  LEFT JOIN tvq24 ON states.s = tvq24.s
+),
+bvq24 AS (
+  SELECT q.s,
+         SUM(CAST(ROUND(q.p * v.v, 9) AS DECIMAL(20,9))) AS qv
+  FROM q JOIN bv23 v ON q.t = v.s GROUP BY 1
+),
+bv24 AS MATERIALIZED (
+  SELECT states.s,
+         ROUND(COALESCE(radd.a, 0.0) + CAST(COALESCE(qv, 0) AS DOUBLE), 9) AS v
+  FROM states LEFT JOIN radd USING (s) LEFT JOIN bvq24 ON states.s = bvq24.s
+)
+SELECT outs.s AS state, n_out,
+       ROUND(COALESCE(eprob.pe, 0.0), 6) + 0.0 AS p_exit_next,
+       ROUND(tv24.v, 6) + 0.0 AS expected_steps,
+       ROUND(bv24.v, 6) + 0.0 AS p_end_in_purchase
+FROM outs
+LEFT JOIN eprob USING (s)
+JOIN tv24 ON outs.s = tv24.s
+JOIN bv24 ON outs.s = bv24.s
+ORDER BY state
+""",
+)
+def events_absorbing_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected remaining events and P(end in purchase) per state via
+    Neumann iterations of the fundamental matrix — the absorbing-chain
+    layer over the raw Markov transitions."""
+    return E.absorbing_chain_funnel(load_table(spark, sf_dir, "events"))
