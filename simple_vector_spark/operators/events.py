@@ -3653,3 +3653,66 @@ def absorbing_chain_funnel(events: DataFrame, iters: int = ABSORB_ITERS) -> Data
         )
         .orderBy("state")
     )
+
+
+WOE_SMOOTH = 0.5  # haldane correction per cell
+
+
+def woe_information_value(events: DataFrame) -> DataFrame:
+    """WEIGHT-OF-EVIDENCE / INFORMATION VALUE per feature — the
+    credit-scoring standard beside the MI ranking
+    (events_feature_mi_ranking): per feature bin, WoE = ln(P(bin |
+    converter) / P(bin | non-converter)); IV = sum (P_g - P_b) * WoE,
+    with the classic <0.02 useless / 0.1 medium / 0.3 strong bands.
+    Haldane 0.5 smoothing keeps empty cells finite.  Same stacked
+    single-scan long form as the MI table, so the two screens are
+    directly comparable.
+
+    Output: one row per feature with IV and its strength band."""
+    lbl = (F.col("event_type") == "purchase").cast("int").alias("y")
+    hour = F.hour("ts")
+    base = events.select(
+        lbl,
+        F.concat(
+            F.lit("h"), F.floor(hour / F.lit(6)).cast("int").cast("string")
+        ).alias("hour_band"),
+        F.dayofweek("ts").isin(1, 7).cast("int").cast("string").alias("weekend"),
+        F.when(F.col("value") < 50, "q1")
+        .when(F.col("value") < 100, "q2")
+        .when(F.col("value") < 150, "q3")
+        .otherwise("q4")
+        .alias("value_band"),
+    )
+    long = None
+    for feat in ("hour_band", "weekend", "value_band"):
+        part = base.select(
+            F.lit(feat).alias("feature"), F.col(feat).alias("v"), "y"
+        )
+        long = part if long is None else long.unionByName(part)
+    cells = long.groupBy("feature", "v").agg(
+        F.sum("y").cast("long").alias("g"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("b"),
+    )
+    tot = cells.groupBy("feature").agg(
+        F.sum("g").cast("long").alias("tg"), F.sum("b").cast("long").alias("tb")
+    )
+    j = cells.join(tot, "feature")
+    pg = (F.col("g").cast("double") + F.lit(WOE_SMOOTH)) / (
+        F.col("tg").cast("double") + F.lit(WOE_SMOOTH)
+    )
+    pb = (F.col("b").cast("double") + F.lit(WOE_SMOOTH)) / (
+        F.col("tb").cast("double") + F.lit(WOE_SMOOTH)
+    )
+    woe = F.log(pg / pb)
+    term = F.round((pg - pb) * woe, 9).cast("decimal(18,9)")
+    iv = j.groupBy("feature").agg(F.sum(term).cast("double").alias("iv"))
+    ivr = F.round(F.col("iv"), 6)
+    return iv.select(
+        "feature",
+        (ivr + F.lit(0.0)).alias("information_value"),
+        F.when(ivr < 0.02, F.lit("useless"))
+        .when(ivr < 0.1, F.lit("weak"))
+        .when(ivr < 0.3, F.lit("medium"))
+        .otherwise(F.lit("strong"))
+        .alias("strength"),
+    ).orderBy(F.col("information_value").desc(), F.col("feature").asc())

@@ -8184,3 +8184,57 @@ def pvm_revenue_bridge(lineitem: DataFrame) -> DataFrame:
         (F.round(volume, 2) + F.lit(0.0)).alias("volume_effect"),
         (F.round(mix, 2) + F.lit(0.0)).alias("mix_effect"),
     )
+
+
+TAILDEP_Q = 0.9
+
+
+def tail_dependence(lineitem: DataFrame, q: float = TAILDEP_Q) -> DataFrame:
+    """EMPIRICAL TAIL DEPENDENCE between quantity and extended price:
+    lambda_U(q) = P(V > q-quantile | U > q-quantile) on the rank
+    (copula) scale, with the lower-tail mirror — dependence WHERE IT
+    MATTERS: two variables can share a high Pearson/Spearman rho yet
+    be independent exactly in the joint-extremes region risk cares
+    about (Gaussian copulas have lambda = 0).  Compares against the
+    independence baseline 1 - q.
+
+    Scale: two chained :func:`ranking.avg_rank2` passes (the Spearman
+    machinery), rank-threshold flags, one conditional aggregate."""
+    from .ranking import avg_rank2
+
+    base = lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    tb = [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
+    rx = avg_rank2(base, "l_quantity", tb, out_name="ax")
+    j = avg_rank2(rx, "l_extendedprice", tb, out_name="ay").localCheckpoint()
+    n = F.broadcast(j.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    # doubled average ranks: threshold 2*q*n
+    jn = j.crossJoin(n)
+    hi_u = F.col("ax").cast("double") > F.lit(2.0 * q) * F.col("n").cast("double")
+    hi_v = F.col("ay").cast("double") > F.lit(2.0 * q) * F.col("n").cast("double")
+    lo_u = F.col("ax").cast("double") <= F.lit(2.0 * (1 - q)) * F.col("n").cast(
+        "double"
+    )
+    lo_v = F.col("ay").cast("double") <= F.lit(2.0 * (1 - q)) * F.col("n").cast(
+        "double"
+    )
+    s = jn.agg(
+        F.max("n").alias("n"),
+        F.sum(hi_u.cast("int")).cast("long").alias("nu"),
+        F.sum((hi_u & hi_v).cast("int")).cast("long").alias("nuv"),
+        F.sum(lo_u.cast("int")).cast("long").alias("nl"),
+        F.sum((lo_u & lo_v).cast("int")).cast("long").alias("nlv"),
+    )
+    lam_u = F.try_divide(
+        F.col("nuv").cast("double"), F.nullif(F.col("nu").cast("double"), F.lit(0.0))
+    )
+    lam_l = F.try_divide(
+        F.col("nlv").cast("double"), F.nullif(F.col("nl").cast("double"), F.lit(0.0))
+    )
+    return s.select(
+        "n",
+        (F.round(lam_u, 6) + F.lit(0.0)).alias("lambda_upper"),
+        (F.round(lam_l, 6) + F.lit(0.0)).alias("lambda_lower"),
+        F.lit(round(1 - q, 6)).alias("independence_baseline"),
+    )

@@ -20157,3 +20157,119 @@ def events_absorbing_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Neumann iterations of the fundamental matrix — the absorbing-chain
     layer over the raw Markov transitions."""
     return E.absorbing_chain_funnel(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Waves 224-225 (round 2): WoE/IV feature screen; empirical tail dependence.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_information_value",
+    f"""
+WITH base AS (
+  SELECT CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS INT)
+           AS y,
+         'h' || CAST(CAST(FLOOR(hour(ts) / 6) AS INT) AS VARCHAR)
+           AS hour_band,
+         CAST(CAST(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END
+                   AS INT) AS VARCHAR) AS weekend,
+         CASE WHEN value < 50 THEN 'q1' WHEN value < 100 THEN 'q2'
+              WHEN value < 150 THEN 'q3' ELSE 'q4' END AS value_band
+  FROM events
+),
+long AS (
+  SELECT 'hour_band' AS feature, hour_band AS v, y FROM base
+  UNION ALL SELECT 'weekend', weekend, y FROM base
+  UNION ALL SELECT 'value_band', value_band, y FROM base
+),
+cells AS (
+  SELECT feature, v, CAST(SUM(y) AS BIGINT) AS g,
+         CAST(SUM(1 - y) AS BIGINT) AS b
+  FROM long GROUP BY 1, 2
+),
+tot AS (
+  SELECT feature, CAST(SUM(g) AS BIGINT) AS tg, CAST(SUM(b) AS BIGINT) AS tb
+  FROM cells GROUP BY 1
+),
+iv AS (
+  SELECT c.feature,
+         CAST(SUM(CAST(ROUND(((CAST(g AS DOUBLE) + {E.WOE_SMOOTH})
+                              / (CAST(tg AS DOUBLE) + {E.WOE_SMOOTH})
+                              - (CAST(b AS DOUBLE) + {E.WOE_SMOOTH})
+                                / (CAST(tb AS DOUBLE) + {E.WOE_SMOOTH}))
+                             * ln(((CAST(g AS DOUBLE) + {E.WOE_SMOOTH})
+                                   / (CAST(tg AS DOUBLE) + {E.WOE_SMOOTH}))
+                                  / ((CAST(b AS DOUBLE) + {E.WOE_SMOOTH})
+                                     / (CAST(tb AS DOUBLE)
+                                        + {E.WOE_SMOOTH}))), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS iv
+  FROM cells c JOIN tot USING (feature)
+  GROUP BY 1
+)
+SELECT feature,
+       ROUND(iv, 6) + 0.0 AS information_value,
+       CASE WHEN ROUND(iv, 6) < 0.02 THEN 'useless'
+            WHEN ROUND(iv, 6) < 0.1 THEN 'weak'
+            WHEN ROUND(iv, 6) < 0.3 THEN 'medium'
+            ELSE 'strong' END AS strength
+FROM iv
+ORDER BY information_value DESC, feature ASC
+""",
+)
+def events_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence information value per feature with strength
+    bands — the credit-scoring screen beside MI."""
+    return E.woe_information_value(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "lineitem_tail_dependence",
+    f"""
+WITH base AS (
+  SELECT l_orderkey AS k1, l_linenumber AS k2,
+         l_quantity AS q, l_extendedprice AS p
+  FROM lineitem
+),
+rr AS (
+  SELECT 2 * RANK() OVER (ORDER BY q) + COUNT(*) OVER (PARTITION BY q) - 1
+           AS ax,
+         2 * RANK() OVER (ORDER BY p) + COUNT(*) OVER (PARTITION BY p) - 1
+           AS ay
+  FROM base
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+s AS (
+  SELECT MAX(n.n) AS n,
+         CAST(SUM(CASE WHEN CAST(ax AS DOUBLE)
+                            > {2.0 * R.TAILDEP_Q} * CAST(n.n AS DOUBLE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+         CAST(SUM(CASE WHEN CAST(ax AS DOUBLE)
+                            > {2.0 * R.TAILDEP_Q} * CAST(n.n AS DOUBLE)
+                        AND CAST(ay AS DOUBLE)
+                            > {2.0 * R.TAILDEP_Q} * CAST(n.n AS DOUBLE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nuv,
+         CAST(SUM(CASE WHEN CAST(ax AS DOUBLE)
+                            <= {2.0 * (1 - R.TAILDEP_Q)} * CAST(n.n AS DOUBLE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         CAST(SUM(CASE WHEN CAST(ax AS DOUBLE)
+                            <= {2.0 * (1 - R.TAILDEP_Q)} * CAST(n.n AS DOUBLE)
+                        AND CAST(ay AS DOUBLE)
+                            <= {2.0 * (1 - R.TAILDEP_Q)} * CAST(n.n AS DOUBLE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nlv
+  FROM rr CROSS JOIN n
+)
+SELECT n,
+       ROUND(CAST(nuv AS DOUBLE) / NULLIF(CAST(nu AS DOUBLE), 0.0), 6) + 0.0
+         AS lambda_upper,
+       ROUND(CAST(nlv AS DOUBLE) / NULLIF(CAST(nl AS DOUBLE), 0.0), 6) + 0.0
+         AS lambda_lower,
+       {round(1 - R.TAILDEP_Q, 6)} AS independence_baseline
+FROM s
+""",
+)
+def lineitem_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical upper/lower tail-dependence of quantity x price on
+    the rank scale vs the independence baseline — joint-extremes
+    dependence correlation can't see."""
+    return R.tail_dependence(load_table(spark, sf_dir, "lineitem"))
