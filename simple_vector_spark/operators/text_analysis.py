@@ -3059,3 +3059,75 @@ def fightin_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .orderBy(F.col("z_score").desc(), F.col("w").asc())
         .limit(FW_TOPK)
     )
+
+
+MSTTR_WINDOW = 50
+
+
+def msttr_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """MSTTR (mean segmental type-token ratio, window {MSTTR_WINDOW}):
+    the lexical-diversity standard that fixes raw TTR's length bias —
+    long documents always score lower on plain distinct/total (Heaps'
+    law guarantees it), so raw TTR comparisons between sources of
+    different lengths are artifacts; fixed-size segments make them
+    commensurable.  Ragged tails are dropped per the standard.
+
+    Per-source: segment count, MSTTR, and raw TTR beside it so the
+    length bias is visible.  Scale: one posexplode pass; segments are
+    (doc, pos div W) keys — bounded windows, no global anything."""
+    w = MSTTR_WINDOW
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    ).localCheckpoint()
+    segs = (
+        toks.withColumn("seg", F.floor(F.col("pos") / w))
+        .groupBy("doc_id", "source", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.countDistinct("t").cast("long").alias("n_typ"),
+        )
+        .filter(F.col("n_tok") == w)
+    )
+    raw = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("t").cast("long").alias("n_types"),
+    )
+    m = segs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(
+            F.round(
+                F.col("n_typ").cast("double") / F.col("n_tok").cast("double"), 9
+            ).cast("decimal(18,9)")
+        ).alias("sttr"),
+    )
+    return (
+        raw.join(m, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("n_segments"), F.lit(0)).cast("long").alias(
+                "n_segments"
+            ),
+            (
+                F.round(
+                    F.try_divide(
+                        F.col("sttr").cast("double"),
+                        F.nullif(F.col("n_segments").cast("double"), F.lit(0.0)),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("msttr"),
+            (
+                F.round(
+                    F.col("n_types").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("raw_ttr"),
+        )
+        .orderBy("source")
+    )

@@ -20273,3 +20273,50 @@ def lineitem_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank scale vs the independence baseline — joint-extremes
     dependence correlation can't see."""
     return R.tail_dependence(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 226 (round 2): MSTTR lexical diversity.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_msttr_diversity",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, i - 1 AS pos, tk[i] AS t
+  FROM (SELECT doc_id, source, {_TK_SQL} AS tk FROM documents),
+       UNNEST(range(1, len(tk) + 1)) AS u(i)
+),
+segs AS (
+  SELECT doc_id, source, CAST(FLOOR(pos / {T.MSTTR_WINDOW}) AS BIGINT) AS seg,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS n_typ
+  FROM toks GROUP BY 1, 2, 3
+  HAVING COUNT(*) = {T.MSTTR_WINDOW}
+),
+raw AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types
+  FROM toks GROUP BY 1
+),
+m AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         SUM(CAST(ROUND(CAST(n_typ AS DOUBLE) / CAST(n_tok AS DOUBLE), 9)
+                  AS DECIMAL(18,9))) AS sttr
+  FROM segs GROUP BY 1
+)
+SELECT r.source, r.n_tokens,
+       CAST(COALESCE(m.n_segments, 0) AS BIGINT) AS n_segments,
+       ROUND(CAST(m.sttr AS DOUBLE)
+             / NULLIF(CAST(m.n_segments AS DOUBLE), 0.0), 6) + 0.0 AS msttr,
+       ROUND(CAST(r.n_types AS DOUBLE) / CAST(r.n_tokens AS DOUBLE), 6) + 0.0
+         AS raw_ttr
+FROM raw r LEFT JOIN m USING (source)
+ORDER BY source
+""",
+)
+def source_msttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean segmental TTR per source (window 50) beside the
+    length-biased raw TTR — commensurable lexical diversity."""
+    return T.msttr_diversity(load_table(spark, sf_dir, "documents"))
