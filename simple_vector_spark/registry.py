@@ -20320,3 +20320,42 @@ def source_msttr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean segmental TTR per source (window 50) beside the
     length-biased raw TTR — commensurable lexical diversity."""
     return T.msttr_diversity(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 227 (round 2): streaming dead-letter-queue split.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stream_dead_letter",
+    f"""
+WITH poisoned AS (
+  SELECT event_type,
+         CASE WHEN {_H_SQL.format(v="CAST(event_id AS VARCHAR)")}
+                   % 19 = 0
+              THEN substr(props, 1, 3) ELSE props END AS props
+  FROM events
+),
+gated AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+                   AND json_extract(props, '$.k') IS NOT NULL
+              THEN 1 ELSE 0 END AS ok
+  FROM poisoned
+)
+SELECT event_type,
+       CAST(SUM(ok) AS BIGINT) AS n_valid,
+       CAST(SUM(1 - ok) AS BIGINT) AS n_quarantined,
+       ROUND(CAST(SUM(1 - ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + 0.0
+         AS dlq_rate
+FROM gated GROUP BY 1 ORDER BY 1
+""",
+)
+def stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DLQ split: md5-injected poison rows quarantined by a
+    real from_json gate via foreachBatch — per-type accounting equals
+    the batch oracle."""
+    from .streaming.jobs import dead_letter_stream
+
+    return dead_letter_stream(spark, sf_dir)

@@ -676,3 +676,85 @@ def cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value"), 6).alias("last_value"),
         )
     )
+
+
+DLQ_POISON_MOD = 19  # md5-gated ~5% injected corruption
+
+
+def dead_letter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEAD-LETTER-QUEUE pattern: each micro-batch SPLITS into a valid
+    sink and a quarantine sink instead of failing the job — the
+    streaming counterpart of json_malformed_audit's PERMISSIVE batch
+    quarantine, and the operational answer to "one poison record must
+    not stop the pipeline".  Corruption is INJECTED deterministically
+    (md5 gate, ~5% of rows get their props truncated mid-token) — the
+    standard fault-injection harness for exercising a DLQ path, since
+    the fixture's own props are all well-formed; the parse gate is a
+    real from_json STRICT schema check, not the injection rule.
+
+    Both sinks accumulate via foreachBatch; the result is the
+    per-type valid/quarantined accounting, equal to the batch oracle
+    recomputing the same gate."""
+    from ..functions.text import md5_int
+
+    ev = _read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "props"
+    )
+    poisoned = ev.withColumn(
+        "props",
+        F.when(
+            md5_int(F.col("event_id").cast("string")) % DLQ_POISON_MOD == 0,
+            F.substring(F.col("props"), 1, 3),
+        ).otherwise(F.col("props")),
+    )
+    parsed = poisoned.withColumn(
+        "ok",
+        F.from_json(F.col("props"), "k INT").isNotNull()
+        & F.get_json_object(F.col("props"), "$.k").isNotNull(),
+    )
+    acc: dict = {"valid": {}, "dlq": {}}
+
+    def split(batch_df, batch_id):
+        rows = (
+            batch_df.groupBy("event_type", "ok")
+            .count()
+            .collect()
+        )
+        for r in rows:
+            side = "valid" if r["ok"] else "dlq"
+            acc[side][r["event_type"]] = (
+                acc[side].get(r["event_type"], 0) + r["count"]
+            )
+
+    q = (
+        parsed.writeStream.foreachBatch(split)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="svs_dlq_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    types = sorted(set(acc["valid"]) | set(acc["dlq"]))
+    data = [
+        (
+            t,
+            int(acc["valid"].get(t, 0)),
+            int(acc["dlq"].get(t, 0)),
+        )
+        for t in types
+    ]
+    out = spark.createDataFrame(
+        data, "event_type string, n_valid long, n_quarantined long"
+    )
+    return out.select(
+        "event_type",
+        "n_valid",
+        "n_quarantined",
+        (
+            F.round(
+                F.col("n_quarantined").cast("double")
+                / (F.col("n_valid") + F.col("n_quarantined")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dlq_rate"),
+    ).orderBy("event_type")
