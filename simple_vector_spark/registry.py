@@ -20359,3 +20359,68 @@ def stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.jobs import dead_letter_stream
 
     return dead_letter_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Wave 228 (round 2): hubness audit of the kNN graph.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_hubness_audit",
+    f"""
+WITH pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(b.embedding AS DOUBLE[])) AS y
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+d AS (
+  SELECT qid, cid, ROUND(SUM((x - y) * (x - y)), 6) AS d
+  FROM pairs GROUP BY qid, cid
+),
+edges AS (
+  SELECT cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY d ASC, cid ASC) AS rnk
+    FROM d
+  ) WHERE rnk <= {K.HUB_K}
+),
+nk AS (
+  SELECT e.vec_id AS cid, CAST(COALESCE(c.nk, 0) AS BIGINT) AS nk
+  FROM embeddings e
+  LEFT JOIN (SELECT cid, CAST(COUNT(*) AS BIGINT) AS nk
+             FROM edges GROUP BY 1) c ON e.vec_id = c.cid
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         SUM(CAST(nk AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(nk * nk AS DECIMAL(38,0))) AS s2,
+         SUM(CAST(nk * nk * nk AS DECIMAL(38,0))) AS s3,
+         MAX(nk) AS max_nk,
+         CAST(SUM(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_antihubs
+  FROM nk
+),
+mom AS (
+  SELECT n_vecs, max_nk, n_antihubs,
+         CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS m,
+         CAST(s2 AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS r2,
+         CAST(s3 AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS r3
+  FROM s
+)
+SELECT n_vecs,
+       ROUND((r3 - 3.0 * m * r2 + 2.0 * m * m * m)
+             / NULLIF(SQRT(r2 - m * m) * SQRT(r2 - m * m)
+                      * SQRT(r2 - m * m), 0.0), 6) + 0.0 AS nk_skewness,
+       max_nk,
+       ROUND(CAST(n_antihubs AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) + 0.0
+         AS antihub_share
+FROM mom
+""",
+)
+def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence skewness, max hub, antihub share of the 5-NN graph
+    — the high-dim pathology dial for vector search."""
+    return K.hubness_audit(load_table(spark, sf_dir, "embeddings"))
