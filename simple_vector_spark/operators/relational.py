@@ -8238,3 +8238,106 @@ def tail_dependence(lineitem: DataFrame, q: float = TAILDEP_Q) -> DataFrame:
         (F.round(lam_l, 6) + F.lit(0.0)).alias("lambda_lower"),
         F.lit(round(1 - q, 6)).alias("independence_baseline"),
     )
+
+
+def gravity_model_fit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """GRAVITY MODEL of trade: ln(flow_ij) = b0 + b1 ln(exports_i) +
+    b2 ln(imports_j) fit by the same closed-form 3x3 normal equations
+    as the price OLS — the workhorse empirical model of bilateral
+    flows (elasticities near 1 mean proportional scaling — the
+    gravity benchmark; deviations flag frictions).  Completes the
+    trade-economics suite (balance, Leontief, HITS) with the
+    regression read.
+
+    Scale: one fact shuffle to the |nations|^2 flow table; masses are
+    its own marginals; 9dp-rounded ln's into DECIMAL power sums."""
+    flows = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("i"), F.col("c_nationkey").alias("j")
+        )
+        .agg(F.sum(_dec("l_extendedprice")).alias("z"))
+        .localCheckpoint()
+    )
+    ex = flows.groupBy("i").agg(F.sum("z").alias("mass_i"))
+    im = flows.groupBy("j").agg(F.sum("z").alias("mass_j"))
+    pts = (
+        flows.join(ex, "i")
+        .join(im, "j")
+        .select(
+            F.round(F.log(F.col("z").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("y"),
+            F.round(F.log(F.col("mass_i").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("x1"),
+            F.round(F.log(F.col("mass_j").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("x2"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").alias("sq"),
+        F.sum("x2").alias("sd"),
+        F.sum("y").alias("sp"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sqq"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sdd"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sqd"),
+        F.sum(F.col("x1") * F.col("y")).alias("sqp"),
+        F.sum(F.col("x2") * F.col("y")).alias("sdp"),
+        F.sum(F.col("y") * F.col("y")).alias("spp"),
+    )
+    nn = F.col("n").cast("double")
+    sq, sd, sp = (F.col(c).cast("double") for c in ("sq", "sd", "sp"))
+    sqq, sdd, sqd = (F.col(c).cast("double") for c in ("sqq", "sdd", "sqd"))
+    sqp, sdp, spp = (F.col(c).cast("double") for c in ("sqp", "sdp", "spp"))
+    det = (
+        nn * (sqq * sdd - sqd * sqd)
+        - sq * (sq * sdd - sqd * sd)
+        + sd * (sq * sqd - sqq * sd)
+    )
+    det1 = (
+        nn * (sqp * sdd - sqd * sdp)
+        - sp * (sq * sdd - sqd * sd)
+        + sd * (sq * sdp - sqp * sd)
+    )
+    det2 = (
+        nn * (sqq * sdp - sqp * sqd)
+        - sq * (sq * sdp - sqp * sd)
+        + sp * (sq * sqd - sqq * sd)
+    )
+    det0 = (
+        sp * (sqq * sdd - sqd * sqd)
+        - sq * (sqp * sdd - sqd * sdp)
+        + sd * (sqp * sqd - sqq * sdp)
+    )
+    b0 = F.try_divide(det0, F.nullif(det, F.lit(0.0)))
+    b1 = F.try_divide(det1, F.nullif(det, F.lit(0.0)))
+    b2 = F.try_divide(det2, F.nullif(det, F.lit(0.0)))
+    sse = spp - b0 * sp - b1 * sqp - b2 * sdp
+    sst = spp - sp * sp / nn
+    r2 = F.lit(1.0) - F.try_divide(sse, F.nullif(sst, F.lit(0.0)))
+    return s.select(
+        F.col("n").alias("n_lanes"),
+        (F.round(b1, 6) + F.lit(0.0)).alias("export_elasticity"),
+        (F.round(b2, 6) + F.lit(0.0)).alias("import_elasticity"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
+    )

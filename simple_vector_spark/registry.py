@@ -20424,3 +20424,87 @@ def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-occurrence skewness, max hub, antihub share of the 5-NN graph
     — the high-dim pathology dial for vector search."""
     return K.hubness_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Wave 229 (round 2): gravity-model fit of bilateral trade flows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_gravity_model",
+    """
+WITH flows AS MATERIALIZED (
+  SELECT s_nationkey AS i, c_nationkey AS j,
+         SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS z
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2
+),
+ex AS (SELECT i, SUM(z) AS mass_i FROM flows GROUP BY 1),
+im AS (SELECT j, SUM(z) AS mass_j FROM flows GROUP BY 1),
+pts AS (
+  SELECT CAST(ROUND(ln(CAST(z AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y,
+         CAST(ROUND(ln(CAST(mass_i AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x1,
+         CAST(ROUND(ln(CAST(mass_j AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x2
+  FROM flows JOIN ex USING (i) JOIN im USING (j)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x1) AS sq, SUM(x2) AS sd, SUM(y) AS sp,
+         SUM(x1 * x1) AS sqq, SUM(x2 * x2) AS sdd, SUM(x1 * x2) AS sqd,
+         SUM(x1 * y) AS sqp, SUM(x2 * y) AS sdp, SUM(y * y) AS spp
+  FROM pts
+),
+d AS (
+  SELECT n, CAST(n AS DOUBLE) AS nn,
+         CAST(sq AS DOUBLE) AS sqv, CAST(sd AS DOUBLE) AS sdv,
+         CAST(sp AS DOUBLE) AS spv, CAST(sqq AS DOUBLE) AS sqqv,
+         CAST(sdd AS DOUBLE) AS sddv, CAST(sqd AS DOUBLE) AS sqdv,
+         CAST(sqp AS DOUBLE) AS sqpv, CAST(sdp AS DOUBLE) AS sdpv,
+         CAST(spp AS DOUBLE) AS sppv
+  FROM s
+),
+dets AS (
+  SELECT n, nn, spv, sqpv, sdpv, sppv,
+         nn * (sqqv * sddv - sqdv * sqdv)
+           - sqv * (sqv * sddv - sqdv * sdv)
+           + sdv * (sqv * sqdv - sqqv * sdv) AS det,
+         spv * (sqqv * sddv - sqdv * sqdv)
+           - sqv * (sqpv * sddv - sqdv * sdpv)
+           + sdv * (sqpv * sqdv - sqqv * sdpv) AS det0,
+         nn * (sqpv * sddv - sqdv * sdpv)
+           - spv * (sqv * sddv - sqdv * sdv)
+           + sdv * (sqv * sdpv - sqpv * sdv) AS det1,
+         nn * (sqqv * sdpv - sqpv * sqdv)
+           - sqv * (sqv * sdpv - sqpv * sdv)
+           + spv * (sqv * sqdv - sqqv * sdv) AS det2
+  FROM d
+),
+betas AS (
+  SELECT n, nn, spv, sqpv, sdpv, sppv,
+         det0 / NULLIF(det, 0.0) AS b0,
+         det1 / NULLIF(det, 0.0) AS b1,
+         det2 / NULLIF(det, 0.0) AS b2
+  FROM dets
+)
+SELECT n AS n_lanes,
+       ROUND(b1, 6) + 0.0 AS export_elasticity,
+       ROUND(b2, 6) + 0.0 AS import_elasticity,
+       ROUND(1.0 - (sppv - b0 * spv - b1 * sqpv - b2 * sdpv)
+                   / NULLIF(sppv - spv * spv / nn, 0.0), 6) + 0.0 AS r2
+FROM betas
+""",
+)
+def nation_gravity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity-model elasticities of bilateral trade on exporter and
+    importer masses via closed-form 3x3 normal equations."""
+    return R.gravity_model_fit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+    )
