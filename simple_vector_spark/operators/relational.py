@@ -8341,3 +8341,132 @@ def gravity_model_fit(
         (F.round(b2, 6) + F.lit(0.0)).alias("import_elasticity"),
         (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
     )
+
+
+LJUNG_BOX_LAGS = 6
+LJUNG_BOX_CRIT = 12.592  # chi-square 95th percentile, 6 df
+
+
+def ljung_box_test(orders: DataFrame, lags: int = LJUNG_BOX_LAGS) -> DataFrame:
+    """LJUNG-BOX portmanteau test on mean-centered monthly revenue:
+    Q = n(n+2) sum_k r_k^2/(n-k) over lags 1..{LJUNG_BOX_LAGS} vs the
+    chi-square 5% critical value — the WHITE-NOISE verdict that closes
+    the time-series loop: Dickey-Fuller asks "is it stationary", the
+    AR/Holt family fits structure, Ljung-Box asks "is there any
+    structure left to fit at all" (run it on residuals and a pass
+    means the model is done).
+
+    Scale: same shape as the PACF query — month aggregate, rank
+    self-joins per lag, 6dp-rounded DECIMAL product sums, closed-form
+    statistic on one row."""
+    from .ranking import ranked_global
+
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    mu = F.broadcast(
+        monthly.agg(
+            (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mu"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    cent = (
+        ranked_global(monthly, [F.col("m").asc()], rank_name="t")
+        .crossJoin(mu)
+        .select(
+            "t",
+            "n",
+            F.round(F.col("y").cast("double") - F.col("mu"), 6)
+            .cast("decimal(24,6)")
+            .alias("c"),
+        )
+        .localCheckpoint()
+    )
+    g0 = cent.agg(
+        F.sum(
+            F.round(F.col("c").cast("double") * F.col("c").cast("double"), 6)
+            .cast("decimal(30,6)")
+        ).alias("g0"),
+        F.max("n").alias("n"),
+    )
+    acc = g0
+    for k in range(1, lags + 1):
+        a = cent.select(F.col("t"), F.col("c").alias("ca"))
+        b = cent.select(
+            (F.col("t") - F.lit(k)).alias("t"), F.col("c").alias("cb")
+        )
+        gk = a.join(b, "t").agg(
+            F.sum(
+                F.round(
+                    F.col("ca").cast("double") * F.col("cb").cast("double"), 6
+                ).cast("decimal(30,6)")
+            ).alias(f"g{k}")
+        )
+        acc = acc.crossJoin(gk)
+    nd = F.col("n").cast("double")
+    q = None
+    for k in range(1, lags + 1):
+        rk = F.try_divide(
+            F.col(f"g{k}").cast("double"),
+            F.nullif(F.col("g0").cast("double"), F.lit(0.0)),
+        )
+        term = rk * rk / (nd - F.lit(float(k)))
+        q = term if q is None else q + term
+    q = nd * (nd + F.lit(2.0)) * q
+    return acc.select(
+        "n",
+        F.lit(lags).alias("lags"),
+        (F.round(q, 6) + F.lit(0.0)).alias("ljung_box_q"),
+        F.lit(LJUNG_BOX_CRIT).alias("crit_5pct"),
+        (F.round(q, 6) > F.lit(LJUNG_BOX_CRIT)).cast("int").alias(
+            "autocorrelated"
+        ),
+    )
+
+
+CR_TOPS = (4, 8)
+
+
+def concentration_ratios(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """CR4 / CR8 CONCENTRATION RATIOS of revenue by customer nation —
+    the antitrust-style companion to the Herfindahl index
+    (supplier_hhi_concentration): the share of the market the top 4
+    and top 8 players hold, computed off the scale-safe prefix-sum
+    rank (no single-partition window).
+
+    One fact aggregate, one ordered_cdf pass on the bounded
+    per-nation table."""
+    from .ranking import ordered_cdf
+
+    per = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.sum(_dec("o_totalprice")).alias("rev")
+    )
+    tot = F.broadcast(per.agg(F.sum("rev").alias("trev")))
+    ranked = ordered_cdf(
+        per,
+        [F.col("rev").desc(), F.col("nation").asc()],
+        ["rev"],
+        rank_name="rnk",
+    )
+    s = ranked.crossJoin(tot).agg(
+        F.count(F.lit(1)).cast("long").alias("n_players"),
+        *[
+            (
+                F.round(
+                    F.max(
+                        F.when(F.col("rnk") == F.lit(t), F.col("rev_cum"))
+                    ).cast("double")
+                    / F.max(F.col("trev").cast("double")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias(f"cr{t}")
+            for t in CR_TOPS
+        ],
+    )
+    return s

@@ -20508,3 +20508,100 @@ def nation_gravity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "supplier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Waves 230-231 (round 2): Ljung-Box white-noise test; CR4/CR8 ratios.
+# --------------------------------------------------------------------------
+
+
+def _ljung_box_oracle() -> str:
+    lags = R.LJUNG_BOX_LAGS
+    gk_ctes = ",\n".join(
+        f"""g{k} AS (
+  SELECT SUM(CAST(ROUND(CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE), 6)
+                  AS DECIMAL(30,6))) AS g{k}
+  FROM cent a JOIN cent b ON a.t = b.t - {k}
+)"""
+        for k in range(1, lags + 1)
+    )
+    crosses = " CROSS JOIN ".join(f"g{k}" for k in range(1, lags + 1))
+    qsum = " + ".join(
+        f"(CAST(g{k} AS DOUBLE) / NULLIF(CAST(g0 AS DOUBLE), 0.0))"
+        f" * (CAST(g{k} AS DOUBLE) / NULLIF(CAST(g0 AS DOUBLE), 0.0))"
+        f" / (CAST(n AS DOUBLE) - {float(k)})"
+        for k in range(1, lags + 1)
+    )
+    return f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders GROUP BY 1
+),
+mu AS (
+  SELECT CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM monthly
+),
+cent AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) AS BIGINT) AS t, n,
+         CAST(ROUND(CAST(y AS DOUBLE) - mu, 6) AS DECIMAL(24,6)) AS c
+  FROM monthly CROSS JOIN mu
+),
+g0 AS (
+  SELECT SUM(CAST(ROUND(CAST(c AS DOUBLE) * CAST(c AS DOUBLE), 6)
+                  AS DECIMAL(30,6))) AS g0,
+         MAX(n) AS n
+  FROM cent
+),
+{gk_ctes}
+SELECT n, {lags} AS lags,
+       ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ({qsum}), 6)
+         + 0.0 AS ljung_box_q,
+       {R.LJUNG_BOX_CRIT} AS crit_5pct,
+       CAST(CASE WHEN ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                            * ({qsum}), 6) > {R.LJUNG_BOX_CRIT}
+                 THEN 1 ELSE 0 END AS INT) AS autocorrelated
+FROM g0 CROSS JOIN {crosses}
+"""
+
+
+@query("orders_ljung_box", _ljung_box_oracle())
+def orders_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q over lags 1-6 of mean-centered monthly revenue vs
+    the 12.592 critical value — the white-noise verdict closing the
+    time-series loop."""
+    return R.ljung_box_test(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "orders_concentration_ratios",
+    """
+WITH per AS (
+  SELECT c_nationkey AS nation,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+),
+tot AS (SELECT SUM(rev) AS trev FROM per),
+ranked AS (
+  SELECT rev,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, nation ASC) AS rnk,
+         SUM(rev) OVER (ORDER BY rev DESC, nation ASC
+                        ROWS UNBOUNDED PRECEDING) AS rev_cum
+  FROM per
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_players,
+       ROUND(CAST(MAX(CASE WHEN rnk = 4 THEN rev_cum END) AS DOUBLE)
+             / MAX(CAST(trev AS DOUBLE)), 6) + 0.0 AS cr4,
+       ROUND(CAST(MAX(CASE WHEN rnk = 8 THEN rev_cum END) AS DOUBLE)
+             / MAX(CAST(trev AS DOUBLE)), 6) + 0.0 AS cr8
+FROM ranked CROSS JOIN tot
+""",
+)
+def orders_concentration_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CR4/CR8 revenue concentration by customer nation off the
+    scale-safe prefix-sum rank — the antitrust read beside HHI."""
+    return R.concentration_ratios(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
