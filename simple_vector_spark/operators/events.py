@@ -3716,3 +3716,74 @@ def woe_information_value(events: DataFrame) -> DataFrame:
         .otherwise(F.lit("strong"))
         .alias("strength"),
     ).orderBy(F.col("information_value").desc(), F.col("feature").asc())
+
+
+MASE_SEASON = 7  # weekly seasonality for the scaled error denominator
+
+
+def forecast_error_metrics(events: DataFrame) -> DataFrame:
+    """FORECAST-ERROR METRIC FAMILY for the seasonal-naive baseline on
+    daily event counts: MAE, WAPE, sMAPE and MASE side by side — the
+    table that stops metric-shopping arguments: MAE is scale-bound,
+    WAPE survives zero days, sMAPE bounds percentage blowups, and
+    MASE < 1 is the only one that literally reads "beats the naive
+    forecaster".  Extends events_forecast_baselines (which picks the
+    baseline) with the evaluation vocabulary.
+
+    Scale: one daily aggregate, two rank self-joins (lag-1 naive and
+    lag-{MASE_SEASON} seasonal-naive), DECIMAL-rounded error sums."""
+    from .ranking import ranked_global
+
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    ranked = ranked_global(daily, [F.col("d").asc()], rank_name="t").select(
+        "t", F.col("y").cast("double").alias("y")
+    ).localCheckpoint()
+    cur = ranked.select("t", F.col("y").alias("y1"))
+    sn = ranked.select(
+        (F.col("t") + F.lit(MASE_SEASON)).alias("t"), F.col("y").alias("yhat")
+    )
+    nv = ranked.select((F.col("t") + F.lit(1)).alias("t"), F.col("y").alias("ynaive"))
+    j = cur.join(sn, "t").join(nv, "t")
+    ae = F.abs(F.col("y1") - F.col("yhat"))
+    d20 = "decimal(24,6)"
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.round(ae, 6).cast(d20)).alias("sae"),
+        F.sum(F.round(F.col("y1"), 6).cast(d20)).alias("sy"),
+        F.sum(
+            F.round(
+                F.try_divide(
+                    ae,
+                    F.nullif(
+                        (F.abs(F.col("y1")) + F.abs(F.col("yhat")))
+                        / F.lit(2.0),
+                        F.lit(0.0),
+                    ),
+                ),
+                9,
+            ).cast("decimal(18,9)")
+        ).alias("ssmape"),
+        F.sum(
+            F.round(F.abs(F.col("y1") - F.col("ynaive")), 6).cast(d20)
+        ).alias("snaive"),
+    )
+    nd = F.col("n_eval").cast("double")
+    mae = F.col("sae").cast("double") / nd
+    wape = F.try_divide(
+        F.col("sae").cast("double"), F.nullif(F.col("sy").cast("double"), F.lit(0.0))
+    )
+    smape = F.col("ssmape").cast("double") / nd
+    mase = F.try_divide(
+        mae,
+        F.nullif(F.col("snaive").cast("double") / nd, F.lit(0.0)),
+    )
+    return s.select(
+        "n_eval",
+        (F.round(mae, 6) + F.lit(0.0)).alias("mae"),
+        (F.round(wape, 6) + F.lit(0.0)).alias("wape"),
+        (F.round(smape, 6) + F.lit(0.0)).alias("smape"),
+        (F.round(mase, 6) + F.lit(0.0)).alias("mase"),
+        (F.round(mase, 6) < 1.0).cast("int").alias("beats_naive"),
+    )

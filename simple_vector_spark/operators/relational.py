@@ -8470,3 +8470,108 @@ def concentration_ratios(orders: DataFrame, customer: DataFrame) -> DataFrame:
         ],
     )
     return s
+
+
+LIFECYCLE_RATIO_HI = 1.25
+LIFECYCLE_RATIO_LO = 0.8
+
+
+def part_lifecycle_stages(lineitem: DataFrame) -> DataFrame:
+    """PRODUCT LIFECYCLE staging per part from its own demand history:
+    split each part's active span at its midpoint, compare
+    second-half to first-half demand, and stage as growth
+    (ratio > {LIFECYCLE_RATIO_HI}), decline (< {LIFECYCLE_RATIO_LO}),
+    mature (between), or launch (first seen in the data's last
+    quarter) — the assortment-management table that routes parts to
+    different forecasting and stocking policies (pairs with the SBC
+    forecastability quadrants).
+
+    Scale: one (part, month) aggregate; per-part halves are
+    conditional sums keyed by each part's own midpoint month; stage
+    rollup is bounded."""
+    pm = (
+        lineitem.groupBy(
+            F.col("l_partkey").alias("part_id"),
+            F.date_trunc("month", "l_shipdate").alias("m"),
+        )
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .localCheckpoint()
+    )
+    horizon = F.broadcast(pm.agg(F.max("m").alias("maxm")))
+    per = pm.groupBy("part_id").agg(
+        F.min("m").alias("first_m"),
+        F.max("m").alias("last_m"),
+        F.sum("q").alias("tq"),
+    )
+    mid = F.timestamp_seconds(
+        (
+            F.unix_timestamp("first_m") + F.unix_timestamp("last_m")
+        ) / 2
+    )
+    halves = (
+        pm.join(per.select("part_id", "first_m", "last_m"), "part_id")
+        .select(
+            "part_id",
+            "q",
+            (F.col("m") > mid).cast("int").alias("is_h2"),
+        )
+        .groupBy("part_id")
+        .agg(
+            F.sum(F.when(F.col("is_h2") == 0, F.col("q"))).alias("q1"),
+            F.sum(F.when(F.col("is_h2") == 1, F.col("q"))).alias("q2"),
+        )
+    )
+    tagged = (
+        per.join(halves, "part_id")
+        .crossJoin(horizon)
+        .select(
+            "part_id",
+            F.when(
+                F.col("first_m") >= F.add_months(F.col("maxm"), -3),
+                F.lit("launch"),
+            )
+            .when(
+                F.try_divide(
+                    F.coalesce(F.col("q2"), F.lit(0)).cast("double"),
+                    F.nullif(
+                        F.coalesce(F.col("q1"), F.lit(0)).cast("double"),
+                        F.lit(0.0),
+                    ),
+                )
+                > LIFECYCLE_RATIO_HI,
+                F.lit("growth"),
+            )
+            .when(
+                F.try_divide(
+                    F.coalesce(F.col("q2"), F.lit(0)).cast("double"),
+                    F.nullif(
+                        F.coalesce(F.col("q1"), F.lit(0)).cast("double"),
+                        F.lit(0.0),
+                    ),
+                )
+                < LIFECYCLE_RATIO_LO,
+                F.lit("decline"),
+            )
+            .otherwise(F.lit("mature"))
+            .alias("stage"),
+        )
+    )
+    tot = F.broadcast(tagged.agg(F.count(F.lit(1)).cast("long").alias("n_total")))
+    return (
+        tagged.groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .crossJoin(tot)
+        .select(
+            "stage",
+            "n_parts",
+            (
+                F.round(
+                    F.col("n_parts").cast("double")
+                    / F.col("n_total").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("share"),
+        )
+        .orderBy("stage")
+    )

@@ -20605,3 +20605,107 @@ def orders_concentration_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.concentration_ratios(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
     )
+
+
+# --------------------------------------------------------------------------
+# Waves 232-233 (round 2): forecast-error metric family; part lifecycle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_forecast_error_family",
+    f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+         CAST(y AS DOUBLE) AS y
+  FROM daily
+),
+j AS (
+  SELECT c.y AS y1, s.y AS yhat, n.y AS ynaive
+  FROM ranked c
+  JOIN ranked s ON c.t = s.t + {E.MASE_SEASON}
+  JOIN ranked n ON c.t = n.t + 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+         SUM(CAST(ROUND(ABS(y1 - yhat), 6) AS DECIMAL(24,6))) AS sae,
+         SUM(CAST(ROUND(y1, 6) AS DECIMAL(24,6))) AS sy,
+         SUM(CAST(ROUND(ABS(y1 - yhat)
+                        / NULLIF((ABS(y1) + ABS(yhat)) / 2.0, 0.0), 9)
+                  AS DECIMAL(18,9))) AS ssmape,
+         SUM(CAST(ROUND(ABS(y1 - ynaive), 6) AS DECIMAL(24,6))) AS snaive
+  FROM j
+)
+SELECT n_eval,
+       ROUND(CAST(sae AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) + 0.0 AS mae,
+       ROUND(CAST(sae AS DOUBLE) / NULLIF(CAST(sy AS DOUBLE), 0.0), 6) + 0.0
+         AS wape,
+       ROUND(CAST(ssmape AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) + 0.0
+         AS smape,
+       ROUND((CAST(sae AS DOUBLE) / CAST(n_eval AS DOUBLE))
+             / NULLIF(CAST(snaive AS DOUBLE) / CAST(n_eval AS DOUBLE), 0.0),
+             6) + 0.0 AS mase,
+       CAST(CASE WHEN ROUND((CAST(sae AS DOUBLE) / CAST(n_eval AS DOUBLE))
+                            / NULLIF(CAST(snaive AS DOUBLE)
+                                     / CAST(n_eval AS DOUBLE), 0.0), 6) < 1.0
+                 THEN 1 ELSE 0 END AS INT) AS beats_naive
+FROM s
+""",
+)
+def events_forecast_error_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE / WAPE / sMAPE / MASE of the weekly seasonal-naive forecast
+    on daily counts — the metric family in one table."""
+    return E.forecast_error_metrics(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "part_lifecycle_stages",
+    f"""
+WITH pm AS (
+  SELECT l_partkey AS part_id, date_trunc('month', l_shipdate) AS m,
+         SUM(CAST(l_quantity AS DECIMAL(15,2))) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+horizon AS (SELECT MAX(m) AS maxm FROM pm),
+per AS (
+  SELECT part_id, MIN(m) AS first_m, MAX(m) AS last_m FROM pm GROUP BY 1
+),
+halves AS (
+  SELECT pm.part_id,
+         SUM(CASE WHEN pm.m <= to_timestamp((epoch(p.first_m)
+                                             + epoch(p.last_m)) / 2)
+                  THEN q END) AS q1,
+         SUM(CASE WHEN pm.m > to_timestamp((epoch(p.first_m)
+                                            + epoch(p.last_m)) / 2)
+                  THEN q END) AS q2
+  FROM pm JOIN per p USING (part_id)
+  GROUP BY 1
+),
+tagged AS (
+  SELECT p.part_id,
+         CASE WHEN p.first_m >= h.maxm - INTERVAL 3 MONTH THEN 'launch'
+              WHEN CAST(COALESCE(q2, 0) AS DOUBLE)
+                   / NULLIF(CAST(COALESCE(q1, 0) AS DOUBLE), 0.0)
+                   > {R.LIFECYCLE_RATIO_HI} THEN 'growth'
+              WHEN CAST(COALESCE(q2, 0) AS DOUBLE)
+                   / NULLIF(CAST(COALESCE(q1, 0) AS DOUBLE), 0.0)
+                   < {R.LIFECYCLE_RATIO_LO} THEN 'decline'
+              ELSE 'mature' END AS stage
+  FROM per p JOIN halves USING (part_id) CROSS JOIN horizon h
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tagged)
+SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.n_total) AS DOUBLE), 6)
+         + 0.0 AS share
+FROM tagged CROSS JOIN tot
+GROUP BY 1 ORDER BY 1
+""",
+)
+def part_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Launch/growth/mature/decline staging per part from half-vs-half
+    demand ratios — the assortment routing table beside SBC."""
+    return R.part_lifecycle_stages(load_table(spark, sf_dir, "lineitem"))
