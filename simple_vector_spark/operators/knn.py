@@ -830,3 +830,139 @@ def allpairs_topk_arrow(corpus: DataFrame, k: int) -> DataFrame:
             )
 
     return corpus.select("vec_id", "embedding").mapInArrow(score, out_schema)
+
+
+def label_silhouette(corpus: DataFrame) -> DataFrame:
+    """SILHOUETTE COEFFICIENT per label — THE cluster-quality standard
+    applied to the labeled embedding corpus: s(i) = (b - a) /
+    max(a, b) with a = mean intra-label distance (own label, self
+    excluded) and b = the closest other label's mean distance;
+    per-label means plus the share of NEGATIVE silhouettes (points
+    that sit closer to another label's centroid-region than their
+    own — the misfiled documents).  Completes the separability family:
+    LOO accuracy is the behavioral check, silhouette the geometric
+    one.
+
+    Same bit-parity Arrow recipe as :func:`allpairs_topk_arrow`, but
+    the kernel reduces each query row to |labels| mean distances
+    (matrix product against label indicator columns), so the shuffle
+    carries |rows| x |labels|, never pairs.  Euclidean (sqrt of the
+    fold), per-label means rounded 6."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rows = corpus.select("vec_id", "embedding", "label").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids_np = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    labs_np = np.asarray([r["label"] for r in rows], dtype=np.int64)
+    mat = np.asarray(
+        [[float(x) for x in r["embedding"]] for r in rows], dtype=np.float64
+    )
+    labels = sorted(set(int(x) for x in labs_np))
+    lab_cols = {lb: (labs_np == lb) for lb in labels}
+
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("qlabel", IntegerType()),
+            StructField("a_dist", DoubleType()),
+            StructField("b_dist", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        N, dim = mat.shape
+        for batch in batches:
+            qid_arr = batch.column(0).to_numpy(zero_copy_only=False)
+            emb = batch.column(1)
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            n = len(qid_arr)
+            X = flat.astype(np.float64).reshape(n, dim)
+            D = np.zeros((n, N), dtype=np.float64)
+            for d_ in range(dim):
+                diff = X[:, d_ : d_ + 1] - mat[None, :, d_]
+                D += diff * diff
+            E = np.sqrt(D)
+            qs, ql, av, bv = [], [], [], []
+            for i in range(n):
+                qid = int(qid_arr[i])
+                pos = int(np.searchsorted(ids_np, qid))
+                own = int(labs_np[pos])
+                self_mask = ids_np == qid
+                a = None
+                b = None
+                for lb in labels:
+                    m = lab_cols[lb] & ~self_mask
+                    cnt = int(m.sum())
+                    if cnt == 0:
+                        continue
+                    mean_d = round(float(E[i, m].sum() / cnt), 6)
+                    if lb == own:
+                        a = mean_d
+                    else:
+                        b = mean_d if b is None else min(b, mean_d)
+                qs.append(qid)
+                ql.append(own)
+                av.append(a if a is not None else float("nan"))
+                bv.append(b if b is not None else float("nan"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qs, type=pa.int64()),
+                    pa.array(ql, type=pa.int32()),
+                    pa.array(av, type=pa.float64()),
+                    pa.array(bv, type=pa.float64()),
+                ],
+                schema=pa.schema(
+                    [
+                        pa.field("qid", pa.int64()),
+                        pa.field("qlabel", pa.int32()),
+                        pa.field("a_dist", pa.float64()),
+                        pa.field("b_dist", pa.float64()),
+                    ]
+                ),
+            )
+
+    per = corpus.select("vec_id", "embedding").mapInArrow(score, out_schema)
+    s = F.round(
+        F.try_divide(
+            F.col("b_dist") - F.col("a_dist"),
+            F.nullif(F.greatest("a_dist", "b_dist"), F.lit(0.0)),
+        ),
+        6,
+    )
+    scored = per.filter(
+        ~F.isnan("a_dist") & ~F.isnan("b_dist")
+    ).select("qlabel", s.alias("sil"))
+    return (
+        scored.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.round(
+                    F.sum(F.col("sil").cast("decimal(12,6)")).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_silhouette"),
+            (
+                F.round(
+                    F.sum((F.col("sil") < 0).cast("int")).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("negative_share"),
+        )
+        .orderBy("label")
+    )

@@ -20709,3 +20709,54 @@ def part_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Launch/growth/mature/decline staging per part from half-vs-half
     demand ratios — the assortment routing table beside SBC."""
     return R.part_lifecycle_stages(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 234 (round 2): per-label silhouette coefficients.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_label_silhouette",
+    """
+WITH pairs AS (
+  SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS clabel,
+         b.vec_id AS cid,
+         unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(b.embedding AS DOUBLE[])) AS y
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+d AS (
+  SELECT qid, qlabel, clabel, SQRT(SUM((x - y) * (x - y))) AS ed
+  FROM pairs GROUP BY qid, qlabel, clabel, cid
+),
+grp AS (
+  SELECT qid, qlabel, clabel,
+         ROUND(SUM(ed) / COUNT(*), 6) AS mean_d
+  FROM d GROUP BY 1, 2, 3
+),
+ab AS (
+  SELECT qid, qlabel,
+         MAX(CASE WHEN clabel = qlabel THEN mean_d END) AS a_dist,
+         MIN(CASE WHEN clabel <> qlabel THEN mean_d END) AS b_dist
+  FROM grp GROUP BY 1, 2
+),
+scored AS (
+  SELECT qlabel,
+         ROUND((b_dist - a_dist) / NULLIF(GREATEST(a_dist, b_dist), 0.0), 6)
+           AS sil
+  FROM ab WHERE a_dist IS NOT NULL AND b_dist IS NOT NULL
+)
+SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(sil AS DECIMAL(12,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mean_silhouette,
+       ROUND(CAST(SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS negative_share
+FROM scored GROUP BY 1 ORDER BY 1
+""",
+)
+def embedding_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean silhouette + negative share per label — the geometric
+    separability read beside the LOO behavioral check."""
+    return K.label_silhouette(load_table(spark, sf_dir, "embeddings"))
