@@ -8575,3 +8575,116 @@ def part_lifecycle_stages(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+def interpurchase_gamma_fit(orders: DataFrame) -> DataFrame:
+    """GAMMA moment fit of inter-purchase intervals: shape k = m^2/v,
+    scale theta = v/m over all customers' order gaps — the parametric
+    model behind replenishment timing: k < 1 means bursty/clumped
+    ordering (dead periods then sprees), k ~ 1 memoryless (Poisson
+    purchasing), k >> 1 regular rhythms worth a subscription offer —
+    the model-level upgrade of the CV rule in
+    customers_subscription_detect.
+
+    Scale: per-customer lag window (customer-partitioned), one
+    DECIMAL moment aggregate over all gaps."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.datediff(F.col("o_orderdate"), F.col("prev"))
+            .cast("long")
+            .alias("g")
+        )
+        .filter(F.col("g") > 0)
+    )
+    s = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("sg"),
+        F.sum((F.col("g") * F.col("g")).cast("decimal(38,0)")).alias("sgg"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    m = F.col("sg").cast("double") / nd
+    v = (F.col("sgg").cast("double") - nd * m * m) / (nd - F.lit(1.0))
+    # v == 0 (perfectly regular cadence) => infinite shape; cap at 1e12
+    k = F.coalesce(
+        F.try_divide(m * m, F.nullif(v, F.lit(0.0))), F.lit(1.0e12)
+    )
+    theta = F.try_divide(v, F.nullif(m, F.lit(0.0)))
+    kr = F.round(k, 6)
+    return s.select(
+        "n_gaps",
+        (F.round(m, 6) + F.lit(0.0)).alias("mean_gap_days"),
+        (kr + F.lit(0.0)).alias("gamma_shape"),
+        (F.round(theta, 6) + F.lit(0.0)).alias("gamma_scale"),
+        F.when(kr < 0.8, F.lit("bursty"))
+        .when(kr > 1.2, F.lit("regular"))
+        .otherwise(F.lit("memoryless"))
+        .alias("rhythm"),
+    )
+
+
+PRICE_STICKY_PCT = 0.01
+
+
+def price_stickiness(lineitem: DataFrame) -> DataFrame:
+    """PRICE STICKINESS (menu-cost economics): how often do unit
+    prices actually change?  Per part-month unit price, month-over-
+    month change flags beyond {PRICE_STICKY_PCT:.0%}, summarized as
+    the monthly change frequency and the implied mean price-spell
+    duration 1/freq — the micro read behind inflation pass-through
+    and repricing-cost questions.
+
+    Scale: one (part, month) aggregate; adjacent months pair by a
+    part-partitioned lag window (never global); flags fold exactly."""
+    pm = (
+        lineitem.groupBy(
+            F.col("l_partkey").alias("part_id"),
+            F.date_trunc("month", "l_shipdate").alias("m"),
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice")).alias("rev"),
+            F.sum(_dec("l_quantity")).alias("qty"),
+        )
+        .filter(F.col("qty") > 0)
+        .select(
+            "part_id",
+            "m",
+            F.round(
+                F.col("rev").cast("double") / F.col("qty").cast("double"), 6
+            ).alias("p"),
+        )
+    )
+    w = Window.partitionBy("part_id").orderBy("m")
+    flagged = (
+        pm.withColumn("prev_p", F.lag("p").over(w))
+        .withColumn("prev_m", F.lag("m").over(w))
+        .filter(
+            F.col("prev_p").isNotNull()
+            & (F.months_between(F.col("m"), F.col("prev_m")) == 1)
+        )
+        .select(
+            (
+                F.abs(F.col("p") - F.col("prev_p"))
+                > F.lit(PRICE_STICKY_PCT) * F.col("prev_p")
+            ).cast("int").alias("changed")
+        )
+    )
+    s = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_adjacent_pairs"),
+        F.sum("changed").cast("long").alias("n_changes"),
+    )
+    freq = F.try_divide(
+        F.col("n_changes").cast("double"),
+        F.nullif(F.col("n_adjacent_pairs").cast("double"), F.lit(0.0)),
+    )
+    return s.select(
+        "n_adjacent_pairs",
+        "n_changes",
+        (F.round(freq, 6) + F.lit(0.0)).alias("monthly_change_freq"),
+        (
+            F.round(F.try_divide(F.lit(1.0), F.nullif(freq, F.lit(0.0))), 6)
+            + F.lit(0.0)
+        ).alias("mean_spell_months"),
+    )

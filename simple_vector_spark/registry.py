@@ -20760,3 +20760,95 @@ def embedding_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean silhouette + negative share per label — the geometric
     separability read beside the LOO behavioral check."""
     return K.label_silhouette(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Waves 235-236 (round 2): gamma inter-purchase fit; price stickiness.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_interpurchase_gamma",
+    """
+WITH gaps AS (
+  SELECT CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate)
+              AS BIGINT) AS g
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+  QUALIFY LAG(o_orderdate) OVER w IS NOT NULL
+     AND date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) > 0
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         SUM(CAST(g AS DECIMAL(38,0))) AS sg,
+         SUM(CAST(g * g AS DECIMAL(38,0))) AS sgg
+  FROM gaps
+),
+fit AS (
+  SELECT n_gaps,
+         CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS m,
+         (CAST(sgg AS DOUBLE)
+          - CAST(n_gaps AS DOUBLE)
+            * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+            * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+         / (CAST(n_gaps AS DOUBLE) - 1.0) AS v
+  FROM s
+)
+SELECT n_gaps,
+       ROUND(m, 6) + 0.0 AS mean_gap_days,
+       ROUND(COALESCE(m * m / NULLIF(v, 0.0), 1.0e12), 6) + 0.0
+         AS gamma_shape,
+       ROUND(v / NULLIF(m, 0.0), 6) + 0.0 AS gamma_scale,
+       CASE WHEN ROUND(COALESCE(m * m / NULLIF(v, 0.0), 1.0e12), 6) < 0.8
+              THEN 'bursty'
+            WHEN ROUND(COALESCE(m * m / NULLIF(v, 0.0), 1.0e12), 6) > 1.2
+              THEN 'regular'
+            ELSE 'memoryless' END AS rhythm
+FROM fit
+""",
+)
+def orders_interpurchase_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma moment fit of inter-purchase gaps with the rhythm class —
+    the parametric replenishment model over the CV rule."""
+    return R.interpurchase_gamma_fit(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "lineitem_price_stickiness",
+    f"""
+WITH pm AS (
+  SELECT l_partkey AS part_id, date_trunc('month', l_shipdate) AS m,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE), 6)
+           AS p
+  FROM lineitem GROUP BY 1, 2
+  HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 0
+),
+flagged AS (
+  SELECT CAST(CASE WHEN ABS(p - LAG(p) OVER w)
+                        > {R.PRICE_STICKY_PCT} * LAG(p) OVER w
+              THEN 1 ELSE 0 END AS INT) AS changed
+  FROM pm
+  WINDOW w AS (PARTITION BY part_id ORDER BY m)
+  QUALIFY LAG(p) OVER w IS NOT NULL
+     AND date_diff('month', LAG(m) OVER w, m) = 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_adjacent_pairs,
+         CAST(SUM(changed) AS BIGINT) AS n_changes
+  FROM flagged
+)
+SELECT n_adjacent_pairs, n_changes,
+       ROUND(CAST(n_changes AS DOUBLE)
+             / NULLIF(CAST(n_adjacent_pairs AS DOUBLE), 0.0), 6) + 0.0
+         AS monthly_change_freq,
+       ROUND(1.0 / NULLIF(CAST(n_changes AS DOUBLE)
+                          / NULLIF(CAST(n_adjacent_pairs AS DOUBLE), 0.0),
+                          0.0), 6) + 0.0 AS mean_spell_months
+FROM s
+""",
+)
+def lineitem_price_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly unit-price change frequency and implied price-spell
+    duration — menu-cost stickiness at part grain."""
+    return R.price_stickiness(load_table(spark, sf_dir, "lineitem"))
