@@ -8688,3 +8688,395 @@ def price_stickiness(lineitem: DataFrame) -> DataFrame:
             + F.lit(0.0)
         ).alias("mean_spell_months"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 237 (round 2): two-sample log-rank survival test and Croston
+# intermittent-demand forecasting.
+# --------------------------------------------------------------------------
+LOGRANK_SEGMENT = "BUILDING"  # group A; every other mktsegment is group B
+
+
+def logrank_test(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """LOG-RANK TEST: does the {LOGRANK_SEGMENT} market segment churn
+    at a different rate than everyone else?  Reuses km_survival's
+    lifetime/censoring convention (t = floor(days active/
+    {KM_MONTH_DAYS}), churn observed unless the last order falls within
+    {KM_CENSOR_DAYS} days of dataset end), splits customers into
+    {LOGRANK_SEGMENT} vs OTHER, and computes the Mantel-Cox statistic:
+    at each event time, O-E for group A under the hypergeometric null,
+    with variance d*(n1/n)*(1-n1/n)*(n-d)/(n-1).  chi2 = (O-E)^2/V on
+    1 df; p via the shared Zelen-Severo normal tail on sqrt(chi2).
+    The reference has no statistics surface at all — this is the
+    survival-curve comparison its users would need next after
+    customers_km_survival draws the curves.
+
+    Scale: two keyed aggregates (orders by custkey, join customer);
+    the event-time grid is bounded by the calendar span (~80 rows at
+    ANY scale factor), so the per-group at-risk window runs on a tiny
+    table.  Per-time terms are rounded to 9dp and summed as DECIMAL so
+    the final reduction is order-insensitive and exact."""
+    maxd = F.broadcast(orders.agg(F.max("o_orderdate").alias("_md")))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("_first"),
+            F.max("o_orderdate").alias("_last"),
+        )
+        .join(
+            customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .crossJoin(maxd)
+        .select(
+            F.when(
+                F.col("c_mktsegment") == LOGRANK_SEGMENT, F.lit("A")
+            )
+            .otherwise(F.lit("B"))
+            .alias("grp"),
+            F.floor(
+                F.datediff("_last", "_first") / F.lit(KM_MONTH_DAYS)
+            ).alias("t"),
+            F.when(
+                F.datediff("_md", "_last") >= KM_CENSOR_DAYS, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("ev"),
+        )
+    )
+    cells = per.groupBy("grp", "t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    # dense (grp x t) grid so every group has an at-risk row at every
+    # event time; the grid is bounded by the calendar span.
+    grid = (
+        cells.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                cells.select(F.explode(F.array(F.lit("A"), F.lit("B"))).alias("grp"))
+                .distinct()
+            )
+        )
+    )
+    tot = cells.groupBy("grp").agg(F.sum("m").cast("long").alias("ntot"))
+    w = Window.partitionBy("grp").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    full = (
+        grid.join(cells, ["grp", "t"], "left")
+        .fillna(0, subset=["d", "m"])
+        .join(tot, "grp")
+        .withColumn(
+            "n_risk",
+            F.col("ntot") - F.coalesce(F.sum("m").over(w), F.lit(0)),
+        )
+    )
+    byt = (
+        full.groupBy("t")
+        .agg(
+            F.sum("d").cast("long").alias("dt"),
+            F.sum(F.when(F.col("grp") == "A", F.col("d")).otherwise(0))
+            .cast("long")
+            .alias("d1"),
+            F.sum("n_risk").cast("long").alias("nt"),
+            F.sum(
+                F.when(F.col("grp") == "A", F.col("n_risk")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n1"),
+        )
+        .filter((F.col("dt") > 0) & (F.col("nt") > 1))
+    )
+    share = F.col("n1").cast("double") / F.col("nt").cast("double")
+    e1 = F.col("dt").cast("double") * share
+    v = (
+        F.col("dt").cast("double")
+        * share
+        * (F.lit(1.0) - share)
+        * (F.col("nt") - F.col("dt")).cast("double")
+        / (F.col("nt") - F.lit(1)).cast("double")
+    )
+    s = byt.agg(
+        F.sum("d1").cast("long").alias("observed_a"),
+        F.sum(F.round(e1, 9).cast("decimal(28,9)")).alias("_e"),
+        F.sum(F.round(v, 9).cast("decimal(28,9)")).alias("_v"),
+    )
+    na = tot.agg(
+        F.sum(F.when(F.col("grp") == "A", F.col("ntot")).otherwise(0))
+        .cast("long")
+        .alias("n_group_a"),
+        F.sum(F.when(F.col("grp") == "B", F.col("ntot")).otherwise(0))
+        .cast("long")
+        .alias("n_group_b"),
+    )
+    chi2 = F.try_divide(
+        (F.col("observed_a").cast("double") - F.col("_e").cast("double"))
+        * (F.col("observed_a").cast("double") - F.col("_e").cast("double")),
+        F.nullif(F.col("_v").cast("double"), F.lit(0.0)),
+    )
+    from .events import _norm_sf2
+
+    return s.crossJoin(F.broadcast(na)).select(
+        "n_group_a",
+        "n_group_b",
+        "observed_a",
+        (F.round(F.col("_e").cast("double"), 6) + F.lit(0.0)).alias(
+            "expected_a"
+        ),
+        (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+        (F.round(_norm_sf2(F.sqrt(chi2)), 6) + F.lit(0.0)).alias("p_value"),
+    )
+
+
+CROSTON_ALPHA = 0.2  # SES smoothing constant for sizes and intervals
+CROSTON_MIN_MONTHS = 4  # parts with fewer demand months are skipped
+CROSTON_TOP = 15  # report the top-N parts by SBA forecast
+
+
+def croston_forecast(lineitem: DataFrame) -> DataFrame:
+    """CROSTON'S METHOD (+ Syntetos-Boylan SBA correction): the
+    standard forecast for intermittent demand, the follow-through on
+    parts_sbc_classification's 'intermittent/lumpy' quadrants.  Per
+    part, monthly nonzero demands z_i and inter-demand intervals p_i
+    (first interval = months since the dataset's first month + 1) are
+    each exponentially smoothed with alpha={CROSTON_ALPHA}; forecast
+    per period = z_hat/p_hat, SBA = (1 - alpha/2) * z_hat/p_hat.
+    Top {CROSTON_TOP} parts by SBA (rounded, id tiebreak).
+
+    Scale: one (part, month) aggregate; the smoothing is a LEFT FOLD
+    over each part's month-sorted array (bounded by the calendar span,
+    ~80 elements at any SF) — acc = a*x + (1-a)*acc seeded with the
+    first element, the exact same float64 op sequence DuckDB's
+    list_reduce folds, so parity is bitwise.  Global top-N is
+    TakeOrderedAndProject, never a single-partition window."""
+    a = CROSTON_ALPHA
+    pm = (
+        lineitem.groupBy(
+            F.col("l_partkey").alias("part_id"),
+            F.date_trunc("month", "l_shipdate").alias("m"),
+        )
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 0)
+    )
+    min_m = F.broadcast(pm.agg(F.min("m").alias("_m0")))
+    wp = Window.partitionBy("part_id").orderBy("m")
+    seq = (
+        pm.crossJoin(min_m)
+        .withColumn("prev_m", F.lag("m").over(wp))
+        .select(
+            "part_id",
+            "m",
+            F.col("q").cast("double").alias("z"),
+            F.when(
+                F.col("prev_m").isNull(),
+                F.months_between(F.col("m"), F.col("_m0")) + F.lit(1.0),
+            )
+            .otherwise(F.months_between(F.col("m"), F.col("prev_m")))
+            .alias("gap"),
+        )
+    )
+    packed = (
+        seq.groupBy("part_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("m", "z", "gap"))
+            ).alias("arr")
+        )
+        .filter(F.size("arr") >= CROSTON_MIN_MONTHS)
+    )
+
+    def _ses(vals):
+        return F.aggregate(
+            F.slice(vals, 2, F.size(vals) - 1),
+            F.element_at(vals, 1),
+            lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+        )
+
+    zs = F.transform(F.col("arr"), lambda s: s["z"])
+    gs = F.transform(F.col("arr"), lambda s: s["gap"])
+    scored = packed.select(
+        "part_id",
+        F.size("arr").cast("long").alias("n_demand_months"),
+        _ses(zs).alias("_zh"),
+        _ses(gs).alias("_ph"),
+    ).select(
+        "part_id",
+        "n_demand_months",
+        (F.round(F.col("_zh"), 6) + F.lit(0.0)).alias("z_hat"),
+        (F.round(F.col("_ph"), 6) + F.lit(0.0)).alias("p_hat"),
+        (
+            F.round(F.try_divide(F.col("_zh"), F.nullif(F.col("_ph"), F.lit(0.0))), 6)
+            + F.lit(0.0)
+        ).alias("croston_fc"),
+        (
+            F.round(
+                F.lit(1.0 - a / 2.0)
+                * F.try_divide(F.col("_zh"), F.nullif(F.col("_ph"), F.lit(0.0))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("sba_fc"),
+    )
+    return scored.orderBy(F.col("sba_fc").desc(), "part_id").limit(CROSTON_TOP)
+
+
+# --------------------------------------------------------------------------
+# Wave 238 (round 2): Murphy decomposition of the Brier score and
+# gaps-and-islands purchase streaks.
+# --------------------------------------------------------------------------
+
+
+def brier_decomposition(
+    orders: DataFrame, bins: int = CALIBRATION_BINS
+) -> DataFrame:
+    """MURPHY DECOMPOSITION of the Brier score — the one-row summary
+    behind orders_calibration_bins' reliability diagram.  Same
+    convention: forecast = order value min-max scaled to [0,1),
+    outcome = urgent priority.  Brier = mean (s-y)^2 splits (over the
+    {CALIBRATION_BINS}-bin partition) into RELIABILITY
+    (sum n_k (f_k - obar_k)^2 / N, calibration error, lower better),
+    RESOLUTION (sum n_k (obar_k - obar)^2 / N, discrimination, higher
+    better) and UNCERTAINTY obar(1-obar); brier_binned = rel - res +
+    unc is the exact identity when forecasts are the bin means.
+
+    Determinism: the raw Brier expands to (S2/d^2 - 2*S1y/d + Ny)/N
+    where S2 = sum (c-lo)^2 and S1y = sum (c-lo) over positives are
+    EXACT integer sums (DECIMAL(38,0) — cents squared overflow a
+    long at scale), so no float folds over data-sized row sets; the
+    per-bin terms are rounded-9 DECIMAL summed over just
+    {CALIBRATION_BINS} rows.  One scan + a two-scalar broadcast."""
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    rng = orders.select(cents.alias("_c")).agg(
+        F.min("_c").alias("_lo"), F.max("_c").alias("_hi")
+    )
+    pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    scored = orders.crossJoin(F.broadcast(rng)).select(
+        (cents - F.col("_lo")).alias("c0"),
+        (F.col("_hi") - F.col("_lo")).alias("d"),
+        pos.alias("y"),
+    )
+    b = F.expr(f"least((c0 * {bins}) div (d + 1), {bins - 1})").cast("int")
+    per_bin = scored.groupBy(b.alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c0").cast("decimal(38,0)").alias("s1"),
+        F.sum(
+            (F.col("c0").cast("decimal(19,0)") * F.col("c0")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s2"),
+        F.sum(F.when(F.col("y") == 1, F.col("c0")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s1y"),
+        F.sum("y").cast("long").alias("ny"),
+        F.first("d").alias("d"),
+    )
+    fk = F.col("s1").cast("double") / F.col("n") / F.col("d").cast("double")
+    ok = F.col("ny").cast("double") / F.col("n")
+    tot = per_bin.agg(
+        F.sum("n").cast("long").alias("n_orders"),
+        F.sum("ny").cast("long").alias("_ny"),
+        F.sum("s2").cast("decimal(38,0)").alias("_s2"),
+        F.sum("s1y").cast("decimal(38,0)").alias("_s1y"),
+        F.first("d").alias("_d"),
+    )
+    binned = per_bin.crossJoin(F.broadcast(tot)).select(
+        F.col("n"),
+        F.round(
+            F.col("n")
+            * (fk - ok)
+            * (fk - ok)
+            / F.col("n_orders").cast("double"),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("rel_t"),
+        F.round(
+            F.col("n")
+            * (ok - F.col("_ny").cast("double") / F.col("n_orders"))
+            * (ok - F.col("_ny").cast("double") / F.col("n_orders"))
+            / F.col("n_orders").cast("double"),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("res_t"),
+    )
+    sums = binned.agg(
+        F.sum("rel_t").alias("_rel"), F.sum("res_t").alias("_res")
+    )
+    obar = F.col("_ny").cast("double") / F.col("n_orders").cast("double")
+    dd = F.col("_d").cast("double")
+    brier = (
+        F.col("_s2").cast("double") / (dd * dd)
+        - F.lit(2.0) * F.col("_s1y").cast("double") / dd
+        + F.col("_ny").cast("double")
+    ) / F.col("n_orders").cast("double")
+    unc = obar * (F.lit(1.0) - obar)
+    return tot.crossJoin(F.broadcast(sums)).select(
+        "n_orders",
+        (F.round(obar, 6) + F.lit(0.0)).alias("base_rate"),
+        (F.round(brier, 6) + F.lit(0.0)).alias("brier_score"),
+        (F.round(F.col("_rel").cast("double"), 6) + F.lit(0.0)).alias(
+            "reliability"
+        ),
+        (F.round(F.col("_res").cast("double"), 6) + F.lit(0.0)).alias(
+            "resolution"
+        ),
+        (F.round(unc, 6) + F.lit(0.0)).alias("uncertainty"),
+        (
+            F.round(
+                F.col("_rel").cast("double")
+                - F.col("_res").cast("double")
+                + unc,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("brier_binned"),
+    )
+
+
+def order_streaks(orders: DataFrame) -> DataFrame:
+    """GAPS-AND-ISLANDS purchase streaks: per customer, the longest run
+    of CONSECUTIVE calendar months with at least one order (island id =
+    month index minus per-customer row_number — the classic idiom),
+    rolled up into a histogram of longest-streak lengths with the
+    customer share.  The loyalty metric behind 'n-month-streak' badges.
+
+    Scale: distinct (customer, month) grain first (one shuffle), then
+    two customer-partitioned windows — never a global sort; the
+    histogram is bounded by the calendar span."""
+    cm = orders.select(
+        F.col("o_custkey").alias("cust"),
+        (
+            F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")
+        ).alias("idx"),
+    ).distinct()
+    w = Window.partitionBy("cust").orderBy("idx")
+    islands = cm.withColumn(
+        "isl", F.col("idx") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("cust", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    best = streaks.groupBy("cust").agg(F.max("len").alias("longest"))
+    tot = F.broadcast(
+        best.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    return (
+        best.groupBy(F.col("longest").alias("streak_months"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .crossJoin(tot)
+        .select(
+            "streak_months",
+            "n_customers",
+            (
+                F.round(
+                    F.col("n_customers").cast("double")
+                    / F.col("_n").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("share"),
+        )
+    )

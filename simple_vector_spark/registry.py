@@ -20852,3 +20852,265 @@ def lineitem_price_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly unit-price change frequency and implied price-spell
     duration — menu-cost stickiness at part grain."""
     return R.price_stickiness(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 237 (round 2): log-rank survival test and Croston forecasting.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customers_logrank_test",
+    f"""
+WITH maxd AS (SELECT MAX(o_orderdate) AS md FROM orders),
+per AS (
+  SELECT CASE WHEN ANY_VALUE(c.c_mktsegment) = '{R.LOGRANK_SEGMENT}'
+              THEN 'A' ELSE 'B' END AS grp,
+         CAST(FLOOR(date_diff('day', MIN(o.o_orderdate), MAX(o.o_orderdate))
+                    / {R.KM_MONTH_DAYS}.0) AS BIGINT) AS t,
+         CASE WHEN date_diff('day', MAX(o.o_orderdate), ANY_VALUE(maxd.md))
+                   >= {R.KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS ev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  CROSS JOIN maxd
+  GROUP BY o.o_custkey
+),
+cells AS (
+  SELECT grp, t, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM per GROUP BY 1, 2
+),
+grid AS (
+  SELECT t, g.grp
+  FROM (SELECT DISTINCT t FROM cells)
+  CROSS JOIN (SELECT 'A' AS grp UNION ALL SELECT 'B') g
+),
+tot AS (SELECT grp, CAST(SUM(m) AS BIGINT) AS ntot FROM cells GROUP BY 1),
+full_g AS (
+  SELECT grid.grp, grid.t,
+         COALESCE(c.d, 0) AS d, COALESCE(c.m, 0) AS m,
+         tot.ntot
+           - COALESCE(SUM(COALESCE(c.m, 0)) OVER (
+               PARTITION BY grid.grp ORDER BY grid.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM grid
+  LEFT JOIN cells c ON c.grp = grid.grp AND c.t = grid.t
+  JOIN tot ON tot.grp = grid.grp
+),
+byt AS (
+  SELECT t, CAST(SUM(d) AS BIGINT) AS dt,
+         CAST(SUM(CASE WHEN grp = 'A' THEN d ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(n_risk) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN grp = 'A' THEN n_risk ELSE 0 END) AS BIGINT)
+           AS n1
+  FROM full_g GROUP BY 1
+),
+terms AS (
+  SELECT d1,
+         CAST(ROUND(CAST(dt AS DOUBLE)
+                    * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS e1,
+         CAST(ROUND(CAST(dt AS DOUBLE)
+                    * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (1.0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE), 9)
+              AS DECIMAL(28,9)) AS v
+  FROM byt WHERE dt > 0 AND nt > 1
+),
+s AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS observed_a,
+         CAST(SUM(e1) AS DOUBLE) AS e, CAST(SUM(v) AS DOUBLE) AS v
+  FROM terms
+),
+na AS (
+  SELECT CAST(SUM(CASE WHEN grp = 'A' THEN ntot ELSE 0 END) AS BIGINT)
+           AS n_group_a,
+         CAST(SUM(CASE WHEN grp = 'B' THEN ntot ELSE 0 END) AS BIGINT)
+           AS n_group_b
+  FROM tot
+),
+c2 AS (
+  SELECT n_group_a, n_group_b, observed_a, e,
+         (CAST(observed_a AS DOUBLE) - e) * (CAST(observed_a AS DOUBLE) - e)
+           / NULLIF(v, 0.0) AS chi2
+  FROM s CROSS JOIN na
+)
+SELECT n_group_a, n_group_b, observed_a,
+       ROUND(e, 6) + 0.0 AS expected_a,
+       ROUND(chi2, 6) + 0.0 AS chi2,
+       ROUND({_nsf2_sql("SQRT(chi2)")}, 6) + 0.0 AS p_value
+FROM c2
+""",
+)
+def customers_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank test: does the BUILDING segment churn at a
+    different hazard than everyone else?"""
+    return R.logrank_test(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@query(
+    "parts_croston_forecast",
+    f"""
+WITH pm AS (
+  SELECT l_partkey AS part_id, date_trunc('month', l_shipdate) AS m,
+         SUM(CAST(l_quantity AS DECIMAL(15,2))) AS q
+  FROM lineitem GROUP BY 1, 2
+  HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 0
+),
+m0 AS (SELECT MIN(m) AS first_m FROM pm),
+seq AS (
+  SELECT part_id, m, CAST(q AS DOUBLE) AS z,
+         CASE WHEN LAG(m) OVER w IS NULL
+              THEN CAST(date_diff('month', m0.first_m, m) AS DOUBLE) + 1.0
+              ELSE CAST(date_diff('month', LAG(m) OVER w, m) AS DOUBLE)
+         END AS gap
+  FROM pm CROSS JOIN m0
+  WINDOW w AS (PARTITION BY part_id ORDER BY m)
+),
+packed AS (
+  SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_demand_months,
+         list(z ORDER BY m) AS zs, list(gap ORDER BY m) AS gs
+  FROM seq GROUP BY 1 HAVING COUNT(*) >= {R.CROSTON_MIN_MONTHS}
+),
+sm AS (
+  SELECT part_id, n_demand_months,
+         list_reduce(zs, (acc, x) -> {R.CROSTON_ALPHA} * x
+                                     + {1.0 - R.CROSTON_ALPHA} * acc) AS zh,
+         list_reduce(gs, (acc, x) -> {R.CROSTON_ALPHA} * x
+                                     + {1.0 - R.CROSTON_ALPHA} * acc) AS ph
+  FROM packed
+)
+SELECT part_id, n_demand_months,
+       ROUND(zh, 6) + 0.0 AS z_hat,
+       ROUND(ph, 6) + 0.0 AS p_hat,
+       ROUND(zh / NULLIF(ph, 0.0), 6) + 0.0 AS croston_fc,
+       ROUND({1.0 - R.CROSTON_ALPHA / 2.0} * (zh / NULLIF(ph, 0.0)), 6)
+         + 0.0 AS sba_fc
+FROM sm
+ORDER BY sba_fc DESC, part_id
+LIMIT {R.CROSTON_TOP}
+""",
+)
+def parts_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston/SBA intermittent-demand forecast per part — the
+    forecasting family parts_sbc_classification prescribes."""
+    return R.croston_forecast(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 238 (round 2): Brier decomposition and purchase streaks.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_brier_decomposition",
+    f"""
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+rng AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c),
+scored AS (
+  SELECT cents - lo AS c0, hi - lo AS d, y FROM c CROSS JOIN rng
+),
+pb AS (
+  SELECT LEAST((c0 * {R.CALIBRATION_BINS}) // (d + 1),
+               {R.CALIBRATION_BINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(c0) AS s1,
+         SUM(c0 * c0) AS s2,
+         SUM(CASE WHEN y = 1 THEN c0 ELSE 0 END) AS s1y,
+         CAST(SUM(y) AS BIGINT) AS ny,
+         ANY_VALUE(d) AS d
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_orders,
+         CAST(SUM(ny) AS BIGINT) AS nyt,
+         SUM(s2) AS s2t, SUM(s1y) AS s1yt,
+         ANY_VALUE(d) AS d
+  FROM pb
+),
+terms AS (
+  SELECT CAST(ROUND(CAST(n AS DOUBLE)
+               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                    / CAST(pb.d AS DOUBLE)
+                  - CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                    / CAST(pb.d AS DOUBLE)
+                  - CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(tot.n_orders AS DOUBLE), 9) AS DECIMAL(28,9)) AS rel_t,
+         CAST(ROUND(CAST(n AS DOUBLE)
+               * (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(tot.nyt AS DOUBLE) / CAST(tot.n_orders AS DOUBLE))
+               * (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(tot.nyt AS DOUBLE) / CAST(tot.n_orders AS DOUBLE))
+               / CAST(tot.n_orders AS DOUBLE), 9) AS DECIMAL(28,9)) AS res_t
+  FROM pb CROSS JOIN tot
+),
+sums AS (
+  SELECT CAST(SUM(rel_t) AS DOUBLE) AS rel,
+         CAST(SUM(res_t) AS DOUBLE) AS res
+  FROM terms
+)
+SELECT n_orders,
+       ROUND(CAST(nyt AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) + 0.0
+         AS base_rate,
+       ROUND((CAST(s2t AS DOUBLE)
+                / (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+              - 2.0 * CAST(s1yt AS DOUBLE) / CAST(d AS DOUBLE)
+              + CAST(nyt AS DOUBLE)) / CAST(n_orders AS DOUBLE), 6) + 0.0
+         AS brier_score,
+       ROUND(rel, 6) + 0.0 AS reliability,
+       ROUND(res, 6) + 0.0 AS resolution,
+       ROUND((CAST(nyt AS DOUBLE) / CAST(n_orders AS DOUBLE))
+             * (1.0 - CAST(nyt AS DOUBLE) / CAST(n_orders AS DOUBLE)), 6)
+         + 0.0 AS uncertainty,
+       ROUND(rel - res
+             + (CAST(nyt AS DOUBLE) / CAST(n_orders AS DOUBLE))
+               * (1.0 - CAST(nyt AS DOUBLE) / CAST(n_orders AS DOUBLE)), 6)
+         + 0.0 AS brier_binned
+FROM tot CROSS JOIN sums
+""",
+)
+def orders_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (reliability /
+    resolution / uncertainty) over the calibration-bins convention."""
+    return R.brier_decomposition(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "customers_order_streaks",
+    """
+WITH cm AS (
+  SELECT DISTINCT o_custkey AS cust,
+         year(o_orderdate) * 12 + month(o_orderdate) AS idx
+  FROM orders
+),
+isl AS (
+  SELECT cust,
+         idx - ROW_NUMBER() OVER (PARTITION BY cust ORDER BY idx) AS isl
+  FROM cm
+),
+st AS (
+  SELECT cust, isl, CAST(COUNT(*) AS BIGINT) AS len FROM isl GROUP BY 1, 2
+),
+best AS (SELECT cust, MAX(len) AS longest FROM st GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM best)
+SELECT longest AS streak_months,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(tot.n) AS DOUBLE), 6)
+         + 0.0 AS share
+FROM best CROSS JOIN tot
+GROUP BY 1
+""",
+)
+def customers_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands longest consecutive-month purchase streak per
+    customer, rolled into a histogram."""
+    return R.order_streaks(load_table(spark, sf_dir, "orders"))
