@@ -9080,3 +9080,174 @@ def order_streaks(orders: DataFrame) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 239 (round 2): Kendall tau-b rank correlation and hop-bounded
+# closeness/harmonic centrality on the major-lane trade graph.
+# --------------------------------------------------------------------------
+
+
+def kendall_tau_monthly(orders: DataFrame) -> DataFrame:
+    """KENDALL TAU-B between monthly order COUNT and monthly total
+    REVENUE — the pair-concordance rank correlation that, unlike
+    lineitem_spearman_corr's rank transform, reads directly as
+    P(concordant) - P(discordant) and handles ties via the tau-b
+    denominator sqrt((n0-tx)(n0-ty)).  Normal-approximation z and the
+    shared Zelen-Severo two-sided p alongside.
+
+    Scale: the pair join runs on the MONTHLY aggregate, whose
+    cardinality is the calendar span (~84 rows at ANY scale factor,
+    so ~3.5k pairs) — never on raw rows; counts and revenue CENTS are
+    exact integers, so concordance flags are exact and the one
+    floating step is the final tau ratio."""
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        (F.sum(_dec("o_totalprice")) * 100).cast("long").alias("y"),
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(b, F.col("a.m") < F.col("b.m")).select(
+        (F.col("a.x") - F.col("b.x")).alias("dx"),
+        (F.col("a.y") - F.col("b.y")).alias("dy"),
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(((F.col("dx") * F.col("dy")) > 0).cast("int"))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(((F.col("dx") * F.col("dy")) < 0).cast("int"))
+        .cast("long")
+        .alias("discordant"),
+        F.sum((F.col("dx") == 0).cast("int")).cast("long").alias("ties_x"),
+        F.sum((F.col("dy") == 0).cast("int")).cast("long").alias("ties_y"),
+    )
+    n = F.broadcast(
+        monthly.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    )
+    num = (F.col("concordant") - F.col("discordant")).cast("double")
+    den = F.sqrt(
+        (F.col("n0") - F.col("ties_x")).cast("double")
+        * (F.col("n0") - F.col("ties_y")).cast("double")
+    )
+    nn = F.col("n_months").cast("double")
+    zden = F.sqrt(
+        nn * (nn - F.lit(1.0)) * (F.lit(2.0) * nn + F.lit(5.0))
+        / F.lit(2.0)
+    )
+    z = F.lit(3.0) * num / zden
+    from .events import _norm_sf2
+
+    return s.crossJoin(n).select(
+        "n_months",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        (
+            F.round(F.try_divide(num, F.nullif(den, F.lit(0.0))), 6)
+            + F.lit(0.0)
+        ).alias("tau_b"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z_stat"),
+        (F.round(_norm_sf2(F.abs(z)), 6) + F.lit(0.0)).alias("p_value"),
+    )
+
+
+HARMONIC_MAX_HOPS = 4  # hop bound for the all-pairs BFS expansion
+
+
+def trade_closeness(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """CLOSENESS + HARMONIC centrality on the undirected major-lane
+    trade graph (each nation's top-3 partner lanes, the same
+    construction as trade_link_prediction — the raw graph is complete
+    so raw closeness is degenerate).  All-pairs min-hop distances from
+    a {HARMONIC_MAX_HOPS}-hop-bounded BFS; harmonic = sum 1/d (the
+    variant that is well-defined under disconnection), closeness =
+    n_reachable / sum d.
+
+    Scale: the fact table is touched ONCE to build the weighted edge
+    aggregate; the BFS expansion iterates on the dimension-sized edge
+    list with a min-hop groupBy per round (contracted-graph pattern),
+    localCheckpointed to truncate lineage.  1/d terms fold as
+    9dp-rounded DECIMAL so the tiny sum is order-exact."""
+    flows = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    tw = Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v").asc())
+    edges = (
+        flows.withColumn("rnk", F.row_number().over(tw))
+        .filter(F.col("rnk") <= 3)
+        .select("u", "v")
+    )
+    und = (
+        edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = und.select("u", "v", F.lit(1).alias("d"))
+    for _ in range(HARMONIC_MAX_HOPS - 1):
+        ext = (
+            dist.join(
+                und.select(F.col("u").alias("v"), F.col("v").alias("w2")),
+                "v",
+            )
+            .filter(F.col("u") != F.col("w2"))
+            .select("u", F.col("w2").alias("v"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(ext)
+            .groupBy("u", "v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return (
+        dist.groupBy(F.col("u").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reachable"),
+            F.sum("d").cast("long").alias("_sumd"),
+            F.sum(
+                F.round(F.lit(1.0) / F.col("d").cast("double"), 9).cast(
+                    "decimal(18,9)"
+                )
+            ).alias("_harm"),
+        )
+        .select(
+            "nation_key",
+            "n_reachable",
+            (
+                F.round(F.col("_harm").cast("double"), 6) + F.lit(0.0)
+            ).alias("harmonic_centrality"),
+            (
+                F.round(
+                    F.col("n_reachable").cast("double")
+                    / F.col("_sumd").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("closeness"),
+        )
+    )

@@ -21114,3 +21114,106 @@ def customers_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands longest consecutive-month purchase streak per
     customer, rolled into a histogram."""
     return R.order_streaks(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Wave 239 (round 2): Kendall tau-b and trade-graph closeness.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_kendall_tau",
+    f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) * 100 AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT a.x - b.x AS dx, a.y - b.y AS dy
+  FROM monthly a JOIN monthly b ON a.m < b.m
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS discordant,
+         CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+         CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+  FROM pairs
+),
+nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly),
+c2 AS (
+  SELECT n_months, concordant, discordant, ties_x, ties_y,
+         CAST(concordant - discordant AS DOUBLE)
+           / NULLIF(SQRT(CAST(n0 - ties_x AS DOUBLE)
+                         * CAST(n0 - ties_y AS DOUBLE)), 0.0) AS tau,
+         3.0 * CAST(concordant - discordant AS DOUBLE)
+           / SQRT(CAST(n_months AS DOUBLE)
+                  * (CAST(n_months AS DOUBLE) - 1.0)
+                  * (2.0 * CAST(n_months AS DOUBLE) + 5.0) / 2.0) AS z
+  FROM s CROSS JOIN nm
+)
+SELECT n_months, concordant, discordant, ties_x, ties_y,
+       ROUND(tau, 6) + 0.0 AS tau_b,
+       ROUND(z, 6) + 0.0 AS z_stat,
+       ROUND({_nsf2_sql("ABS(z)")}, 6) + 0.0 AS p_value
+FROM c2
+""",
+)
+def orders_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between monthly order count and monthly revenue
+    with normal-approximation z and p."""
+    return R.kendall_tau_monthly(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "nation_trade_closeness",
+    f"""
+WITH RECURSIVE ew AS (
+  SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2
+),
+e3 AS (
+  SELECT src AS u, dst AS v FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+                                        ORDER BY w DESC, dst) AS rn
+    FROM ew
+  ) WHERE rn <= 3
+),
+und AS (SELECT u, v FROM e3 UNION SELECT v AS u, u AS v FROM e3),
+paths(u, v, d) AS (
+  SELECT u, v, 1 AS d FROM und
+  UNION ALL
+  SELECT p.u, e.v, p.d + 1
+  FROM paths p JOIN und e ON p.v = e.u
+  WHERE p.d < {R.HARMONIC_MAX_HOPS} AND e.v <> p.u
+),
+dist AS (SELECT u, v, MIN(d) AS d FROM paths GROUP BY 1, 2)
+SELECT u AS nation_key,
+       CAST(COUNT(*) AS BIGINT) AS n_reachable,
+       ROUND(CAST(SUM(CAST(ROUND(1.0 / CAST(d AS DOUBLE), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE), 6) + 0.0
+         AS harmonic_centrality,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(d) AS DOUBLE), 6) + 0.0
+         AS closeness
+FROM dist
+GROUP BY 1
+""",
+)
+def nation_trade_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded harmonic + closeness centrality on the undirected
+    top-3 major-lane nation trade graph."""
+    return R.trade_closeness(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+    )
