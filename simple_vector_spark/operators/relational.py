@@ -9251,3 +9251,146 @@ def trade_closeness(
             ).alias("closeness"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 240 (round 2): Granger causality and process capability.
+# --------------------------------------------------------------------------
+
+
+def granger_revenue(orders: DataFrame) -> DataFrame:
+    """GRANGER CAUSALITY (one lag): does last month's ORDER COUNT help
+    predict this month's REVENUE beyond last month's revenue itself?
+    Restricted model y_t ~ 1 + y_{t-1} vs unrestricted + x_{t-1};
+    F = (RSS_r - RSS_u)(n-3)/RSS_u on (1, n-3) df, p via the shared
+    normal tail on sqrt(F) (exact as F's denominator df -> inf; at
+    n ~ 80 the approximation error is < 0.005, documented).  The
+    cross-series companion to orders_ar2_yule_walker's own-lag fit.
+
+    Scale: the regression runs on the bounded MONTHLY grid (~84 rows
+    at ANY scale factor); the lag pair is a keyed self-join on month
+    index (no global window); all power sums are EXACT integer/DECIMAL
+    folds (cents and counts), so the closed-form normal-equation
+    solve is a scalar double computation identical in both engines."""
+    monthly = orders.groupBy(
+        (
+            F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")
+        ).alias("idx")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        (F.sum(_dec("o_totalprice")) * 100).cast("long").alias("cents"),
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(
+        b, F.col("b.idx") == F.col("a.idx") + 1
+    ).select(
+        F.col("a.cents").alias("x"),  # y_{t-1} (cents)
+        F.col("a.cnt").alias("z"),  # x_{t-1} (count)
+        F.col("b.cents").alias("y"),  # y_t (cents)
+    )
+    d38 = "decimal(38,0)"
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("z").cast(d38).alias("sz"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum((F.col("x").cast(d38) * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("z").cast(d38) * F.col("z")).cast(d38)).alias("szz"),
+        F.sum((F.col("x").cast(d38) * F.col("z")).cast(d38)).alias("sxz"),
+        F.sum((F.col("x").cast(d38) * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("z").cast(d38) * F.col("y")).cast(d38)).alias("szy"),
+        F.sum((F.col("y").cast(d38) * F.col("y")).cast(d38)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+
+    def _d(c):
+        return F.col(c).cast("double")
+
+    cxx = _d("sxx") - _d("sx") * _d("sx") / nd
+    czz = _d("szz") - _d("sz") * _d("sz") / nd
+    cxz = _d("sxz") - _d("sx") * _d("sz") / nd
+    cxy = _d("sxy") - _d("sx") * _d("sy") / nd
+    czy = _d("szy") - _d("sz") * _d("sy") / nd
+    cyy = _d("syy") - _d("sy") * _d("sy") / nd
+    rss_r = cyy - cxy * cxy / cxx
+    det = cxx * czz - cxz * cxz
+    b1 = (cxy * czz - czy * cxz) / det
+    b2 = (czy * cxx - cxy * cxz) / det
+    rss_u = cyy - b1 * cxy - b2 * czy
+    fstat = (rss_r - rss_u) * (nd - F.lit(3.0)) / rss_u
+    from .events import _norm_sf2
+
+    return s.select(
+        F.col("n").alias("n_obs"),
+        (F.round(F.lit(1.0) - rss_r / cyy, 6) + F.lit(0.0)).alias(
+            "r2_restricted"
+        ),
+        (F.round(F.lit(1.0) - rss_u / cyy, 6) + F.lit(0.0)).alias(
+            "r2_unrestricted"
+        ),
+        (F.round(b2 / F.lit(100.0), 6) + F.lit(0.0)).alias(
+            "beta_count_lag"
+        ),
+        (F.round(fstat, 6) + F.lit(0.0)).alias("f_stat"),
+        (
+            F.round(_norm_sf2(F.sqrt(F.greatest(fstat, F.lit(0.0)))), 6)
+            + F.lit(0.0)
+        ).alias("p_value"),
+    )
+
+
+CPK_LSL = 1.0  # spec limits on lineitem quantity
+CPK_USL = 50.0
+
+
+def process_capability(lineitem: DataFrame) -> DataFrame:
+    """PROCESS CAPABILITY (Cp / Cpk): treats lineitem quantity as the
+    monitored characteristic against spec limits [{CPK_LSL},
+    {CPK_USL}] — Cp = (USL-LSL)/6s (potential), Cpk = min(USL-m,
+    m-LSL)/3s (actual, penalizing off-center), plus the observed
+    out-of-spec PPM and the normal-theory PPM implied by Cpk.  The
+    capability member of the SPC family beside the p-chart/EWMA/CUSUM
+    control charts.
+
+    Scale: one scan, exact integer power sums (quantity is integral),
+    scalar closed forms after — the same shape as the other
+    power-sum statistics."""
+    q = F.col("l_quantity").cast("decimal(15,2)")
+    s = lineitem.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q.cast("decimal(38,2)")).alias("s1"),
+        F.sum((q * q).cast("decimal(38,4)")).alias("s2"),
+        F.sum(
+            ((q < CPK_LSL) | (q > CPK_USL)).cast("int")
+        )
+        .cast("long")
+        .alias("n_oos"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / nd
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * m) / (
+        nd - F.lit(1.0)
+    )
+    sd = F.sqrt(var)
+    cp = F.lit(CPK_USL - CPK_LSL) / (F.lit(6.0) * sd)
+    cpk = (
+        F.least(F.lit(CPK_USL) - m, m - F.lit(CPK_LSL))
+        / (F.lit(3.0) * sd)
+    )
+    from .events import _norm_sf2
+
+    ppm_norm = _norm_sf2(F.lit(3.0) * cpk) / F.lit(2.0) * F.lit(1.0e6)
+    return s.select(
+        F.col("n").alias("n_lines"),
+        (F.round(m, 6) + F.lit(0.0)).alias("mean_qty"),
+        (F.round(sd, 6) + F.lit(0.0)).alias("sd_qty"),
+        (F.round(cp, 6) + F.lit(0.0)).alias("cp"),
+        (F.round(cpk, 6) + F.lit(0.0)).alias("cpk"),
+        (
+            F.round(
+                F.col("n_oos").cast("double") / nd * F.lit(1.0e6), 6
+            )
+            + F.lit(0.0)
+        ).alias("observed_oos_ppm"),
+        (F.round(ppm_norm, 6) + F.lit(0.0)).alias("normal_theory_ppm"),
+    )

@@ -21217,3 +21217,132 @@ def nation_trade_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "supplier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 240 (round 2): Granger causality and process capability.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_granger_revenue",
+    f"""
+WITH monthly AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS idx,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT a.cents AS x, a.cnt AS z, b.cents AS y
+  FROM monthly a JOIN monthly b ON b.idx = a.idx + 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(z AS HUGEINT)) AS sz,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(z AS HUGEINT) * z) AS szz,
+         SUM(CAST(x AS HUGEINT) * z) AS sxz,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(z AS HUGEINT) * y) AS szy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM p
+),
+c AS (
+  SELECT n,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+           / CAST(n AS DOUBLE) AS cxx,
+         CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+           / CAST(n AS DOUBLE) AS czz,
+         CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)
+           / CAST(n AS DOUBLE) AS cxz,
+         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+           / CAST(n AS DOUBLE) AS cxy,
+         CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE)
+           / CAST(n AS DOUBLE) AS czy,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+           / CAST(n AS DOUBLE) AS cyy
+  FROM s
+),
+m AS (
+  SELECT n, cxx, czz, cxz, cxy, czy, cyy,
+         cyy - cxy * cxy / cxx AS rss_r,
+         cxx * czz - cxz * cxz AS det
+  FROM c
+),
+m2 AS (
+  SELECT n, cxy, czy, cyy, rss_r,
+         (cxy * czz - czy * cxz) / det AS b1,
+         (czy * cxx - cxy * cxz) / det AS b2
+  FROM m
+),
+m3 AS (SELECT n, cyy, rss_r, b2,
+              cyy - b1 * cxy - b2 * czy AS rss_u FROM m2),
+m4 AS (
+  SELECT n, cyy, rss_r, rss_u, b2,
+         (rss_r - rss_u) * (CAST(n AS DOUBLE) - 3.0) / rss_u AS f
+  FROM m3
+)
+SELECT n AS n_obs,
+       ROUND(1.0 - rss_r / cyy, 6) + 0.0 AS r2_restricted,
+       ROUND(1.0 - rss_u / cyy, 6) + 0.0 AS r2_unrestricted,
+       ROUND(b2 / 100.0, 6) + 0.0 AS beta_count_lag,
+       ROUND(f, 6) + 0.0 AS f_stat,
+       ROUND({_nsf2_sql("SQRT(GREATEST(f, 0.0))")}, 6) + 0.0 AS p_value
+FROM m4
+""",
+)
+def orders_granger_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger test: does last month's order count improve the
+    revenue forecast beyond last month's revenue?"""
+    return R.granger_revenue(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "lineitem_process_capability",
+    f"""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(15,2)) AS DECIMAL(38,2)))
+           AS s1,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(15,2))
+                  * CAST(l_quantity AS DECIMAL(15,2)) AS DECIMAL(38,4)))
+           AS s2,
+         CAST(SUM(CASE WHEN CAST(l_quantity AS DECIMAL(15,2)) < {R.CPK_LSL}
+                         OR CAST(l_quantity AS DECIMAL(15,2)) > {R.CPK_USL}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_oos
+  FROM lineitem
+),
+d AS (
+  SELECT n, n_oos,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         SQRT((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE)
+                 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+              / (CAST(n AS DOUBLE) - 1.0)) AS sd
+  FROM s
+),
+k AS (
+  SELECT n, n_oos, m, sd,
+         {R.CPK_USL - R.CPK_LSL} / (6.0 * sd) AS cp,
+         LEAST({R.CPK_USL} - m, m - {R.CPK_LSL}) / (3.0 * sd) AS cpk
+  FROM d
+)
+SELECT n AS n_lines,
+       ROUND(m, 6) + 0.0 AS mean_qty,
+       ROUND(sd, 6) + 0.0 AS sd_qty,
+       ROUND(cp, 6) + 0.0 AS cp,
+       ROUND(cpk, 6) + 0.0 AS cpk,
+       ROUND(CAST(n_oos AS DOUBLE) / CAST(n AS DOUBLE) * 1.0e6, 6) + 0.0
+         AS observed_oos_ppm,
+       ROUND({_nsf2_sql("(3.0 * cpk)")} / 2.0 * 1.0e6, 6) + 0.0
+         AS normal_theory_ppm
+FROM k
+""",
+)
+def lineitem_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cp/Cpk process capability of lineitem quantity against fixed
+    spec limits, with observed vs normal-theory out-of-spec PPM."""
+    return R.process_capability(load_table(spark, sf_dir, "lineitem"))
