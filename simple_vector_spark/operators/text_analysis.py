@@ -3131,3 +3131,164 @@ def msttr_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 241 (round 2): trained multinomial Naive Bayes language ID with
+# holdout confusion, and Good-Turing discounts.
+# --------------------------------------------------------------------------
+NB_TRAIN_MOD = 2  # doc_id % 2 == 0 trains, odd docs are the holdout
+
+
+def nb_langid_confusion(docs: DataFrame) -> DataFrame:
+    """THIRD language classifier — a TRAINED multinomial Naive Bayes
+    over character trigrams with Laplace smoothing, evaluated on a
+    deterministic holdout (doc_id parity split): score(doc, lang) =
+    ln P(lang) + sum_g cnt_g * ln((n_{lang,g}+1)/(tot_lang+V)),
+    argmax with lang-asc tiebreak, reported as the true-vs-predicted
+    confusion matrix.  Complements the Cavnar-Trenkle profile and the
+    word-list heuristic: this one has calibrated probabilities and an
+    honest eval split (docs shorter than 3 chars have no trigrams and
+    drop out of the holdout).
+
+    Scale: the trained model is a (langs x vocab) aggregate broadcast
+    to the scorers; test docs pre-aggregate to (doc, gram, count)
+    grain before the join so the score join is distinct-gram sized;
+    per-gram terms are 9dp-rounded DECIMAL so the per-(doc,lang) sum
+    is order-exact (argmax compares exact DECIMALs, no float-order
+    flakiness); argmax is a doc-keyed window."""
+    lowered = F.lower(F.col("text"))
+    ln_ = F.length(lowered)
+    grams = F.when(
+        ln_ >= 3,
+        F.transform(
+            F.sequence(F.lit(1), ln_ - 2),
+            lambda i: lowered.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g_all = docs.select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    )
+    train = g_all.filter(F.col("doc_id") % NB_TRAIN_MOD == 0)
+    test = (
+        g_all.filter(F.col("doc_id") % NB_TRAIN_MOD != 0)
+        .groupBy("doc_id", "lang", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    counts = train.groupBy(
+        F.col("lang").alias("plang"), "g"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lang_tot = counts.groupBy("plang").agg(
+        F.sum("n").cast("long").alias("tot")
+    )
+    vocab = F.broadcast(
+        counts.select("g").distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("v")
+        )
+    )
+    tr_docs = docs.filter(F.col("doc_id") % NB_TRAIN_MOD == 0)
+    priors = (
+        tr_docs.groupBy(F.col("lang").alias("plang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nl"))
+        .crossJoin(
+            F.broadcast(
+                tr_docs.agg(F.count(F.lit(1)).cast("long").alias("ntr"))
+            )
+        )
+    )
+    langs = priors.join(lang_tot, "plang").crossJoin(vocab)
+    cand = test.crossJoin(
+        F.broadcast(langs.select("plang", "nl", "ntr", "tot", "v"))
+    ).join(F.broadcast(counts), ["plang", "g"], "left")
+    logp = F.log(
+        (F.coalesce(F.col("n"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.col("tot").cast("double") + F.col("v").cast("double"))
+    )
+    term = F.round(F.col("cnt").cast("double") * logp, 9).cast(
+        "decimal(28,9)"
+    )
+    prior_d = F.round(
+        F.log(F.col("nl").cast("double") / F.col("ntr").cast("double")), 9
+    ).cast("decimal(28,9)")
+    scores = cand.groupBy("doc_id", "lang", "plang").agg(
+        (F.sum(term) + F.first(prior_d)).alias("score")
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("plang").asc()
+    )
+    best = (
+        scores.withColumn("_r", F.row_number().over(wd))
+        .filter(F.col("_r") == 1)
+    )
+    return (
+        best.groupBy(
+            F.col("lang").alias("lang_true"),
+            F.col("plang").alias("lang_pred"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("correct", F.col("lang_true") == F.col("lang_pred"))
+    )
+
+
+GT_MAX_R = 8  # Good-Turing discounts reported for r = 1..GT_MAX_R
+
+
+def good_turing_discounts(docs: DataFrame) -> DataFrame:
+    """GOOD-TURING DISCOUNTS r* = (r+1) N_{r+1} / N_r for low
+    frequencies — the smoothing table a per-document language model
+    uses instead of raw ML term frequencies: the adjusted count, the
+    discount ratio r*/r (how much mass low counts donate to unseen
+    terms) and the smoothed probability r*/N.  The spectrum is taken
+    at WITHIN-DOCUMENT term-count grain ((doc, term) occurrences) —
+    the corpus-global spectrum is degenerate on this fixed-vocabulary
+    corpus (no type occurs fewer than ~26 times), while per-doc
+    counts show the real 1,2,3,... tail GT was built for.  Reported
+    for r <= {GT_MAX_R}, where GT applies before switching to ML.
+
+    Scale: (doc, term) counts are one shuffle; the spectrum is a
+    bounded (max-freq) table; the r/r+1 pairing is a keyed self-join
+    on the tiny spectrum."""
+    from ..functions.text import tokens
+
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    spectrum = tf.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("nr")
+    )
+    ntot = F.broadcast(
+        tf.agg(F.sum("r").cast("long").alias("n_tokens"))
+    )
+    a, b = spectrum.alias("a"), spectrum.alias("b")
+    paired = a.join(b, F.col("b.r") == F.col("a.r") + 1).select(
+        F.col("a.r").alias("r"),
+        F.col("a.nr").alias("n_r"),
+        F.col("b.nr").alias("n_r_plus_1"),
+    )
+    rstar = (
+        (F.col("r") + F.lit(1)).cast("double")
+        * F.col("n_r_plus_1").cast("double")
+        / F.col("n_r").cast("double")
+    )
+    return (
+        paired.filter(F.col("r") <= GT_MAX_R)
+        .crossJoin(ntot)
+        .select(
+            "r",
+            "n_r",
+            "n_r_plus_1",
+            (F.round(rstar, 6) + F.lit(0.0)).alias("r_star"),
+            (
+                F.round(rstar / F.col("r").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("discount_ratio"),
+            (
+                F.round(rstar / F.col("n_tokens").cast("double"), 9)
+                + F.lit(0.0)
+            ).alias("p_good_turing"),
+        )
+    )

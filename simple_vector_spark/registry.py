@@ -21346,3 +21346,106 @@ def lineitem_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cp/Cpk process capability of lineitem quantity against fixed
     spec limits, with observed vs normal-theory out-of-spec PPM."""
     return R.process_capability(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Wave 241 (round 2): trained NB language ID and Good-Turing discounts.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_nb_langid_confusion",
+    f"""
+WITH dg AS (
+  SELECT doc_id, lang, unnest(
+    CASE WHEN length(lower(text)) >= 3
+         THEN list_transform(range(1, length(lower(text)) - 1),
+                             i -> substr(lower(text), i, 3))
+         ELSE [] END) AS g
+  FROM documents
+),
+train AS (SELECT * FROM dg WHERE doc_id % {T.NB_TRAIN_MOD} = 0),
+test AS (
+  SELECT doc_id, lang, g, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM dg WHERE doc_id % {T.NB_TRAIN_MOD} <> 0 GROUP BY 1, 2, 3
+),
+counts AS (
+  SELECT lang AS plang, g, CAST(COUNT(*) AS BIGINT) AS n
+  FROM train GROUP BY 1, 2
+),
+lang_tot AS (SELECT plang, CAST(SUM(n) AS BIGINT) AS tot
+             FROM counts GROUP BY 1),
+vocab AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS v FROM counts),
+trd AS (
+  SELECT lang AS plang, CAST(COUNT(*) AS BIGINT) AS nl
+  FROM documents WHERE doc_id % {T.NB_TRAIN_MOD} = 0 GROUP BY 1
+),
+ntrd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntr
+         FROM documents WHERE doc_id % {T.NB_TRAIN_MOD} = 0),
+langs AS (
+  SELECT trd.plang, nl, ntr, tot, v
+  FROM trd JOIN lang_tot ON trd.plang = lang_tot.plang
+  CROSS JOIN ntrd CROSS JOIN vocab
+),
+cand AS (
+  SELECT t.doc_id, t.lang, l.plang,
+         CAST(ROUND(CAST(t.cnt AS DOUBLE)
+              * ln((CAST(COALESCE(c.n, 0) AS DOUBLE) + 1.0)
+                   / (CAST(l.tot AS DOUBLE) + CAST(l.v AS DOUBLE))), 9)
+              AS DECIMAL(28,9)) AS term,
+         CAST(ROUND(ln(CAST(l.nl AS DOUBLE) / CAST(l.ntr AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS prior
+  FROM test t CROSS JOIN langs l
+  LEFT JOIN counts c ON c.plang = l.plang AND c.g = t.g
+),
+scores AS (
+  SELECT doc_id, lang, plang, SUM(term) + ANY_VALUE(prior) AS score
+  FROM cand GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang, plang FROM (
+    SELECT doc_id, lang, plang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, plang) AS r
+    FROM scores
+  ) WHERE r = 1
+)
+SELECT lang AS lang_true, plang AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       lang = plang AS correct
+FROM best GROUP BY 1, 2
+""",
+)
+def text_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multinomial NB language classifier (char trigrams,
+    Laplace smoothing) evaluated on the doc_id-parity holdout."""
+    return T.nb_langid_confusion(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "vocab_good_turing",
+    f"""
+WITH tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS r
+  FROM (SELECT doc_id, unnest({_TK_SQL}) AS t FROM documents)
+  GROUP BY 1, 2
+),
+spec AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS nr FROM tf GROUP BY 1),
+ntot AS (SELECT CAST(SUM(r) AS BIGINT) AS n_tokens FROM tf)
+SELECT a.r, a.nr AS n_r, b.nr AS n_r_plus_1,
+       ROUND(CAST(a.r + 1 AS DOUBLE) * CAST(b.nr AS DOUBLE)
+             / CAST(a.nr AS DOUBLE), 6) + 0.0 AS r_star,
+       ROUND(CAST(a.r + 1 AS DOUBLE) * CAST(b.nr AS DOUBLE)
+             / CAST(a.nr AS DOUBLE) / CAST(a.r AS DOUBLE), 6) + 0.0
+         AS discount_ratio,
+       ROUND(CAST(a.r + 1 AS DOUBLE) * CAST(b.nr AS DOUBLE)
+             / CAST(a.nr AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) + 0.0
+         AS p_good_turing
+FROM spec a JOIN spec b ON b.r = a.r + 1 CROSS JOIN ntot
+WHERE a.r <= {T.GT_MAX_R}
+""",
+)
+def vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing adjusted counts r* and discount ratios for low
+    token frequencies."""
+    return T.good_turing_discounts(load_table(spark, sf_dir, "documents"))
