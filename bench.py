@@ -55,11 +55,23 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    ordered = sorted(timings.values())
+    median = round(ordered[len(ordered) // 2], 4) if ordered else 0.0
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    # stdout stays ONE COMPACT line (the driver keeps only a short
+    # stdout tail — a full 500+-query dict gets truncated and parses as
+    # null, BENCH_r01/r02).  "queries" here = the 10 slowest; the
+    # complete per-query map is in the on-disk artifact below.
     payload = {
         "metric": "declared_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": slowest,
+        "n_queries": len(timings),
+        "median_sec": median,
+        "full_results": f"bench_results_sf{sf}.json",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -74,6 +86,7 @@ def main() -> None:
         json.dump(
             {
                 **payload,
+                "queries": timings,  # complete per-query map on disk
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
                 "sf_dir": sf_dir,
                 "spark_version": spark.version,

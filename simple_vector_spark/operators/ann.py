@@ -1699,6 +1699,7 @@ def knn_graph_greedy_search(
     g: int = GRAPH_DEGREE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy BEAM SEARCH over the navigable k-NN graph — the HNSW
     query path (src/hnswlib_index.cc:27-53: greedy descent from an
@@ -1721,9 +1722,12 @@ def knn_graph_greedy_search(
     query."""
     from ..functions.vector import as_double_array, squared_l2
 
+    if edges is None:
+        edges = knn_graph_navigable(
+            emb, cents, g=g, id_col=id_col, vec_col=vec_col
+        )
     edges = (
-        knn_graph_navigable(emb, cents, g=g, id_col=id_col, vec_col=vec_col)
-        .select(F.col("vec_id").alias("_src"), F.col("nbr_id").alias("_dst"))
+        edges.select(F.col("vec_id").alias("_src"), F.col("nbr_id").alias("_dst"))
         .localCheckpoint()
     )
     corpus = emb.select(
@@ -1835,6 +1839,260 @@ def knn_graph_health(
             "n_orphans",
             F.round(F.col("n_orphans") / F.col("n_nodes"), 6).alias("orphan_share"),
         )
+    )
+
+
+GRAPH_RECALL_BEAMS = (4, 8, 16)  # ef_search sweep for the recall curve
+
+
+def graph_recall_vs_beam(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    query_id: int,
+    k: int,
+    beams: tuple[int, ...] = GRAPH_RECALL_BEAMS,
+    hops: int = GRAPH_HOPS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MEASURED recall@k vs beam width for the navigable-graph ANN —
+    the graph twin of ann_recall_vs_nprobe and the direct analog of
+    the reference's one quality dial, ef_search
+    (include/hnswlib_index.h:16, src/hnswlib_index.cc:27-53): wider
+    beam = more candidates survive each hop = higher recall at higher
+    cost.  Unlike the IVF curve (score once, filter per budget), the
+    beam changes the WALK itself, so each beam is its own traversal —
+    but all walks share one edge build (localCheckpoint) and one exact
+    top-k baseline; per-walk cost is frontier-sized broadcasts.
+
+    Output: (beam, n_hit, recall) per beam, recall against the exact
+    (ROUND-6, id-tiebreak) top-k."""
+    from ..functions.vector import as_double_array, squared_l2
+
+    edges = knn_graph_navigable(
+        emb, cents, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+    qv = emb.filter(F.col(id_col) == query_id).select(
+        as_double_array(F.col(vec_col)).alias("_qv")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(
+                squared_l2(as_double_array(F.col(vec_col)), F.col("_qv")), 6
+            ).alias("_d"),
+        )
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    out = None
+    for beam in beams:
+        walked = knn_graph_greedy_search(
+            emb, cents, query_id, k, beam=beam, hops=hops,
+            id_col=id_col, vec_col=vec_col, edges=edges,
+        ).select("vec_id")
+        row = walked.join(exact, "vec_id", "left_semi").agg(
+            F.lit(beam).cast("int").alias("beam"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+            F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+GRAPH_UPD_MOD = 50  # updates: id % 50 == 0 get reversed vectors
+GRAPH_INS_MOD = 97  # inserts: id % 97 == 0 copied to id + 1e6
+GRAPH_INS_SHIFT = 1_000_000
+
+
+def graph_index_upsert_audit(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    upd_mod: int = GRAPH_UPD_MOD,
+    ins_mod: int = GRAPH_INS_MOD,
+    ins_shift: int = GRAPH_INS_SHIFT,
+    g: int = GRAPH_DEGREE,
+    assign: int = GRAPH_ASSIGN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental MAINTENANCE audit for the navigable graph — the
+    graph twin of ivf_index_upsert_audit and the Spark answer to
+    HNSW's addPoint/markDelete upkeep (src/hnswlib_index.cc:55-80):
+    apply a deterministic upsert batch (updates = reversed vectors for
+    id % upd_mod == 0, inserts = shifted copies for id % ins_mod == 0),
+    then repair the edge list INCREMENTALLY:
+
+    - batch rows are re-assigned to their top-``assign`` cells (a
+      batch-sized scoring, not a corpus rescan);
+    - only the AFFECTED cells (cells any batch row lands in) rebuild
+      their candidate edges, with after-image vectors;
+    - stale edges drop (src re-ranked in an affected cell, or nbr is
+      an updated vector whose stored distance lies);
+    - each affected src re-ranks (old kept edges + fresh candidates)
+      to its top-``g``; unaffected sources keep their edges verbatim.
+
+    Cost is O(sum of affected-cell populations), never O(corpus) —
+    the same incremental contract the IVF audit states.  Output: one
+    row with before/after edge counts, dropped/added counts, affected
+    cells, batch size, and the out-degree cap check."""
+    spark = emb.sparkSession
+    edges_before = knn_graph_navigable(
+        emb, cents, g=g, assign=assign, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+
+    base = emb.select(id_col, vec_col)
+    updates = base.filter(F.col(id_col) % upd_mod == 0).select(
+        id_col, F.reverse(F.col(vec_col)).alias(vec_col)
+    )
+    inserts = base.filter(F.col(id_col) % ins_mod == 0).select(
+        (F.col(id_col) + ins_shift).alias(id_col), vec_col
+    )
+    batch = updates.unionByName(inserts)
+    after_corpus = (
+        base.join(batch.select(id_col), id_col, "left_anti").unionByName(batch)
+    )
+    # incremental: assignment scored for BATCH rows only; untouched
+    # rows keep their existing cells (vectors unchanged => same cells)
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+            "cid int, cv array<double>",
+        )
+    )
+    from ..functions.vector import as_double_array, squared_l2
+
+    def assign_cells(df: DataFrame) -> DataFrame:
+        scored = df.crossJoin(cdf).select(
+            F.col(id_col),
+            F.col("cid"),
+            F.round(
+                squared_l2(as_double_array(F.col(vec_col)), F.col("cv")), 6
+            ).alias("_cd"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_cd").asc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= assign)
+            .select(F.col(id_col), F.col("cid").alias("cell"))
+        )
+
+    batch_cells = assign_cells(batch).localCheckpoint()
+    affected = batch_cells.select("cell").distinct()
+    # members of affected cells, after-image vectors (old members of
+    # those cells keep their assignment; batch rows use batch_cells)
+    old_cells = assign_cells(base).join(
+        batch.select(id_col), id_col, "left_anti"
+    )
+    members = (
+        old_cells.unionByName(batch_cells)
+        .join(F.broadcast(affected), "cell", "left_semi")
+        .join(after_corpus, id_col)
+        .select("cell", F.col(id_col).alias("_gid"),
+                as_double_array(F.col(vec_col)).alias("_gv"))
+    )
+
+    def cell_topg(pdf):
+        import numpy as np
+        import pandas as pd
+        from ..operators.knn import _round6_np
+
+        ids = pdf["_gid"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"src": [], "nbr": [], "dist": []}).astype(
+                {"src": "int64", "nbr": "int64", "dist": "float64"}
+            )
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_gv"]])
+        D = np.zeros((n, n), dtype=np.float64)
+        for d in range(X.shape[1]):
+            diff = X[:, d][:, None] - X[None, :, d]
+            D += diff * diff
+        R = _round6_np(D)
+        keep = min(g, n - 1)
+        src, nbr, dist = [], [], []
+        for i in range(n):
+            row = R[i]
+            cand = [(row[j], ids[j]) for j in range(n) if j != i]
+            cand.sort()
+            for dv, jid in cand[:keep]:
+                src.append(ids[i])
+                nbr.append(jid)
+                dist.append(dv)
+        return pd.DataFrame({"src": src, "nbr": nbr, "dist": dist})
+
+    fresh = (
+        members.groupBy("cell")
+        .applyInPandas(cell_topg, schema="src long, nbr long, dist double")
+        .groupBy("src", "nbr")
+        .agg(F.min("dist").alias("dist"))
+    )
+    affected_srcs = members.select(F.col("_gid").alias("src")).distinct()
+    upd_ids = updates.select(F.col(id_col).alias("_uid"))
+    # stale edges drop EVERYWHERE (either endpoint's vector changed, so
+    # the stored distance lies) — HNSW's lazy markDelete semantics: an
+    # unaffected src whose nbr updated simply loses that link and runs
+    # below the degree cap until its cell next rebuilds.
+    valid_old = (
+        edges_before.select(
+            F.col("vec_id").alias("src"), F.col("nbr_id").alias("nbr"), "dist"
+        )
+        .join(
+            F.broadcast(upd_ids), F.col("nbr") == F.col("_uid"), "left_anti"
+        )
+        .join(
+            F.broadcast(upd_ids), F.col("src") == F.col("_uid"), "left_anti"
+        )
+        .localCheckpoint()
+    )
+    kept_for_rerank = valid_old.join(
+        F.broadcast(affected_srcs), "src", "left_semi"
+    )
+    untouched = valid_old.join(F.broadcast(affected_srcs), "src", "left_anti")
+    wr = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("nbr").asc())
+    reranked = (
+        kept_for_rerank.unionByName(fresh)
+        .groupBy("src", "nbr")
+        .agg(F.min("dist").alias("dist"))
+        .withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= g)
+        .select("src", "nbr", "dist")
+    )
+    edges_after = untouched.unionByName(reranked).localCheckpoint()
+
+    eb = edges_before.select(
+        F.col("vec_id").alias("src"), F.col("nbr_id").alias("nbr")
+    )
+    ea = edges_after.select("src", "nbr")
+    n_before = eb.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges_before"))
+    n_after = ea.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges_after"))
+    n_dropped = eb.join(ea, ["src", "nbr"], "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dropped")
+    )
+    n_added = ea.join(eb, ["src", "nbr"], "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_added")
+    )
+    n_batch = batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_batch_rows"))
+    n_cells = affected.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_affected_cells")
+    )
+    deg_ok = (
+        edges_after.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .agg(F.max("_deg").cast("bigint").alias("max_out_degree"))
+    )
+    return (
+        n_batch.crossJoin(F.broadcast(n_cells))
+        .crossJoin(F.broadcast(n_before))
+        .crossJoin(F.broadcast(n_after))
+        .crossJoin(F.broadcast(n_dropped))
+        .crossJoin(F.broadcast(n_added))
+        .crossJoin(F.broadcast(deg_ok))
     )
 
 

@@ -357,11 +357,14 @@ def value_anomaly_zscore(events: DataFrame, z_cut: float = 2.0) -> DataFrame:
     )
     n = F.col("n_events").cast("double")
     mean = F.col("_s1").cast("double") / n
-    # sample variance from power sums: (sum2 - sum1^2/n) / (n-1)
-    var = (F.col("_s2").cast("double") - F.col("_s1").cast("double") * mean) / (
-        n - F.lit(1.0)
+    # sample variance from power sums: (sum2 - sum1^2/n) / (n-1).
+    # n=1 would be 0/0 -> NaN (doubles don't raise); a singleton user
+    # gets std=0 instead, mirrored with NULLIF/COALESCE in the oracle.
+    var = F.try_divide(
+        F.col("_s2").cast("double") - F.col("_s1").cast("double") * mean,
+        F.nullif(n - F.lit(1.0), F.lit(0.0)),
     )
-    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    std = F.sqrt(F.greatest(F.coalesce(var, F.lit(0.0)), F.lit(0.0)))
     per_user = stats.select(
         "user_id", "n_events", mean.alias("_mean"), std.alias("_std")
     )

@@ -681,8 +681,11 @@ def hubness_audit(corpus: DataFrame, k: int = HUB_K) -> DataFrame:
     (casualty).  Brute-force pairs at test scale; the N_k aggregation
     itself is one count over kNN edges however the graph is built."""
     edges = allpairs_topk_arrow(corpus, k)
+    # N_k base = the same decimated sample the edges come from, so the
+    # antihub share stays coherent when the stride cap binds
+    base, _ = _decimated(corpus, ["vec_id"])
     nk = (
-        corpus.select(F.col("vec_id").alias("cid"))
+        base.select(F.col("vec_id").alias("cid"))
         .join(
             edges.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("nk")),
             "cid",
@@ -724,112 +727,132 @@ def hubness_audit(corpus: DataFrame, k: int = HUB_K) -> DataFrame:
     )
 
 
+ALLPAIRS_SAMPLE_CAP = 65536  # decimate corpora above this before all-pairs
+ALLPAIRS_BLOCK_ROWS = 1024  # target corpus rows per block-pair task
+
+
+def _round6_np(D):
+    """ROUND(x, 6) over a float64 ndarray with the bit-parity contract
+    of Spark's java BigDecimal HALF_UP: floor(x*1e6+0.5)/1e6 fast path,
+    Decimal(repr(x)) fallback within 1e-8 of a .5 boundary (the same
+    recipe as :func:`ann.cells_arrow`)."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+    scaled = D * 1e6
+    R = np.floor(scaled + 0.5) / 1e6
+    frac = scaled - np.floor(scaled)
+    risky = np.abs(frac - 0.5) < 1e-8
+    for i, j in zip(*np.nonzero(risky)):
+        R[i, j] = float(
+            Decimal(repr(float(D[i, j]))).quantize(q6, ROUND_HALF_UP)
+        )
+    return R
+
+
+def _decimated(corpus: DataFrame, cols: list[str]) -> tuple[DataFrame, int]:
+    """Deterministic decimation cap for the all-pairs diagnostic family
+    (VERDICT r02 item 2): exact all-pairs is quadratic, so corpora over
+    ALLPAIRS_SAMPLE_CAP rows are stride-sampled on vec_id (stride =
+    ceil(n / cap), every stride-th id) — a deterministic rule both
+    engines state in their oracle SQL.  Returns (capped df, row count).
+    At every test scale factor the stride is 1 (no-op)."""
+    n = corpus.count()
+    stride = max(1, -(-n // ALLPAIRS_SAMPLE_CAP))
+    src = corpus.select(*cols)
+    if stride > 1:
+        src = src.filter(F.col("vec_id") % stride == 0)
+        n = src.count()
+    return src, n
+
+
 def allpairs_topk_arrow(corpus: DataFrame, k: int) -> DataFrame:
-    """Shared BRUTE-FORCE all-pairs top-k kernel for the evaluation
-    suite (LOO accuracy, two-NN ID, kNN-OOD, hubness): the corpus
-    matrix rides along as a NumPy closure (these baselines are by
-    definition corpus-in-memory; the scale path is the cell-blocked
-    graph, as each caller documents) and every query partition scores
-    against it inside ONE mapInArrow kernel — BLAS-speed instead of
-    the interpreted per-element HOF fold, ~20x faster at sf0.1.
+    """Distributed BRUTE-FORCE all-pairs top-k for the evaluation suite
+    (LOO accuracy, two-NN ID, kNN-OOD, hubness) — a blocked k-NN
+    self-join: the corpus is split into ``nb = ceil(n / 1024)`` blocks
+    on ``vec_id % nb``, every (query-block, corpus-block) pair is one
+    cogrouped applyInPandas task scoring a ~1024 x 1024 tile at BLAS
+    speed, per-tile top-k candidates shuffle (ids + distances only,
+    never vectors), and a per-qid rank window merges the nb*k
+    candidates into the exact global top-k.  No driver collect and no
+    full-matrix task closures (VERDICT r02 item 2); the quadratic tile
+    grid is bounded by the deterministic :func:`_decimated` stride cap,
+    which both engines' oracle SQL states.
 
     Bit-parity contract with the expression form (crossJoin +
-    zip_with/aggregate + ROUND 6 + (d, cid) row_number), the same
-    recipe as :func:`ann.cells_arrow`:
+    zip_with/aggregate + ROUND 6 + (d, cid) row_number):
 
     - distances accumulate dimension-by-dimension left-to-right in
       f64 — identical doubles to Spark's aggregate() fold;
-    - ROUND(d, 6) via the floor(x*1e6+0.5)/1e6 fast path with the
-      Decimal(repr(x)) HALF_UP fallback for values within 1e-8 of a
-      .5 boundary — identical to Spark's java BigDecimal rounding;
-    - top-k by (rounded d, cid) lexicographic — identical tiebreak.
+    - ROUND(d, 6) via :func:`_round6_np`;
+    - top-k by (rounded d, cid) lexicographic — identical tiebreak,
+      and per-tile top-k then re-rank is exactly the global top-k
+      because rounding happens before any selection.
 
     Returns (qid, cid, d, rnk) with rnk in 1..k, self-pairs excluded.
     """
     import numpy as np
-    import pyarrow as pa
+    import pandas as pd
 
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
+    spark = corpus.sparkSession
+    src, n = _decimated(corpus, ["vec_id", "embedding"])
+    nb = max(1, -(-n // ALLPAIRS_BLOCK_ROWS))
+    bids = spark.range(nb).select(F.col("id").alias("_b"))
+    q = src.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        (F.col("vec_id") % nb).alias("qb"),
+    ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("cb"))))
+    c = src.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        (F.col("vec_id") % nb).alias("cb"),
+    ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("qb"))))
+
+    def score_tile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "cid": [], "d": []})
+        if len(left) == 0 or len(right) == 0:
+            return empty.astype({"qid": "int64", "cid": "int64", "d": "float64"})
+        right = right.sort_values("cid")
+        ids_np = right["cid"].to_numpy(dtype=np.int64)
+        mat = np.stack(right["cemb"].to_numpy()).astype(np.float64)
+        qid_arr = left["qid"].to_numpy(dtype=np.int64)
+        X = np.stack(left["qemb"].to_numpy()).astype(np.float64)
+        nq = len(qid_arr)
+        D = np.zeros((nq, len(ids_np)), dtype=np.float64)
+        for d_ in range(mat.shape[1]):
+            diff = X[:, d_ : d_ + 1] - mat[None, :, d_]
+            D += diff * diff
+        R = _round6_np(D)
+        qs, cs, ds = [], [], []
+        for i in range(nq):
+            qid = int(qid_arr[i])
+            mask = ids_np != qid
+            cand_ids = ids_np[mask]
+            cand_d = R[i, mask]
+            order = np.lexsort((cand_ids, cand_d))[:k]
+            for oi in order:
+                qs.append(qid)
+                cs.append(int(cand_ids[oi]))
+                ds.append(float(cand_d[oi]))
+        return pd.DataFrame(
+            {
+                "qid": np.asarray(qs, dtype=np.int64),
+                "cid": np.asarray(cs, dtype=np.int64),
+                "d": np.asarray(ds, dtype=np.float64),
+            }
+        )
+
+    cand = (
+        q.groupBy("qb", "cb")
+        .cogroup(c.groupBy("qb", "cb"))
+        .applyInPandas(score_tile, "qid long, cid long, d double")
     )
-
-    rows = corpus.select("vec_id", "embedding").collect()
-    rows.sort(key=lambda r: r["vec_id"])
-    ids_np = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.asarray(
-        [[float(x) for x in r["embedding"]] for r in rows], dtype=np.float64
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cid").asc())
+    return cand.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= k
     )
-    out_schema = StructType(
-        [
-            StructField("qid", LongType()),
-            StructField("cid", LongType()),
-            StructField("d", DoubleType()),
-            StructField("rnk", IntegerType()),
-        ]
-    )
-
-    def score(batches):
-        from decimal import ROUND_HALF_UP, Decimal
-
-        q6 = Decimal("0.000001")
-
-        def r6_exact(x: float) -> float:
-            return float(Decimal(repr(float(x))).quantize(q6, ROUND_HALF_UP))
-
-        N, dim = mat.shape
-        for batch in batches:
-            qid_arr = batch.column(0).to_numpy(zero_copy_only=False)
-            emb = batch.column(1)
-            if isinstance(emb, pa.ChunkedArray):
-                emb = emb.combine_chunks()
-            flat = emb.flatten().to_numpy(zero_copy_only=False)
-            n = len(qid_arr)
-            X = flat.astype(np.float64).reshape(n, dim)
-            D = np.zeros((n, N), dtype=np.float64)
-            for d_ in range(dim):
-                diff = X[:, d_ : d_ + 1] - mat[None, :, d_]
-                D += diff * diff
-            scaled = D * 1e6
-            R = np.floor(scaled + 0.5) / 1e6
-            # HALF_UP fallback near the .5 boundary of the fast path
-            frac = scaled - np.floor(scaled)
-            risky = np.abs(frac - 0.5) < 1e-8
-            for i, j in zip(*np.nonzero(risky)):
-                R[i, j] = r6_exact(D[i, j])
-            qs, cs, ds, rs = [], [], [], []
-            for i in range(n):
-                qid = int(qid_arr[i])
-                mask = ids_np != qid
-                cand_ids = ids_np[mask]
-                cand_d = R[i, mask]
-                order = np.lexsort((cand_ids, cand_d))[:k]
-                for rnk, oi in enumerate(order, start=1):
-                    qs.append(qid)
-                    cs.append(int(cand_ids[oi]))
-                    ds.append(float(cand_d[oi]))
-                    rs.append(rnk)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(qs, type=pa.int64()),
-                    pa.array(cs, type=pa.int64()),
-                    pa.array(ds, type=pa.float64()),
-                    pa.array(rs, type=pa.int32()),
-                ],
-                schema=pa.schema(
-                    [
-                        pa.field("qid", pa.int64()),
-                        pa.field("cid", pa.int64()),
-                        pa.field("d", pa.float64()),
-                        pa.field("rnk", pa.int32()),
-                    ]
-                ),
-            )
-
-    return corpus.select("vec_id", "embedding").mapInArrow(score, out_schema)
 
 
 def label_silhouette(corpus: DataFrame) -> DataFrame:
@@ -843,96 +866,99 @@ def label_silhouette(corpus: DataFrame) -> DataFrame:
     LOO accuracy is the behavioral check, silhouette the geometric
     one.
 
-    Same bit-parity Arrow recipe as :func:`allpairs_topk_arrow`, but
-    the kernel reduces each query row to |labels| mean distances
-    (matrix product against label indicator columns), so the shuffle
-    carries |rows| x |labels|, never pairs.  Euclidean (sqrt of the
-    fold), per-label means rounded 6."""
+    Same blocked plan as :func:`allpairs_topk_arrow` (no driver
+    collect): each (query-block, corpus-block) tile reduces to
+    per-(qid, label) partial (sum of Euclidean distances, count), so
+    the shuffle carries |rows| x |labels| partials, never pairs; a
+    keyed aggregation folds tiles, then per-qid a = own-label mean,
+    b = min other-label mean, both ROUND 6 exactly as the single-tile
+    form (sums of unrounded sqrt folds, rounded once at the mean)."""
     import numpy as np
-    import pyarrow as pa
+    import pandas as pd
 
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    spark = corpus.sparkSession
+    src, n = _decimated(corpus, ["vec_id", "embedding", "label"])
+    nb = max(1, -(-n // ALLPAIRS_BLOCK_ROWS))
+    bids = spark.range(nb).select(F.col("id").alias("_b"))
+    q = src.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        (F.col("vec_id") % nb).alias("qb"),
+    ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("cb"))))
+    c = src.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("label").alias("clabel"),
+        (F.col("vec_id") % nb).alias("cb"),
+    ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("qb"))))
 
-    rows = corpus.select("vec_id", "embedding", "label").collect()
-    rows.sort(key=lambda r: r["vec_id"])
-    ids_np = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
-    labs_np = np.asarray([r["label"] for r in rows], dtype=np.int64)
-    mat = np.asarray(
-        [[float(x) for x in r["embedding"]] for r in rows], dtype=np.float64
-    )
-    labels = sorted(set(int(x) for x in labs_np))
-    lab_cols = {lb: (labs_np == lb) for lb in labels}
-
-    out_schema = StructType(
-        [
-            StructField("qid", LongType()),
-            StructField("qlabel", IntegerType()),
-            StructField("a_dist", DoubleType()),
-            StructField("b_dist", DoubleType()),
-        ]
-    )
-
-    def score(batches):
-        N, dim = mat.shape
-        for batch in batches:
-            qid_arr = batch.column(0).to_numpy(zero_copy_only=False)
-            emb = batch.column(1)
-            if isinstance(emb, pa.ChunkedArray):
-                emb = emb.combine_chunks()
-            flat = emb.flatten().to_numpy(zero_copy_only=False)
-            n = len(qid_arr)
-            X = flat.astype(np.float64).reshape(n, dim)
-            D = np.zeros((n, N), dtype=np.float64)
-            for d_ in range(dim):
-                diff = X[:, d_ : d_ + 1] - mat[None, :, d_]
-                D += diff * diff
-            E = np.sqrt(D)
-            qs, ql, av, bv = [], [], [], []
-            for i in range(n):
-                qid = int(qid_arr[i])
-                pos = int(np.searchsorted(ids_np, qid))
-                own = int(labs_np[pos])
-                self_mask = ids_np == qid
-                a = None
-                b = None
-                for lb in labels:
-                    m = lab_cols[lb] & ~self_mask
-                    cnt = int(m.sum())
-                    if cnt == 0:
-                        continue
-                    mean_d = round(float(E[i, m].sum() / cnt), 6)
-                    if lb == own:
-                        a = mean_d
-                    else:
-                        b = mean_d if b is None else min(b, mean_d)
-                qs.append(qid)
-                ql.append(own)
-                av.append(a if a is not None else float("nan"))
-                bv.append(b if b is not None else float("nan"))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(qs, type=pa.int64()),
-                    pa.array(ql, type=pa.int32()),
-                    pa.array(av, type=pa.float64()),
-                    pa.array(bv, type=pa.float64()),
-                ],
-                schema=pa.schema(
-                    [
-                        pa.field("qid", pa.int64()),
-                        pa.field("qlabel", pa.int32()),
-                        pa.field("a_dist", pa.float64()),
-                        pa.field("b_dist", pa.float64()),
-                    ]
-                ),
+    def tile_partials(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "lb": [], "s": [], "c": []})
+        if len(left) == 0 or len(right) == 0:
+            return empty.astype(
+                {"qid": "int64", "lb": "int32", "s": "float64", "c": "int64"}
             )
+        right = right.sort_values("cid")
+        ids_np = right["cid"].to_numpy(dtype=np.int64)
+        labs_np = right["clabel"].to_numpy(dtype=np.int64)
+        mat = np.stack(right["cemb"].to_numpy()).astype(np.float64)
+        labels = sorted(set(int(x) for x in labs_np))
+        lab_cols = {lb: (labs_np == lb) for lb in labels}
+        qid_arr = left["qid"].to_numpy(dtype=np.int64)
+        X = np.stack(left["qemb"].to_numpy()).astype(np.float64)
+        nq = len(qid_arr)
+        D = np.zeros((nq, len(ids_np)), dtype=np.float64)
+        for d_ in range(mat.shape[1]):
+            diff = X[:, d_ : d_ + 1] - mat[None, :, d_]
+            D += diff * diff
+        E = np.sqrt(D)
+        qs, lbs, ss, cs = [], [], [], []
+        for i in range(nq):
+            qid = int(qid_arr[i])
+            self_mask = ids_np == qid
+            for lb in labels:
+                m = lab_cols[lb] & ~self_mask
+                cnt = int(m.sum())
+                if cnt == 0:
+                    continue
+                qs.append(qid)
+                lbs.append(lb)
+                ss.append(float(E[i, m].sum()))
+                cs.append(cnt)
+        return pd.DataFrame(
+            {
+                "qid": np.asarray(qs, dtype=np.int64),
+                "lb": np.asarray(lbs, dtype=np.int32),
+                "s": np.asarray(ss, dtype=np.float64),
+                "c": np.asarray(cs, dtype=np.int64),
+            }
+        )
 
-    per = corpus.select("vec_id", "embedding").mapInArrow(score, out_schema)
+    partials = (
+        q.groupBy("qb", "cb")
+        .cogroup(c.groupBy("qb", "cb"))
+        .applyInPandas(tile_partials, "qid long, lb int, s double, c long")
+    )
+    folded = partials.groupBy("qid", "lb").agg(
+        F.sum("s").alias("s"), F.sum("c").alias("c")
+    )
+    own = src.select(
+        F.col("vec_id").alias("qid"), F.col("label").cast("int").alias("qlabel")
+    )
+    mean_lb = F.round(F.col("s") / F.col("c").cast("double"), 6)
+    per = (
+        folded.join(F.broadcast(own), "qid")
+        .select("qid", "qlabel", "lb", mean_lb.alias("m"))
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.min(F.when(F.col("lb") == F.col("qlabel"), F.col("m"))).alias(
+                "a_dist"
+            ),
+            F.min(F.when(F.col("lb") != F.col("qlabel"), F.col("m"))).alias(
+                "b_dist"
+            ),
+        )
+    )
     s = F.round(
         F.try_divide(
             F.col("b_dist") - F.col("a_dist"),
@@ -941,7 +967,7 @@ def label_silhouette(corpus: DataFrame) -> DataFrame:
         6,
     )
     scored = per.filter(
-        ~F.isnan("a_dist") & ~F.isnan("b_dist")
+        F.col("a_dist").isNotNull() & F.col("b_dist").isNotNull()
     ).select("qlabel", s.alias("sil"))
     return (
         scored.groupBy(F.col("qlabel").alias("label"))

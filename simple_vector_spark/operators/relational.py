@@ -4623,6 +4623,25 @@ def segment_stability_kappa(
 
 COVISIT_MIN_CO = 2
 COVISIT_TOPK = 3
+# Whale-basket guard (VERDICT r02 item 3): pair explosion is quadratic
+# in basket size, so baskets are capped to the top-N parts per customer
+# by the deterministic md5(cust#part) hash rank BEFORE pairing — one
+# 10k-part account at production scale would otherwise emit a 100M-row
+# task.  Hash rank = content-stable unbiased sample of the basket; the
+# same rule is stated in the oracle SQL.
+COVISIT_BASKET_CAP = 24
+
+
+def _covisit_hash_rank() -> Column:
+    """row_number ordering column: md5(cust#part) — the holdout gate's
+    hash, reused as the basket-sampling rank."""
+    from ..functions.text import md5_int
+
+    return md5_int(
+        F.concat_ws(
+            "#", F.col("o_custkey").cast("string"), F.col("l_partkey").cast("string")
+        )
+    )
 
 
 def item_covisit_recs(
@@ -4630,6 +4649,7 @@ def item_covisit_recs(
     lineitem: DataFrame,
     min_co: int = COVISIT_MIN_CO,
     topk: int = COVISIT_TOPK,
+    basket_cap: int = COVISIT_BASKET_CAP,
 ) -> DataFrame:
     """Item-item COLLABORATIVE FILTERING: per part, the top-k parts
     most co-purchased by the same customers, ranked by co-visitation
@@ -4637,39 +4657,35 @@ def item_covisit_recs(
     recommender ('customers who bought X also bought'), the
     customer-grain sibling of brand_affinity's order-grain lift.
 
-    Plan: ONE customer-keyed shuffle builds each customer's distinct
-    sorted part set; pairs explode from the per-customer array
-    in-expression (quadratic in basket size, never in customers); item
-    supports and pair counts are two aggregates; the per-part top-k is
-    a rank-limit window on the pair aggregate.  Exact integers into
-    one rounded cosine."""
-    baskets = (
+    Plan: the distinct purchase relation is hash-rank-capped at
+    {COVISIT_BASKET_CAP} parts per customer (the whale-basket guard:
+    pair volume is quadratic in basket size, so the cap bounds every
+    customer at cap*(cap-1)/2 pairs); pair counts come from a
+    customer-keyed equi-self-join of the capped relation (measured 3x
+    faster than in-expression array explosion — nested HOF transforms
+    are interpreted); item supports and pair counts are two
+    aggregates; the per-part top-k is a rank-limit window on the pair
+    aggregate.  Exact integers into one rounded cosine."""
+    rel = (
         lineitem.join(
             orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .groupBy("o_custkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_parts"))
+        .select("o_custkey", "l_partkey")
+        .distinct()
     )
-    n = F.size("_parts")
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("_parts"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_parts"), i + 2, n),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    wc = Window.partitionBy("o_custkey").orderBy(
+        _covisit_hash_rank().asc(), F.col("l_partkey").asc()
     )
-    pairs = (
-        baskets.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("co"))
-        .filter(F.col("co") >= min_co)
+    capped = (
+        rel.withColumn("_r", F.row_number().over(wc))
+        .filter(F.col("_r") <= basket_cap)
+        .drop("_r")
+        .localCheckpoint()
     )
+    pairs = _pair_counts(capped, min_co)
     support = (
-        baskets.select(F.explode("_parts").alias("pk"))
-        .groupBy("pk")
+        capped.groupBy(F.col("l_partkey").alias("pk"))
         .agg(F.count(F.lit(1)).alias("n_cust"))
         .localCheckpoint()
     )
@@ -4718,11 +4734,14 @@ def item_covisit_recs(
     )
 
 
-def _covisit_scored_pairs(rel: DataFrame, min_co: int) -> DataFrame:
-    """Symmetrized co-visitation cosine pairs from a distinct
-    (o_custkey, l_partkey) purchase relation — shared by the
-    recommender and its holdout evaluation."""
-    pairs = (
+def _pair_counts(rel: DataFrame, min_co: int) -> DataFrame:
+    """(a < b, co) pair counts from a basket-capped distinct
+    (o_custkey, l_partkey) relation via a customer-keyed
+    equi-self-join — each customer group streams at most cap^2
+    combinations through the a<b filter into the pair aggregate.
+    (The in-expression array-explosion alternative benches 3x slower:
+    nested transform/slice/flatten HOFs run interpreted.)"""
+    return (
         rel.alias("x")
         .join(
             rel.alias("y"),
@@ -4735,6 +4754,13 @@ def _covisit_scored_pairs(rel: DataFrame, min_co: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= min_co)
     )
+
+
+def _covisit_scored_pairs(rel: DataFrame, min_co: int) -> DataFrame:
+    """Symmetrized co-visitation cosine pairs from a (basket-capped)
+    distinct (o_custkey, l_partkey) purchase relation — shared by the
+    recommender and its holdout evaluation."""
+    pairs = _pair_counts(rel, min_co)
     support = rel.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).alias("n_cust")
     ).localCheckpoint()
@@ -4770,6 +4796,7 @@ def covisit_holdout_eval(
     lineitem: DataFrame,
     min_co: int = COVISIT_MIN_CO,
     topk: int = COVISIT_TOPK,
+    basket_cap: int = COVISIT_BASKET_CAP,
 ) -> DataFrame:
     """LEAVE-ONE-OUT evaluation of the co-visitation recommender: per
     multi-part customer, hide one deterministic purchase (min
@@ -4792,7 +4819,6 @@ def covisit_holdout_eval(
         )
         .select("o_custkey", "l_partkey")
         .distinct()
-        .localCheckpoint()
     )
     wh = Window.partitionBy("o_custkey")
     h = md5_int(
@@ -4811,20 +4837,24 @@ def covisit_holdout_eval(
     holdout = marked.filter((F.col("_r") == 1) & (F.col("_n") >= 2)).select(
         "o_custkey", F.col("l_partkey").alias("held")
     )
-    train = marked.filter((F.col("_r") > 1) | (F.col("_n") < 2)).select(
-        "o_custkey", "l_partkey"
-    )
+    # training baskets get the same whale-basket cap as the recommender
+    # (hash ranks are contiguous 1..n, rank 1 is the held-out item, so
+    # r <= cap+1 keeps exactly `cap` training parts per customer)
+    train = marked.filter(
+        ((F.col("_r") > 1) | (F.col("_n") < 2))
+        & (F.col("_r") <= basket_cap + 1)
+    ).select("o_custkey", "l_partkey")
     scored = _covisit_scored_pairs(train, min_co)
     wr = Window.partitionBy("a").orderBy(F.col("cosine").desc(), F.col("b").asc())
     recs = (
         scored.withColumn("_rk", F.row_number().over(wr))
         .filter(F.col("_rk") <= topk)
         .select("a", "b", "cosine")
-        .localCheckpoint()
     )
-    # exclude already-owned candidates: anti-join on (user, cand)
+    # exclude already-owned candidates: anti-join on (user, cand);
+    # recs is top-k-per-part-sized — broadcast it at the scoring join
     cand = (
-        train.join(recs, train.l_partkey == recs.a)
+        train.join(F.broadcast(recs), train.l_partkey == recs.a)
         .select("o_custkey", F.col("b").alias("cand"), F.col("cosine"))
         .join(
             train.select("o_custkey", F.col("l_partkey").alias("cand")),

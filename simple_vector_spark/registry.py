@@ -63,13 +63,59 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     "events_sliding_2h", "events_type_pivot", "events_monthly_growth",
     "events_props_typed", "events_running_totals", "events_rolling_1h_avg",
     "events_sessionize",
+    # -- recorded green in CORRECTNESS_r02.json (round 2) --
+    "events_top_users_per_hour", "grouping_sets_revenue", "dedup_exact",
+    "dedup_audit_approx", "dedup_minhash_signatures", "dedup_minhash_pairs",
+    "dedup_clusters", "dedup_keep_canonical", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_embedding_cosine", "ann_rp_lsh", "ann_ivf",
+    "ann_ivf_trained", "ann_recall_report", "quantize_int8_audit",
+    "ann_quantized_recall", "ann_ivf_partitioned", "ann_pq_adc",
+    "ann_pq_recall", "ann_mllib_lsh_join", "text_quality",
+    "text_langid_confusion", "text_fingerprint", "vocab_top100",
+    "doc_length_histogram", "profile_documents", "sample_hash_stratified",
+    "text_bm25_search", "hybrid_rrf_search", "curation_pipeline",
+    "multimodal_meta", "multimodal_decode", "stream_tumbling_1h",
+    "stream_sliding_2h", "stream_sessionize", "stream_stateful_user_totals",
+    "stream_stream_click_purchase", "stream_static_enrich",
+    "stream_foreach_batch_merge", "stream_dedup_counts",
+    "tpch_q13_order_counts", "tpch_q18_large_orders", "tpch_q19_disjunctive",
+    "tpch_q22_idle_rich", "cheapest_supplier_parts", "lineitem_corr_stats",
+    "events_interarrival", "doc_bigrams_top50", "decontaminate_ngram",
 })
+
+# Highest-value unrecorded queries (VERDICT r02 item 1): these lead the
+# pending block so the driver's ~50-record cap lands on them first.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    "knn_graph_navigable", "knn_graph_search", "knn_graph_health",
+    "ann_recall_vs_beam", "graph_index_upsert_audit",
+    "wal_source_scan", "arrow_ipc_source_roundtrip",
+    "part_covisit_recs", "part_covisit_holdout_eval",
+    "dedup_weighted_minhash", "decontaminate_fuzzy_minhash",
+    "ann_adaptive_filter", "ann_matryoshka_recall",
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_revenue", "tpch_q11_value_parts",
+    "tpch_q12_priority_lines", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts", "tpch_q17_small_qty_revenue",
+    "tpch_q20_promo_suppliers", "tpch_q21_sole_blame",
+    "embedding_knn_loo_accuracy", "embedding_intrinsic_dim",
+    "embedding_knn_ood", "embedding_hubness_audit",
+    "embedding_label_silhouette",
+    "ann_recall_vs_nprobe", "ann_recall_vs_nprobe_trained",
+    "shuffle_partition_advisor", "events_error_bursts",
+)
 
 
 def _driver_order(names) -> list[str]:
-    pending = [n for n in names if n not in _DRIVER_RECORDED]
+    names = list(names)
+    nameset = set(names)
+    front = [n for n in _DRIVER_PRIORITY if n in nameset and n not in _DRIVER_RECORDED]
+    frontset = set(front)
+    pending = [n for n in names
+               if n not in _DRIVER_RECORDED and n not in frontset]
     recorded = [n for n in names if n in _DRIVER_RECORDED]
-    return pending + recorded
+    return front + pending + recorded
 
 
 def queries() -> dict[str, QueryFn]:
@@ -4042,10 +4088,10 @@ WITH stats AS (
 per_user AS (
   SELECT user_id, n_events,
          CAST(s1 AS DOUBLE) / n_events AS mean,
-         SQRT(GREATEST(
+         SQRT(GREATEST(COALESCE(
            (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n_events))
-             / (n_events - 1.0),
-           0.0)) AS std
+             / NULLIF(n_events - 1.0, 0.0),
+           0.0), 0.0)) AS std
   FROM stats
 )
 SELECT e.user_id,
@@ -12431,28 +12477,32 @@ def knn_graph_navigable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.knn_graph_navigable(emb, A.fit_vectors(emb, A.CENTROID_IDS))
 
 
-def _graph_walk_sql() -> str:
+def _graph_walk_sql(beam: int = A.GRAPH_BEAM, p: str = "") -> str:
+    """Unrolled greedy-walk CTEs: seed s0{p}/f0{p} must be defined by
+    the caller; emits c/s/f per hop (frontier LIMIT ``beam``) and a
+    visited{p} union.  ``p`` prefixes every CTE so several beam widths
+    can walk side by side in one statement."""
     hops = []
-    prev = "f0"
+    prev = f"f0{p}"
     for i in range(1, A.GRAPH_HOPS + 1):
         hops.append(
-            f"""c{i} AS (
+            f"""c{i}{p} AS (
   SELECT DISTINCT id FROM (
     SELECT id FROM {prev}
     UNION ALL
     SELECT e.nbr AS id FROM edges e JOIN {prev} f ON e.src = f.id
   )
 ),
-s{i} AS (SELECT c.id, qd.d FROM c{i} c JOIN qd ON qd.vec_id = c.id),
-f{i} AS (SELECT id FROM s{i} ORDER BY d, id LIMIT {A.GRAPH_BEAM})"""
+s{i}{p} AS (SELECT c.id, qd.d FROM c{i}{p} c JOIN qd ON qd.vec_id = c.id),
+f{i}{p} AS (SELECT id FROM s{i}{p} ORDER BY d, id LIMIT {beam})"""
         )
-        prev = f"f{i}"
+        prev = f"f{i}{p}"
     visited = " UNION ".join(
-        f"SELECT id, d FROM s{i}" for i in range(0, A.GRAPH_HOPS + 1)
+        f"SELECT id, d FROM s{i}{p}" for i in range(0, A.GRAPH_HOPS + 1)
     )
     return (
         ",\n".join(hops)
-        + f",\nvisited AS ({visited})"
+        + f",\nvisited{p} AS ({visited})"
     )
 
 
@@ -13935,12 +13985,28 @@ def doc_lsa_topic_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_CV_H = (
+    "CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR) || '#' "
+    "|| CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
 @query(
     "part_covisit_recs",
     f"""
-WITH rel AS (
+WITH rel0 AS (
   SELECT DISTINCT o_custkey, l_partkey
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+-- whale-basket cap: top-{R.COVISIT_BASKET_CAP} parts per customer by
+-- the deterministic md5(cust#part) hash rank (same rule as the operator)
+rel AS (
+  SELECT o_custkey, l_partkey FROM (
+    SELECT o_custkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY {_CV_H}, l_partkey) AS r
+    FROM rel0
+  ) WHERE r <= {R.COVISIT_BASKET_CAP}
 ),
 pairs AS (
   SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS co
@@ -14041,12 +14107,6 @@ def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hidden purchase, the quality number behind the similarity table.
 # --------------------------------------------------------------------------
 
-_CV_H = (
-    "CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR) || '#' "
-    "|| CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT)"
-)
-
-
 @query(
     "part_covisit_holdout_eval",
     f"""
@@ -14062,7 +14122,8 @@ mk AS (
   FROM rel
 ),
 holdout AS (SELECT o_custkey, l_partkey AS held FROM mk WHERE r = 1 AND n >= 2),
-train AS (SELECT o_custkey, l_partkey FROM mk WHERE r > 1 OR n < 2),
+train AS (SELECT o_custkey, l_partkey FROM mk
+          WHERE (r > 1 OR n < 2) AND r <= {R.COVISIT_BASKET_CAP} + 1),
 pairs AS (
   SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS co
   FROM train a JOIN train b
@@ -17745,12 +17806,19 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_knn_loo_accuracy",
     f"""
-WITH pairs AS (
+WITH emb_s AS (
+  -- deterministic all-pairs decimation cap (stride 1 at test scale):
+  -- same rule as operators.knn._decimated
+  SELECT * FROM embeddings
+  WHERE vec_id % (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 65536.0) AS BIGINT))
+                  FROM embeddings) = 0
+),
+pairs AS (
   SELECT a.vec_id AS qid, a.label AS qlabel,
          b.vec_id AS cid, b.label AS clabel,
          unnest(CAST(a.embedding AS DOUBLE[])) AS x,
          unnest(CAST(b.embedding AS DOUBLE[])) AS y
-  FROM embeddings a CROSS JOIN embeddings b
+  FROM emb_s a CROSS JOIN emb_s b
   WHERE a.vec_id <> b.vec_id
 ),
 d AS (
@@ -18608,11 +18676,18 @@ def orders_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_intrinsic_dim",
     """
-WITH pairs AS (
+WITH emb_s AS (
+  -- deterministic all-pairs decimation cap (stride 1 at test scale):
+  -- same rule as operators.knn._decimated
+  SELECT * FROM embeddings
+  WHERE vec_id % (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 65536.0) AS BIGINT))
+                  FROM embeddings) = 0
+),
+pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS cid,
          unnest(CAST(a.embedding AS DOUBLE[])) AS x,
          unnest(CAST(b.embedding AS DOUBLE[])) AS y
-  FROM embeddings a CROSS JOIN embeddings b
+  FROM emb_s a CROSS JOIN emb_s b
   WHERE a.vec_id <> b.vec_id
 ),
 d AS (
@@ -19111,11 +19186,18 @@ def orders_recency_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_knn_ood",
     f"""
-WITH pairs AS (
+WITH emb_s AS (
+  -- deterministic all-pairs decimation cap (stride 1 at test scale):
+  -- same rule as operators.knn._decimated
+  SELECT * FROM embeddings
+  WHERE vec_id % (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 65536.0) AS BIGINT))
+                  FROM embeddings) = 0
+),
+pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS cid,
          unnest(CAST(a.embedding AS DOUBLE[])) AS x,
          unnest(CAST(b.embedding AS DOUBLE[])) AS y
-  FROM embeddings a CROSS JOIN embeddings b
+  FROM emb_s a CROSS JOIN emb_s b
   WHERE a.vec_id <> b.vec_id
 ),
 d AS (
@@ -20369,11 +20451,18 @@ def stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_hubness_audit",
     f"""
-WITH pairs AS (
+WITH emb_s AS (
+  -- deterministic all-pairs decimation cap (stride 1 at test scale):
+  -- same rule as operators.knn._decimated
+  SELECT * FROM embeddings
+  WHERE vec_id % (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 65536.0) AS BIGINT))
+                  FROM embeddings) = 0
+),
+pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS cid,
          unnest(CAST(a.embedding AS DOUBLE[])) AS x,
          unnest(CAST(b.embedding AS DOUBLE[])) AS y
-  FROM embeddings a CROSS JOIN embeddings b
+  FROM emb_s a CROSS JOIN emb_s b
   WHERE a.vec_id <> b.vec_id
 ),
 d AS (
@@ -20389,7 +20478,7 @@ edges AS (
 ),
 nk AS (
   SELECT e.vec_id AS cid, CAST(COALESCE(c.nk, 0) AS BIGINT) AS nk
-  FROM embeddings e
+  FROM emb_s e
   LEFT JOIN (SELECT cid, CAST(COUNT(*) AS BIGINT) AS nk
              FROM edges GROUP BY 1) c ON e.vec_id = c.cid
 ),
@@ -20719,12 +20808,19 @@ def part_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_label_silhouette",
     """
-WITH pairs AS (
+WITH emb_s AS (
+  -- deterministic all-pairs decimation cap (stride 1 at test scale):
+  -- same rule as operators.knn._decimated
+  SELECT * FROM embeddings
+  WHERE vec_id % (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 65536.0) AS BIGINT))
+                  FROM embeddings) = 0
+),
+pairs AS (
   SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS clabel,
          b.vec_id AS cid,
          unnest(CAST(a.embedding AS DOUBLE[])) AS x,
          unnest(CAST(b.embedding AS DOUBLE[])) AS y
-  FROM embeddings a CROSS JOIN embeddings b
+  FROM emb_s a CROSS JOIN emb_s b
   WHERE a.vec_id <> b.vec_id
 ),
 d AS (
@@ -21449,3 +21545,163 @@ def vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Good-Turing adjusted counts r* and discount ratios for low
     token frequencies."""
     return T.good_turing_discounts(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Wave 237 (round 3): graph-ANN parity with IVF — the measured
+# recall-vs-beam curve (the reference's ef_search dial,
+# src/hnswlib_index.cc:27-53) and the incremental upsert/maintenance
+# audit mirroring ivf_index_upsert_audit.
+# --------------------------------------------------------------------------
+
+
+def _beam_recall_sql() -> str:
+    walks, rows = [], []
+    for b in A.GRAPH_RECALL_BEAMS:
+        p = f"b{b}"
+        walks.append(
+            f"""s0{p} AS (SELECT vec_id AS id, d FROM qd
+        WHERE vec_id IN ({_CENTS_SQL})),
+f0{p} AS (SELECT id FROM s0{p} ORDER BY d, id LIMIT {b}),
+{_graph_walk_sql(beam=b, p=p)}"""
+        )
+        rows.append(
+            f"""SELECT CAST({b} AS INT) AS beam,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       ROUND(COUNT(*) / CAST({ANN_K} AS DOUBLE), 6) AS recall
+FROM (SELECT id FROM visited{p} ORDER BY d, id LIMIT {ANN_K}) t
+WHERE id IN (SELECT vec_id FROM exact_top)"""
+        )
+    return ",\n".join(walks) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@query(
+    "ann_recall_vs_beam",
+    f"""
+WITH {_NAV_EDGES_SQL},
+edges AS MATERIALIZED (SELECT src, nbr FROM rk WHERE rnk <= {A.GRAPH_DEGREE}),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       WHERE vec_id = {ANN_QUERY_ID}),
+qe AS (SELECT e.vec_id, unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+              unnest(q.v) AS y
+       FROM embeddings e CROSS JOIN qv q),
+qd AS MATERIALIZED (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS d
+      FROM qe GROUP BY vec_id),
+exact_top AS (SELECT vec_id FROM qd ORDER BY d, vec_id LIMIT {ANN_K}),
+{_beam_recall_sql()}
+""",
+)
+def ann_recall_vs_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN tuning curve: measured recall@{ANN_K} for beam widths
+    {A.GRAPH_RECALL_BEAMS} — the navigable graph's ef_search dial
+    (include/hnswlib_index.h:16, src/hnswlib_index.cc:27-53), the
+    graph twin of ann_recall_vs_nprobe: one edge build + one exact
+    top-k baseline shared across walks, each walk frontier-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return A.graph_recall_vs_beam(
+        emb, A.fit_vectors(emb, A.CENTROID_IDS), ANN_QUERY_ID, ANN_K
+    )
+
+
+@query(
+    "graph_index_upsert_audit",
+    f"""
+WITH {_NAV_EDGES_SQL},
+eb AS MATERIALIZED (SELECT src, nbr, dist FROM rk WHERE rnk <= {A.GRAPH_DEGREE}),
+upd AS (SELECT vec_id FROM embeddings WHERE vec_id % {A.GRAPH_UPD_MOD} = 0),
+batch AS MATERIALIZED (
+  SELECT vec_id, list_reverse(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings WHERE vec_id % {A.GRAPH_UPD_MOD} = 0
+  UNION ALL
+  SELECT vec_id + {A.GRAPH_INS_SHIFT}, CAST(embedding AS DOUBLE[])
+  FROM embeddings WHERE vec_id % {A.GRAPH_INS_MOD} = 0
+),
+after_corpus AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id NOT IN (SELECT vec_id FROM batch)
+  UNION ALL SELECT vec_id, v FROM batch
+),
+bpc AS (
+  SELECT b.vec_id, c.cid, unnest(b.v) AS x, unnest(c.cv) AS y
+  FROM batch b CROSS JOIN cents c
+),
+bcd AS (SELECT vec_id, cid, ROUND(SUM((x - y) * (x - y)), 6) AS d
+        FROM bpc GROUP BY vec_id, cid),
+bassign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM bcd
+  ) WHERE rn <= {A.GRAPH_ASSIGN}
+),
+affected AS (SELECT DISTINCT cell FROM bassign),
+old_assign AS (
+  SELECT vec_id, cell FROM assign
+  WHERE vec_id NOT IN (SELECT vec_id FROM batch)
+),
+members AS MATERIALIZED (
+  SELECT a.cell, a.vec_id, ac.v
+  FROM (SELECT * FROM old_assign UNION ALL SELECT * FROM bassign) a
+  JOIN affected USING (cell)
+  JOIN after_corpus ac ON ac.vec_id = a.vec_id
+),
+fpairs AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+  FROM members a JOIN members b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+fpe AS (
+  SELECT p.src, p.nbr, unnest(ca.v) AS x, unnest(cb.v) AS y
+  FROM fpairs p
+  JOIN after_corpus ca ON ca.vec_id = p.src
+  JOIN after_corpus cb ON cb.vec_id = p.nbr
+),
+fresh AS (SELECT src, nbr, ROUND(SUM((x - y) * (x - y)), 6) AS dist
+          FROM fpe GROUP BY src, nbr),
+valid_old AS (
+  SELECT src, nbr, dist FROM eb
+  WHERE src NOT IN (SELECT vec_id FROM upd)
+    AND nbr NOT IN (SELECT vec_id FROM upd)
+),
+aff_srcs AS (SELECT DISTINCT vec_id AS src FROM members),
+merged AS (
+  SELECT src, nbr, MIN(dist) AS dist FROM (
+    SELECT v.* FROM valid_old v JOIN aff_srcs USING (src)
+    UNION ALL SELECT * FROM fresh
+  ) GROUP BY src, nbr
+),
+rer AS (
+  SELECT src, nbr FROM (
+    SELECT src, nbr,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, nbr) AS rk
+    FROM merged
+  ) WHERE rk <= {A.GRAPH_DEGREE}
+),
+ea AS MATERIALIZED (
+  SELECT v.src, v.nbr FROM valid_old v
+  WHERE v.src NOT IN (SELECT src FROM aff_srcs)
+  UNION ALL SELECT src, nbr FROM rer
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM batch) AS n_batch_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM affected) AS n_affected_cells,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM eb) AS n_edges_before,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ea) AS n_edges_after,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM eb
+   WHERE NOT EXISTS (SELECT 1 FROM ea
+                     WHERE ea.src = eb.src AND ea.nbr = eb.nbr)) AS n_dropped,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ea
+   WHERE NOT EXISTS (SELECT 1 FROM eb
+                     WHERE eb.src = ea.src AND eb.nbr = ea.nbr)) AS n_added,
+  (SELECT CAST(MAX(cnt) AS BIGINT) FROM
+    (SELECT COUNT(*) AS cnt FROM ea GROUP BY src)) AS max_out_degree
+""",
+)
+def graph_index_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental navigable-graph maintenance: deterministic upsert
+    batch, affected-cell-only edge repair (stale edges drop on either
+    updated endpoint — HNSW's lazy markDelete, src/hnswlib_index.cc:
+    55-80), before/after edge accounting + the degree-cap check.  Cost
+    O(affected cells), never O(corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return A.graph_index_upsert_audit(emb, A.fit_vectors(emb, A.CENTROID_IDS))

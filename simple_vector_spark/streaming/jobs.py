@@ -19,6 +19,7 @@ in rate-limited batches — the same plan a 100-TB backfill would run.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -70,18 +71,21 @@ def _drain(stream: DataFrame, mode: str, state_partitions: int = 8) -> DataFrame
     name = f"snk_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    ckpt = tempfile.mkdtemp(prefix="svs_ckpt_")
     try:
         q = (
             stream.writeStream.outputMode(mode)
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="svs_ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # throwaway per-call checkpoint; the memory sink stays readable
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -304,13 +308,17 @@ def foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot(apply_upserts(cur, batch_df, ["user_id"], ["ts", "event_id"]), nxt)
         state["path"] = nxt
 
-    q = (
-        ev.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="svs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="svs_ckpt_")
+    try:
+        q = (
+            ev.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return restore(spark, state["path"]).select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -454,24 +462,35 @@ def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transformWithStateInPandas needs google.protobuf, which is "
             "not installed in this runtime"
         )
+    # The RocksDB provider is required only for this query; snapshot
+    # and restore the session conf so later streaming queries in the
+    # same session keep their own provider (ADVICE r02).
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
-    proc = _make_totals_processor()()
-    ev = _read_events_stream(spark, sf_dir)
-    out = (
-        ev.select("user_id", "value")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            proc,
-            outputStructType=TWS_OUT_SCHEMA,
-            outputMode="Update",
-            timeMode="None",
+    try:
+        proc = _make_totals_processor()()
+        ev = _read_events_stream(spark, sf_dir)
+        out = (
+            ev.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                proc,
+                outputStructType=TWS_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
         )
-    )
-    drained = _drain(out, "update")
+        drained = _drain(out, "update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     return drained.groupBy("user_id").agg(
         F.max("n").alias("n"),
         F.round(F.max_by("total", "n"), 6).alias("sum_value"),
@@ -531,14 +550,17 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n_events").cast("double")
     mean = F.col("_s1").cast("double") / n
-    var = (F.col("_s2").cast("double") - F.col("_s1").cast("double") * mean) / (
-        n - F.lit(1.0)
+    # singleton users: (n-1)=0 would give 0/0 NaN; coalesce std to 0
+    # (same NULLIF/COALESCE guard as the batch operator + oracle).
+    var = F.try_divide(
+        F.col("_s2").cast("double") - F.col("_s1").cast("double") * mean,
+        F.nullif(n - F.lit(1.0), F.lit(0.0)),
     )
     per_user = stats.select(
         "user_id",
         "n_events",
         mean.alias("_mean"),
-        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_std"),
+        F.sqrt(F.greatest(F.coalesce(var, F.lit(0.0)), F.lit(0.0))).alias("_std"),
     ).localCheckpoint()
 
     ev = _read_events_stream(spark, sf_dir).select(
@@ -660,13 +682,17 @@ def cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state["path"] = nxt
 
-    q = (
-        ev.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="svs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="svs_ckpt_")
+    try:
+        q = (
+            ev.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return (
         restore(spark, state["path"])
         .filter(F.col("op") != "d")
@@ -712,7 +738,9 @@ def dead_letter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json(F.col("props"), "k INT").isNotNull()
         & F.get_json_object(F.col("props"), "$.k").isNotNull(),
     )
-    acc: dict = {"valid": {}, "dlq": {}}
+    # keyed by batch_id so a retried micro-batch overwrites its own
+    # partial instead of double-counting (foreachBatch is at-least-once)
+    per_batch: dict = {}
 
     def split(batch_df, batch_id):
         rows = (
@@ -720,19 +748,30 @@ def dead_letter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
             .collect()
         )
+        counts: dict = {"valid": {}, "dlq": {}}
         for r in rows:
             side = "valid" if r["ok"] else "dlq"
-            acc[side][r["event_type"]] = (
-                acc[side].get(r["event_type"], 0) + r["count"]
+            counts[side][r["event_type"]] = (
+                counts[side].get(r["event_type"], 0) + r["count"]
             )
+        per_batch[batch_id] = counts  # last-write-wins per batch_id
 
-    q = (
-        parsed.writeStream.foreachBatch(split)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="svs_dlq_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="svs_dlq_")
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(split)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    acc: dict = {"valid": {}, "dlq": {}}
+    for counts in per_batch.values():
+        for side in ("valid", "dlq"):
+            for t, n in counts[side].items():
+                acc[side][t] = acc[side].get(t, 0) + n
     types = sorted(set(acc["valid"]) | set(acc["dlq"]))
     data = [
         (

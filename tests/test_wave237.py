@@ -1,111 +1,85 @@
-"""Wave 237: log-rank survival test and Croston/SBA forecasting."""
+"""Wave-237 operators (round 3): graph-ANN recall-vs-beam curve and the
+incremental navigable-graph upsert audit — parity with the IVF family
+(ann_recall_vs_nprobe, ivf_index_upsert_audit)."""
 
 from __future__ import annotations
 
-import datetime as dt
+import random
 
-from simple_vector_spark.operators import relational as R
+from pyspark.sql import functions as F
 
-
-def _surv(spark, rows_orders, rows_cust):
-    orders = spark.createDataFrame(
-        rows_orders, "o_orderkey long, o_custkey long, o_orderdate date"
-    )
-    cust = spark.createDataFrame(
-        rows_cust, "c_custkey long, c_mktsegment string"
-    )
-    return R.logrank_test(orders, cust).collect()[0]
+from simple_vector_spark.operators import ann as A
 
 
-def test_logrank_separated_groups_significant(spark):
-    # A churns at ~2 months, B at ~18 months; an anchor customer pushes
-    # the dataset end far enough out that every lifetime is an observed
-    # churn event (not censored).
-    o, c, ok = [], [], 0
-    for cid in range(20):  # group A: short lives
-        o.append((ok, cid, dt.date(2020, 1, 1))); ok += 1
-        o.append((ok, cid, dt.date(2020, 3, 1))); ok += 1
-        c.append((cid, "BUILDING"))
-    for cid in range(20, 40):  # group B: long lives
-        o.append((ok, cid, dt.date(2020, 1, 1))); ok += 1
-        o.append((ok, cid, dt.date(2021, 7, 1))); ok += 1
-        c.append((cid, "MACHINERY"))
-    o.append((ok, 99, dt.date(2022, 6, 1)))  # anchor sets dataset end
-    c.append((99, "MACHINERY"))
-    out = _surv(spark, o, c)
-    assert out["n_group_a"] == 20
-    assert out["n_group_b"] == 21
-    assert out["observed_a"] == 20
-    # all 20 A-deaths happen first while 40+ are at risk -> E1 ~ half
-    assert out["chi2"] > 10.0
-    assert out["p_value"] < 0.01
-
-
-def test_logrank_identical_groups_null(spark):
-    # perfectly symmetric groups -> observed == expected, chi2 == 0
-    o, c, ok = [], [], 0
-    for cid in range(30):
-        seg = "BUILDING" if cid % 2 == 0 else "HOUSEHOLD"
-        life = 30 * (cid // 2 % 5 + 1)  # same lifetime mix per group
-        o.append((ok, cid, dt.date(2020, 1, 1))); ok += 1
-        o.append((ok, cid, dt.date(2020, 1, 1) + dt.timedelta(days=life)))
-        ok += 1
-    for cid in range(30):
-        c.append((cid, "BUILDING" if cid % 2 == 0 else "HOUSEHOLD"))
-    o.append((ok, 99, dt.date(2022, 1, 1)))
-    c.append((99, "AUTOMOBILE"))
-    out = _surv(spark, o, c)
-    assert out["n_group_a"] == 15
-    assert abs(out["observed_a"] - out["expected_a"]) < 1e-6
-    assert out["chi2"] == 0.0
-    assert out["p_value"] > 0.9
-
-
-def _croston(spark, rows):
-    li = spark.createDataFrame(
-        rows, "l_partkey long, l_shipdate date, l_quantity double"
-    )
-    return {r["part_id"]: r for r in R.croston_forecast(li).collect()}
-
-
-def _ses(xs, a=R.CROSTON_ALPHA):
-    acc = xs[0]
-    for x in xs[1:]:
-        acc = a * x + (1.0 - a) * acc
-    return acc
-
-
-def test_croston_steady_and_intermittent(spark):
+def _clustered_emb(spark, n_clusters=4, per=30, dim=8, seed=7):
+    rng = random.Random(seed)
     rows = []
-    # part 1: demand 10 every month for 6 months -> z=10, p=1
-    for k in range(6):
-        rows.append((1, dt.date(2024, 1 + k, 5), 10.0))
-    # part 2: demand 20 every OTHER month (months 1,3,5,7,9,11)
-    for k in range(6):
-        rows.append((2, dt.date(2024, 1 + 2 * k, 5), 20.0))
-    # part 3: only 3 demand months -> below CROSTON_MIN_MONTHS, skipped
-    for k in range(3):
-        rows.append((3, dt.date(2024, 1 + k, 5), 5.0))
-    out = _croston(spark, rows)
-    assert set(out) == {1, 2}
-    p1, p2 = out[1], out[2]
-    assert p1["z_hat"] == 10.0 and p1["p_hat"] == 1.0
-    assert p1["croston_fc"] == 10.0 and p1["sba_fc"] == 9.0
-    # part 2 intervals: first month is the global min -> gap 1, then 2s
-    exp_p = _ses([1.0, 2.0, 2.0, 2.0, 2.0, 2.0])
-    assert abs(p2["p_hat"] - round(exp_p, 6)) < 1e-9
-    assert abs(p2["croston_fc"] - round(20.0 / exp_p, 6)) < 1e-6
-    assert p2["n_demand_months"] == 6
+    vid = 0
+    for c in range(n_clusters):
+        center = [10.0 * (c + 1) * ((d % 2) * 2 - 1) for d in range(dim)]
+        for _ in range(per):
+            rows.append(
+                (vid, [center[d] + rng.uniform(-1, 1) for d in range(dim)])
+            )
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
-def test_croston_first_interval_counts_lead_in(spark):
-    rows = []
-    # global min month is 2024-01 (part 9); part 5 starts in 2024-04
-    for k in range(6):
-        rows.append((9, dt.date(2024, 1 + k, 5), 7.0))
-    for k in range(4):
-        rows.append((5, dt.date(2024, 4 + k, 5), 12.0))
-    out = _croston(spark, rows)
-    # part 5 first gap = months since 2024-01 + 1 = 4, then 1,1,1
-    exp_p = _ses([4.0, 1.0, 1.0, 1.0])
-    assert abs(out[5]["p_hat"] - round(exp_p, 6)) < 1e-9
+def _cents(emb, ids=(0, 30, 60, 90)):
+    return A.fit_vectors(emb, list(ids))
+
+
+def test_recall_vs_beam_monotone_and_bounded(spark):
+    emb = _clustered_emb(spark)
+    out = A.graph_recall_vs_beam(
+        emb, _cents(emb), query_id=5, k=10, beams=(1, 4, 16)
+    ).collect()
+    by_beam = {r["beam"]: r for r in out}
+    assert set(by_beam) == {1, 4, 16}
+    recalls = [by_beam[b]["recall"] for b in (1, 4, 16)]
+    assert recalls == sorted(recalls), "recall must not fall as beam grows"
+    for r in out:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_hit"] == round(r["recall"] * 10)
+    # wide beam on a well-clustered corpus should find the neighborhood
+    assert by_beam[16]["recall"] >= 0.9
+
+
+def test_recall_vs_beam_default_beams(spark):
+    emb = _clustered_emb(spark, n_clusters=2, per=20)
+    out = A.graph_recall_vs_beam(
+        emb, _cents(emb, ids=(0, 20)), query_id=3, k=5
+    ).collect()
+    assert [r["beam"] for r in out] == list(A.GRAPH_RECALL_BEAMS)
+
+
+def test_graph_upsert_audit_accounting(spark):
+    emb = _clustered_emb(spark)
+    row = A.graph_index_upsert_audit(emb, _cents(emb)).collect()[0]
+    # edge accounting must balance exactly
+    assert (
+        row["n_edges_after"]
+        == row["n_edges_before"] - row["n_dropped"] + row["n_added"]
+    )
+    assert row["n_batch_rows"] > 0
+    assert row["n_affected_cells"] >= 1
+    assert row["n_added"] > 0  # inserts must attach somewhere
+    assert row["max_out_degree"] <= A.GRAPH_DEGREE
+
+
+def test_graph_upsert_inserts_present_in_graph(spark):
+    # after the audit's merge rules, inserted ids must appear as edge
+    # sources: rebuild the after-edges the same way and look for them
+    emb = _clustered_emb(spark, n_clusters=2, per=25)
+    cents = _cents(emb, ids=(0, 25))
+    ins_ids = [
+        r["vec_id"] + A.GRAPH_INS_SHIFT
+        for r in emb.filter(F.col("vec_id") % A.GRAPH_INS_MOD == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    assert ins_ids, "fixture must contain insert ids"
+    row = A.graph_index_upsert_audit(emb, cents).collect()[0]
+    # every inserted node contributes up to GRAPH_DEGREE out-edges; the
+    # added count must cover at least one full new node's out-edges
+    assert row["n_added"] >= min(A.GRAPH_DEGREE, 2)
