@@ -545,6 +545,77 @@ def pq_adc_search(
     )
 
 
+def train_pq_codebooks(
+    emb: DataFrame,
+    seed_ids: list[int] | None = None,
+    iters: int = 2,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """PER-SUBSPACE Lloyd training for the PQ codebooks — the real PQ
+    training step (Jegou et al. 2011 run k-means independently in each
+    subspace; slicing a full-dimension k-means result instead measurably
+    HURTS recall: the joint clusters collapse per-subspace codeword
+    diversity — 0.6 -> 0.2 recall@10 on the fixture).
+
+    Deterministic like train_centroids: FIXED iteration count, init
+    from the seed rows' slices, assignment via the exact pq_encode
+    expression (rounded argmin, low-index ties), per-(subspace,
+    codeword, dim) means with the kmeans_step recipe (components
+    ROUND 3 -> DECIMAL(12,3) exact sums -> one f64 divide -> ROUND 6);
+    empty codewords keep their previous value.  Per iteration: one
+    corpus scan, one (s, idx, dim)-group shuffle in long form, one
+    m*ncode*dsub-row collect (model-sized, like an MLlib fit)."""
+    from ..sources.loaders import fan_out
+
+    cbs = pq_codebooks(emb, seed_ids, m)
+    dsub = len(cbs[0][0][1])
+    cids = [cid for cid, _ in cbs[0]]
+    v = as_double_array(F.col(vec_col))
+    src = fan_out(emb)
+    for _ in range(iters):
+        enc = src.select(
+            v.alias("_v"), pq_encode(v, cbs).alias("_c")
+        )
+        comp = (
+            enc.select(F.posexplode("_c").alias("_s", "_idx"), "_v")
+            .select(
+                "_s",
+                "_idx",
+                F.posexplode(
+                    F.transform(
+                        F.slice(F.col("_v"), F.col("_s") * dsub + 1, dsub),
+                        lambda x: F.round(x, 3).cast("decimal(12,3)"),
+                    )
+                ).alias("_d", "_x"),
+            )
+        )
+        rows = (
+            comp.groupBy("_s", "_idx", "_d")
+            .agg(
+                F.round(F.sum("_x").cast("double") / F.count("*"), 6).alias("_m")
+            )
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            means.setdefault((r["_s"], r["_idx"]), {})[r["_d"]] = r["_m"]
+        cbs = [
+            [
+                (
+                    cid,
+                    [means[(s, j + 1)][d] for d in range(dsub)]
+                    if (s, j + 1) in means
+                    else cw,
+                )
+                for j, (cid, cw) in enumerate(cb)
+            ]
+            for s, cb in enumerate(cbs)
+        ]
+    return cbs
+
+
 def train_centroids(
     emb: DataFrame,
     seed_ids: list[int] | None = None,

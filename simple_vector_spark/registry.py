@@ -102,7 +102,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_knn_loo_accuracy", "embedding_intrinsic_dim",
     "embedding_knn_ood", "embedding_hubness_audit",
     "embedding_label_silhouette",
-    "ann_recall_vs_nprobe", "ann_recall_vs_nprobe_trained",
+    "ann_recall_vs_nprobe", "ann_recall_vs_nprobe_seed_baseline",
+    "ann_ivf_seed_baseline",
     "shuffle_partition_advisor", "events_error_bursts",
 )
 
@@ -1752,6 +1753,7 @@ TRAIN_ITERS = 2  # fixed Lloyd iterations — deterministic, oracle-unrollable
 # + actions; a real system trains once and serves many searches.  Keyed
 # by (sf_dir, iters) so different fixtures never cross-contaminate.
 _TRAINED_CENTS_CACHE: dict[tuple[str, int], list] = {}
+_TRAINED_PQ_CACHE: dict[tuple[str, int], list] = {}
 
 
 def _emb_with_cells(spark, sf_dir: str, trained: bool = False) -> DataFrame:
@@ -1780,6 +1782,13 @@ def _trained_centroids(emb: DataFrame, sf_dir: str, iters: int = None):
     if key not in _TRAINED_CENTS_CACHE:
         _TRAINED_CENTS_CACHE[key] = A.train_centroids(emb, A.CENTROID_IDS, key[1])
     return _TRAINED_CENTS_CACHE[key]
+
+
+def _trained_pq(emb: DataFrame, sf_dir: str, iters: int = None):
+    key = (sf_dir, iters if iters is not None else TRAIN_ITERS)
+    if key not in _TRAINED_PQ_CACHE:
+        _TRAINED_PQ_CACHE[key] = A.train_pq_codebooks(emb, iters=key[1])
+    return _TRAINED_PQ_CACHE[key]
 
 
 def _trained_cents_ctes(iters: int) -> str:
@@ -1913,6 +1922,31 @@ SELECT vec_id, CAST(cell AS INT) AS cell, dist FROM d2 ORDER BY dist, vec_id LIM
 @query(
     "ann_ivf",
     f"""
+WITH {_TRAINED_CTES},
+{_IVF_SEARCH_BODY}
+""",
+)
+def ann_ivf(spark, sf_dir):
+    """IVF ANN over TRAINED centroids ({TRAIN_ITERS} fixed Lloyd
+    iterations from the seed rows, A.train_centroids) — the DEFAULT
+    since round 3, matching the reference's built-index contract
+    (src/index_factory.cc:21-27: you search a *trained* index):
+    nearest-centroid cell assignment (zero-shuffle argmin over
+    broadcast centroids), nprobe-cell probe, exact re-rank.  At scale
+    the table is written partitioned by cell => file-level pruning,
+    the Parquet analog of FAISS inverted lists.  The raw-seed variant
+    survives as ann_ivf_seed_baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _trained_centroids(emb, sf_dir)
+    return A.ivf_search(
+        _emb_with_cells(spark, sf_dir, trained=True),
+        emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, IVF_NPROBE
+    )
+
+
+@query(
+    "ann_ivf_seed_baseline",
+    f"""
 WITH cents AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
   FROM embeddings WHERE vec_id IN ({_CENTS_SQL})
@@ -1920,36 +1954,14 @@ WITH cents AS (
 {_IVF_SEARCH_BODY}
 """,
 )
-def ann_ivf(spark, sf_dir):
-    """IVF ANN: nearest-centroid cell assignment (zero-shuffle argmin
-    over broadcast centroids), nprobe-cell probe, exact re-rank.  At
-    scale the table is written partitioned by cell => file-level
-    pruning, the Parquet analog of FAISS inverted lists."""
+def ann_ivf_seed_baseline(spark, sf_dir):
+    """LABELED BASELINE: ann_ivf over the raw seed-row codebook (no
+    Lloyd training) — kept to quantify what training buys; the
+    recall comparison is asserted in tests/test_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = A.fit_vectors(emb, A.CENTROID_IDS)
     return A.ivf_search(
         _emb_with_cells(spark, sf_dir),
-        emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, IVF_NPROBE
-    )
-
-
-@query(
-    "ann_ivf_trained",
-    f"""
-WITH {_TRAINED_CTES},
-{_IVF_SEARCH_BODY}
-""",
-)
-def ann_ivf_trained(spark, sf_dir):
-    """IVF ANN over TRAINED centroids: {TRAIN_ITERS} fixed Lloyd
-    iterations from the seed rows (A.train_centroids), then the same
-    probe + exact re-rank as ann_ivf.  The trained-codebook analog of
-    the reference's built HNSW index (src/hnswlib_index.cc:27-53) —
-    centroid quality, not probe budget, is what moves recall."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = _trained_centroids(emb, sf_dir)
-    return A.ivf_search(
-        _emb_with_cells(spark, sf_dir, trained=True),
         emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, IVF_NPROBE
     )
 
@@ -2063,7 +2075,7 @@ def ann_ivf_partitioned(spark, sf_dir):
     import os
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = A.fit_vectors(emb, A.CENTROID_IDS)
+    cents = _trained_centroids(emb, sf_dir)  # trained default (round 3)
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = f"/root/repo/_scratch/ivf_index_{tag}"
     A.build_ivf_index(emb, cents, path)
@@ -2072,22 +2084,77 @@ def ann_ivf_partitioned(spark, sf_dir):
     )
 
 
-_PQ_SQL = f"""
+def _trained_pq_ctes(iters: int) -> str:
+    """CTE chain replaying ``A.train_pq_codebooks`` in DuckDB: per-
+    subspace Lloyd from the seed-row slices (cb0), ``iters`` unrolled
+    steps, ending in ``cb(cid, s, cw, idx)`` so the ADC body runs
+    unchanged.  Assignment = rounded argmin with low-idx ties
+    (pq_encode); means = ROUND 3 -> DECIMAL(12,3) exact sums -> one
+    f64 divide -> ROUND 6; empty codewords keep their previous value
+    (same recipe as _trained_cents_ctes, per subspace)."""
+    ctes = ["""cb0 AS (
+  SELECT cid, s, cv[s*8+1 : s*8+8] AS cw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY cid) AS INT) AS idx
+  FROM cents CROSS JOIN sub
+)"""]
+    for i in range(1, iters + 1):
+        pv = i - 1
+        ctes.append(
+            f"""ped{i} AS (
+  SELECT corp.vec_id, corp.s, c.idx,
+         ROUND(list_aggregate(list_transform(range(1,9),
+               j -> (sv[j]-cw[j])*(sv[j]-cw[j])), 'sum'), 6) AS d
+  FROM corp JOIN cb{pv} c ON corp.s = c.s
+),
+pen{i} AS (
+  SELECT vec_id, s, idx FROM (
+    SELECT vec_id, s, idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, idx) AS rn
+    FROM ped{i}
+  ) WHERE rn = 1
+),
+pcm{i} AS (
+  SELECT e.s, e.idx, generate_subscripts(corp.sv, 1) AS dim,
+         CAST(ROUND(unnest(corp.sv), 3) AS DECIMAL(12,3)) AS val
+  FROM pen{i} e JOIN corp ON corp.vec_id = e.vec_id AND corp.s = e.s
+),
+pmn{i} AS (
+  SELECT s, idx, dim, ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM pcm{i} GROUP BY s, idx, dim
+),
+cb{i} AS (
+  SELECT c0.cid, c0.s, COALESCE(mm.cw, c0.cw) AS cw, c0.idx
+  FROM cb{pv} c0 LEFT JOIN (
+    SELECT s, idx, list(m ORDER BY dim) AS cw FROM pmn{i} GROUP BY s, idx
+  ) mm USING (s, idx)
+)"""
+        )
+    ctes.append(f"cb AS (SELECT cid, s, cw, idx FROM cb{iters})")
+    return ",\n".join(ctes)
+
+
+# PQ codebooks: per-subspace Lloyd-trained from the seed-row slices
+# (round-3 default — slicing FULL-dimension trained centroids instead
+# measurably hurts recall; see A.train_pq_codebooks).
+_PQ_PRE = f"""
 cents AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
   FROM embeddings WHERE vec_id IN ({_CENTS_SQL})
 ),
 sub AS (SELECT CAST(s AS INT) AS s FROM range(8) t(s)),
-cb AS (
-  SELECT cid, s, cv[s*8+1 : s*8+8] AS cw,
-         CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY cid) AS INT) AS idx
-  FROM cents CROSS JOIN sub
-),
 corp AS (
   SELECT vec_id, s, CAST(embedding AS DOUBLE[])[s*8+1 : s*8+8] AS sv
   FROM embeddings CROSS JOIN sub
-),
-encdist AS (
+)"""
+
+# seed codebooks = the seed-row slices verbatim (labeled baseline)
+_PQ_CB_SEED = """cb AS (
+  SELECT cid, s, cv[s*8+1 : s*8+8] AS cw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY cid) AS INT) AS idx
+  FROM cents CROSS JOIN sub
+)"""
+
+_PQ_BODY = f"""encdist AS (
   SELECT corp.vec_id, corp.s, cb.idx,
          ROUND(list_aggregate(list_transform(range(1,9),
                i -> (sv[i]-cw[i])*(sv[i]-cw[i])), 'sum'), 6) AS d
@@ -2115,6 +2182,9 @@ adc AS (
 )
 """
 
+_PQ_SQL = f"{_PQ_PRE},\n{_trained_pq_ctes(TRAIN_ITERS)},\n{_PQ_BODY}"
+_PQ_SQL_SEED = f"{_PQ_PRE},\n{_PQ_CB_SEED},\n{_PQ_BODY}"
+
 
 @query(
     "ann_pq_adc",
@@ -2123,13 +2193,14 @@ adc AS (
 )
 def ann_pq_adc(spark, sf_dir):
     """Product quantization with asymmetric distance: 8 subspaces, a
-    deterministic codebook per subspace (subvectors of the fixed IVF
-    centroid rows), corpus encoded to an 8-byte code column map-side,
+    deterministic codebook per subspace (subvectors of the TRAINED
+    IVF centroids — the round-3 default), corpus encoded to an
+    8-byte code column map-side,
     search = sum of m query-to-codeword table lookups.  The 32x-
     compressed scan path of a PQ index (FAISS IndexPQ analog), fully
     oracle-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cbs = A.pq_codebooks(emb)
+    cbs = _trained_pq(emb, sf_dir)
     return A.pq_adc_search(emb, emb.filter(F.col("vec_id") == 0), cbs, KNN_K)
 
 
@@ -2153,6 +2224,36 @@ FROM hits
 def ann_pq_recall(spark, sf_dir):
     """Recall@10 of PQ-ADC vs exact — what 32x compression costs in
     ranking quality (compare ann_quantized_recall's 4x int8 point)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    cbs = _trained_pq(emb, sf_dir)
+    pq_hits = A.pq_adc_search(emb, q, cbs, KNN_K)
+    exact_hits = K.knn_topk(emb, q, KNN_K, "sqL2")
+    return A.recall_report(pq_hits, exact_hits, KNN_K)
+
+
+@query(
+    "ann_pq_seed_recall",
+    f"""
+WITH {{pq_seed}},
+qtop AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT {KNN_K}),
+epairs AS (
+  SELECT e.vec_id, unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(q.qv) AS y
+  FROM embeddings e CROSS JOIN q
+),
+ed AS (SELECT vec_id, ROUND(SUM((x - y) * (x - y)), 6) AS dist FROM epairs GROUP BY vec_id),
+etop AS (SELECT vec_id FROM ed ORDER BY dist, vec_id LIMIT {KNN_K}),
+hits AS (SELECT vec_id FROM etop WHERE vec_id IN (SELECT vec_id FROM qtop))
+SELECT {KNN_K} AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       ROUND(COUNT(*) / CAST({KNN_K} AS DOUBLE), 6) AS recall
+FROM hits
+""".format(pq_seed=_PQ_SQL_SEED),
+)
+def ann_pq_seed_recall(spark, sf_dir):
+    """LABELED BASELINE: PQ-ADC recall@10 with the raw seed-slice
+    codebooks (no per-subspace Lloyd) — kept so the PQ training lift
+    (distortion -26%, avg recall +0.06 on the fixture) is a measured
+    number; asserted in tests/test_wave237.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     cbs = A.pq_codebooks(emb)
@@ -4627,6 +4728,31 @@ FROM (
 @query(
     "ann_recall_vs_nprobe",
     f"""
+WITH {_TRAINED_CTES},
+{_RECALL_CURVE_BODY}
+""",
+)
+def ann_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve over the TRAINED codebook ({TRAIN_ITERS} fixed
+    Lloyd iterations — the round-3 default, matching the reference's
+    built-index contract): measured recall@10 for nprobe 1/2/3 —
+    candidates scored once for the largest budget, each point a
+    probe-rank filter + top-k + intersect with the exact answer.
+    Training moves the whole curve up at equal probe budget (vs
+    ann_recall_vs_nprobe_seed_baseline; asserted in tests/test_ann.py)
+    — the measured answer to the reference's ef_search recall dial
+    (src/hnswlib_index.cc:16)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _trained_centroids(emb, sf_dir)
+    return A.ivf_recall_curve(
+        _emb_with_cells(spark, sf_dir, trained=True),
+        emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, (1, 2, 3)
+    )
+
+
+@query(
+    "ann_recall_vs_nprobe_seed_baseline",
+    f"""
 WITH cents AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
   FROM embeddings WHERE vec_id IN ({_CENTS_SQL})
@@ -4634,35 +4760,14 @@ WITH cents AS (
 {_RECALL_CURVE_BODY}
 """,
 )
-def ann_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF tuning curve: measured recall@10 for nprobe 1/2/3 —
-    candidates scored once for the largest budget, each point a
-    probe-rank filter + top-k + intersect with the exact answer."""
+def ann_recall_vs_nprobe_seed_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABELED BASELINE: the recall-vs-nprobe curve over the raw
+    seed-row codebook (no training) — kept so the training lift is a
+    measured number, not a claim."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = A.fit_vectors(emb, A.CENTROID_IDS)
     return A.ivf_recall_curve(
         _emb_with_cells(spark, sf_dir),
-        emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, (1, 2, 3)
-    )
-
-
-@query(
-    "ann_recall_vs_nprobe_trained",
-    f"""
-WITH {_TRAINED_CTES},
-{_RECALL_CURVE_BODY}
-""",
-)
-def ann_recall_vs_nprobe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same recall@10-vs-nprobe curve over TRAINED centroids
-    ({TRAIN_ITERS} fixed Lloyd iterations) — the measured answer to the
-    reference's ef_search recall dial (src/hnswlib_index.cc:16):
-    training the codebook moves the whole curve up at equal probe
-    budget (asserted in tests/test_ann.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = _trained_centroids(emb, sf_dir)
-    return A.ivf_recall_curve(
-        _emb_with_cells(spark, sf_dir, trained=True),
         emb.filter(F.col("vec_id") == ANN_QUERY_ID), cents, ANN_K, (1, 2, 3)
     )
 
@@ -12199,7 +12304,7 @@ def ann_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     loses, corpus mean/max and share of mean norm² — the quantization
     QA number before trusting ADC shortlists."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return A.pq_distortion_audit(emb, A.pq_codebooks(emb))
+    return A.pq_distortion_audit(emb, _trained_pq(emb, sf_dir))
 
 
 # --------------------------------------------------------------------------

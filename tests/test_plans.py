@@ -493,3 +493,92 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     df.collect()  # AQE decides at runtime; plan is final only now
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in plan
+
+
+# --------------------------------------------------------------------------
+# Round-3 guard (VERDICT r02 item 8): orderBy-only windows funnel every
+# row through ONE task — the single plan shape that cannot survive a
+# 100x scale-up.  Every existing site is bounded-cardinality by
+# construction (calendar months/quarters/days, probe grids, feature
+# lists, k-smallest-hash sketches) and documented in its docstring; any
+# NEW site must either justify itself onto this list or use the
+# two-phase helpers in operators/ranking.py.  The matching plan-level
+# audit is tools/window_sweep.py (slow; run per-round).
+# --------------------------------------------------------------------------
+
+ORDERBY_ONLY_WINDOW_ALLOWLIST = {
+    ("operators/ann.py", "ivf_recall_curve"),          # probe-count grid
+    ("operators/events.py", "monthly_value_growth"),   # months
+    ("operators/events.py", "watermark_late_audit"),   # micro-batch ids
+    ("operators/events.py", "changepoint_detect"),     # days
+    ("operators/events.py", "daily_forward_fill"),     # days
+    ("operators/events.py", "sprt_monitor"),           # days
+    ("operators/events.py", "feature_mi_ranking"),     # |features|
+    ("operators/relational.py", "aov_trend"),          # months
+    ("operators/relational.py", "revenue_ewma"),       # time grid
+    ("operators/relational.py", "sla_trend"),          # quarters
+    ("operators/relational.py", "km_survival"),        # event-time grid
+    ("operators/relational.py", "revenue_periodogram"),  # frequency grid
+    ("operators/relational.py", "isotonic_calibration"),  # calibration bins
+    ("operators/text_analysis.py", "umass_coherence"),   # top-N vocab
+    ("operators/text_analysis.py", "bigram_lambda_sweep"),  # lambda grid
+    ("operators/sketches.py", "kmv_cardinality_audit"),  # k smallest hashes
+    ("operators/sketches.py", "kmv_intersection_audit"),  # k smallest hashes
+}
+
+
+def _orderby_only_window_sites():
+    """AST scan: every `Window.orderBy(...)` or
+    `Window.partitionBy().orderBy(...)` call (code, not docstrings),
+    keyed by (relative file, innermost enclosing function)."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path("/root/repo/simple_vector_spark")
+    sites = set()
+    for f in sorted(root.rglob("*.py")):
+        tree = ast.parse(f.read_text())
+        funcs = [
+            (n.name, n.lineno, n.end_lineno)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+
+        def enclosing(line):
+            cands = [fn for fn in funcs if fn[1] <= line <= fn[2]]
+            if not cands:
+                return "<module>"
+            return min(cands, key=lambda fn: fn[2] - fn[1])[0]
+
+        for node in ast.walk(tree):
+            if not (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "orderBy"):
+                continue
+            base = node.func.value
+            bare = isinstance(base, ast.Name) and base.id == "Window"
+            empty_pb = (
+                isinstance(base, ast.Call)
+                and isinstance(base.func, ast.Attribute)
+                and base.func.attr == "partitionBy"
+                and isinstance(base.func.value, ast.Name)
+                and base.func.value.id == "Window"
+                and not base.args
+                and not base.keywords
+            )
+            if bare or empty_pb:
+                rel = str(f.relative_to(root))
+                sites.add((rel, enclosing(node.lineno)))
+    return sites
+
+
+def test_orderby_only_windows_allowlisted():
+    sites = _orderby_only_window_sites()
+    new = sites - ORDERBY_ONLY_WINDOW_ALLOWLIST
+    stale = ORDERBY_ONLY_WINDOW_ALLOWLIST - sites
+    assert not new, (
+        f"NEW orderBy-only window(s) {sorted(new)} — either use the "
+        "two-phase helpers in operators/ranking.py or justify the "
+        "bounded cardinality and add to the allowlist"
+    )
+    assert not stale, f"stale allowlist entries: {sorted(stale)}"

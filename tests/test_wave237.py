@@ -83,3 +83,45 @@ def test_graph_upsert_inserts_present_in_graph(spark):
     # every inserted node contributes up to GRAPH_DEGREE out-edges; the
     # added count must cover at least one full new node's out-edges
     assert row["n_added"] >= min(A.GRAPH_DEGREE, 2)
+
+
+def _dist_mean(spark, emb, cbs):
+    from simple_vector_spark.functions.vector import as_double_array, squared_l2
+
+    vv = as_double_array(F.col("embedding"))
+    mats = F.lit([[cw for _, cw in cb] for cb in cbs]).cast(
+        "array<array<array<double>>>"
+    )
+    rec = F.flatten(
+        F.transform(
+            F.col("_c"), lambda c, s: F.element_at(mats, s + 1)[c - 1]
+        )
+    )
+    enc = emb.select(vv.alias("_v"), A.pq_encode(vv, cbs).alias("_c"))
+    return (
+        enc.select(squared_l2(F.col("_v"), rec).alias("d"))
+        .agg(F.avg("d"))
+        .collect()[0][0]
+    )
+
+
+def test_pq_training_reduces_distortion(spark):
+    # per-subspace Lloyd must not increase the quantization objective
+    emb = _clustered_emb(spark, n_clusters=4, per=40, dim=16, seed=11)
+    seed_cbs = A.pq_codebooks(emb, centroid_ids=[0, 40, 80, 120], m=4)
+    trained = A.train_pq_codebooks(
+        emb, seed_ids=[0, 40, 80, 120], iters=2, m=4
+    )
+    d_seed = _dist_mean(spark, emb, seed_cbs)
+    d_trained = _dist_mean(spark, emb, trained)
+    assert d_trained <= d_seed + 1e-9
+
+
+def test_pq_training_keeps_shape(spark):
+    emb = _clustered_emb(spark, n_clusters=2, per=20, dim=8, seed=3)
+    trained = A.train_pq_codebooks(emb, seed_ids=[0, 20], iters=1, m=2)
+    assert len(trained) == 2  # m subspaces
+    for cb in trained:
+        assert len(cb) == 2  # ncode codewords
+        for _, cw in cb:
+            assert len(cw) == 4  # dsub dims
