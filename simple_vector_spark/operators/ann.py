@@ -1860,7 +1860,9 @@ def knn_graph_greedy_search(
 
 
 def knn_graph_health(
-    emb: DataFrame, cents: list[tuple[int, list[float]]]
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    edges_in: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-ANN INDEX HEALTH on the navigable k-NN graph: edge
     reciprocity (share of directed edges whose reverse exists — low
@@ -1874,8 +1876,10 @@ def knn_graph_health(
 
     All aggregates over the (src, nbr) edge list — the graph build is
     the only heavy step and is shared machinery."""
+    if edges_in is None:
+        edges_in = knn_graph_navigable(emb, cents)
     edges = (
-        knn_graph_navigable(emb, cents)
+        edges_in
         .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
         .localCheckpoint()
     )
@@ -1925,6 +1929,7 @@ def graph_recall_vs_beam(
     hops: int = GRAPH_HOPS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """MEASURED recall@k vs beam width for the navigable-graph ANN —
     the graph twin of ann_recall_vs_nprobe and the direct analog of
@@ -1940,9 +1945,10 @@ def graph_recall_vs_beam(
     (ROUND-6, id-tiebreak) top-k."""
     from ..functions.vector import as_double_array, squared_l2
 
-    edges = knn_graph_navigable(
-        emb, cents, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint()
+    if edges is None:
+        edges = knn_graph_navigable(
+            emb, cents, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint()
     qv = emb.filter(F.col(id_col) == query_id).select(
         as_double_array(F.col(vec_col)).alias("_qv")
     )
@@ -1989,6 +1995,7 @@ def graph_index_upsert_audit(
     assign: int = GRAPH_ASSIGN,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    edges_before: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MAINTENANCE audit for the navigable graph — the
     graph twin of ivf_index_upsert_audit and the Spark answer to
@@ -2011,9 +2018,10 @@ def graph_index_upsert_audit(
     row with before/after edge counts, dropped/added counts, affected
     cells, batch size, and the out-degree cap check."""
     spark = emb.sparkSession
-    edges_before = knn_graph_navigable(
-        emb, cents, g=g, assign=assign, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint()
+    if edges_before is None:
+        edges_before = knn_graph_navigable(
+            emb, cents, g=g, assign=assign, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint()
 
     base = emb.select(id_col, vec_col)
     updates = base.filter(F.col(id_col) % upd_mod == 0).select(

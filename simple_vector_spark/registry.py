@@ -1777,6 +1777,18 @@ def _emb_with_cells(spark, sf_dir: str, trained: bool = False) -> DataFrame:
     )
 
 
+def _graph_edges(spark, sf_dir: str) -> DataFrame:
+    """Session-cached navigable-graph edge table — five queries
+    (navigable/search/health/recall-vs-beam/upsert-audit) share one
+    build, like the IVF cell cache: a real system builds the index
+    once and serves many searches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _cached_index(
+        spark, sf_dir, "graph_edges",
+        lambda: A.knn_graph_navigable(emb, A.fit_vectors(emb, A.CENTROID_IDS)),
+    )
+
+
 def _trained_centroids(emb: DataFrame, sf_dir: str, iters: int = None):
     key = (sf_dir, iters if iters is not None else TRAIN_ITERS)
     if key not in _TRAINED_CENTS_CACHE:
@@ -12578,8 +12590,7 @@ def knn_graph_navigable(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{A.GRAPH_ASSIGN}-cell OVERLAPPED assignment — boundary vectors
     bridge adjacent cells, making the graph greedy-traversable across
     cells (the within-cell graph is disconnected by construction)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return A.knn_graph_navigable(emb, A.fit_vectors(emb, A.CENTROID_IDS))
+    return _graph_edges(spark, sf_dir)
 
 
 def _graph_walk_sql(beam: int = A.GRAPH_BEAM, p: str = "") -> str:
@@ -12639,7 +12650,8 @@ def knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge table; answer = top-{ANN_K} of everything visited."""
     emb = load_table(spark, sf_dir, "embeddings")
     return A.knn_graph_greedy_search(
-        emb, A.fit_vectors(emb, A.CENTROID_IDS), ANN_QUERY_ID, ANN_K
+        emb, A.fit_vectors(emb, A.CENTROID_IDS), ANN_QUERY_ID, ANN_K,
+        edges=_graph_edges(spark, sf_dir),
     )
 
 
@@ -14811,7 +14823,10 @@ def knn_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     search recall predictors, all aggregates over the shared edge
     build."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return A.knn_graph_health(emb, A.fit_vectors(emb, A.CENTROID_IDS))
+    return A.knn_graph_health(
+        emb, A.fit_vectors(emb, A.CENTROID_IDS),
+        edges_in=_graph_edges(spark, sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -21704,7 +21719,8 @@ def ann_recall_vs_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k baseline shared across walks, each walk frontier-sized."""
     emb = load_table(spark, sf_dir, "embeddings")
     return A.graph_recall_vs_beam(
-        emb, A.fit_vectors(emb, A.CENTROID_IDS), ANN_QUERY_ID, ANN_K
+        emb, A.fit_vectors(emb, A.CENTROID_IDS), ANN_QUERY_ID, ANN_K,
+        edges=_graph_edges(spark, sf_dir),
     )
 
 
@@ -21809,4 +21825,7 @@ def graph_index_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     55-80), before/after edge accounting + the degree-cap check.  Cost
     O(affected cells), never O(corpus)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return A.graph_index_upsert_audit(emb, A.fit_vectors(emb, A.CENTROID_IDS))
+    return A.graph_index_upsert_audit(
+        emb, A.fit_vectors(emb, A.CENTROID_IDS),
+        edges_before=_graph_edges(spark, sf_dir),
+    )
