@@ -68,7 +68,9 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     "dedup_audit_approx", "dedup_minhash_signatures", "dedup_minhash_pairs",
     "dedup_clusters", "dedup_keep_canonical", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_embedding_cosine", "ann_rp_lsh", "ann_ivf",
-    "ann_ivf_trained", "ann_recall_report", "quantize_int8_audit",
+    # (r02 also recorded "ann_ivf_trained"; round 3 made the trained
+    # codebook THE ann_ivf, so that name no longer exists)
+    "ann_recall_report", "quantize_int8_audit",
     "ann_quantized_recall", "ann_ivf_partitioned", "ann_pq_adc",
     "ann_pq_recall", "ann_mllib_lsh_join", "text_quality",
     "text_langid_confusion", "text_fingerprint", "vocab_top100",

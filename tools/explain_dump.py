@@ -58,7 +58,7 @@ HEADLINERS = [
     ("vocab_coverage_curve", "two-phase ranked vocab; every coverage point folded in one aggregate"),
     ("embedding_grid_neighbors", "3x3 neighbor explode; cell-keyed equi-join — no CartesianProduct"),
     ("ann_binary_hamming", "bit_count(xor) Hamming inside codegen; TakeOrderedAndProject shortlist then exact rerank"),
-    ("ann_ivf_trained", "cells_arrow mapInArrow kernel builds the cached cell index; probe + exact rerank"),
+    ("ann_ivf", "TRAINED codebook (round-3 default); cells_arrow mapInArrow kernel builds the cached cell index; probe + exact rerank"),
     ("nation_trade_bfs", "recursive CTE on the checkpointed dominant-partner edge list (dimension-sized)"),
     ("part_name_levenshtein", "(brand,type,size)-keyed block join; edit distance in codegen"),
     ("ivm_join_delta", "delta sides broadcast; DECIMAL partials merged without rescanning the base join"),
@@ -83,6 +83,9 @@ HEADLINERS = [
     ("lineitem_spearman_corr", "two chained avg_rank2 passes; value-partitioned tie windows; one DECIMAL moment aggregate"),
     ("nation_trade_hits", "one fact shuffle builds edges; hub/authority half-steps on the checkpointed aggregate"),
     ("observed_scan_metrics", "CollectMetrics rides the workload scan — profiling with zero extra passes"),
+    ("embedding_knn_loo_accuracy", "blocked exact kNN self-join: cogrouped tile pairs in FlatMapCoGroupsInPandas, ids+dists shuffle, per-qid rank merge — no driver collect"),
+    ("part_covisit_recs", "hash-rank basket cap window, customer-keyed pair self-join, broadcast supports, rank-limit window"),
+    ("graph_index_upsert_audit", "incremental edge repair: batch-only assignment, affected-cell cogroup kernel, anti-join stale drop, per-src rerank"),
 ]
 
 
