@@ -3564,7 +3564,14 @@ def absorbing_chain_funnel(events: DataFrame, iters: int = ABSORB_ITERS) -> Data
     DuckDB unrolled-CTE oracle is bit-identical.
 
     Scale: one lead-window pass over the log builds the transition
-    aggregate; iterations run on the |states|^2 table."""
+    aggregate; the chain itself is MODEL-SIZED (|states|^2 ≤ a few
+    dozen rows), so like train_centroids the iterations run driver-
+    side on the collected matrix — 48 cluster jobs of pure latency
+    replaced by one collect + exact Decimal/IEEE replication of the
+    per-round arithmetic (ROUND(p*v, 9) terms, exact DECIMAL(20,9)
+    sum, double re-add, ROUND 9)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.withColumn("nxt", F.lead("event_type").over(w)).select(
         F.col("event_type").alias("s"),
@@ -3583,79 +3590,73 @@ def absorbing_chain_funnel(events: DataFrame, iters: int = ABSORB_ITERS) -> Data
         F.round(
             F.col("c").cast("double") / F.col("n_out").cast("double"), 9
         ).alias("p"),
-    ).localCheckpoint()
-    q = probs.filter(~F.col("t").isin("purchase", "__exit__"))
-    r_pur = probs.filter(F.col("t") == "purchase").select(
-        "s", F.col("p").alias("r")
     )
-    p_exit = probs.filter(F.col("t") == "__exit__").select(
-        "s", F.col("p").alias("pe")
-    )
-    states = outs.select("s").localCheckpoint()
+    rows = probs.collect()  # model-sized: |states| x |states+2| probs
+    states = sorted({r["s"] for r in rows})
+    q = [
+        (r["s"], r["t"], r["p"])
+        for r in rows
+        if r["t"] not in ("purchase", "__exit__")
+    ]
+    r_pur = {r["s"]: r["p"] for r in rows if r["t"] == "purchase"}
+    p_exit = {r["s"]: r["p"] for r in rows if r["t"] == "__exit__"}
 
-    def _iterate(init_col, add_df, add_col):
-        # v_{k+1}(s) = add(s) + sum_t q(s,t) v_k(t)
-        v = states.join(add_df, "s", "left").select(
-            "s",
-            F.round(
-                F.coalesce(F.col(add_col), F.lit(0.0)) + F.lit(init_col), 9
-            ).alias("v"),
-        ).localCheckpoint()
-        base_add = states.join(add_df, "s", "left").select(
-            "s", F.coalesce(F.col(add_col), F.lit(0.0)).alias("a")
-        ).localCheckpoint()
+    q9 = Decimal("0.000000001")
+
+    def r9(x: float) -> float:
+        # Spark ROUND(double, 9): BigDecimal.valueOf -> HALF_UP -> double
+        return float(Decimal(repr(float(x))).quantize(q9, ROUND_HALF_UP))
+
+    def iterate(add: dict[str, float]) -> dict[str, float]:
+        a = {s_: float(add.get(s_, 0.0)) for s_ in states}
+        v = {s_: r9(a[s_]) for s_ in states}
         for _ in range(iters):
-            nxt = (
-                q.join(v.select(F.col("s").alias("t"), "v"), "t")
-                .groupBy("s")
-                .agg(
-                    F.sum(
-                        F.round(F.col("p") * F.col("v"), 9).cast(
-                            "decimal(20,9)"
-                        )
-                    ).alias("qv")
-                )
-            )
-            v = (
-                base_add.join(nxt, "s", "left")
-                .select(
-                    "s",
-                    F.round(
-                        F.col("a")
-                        + F.coalesce(F.col("qv"), F.lit(0)).cast("double"),
-                        9,
-                    ).alias("v"),
-                )
-                .localCheckpoint()
-            )
+            qv: dict[str, Decimal] = {}
+            for s_, t_, p_ in q:
+                if t_ not in v:
+                    continue
+                term = Decimal(repr(r9(p_ * v[t_]))).quantize(
+                    q9, ROUND_HALF_UP
+                )  # CAST(ROUND(p*v,9) AS DECIMAL(20,9)) — exact sum
+                qv[s_] = qv.get(s_, Decimal(0)) + term
+            v = {
+                s_: r9(a[s_] + float(qv.get(s_, Decimal(0))))
+                for s_ in states
+            }
         return v
 
-    ones = states.select("s", F.lit(1.0).alias("one"))
-    t_exp = _iterate(0.0, ones, "one").select(
-        "s", F.col("v").alias("exp_steps")
+    t_exp = iterate({s_: 1.0 for s_ in states})
+    b_pur = iterate(r_pur)
+    spark = events.sparkSession
+    model = spark.createDataFrame(
+        [
+            (s_, float(t_exp[s_]), float(b_pur[s_]))
+            for s_ in states
+        ],
+        "s string, exp_steps double, p_purchase double",
     )
-    b_pur = _iterate(0.0, r_pur, "r").select(
-        "s", F.col("v").alias("p_purchase")
-    )
-    return (
-        outs.join(p_exit, "s", "left")
-        .join(t_exp, "s")
-        .join(b_pur, "s")
-        .select(
-            F.col("s").alias("state"),
-            "n_out",
-            (
-                F.round(F.coalesce(F.col("pe"), F.lit(0.0)), 6) + F.lit(0.0)
-            ).alias("p_exit_next"),
-            (F.round(F.col("exp_steps"), 6) + F.lit(0.0)).alias(
-                "expected_steps"
-            ),
-            (F.round(F.col("p_purchase"), 6) + F.lit(0.0)).alias(
-                "p_end_in_purchase"
-            ),
+    out = outs.join(F.broadcast(model), "s")
+    if p_exit:
+        pe = spark.createDataFrame(
+            [(s_, float(v)) for s_, v in sorted(p_exit.items())],
+            "s string, pe double",
         )
-        .orderBy("state")
-    )
+        out = out.join(F.broadcast(pe), "s", "left")
+    else:
+        out = out.withColumn("pe", F.lit(None).cast("double"))
+    return out.select(
+        F.col("s").alias("state"),
+        "n_out",
+        (
+            F.round(F.coalesce(F.col("pe"), F.lit(0.0)), 6) + F.lit(0.0)
+        ).alias("p_exit_next"),
+        (F.round(F.col("exp_steps"), 6) + F.lit(0.0)).alias(
+            "expected_steps"
+        ),
+        (F.round(F.col("p_purchase"), 6) + F.lit(0.0)).alias(
+            "p_end_in_purchase"
+        ),
+    ).orderBy("state")
 
 
 WOE_SMOOTH = 0.5  # haldane correction per cell

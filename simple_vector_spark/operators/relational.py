@@ -6942,52 +6942,54 @@ def nation_trade_hits(
         .agg(F.count(F.lit(1)).alias("w"))
         .localCheckpoint()
     )
-    nodes = nation.select(F.col("n_nationkey").alias("node")).localCheckpoint()
-    n_nodes = nodes.count()
-    h = nodes.select(
-        "node", F.round(F.lit(1.0 / n_nodes), 8).alias("s")
-    ).localCheckpoint()
+    from decimal import ROUND_HALF_UP, Decimal
 
-    def _halfstep(vec: DataFrame, from_col: str, to_col: str) -> DataFrame:
-        raw = (
-            edges.join(vec, edges[from_col] == vec["node"])
-            .groupBy(edges[to_col].alias("node"))
-            .agg(
-                F.sum(
-                    F.round(F.col("w").cast("double") * F.col("s"), 8).cast(
-                        "decimal(20,8)"
-                    )
-                ).alias("raw")
-            )
-        )
-        tot = F.broadcast(raw.agg(F.sum("raw").alias("tot")))
-        return (
-            nodes.join(raw, "node", "left")
-            .crossJoin(tot)
-            .select(
-                "node",
-                F.round(
-                    F.try_divide(
-                        F.coalesce(F.col("raw"), F.lit(0)).cast("double"),
-                        F.nullif(F.col("tot").cast("double"), F.lit(0.0)),
-                    ),
-                    8,
-                ).alias("s"),
-            )
-            .localCheckpoint()
-        )
+    # the graph is MODEL-SIZED (|nations|^2 edges): collect once and run
+    # the mutual-reinforcement rounds driver-side with the identical
+    # arithmetic (ROUND(w*s, 8) terms, exact DECIMAL(20,8) sums, one
+    # f64 normalize) — 2*iters cluster jobs of pure latency replaced by
+    # one collect, same pattern as train_centroids / absorbing funnel.
+    erows = [(r["src"], r["dst"], int(r["w"])) for r in edges.collect()]
+    node_ids = sorted(
+        r["node"]
+        for r in nation.select(F.col("n_nationkey").alias("node")).collect()
+    )
+    q8 = Decimal("0.00000001")
 
+    def r8(x: float) -> float:
+        return float(Decimal(repr(float(x))).quantize(q8, ROUND_HALF_UP))
+
+    def halfstep(vec: dict, frm: int, to: int) -> dict:
+        raw: dict = {}
+        for e in erows:
+            sv = vec.get(e[frm])
+            if sv is None:
+                continue
+            term = Decimal(repr(r8(float(e[2]) * sv))).quantize(
+                q8, ROUND_HALF_UP
+            )
+            raw[e[to]] = raw.get(e[to], Decimal(0)) + term
+        tot = float(sum(raw.values(), Decimal(0)))
+        if tot == 0.0:
+            return {n: None for n in node_ids}
+        return {
+            n: r8(float(raw.get(n, Decimal(0))) / tot) for n in node_ids
+        }
+
+    n_nodes = len(node_ids)
+    h = {n: r8(1.0 / n_nodes) for n in node_ids}
     a = None
     for _ in range(iters):
-        a = _halfstep(h, "src", "dst")
-        h = _halfstep(a, "dst", "src")
+        a = halfstep(h, 0, 1)
+        h = halfstep(a, 1, 0)
+    spark = nation.sparkSession
+    model = spark.createDataFrame(
+        [(int(n), h[n], a[n]) for n in node_ids],
+        "node int, hub double, authority double",
+    )
     return (
-        nodes.join(
-            F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),
-            "node",
-        )
-        .join(h.select("node", F.col("s").alias("hub")), "node")
-        .join(a.select("node", F.col("s").alias("authority")), "node")
+        F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name"))
+        .join(F.broadcast(model), "node")
         .select(
             F.col("n_name").alias("nation"),
             (F.round(F.col("hub"), 6) + F.lit(0.0)).alias("hub"),
@@ -7468,39 +7470,46 @@ def leontief_multipliers(
         )
         .localCheckpoint()
     )
-    nodes = nation.select(F.col("n_nationkey").alias("node")).localCheckpoint()
-    v = nodes.select("node", F.lit(1.0).alias("s")).localCheckpoint()
-    acc = v
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # the coefficient matrix is MODEL-SIZED (|nations|^2): collect it
+    # once and run the Neumann rounds driver-side with the identical
+    # arithmetic (ROUND(a*s, 9) terms, exact DECIMAL(20,9) sums, f64
+    # casts per round) — 2*iters cluster jobs of pure latency replaced
+    # by one collect, same pattern as the absorbing funnel.
+    arows = [(r["i"], r["j"], float(r["a"])) for r in a.collect()]
+    node_ids = sorted(
+        r["node"]
+        for r in nation.select(F.col("n_nationkey").alias("node")).collect()
+    )
+    q9 = Decimal("0.000000001")
+
+    def r9(x: float) -> float:
+        return float(Decimal(repr(float(x))).quantize(q9, ROUND_HALF_UP))
+
+    v = {n: 1.0 for n in node_ids}
+    accd = dict(v)
     for _ in range(iters):
-        nxt = (
-            a.join(v, a["i"] == v["node"])
-            .groupBy(F.col("j").alias("node"))
-            .agg(
-                F.sum(
-                    F.round(F.col("a") * F.col("s"), 9).cast("decimal(20,9)")
-                ).alias("raw")
+        raw: dict = {}
+        for i_, j_, a_ in arows:
+            sv = v.get(i_)
+            if sv is None:
+                continue
+            term = Decimal(repr(r9(a_ * sv))).quantize(q9, ROUND_HALF_UP)
+            raw[j_] = raw.get(j_, Decimal(0)) + term
+        v = {n: r9(float(raw.get(n, Decimal(0)))) for n in node_ids}
+        # acc = CAST(SUM(DEC9(round9(acc)), DEC9(round9(v))) AS DOUBLE)
+        accd = {
+            n: float(
+                Decimal(repr(r9(accd[n]))).quantize(q9, ROUND_HALF_UP)
+                + Decimal(repr(r9(v[n]))).quantize(q9, ROUND_HALF_UP)
             )
-        )
-        v = (
-            nodes.join(nxt, "node", "left")
-            .select(
-                "node",
-                F.round(
-                    F.coalesce(F.col("raw"), F.lit(0)).cast("double"), 9
-                ).alias("s"),
-            )
-            .localCheckpoint()
-        )
-        acc = (
-            acc.unionByName(v)
-            .groupBy("node")
-            .agg(
-                F.sum(F.round(F.col("s"), 9).cast("decimal(20,9)"))
-                .cast("double")
-                .alias("s")
-            )
-            .localCheckpoint()
-        )
+            for n in node_ids
+        }
+    spark = nation.sparkSession
+    acc = spark.createDataFrame(
+        [(int(n), accd[n]) for n in node_ids], "node int, s double"
+    )
     return (
         acc.join(
             F.broadcast(
