@@ -33,7 +33,14 @@ def main() -> None:
         # every later mapInPandas/pandas-UDF query; vocab_top100
         # pre-compiles the tokenize/explode codegen the text family
         # shares (~5s on first use in a session)
-        for wq in ("knn_exact_topk", "knn_batch_join", "tpch_q1_pricing", "knn_shard_topk", "vocab_top100", "dedup_simhash_pairs"):
+        # the rotation fronts driver-unrecorded queries, so the heavy
+        # kernel families they use must be in the warm set too:
+        # cogrouped tile kNN (loo), per-cell graph kernel (navigable),
+        # token-explosion minhash, join+rank covisit
+        for wq in ("knn_exact_topk", "knn_batch_join", "tpch_q1_pricing",
+                   "knn_shard_topk", "vocab_top100", "dedup_simhash_pairs",
+                   "embedding_knn_loo_accuracy", "knn_graph_navigable",
+                   "dedup_weighted_minhash", "part_covisit_recs"):
             if wq in qs:
                 qs[wq](spark, warm_dir).count()
 

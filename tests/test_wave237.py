@@ -125,3 +125,68 @@ def test_pq_training_keeps_shape(spark):
         assert len(cb) == 2  # ncode codewords
         for _, cw in cb:
             assert len(cw) == 4  # dsub dims
+
+
+def test_allpairs_decimation_stride(spark, monkeypatch):
+    # cap 40 over 100 rows -> stride 3 -> only vec_id % 3 == 0 survive,
+    # and the top-k over the strided subset is exact
+    from simple_vector_spark.operators import knn as K
+
+    monkeypatch.setattr(K, "ALLPAIRS_SAMPLE_CAP", 40)
+    emb = _clustered_emb(spark, n_clusters=2, per=50, dim=4, seed=5)
+    out = K.allpairs_topk_arrow(emb, 3).collect()
+    ids = {r["qid"] for r in out} | {r["cid"] for r in out}
+    assert ids, "decimated all-pairs must still produce rows"
+    assert all(i % 3 == 0 for i in ids), "stride rule must hold"
+    # exact check for one query: brute force over the strided subset
+    import math
+    rows = {r["vec_id"]: list(r["embedding"])
+            for r in emb.collect() if r["vec_id"] % 3 == 0}
+    qid = sorted(rows)[0]
+    d = sorted(
+        (round(sum((x - y) * (x - y) for x, y in zip(rows[qid], v)), 6), c)
+        for c, v in rows.items() if c != qid
+    )[:3]
+    got = sorted((r["d"], r["cid"]) for r in out if r["qid"] == qid)
+    assert got == d
+
+
+def test_covisit_whale_basket_capped(spark):
+    # one 10-part customer, cap 5 -> only the 5 hash-kept parts may
+    # appear anywhere in the recommender output
+    from simple_vector_spark.functions.text import md5_int
+    from simple_vector_spark.operators import relational as R
+
+    parts = list(range(100, 110))
+    orders = spark.createDataFrame(
+        [(1, 1)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(1, p) for p in parts], "l_orderkey long, l_partkey long"
+    )
+    out = R.item_covisit_recs(
+        orders, lineitem, min_co=1, topk=3, basket_cap=5
+    ).collect()
+    kept = {
+        r["l_partkey"]
+        for r in spark.createDataFrame(
+            [(1, p) for p in parts], "o_custkey long, l_partkey long"
+        )
+        .select(
+            "l_partkey",
+            F.row_number()
+            .over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("o_custkey")
+                .orderBy(R._covisit_hash_rank().asc(), F.col("l_partkey").asc())
+            )
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 5)
+        .collect()
+    }
+    assert len(kept) == 5
+    seen = {r["part_id"] for r in out} | {r["rec_part_id"] for r in out}
+    assert seen == kept, "capped-out parts must not appear in recs"
+    # every kept part pairs with the other 4: co = 1, top-3 each
+    assert len(out) == 5 * 3
