@@ -1284,15 +1284,20 @@ def weighted_minhash_pairs(docs: DataFrame, topk: int = WMH_TOPK) -> DataFrame:
             for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
         ]
     ).localCheckpoint()
+    # 2 bands x 4 rows (not 4x2): the fixture's small vocabulary makes
+    # 2-row buckets collide into near-all-pairs candidate sets (2.7M
+    # pairs from 5k docs measured); 4-row bands move the S-curve
+    # threshold to (1/2)^(1/4) ~ 0.84 — the right operating point for
+    # a HIGH-similarity tf-aware dup detector, and candidates stay
+    # bucket-bounded at 100 TB.
     bands = None
-    for bidx in range(4):
+    for bidx in range(2):
         part = sigs.select(
             "doc_id",
             F.lit(bidx).alias("band"),
             F.concat_ws(
                 "_",
-                F.col(f"mh{2 * bidx}").cast("string"),
-                F.col(f"mh{2 * bidx + 1}").cast("string"),
+                *[F.col(f"mh{4 * bidx + j}").cast("string") for j in range(4)],
             ).alias("bucket"),
         )
         bands = part if bands is None else bands.unionByName(part)
@@ -1308,6 +1313,9 @@ def weighted_minhash_pairs(docs: DataFrame, topk: int = WMH_TOPK) -> DataFrame:
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
+        # candidate-pair-sized; referenced by the estimate, intersection
+        # and exact branches — checkpoint so the band self-join runs once
+        .localCheckpoint()
     )
     est = (
         cand.join(sigs.select(

@@ -18133,13 +18133,14 @@ sigs AS (
   FROM expanded GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bucket FROM sigs
+  -- 2 bands x 4 rows: same layout as the operator (high-sim S-curve)
+  SELECT doc_id, 0 AS band,
+         CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' ||
+         CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bucket FROM sigs
   UNION ALL
-  SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bucket FROM sigs
-  UNION ALL
-  SELECT doc_id, 2 AS band, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) AS bucket FROM sigs
-  UNION ALL
-  SELECT doc_id, 3 AS band, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) AS bucket FROM sigs
+  SELECT doc_id, 1 AS band,
+         CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_' ||
+         CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) AS bucket FROM sigs
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
