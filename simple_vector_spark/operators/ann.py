@@ -2034,8 +2034,11 @@ def graph_index_upsert_audit(
     after_corpus = (
         base.join(batch.select(id_col), id_col, "left_anti").unionByName(batch)
     )
-    # incremental: assignment scored for BATCH rows only; untouched
-    # rows keep their existing cells (vectors unchanged => same cells)
+    # incremental contract: only BATCH rows are newly scored; untouched
+    # rows keep their existing cells (vectors unchanged => same cells).
+    # assign_cells(base) below stands in for reading the stored
+    # assignment table of the built index — a real system reads state,
+    # it does not rescore (same caveat ivf_index_upsert_audit states).
     cdf = F.broadcast(
         spark.createDataFrame(
             [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
