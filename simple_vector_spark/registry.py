@@ -90,6 +90,7 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_graph_navigable", "knn_graph_search", "knn_graph_health",
     "ann_recall_vs_beam", "graph_index_upsert_audit",
+    "graph_index_persist_roundtrip",
     "wal_source_scan", "arrow_ipc_source_roundtrip",
     "part_covisit_recs", "part_covisit_holdout_eval",
     "dedup_weighted_minhash", "decontaminate_fuzzy_minhash",
@@ -21831,4 +21832,35 @@ def graph_index_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.graph_index_upsert_audit(
         emb, A.fit_vectors(emb, A.CENTROID_IDS),
         edges_before=_graph_edges(spark, sf_dir),
+    )
+
+
+@query("graph_index_persist_roundtrip", _ORACLES["knn_graph_search"])
+def graph_index_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18/O19 for the GRAPH index (hnswlib saveIndex/loadIndex,
+    src/hnswlib_index.cc:55-67): the navigable edge table IS the
+    index artifact — write it as Parquet partitioned on a 16-way src
+    hash bucket (the layout a serving shard prunes on when hydrating
+    its edge partitions), read it back, and run the SAME greedy beam
+    search over the RELOADED edges.  Result equals knn_graph_search
+    (shared oracle), proving the round trip lossless — the graph twin
+    of ann_ivf_partitioned's persisted IVF layout."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = _graph_edges(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/root/repo/_scratch/graph_index_{tag}"
+    (
+        edges.withColumn("bucket", (F.col("vec_id") % 16).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    reloaded = spark.read.parquet(path).select(
+        "vec_id", "nbr_id", "dist", "rnk"
+    )
+    return A.knn_graph_greedy_search(
+        emb, A.fit_vectors(emb, A.CENTROID_IDS), ANN_QUERY_ID, ANN_K,
+        edges=reloaded,
     )

@@ -190,3 +190,19 @@ def test_covisit_whale_basket_capped(spark):
     assert seen == kept, "capped-out parts must not appear in recs"
     # every kept part pairs with the other 4: co = 1, top-3 each
     assert len(out) == 5 * 3
+
+
+def test_graph_index_parquet_roundtrip_lossless(spark, tmp_path):
+    # the persisted edge table must reload to the exact same multiset
+    emb = _clustered_emb(spark, n_clusters=2, per=20, dim=8, seed=9)
+    edges = A.knn_graph_navigable(emb, _cents(emb, ids=(0, 20)))
+    path = str(tmp_path / "gidx")
+    (
+        edges.withColumn("bucket", (F.col("vec_id") % 4).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select("vec_id", "nbr_id", "dist", "rnk")
+    key = lambda r: (r["vec_id"], r["nbr_id"], r["dist"], r["rnk"])  # noqa: E731
+    assert sorted(map(key, back.collect())) == sorted(map(key, edges.collect()))
