@@ -41,6 +41,26 @@ PLANE_IDS = [0, 1, 2, 3]
 CENTROID_IDS = [0, 50, 100, 150, 200, 250, 300, 350, 400, 450]
 
 
+def _mean6_exact(sum_dec3: Column, cnt: Column) -> Column:
+    """ROUND_HALF_UP(sum/cnt, 6) in EXACT integer arithmetic (sum must
+    be an exact scale-3 DECIMAL).  Engine ROUND on the double quotient
+    is NOT portable: Spark rounds the shortest decimal repr
+    (BigDecimal.valueOf) while DuckDB rounds the binary value, and they
+    disagree exactly on repr-tie quotients — -4.124/64 = -0.0644375
+    rounds to -0.064438 in Spark and -0.064437 in DuckDB (caught by the
+    sf0.001 gate on a trained PQ codeword).  Integer half-up away from
+    zero, then one exact small-integer/1e6 double divide that both
+    engines perform identically."""
+    n = (sum_dec3 * 1000).cast("long") * F.lit(1000)  # sum * 1e6, exact
+    c = cnt.cast("long")
+    mag = F.abs(n)
+    num2 = F.lit(2) * mag + c
+    den2 = F.lit(2) * c
+    q = ((num2 - F.pmod(num2, den2)) / den2).cast("long")
+    signed = F.when(n < 0, -q).otherwise(q)
+    return signed.cast("double") / F.lit(1000000.0)
+
+
 def fit_vectors(emb: DataFrame, ids: list[int], id_col: str = "vec_id", vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
     """Model-parameter extraction: the plane/centroid vectors (a few
     rows), ordered by id.  float32 -> Python float is exact, so the
@@ -594,7 +614,7 @@ def train_pq_codebooks(
         rows = (
             comp.groupBy("_s", "_idx", "_d")
             .agg(
-                F.round(F.sum("_x").cast("double") / F.count("*"), 6).alias("_m")
+                _mean6_exact(F.sum("_x"), F.count("*")).alias("_m")
             )
             .collect()
         )
@@ -663,7 +683,7 @@ def train_centroids(
         )
         rows = (
             comp.groupBy("cid", "d")
-            .agg(F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("m"))
+            .agg(_mean6_exact(F.sum("x"), F.count("*")).alias("m"))
             .collect()
         )
         means: dict[int, dict[int, float]] = {}
@@ -712,7 +732,7 @@ def kmeans_step(
     return assigned.groupBy("cluster_id").agg(
         n.cast("bigint").alias("n"),
         *[
-            F.round(F.sum(f"_d{d}").cast("double") / n, 6).alias(f"mean_d{d}")
+            _mean6_exact(F.sum(f"_d{d}"), n).alias(f"mean_d{d}")
             for d in range(report_dims)
         ],
     )
@@ -1571,7 +1591,7 @@ def isotropy_audit(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         ).alias("d", "x")
     )
     dim_means = comp.groupBy("d").agg(
-        F.round(F.sum("x").cast("double") / F.count("*"), 6)
+        _mean6_exact(F.sum("x"), F.count("*"))
         .cast("decimal(18,6)")
         .alias("m")
     )

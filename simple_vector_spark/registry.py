@@ -1806,6 +1806,18 @@ def _trained_pq(emb: DataFrame, sf_dir: str, iters: int = None):
     return _TRAINED_PQ_CACHE[key]
 
 
+def _mean6_sql(sum_e: str, cnt_e: str) -> str:
+    """DuckDB twin of A._mean6_exact: ROUND_HALF_UP(sum/cnt, 6) via
+    exact BIGINT arithmetic (sum must be an exact scale-3 DECIMAL).
+    Engine ROUND on the double quotient is not portable across
+    Spark/DuckDB on repr-tie quotients (see A._mean6_exact)."""
+    return (
+        f"(CASE WHEN ({sum_e}) < 0 THEN -1 ELSE 1 END * "
+        f"((2 * ABS(CAST(({sum_e}) * 1000 AS BIGINT)) * 1000 + ({cnt_e}))"
+        f" // (2 * ({cnt_e})))) / 1000000.0"
+    )
+
+
 def _trained_cents_ctes(iters: int) -> str:
     """CTE chain replaying ``A.train_centroids`` in DuckDB: ``iters``
     unrolled Lloyd steps from the seed rows, ending in
@@ -1840,7 +1852,7 @@ comp{i} AS (
   FROM as{i} a JOIN embeddings e USING (vec_id)
 ),
 mean{i} AS (
-  SELECT cid, dim, ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 6) AS m
+  SELECT cid, dim, {_mean6_sql("SUM(val)", "COUNT(*)")} AS m
   FROM comp{i} GROUP BY cid, dim
 ),
 cents{i} AS (
@@ -2134,7 +2146,7 @@ pcm{i} AS (
   FROM pen{i} e JOIN corp ON corp.vec_id = e.vec_id AND corp.s = e.s
 ),
 pmn{i} AS (
-  SELECT s, idx, dim, ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 6) AS m
+  SELECT s, idx, dim, {_mean6_sql("SUM(val)", "COUNT(*)")} AS m
   FROM pcm{i} GROUP BY s, idx, dim
 ),
 cb{i} AS (
@@ -3089,10 +3101,10 @@ vals AS (
   FROM assign a JOIN embeddings e USING (vec_id)
 )
 SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CAST(SUM(d0) AS DOUBLE) / COUNT(*), 6) AS mean_d0,
-       ROUND(CAST(SUM(d1) AS DOUBLE) / COUNT(*), 6) AS mean_d1,
-       ROUND(CAST(SUM(d2) AS DOUBLE) / COUNT(*), 6) AS mean_d2,
-       ROUND(CAST(SUM(d3) AS DOUBLE) / COUNT(*), 6) AS mean_d3
+       {_mean6_sql("SUM(d0)", "COUNT(*)")} AS mean_d0,
+       {_mean6_sql("SUM(d1)", "COUNT(*)")} AS mean_d1,
+       {_mean6_sql("SUM(d2)", "COUNT(*)")} AS mean_d2,
+       {_mean6_sql("SUM(d3)", "COUNT(*)")} AS mean_d3
 FROM vals GROUP BY cluster_id
 """,
 )
@@ -4967,10 +4979,10 @@ vals AS (
 ),
 means AS (
   SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
-         ROUND(CAST(SUM(d0) AS DOUBLE) / COUNT(*), 6) AS m0,
-         ROUND(CAST(SUM(d1) AS DOUBLE) / COUNT(*), 6) AS m1,
-         ROUND(CAST(SUM(d2) AS DOUBLE) / COUNT(*), 6) AS m2,
-         ROUND(CAST(SUM(d3) AS DOUBLE) / COUNT(*), 6) AS m3
+         {_mean6_sql(f'SUM(d0)', 'COUNT(*)')} AS m0,
+         {_mean6_sql(f'SUM(d1)', 'COUNT(*)')} AS m1,
+         {_mean6_sql(f'SUM(d2)', 'COUNT(*)')} AS m2,
+         {_mean6_sql(f'SUM(d3)', 'COUNT(*)')} AS m3
   FROM vals GROUP BY cluster_id
 )
 SELECT m.cluster_id, m.n,
@@ -9965,8 +9977,7 @@ comp AS (
   FROM (SELECT e, unnest(range(1, len(e) + 1)) AS i FROM base)
 ),
 dm AS (
-  SELECT i, CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6)
-                 AS DECIMAL(18,6)) AS m
+  SELECT i, CAST({_mx} AS DECIMAL(18,6)) AS m
   FROM comp GROUP BY i
 ),
 mn AS (
@@ -9986,7 +9997,7 @@ SELECT n_vecs, ROUND(mnorm, 6) AS mean_vec_norm,
        ROUND(anorm, 6) AS avg_vec_norm,
        ROUND(mnorm / anorm, 6) AS anisotropy_ratio
 FROM an, mn
-""",
+""".format(_mx=_mean6_sql("SUM(x)", "COUNT(*)")),
 )
 def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding anisotropy diagnostic: ||mean vector|| vs average
