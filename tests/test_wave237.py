@@ -206,3 +206,40 @@ def test_graph_index_parquet_roundtrip_lossless(spark, tmp_path):
     back = spark.read.parquet(path).select("vec_id", "nbr_id", "dist", "rnk")
     key = lambda r: (r["vec_id"], r["nbr_id"], r["dist"], r["rnk"])  # noqa: E731
     assert sorted(map(key, back.collect())) == sorted(map(key, edges.collect()))
+
+
+def test_mean6_exact_portable_on_repr_ties(spark):
+    # -4.124 / 64 = -0.0644375 exactly: Spark ROUND says -0.064438,
+    # DuckDB ROUND says -0.064437 — the exact-integer path must give
+    # ONE deterministic HALF_UP answer that matches its SQL twin
+    import duckdb
+
+    from simple_vector_spark.operators.ann import _mean6_exact
+    from simple_vector_spark.registry import _mean6_sql
+
+    df = spark.createDataFrame(
+        [(float(-4.124),)], "s double"
+    ).select(F.col("s").cast("decimal(12,3)").alias("s"), F.lit(64).alias("c"))
+    got = df.select(_mean6_exact(F.col("s"), F.col("c")).alias("m")).collect()[0]["m"]
+    oracle = duckdb.sql(
+        "SELECT " + _mean6_sql("CAST(-4.124 AS DECIMAL(12,3))", "64") + " AS m"
+    ).fetchone()[0]
+    assert got == oracle == -0.064438  # HALF_UP away from zero, both engines
+
+
+def test_mean6_exact_matches_plain_mean_off_boundary(spark):
+    import duckdb
+
+    from simple_vector_spark.operators.ann import _mean6_exact
+    from simple_vector_spark.registry import _mean6_sql
+
+    for s, c in ((7.125, 3), (-1.001, 7), (0.0, 5), (123.456, 1)):
+        df = spark.createDataFrame([(float(s),)], "s double").select(
+            F.col("s").cast("decimal(12,3)").alias("s"), F.lit(c).alias("c")
+        )
+        got = df.select(_mean6_exact(F.col("s"), F.col("c")).alias("m")).collect()[0]["m"]
+        oracle = duckdb.sql(
+            "SELECT " + _mean6_sql(f"CAST({s} AS DECIMAL(12,3))", str(c)) + " AS m"
+        ).fetchone()[0]
+        assert got == oracle, (s, c, got, oracle)
+        assert abs(got - s / c) <= 5e-7 + 1e-12
