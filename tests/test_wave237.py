@@ -243,3 +243,31 @@ def test_mean6_exact_matches_plain_mean_off_boundary(spark):
         ).fetchone()[0]
         assert got == oracle, (s, c, got, oracle)
         assert abs(got - s / c) <= 5e-7 + 1e-12
+
+
+def test_anomaly_zscore_singleton_user_no_nan(spark):
+    # ADVICE r02: a single-event user hit 0/0 -> NaN std; the
+    # NULLIF/COALESCE guard must yield std 0 and count no outliers
+    import datetime as dt
+    import math
+
+    from simple_vector_spark.operators.events import value_anomaly_zscore
+
+    rows = [
+        (1, dt.datetime(2025, 1, 1, 0, 0, 0), 7, "click", 5.0, "{}"),
+    ] + [
+        (10 + i, dt.datetime(2025, 1, 1, 0, i, 0), 8, "click", float(i), "{}")
+        for i in range(4)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["user_id"]: r for r in value_anomaly_zscore(ev).collect()}
+    single = out[7]
+    assert single["n_events"] == 1
+    assert not math.isnan(single["std_value"])
+    assert single["std_value"] == 0.0
+    assert single["n_outliers"] == 0
+    assert out[8]["std_value"] > 0
