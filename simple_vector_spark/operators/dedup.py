@@ -1097,7 +1097,11 @@ def simhash_bit_balance(docs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_scurve(docs: DataFrame) -> DataFrame:
+def lsh_scurve(
+    docs: DataFrame,
+    cands: DataFrame | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
     """MEASURED LSH S-CURVE: for every within-source pair with any
     shingle overlap, bucket its exact Jaccard into 0.1 bands and report
     (a) the share the banded MinHash join actually surfaced as a
@@ -1112,10 +1116,11 @@ def lsh_scurve(docs: DataFrame) -> DataFrame:
     shared LSH machinery; agreement stays exact integers (sum of 8
     equality indicators / 8n)."""
     pairs = ngram_jaccard_pairs(docs, threshold=0.0)
-    cands = minhash_candidate_pairs(docs).select(
-        "doc_a", "doc_b", F.lit(1).alias("_c")
-    )
-    sigs = minhash_signatures(docs).localCheckpoint()
+    if cands is None:
+        cands = minhash_candidate_pairs(docs)
+    cands = cands.select("doc_a", "doc_b", F.lit(1).alias("_c"))
+    if sigs is None:
+        sigs = minhash_signatures(docs).localCheckpoint()
     n_h = len(MINHASH_A)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
