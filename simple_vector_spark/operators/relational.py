@@ -4882,9 +4882,15 @@ def covisit_holdout_eval(
     return n_eval.crossJoin(F.broadcast(hits)).select(
         "n_users_eval",
         "n_hits",
-        F.round(F.col("n_hits") / F.col("n_users_eval"), 6).alias(
-            f"hit_rate_at_{topk}"
-        ),
+        # no multi-part customers => nothing to evaluate => NULL rate
+        # (ANSI /0 would abort the job; mirrored with NULLIF in SQL)
+        F.round(
+            F.try_divide(
+                F.col("n_hits"),
+                F.nullif(F.col("n_users_eval"), F.lit(0)),
+            ),
+            6,
+        ).alias(f"hit_rate_at_{topk}"),
     )
 
 

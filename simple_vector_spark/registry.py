@@ -14314,7 +14314,7 @@ hits AS (
 ),
 ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users_eval FROM holdout)
 SELECT n_users_eval, n_hits,
-       ROUND(n_hits * 1.0 / n_users_eval, 6) AS hit_rate_at_{R.COVISIT_TOPK}
+       ROUND(n_hits * 1.0 / NULLIF(n_users_eval, 0), 6) AS hit_rate_at_{R.COVISIT_TOPK}
 FROM ne, hits
 """,
 )

@@ -271,3 +271,55 @@ def test_anomaly_zscore_singleton_user_no_nan(spark):
     assert single["std_value"] == 0.0
     assert single["n_outliers"] == 0
     assert out[8]["std_value"] > 0
+
+
+def test_allpairs_corpus_smaller_than_k(spark):
+    # 3 vectors, k=10: each query gets the 2 possible neighbors
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    from simple_vector_spark.operators import knn as K
+
+    out = K.allpairs_topk_arrow(emb, 10).collect()
+    assert len(out) == 6  # 3 queries x 2 neighbors
+    assert all(r["rnk"] <= 2 for r in out)
+
+
+def test_covisit_single_part_customers_no_pairs(spark):
+    # every customer bought exactly one part: no co-visitation at all
+    from simple_vector_spark.operators import relational as R
+
+    orders = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(i, 100 + i) for i in range(1, 6)],
+        "l_orderkey long, l_partkey long",
+    )
+    assert R.item_covisit_recs(orders, lineitem, min_co=1).count() == 0
+    row = R.covisit_holdout_eval(orders, lineitem, min_co=1).collect()[0]
+    assert row["n_users_eval"] == 0  # nobody has >= 2 parts to hold out
+
+
+def test_graph_recall_vs_beam_unknown_query_id(spark):
+    # a query id absent from the corpus: empty qv -> zero hits, not a crash
+    emb = _clustered_emb(spark, n_clusters=2, per=15, dim=4, seed=2)
+    out = A.graph_recall_vs_beam(
+        emb, _cents(emb, ids=(0, 15)), query_id=10**9, k=5, beams=(2,)
+    ).collect()
+    assert [(r["beam"], r["n_hit"]) for r in out] == [(2, 0)]
+
+
+def test_graph_upsert_audit_no_overlap_mods(spark):
+    # corpus whose ids hit NO update mod (all ids % 50 != 0) still
+    # inserts shifted copies for ids % 97 == 0 and balances
+    rows = [(i, [float(i), 1.0]) for i in range(1, 40)]  # no id%50==0 except none
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = A.fit_vectors(emb, [1, 20])
+    row = A.graph_index_upsert_audit(emb, cents).collect()[0]
+    assert (
+        row["n_edges_after"]
+        == row["n_edges_before"] - row["n_dropped"] + row["n_added"]
+    )
+    assert row["max_out_degree"] <= A.GRAPH_DEGREE
