@@ -669,7 +669,21 @@ def neyman_allocation(docs: DataFrame, budget: int = NEYMAN_BUDGET) -> DataFrame
     nd = F.col("n_docs").cast("double")
     sxd = F.col("_sx").cast("double")
     sxxd = F.col("_sxx").cast("double")
-    sd = F.sqrt((sxxd - sxd * sxd / nd) / (nd - F.lit(1.0)))
+    # singleton stratum: (n-1)=0 would raise ANSI DIVIDE_BY_ZERO —
+    # no within-stratum variance estimate, so sd falls back to 0 and
+    # the stratum gets the 1-doc allocation floor (NULLIF mirrored in
+    # the oracle SQL)
+    sd = F.sqrt(
+        F.greatest(
+            F.coalesce(
+                F.try_divide(
+                    sxxd - sxd * sxd / nd, F.nullif(nd - F.lit(1.0), F.lit(0.0))
+                ),
+                F.lit(0.0),
+            ),
+            F.lit(0.0),
+        )
+    )
     scored = per.select(
         "source",
         "n_docs",
@@ -689,9 +703,13 @@ def neyman_allocation(docs: DataFrame, budget: int = NEYMAN_BUDGET) -> DataFrame
         F.greatest(
             F.lit(1).cast("long"),
             F.floor(
-                F.lit(float(budget))
-                * F.col("_term").cast("double")
-                / F.col("_D").cast("double")
+                F.coalesce(
+                    F.try_divide(
+                        F.lit(float(budget)) * F.col("_term").cast("double"),
+                        F.nullif(F.col("_D").cast("double"), F.lit(0.0)),
+                    ),
+                    F.lit(0.0),
+                )
             ).cast("long"),
         ).alias("alloc_neyman"),
         F.greatest(
@@ -729,7 +747,11 @@ def neyman_allocation(docs: DataFrame, budget: int = NEYMAN_BUDGET) -> DataFrame
         F.round(F.col("_vp").cast("double"), 6).alias("var_prop"),
         F.round(F.col("_vn").cast("double"), 6).alias("var_neyman"),
         F.round(
-            F.col("_vp").cast("double") / F.col("_vn").cast("double"), 6
+            F.try_divide(
+                F.col("_vp").cast("double"),
+                F.nullif(F.col("_vn").cast("double"), F.lit(0.0)),
+            ),
+            6,
         ).alias("efficiency"),
     )
     pers = alloc.select(

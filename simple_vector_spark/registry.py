@@ -16012,15 +16012,15 @@ WITH per AS (
 ),
 scored AS (
   SELECT source, n_docs,
-         ROUND(SQRT((CAST(sxx AS DOUBLE)
+         ROUND(SQRT(GREATEST(COALESCE((CAST(sxx AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
                        / CAST(n_docs AS DOUBLE))
-                    / (CAST(n_docs AS DOUBLE) - 1.0)), 6) AS sd_chars,
+                    / NULLIF(CAST(n_docs AS DOUBLE) - 1.0, 0.0), 0.0), 0.0)), 6) AS sd_chars,
          CAST(ROUND(CAST(n_docs AS DOUBLE)
-                    * SQRT((CAST(sxx AS DOUBLE)
+                    * SQRT(GREATEST(COALESCE((CAST(sxx AS DOUBLE)
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
                               / CAST(n_docs AS DOUBLE))
-                           / (CAST(n_docs AS DOUBLE) - 1.0)), 4)
+                           / NULLIF(CAST(n_docs AS DOUBLE) - 1.0, 0.0), 0.0), 0.0)), 4)
               AS DECIMAL(28,4)) AS term
   FROM per
 ),
@@ -16028,8 +16028,8 @@ tot AS (SELECT SUM(term) AS D, CAST(SUM(n_docs) AS BIGINT) AS N FROM scored),
 alloc AS (
   SELECT source, n_docs, sd_chars,
          GREATEST(CAST(1 AS BIGINT),
-                  CAST(FLOOR({CU.NEYMAN_BUDGET}.0 * CAST(term AS DOUBLE)
-                             / CAST(D AS DOUBLE)) AS BIGINT)) AS alloc_neyman,
+                  CAST(FLOOR(COALESCE({CU.NEYMAN_BUDGET}.0 * CAST(term AS DOUBLE)
+                             / NULLIF(CAST(D AS DOUBLE), 0.0), 0.0)) AS BIGINT)) AS alloc_neyman,
          GREATEST(CAST(1 AS BIGINT),
                   CAST(FLOOR({CU.NEYMAN_BUDGET}.0 * CAST(n_docs AS DOUBLE)
                              / CAST(N AS DOUBLE)) AS BIGINT)) AS alloc_prop,
@@ -16052,9 +16052,9 @@ SELECT '__total__', CAST(SUM(n_docs) AS BIGINT), CAST(NULL AS DOUBLE),
        ROUND(CAST(SUM(CAST(ROUND(w * w * sd_chars * sd_chars
                                  / CAST(alloc_prop AS DOUBLE), 9)
                            AS DECIMAL(28,9))) AS DOUBLE)
-             / CAST(SUM(CAST(ROUND(w * w * sd_chars * sd_chars
+             / NULLIF(CAST(SUM(CAST(ROUND(w * w * sd_chars * sd_chars
                                    / CAST(alloc_neyman AS DOUBLE), 9)
-                             AS DECIMAL(28,9))) AS DOUBLE), 6)
+                             AS DECIMAL(28,9))) AS DOUBLE), 0.0), 6)
 FROM alloc
 """,
 )

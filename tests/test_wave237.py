@@ -323,3 +323,20 @@ def test_graph_upsert_audit_no_overlap_mods(spark):
         == row["n_edges_before"] - row["n_dropped"] + row["n_added"]
     )
     assert row["max_out_degree"] <= A.GRAPH_DEGREE
+
+
+def test_neyman_singleton_stratum_no_crash(spark):
+    # one source with a single doc: sd has no estimate -> 0, stratum
+    # keeps the 1-doc floor, nothing raises (found by the degenerate
+    # sweep: (n-1)=0 used to raise ANSI DIVIDE_BY_ZERO)
+    from simple_vector_spark.operators.curation import neyman_allocation
+
+    docs = spark.createDataFrame(
+        [(1, "web", 100), (2, "web", 300), (3, "api", 250)],
+        "doc_id long, source string, n_chars long",
+    )
+    rows = {r["source"]: r for r in neyman_allocation(docs, budget=10).collect()}
+    assert rows["api"]["sd_chars"] == 0.0
+    assert rows["api"]["alloc_neyman"] >= 1
+    assert rows["web"]["sd_chars"] > 0
+    assert "__total__" in rows
