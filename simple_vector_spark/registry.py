@@ -83,31 +83,78 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     "tpch_q13_order_counts", "tpch_q18_large_orders", "tpch_q19_disjunctive",
     "tpch_q22_idle_rich", "cheapest_supplier_parts", "lineitem_corr_stats",
     "events_interarrival", "doc_bigrams_top50", "decontaminate_ngram",
-})
-
-# Highest-value unrecorded queries (VERDICT r02 item 1): these lead the
-# pending block so the driver's ~50-record cap lands on them first.
-_DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- recorded green in CORRECTNESS_r03.json (round 3) --
     "knn_graph_navigable", "knn_graph_search", "knn_graph_health",
     "ann_recall_vs_beam", "graph_index_upsert_audit",
-    "graph_index_persist_roundtrip",
-    "wal_source_scan", "arrow_ipc_source_roundtrip",
-    "part_covisit_recs", "part_covisit_holdout_eval",
-    "dedup_weighted_minhash", "decontaminate_fuzzy_minhash",
-    "ann_adaptive_filter", "ann_matryoshka_recall",
-    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q10_returned_revenue", "tpch_q11_value_parts",
-    "tpch_q12_priority_lines", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts", "tpch_q17_small_qty_revenue",
-    "tpch_q20_promo_suppliers", "tpch_q21_sole_blame",
-    "embedding_knn_loo_accuracy", "embedding_intrinsic_dim",
-    "embedding_knn_ood", "embedding_hubness_audit",
-    "embedding_label_silhouette",
+    "graph_index_persist_roundtrip", "wal_source_scan",
+    "arrow_ipc_source_roundtrip", "part_covisit_recs",
+    "part_covisit_holdout_eval", "dedup_weighted_minhash",
+    "decontaminate_fuzzy_minhash", "ann_adaptive_filter",
+    "ann_matryoshka_recall", "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q10_returned_revenue",
+    "tpch_q11_value_parts", "tpch_q12_priority_lines",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue", "tpch_q20_promo_suppliers",
+    "tpch_q21_sole_blame", "embedding_knn_loo_accuracy",
+    "embedding_intrinsic_dim", "embedding_knn_ood",
+    "embedding_hubness_audit", "embedding_label_silhouette",
     "ann_recall_vs_nprobe", "ann_recall_vs_nprobe_seed_baseline",
-    "ann_ivf_seed_baseline",
-    "shuffle_partition_advisor", "events_error_bursts",
+    "ann_ivf_seed_baseline", "shuffle_partition_advisor",
+    "events_error_bursts", "ann_pq_seed_recall", "doc_chunk_audit",
+    "dataset_split_audit", "doc_repetition_stats", "blocklist_audit",
+    "embeddings_kmeans_step", "ann_ivfpq_rerank", "dedup_embedding_blocked",
+    "embedding_blocked_recall", "events_range_join_follow",
+    "doc_chunks_udtf", "doc_median_chars",
+}) - frozenset({
+    # Changed semantics/oracles since their green row was recorded, so the
+    # old record no longer certifies the current code — re-front them for
+    # the driver to re-record (ADVICE r03, medium):
+    #  * ann_ivf / ann_pq_adc / ann_pq_recall: round 3 switched them to
+    #    TRAINED codebooks with new oracle SQL; r02 greens covered the
+    #    seed-codebook versions only.
+    #  * multimodal_decode: round 4 replaced the stub checksum decode with
+    #    a real PNG encode/decode round-trip and a value-level oracle; the
+    #    r02 green row was rows-only for the stub.
+    #  * dedup_audit_approx: round 4 added a value-level error-bound oracle
+    #    (was rows-only when its r02 row was recorded).
+    "ann_ivf", "ann_pq_adc", "ann_pq_recall", "multimodal_decode",
+    "dedup_audit_approx",
+})
+
+# Highest-value unrecorded queries (VERDICT r03 item 1): these lead the
+# pending block so the driver's ~50-record cap lands on them first.
+# Order: changed-semantics re-records, then the stream suite, sketches,
+# curation, text retrieval, and mutation audits.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # changed semantics — re-record (ADVICE r03 medium)
+    "ann_ivf", "ann_pq_adc", "ann_pq_recall", "multimodal_decode",
+    # rows-only -> value-level oracle conversions (VERDICT r03 item 5)
+    "orders_quantile_sketch_audit", "events_hll_users",
+    "events_hll_sketch_union", "dedup_audit_approx",
+    # streaming suite
+    "stream_watermark_append", "stream_wal_tail", "stream_live_index_knn",
+    "stream_pit_enrich", "stream_anomaly_zscore",
+    "stream_dedup_within_watermark", "stream_window_topk",
+    "stream_cdc_apply", "stream_dead_letter",
+    # sketches
+    "cms_heavy_hitters", "cms_width_tuning", "events_kmv_cardinality",
+    "events_kmv_intersection", "events_ams_f2_sketch",
+    "events_misra_gries_hh", "bloom_prune_audit", "bloom_filter_join",
+    # curation
+    "mixture_epoch_solver", "mixture_sample_audit",
+    "dataset_split_by_cluster", "split_leakage_audit",
+    "split_embedding_leakage", "doc_pack_windows", "doc_weighted_sample",
+    "doc_dsir_weights", "pii_redaction_audit",
+    # text retrieval
+    "text_inverted_postings", "text_phrase_search", "doc_quality_gate",
+    "text_rm3_expansion", "text_lm_dirichlet_search", "text_kwic_snippets",
+    "doc_rake_keyphrases",
+    # mutation / layout audits
+    "wal_compaction_audit", "snapshot_diff_audit", "ivf_index_upsert_audit",
+    "zorder_layout_audit", "partitioned_write_prune",
+    "dpp_prune_join", "aqe_skew_join",
 )
 
 
