@@ -50,12 +50,22 @@ def _mean6_exact(sum_dec3: Column, cnt: Column) -> Column:
     rounds to -0.064438 in Spark and -0.064437 in DuckDB (caught by the
     sf0.001 gate on a trained PQ codeword).  Integer half-up away from
     zero, then one exact small-integer/1e6 double divide that both
-    engines perform identically."""
+    engines perform identically.
+
+    The quotient is taken in DECIMAL(38,0) so it stays exact past the
+    2^53 mantissa limit a double division of longs would hit (ADVICE
+    r03: |sum| > ~4.5e9 silently broke bit-parity).  Remaining bounds,
+    both loud under ANSI mode: |sum| < 9.2e12 (long overflow of
+    sum*1e6 throws) and |mean| < 9e9 (final /1e6 stays an exact
+    double while |q| < 2^53 — implied by the former bound)."""
     n = (sum_dec3 * 1000).cast("long") * F.lit(1000)  # sum * 1e6, exact
     c = cnt.cast("long")
-    mag = F.abs(n)
-    num2 = F.lit(2) * mag + c
-    den2 = F.lit(2) * c
+    mag = F.abs(n).cast("decimal(38,0)")
+    cd = c.cast("decimal(38,0)")
+    num2 = F.lit(2) * mag + cd
+    den2 = F.lit(2) * cd
+    # num2 - pmod is exactly divisible by den2, so the decimal divide
+    # (decimal(38,6) result) is integral and the long cast is exact
     q = ((num2 - F.pmod(num2, den2)) / den2).cast("long")
     signed = F.when(n < 0, -q).otherwise(q)
     return signed.cast("double") / F.lit(1000000.0)
@@ -2033,10 +2043,16 @@ def graph_index_upsert_audit(
     - each affected src re-ranks (old kept edges + fresh candidates)
       to its top-``g``; unaffected sources keep their edges verbatim.
 
-    Cost is O(sum of affected-cell populations), never O(corpus) —
-    the same incremental contract the IVF audit states.  Output: one
-    row with before/after edge counts, dropped/added counts, affected
-    cells, batch size, and the out-degree cap check."""
+    EDGE-REPAIR work is O(sum of affected-cell populations) — the same
+    incremental contract the IVF audit states.  One caveat (ADVICE
+    r03): that contract is MODELED here rather than fully realized —
+    ``assign_cells(base)`` below recomputes base-row cell assignments
+    (an O(corpus) scoring pass) where a deployed index would read its
+    stored assignment table; vectors outside the batch are unchanged,
+    so the recomputed cells equal the stored ones and the audited edge
+    repair itself touches affected cells only.  Output: one row with
+    before/after edge counts, dropped/added counts, affected cells,
+    batch size, and the out-degree cap check."""
     spark = emb.sparkSession
     if edges_before is None:
         edges_before = knn_graph_navigable(

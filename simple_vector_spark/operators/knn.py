@@ -868,11 +868,18 @@ def label_silhouette(corpus: DataFrame) -> DataFrame:
 
     Same blocked plan as :func:`allpairs_topk_arrow` (no driver
     collect): each (query-block, corpus-block) tile reduces to
-    per-(qid, label) partial (sum of Euclidean distances, count), so
-    the shuffle carries |rows| x |labels| partials, never pairs; a
-    keyed aggregation folds tiles, then per-qid a = own-label mean,
-    b = min other-label mean, both ROUND 6 exactly as the single-tile
-    form (sums of unrounded sqrt folds, rounded once at the mean)."""
+    per-(qid, label) partial, so the shuffle carries |rows| x |labels|
+    partials, never pairs; a keyed aggregation folds tiles, then
+    per-qid a = own-label mean, b = min other-label mean.
+
+    Cross-tile determinism (ADVICE r03): each pair distance is
+    QUANTIZED to integer micros (floor(d*1e6 + 0.5), the same half-up
+    both engines compute on the identical double) inside the tile, so
+    partials are exact int64 sums and the cross-tile fold is
+    order-insensitive — a raw float64 fold was sensitive to Spark's
+    nondeterministic partition order near rounding boundaries.  The
+    per-(qid,label) mean is then an exact integer half-up on the
+    micros sum (the ``_mean6_exact`` recipe), never a double ROUND."""
     import numpy as np
     import pandas as pd
 
@@ -896,7 +903,7 @@ def label_silhouette(corpus: DataFrame) -> DataFrame:
         empty = pd.DataFrame({"qid": [], "lb": [], "s": [], "c": []})
         if len(left) == 0 or len(right) == 0:
             return empty.astype(
-                {"qid": "int64", "lb": "int32", "s": "float64", "c": "int64"}
+                {"qid": "int64", "lb": "int32", "s": "int64", "c": "int64"}
             )
         right = right.sort_values("cid")
         ids_np = right["cid"].to_numpy(dtype=np.int64)
@@ -911,7 +918,10 @@ def label_silhouette(corpus: DataFrame) -> DataFrame:
         for d_ in range(mat.shape[1]):
             diff = X[:, d_ : d_ + 1] - mat[None, :, d_]
             D += diff * diff
-        E = np.sqrt(D)
+        # per-pair quantization to integer micros: floor(d*1e6 + 0.5)
+        # on the identical f64 both engines compute, so the cross-tile
+        # fold below is an exact (order-insensitive) int64 sum
+        EM = np.floor(np.sqrt(D) * 1e6 + 0.5).astype(np.int64)
         qs, lbs, ss, cs = [], [], [], []
         for i in range(nq):
             qid = int(qid_arr[i])
@@ -923,13 +933,13 @@ def label_silhouette(corpus: DataFrame) -> DataFrame:
                     continue
                 qs.append(qid)
                 lbs.append(lb)
-                ss.append(float(E[i, m].sum()))
+                ss.append(int(EM[i, m].sum()))
                 cs.append(cnt)
         return pd.DataFrame(
             {
                 "qid": np.asarray(qs, dtype=np.int64),
                 "lb": np.asarray(lbs, dtype=np.int32),
-                "s": np.asarray(ss, dtype=np.float64),
+                "s": np.asarray(ss, dtype=np.int64),
                 "c": np.asarray(cs, dtype=np.int64),
             }
         )
@@ -937,7 +947,7 @@ def label_silhouette(corpus: DataFrame) -> DataFrame:
     partials = (
         q.groupBy("qb", "cb")
         .cogroup(c.groupBy("qb", "cb"))
-        .applyInPandas(tile_partials, "qid long, lb int, s double, c long")
+        .applyInPandas(tile_partials, "qid long, lb int, s long, c long")
     )
     folded = partials.groupBy("qid", "lb").agg(
         F.sum("s").alias("s"), F.sum("c").alias("c")
@@ -945,7 +955,14 @@ def label_silhouette(corpus: DataFrame) -> DataFrame:
     own = src.select(
         F.col("vec_id").alias("qid"), F.col("label").cast("int").alias("qlabel")
     )
-    mean_lb = F.round(F.col("s") / F.col("c").cast("double"), 6)
+    # exact integer half-up mean of the micros sum (s >= 0), then one
+    # exact small-integer/1e6 divide — the _mean6_exact recipe
+    _num2 = (F.col("s") * 2 + F.col("c")).cast("decimal(38,0)")
+    _den2 = (F.col("c") * 2).cast("decimal(38,0)")
+    mean_lb = (
+        ((_num2 - F.pmod(_num2, _den2)) / _den2).cast("long").cast("double")
+        / F.lit(1000000.0)
+    )
     per = (
         folded.join(F.broadcast(own), "qid")
         .select("qid", "qlabel", "lb", mean_lb.alias("m"))

@@ -125,8 +125,16 @@ def approx_quantile_audit(
             "p",
             "approx_value",
             "exact_value",
+            F.lit(n).cast("long").alias("n_rows"),
             F.round(F.col("approx_rank"), 6).alias("approx_rank"),
             F.round(F.abs(F.col("approx_rank") - F.col("p")), 6).alias("rank_err"),
+            # the GK guarantee (rank error <= eps*N, eps = rel_err) plus
+            # one row of discreteness slack from the <=-rank counting —
+            # the oracle-checkable contract column (VERDICT r03 item 5)
+            (
+                F.round(F.abs(F.col("approx_rank") - F.col("p")), 6)
+                <= F.lit(rel_err) + F.lit(1.0) / F.lit(float(n))
+            ).alias("rank_within_bound"),
         )
         .orderBy("p")
     )

@@ -119,8 +119,11 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     #    r02 green row was rows-only for the stub.
     #  * dedup_audit_approx: round 4 added a value-level error-bound oracle
     #    (was rows-only when its r02 row was recorded).
+    #  * embedding_label_silhouette: round 4 quantized per-pair distances
+    #    to integer micros before the cross-tile fold (ADVICE r03) — new
+    #    kernel and oracle SQL.
     "ann_ivf", "ann_pq_adc", "ann_pq_recall", "multimodal_decode",
-    "dedup_audit_approx",
+    "dedup_audit_approx", "embedding_label_silhouette",
 })
 
 # Highest-value unrecorded queries (VERDICT r03 item 1): these lead the
@@ -130,6 +133,7 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # changed semantics — re-record (ADVICE r03 medium)
     "ann_ivf", "ann_pq_adc", "ann_pq_recall", "multimodal_decode",
+    "embedding_label_silhouette",
     # rows-only -> value-level oracle conversions (VERDICT r03 item 5)
     "orders_quantile_sketch_audit", "events_hll_users",
     "events_hll_sketch_union", "dedup_audit_approx",
@@ -1543,11 +1547,31 @@ def dedup_exact(spark, sf_dir):
     return D.exact_dedup_groups(_docs_plus_spark(spark, sf_dir))
 
 
-@query("dedup_audit_approx")  # rows-only: HLL sketch is engine-specific
+@query(
+    "dedup_audit_approx",
+    f"""
+WITH {_DOCS_PLUS_SQL}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_distinct,
+       TRUE AS approx_within_bound
+FROM docs_plus
+""",
+)
 def dedup_audit_approx(spark, sf_dir):
     """Dedup monitoring row: exact distinct vs HLL estimate (the sketch
-    is the 100-TB path; tests assert <5% relative error)."""
-    return D.dedup_audit(_docs_plus_spark(spark, sf_dir))
+    is the 100-TB path).  Checked projection: exact counts (DuckDB
+    recomputes them) plus the boolean estimate-within-5% contract
+    column — the raw estimate stays on the operator, and the bound is
+    also pytest-held (VERDICT r03 item 5)."""
+    a = D.dedup_audit(_docs_plus_spark(spark, sf_dir))
+    rel = F.abs(F.col("approx_distinct") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    ).cast("double")
+    return a.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (rel <= 0.05).alias("approx_within_bound"),
+    )
 
 
 @query(
@@ -2683,15 +2707,40 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
-@query("multimodal_decode")  # rows-only: mapInPandas stub codec
+@query(
+    "multimodal_decode",
+    """
+WITH dims AS (
+  SELECT doc_id,
+         16 + doc_id % 16 AS w,
+         16 + doc_id % 8 AS h
+  FROM documents
+),
+cells AS (
+  SELECT d.doc_id, d.w, d.h, gx.x, gy.y
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) gx,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) gy
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(SUM((3 * x + 7 * y + doc_id) % 256) AS BIGINT) AS pixel_sum,
+       CAST(doc_id % 256 AS INT) AS px_first,
+       CAST((3 * (w - 1) + 7 * (h - 1) + doc_id) % 256 AS INT) AS px_last
+FROM cells GROUP BY doc_id, w, h
+""",
+)
 def multimodal_decode(spark, sf_dir):
-    """Arrow-batched mapInPandas decode pipeline over the binary column
-    (codec STUBBED deterministically — container has no image libs);
-    schema/partitioning/batch shape are the real 100-TB plumbing."""
-    docs = MM.with_payload(load_table(spark, sf_dir, "documents"))
-    return MM.decode_features(docs).select(
-        "doc_id", "byte_len", "width", "height", "checksum"
-    )
+    """REAL image decode over the binary column (VERDICT r03 item 3):
+    per document a closed-form grayscale raster is encoded as an
+    actual PNG (zlib scanlines, all five row filters, CRC framing) and
+    decoded back through the codec dispatch — PIL when present, else
+    the pure-Python decoder in functions/png.py — inside an
+    Arrow-batched mapInPandas.  Emitted stats come from the DECODED
+    raster only; the oracle recomputes them from the pixel formula, so
+    any filter-reversal/zlib/framing defect breaks value parity."""
+    return MM.png_decode_stats(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -3578,12 +3627,38 @@ def cms_heavy_hitters(spark, sf_dir):
     return SK.cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
 
 
-@query("orders_quantile_sketch_audit")  # rows-only: GK sketch is engine-specific
+@query(
+    "orders_quantile_sketch_audit",
+    """
+WITH s AS (
+  SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                       [0.25, 0.5, 0.75, 0.95]) AS q,
+         COUNT(*) AS n
+  FROM orders
+)
+SELECT t.p,
+       ROUND(q[t.i], 6) + 0.0 AS exact_value,
+       CAST(n AS BIGINT) AS n_rows,
+       TRUE AS rank_within_bound
+FROM s, (VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.95)) t(i, p)
+""",
+)
 def orders_quantile_sketch_audit(spark, sf_dir):
     """percentile_approx (Greenwald-Khanna, the one-pass bounded-memory
-    quantile path) vs exact percentile with observed rank error; the
-    1% rel_err contract is asserted in tests/test_sketches.py."""
-    return SK.approx_quantile_audit(load_table(spark, sf_dir, "orders"))
+    quantile path) vs exact percentile.  The sketch VALUE is
+    engine-specific, but its rank-error CONTRACT is not: the checked
+    projection emits the exact percentile (DuckDB recomputes it from
+    the sorted data) and the boolean rank-error-within-bound column
+    whose expected value is the GK guarantee (eps=0.01 plus one row of
+    discreteness slack) — a sketch defect flips the boolean and breaks
+    the hash.  Full diagnostics (approx value/rank) stay on the
+    operator, tests/test_sketches.py asserts the raw contract."""
+    return SK.approx_quantile_audit(load_table(spark, sf_dir, "orders")).select(
+        "p",
+        (F.round(F.col("exact_value"), 6) + F.lit(0.0)).alias("exact_value"),
+        "n_rows",
+        "rank_within_bound",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -5670,11 +5745,28 @@ def events_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.user_state_scd2(load_table(spark, sf_dir, "events"))
 
 
-@query("events_hll_users")
+@query(
+    "events_hll_users",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_within_bound
+FROM events GROUP BY event_type
+""",
+)
 def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ vs exact distinct-user audit per event type (rows-only:
-    sketch values are engine-specific; the error bound is pytest-held)."""
-    return E.hll_distinct_users_audit(load_table(spark, sf_dir, "events"))
+    """HLL++ vs exact distinct-user audit per event type.  The sketch
+    ESTIMATE is engine-internal, but the error contract is checkable:
+    the projection emits the exact distinct (DuckDB recomputes it) and
+    a boolean rel_error <= 5*rsd (rsd=0.02 -> 10%) column whose
+    expected value is TRUE — an HLL defect flips it and breaks the
+    hash (VERDICT r03 item 5; raw estimate stays on the operator,
+    bound also pytest-held)."""
+    return E.hll_distinct_users_audit(load_table(spark, sf_dir, "events")).select(
+        "event_type",
+        "exact_users",
+        (F.col("rel_error") <= 0.10).alias("hll_within_bound"),
+    )
 
 
 _ADAPTIVE_IVF_SQL = f"""
@@ -11481,12 +11573,29 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.forecast_backtest(load_table(spark, sf_dir, "orders"))
 
 
-@query("events_hll_sketch_union")  # rows-only: sketch estimates are engine-internal
+@query(
+    "events_hll_sketch_union",
+    """
+SELECT CAST(weekofyear(ts) AS INT) AS week,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS union_within_bound
+FROM events GROUP BY 1
+""",
+)
 def events_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch surface: per-day HLL sketches unioned per week
     (hll_sketch_agg -> hll_union_agg) vs the exact weekly distinct —
-    the materialize-small-merge-up pattern; error bound pytest-held."""
-    return E.hll_sketch_union_weekly(load_table(spark, sf_dir, "events"))
+    the materialize-small-merge-up pattern.  Checked projection: exact
+    weekly distinct + day count (DuckDB recomputes both) and the
+    boolean union-estimate-within-5% contract column (VERDICT r03
+    item 5); the raw estimate stays on the operator."""
+    return E.hll_sketch_union_weekly(load_table(spark, sf_dir, "events")).select(
+        "week",
+        "n_days",
+        "exact_users",
+        (F.col("rel_err") <= 0.05).alias("union_within_bound"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -21017,12 +21126,18 @@ pairs AS (
   WHERE a.vec_id <> b.vec_id
 ),
 d AS (
-  SELECT qid, qlabel, clabel, SQRT(SUM((x - y) * (x - y))) AS ed
+  -- per-pair distance quantized to integer micros (floor(d*1e6+0.5) on
+  -- the identical f64) so the fold is an exact, order-insensitive
+  -- integer sum — mirrors knn.label_silhouette's tile kernel
+  SELECT qid, qlabel, clabel,
+         CAST(FLOOR(SQRT(SUM((x - y) * (x - y))) * 1000000 + 0.5) AS BIGINT)
+           AS em
   FROM pairs GROUP BY qid, qlabel, clabel, cid
 ),
 grp AS (
+  -- exact integer half-up mean of the micros sum (_mean6_exact recipe)
   SELECT qid, qlabel, clabel,
-         ROUND(SUM(ed) / COUNT(*), 6) AS mean_d
+         ((2 * SUM(em) + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS mean_d
   FROM d GROUP BY 1, 2, 3
 ),
 ab AS (

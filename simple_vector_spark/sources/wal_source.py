@@ -113,7 +113,17 @@ class WalStreamReader(SimpleDataSourceStreamReader):
     query this is exactly the reference's 'replay logs after
     lastSnapshotID' recovery contract (src/persistence.cc:84-135) —
     re-runs consume only the delta, never re-reading applied
-    segments."""
+    segments.
+
+    OFFSET CONTRACT: segments are append-only-BY-NAME and never
+    rewritten or deleted in place — every new segment must sort
+    lexicographically AFTER all consumed ones (true for the
+    ``segment-<pid:05d>.wal`` writer layout and any monotonic naming
+    scheme).  The committed offset records the high-water segment name
+    alongside the count, and read() raises loudly if the directory
+    violates the contract (a segment inserted below the high-water
+    mark, or a consumed segment renamed/removed) instead of silently
+    skipping or re-reading data."""
 
     def __init__(self, options):
         self.path = options["path"]
@@ -134,15 +144,32 @@ class WalStreamReader(SimpleDataSourceStreamReader):
                 yield (int(log_id), int(version), op, doc)
 
     def initialOffset(self):
-        return {"seg": 0}
+        return {"seg": 0, "last": ""}
 
     def read(self, start):
         files = self._files()
         s = int(start["seg"])
+        last = start.get("last")
+        # contract check: the s-th consumed file must still be the
+        # high-water name — otherwise a segment appeared out of
+        # lexicographic order (it would be silently skipped) or a
+        # consumed segment was rewritten/removed (silent re-read).
+        # ``last`` is absent only for pre-contract checkpoints.
+        if s > 0 and last:
+            if len(files) < s or files[s - 1] != last:
+                raise RuntimeError(
+                    "WAL offset contract violated: committed offset has "
+                    f"{s} segments up to {last!r}, but the directory now "
+                    f"has {files[s - 1] if len(files) >= s else None!r} at "
+                    "that position. Segments must be append-only-by-name "
+                    "(new names sort after all consumed ones) and never "
+                    "rewritten or deleted."
+                )
         rows = []
         for f in files[s:]:
             rows.extend(self._parse(os.path.join(self.path, f)))
-        return (rows, {"seg": len(files)})
+        new_last = files[-1] if files else (last or "")
+        return (rows, {"seg": len(files), "last": new_last})
 
     def readBetweenOffsets(self, start, end):
         files = self._files()

@@ -116,3 +116,80 @@ def test_stream_tail_consumes_only_delta(spark, tmp_path):
     run_once()
     second = sorted(r["log_id"] for r in spark.read.parquet(out).collect())
     assert second == [0, 1, 2, 3, 10, 11, 12, 99]  # delta only, no re-reads
+
+
+def test_stream_tail_out_of_order_segment_fails_loudly(spark, tmp_path):
+    """Offset contract (sources/wal_source.py WalStreamReader): segments
+    are append-only-BY-NAME.  Plant a segment that sorts BEFORE the
+    consumed high-water mark between two checkpointed runs — the tail
+    must raise the contract error, not silently skip the segment."""
+    _register(spark)
+    import pytest
+
+    d = str(tmp_path / "tail2")
+    ck = str(tmp_path / "ck2")
+    out = str(tmp_path / "out2")
+    os.makedirs(d)
+    write_wal_segment(
+        os.path.join(d, "segment-00005.wal"),
+        [(i, 0, "upsert", f'{{"id":{i}}}') for i in range(3)],
+    )
+
+    def run_once():
+        wal = spark.readStream.format("simple_vector_wal").option("path", d).load()
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            wal.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(r["log_id"] for r in spark.read.parquet(out).collect()) == [0, 1, 2]
+    # landed out of lexicographic order: sorts before segment-00005.wal
+    write_wal_segment(
+        os.path.join(d, "segment-00001.wal"), [(42, 0, "upsert", '{"id":42}')]
+    )
+    with pytest.raises(Exception, match="WAL offset contract violated"):
+        run_once()
+
+
+def test_stream_tail_in_order_segment_between_runs_is_consumed(spark, tmp_path):
+    """Contract-conforming arrival: a segment landing between runs that
+    sorts AFTER the high-water mark is consumed exactly once."""
+    _register(spark)
+    d = str(tmp_path / "tail3")
+    ck = str(tmp_path / "ck3")
+    out = str(tmp_path / "out3")
+    os.makedirs(d)
+    write_wal_segment(
+        os.path.join(d, "segment-00000.wal"), [(1, 0, "upsert", '{"id":1}')]
+    )
+
+    def run_once():
+        wal = spark.readStream.format("simple_vector_wal").option("path", d).load()
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            wal.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    write_wal_segment(
+        os.path.join(d, "segment-00000a.wal"), [(2, 0, "upsert", '{"id":2}')]
+    )
+    run_once()
+    assert sorted(r["log_id"] for r in spark.read.parquet(out).collect()) == [1, 2]
