@@ -6,7 +6,7 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 Implementation lives in ``simple_vector_spark/``; the declared-query
-registry is ``simple_vector_spark/registry.py``.
+registry is the ``simple_vector_spark/registry`` package (domain-named core parts + numbered extension-wave parts, imported in registration order).
 """
 
 from __future__ import annotations

@@ -1,0 +1,212 @@
+"""Declared-query registry: the driver contract surface.
+
+Every implemented operator from SURVEY.md §2 is registered here as
+(name, spark_callable, duckdb_oracle_sql).  ``__spark_entry__.py``
+re-exports this as ``queries()`` / ``oracle_sql()``.
+
+Determinism rules (FIXTURES.md §C): distances/similarities are computed
+in float64 (both engines cast FLOAT[] -> DOUBLE[]), ROUNDed to 6
+decimals, and ranked on the rounded value with an id tiebreak; money
+aggregates use DECIMAL arithmetic (exact, order-insensitive); COUNTs
+cast to BIGINT; window ranks cast to INT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import knn as K
+from ..operators import mutation as M
+from ..sources.loaders import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Names already green in the driver's CORRECTNESS_r01.json.  The driver
+# checks registry entries in insertion order up to a per-round cap (r01
+# stopped at exactly the first 50), so ``queries()`` rotates: entries
+# without a driver-side green row yet come first (keeping their relative
+# order — dedup/ANN/text/streaming lead), previously-recorded ones last.
+# Append each round's newly recorded names here as rounds land.
+_DRIVER_RECORDED: frozenset[str] = frozenset({
+    "knn_exact_topk", "knn_ip_topk", "knn_cosine_topk", "knn_filtered_eq",
+    "knn_filtered_ne", "knn_udf_cosine_sql", "knn_filtered_range",
+    "knn_batch_join", "knn_shard_topk", "knn_shard_join",
+    "knn_batch_filtered", "point_lookup", "upsert_latest_wins",
+    "delete_then_count", "validate_ingest", "label_centroid_topk",
+    "wal_replay_state", "allocate_doc_ids", "snapshot_roundtrip",
+    "json_source_roundtrip", "csv_source_roundtrip", "orc_source_roundtrip",
+    "sql_api_revenue", "tpch_q1_pricing", "revenue_by_nation",
+    "rollup_revenue", "cube_revenue", "order_value_percentiles",
+    "top_orders_per_customer", "tpch_q3_shipping", "tpch_q5_local_supplier",
+    "customers_without_orders", "customers_with_orders",
+    "tpch_q14_promo_share", "order_value_quartiles", "bucketed_join_revenue",
+    "orders_with_returns", "orders_without_returns",
+    "orders_above_customer_avg", "skew_salted_enrich",
+    "asof_join_checkpoints", "events_json_kv", "events_tumbling_1h",
+    "events_sliding_2h", "events_type_pivot", "events_monthly_growth",
+    "events_props_typed", "events_running_totals", "events_rolling_1h_avg",
+    "events_sessionize",
+    # -- recorded green in CORRECTNESS_r02.json (round 2) --
+    "events_top_users_per_hour", "grouping_sets_revenue", "dedup_exact",
+    "dedup_audit_approx", "dedup_minhash_signatures", "dedup_minhash_pairs",
+    "dedup_clusters", "dedup_keep_canonical", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_embedding_cosine", "ann_rp_lsh", "ann_ivf",
+    # (r02 also recorded "ann_ivf_trained"; round 3 made the trained
+    # codebook THE ann_ivf, so that name no longer exists)
+    "ann_recall_report", "quantize_int8_audit",
+    "ann_quantized_recall", "ann_ivf_partitioned", "ann_pq_adc",
+    "ann_pq_recall", "ann_mllib_lsh_join", "text_quality",
+    "text_langid_confusion", "text_fingerprint", "vocab_top100",
+    "doc_length_histogram", "profile_documents", "sample_hash_stratified",
+    "text_bm25_search", "hybrid_rrf_search", "curation_pipeline",
+    "multimodal_meta", "multimodal_decode", "stream_tumbling_1h",
+    "stream_sliding_2h", "stream_sessionize", "stream_stateful_user_totals",
+    "stream_stream_click_purchase", "stream_static_enrich",
+    "stream_foreach_batch_merge", "stream_dedup_counts",
+    "tpch_q13_order_counts", "tpch_q18_large_orders", "tpch_q19_disjunctive",
+    "tpch_q22_idle_rich", "cheapest_supplier_parts", "lineitem_corr_stats",
+    "events_interarrival", "doc_bigrams_top50", "decontaminate_ngram",
+    # -- recorded green in CORRECTNESS_r03.json (round 3) --
+    "knn_graph_navigable", "knn_graph_search", "knn_graph_health",
+    "ann_recall_vs_beam", "graph_index_upsert_audit",
+    "graph_index_persist_roundtrip", "wal_source_scan",
+    "arrow_ipc_source_roundtrip", "part_covisit_recs",
+    "part_covisit_holdout_eval", "dedup_weighted_minhash",
+    "decontaminate_fuzzy_minhash", "ann_adaptive_filter",
+    "ann_matryoshka_recall", "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q10_returned_revenue",
+    "tpch_q11_value_parts", "tpch_q12_priority_lines",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue", "tpch_q20_promo_suppliers",
+    "tpch_q21_sole_blame", "embedding_knn_loo_accuracy",
+    "embedding_intrinsic_dim", "embedding_knn_ood",
+    "embedding_hubness_audit", "embedding_label_silhouette",
+    "ann_recall_vs_nprobe", "ann_recall_vs_nprobe_seed_baseline",
+    "ann_ivf_seed_baseline", "shuffle_partition_advisor",
+    "events_error_bursts", "ann_pq_seed_recall", "doc_chunk_audit",
+    "dataset_split_audit", "doc_repetition_stats", "blocklist_audit",
+    "embeddings_kmeans_step", "ann_ivfpq_rerank", "dedup_embedding_blocked",
+    "embedding_blocked_recall", "events_range_join_follow",
+    "doc_chunks_udtf", "doc_median_chars",
+}) - frozenset({
+    # Changed semantics/oracles since their green row was recorded, so the
+    # old record no longer certifies the current code — re-front them for
+    # the driver to re-record (ADVICE r03, medium):
+    #  * ann_ivf / ann_pq_adc / ann_pq_recall: round 3 switched them to
+    #    TRAINED codebooks with new oracle SQL; r02 greens covered the
+    #    seed-codebook versions only.
+    #  * multimodal_decode: round 4 replaced the stub checksum decode with
+    #    a real PNG encode/decode round-trip and a value-level oracle; the
+    #    r02 green row was rows-only for the stub.
+    #  * dedup_audit_approx: round 4 added a value-level error-bound oracle
+    #    (was rows-only when its r02 row was recorded).
+    #  * embedding_label_silhouette: round 4 quantized per-pair distances
+    #    to integer micros before the cross-tile fold (ADVICE r03) — new
+    #    kernel and oracle SQL.
+    "ann_ivf", "ann_pq_adc", "ann_pq_recall", "multimodal_decode",
+    "dedup_audit_approx", "embedding_label_silhouette",
+})
+
+# Highest-value unrecorded queries (VERDICT r03 item 1): these lead the
+# pending block so the driver's ~50-record cap lands on them first.
+# Order: changed-semantics re-records, then the stream suite, sketches,
+# curation, text retrieval, and mutation audits.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # changed semantics — re-record (ADVICE r03 medium)
+    "ann_ivf", "ann_pq_adc", "ann_pq_recall", "multimodal_decode",
+    "embedding_label_silhouette",
+    # rows-only -> value-level oracle conversions (VERDICT r03 item 5)
+    "orders_quantile_sketch_audit", "events_hll_users",
+    "events_hll_sketch_union", "dedup_audit_approx",
+    # streaming suite
+    "stream_watermark_append", "stream_wal_tail", "stream_live_index_knn",
+    "stream_pit_enrich", "stream_anomaly_zscore",
+    "stream_dedup_within_watermark", "stream_window_topk",
+    "stream_cdc_apply", "stream_dead_letter",
+    # sketches
+    "cms_heavy_hitters", "cms_width_tuning", "events_kmv_cardinality",
+    "events_kmv_intersection", "events_ams_f2_sketch",
+    "events_misra_gries_hh", "bloom_prune_audit", "bloom_filter_join",
+    # curation
+    "mixture_epoch_solver", "mixture_sample_audit",
+    "dataset_split_by_cluster", "split_leakage_audit",
+    "split_embedding_leakage", "doc_pack_windows", "doc_weighted_sample",
+    "doc_dsir_weights", "pii_redaction_audit",
+    # text retrieval
+    "text_inverted_postings", "text_phrase_search", "doc_quality_gate",
+    "text_rm3_expansion", "text_lm_dirichlet_search", "text_kwic_snippets",
+    "doc_rake_keyphrases",
+    # mutation / layout audits
+    "wal_compaction_audit", "snapshot_diff_audit", "ivf_index_upsert_audit",
+    "zorder_layout_audit", "partitioned_write_prune",
+    "dpp_prune_join", "aqe_skew_join",
+)
+
+
+def _driver_order(names) -> list[str]:
+    names = list(names)
+    nameset = set(names)
+    front = [n for n in _DRIVER_PRIORITY if n in nameset and n not in _DRIVER_RECORDED]
+    frontset = set(front)
+    pending = [n for n in names
+               if n not in _DRIVER_RECORDED and n not in frontset]
+    recorded = [n for n in names if n in _DRIVER_RECORDED]
+    return front + pending + recorded
+
+
+def queries() -> dict[str, QueryFn]:
+    return {n: _QUERIES[n] for n in _driver_order(_QUERIES)}
+
+
+def oracle_sql() -> dict[str, str]:
+    order = _driver_order(_QUERIES)
+    return {n: _ORACLES[n] for n in order if n in _ORACLES}
+
+
+# ---- registry parts (imported in REGISTRATION ORDER; the driver
+# rotation depends on insertion order, so the split is contiguous:
+# domain-named files for the round-1 domain-grouped core, numbered
+# wave files for the topically-mixed extension waves) ----
+from . import core_knn as _part_core_knn
+from . import core_relational as _part_core_relational
+from . import core_events as _part_core_events
+from . import core_dedup as _part_core_dedup
+from . import core_ann as _part_core_ann
+from . import core_text as _part_core_text
+from . import core_multimodal_streaming as _part_core_multimodal_streaming
+from . import waves_01 as _part_waves_01
+from . import waves_02 as _part_waves_02
+from . import waves_03 as _part_waves_03
+from . import waves_04 as _part_waves_04
+from . import waves_05 as _part_waves_05
+from . import waves_06 as _part_waves_06
+from . import waves_07 as _part_waves_07
+from . import waves_08 as _part_waves_08
+
+# hoist every part-level name into the package namespace so
+# `registry.<name>` keeps working exactly as the single-file module
+# (zero top-level name collisions were verified before the split)
+_PARTS = (_part_core_knn, _part_core_relational, _part_core_events, _part_core_dedup, _part_core_ann, _part_core_text, _part_core_multimodal_streaming, _part_waves_01, _part_waves_02, _part_waves_03, _part_waves_04, _part_waves_05, _part_waves_06, _part_waves_07, _part_waves_08)
+for _m in _PARTS:
+    for _k in vars(_m):
+        if not _k.startswith("__") and _k not in globals():
+            globals()[_k] = getattr(_m, _k)

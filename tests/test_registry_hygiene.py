@@ -61,11 +61,14 @@ def test_no_duplicate_query_names_in_source():
     import pathlib
     import re
 
-    src = (
+    pkg = (
         pathlib.Path(__file__).parent.parent
         / "simple_vector_spark"
-        / "registry.py"
-    ).read_text()
-    names = re.findall(r'@query\(\s*\n?\s*"([^"]+)"', src)
+        / "registry"
+    )
+    names = []
+    for f in sorted(pkg.glob("*.py")):
+        names += re.findall(r'@query\(\s*\n?\s*"([^"]+)"', f.read_text())
+    assert len(names) > 500, "registry package parts not found"
     dupes = {n for n in names if names.count(n) > 1}
     assert not dupes, f"duplicate @query names: {sorted(dupes)}"
