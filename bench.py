@@ -63,8 +63,12 @@ def main() -> None:
     # back-to-back materializations, record the min — the warm number
     # is the plan's cost.
     RUNS_PER_QUERY = 2
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"bench_results_sf{sf}.json"
+    )
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    for qi, (name, fn) in enumerate(qs.items()):
         best, n = None, 0
         for _ in range(RUNS_PER_QUERY):
             t0 = time.perf_counter()
@@ -81,9 +85,17 @@ def main() -> None:
             gc.collect()
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # flush partial per-query results periodically so a killed run
+        # still leaves a usable on-disk artifact
+        if (qi + 1) % 25 == 0:
+            with open(out_path, "w") as fh:
+                json.dump(
+                    {"partial": True, "n_queries": len(timings),
+                     "runs_per_query": RUNS_PER_QUERY, "queries": timings},
+                    fh, indent=1, sort_keys=True,
+                )
 
     total = round(sum(timings.values()), 4)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     ordered = sorted(timings.values())
     median = round(ordered[len(ordered) // 2], 4) if ordered else 0.0
     slowest = dict(
@@ -110,9 +122,6 @@ def main() -> None:
     # the 176-query line in round 1 (BENCH_r01.json "parsed": null).  Write
     # the complete artifact to disk as well so per-query timings survive
     # independent of stdout capture.
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), f"bench_results_sf{sf}.json"
-    )
     with open(out_path, "w") as fh:
         json.dump(
             {
