@@ -638,9 +638,13 @@ def hll_distinct_users_audit(events: DataFrame, rsd: float = 0.02) -> DataFrame:
             "event_type",
             "exact_users",
             "hll_users",
+            # try_divide: a group whose user_id is all-NULL has exact 0
+            # (rel_error NULL, not a DIVIDE_BY_ZERO crash)
             F.round(
-                F.abs(F.col("hll_users") - F.col("exact_users"))
-                / F.col("exact_users").cast("double"),
+                F.try_divide(
+                    F.abs(F.col("hll_users") - F.col("exact_users")),
+                    F.nullif(F.col("exact_users").cast("double"), F.lit(0.0)),
+                ),
                 6,
             ).alias("rel_error"),
         )
@@ -1411,9 +1415,12 @@ def hll_sketch_union_weekly(events: DataFrame) -> DataFrame:
         "n_days",
         "est_users",
         "exact_users",
+        # try_divide: a week whose user_id is all-NULL has exact 0
         F.round(
-            F.abs(F.col("est_users") - F.col("exact_users"))
-            / F.col("exact_users").cast("double"),
+            F.try_divide(
+                F.abs(F.col("est_users") - F.col("exact_users")),
+                F.nullif(F.col("exact_users").cast("double"), F.lit(0.0)),
+            ),
             6,
         ).alias("rel_err"),
     )

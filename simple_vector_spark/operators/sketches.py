@@ -133,7 +133,7 @@ def approx_quantile_audit(
             # the oracle-checkable contract column (VERDICT r03 item 5)
             (
                 F.round(F.abs(F.col("approx_rank") - F.col("p")), 6)
-                <= F.lit(rel_err) + F.lit(1.0) / F.lit(float(n))
+                <= F.lit(rel_err + (1.0 / n if n else 0.0))
             ).alias("rank_within_bound"),
         )
         .orderBy("p")

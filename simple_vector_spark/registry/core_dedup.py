@@ -203,13 +203,15 @@ def dedup_audit_approx(spark, sf_dir):
     column — the raw estimate stays on the operator, and the bound is
     also pytest-held (VERDICT r03 item 5)."""
     a = D.dedup_audit(_docs_plus_spark(spark, sf_dir))
-    rel = F.abs(F.col("approx_distinct") - F.col("exact_distinct")) / F.col(
-        "exact_distinct"
-    ).cast("double")
+    rel = F.try_divide(
+        F.abs(F.col("approx_distinct") - F.col("exact_distinct")),
+        F.nullif(F.col("exact_distinct").cast("double"), F.lit(0.0)),
+    )
     return a.select(
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
-        (rel <= 0.05).alias("approx_within_bound"),
+        # empty corpus: exact 0 and approx 0 -> trivially within bound
+        F.coalesce(rel <= 0.05, F.lit(True)).alias("approx_within_bound"),
     )
 
 

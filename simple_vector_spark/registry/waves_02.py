@@ -556,7 +556,11 @@ def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.hll_distinct_users_audit(load_table(spark, sf_dir, "events")).select(
         "event_type",
         "exact_users",
-        (F.col("rel_error") <= 0.10).alias("hll_within_bound"),
+        # NULL rel_error (exact 0 on an all-NULL group) -> trivially
+        # within bound
+        F.coalesce(F.col("rel_error") <= 0.10, F.lit(True)).alias(
+            "hll_within_bound"
+        ),
     )
 
 

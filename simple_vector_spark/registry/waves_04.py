@@ -1519,7 +1519,11 @@ def events_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week",
         "n_days",
         "exact_users",
-        (F.col("rel_err") <= 0.05).alias("union_within_bound"),
+        # NULL rel_err (exact 0 on an all-NULL week) -> trivially
+        # within bound
+        F.coalesce(F.col("rel_err") <= 0.05, F.lit(True)).alias(
+            "union_within_bound"
+        ),
     )
 
 
