@@ -2086,10 +2086,14 @@ def graph_recall_vs_beam(
     # reports its row (beam 4 really does score recall 0 on the hard
     # query — a groupBy alone would drop it)
     n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint")
-    return beams_df.join(F.broadcast(hits), "beam", "left").select(
-        "beam",
-        n_hit.alias("n_hit"),
-        F.round(n_hit / F.lit(float(k)), 6).alias("recall"),
+    return (
+        beams_df.join(F.broadcast(hits), "beam", "left")
+        .select(
+            "beam",
+            n_hit.alias("n_hit"),
+            F.round(n_hit / F.lit(float(k)), 6).alias("recall"),
+        )
+        .orderBy("beam")
     )
 
 

@@ -340,3 +340,57 @@ def test_neyman_singleton_stratum_no_crash(spark):
     assert rows["api"]["alloc_neyman"] >= 1
     assert rows["web"]["sd_chars"] > 0
     assert "__total__" in rows
+
+
+def test_recall_vs_beam_fused_matches_sequential_walks(spark):
+    """Round-4 fusion regression guard: the fused multi-beam traversal
+    must reproduce knn_graph_greedy_search's per-beam walk EXACTLY —
+    same visited top-k, hence the same hits against the exact top-k."""
+    emb = _clustered_emb(spark, n_clusters=3, per=25, seed=11)
+    cents = _cents(emb, ids=(0, 25, 50))
+    k, query_id, beams = 8, 7, (2, 5, 12)
+    edges = A.knn_graph_navigable(emb, cents).localCheckpoint()
+    fused = {
+        r["beam"]: (r["n_hit"], r["recall"])
+        for r in A.graph_recall_vs_beam(
+            emb, cents, query_id, k, beams=beams, edges=edges
+        ).collect()
+    }
+    # exact top-k baseline (same recipe as the operator)
+    from simple_vector_spark.functions.vector import as_double_array, squared_l2
+
+    qv = emb.filter(F.col("vec_id") == query_id).select(
+        as_double_array(F.col("embedding")).alias("qv")
+    )
+    exact = {
+        r["vec_id"]
+        for r in emb.crossJoin(qv)
+        .select(
+            "vec_id",
+            F.round(
+                squared_l2(as_double_array(F.col("embedding")), F.col("qv")), 6
+            ).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .collect()
+    }
+    for beam in beams:
+        walked = {
+            r["vec_id"]
+            for r in A.knn_graph_greedy_search(
+                emb, cents, query_id, k, beam=beam, edges=edges
+            ).collect()
+        }
+        n_hit = len(walked & exact)
+        assert fused[beam] == (n_hit, round(n_hit / k, 6)), (
+            beam, fused[beam], n_hit,
+        )
+
+
+def test_recall_vs_beam_rows_come_back_sorted_by_beam(spark):
+    emb = _clustered_emb(spark, n_clusters=2, per=20)
+    out = A.graph_recall_vs_beam(
+        emb, _cents(emb, ids=(0, 20)), query_id=3, k=5, beams=(16, 2, 8)
+    ).collect()
+    assert [r["beam"] for r in out] == [2, 8, 16]
