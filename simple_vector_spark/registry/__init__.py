@@ -122,8 +122,13 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     #  * embedding_label_silhouette: round 4 quantized per-pair distances
     #    to integer micros before the cross-tile fold (ADVICE r03) — new
     #    kernel and oracle SQL.
+    #  * ann_mllib_lsh_join: round 4 reshaped the checked projection from
+    #    the raw (engine-specific) pair set to the one-row contract
+    #    (true-pair count + threshold/recall booleans) with a DuckDB
+    #    oracle.
     "ann_ivf", "ann_pq_adc", "ann_pq_recall", "multimodal_decode",
     "dedup_audit_approx", "embedding_label_silhouette",
+    "ann_mllib_lsh_join",
 })
 
 # Highest-value unrecorded queries (VERDICT r03 item 1): these lead the
@@ -137,6 +142,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # rows-only -> value-level oracle conversions (VERDICT r03 item 5)
     "orders_quantile_sketch_audit", "events_hll_users",
     "events_hll_sketch_union", "dedup_audit_approx",
+    "multimodal_frames", "multimodal_phash_neardup", "ann_mllib_lsh_join",
     # streaming suite
     "stream_watermark_append", "stream_wal_tail", "stream_live_index_knn",
     "stream_pit_enrich", "stream_anomaly_zscore",

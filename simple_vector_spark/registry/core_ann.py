@@ -569,12 +569,65 @@ def ann_pq_seed_recall(spark, sf_dir):
     return A.recall_report(pq_hits, exact_hits, KNN_K)
 
 
-@query("ann_mllib_lsh_join")  # rows-only: hyperplanes are seed-random
+@query(
+    "ann_mllib_lsh_join",
+    """
+WITH pr AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+         unnest(CAST(b.embedding AS DOUBLE[])) AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+d AS (SELECT ia, ib, ROUND(SQRT(SUM((x - y) * (x - y))), 6) AS e
+      FROM pr GROUP BY ia, ib)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       TRUE AS all_within_threshold,
+       TRUE AS recall_at_least_0_8
+FROM d WHERE e < 1.2
+""",
+)
 def ann_mllib_lsh_join(spark, sf_dir):
     """MLlib BucketedRandomProjectionLSH approxSimilarityJoin (library
-    LSH path).  Seed-random hyperplanes => not oracle-expressible;
-    containment-vs-exact is asserted in tests/test_ann.py."""
+    LSH path).  Seed-random hyperplanes mean the PAIR SET is not
+    SQL-expressible, but its CONTRACT is (round 4, VERDICT item 5
+    pattern): the checked row carries the exact true-pair count
+    (DuckDB recomputes it by brute force), a boolean that every
+    reported pair's exact distance is inside the threshold, and a
+    boolean that measured recall >= 0.8 (measured 0.935 at sf0.001/
+    0.01/0.1 for seed 42) — an MLlib wiring or quality regression
+    flips a boolean and breaks the hash.  The raw pair set stays on
+    the operator; containment-vs-exact is also asserted in
+    tests/test_ann.py."""
+    from ..functions.vector import as_double_array, squared_l2
+    from ..sources.loaders import fan_out
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return A.mllib_lsh_join(emb, threshold=1.2)
+    rep = A.mllib_lsh_join(emb, threshold=1.2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rep"),
+        F.max("euclid").alias("max_e"),
+    )
+    a = fan_out(
+        emb.select(F.col("vec_id").alias("ia"), as_double_array("embedding").alias("va"))
+    )
+    b = emb.select(F.col("vec_id").alias("ib"), as_double_array("embedding").alias("vb"))
+    true = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .select(F.round(F.sqrt(squared_l2(F.col("va"), F.col("vb"))), 6).alias("e"))
+        .filter(F.col("e") < 1.2)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    )
+    return true.crossJoin(F.broadcast(rep)).select(
+        "n_true_pairs",
+        # <= on the ROUND-6 value: a raw distance just under the strict
+        # MLlib threshold may round UP to exactly 1.2
+        F.coalesce(F.col("max_e") <= 1.2, F.lit(True)).alias(
+            "all_within_threshold"
+        ),
+        F.coalesce(
+            F.col("n_rep").cast("double")
+            >= 0.8 * F.col("n_true_pairs").cast("double"),
+            F.lit(True),
+        ).alias("recall_at_least_0_8"),
+    )
 
 

@@ -852,11 +852,49 @@ def multimodal_frame_audit(spark, sf_dir):
     return MM.frame_audit(MM.with_payload(load_table(spark, sf_dir, "documents")))
 
 
-@query("multimodal_frames")  # rows-only: per-frame checksums are stub-codec
+@query(
+    "multimodal_frames",
+    f"""
+WITH lk AS (SELECT i AS v, upper(lpad(to_hex(i), 2, '0')) AS h FROM range(256) t(i)),
+p AS (
+  SELECT doc_id, upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+fr AS (
+  SELECT p.doc_id, p.hx, p.n, gs.fi
+  FROM p, LATERAL (SELECT unnest(generate_series(
+           0, CAST(CEIL(p.n / {MM.FRAME_BYTES}.0) AS BIGINT) - 1,
+           {MM.FRAME_STRIDE})) AS fi) gs
+  WHERE p.n > 0
+),
+fb AS (
+  SELECT fr.doc_id, fr.fi,
+         substr(fr.hx,
+                CAST(fr.fi * {2 * MM.FRAME_BYTES} + (t.bi - 1) * 2 + 1 AS BIGINT),
+                2) AS hp
+  FROM fr, LATERAL (SELECT unnest(generate_series(
+           1, LEAST(fr.n, (fr.fi + 1) * {MM.FRAME_BYTES})
+              - fr.fi * {MM.FRAME_BYTES})) AS bi) t
+)
+SELECT fb.doc_id,
+       CAST(fb.fi AS INT) AS frame_idx,
+       CAST(fb.fi * {MM.FRAME_BYTES} AS BIGINT) AS frame_off,
+       CAST(SUM(lk.v) % 2147483647 AS BIGINT) AS frame_checksum,
+       CAST({MM.THUMB} AS INT) AS thumb_w,
+       CAST({MM.THUMB} AS INT) AS thumb_h
+FROM fb JOIN lk ON lk.h = fb.hp
+GROUP BY fb.doc_id, fb.fi
+""",
+)
 def multimodal_frames(spark, sf_dir):
     """Video frame-sampling via mapInPandas one-to-many fan-out: every
-    4th 256-byte frame of each payload becomes a row (stub decode;
-    counts cross-checked against multimodal_frame_audit in tests)."""
+    4th 256-byte frame of each payload becomes a row.  Oracle-checked
+    since round 4: the per-frame checksum is byte arithmetic on the
+    manufactured payload, which DuckDB recomputes from hex-pair
+    explosion (the decode of a REAL video container stays behind the
+    codec boundary; the framing math and checksum contract are fully
+    verified)."""
     return MM.sample_frames(MM.with_payload(load_table(spark, sf_dir, "documents")))
 
 

@@ -2326,13 +2326,68 @@ def stream_wal_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.groupBy("label").agg(F.count("*").cast("long").alias("n_docs"))
 
 
-@query("multimodal_phash_neardup")  # rows-only: Python-computed pHash
+@query(
+    "multimodal_phash_neardup",
+    f"""
+WITH {_DOCS_PLUS_SQL},
+p AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n FROM docs_plus),
+lk AS (SELECT i AS v, upper(lpad(to_hex(i), 2, '0')) AS h FROM range(256) t(i)),
+bytes AS (
+  SELECT p.doc_id, (t.j - 1) % {MM.PHASH_BITS} AS i, lk.v
+  FROM p, LATERAL (SELECT unnest(generate_series(1, p.n)) AS j) t
+  JOIN lk ON lk.h = substr(p.hx, (t.j - 1) * 2 + 1, 2)
+  WHERE p.n > 0
+),
+pxs AS (SELECT doc_id, i, SUM(v) AS s FROM bytes GROUP BY 1, 2),
+grid AS (SELECT p.doc_id, gi.i FROM p, range({MM.PHASH_BITS}) gi(i)),
+pxf AS (SELECT g.doc_id, g.i, COALESCE(x.s, 0) AS s
+        FROM grid g LEFT JOIN pxs x ON x.doc_id = g.doc_id AND x.i = g.i),
+tot AS (SELECT doc_id, SUM(s) / {MM.PHASH_BITS}.0 AS mean FROM pxf GROUP BY 1),
+bits AS (SELECT f.doc_id, f.i, CASE WHEN f.s > t.mean THEN 1 ELSE 0 END AS b
+         FROM pxf f JOIN tot t USING (doc_id)),
+ph AS (
+  -- two's-complement int64 assembly: bits 0..62 positive, bit 63 adds
+  -- -2^63 — matches the kernel's signed LongType exactly.  The outer
+  -- CAST matters: DuckDB SUM(BIGINT) returns HUGEINT, and xor /
+  -- bit_count on a negative HUGEINT is 128-bit two's complement
+  SELECT doc_id,
+         CAST(
+           SUM(CASE WHEN i < 63 THEN b * (CAST(1 AS BIGINT) << CAST(i AS INT))
+                    ELSE 0 END)
+           + CASE WHEN MAX(CASE WHEN i = 63 THEN b ELSE 0 END) = 1
+                  THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END
+         AS BIGINT) AS phash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, CAST(i // 16 AS INT) AS band,
+         SUM(b * (CAST(1 AS BIGINT) << CAST(i % 16 AS INT))) AS bucket
+  FROM bits GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(ha.phash, hb.phash)) AS INT) AS hamming
+FROM cand c
+JOIN ph ha ON ha.doc_id = c.doc_a
+JOIN ph hb ON hb.doc_id = c.doc_b
+WHERE bit_count(xor(ha.phash, hb.phash)) <= {MM.PHASH_MAX_HAMMING}
+""",
+)
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup over the opaque media column: Arrow-
     batched 64-bit pHash, 4x16-bit LSH band join, exact popcount
     Hamming gate — planted duplicate payloads (doc_id % {PLANT_MOD}
-    == 0 copied to +{PLANT_SHIFT}) must pair at Hamming 0; the
-    contract is pytest-held (tests/test_wave40.py)."""
+    == 0 copied to +{PLANT_SHIFT}) must pair at Hamming 0 (also
+    pytest-held, tests/test_wave40.py).  Oracle-checked since round 4:
+    the stride-sum raster, signed-int64 hash, banding, and Hamming
+    filter are all recomputed by DuckDB from the payload bytes via
+    hex-pair explosion — bit-for-bit, including the bit-63
+    two's-complement case."""
     return MM.phash_neardup_pairs(
         MM.with_payload(_docs_plus_spark(spark, sf_dir))
     )
