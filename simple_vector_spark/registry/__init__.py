@@ -143,6 +143,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_quantile_sketch_audit", "events_hll_users",
     "events_hll_sketch_union", "dedup_audit_approx",
     "multimodal_frames", "multimodal_phash_neardup", "ann_mllib_lsh_join",
+    "doc_zlib_ratio", "table_storage_stats",
     # streaming suite
     "stream_watermark_append", "stream_wal_tail", "stream_live_index_knn",
     "stream_pit_enrich", "stream_anomaly_zscore",
