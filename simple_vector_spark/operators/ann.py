@@ -2001,6 +2001,9 @@ def graph_recall_vs_beam(
     qv = corpus.filter(F.col("_cid2") == query_id).select(
         F.col("_cv2").alias("_qv")
     )
+    # exact top-k baseline: consumed exactly once by the final
+    # semi-join, so it stays lazy (a checkpoint here would be a whole
+    # extra job for no reuse)
     exact = (
         corpus.crossJoin(F.broadcast(qv))
         .select(
@@ -2010,7 +2013,6 @@ def graph_recall_vs_beam(
         .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
         .limit(k)
         .select("vec_id")
-        .localCheckpoint()
     )
 
     def score(ids: DataFrame) -> DataFrame:
