@@ -156,15 +156,33 @@ def test_salted_join_beats_unsalted_on_skew(spark):
         )
         assert hot_parts > 1
 
-        def clock(fn):
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.monotonic()
-                fn().collect()
-                best = min(best, time.monotonic() - t0)
-            return best
+        # deterministic balance proof (immune to scheduler noise): the
+        # unsalted shuffle funnels >=90% of joined rows through one
+        # reducer; salting caps the largest reducer's share
+        def part_shares(df):
+            rows = (
+                df.select(F.spark_partition_id().alias("p"))
+                .groupBy("p").count().collect()
+            )
+            total = sum(r["count"] for r in rows)
+            return max(r["count"] for r in rows) / total
 
-        t_plain, t_salted = clock(plain), clock(salted)
+        assert part_shares(fact.join(dim, "k")) >= 0.90
+        assert part_shares(salted_join(fact, dim, "k", n_salt=16)) <= 0.35
+
+        def clock_once(fn):
+            t0 = time.monotonic()
+            fn().collect()
+            return time.monotonic() - t0
+
+        # wall-time proof: interleave plain/salted pairs so load drift
+        # over the measurement window hits both sides equally (a
+        # plain-block-then-salted-block order flaked once under
+        # full-suite load), min-of-3 each
+        t_plain, t_salted = float("inf"), float("inf")
+        for _ in range(3):
+            t_plain = min(t_plain, clock_once(plain))
+            t_salted = min(t_salted, clock_once(salted))
         # 95% of 4M rows on one reducer vs spread over 16: salted must win
         assert t_salted < t_plain, (t_salted, t_plain)
     finally:
