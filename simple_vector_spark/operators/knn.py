@@ -855,6 +855,91 @@ def allpairs_topk_arrow(corpus: DataFrame, k: int) -> DataFrame:
     )
 
 
+def allpairs_threshold_count_arrow(
+    corpus: DataFrame,
+    threshold: float,
+    metric: str = "euclid",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact COUNT of unordered pairs past a distance/similarity
+    threshold — the ground-truth side of the LSH-join and
+    blocked-recall contract checks, as the same blocked cogrouped tile
+    plan as :func:`allpairs_topk_arrow`: ceil(n/1024)-way blocks on
+    ``vec_id % nb``, one ~1024x1024 numpy tile per block pair, and ONLY
+    a per-tile long count shuffles (never pairs, never vectors).
+    Replaces a broadcast-NLJ + interpreted 64-dim HOF over all ~n^2/2
+    pairs that cost ~6s warm at sf0.1 (2000 rows).
+
+    ``metric='euclid'`` counts ROUND(SQRT(SUM((x-y)^2)), 6) <
+    threshold; ``metric='cosine'`` counts ROUND(dot/(|x||y|), 6) >=
+    threshold — matching the strict-less / at-least conventions of the
+    expression forms they stand in for.
+
+    Bit-parity contract with the expression/SQL forms: dot products and
+    squared diffs accumulate dimension-by-dimension left-to-right in
+    f64, norms/sqrt in f64, then :func:`_round6_np` — identical doubles
+    to both engines' folds.  Counting is order-insensitive, so no
+    tiebreak is needed."""
+    import numpy as np
+    import pandas as pd
+
+    if metric not in ("euclid", "cosine"):
+        raise ValueError(f"unsupported metric: {metric}")
+    spark = corpus.sparkSession
+    src = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    n = src.count()
+    nb = max(1, -(-n // ALLPAIRS_BLOCK_ROWS))
+    bids = spark.range(nb).select(F.col("id").alias("_b"))
+    a = src.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        (F.col("vec_id") % nb).alias("ab"),
+    ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("bb"))))
+    b = src.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        (F.col("vec_id") % nb).alias("bb"),
+    ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("ab"))))
+
+    def count_tile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"c": pd.array([], dtype="int64")})
+        ia = left["ia"].to_numpy(dtype=np.int64)
+        X = np.stack(left["va"].to_numpy()).astype(np.float64)
+        ib = right["ib"].to_numpy(dtype=np.int64)
+        Y = np.stack(right["vb"].to_numpy()).astype(np.float64)
+        D = np.zeros((len(ia), len(ib)), dtype=np.float64)
+        if metric == "euclid":
+            for d_ in range(X.shape[1]):
+                diff = X[:, d_ : d_ + 1] - Y[None, :, d_]
+                D += diff * diff
+            E = _round6_np(np.sqrt(D))
+            hit = (ia[:, None] < ib[None, :]) & (E < threshold)
+        else:  # cosine
+            for d_ in range(X.shape[1]):
+                D += X[:, d_ : d_ + 1] * Y[None, :, d_]
+            nx = np.zeros(len(ia), dtype=np.float64)
+            ny = np.zeros(len(ib), dtype=np.float64)
+            for d_ in range(X.shape[1]):
+                nx += X[:, d_] * X[:, d_]
+                ny += Y[:, d_] * Y[:, d_]
+            S = _round6_np(D / (np.sqrt(nx)[:, None] * np.sqrt(ny)[None, :]))
+            hit = (ia[:, None] < ib[None, :]) & (S >= threshold)
+        return pd.DataFrame({"c": np.asarray([int(hit.sum())], dtype=np.int64)})
+
+    counts = (
+        a.groupBy("ab", "bb")
+        .cogroup(b.groupBy("ab", "bb"))
+        .applyInPandas(count_tile, "c long")
+    )
+    return counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_true_pairs")
+    )
+
+
 def label_silhouette(corpus: DataFrame) -> DataFrame:
     """SILHOUETTE COEFFICIENT per label — THE cluster-quality standard
     applied to the labeled embedding corpus: s(i) = (b - a) /

@@ -2272,7 +2272,10 @@ def heaps_law_fit(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("total_tokens"),
     )
-    voc = firsts.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    # |vocab| = total first-occurrences; summing the per-doc axis (|docs|
+    # rows) avoids re-running the token-level min-doc_id shuffle a second
+    # time just to count it
+    voc = news.agg(F.sum("new_terms").cast("long").alias("vocab_size"))
 
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")

@@ -537,9 +537,13 @@ def embedding_blocked_recall(spark, sf_dir):
     expression, fewer candidates)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = A.fit_vectors(emb, A.CENTROID_IDS)
-    brute = D.embedding_cosine_pairs(emb, COSINE_DUP_THRESHOLD)
     blocked = D.embedding_cosine_pairs_blocked(emb, cents, COSINE_DUP_THRESHOLD)
-    nb = brute.agg(F.count("*").cast("bigint").alias("n_brute"))
+    # brute-force denominator is a COUNT only — the blocked cogrouped
+    # tile kernel (per-tile counts shuffle, numpy at BLAS speed)
+    # replaces materializing the broadcast-NLJ HOF pair set
+    nb = K.allpairs_threshold_count_arrow(
+        emb, COSINE_DUP_THRESHOLD, metric="cosine"
+    ).withColumnRenamed("n_true_pairs", "n_brute")
     nk = blocked.agg(F.count("*").cast("bigint").alias("n_blocked"))
     return nb.crossJoin(nk).select(
         "n_brute",
