@@ -137,3 +137,57 @@ def test_radius_search_similarity_metric_keeps_geq(ref_corpus, ref_query):
     got = sorted(r.vec_id for r in
                  K.radius_search(ref_corpus, q, 0.3, "ip").collect())
     assert got == [3, 4, 6]  # ip >= 0.3
+
+
+def test_allpairs_threshold_count_matches_expression_forms(spark, sf_dir):
+    """The blocked tile count kernel must agree exactly with the
+    expression forms it replaced (broadcast-NLJ + HOF), in both
+    metric modes, including the strict-< (euclid) vs >= (cosine)
+    conventions and the round-6-before-compare contract."""
+    from pyspark.sql import functions as F
+
+    from simple_vector_spark.functions.vector import (
+        as_double_array,
+        dot_product,
+        l2_norm,
+        squared_l2,
+    )
+    from simple_vector_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ia"),
+                   as_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"),
+                   as_double_array("embedding").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+
+    for thr in (0.8, 1.2, 2.0):
+        expr_n = (
+            pairs.select(
+                F.round(F.sqrt(squared_l2(F.col("va"), F.col("vb"))), 6)
+                .alias("e")
+            )
+            .filter(F.col("e") < thr)
+            .count()
+        )
+        got = K.allpairs_threshold_count_arrow(emb, thr).head()
+        assert got["n_true_pairs"] == expr_n, ("euclid", thr)
+
+    an = a.withColumn("na", l2_norm(F.col("va")))
+    bn = b.withColumn("nb", l2_norm(F.col("vb")))
+    cpairs = an.join(F.broadcast(bn), F.col("ia") < F.col("ib"))
+    for thr in (0.95, 0.99):
+        expr_n = (
+            cpairs.select(
+                F.round(
+                    dot_product(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")), 6
+                ).alias("s")
+            )
+            .filter(F.col("s") >= thr)
+            .count()
+        )
+        got = K.allpairs_threshold_count_arrow(
+            emb, thr, metric="cosine"
+        ).head()
+        assert got["n_true_pairs"] == expr_n, ("cosine", thr)
