@@ -31,6 +31,17 @@ TABLES = (
 )
 
 
+# Resolved-relation cache, keyed by (Spark application, absolute path).
+# Every spark.read.parquet re-lists the directory and re-reads footers
+# for schema — a driver-side job worth ~50-150 ms that the bench pays
+# ~2000x (514 queries x ~2 tables x 2 laps).  The fixture tables are
+# immutable for a session's lifetime (and a production table's resolved
+# schema is too), so the DataFrame — an immutable logical plan — is
+# safe to share across queries.  Keyed by applicationId so a stopped-
+# and-restarted session never sees a dead session's plan objects.
+_RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The engine's timestamp semantics are UTC (FIXTURES.md §C: the
     # DuckDB oracle sees naive/UTC timestamps).  The driver brings its
@@ -38,6 +49,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # query loads through this function.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, path, name)
+    _RELATION_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name == "events":
         # Fixture vintages differ on events.ts: some are nanosecond
         # parquet timestamps (which the Spark reader rejects — read as a
