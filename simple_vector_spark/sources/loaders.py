@@ -31,17 +31,6 @@ TABLES = (
 )
 
 
-# Resolved-relation cache, keyed by (Spark application, absolute path).
-# Every spark.read.parquet re-lists the directory and re-reads footers
-# for schema — a driver-side job worth ~50-150 ms that the bench pays
-# ~2000x (514 queries x ~2 tables x 2 laps).  The fixture tables are
-# immutable for a session's lifetime (and a production table's resolved
-# schema is too), so the DataFrame — an immutable logical plan — is
-# safe to share across queries.  Keyed by applicationId so a stopped-
-# and-restarted session never sees a dead session's plan objects.
-_RELATION_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The engine's timestamp semantics are UTC (FIXTURES.md §C: the
     # DuckDB oracle sees naive/UTC timestamps).  The driver brings its
@@ -49,12 +38,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # query loads through this function.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (spark.sparkContext.applicationId, os.path.abspath(path))
-    cached = _RELATION_CACHE.get(key)
+    # Resolved-relation cache, stored ON the session object: every
+    # spark.read.parquet re-lists the directory and re-reads footers for
+    # schema — a driver-side job worth ~50-150 ms that the bench pays
+    # ~2000x (514 queries x ~2 tables x 2 laps).  The fixture tables are
+    # immutable for a session's lifetime and a DataFrame is an immutable
+    # logical plan, so sharing is safe — but only WITHIN one session: a
+    # DataFrame is bound to the SQLConf of the session that created it,
+    # and spark.newSession() twins (same applicationId, private conf —
+    # bloom_filter_join uses one) must not see each other's relations,
+    # so the cache lives as an attribute that dies with its session.
+    cache = getattr(spark, "_sv_relation_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sv_relation_cache = cache
+    key = os.path.abspath(path)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     df = _read_table(spark, path, name)
-    _RELATION_CACHE[key] = df
+    cache[key] = df
     return df
 
 
