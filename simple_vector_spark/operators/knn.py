@@ -940,6 +940,80 @@ def allpairs_threshold_count_arrow(
     )
 
 
+def allpairs_cosine_pairs_arrow(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with ROUND(cosine, 6) >= threshold, EMITTED as
+    (ia, ib, sim) — the pair-set sibling of
+    :func:`allpairs_threshold_count_arrow` for the brute-force
+    near-dup baseline: same blocked cogrouped tile plan, but each tile
+    ships its (sparse — near-dups are rare by construction) matching
+    pairs instead of a count.  Same bit-parity contract as the
+    expression form it replaces (dot and norms accumulate
+    dimension-by-dimension in f64, HALF_UP round-6 via
+    :func:`_round6_np`)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    src = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    n = src.count()
+    nb = max(1, -(-n // ALLPAIRS_BLOCK_ROWS))
+    bids = spark.range(nb).select(F.col("id").alias("_b"))
+    a = src.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        (F.col("vec_id") % nb).alias("ab"),
+    ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("bb"))))
+    b = src.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        (F.col("vec_id") % nb).alias("bb"),
+    ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("ab"))))
+
+    def pair_tile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "ia": pd.array([], dtype="int64"),
+                "ib": pd.array([], dtype="int64"),
+                "sim": pd.array([], dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        ia = left["ia"].to_numpy(dtype=np.int64)
+        X = np.stack(left["va"].to_numpy()).astype(np.float64)
+        ib = right["ib"].to_numpy(dtype=np.int64)
+        Y = np.stack(right["vb"].to_numpy()).astype(np.float64)
+        D = np.zeros((len(ia), len(ib)), dtype=np.float64)
+        for d_ in range(X.shape[1]):
+            D += X[:, d_ : d_ + 1] * Y[None, :, d_]
+        nx = np.zeros(len(ia), dtype=np.float64)
+        ny = np.zeros(len(ib), dtype=np.float64)
+        for d_ in range(X.shape[1]):
+            nx += X[:, d_] * X[:, d_]
+            ny += Y[:, d_] * Y[:, d_]
+        S = _round6_np(D / (np.sqrt(nx)[:, None] * np.sqrt(ny)[None, :]))
+        hit = (ia[:, None] < ib[None, :]) & (S >= threshold)
+        ii, jj = np.nonzero(hit)
+        if len(ii) == 0:
+            return empty
+        return pd.DataFrame(
+            {"ia": ia[ii], "ib": ib[jj], "sim": S[ii, jj].astype(np.float64)}
+        )
+
+    return (
+        a.groupBy("ab", "bb")
+        .cogroup(b.groupBy("ab", "bb"))
+        .applyInPandas(pair_tile, "ia long, ib long, sim double")
+    )
+
+
 def label_silhouette(corpus: DataFrame) -> DataFrame:
     """SILHOUETTE COEFFICIENT per label — THE cluster-quality standard
     applied to the labeled embedding corpus: s(i) = (b - a) /

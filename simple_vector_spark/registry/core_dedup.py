@@ -443,8 +443,14 @@ SELECT ia, ib, sim FROM d WHERE sim >= {COSINE_DUP_THRESHOLD}
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Semantic near-dup pairs (cosine >= threshold), brute-force
-    baseline; ann.py LSH/IVF is the candidate generator at scale."""
+    baseline; ann.py LSH/IVF is the candidate generator at scale.
+    Pair generation runs as the blocked cogrouped tile kernel (numpy,
+    only the sparse matching pairs shuffle); the expression form
+    (D.embedding_cosine_pairs) stays the oracle-checkable verifier
+    primitive for candidate sets."""
+    from ..operators import knn as K
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_cosine_pairs(emb, COSINE_DUP_THRESHOLD)
+    return K.allpairs_cosine_pairs_arrow(emb, COSINE_DUP_THRESHOLD)
 
 
