@@ -126,9 +126,14 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     #    the raw (engine-specific) pair set to the one-row contract
     #    (true-pair count + threshold/recall booleans) with a DuckDB
     #    oracle.
+    #  * dedup_embedding_cosine / embedding_blocked_recall: round 4 moved
+    #    their brute-force sides from the broadcast-NLJ expression form to
+    #    the blocked cogrouped tile kernels (same oracles, new engine
+    #    path) — the old green rows certified the expression plan.
     "ann_ivf", "ann_pq_adc", "ann_pq_recall", "multimodal_decode",
     "dedup_audit_approx", "embedding_label_silhouette",
-    "ann_mllib_lsh_join",
+    "ann_mllib_lsh_join", "dedup_embedding_cosine",
+    "embedding_blocked_recall",
 })
 
 # Highest-value unrecorded queries (VERDICT r03 item 1): these lead the
@@ -139,6 +144,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # changed semantics — re-record (ADVICE r03 medium)
     "ann_ivf", "ann_pq_adc", "ann_pq_recall", "multimodal_decode",
     "embedding_label_silhouette",
+    # changed engine path (round-4 blocked tile kernels) — re-record
+    "dedup_embedding_cosine", "embedding_blocked_recall",
     # rows-only -> value-level oracle conversions (VERDICT r03 item 5)
     "orders_quantile_sketch_audit", "events_hll_users",
     "events_hll_sketch_union", "dedup_audit_approx",

@@ -230,13 +230,17 @@ def test_cells_arrow_beats_expression_at_volume(spark):
     n_arrow = A.cells_arrow(emb, cents).groupBy("__cell").count().count()
     assert n_expr == n_arrow  # same assignment
 
-    t0 = time.time()
-    A.with_cells(emb, cents).groupBy("__cell").count().count()
-    t_expr = time.time() - t0
-
-    t0 = time.time()
-    A.cells_arrow(emb, cents).groupBy("__cell").count().count()
-    t_arrow = time.time() - t0
+    # interleaved min-of-2 per side: external load drift during the
+    # window must hit both paths equally (a one-shot-each comparison
+    # flaked once under full-suite CPU contention)
+    t_expr, t_arrow = float("inf"), float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        A.with_cells(emb, cents).groupBy("__cell").count().count()
+        t_expr = min(t_expr, time.time() - t0)
+        t0 = time.time()
+        A.cells_arrow(emb, cents).groupBy("__cell").count().count()
+        t_arrow = min(t_arrow, time.time() - t0)
 
     # the kernel must win at index-build volume
     assert t_arrow < t_expr, (t_arrow, t_expr)
