@@ -2001,39 +2001,37 @@ def graph_recall_vs_beam(
     qv = corpus.filter(F.col("_cid2") == query_id).select(
         F.col("_cv2").alias("_qv")
     )
-    # exact top-k baseline: consumed exactly once by the final
-    # semi-join, so it stays lazy (a checkpoint here would be a whole
-    # extra job for no reuse)
-    exact = (
+    # Every distance in this walk is to the ONE query vector, so score
+    # the whole corpus against it ONCE and materialize the (id, dist)
+    # table — two scalars per corpus row.  The exact baseline and every
+    # hop's candidate scoring become lookups into this table; without
+    # it each hop re-read the parquet vectors and re-ran the 64-dim
+    # fold (~5 corpus passes per call, the r04 2.8s floor).
+    qd = (
         corpus.crossJoin(F.broadcast(qv))
         .select(
-            F.col("_cid2").alias("vec_id"),
-            F.round(squared_l2(F.col("_cv2"), F.col("_qv")), 6).alias("_d"),
+            F.col("_cid2").alias("_id"),
+            F.round(squared_l2(F.col("_cv2"), F.col("_qv")), 6).alias("dist"),
         )
-        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .localCheckpoint()
+    )
+    exact = (
+        qd.orderBy(F.col("dist").asc(), F.col("_id").asc())
         .limit(k)
-        .select("vec_id")
+        .select(F.col("_id").alias("vec_id"))
     )
 
     def score(ids: DataFrame) -> DataFrame:
-        """(_id) -> (_id, dist): one scoring pass per DISTINCT id,
-        shared by every beam that holds the id."""
-        return (
-            corpus.join(F.broadcast(ids), F.col("_cid2") == F.col("_id"))
-            .crossJoin(F.broadcast(qv))
-            .select(
-                F.col("_cid2").alias("_id"),
-                F.round(squared_l2(F.col("_cv2"), F.col("_qv")), 6).alias(
-                    "dist"
-                ),
-            )
-        )
+        """(_id) -> (_id, dist): a broadcast lookup into the
+        materialized distance table, shared by every beam that holds
+        the id."""
+        return qd.join(F.broadcast(ids), "_id")
 
     beams_df = spark.createDataFrame([(int(b),) for b in beams], "beam int")
     seed_ids = spark.createDataFrame(
         [(int(cid),) for cid, _ in cents], "_id long"
     )
-    seed_scored = score(seed_ids).localCheckpoint()
+    seed_scored = score(seed_ids)
     rank_w = Window.partitionBy("beam").orderBy(
         F.col("dist").asc(), F.col("_id").asc()
     )

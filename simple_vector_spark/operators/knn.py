@@ -581,7 +581,12 @@ def twonn_intrinsic_dim(corpus: DataFrame) -> DataFrame:
     Exact duplicates (r1 = 0) break the ratio and are excluded and
     counted.  Brute-force all-pairs top-2 at test scale (swap in the
     cell-blocked kNN graph at corpus scale); ln-ratio terms are
-    9dp-rounded DECIMAL so the fold is order-insensitive."""
+    9dp-rounded DECIMAL so the fold is order-insensitive.
+
+    The valid-terms fold and the dupe count come out of ONE aggregate
+    over ``top2`` — a separate dupes branch would re-run the whole
+    quadratic tile kernel a second time (the r04->r05 bench regression
+    on this query was exactly that extra pass)."""
     top2 = (
         allpairs_topk_arrow(corpus, 2)
         .groupBy("qid")
@@ -590,31 +595,22 @@ def twonn_intrinsic_dim(corpus: DataFrame) -> DataFrame:
             F.min(F.when(F.col("rnk") == 2, F.col("d"))).alias("d2"),
         )
     )
-    valid = top2.filter(F.col("d1") > 0)
-    terms = valid.select(
-        # ln(r2/r1) = 0.5 * ln(d2/d1) on squared distances
-        F.round(
-            F.lit(0.5)
-            * F.log(
-                F.try_divide(F.col("d2"), F.nullif(F.col("d1"), F.lit(0.0)))
-            ),
-            9,
-        )
-        .cast("decimal(18,9)")
-        .alias("lr")
-    )
-    s = terms.agg(
-        F.count(F.lit(1)).cast("long").alias("n_valid"),
-        F.sum("lr").alias("slr"),
-    )
-    dupes = top2.agg(
-        F.sum((F.col("d1") == 0).cast("int")).cast("long").alias("n_dupes")
+    # ln(r2/r1) = 0.5 * ln(d2/d1) on squared distances
+    lr = F.round(
+        F.lit(0.5)
+        * F.log(F.try_divide(F.col("d2"), F.nullif(F.col("d1"), F.lit(0.0)))),
+        9,
+    ).cast("decimal(18,9)")
+    s = top2.agg(
+        F.count(F.when(F.col("d1") > 0, F.lit(1))).cast("long").alias("n_valid"),
+        F.sum(F.when(F.col("d1") > 0, lr)).alias("slr"),
+        F.sum((F.col("d1") == 0).cast("int")).cast("long").alias("n_dupes"),
     )
     idhat = F.try_divide(
         (F.col("n_valid") - F.lit(1)).cast("double"),
         F.nullif(F.col("slr").cast("double"), F.lit(0.0)),
     )
-    return s.crossJoin(dupes).select(
+    return s.select(
         "n_valid",
         "n_dupes",
         (F.round(idhat, 6) + F.lit(0.0)).alias("intrinsic_dim"),
@@ -771,7 +767,7 @@ def allpairs_topk_arrow(corpus: DataFrame, k: int) -> DataFrame:
     """Distributed BRUTE-FORCE all-pairs top-k for the evaluation suite
     (LOO accuracy, two-NN ID, kNN-OOD, hubness) — a blocked k-NN
     self-join: the corpus is split into ``nb = ceil(n / 1024)`` blocks
-    on ``vec_id % nb``, every (query-block, corpus-block) pair is one
+    on ``pmod(vec_id, nb)``, every (query-block, corpus-block) pair is one
     cogrouped applyInPandas task scoring a ~1024 x 1024 tile at BLAS
     speed, per-tile top-k candidates shuffle (ids + distances only,
     never vectors), and a per-qid rank window merges the nb*k
@@ -802,12 +798,12 @@ def allpairs_topk_arrow(corpus: DataFrame, k: int) -> DataFrame:
     q = src.select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),
-        (F.col("vec_id") % nb).alias("qb"),
+        F.pmod(F.col("vec_id"), nb).alias("qb"),
     ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("cb"))))
     c = src.select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cemb"),
-        (F.col("vec_id") % nb).alias("cb"),
+        F.pmod(F.col("vec_id"), nb).alias("cb"),
     ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("qb"))))
 
     def score_tile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -866,10 +862,13 @@ def allpairs_threshold_count_arrow(
     threshold — the ground-truth side of the LSH-join and
     blocked-recall contract checks, as the same blocked cogrouped tile
     plan as :func:`allpairs_topk_arrow`: ceil(n/1024)-way blocks on
-    ``vec_id % nb``, one ~1024x1024 numpy tile per block pair, and ONLY
-    a per-tile long count shuffles (never pairs, never vectors).
-    Replaces a broadcast-NLJ + interpreted 64-dim HOF over all ~n^2/2
-    pairs that cost ~6s warm at sf0.1 (2000 rows).
+    ``pmod(vec_id, nb)`` (sign-safe for arbitrary id columns), one
+    ~1024x1024 numpy tile per block pair.  The tile INPUTS shuffle
+    nb-replicated (id, vector) rows — same as
+    :func:`allpairs_topk_arrow` — but the OUTPUT side ships only one
+    long count per tile (never pairs), so the reduce stage is
+    nb^2 rows.  Replaces a broadcast-NLJ + interpreted 64-dim HOF over
+    all ~n^2/2 pairs that cost ~6s warm at sf0.1 (2000 rows).
 
     ``metric='euclid'`` counts ROUND(SQRT(SUM((x-y)^2)), 6) <
     threshold; ``metric='cosine'`` counts ROUND(dot/(|x||y|), 6) >=
@@ -896,12 +895,12 @@ def allpairs_threshold_count_arrow(
     a = src.select(
         F.col("vec_id").alias("ia"),
         F.col("embedding").alias("va"),
-        (F.col("vec_id") % nb).alias("ab"),
+        F.pmod(F.col("vec_id"), nb).alias("ab"),
     ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("bb"))))
     b = src.select(
         F.col("vec_id").alias("ib"),
         F.col("embedding").alias("vb"),
-        (F.col("vec_id") % nb).alias("bb"),
+        F.pmod(F.col("vec_id"), nb).alias("bb"),
     ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("ab"))))
 
     def count_tile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -968,12 +967,12 @@ def allpairs_cosine_pairs_arrow(
     a = src.select(
         F.col("vec_id").alias("ia"),
         F.col("embedding").alias("va"),
-        (F.col("vec_id") % nb).alias("ab"),
+        F.pmod(F.col("vec_id"), nb).alias("ab"),
     ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("bb"))))
     b = src.select(
         F.col("vec_id").alias("ib"),
         F.col("embedding").alias("vb"),
-        (F.col("vec_id") % nb).alias("bb"),
+        F.pmod(F.col("vec_id"), nb).alias("bb"),
     ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("ab"))))
 
     def pair_tile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -1049,13 +1048,13 @@ def label_silhouette(corpus: DataFrame) -> DataFrame:
     q = src.select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),
-        (F.col("vec_id") % nb).alias("qb"),
+        F.pmod(F.col("vec_id"), nb).alias("qb"),
     ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("cb"))))
     c = src.select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cemb"),
         F.col("label").alias("clabel"),
-        (F.col("vec_id") % nb).alias("cb"),
+        F.pmod(F.col("vec_id"), nb).alias("cb"),
     ).crossJoin(F.broadcast(bids.select(F.col("_b").alias("qb"))))
 
     def tile_partials(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:

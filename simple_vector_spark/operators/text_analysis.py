@@ -450,11 +450,13 @@ def source_tfidf_terms(docs: DataFrame, top_per_source: int = 5, text_col: str =
 
     tf = token count / source token count; idf = ln(n_sources / df)
     where df counts sources containing the token.  Plan: one explode
-    pass feeds a (source, token)-keyed count shuffle; df and source
-    totals are aggregates OF that table (vocab-sized, not
-    occurrence-sized); the final rank is a per-source window.  Scores
-    ROUND 4 (ln ulp rule) and ranked on the rounded value with token
-    tiebreak."""
+    pass feeds a (source, token)-keyed count shuffle; the count table
+    is LOCALCHECKPOINTED (vocab x sources sized, tiny next to the
+    corpus) because df, source totals, n_sources, and the scored join
+    all consume it — without the checkpoint the occurrence-sized
+    explode pass re-runs once per consumer; the final rank is a
+    per-source window.  Scores ROUND 4 (ln ulp rule) and ranked on the
+    rounded value with token tiebreak."""
     from ..sources.loaders import fan_out
 
     st = (
@@ -462,7 +464,7 @@ def source_tfidf_terms(docs: DataFrame, top_per_source: int = 5, text_col: str =
         .select(F.col("source"), F.explode(tokens(F.col(text_col))).alias("t"))
         .groupBy("source", "t")
         .agg(F.count("*").alias("cnt"))
-    )
+    ).localCheckpoint()
     totals = st.groupBy("source").agg(F.sum("cnt").alias("n_tok"))
     df_ = st.groupBy("t").agg(F.countDistinct("source").alias("df"))
     n_sources = st.agg(F.countDistinct("source").alias("n_sources"))
@@ -998,15 +1000,23 @@ def inverted_postings(docs: DataFrame, k: int = POSTINGS_K) -> DataFrame:
     shuffle; postings truncation keeps every output row bounded.  At
     100 TB the full postings would be written as a term-bucketed table
     instead of an inline array — this is the per-term head a query
-    planner actually caches."""
+    planner actually caches.
+
+    The head is emitted as a comma-joined STRING (not array<long>):
+    every declared query keeps a flat, hashable output schema so any
+    row-wise canonicalizer (pandas sort_values included) can order it.
+    """
     tk = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     per_doc = tk.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
     return per_doc.groupBy("term").agg(
         F.countDistinct("doc_id").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("total_tf"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, k).alias(
-            "postings_head"
-        ),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, k).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("postings_head"),
     )
 
 
@@ -2274,8 +2284,12 @@ def heaps_law_fit(docs: DataFrame) -> DataFrame:
     )
     # |vocab| = total first-occurrences; summing the per-doc axis (|docs|
     # rows) avoids re-running the token-level min-doc_id shuffle a second
-    # time just to count it
-    voc = news.agg(F.sum("new_terms").cast("long").alias("vocab_size"))
+    # time just to count it.  COALESCE keeps the 0-on-empty-corpus
+    # contract of the COUNT form this SUM replaced (SUM of no rows is
+    # NULL where COUNT was 0).
+    voc = news.agg(
+        F.coalesce(F.sum("new_terms"), F.lit(0)).cast("long").alias("vocab_size")
+    )
 
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")

@@ -107,72 +107,69 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     "embeddings_kmeans_step", "ann_ivfpq_rerank", "dedup_embedding_blocked",
     "embedding_blocked_recall", "events_range_join_follow",
     "doc_chunks_udtf", "doc_median_chars",
-}) - frozenset({
-    # Changed semantics/oracles since their green row was recorded, so the
-    # old record no longer certifies the current code — re-front them for
-    # the driver to re-record (ADVICE r03, medium):
-    #  * ann_ivf / ann_pq_adc / ann_pq_recall: round 3 switched them to
-    #    TRAINED codebooks with new oracle SQL; r02 greens covered the
-    #    seed-codebook versions only.
-    #  * multimodal_decode: round 4 replaced the stub checksum decode with
-    #    a real PNG encode/decode round-trip and a value-level oracle; the
-    #    r02 green row was rows-only for the stub.
-    #  * dedup_audit_approx: round 4 added a value-level error-bound oracle
-    #    (was rows-only when its r02 row was recorded).
-    #  * embedding_label_silhouette: round 4 quantized per-pair distances
-    #    to integer micros before the cross-tile fold (ADVICE r03) — new
-    #    kernel and oracle SQL.
-    #  * ann_mllib_lsh_join: round 4 reshaped the checked projection from
-    #    the raw (engine-specific) pair set to the one-row contract
-    #    (true-pair count + threshold/recall booleans) with a DuckDB
-    #    oracle.
-    #  * dedup_embedding_cosine / embedding_blocked_recall: round 4 moved
-    #    their brute-force sides from the broadcast-NLJ expression form to
-    #    the blocked cogrouped tile kernels (same oracles, new engine
-    #    path) — the old green rows certified the expression plan.
-    "ann_ivf", "ann_pq_adc", "ann_pq_recall", "multimodal_decode",
-    "dedup_audit_approx", "embedding_label_silhouette",
-    "ann_mllib_lsh_join", "dedup_embedding_cosine",
-    "embedding_blocked_recall",
-})
-
-# Highest-value unrecorded queries (VERDICT r03 item 1): these lead the
-# pending block so the driver's ~50-record cap lands on them first.
-# Order: changed-semantics re-records, then the stream suite, sketches,
-# curation, text retrieval, and mutation audits.
-_DRIVER_PRIORITY: tuple[str, ...] = (
-    # changed semantics — re-record (ADVICE r03 medium)
-    "ann_ivf", "ann_pq_adc", "ann_pq_recall", "multimodal_decode",
-    "embedding_label_silhouette",
-    # changed engine path (round-4 blocked tile kernels) — re-record
-    "dedup_embedding_cosine", "embedding_blocked_recall",
-    # rows-only -> value-level oracle conversions (VERDICT r03 item 5)
+    # -- recorded green in CORRECTNESS_r04.json (round 4) --
+    # (the 9 changed-semantics names re-fronted after round 3 — ann_ivf,
+    # ann_pq_adc, ann_pq_recall, multimodal_decode, dedup_audit_approx,
+    # embedding_label_silhouette, ann_mllib_lsh_join,
+    # dedup_embedding_cosine, embedding_blocked_recall — were all
+    # RE-recorded green in r04 under the new semantics, so the r03-era
+    # subtraction block that re-fronted them is retired; they are counted
+    # once via their original entries above.  Note for cumulative audits:
+    # r02 also recorded "ann_ivf_trained", renamed to "ann_ivf" in r03.)
     "orders_quantile_sketch_audit", "events_hll_users",
-    "events_hll_sketch_union", "dedup_audit_approx",
-    "multimodal_frames", "multimodal_phash_neardup", "ann_mllib_lsh_join",
-    "doc_zlib_ratio", "table_storage_stats",
-    # streaming suite
+    "events_hll_sketch_union", "multimodal_frames",
+    "multimodal_phash_neardup", "doc_zlib_ratio", "table_storage_stats",
     "stream_watermark_append", "stream_wal_tail", "stream_live_index_knn",
     "stream_pit_enrich", "stream_anomaly_zscore",
     "stream_dedup_within_watermark", "stream_window_topk",
-    "stream_cdc_apply", "stream_dead_letter",
-    # sketches
-    "cms_heavy_hitters", "cms_width_tuning", "events_kmv_cardinality",
-    "events_kmv_intersection", "events_ams_f2_sketch",
-    "events_misra_gries_hh", "bloom_prune_audit", "bloom_filter_join",
-    # curation
-    "mixture_epoch_solver", "mixture_sample_audit",
+    "stream_cdc_apply", "stream_dead_letter", "cms_heavy_hitters",
+    "cms_width_tuning", "events_kmv_cardinality", "events_kmv_intersection",
+    "events_ams_f2_sketch", "events_misra_gries_hh", "bloom_prune_audit",
+    "bloom_filter_join", "mixture_epoch_solver", "mixture_sample_audit",
     "dataset_split_by_cluster", "split_leakage_audit",
     "split_embedding_leakage", "doc_pack_windows", "doc_weighted_sample",
-    "doc_dsir_weights", "pii_redaction_audit",
-    # text retrieval
-    "text_inverted_postings", "text_phrase_search", "doc_quality_gate",
-    "text_rm3_expansion", "text_lm_dirichlet_search", "text_kwic_snippets",
-    "doc_rake_keyphrases",
-    # mutation / layout audits
-    "wal_compaction_audit", "snapshot_diff_audit", "ivf_index_upsert_audit",
-    "zorder_layout_audit", "partitioned_write_prune",
-    "dpp_prune_join", "aqe_skew_join",
+    "doc_dsir_weights", "pii_redaction_audit", "text_phrase_search",
+    "doc_quality_gate", "text_rm3_expansion", "text_lm_dirichlet_search",
+    "text_kwic_snippets", "doc_rake_keyphrases", "wal_compaction_audit",
+    # (text_inverted_postings was checked in r04 but came back RED — the
+    # driver canonicalizer cannot hash its array<long> column; round 5
+    # stringifies the column and re-fronts it, so it stays unrecorded.)
+})
+
+# Highest-value unrecorded queries (VERDICT r04 item 4): these lead the
+# pending block so the driver's ~50-record cap lands on them first.
+# Order: the fixed red row, then the ANN/embedding audit family, the
+# dedup remainder, text retrieval/tokenization, and the layout/source
+# audits left over from the r04 front.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # r04's only red row — postings head stringified for the driver
+    # canonicalizer; re-record (VERDICT r04 item 1)
+    "text_inverted_postings",
+    # ANN / embedding audits (reference index-build/search surface,
+    # src/faiss_index.cc:32-58, src/hnswlib_index.cc:27-53)
+    "ann_binary_hamming", "ann_hamming_recall_curve", "ann_rp_multiprobe",
+    "ann_pq_distortion", "knn_graph_blocked", "knn_retrieval_metrics",
+    "embedding_pca_power_iter", "embeddings_kmeans_drift",
+    "ann_ivf_cell_stats", "ann_adaptive_filter_dense",
+    "embedding_norms_arrow", "knn_radius_search", "knn_maxsim_labels",
+    "label_centroid_accuracy", "embedding_triplet_mining",
+    "embedding_exact_dupes",
+    # dedup remainder
+    "dedup_simhash_pairs", "dedup_incremental_pairs", "dedup_keep_best",
+    "doc_winnowing_fingerprints", "dedup_lsh_band_tuning",
+    "dedup_shingle_containment", "dedup_graph_degree",
+    "dedup_cluster_sizes", "dedup_clusters_star", "dedup_graph_triangles",
+    "dedup_tfidf_verify", "dedup_matcher_eval", "multimodal_exact_dedup",
+    # text retrieval / tokenization
+    "saved_search_percolate", "doc_hash_embed_search", "bpe_train_merges",
+    "bpe_apply_encode", "bpe_merge_candidates", "vocab_pmi_bigrams",
+    "text_langid_chargram_agreement", "text_nb_langid_confusion",
+    # layout / source / mutation audits (r04-front leftovers)
+    "snapshot_diff_audit", "ivf_index_upsert_audit", "zorder_layout_audit",
+    "partitioned_write_prune", "dpp_prune_join", "aqe_skew_join",
+    "schema_evolution_roundtrip", "gzip_source_roundtrip",
+    "xml_source_roundtrip", "sql_pipe_revenue", "table_fingerprint_audit",
+    "multimodal_frame_audit", "multimodal_audio_windows",
 )
 
 

@@ -1744,13 +1744,15 @@ WITH tk AS (SELECT doc_id, unnest({_TK_SQL}) AS term FROM documents),
 pd AS (SELECT term, doc_id, COUNT(*) AS tf FROM tk GROUP BY 1, 2)
 SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(SUM(tf) AS BIGINT) AS total_tf,
-       (list(doc_id ORDER BY doc_id))[1:{T.POSTINGS_K}] AS postings_head
+       array_to_string((list(doc_id ORDER BY doc_id))[1:{T.POSTINGS_K}], ',')
+         AS postings_head
 FROM pd GROUP BY term
 """,
 )
 def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: per-term df, total tf, and the ascending
-    postings-list head — the text-search index twin of the vector
+    postings-list head (comma-joined string — declared outputs keep
+    flat hashable schemas) — the text-search index twin of the vector
     index builds."""
     return T.inverted_postings(load_table(spark, sf_dir, "documents"))
 

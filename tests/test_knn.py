@@ -191,3 +191,50 @@ def test_allpairs_threshold_count_matches_expression_forms(spark, sf_dir):
             emb, thr, metric="cosine"
         ).head()
         assert got["n_true_pairs"] == expr_n, ("cosine", thr)
+
+
+def test_allpairs_cosine_pairs_matches_expression_form(spark, sf_dir):
+    """The PAIR-EMITTING tile kernel (dedup_embedding_cosine's engine
+    path) must return the exact (ia, ib, sim) set of the broadcast-NLJ
+    expression form it replaced — the count-kernel parity test alone
+    leaves the emit path uncovered (ADVICE r04 item 1)."""
+    from simple_vector_spark.operators import dedup as D
+    from simple_vector_spark.sources.loaders import load_table
+
+    # sf0.001's 500 embeddings have no cosine-0.9 pairs, so PLANT two
+    # near-identical vectors (fresh ids) to force the emit path.
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = [1.0] + [0.0] * 63
+    w = [0.999] + [0.001] * 63
+    planted = spark.createDataFrame(
+        [(10_001, v), (10_002, w)], "vec_id long, embedding array<float>"
+    )
+    emb = base.unionByName(planted)
+    any_pairs = False
+    for thr in (0.9, 0.95):
+        want = {
+            (r["ia"], r["ib"], r["sim"])
+            for r in D.embedding_cosine_pairs(emb, thr).collect()
+        }
+        got = {
+            (r["ia"], r["ib"], r["sim"])
+            for r in K.allpairs_cosine_pairs_arrow(emb, thr).collect()
+        }
+        assert got == want, thr
+        any_pairs = any_pairs or bool(want)
+    assert any_pairs, "planted near-dup pair must surface"
+
+
+def test_allpairs_kernels_handle_negative_ids(spark):
+    """Block assignment is pmod(vec_id, nb), not sign-preserving % —
+    a negative id must land in a real block, not be silently dropped
+    (ADVICE r04 item 2).  Two identical vectors with ids -5 and 3 are
+    one cosine pair at any threshold <= 1."""
+    emb = spark.createDataFrame(
+        [(-5, [1.0, 0.0]), (3, [1.0, 0.0]), (7, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = K.allpairs_cosine_pairs_arrow(emb, 0.99).collect()
+    assert [(r["ia"], r["ib"], r["sim"]) for r in got] == [(-5, 3, 1.0)]
+    n = K.allpairs_threshold_count_arrow(emb, 0.99, metric="cosine").head()
+    assert n["n_true_pairs"] == 1

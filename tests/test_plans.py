@@ -484,7 +484,7 @@ def test_bloom_filter_join_probe_planted(spark):
     assert "broadcasthashjoin" not in plan.replace(" ", "")
 
 
-def test_relation_cache_is_session_scoped(spark):
+def test_relation_cache_is_session_scoped(spark, sf_dir):
     """load_table's resolved-relation cache must NOT leak across
     spark.newSession() twins: a DataFrame is bound to the SQLConf of
     the session that created it, so handing the main session's cached
@@ -494,13 +494,13 @@ def test_relation_cache_is_session_scoped(spark):
     the bloom probe vanished from the executed plan."""
     from simple_vector_spark.sources.loaders import load_table
 
-    main_df = load_table(spark, "/root/testdata/sf0.001", "orders")
+    main_df = load_table(spark, sf_dir, "orders")
     twin = spark.newSession()
-    twin_df = load_table(twin, "/root/testdata/sf0.001", "orders")
+    twin_df = load_table(twin, sf_dir, "orders")
     assert twin_df is not main_df
     # and within one session the cache must hit
-    assert load_table(spark, "/root/testdata/sf0.001", "orders") is main_df
-    assert load_table(twin, "/root/testdata/sf0.001", "orders") is twin_df
+    assert load_table(spark, sf_dir, "orders") is main_df
+    assert load_table(twin, sf_dir, "orders") is twin_df
 
 
 def test_aqe_skew_join_splits_hot_partition(spark):

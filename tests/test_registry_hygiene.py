@@ -1,7 +1,9 @@
 """Registry contract guards: every oracle parses in DuckDB, names are
-consistent, and the driver-order rotation references real queries.
-Pure metadata checks — no Spark jobs, so this file runs in seconds and
-catches oracle SQL typos before the round gate does."""
+consistent, the driver-order rotation references real queries, and no
+declared query emits a complex-typed output column (the driver-canon
+hashability contract).  All checks but the schema walk are pure
+metadata (no Spark jobs); the schema walk builds each non-stream plan
+at sf0.001 once."""
 
 from __future__ import annotations
 
@@ -53,6 +55,37 @@ def test_all_oracles_parse_in_duckdb(con):
         except Exception as ex:  # noqa: BLE001
             bad[name] = str(ex).splitlines()[0]
     assert not bad, f"oracles failing to parse: {bad}"
+
+
+def test_no_complex_typed_output_columns(spark, sf_dir):
+    """Driver-canon contract: the round gate hashes results through
+    pandas ``sort_values`` over every column, and list/dict cells are
+    unhashable there — so NO declared query may emit an array, map, or
+    struct column (r04's only red row, ``text_inverted_postings``,
+    was exactly this hazard).  Builds every non-stream declared query
+    at sf0.001 and walks the analyzed schema; streams are excluded
+    (constructing them runs checkpointed jobs) but all were
+    driver-green in r04 with flat schemas."""
+    from pyspark.sql import types as T
+
+    offenders = {}
+    for name, fn in registry._QUERIES.items():
+        if name.startswith("stream_"):
+            continue
+        df = fn(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            )
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "queries emitting complex-typed columns (driver canonicalizer "
+        f"cannot hash them): {offenders}"
+    )
 
 
 def test_no_duplicate_query_names_in_source():
