@@ -1960,6 +1960,7 @@ def graph_recall_vs_beam(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     edges: DataFrame | None = None,
+    ball: DataFrame | None = None,
 ) -> DataFrame:
     """MEASURED recall@k vs beam width for the navigable-graph ANN —
     the graph twin of ann_recall_vs_nprobe and the direct analog of
@@ -1967,24 +1968,30 @@ def graph_recall_vs_beam(
     (include/hnswlib_index.h:16, src/hnswlib_index.cc:27-53): wider
     beam = more candidates survive each hop = higher recall at higher
     cost.  Unlike the IVF curve (score once, filter per budget), the
-    beam changes the WALK itself — but the walks need not run one at a
-    time (VERDICT r03 item 6): all beams traverse TOGETHER in one
-    dataflow, with ``beam`` as a key column.  Per hop there is ONE
-    edge equi-join for the union of frontiers, candidates are scored
-    ONCE per distinct id (shared across beams — frontiers overlap
-    heavily), and each beam's next frontier is a rank-within-beam
-    filter.  The per-beam walk semantics are bit-identical to running
-    knn_graph_greedy_search per beam (the unrolled-per-beam oracle SQL
-    is unchanged); only the job count drops from beams x hops to hops.
+    beam changes the WALK itself — but no walk can leave the ``hops``-
+    hop BFS BALL of the seed set (beam pruning only shrinks frontiers),
+    and that ball is bounded by seeds * (degree + 1)^hops ids
+    INDEPENDENT of corpus size.  So the plan is: score the corpus
+    against the query once (materialized (id, dist) table), extract
+    the ball's nodes and edges with broadcast equi-joins, and run
+    every beam's walk in ONE cogrouped Arrow task over the bounded
+    subgraph — the Spark shape of how the reference itself walks
+    (hnswlib's search is a sequential in-memory traversal).  Per-beam
+    semantics are bit-identical to the unrolled-per-beam oracle SQL:
+    candidates = frontier UNION its out-neighbors, scored with the
+    same round-6 doubles, next frontier = top-``beam`` by (dist, id),
+    visited = every scored set, final top-k by (dist, id).
 
-    Scale: frontier state is sum(beams) rows, per-hop candidates are
-    at most sum(beams) * (1 + degree) ids, and the per-beam rank
-    window partitions on ``beam`` — everything broadcast-sized except
-    the corpus-side edge lookup and candidate scoring, which stay
-    equi-joins.
+    Scale: the corpus-sized work is the one distance pass and the
+    broadcast-probed edge lookups; the kernel's state is the
+    degree^hops-bounded ball — model-sized by construction at any
+    corpus size (the per-hop distributed dataflow this replaces spent
+    ~10 tiny-data shuffle jobs per call on local[32]).
 
     Output: (beam, n_hit, recall) per beam, recall against the exact
     (ROUND-6, id-tiebreak) top-k."""
+    import pandas as pd
+
     from ..functions.vector import as_double_array, squared_l2
 
     spark = emb.sparkSession
@@ -2021,61 +2028,77 @@ def graph_recall_vs_beam(
         .select(F.col("_id").alias("vec_id"))
     )
 
-    def score(ids: DataFrame) -> DataFrame:
-        """(_id) -> (_id, dist): a broadcast lookup into the
-        materialized distance table, shared by every beam that holds
-        the id."""
-        return qd.join(F.broadcast(ids), "_id")
-
     beams_df = spark.createDataFrame([(int(b),) for b in beams], "beam int")
     seed_ids = spark.createDataFrame(
         [(int(cid),) for cid, _ in cents], "_id long"
     )
-    seed_scored = score(seed_ids)
-    rank_w = Window.partitionBy("beam").orderBy(
-        F.col("dist").asc(), F.col("_id").asc()
-    )
-    # frontier / visited carry (beam, _id, dist); the per-beam top-beam
-    # filter replicates each walk's limit(beam) exactly (same rounded
-    # dist, same id tiebreak)
-    frontier = (
-        seed_scored.crossJoin(F.broadcast(beams_df))
-        .withColumn("_rn", F.row_number().over(rank_w))
-        .filter(F.col("_rn") <= F.col("beam"))
-        .select("beam", "_id", "dist")
-    )
-    visited = seed_scored.crossJoin(F.broadcast(beams_df)).select(
-        "beam", "_id", "dist"
-    )
-    for _ in range(hops):
-        expanded = edges.join(
-            F.broadcast(frontier.select("beam", "_id").distinct()),
-            F.col("_src") == F.col("_id"),
-        ).select("beam", F.col("_dst").alias("_id"))
-        cand = (
-            frontier.select("beam", "_id").unionByName(expanded).distinct()
+    # The hops-hop BFS ball of the FULL seed set: a superset of every
+    # node any beam's walk can score (frontiers are subsets of the
+    # unpruned expansion).  Query-independent, so callers that search
+    # the same index repeatedly pass it in precomputed (the registry
+    # session-caches it next to the edge table).
+    if ball is None:
+        ball = seed_ids
+        for _ in range(hops):
+            nbrs = edges.join(
+                F.broadcast(ball), F.col("_src") == F.col("_id")
+            ).select(F.col("_dst").alias("_id"))
+            ball = ball.unionByName(nbrs).distinct()
+    nodes = qd.join(F.broadcast(ball), "_id")
+    sub_edges = edges.join(
+        F.broadcast(ball), F.col("_src") == F.col("_id")
+    ).select("_src", "_dst")
+
+    seed_list = sorted(int(cid) for cid, _ in cents)
+    beam_list = [int(b) for b in beams]
+    n_hops = int(hops)
+
+    def walk_all(nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.DataFrame:
+        """All beam walks over the bounded ball subgraph, replicating
+        the unrolled oracle CTEs: per hop candidates = frontier UNION
+        out-neighbors, next frontier = top-beam by (dist, id), visited
+        accumulates every scored set; emits each beam's top-k visited
+        ids.  Python tuple sort on (float64, int) IS ORDER BY d, id on
+        the identical round-6 doubles."""
+        dist = dict(
+            zip(
+                nodes_pdf["_id"].astype("int64").tolist(),
+                nodes_pdf["dist"].astype("float64").tolist(),
+            )
         )
-        # distinct ids scored once, broadcast back onto the (beam, id)
-        # pairs; ONE checkpoint per hop (on the scored pairs) keeps the
-        # lineage flat without an extra scoring job
-        cand_scored = score(cand.select("_id").distinct())
-        scored = (
-            cand.join(F.broadcast(cand_scored), "_id")
-            .select("beam", "_id", "dist")
-            .localCheckpoint()
+        adj: dict[int, list[int]] = {}
+        for s_, d_ in zip(
+            edges_pdf["_src"].astype("int64").tolist(),
+            edges_pdf["_dst"].astype("int64").tolist(),
+        ):
+            adj.setdefault(s_, []).append(d_)
+        s0 = sorted((dist[i], i) for i in seed_list if i in dist)
+        out_beam: list[int] = []
+        out_id: list[int] = []
+        for b in beam_list:
+            frontier = [i for _, i in s0[:b]]
+            visited = {i for _, i in s0}
+            for _ in range(n_hops):
+                cand = set(frontier)
+                for f_ in frontier:
+                    cand.update(adj.get(f_, ()))
+                visited |= cand
+                frontier = [i for _, i in sorted((dist[c], c) for c in cand)[:b]]
+            top = sorted((dist[i], i) for i in visited)[:k]
+            out_beam.extend([b] * len(top))
+            out_id.extend(i for _, i in top)
+        return pd.DataFrame(
+            {
+                "beam": pd.array(out_beam, dtype="int32"),
+                "vec_id": pd.array(out_id, dtype="int64"),
+            }
         )
-        visited = (
-            visited.unionByName(scored).dropDuplicates(["beam", "_id"])
-        )
-        frontier = (
-            scored.withColumn("_rn", F.row_number().over(rank_w))
-            .filter(F.col("_rn") <= F.col("beam"))
-            .select("beam", "_id", "dist")
-        )
+
     topk = (
-        visited.withColumn("_rn", F.row_number().over(rank_w))
-        .filter(F.col("_rn") <= k)
-        .select("beam", F.col("_id").alias("vec_id"))
+        nodes.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .cogroup(sub_edges.withColumn("_g", F.lit(0)).groupBy("_g"))
+        .applyInPandas(walk_all, "beam int, vec_id long")
     )
     hits = (
         topk.join(exact, "vec_id", "left_semi")

@@ -72,6 +72,30 @@ def _graph_edges(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_ball(spark, sf_dir: str) -> DataFrame:
+    """Session-cached GRAPH_HOPS-hop BFS ball of the navigable graph's
+    seed set — query-independent (seeds and hop count are index
+    constants), so like the edge table it is built once per (session,
+    fixture); beam-recall walks restrict their node/edge shipment to
+    it without re-running the iterative expansion per call."""
+
+    def build() -> DataFrame:
+        edges = _graph_edges(spark, sf_dir).select(
+            F.col("vec_id").alias("_src"), F.col("nbr_id").alias("_dst")
+        )
+        ball = spark.createDataFrame(
+            [(int(c),) for c in A.CENTROID_IDS], "_id long"
+        )
+        for _ in range(A.GRAPH_HOPS):
+            nbrs = edges.join(
+                F.broadcast(ball), F.col("_src") == F.col("_id")
+            ).select(F.col("_dst").alias("_id"))
+            ball = ball.unionByName(nbrs).distinct()
+        return ball
+
+    return _cached_index(spark, sf_dir, "graph_ball", build)
+
+
 def _trained_centroids(emb: DataFrame, sf_dir: str, iters: int = None):
     key = (sf_dir, iters if iters is not None else TRAIN_ITERS)
     if key not in _TRAINED_CENTS_CACHE:

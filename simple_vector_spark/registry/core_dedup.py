@@ -75,7 +75,19 @@ _DEDUP_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def _cached_index(spark, sf_dir: str, name: str, builder):
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _DEDUP_INDEX_CACHE:
-        _DEDUP_INDEX_CACHE[key] = builder().localCheckpoint()
+        df = builder().localCheckpoint()
+        # Size-aware layout: an index-sized relation checkpointed
+        # straight off a shuffle keeps the shuffle's partition count
+        # (32 here, often near-empty), so every later scan of the
+        # cached index pays that many tasks.  Compact once to
+        # ceil(n / 64Ki)-block layout — at real scale a big index
+        # keeps its partitioning, a model-sized one becomes one block.
+        n_rows = df.count()
+        parts = df.rdd.getNumPartitions()
+        want = max(1, min(parts, -(-n_rows // 65536)))
+        if want < parts:
+            df = df.coalesce(want).localCheckpoint()
+        _DEDUP_INDEX_CACHE[key] = df
     return _DEDUP_INDEX_CACHE[key]
 
 

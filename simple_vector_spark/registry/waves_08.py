@@ -14,7 +14,7 @@ from ..sources.loaders import load_table
 from . import _ORACLES, query
 from .core_relational import E, R
 from .core_dedup import _H_SQL
-from .core_ann import A, ANN_K, ANN_QUERY_ID, T, _CENTS_SQL, _graph_edges
+from .core_ann import A, ANN_K, ANN_QUERY_ID, T, _CENTS_SQL, _graph_ball, _graph_edges
 from .core_text import _TK_SQL
 from .waves_05 import _NAV_EDGES_SQL, _graph_walk_sql
 from .waves_07 import _nsf2_sql
@@ -2261,6 +2261,7 @@ def ann_recall_vs_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.graph_recall_vs_beam(
         emb, A.fit_vectors(emb, A.CENTROID_IDS), ANN_QUERY_ID, ANN_K,
         edges=_graph_edges(spark, sf_dir),
+        ball=_graph_ball(spark, sf_dir),
     )
 
 
