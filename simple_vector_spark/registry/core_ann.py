@@ -57,6 +57,11 @@ def _emb_with_cells(spark, sf_dir: str, trained: bool = False) -> DataFrame:
     return _cached_index(
         spark, sf_dir, f"ivf_cells_{'trained' if trained else 'seed'}",
         lambda: A.cells_arrow(fan_out(emb), cents),
+        # corpus-sized AND vector-bearing: same-cell self-joins
+        # (knn_graph_blocked, dedup_embedding_blocked) do quadratic
+        # scoring straight off these partitions — compacting to one
+        # block serializes that compute (r05 bench: 0.85 -> 3.6 s)
+        compact=False,
     )
 
 

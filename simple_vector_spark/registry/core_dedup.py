@@ -72,21 +72,26 @@ _SIG_COLS_SQL = ",\n  ".join(
 _DEDUP_INDEX_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _cached_index(spark, sf_dir: str, name: str, builder):
+def _cached_index(spark, sf_dir: str, name: str, builder, compact: bool = True):
+    """Session-cached checkpointed index relation.
+
+    ``compact=True`` (default) re-blocks the checkpoint to
+    ceil(n / 64Ki) partitions: an index-sized relation checkpointed
+    straight off a shuffle keeps the shuffle's partition count (32
+    here, often near-empty), so every later scan pays that many tasks.
+    Pass ``compact=False`` for relations whose consumers do heavy
+    per-row compute off them (e.g. the vector-bearing cell-assignment
+    table feeding quadratic same-cell joins) — there the input
+    partitioning IS the compute parallelism and must survive."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _DEDUP_INDEX_CACHE:
         df = builder().localCheckpoint()
-        # Size-aware layout: an index-sized relation checkpointed
-        # straight off a shuffle keeps the shuffle's partition count
-        # (32 here, often near-empty), so every later scan of the
-        # cached index pays that many tasks.  Compact once to
-        # ceil(n / 64Ki)-block layout — at real scale a big index
-        # keeps its partitioning, a model-sized one becomes one block.
-        n_rows = df.count()
-        parts = df.rdd.getNumPartitions()
-        want = max(1, min(parts, -(-n_rows // 65536)))
-        if want < parts:
-            df = df.coalesce(want).localCheckpoint()
+        if compact:
+            n_rows = df.count()
+            parts = df.rdd.getNumPartitions()
+            want = max(1, min(parts, -(-n_rows // 65536)))
+            if want < parts:
+                df = df.coalesce(want).localCheckpoint()
         _DEDUP_INDEX_CACHE[key] = df
     return _DEDUP_INDEX_CACHE[key]
 
