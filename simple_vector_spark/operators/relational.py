@@ -4760,6 +4760,9 @@ def _covisit_scored_pairs(rel: DataFrame, min_co: int) -> DataFrame:
     """Symmetrized co-visitation cosine pairs from a (basket-capped)
     distinct (o_custkey, l_partkey) purchase relation — shared by the
     recommender and its holdout evaluation."""
+    # NOT checkpointed: the symmetrizing union's branches share the
+    # pair aggregation's exchange (ReusedExchange), so a pin only adds
+    # an eager job (measured neutral-to-worse at sf0.1)
     pairs = _pair_counts(rel, min_co)
     support = rel.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).alias("n_cust")
@@ -8252,8 +8255,12 @@ def tail_dependence(lineitem: DataFrame, q: float = TAILDEP_Q) -> DataFrame:
     )
     tb = [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
     rx = avg_rank2(base, "l_quantity", tb, out_name="ax")
-    j = avg_rank2(rx, "l_extendedprice", tb, out_name="ay").localCheckpoint()
-    n = F.broadcast(j.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    j = avg_rank2(rx, "l_extendedprice", tb, out_name="ay")
+    # rank passes preserve row count, so the threshold's n comes from a
+    # column-pruned count of the INPUT — the ranked table is consumed
+    # exactly once (previously it was corpus-checkpointed just to be
+    # counted a second time)
+    n = F.broadcast(base.agg(F.count(F.lit(1)).cast("long").alias("n")))
     # doubled average ranks: threshold 2*q*n
     jn = j.crossJoin(n)
     hi_u = F.col("ax").cast("double") > F.lit(2.0 * q) * F.col("n").cast("double")

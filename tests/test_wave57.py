@@ -66,7 +66,11 @@ def test_inverted_postings_head_and_counts(spark):
     out = {r["term"]: r for r in T.inverted_postings(docs).collect()}
     assert out["alpha"]["df"] == 14
     assert out["alpha"]["total_tf"] == 28
-    assert out["alpha"]["postings_head"] == list(range(1, 11))  # truncated
+    # head is a comma-joined STRING since round 5 (driver-canon flat
+    # schema contract), truncated to POSTINGS_K ascending ids
+    assert out["alpha"]["postings_head"] == ",".join(
+        str(i) for i in range(1, 11)
+    )
     assert out["beta"]["df"] == 15
 
 
