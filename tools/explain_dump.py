@@ -86,7 +86,7 @@ HEADLINERS = [
     ("embedding_knn_loo_accuracy", "blocked exact kNN self-join: cogrouped tile pairs in FlatMapCoGroupsInPandas, ids+dists shuffle, per-qid rank merge — no driver collect"),
     ("part_covisit_recs", "hash-rank basket cap window, customer-keyed pair self-join, broadcast supports, rank-limit window"),
     ("graph_index_upsert_audit", "incremental edge repair: batch-only assignment, affected-cell cogroup kernel, anti-join stale drop, per-src rerank"),
-    ("ann_recall_vs_beam", "fused multi-beam walk (round 4): one edge equi-join + one scoring pass per hop shared by all beams; rank-within-beam windows"),
+    ("ann_recall_vs_beam", "ball-kernel walk (round 5): one materialized corpus-distance pass + cached seed-set BFS ball; all beam walks in one cogrouped Arrow task, recall join per beam"),
     ("multimodal_decode", "real PNG encode/decode round-trip in one mapInPandas stage; only doc_id enters, fixed-width pixel stats leave"),
 ]
 
