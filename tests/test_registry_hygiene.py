@@ -57,6 +57,42 @@ def test_all_oracles_parse_in_duckdb(con):
     assert not bad, f"oracles failing to parse: {bad}"
 
 
+def test_driver_recorded_matches_correctness_artifacts():
+    """The rotation's _DRIVER_RECORDED set must equal the union of
+    names the driver actually recorded across the committed
+    CORRECTNESS_r*.json artifacts (hash-green, or the r02-era
+    rows-only 'no_oracle' checks) — the round-start bookkeeping this
+    enforces is what keeps the ~50-record/round rotation landing on
+    never-checked queries.  Renamed queries map through the alias
+    table."""
+    import json
+    import pathlib
+
+    aliases = {"ann_ivf_trained": "ann_ivf"}  # renamed in round 3
+    root = pathlib.Path(__file__).parent.parent
+    derived: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(f.read_text()).items():
+            green = row.get("hash_match") is True
+            rows_only = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green or rows_only:
+                derived.add(aliases.get(name, name))
+    assert derived, "no CORRECTNESS artifacts found"
+    missing = derived - registry._DRIVER_RECORDED
+    stale = registry._DRIVER_RECORDED - derived
+    assert not missing, (
+        f"driver-green names not yet appended to _DRIVER_RECORDED "
+        f"(round-start bookkeeping): {sorted(missing)}"
+    )
+    assert not stale, (
+        f"_DRIVER_RECORDED names with no green artifact row: "
+        f"{sorted(stale)}"
+    )
+
+
 def test_no_complex_typed_output_columns(spark, sf_dir):
     """Driver-canon contract: the round gate hashes results through
     pandas ``sort_values`` over every column, and list/dict cells are
