@@ -394,3 +394,51 @@ def test_recall_vs_beam_rows_come_back_sorted_by_beam(spark):
         emb, _cents(emb, ids=(0, 20)), query_id=3, k=5, beams=(16, 2, 8)
     ).collect()
     assert [r["beam"] for r in out] == [2, 8, 16]
+
+
+def test_recall_vs_beam_cached_ball_equals_fallback(spark):
+    """The registry passes a session-cached seed-set BFS ball into
+    graph_recall_vs_beam; the operator's ball=None fallback builds the
+    same ball inline.  Both paths must emit identical recall rows —
+    the cached ball is a layout optimization, never a semantics
+    change."""
+    emb = _clustered_emb(spark, n_clusters=3, per=25)
+    cents = _cents(emb, ids=(0, 25, 50))
+    edges = A.knn_graph_navigable(emb, cents).localCheckpoint()
+    fallback = A.graph_recall_vs_beam(
+        emb, cents, query_id=7, k=5, edges=edges
+    ).collect()
+    e2 = edges.select(
+        F.col("vec_id").alias("_src"), F.col("nbr_id").alias("_dst")
+    )
+    ball = spark.createDataFrame([(int(c),) for c, _ in cents], "_id long")
+    for _ in range(A.GRAPH_HOPS):
+        nbrs = e2.join(
+            F.broadcast(ball), F.col("_src") == F.col("_id")
+        ).select(F.col("_dst").alias("_id"))
+        ball = ball.unionByName(nbrs).distinct()
+    cached = A.graph_recall_vs_beam(
+        emb, cents, query_id=7, k=5, edges=edges, ball=ball.localCheckpoint()
+    ).collect()
+    assert [tuple(r) for r in cached] == [tuple(r) for r in fallback]
+    assert any(r["n_hit"] > 0 for r in fallback)
+
+
+def test_cached_index_compaction_is_size_aware(spark):
+    """_cached_index compacts a many-partition small index to one
+    block (scan-cost contract) but leaves vector-bearing relations
+    partitioned when compact=False (compute-parallelism contract)."""
+    from simple_vector_spark.registry.core_dedup import _cached_index
+
+    def build():
+        return spark.range(0, 1000, 1, 16).select(F.col("id").alias("k"))
+
+    compacted = _cached_index(spark, "/tmp/x", "t_compact_on", build)
+    assert compacted.rdd.getNumPartitions() == 1
+    assert compacted.count() == 1000
+    kept = _cached_index(
+        spark, "/tmp/x", "t_compact_off", build, compact=False
+    )
+    assert kept.rdd.getNumPartitions() == 16
+    # cache hit returns the same object, no rebuild
+    assert _cached_index(spark, "/tmp/x", "t_compact_on", build) is compacted
