@@ -470,13 +470,13 @@ def test_ams_sketch_is_map_side_partial_aggregate(spark, sf_dir):
     assert "partial_" in plan.lower() or "Partial" in plan
 
 
-def test_bloom_filter_join_probe_planted(spark):
+def test_bloom_filter_join_probe_planted(spark, sf_dir):
     """The runtime bloom filter must actually appear: build-side
     BloomFilterAggregate feeding a bloom_filter_might_contain probe on
     the lineitem side, pre-shuffle."""
     from simple_vector_spark.registry import _QUERIES
 
-    df = _QUERIES["bloom_filter_join"](spark, "/root/testdata/sf0.001")
+    df = _QUERIES["bloom_filter_join"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "might_contain" in plan
     # and the probe must not have degraded the join to broadcast
