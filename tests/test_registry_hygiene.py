@@ -141,3 +141,23 @@ def test_no_duplicate_query_names_in_source():
     assert len(names) > 500, "registry package parts not found"
     dupes = {n for n in names if names.count(n) > 1}
     assert not dupes, f"duplicate @query names: {sorted(dupes)}"
+
+
+def test_bench_warm_set_names_exist():
+    """bench.py guards its warm-up list with ``if wq in qs`` so a
+    renamed query silently stops being warmed — and the family it was
+    pre-compiling (Python worker pool, tokenize codegen, tile kernels)
+    then pays its one-time cost inside a timed lap, which reads as a
+    phantom regression.  Pin every warm name to a real registry
+    entry."""
+    import pathlib
+    import re
+
+    src = (pathlib.Path(__file__).parent.parent / "bench.py").read_text()
+    warm = re.findall(
+        r'"((?:knn|tpch|vocab|dedup|embedding|ann|part)[a-z0-9]*_[a-z0-9_]*)"',
+        src,
+    )
+    assert len(warm) >= 10, f"bench warm set not found (got {warm})"
+    missing = [w for w in warm if w not in registry._QUERIES]
+    assert not missing, f"bench.py warms unknown queries: {missing}"
