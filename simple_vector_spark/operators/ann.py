@@ -1058,8 +1058,16 @@ def dim_variance_profile(emb: DataFrame, vec_col: str = "embedding") -> DataFram
     dominant one starves the others).  posexplode feeds one
     dim-keyed shuffle (64 groups, map-side combined); moments from
     exact DECIMAL power sums (component values ROUND 6 before the
-    cast) so variance is bit-identical cross-engine."""
-    x = F.round(F.col("x"), 6).cast("decimal(21,6)")
+    cast) so variance is bit-identical cross-engine.
+
+    The input cast is decimal(12,6), NOT wider: the square of a
+    (12,6) is (25,12) — exactly representable, so the product never
+    hits Spark's precision-loss scale trim.  At (21,6) the square's
+    ideal type is (43,12) > 38 and Spark silently rounds it to scale
+    7 while DuckDB computes it in f64 — two different quantizations
+    of x*x that diverged in ROUND(var,6) at sf0.1 (caught by the
+    full-scale oracle sweep, round 5)."""
+    x = F.round(F.col("x"), 6).cast("decimal(12,6)")
     terms = emb.select(
         F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x")
     ).select(F.col("pos"), x.alias("_x"))

@@ -145,6 +145,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # r04's only red row — postings head stringified for the driver
     # canonicalizer; re-record (VERDICT r04 item 1)
     "text_inverted_postings",
+    # round-5 full-sf0.1 sweep fixes: embedding_dim_variance's Spark
+    # power sums are now exact (decimal(12,6) inputs — the (21,6)
+    # square overflowed precision 38 and Spark scale-trimmed it);
+    # the others are oracle-only conversion/evaluation-order fixes
+    # (decimal->double via VARCHAR; json_valid data-flow gate) whose
+    # Spark outputs are unchanged — fronted so the fixes earn driver
+    # rows at once (stream_dead_letter's gate fix is oracle-only and
+    # it is already driver-green from r04, so it is not re-fronted)
+    "embedding_dim_variance", "nation_gravity_model",
+    "vocab_heaps_law", "events_weibull_retention",
     # ANN / embedding audits (reference index-build/search surface,
     # src/faiss_index.cc:32-58, src/hnswlib_index.cc:27-53)
     "ann_binary_hamming", "ann_hamming_recall_curve", "ann_rp_multiprobe",

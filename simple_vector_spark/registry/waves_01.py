@@ -2367,7 +2367,7 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH terms AS (
   SELECT generate_subscripts(embedding, 1) - 1 AS pos,
-         CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])), 6) AS DECIMAL(21,6)) AS x
+         CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])), 6) AS DECIMAL(12,6)) AS x
   FROM embeddings
 ),
 stats AS (

@@ -1244,8 +1244,9 @@ num AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_shared_terms,
-       ROUND(CAST(num AS DOUBLE)
-             / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), 6)
+       ROUND(CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / (SQRT(CAST(CAST(na.n2 AS VARCHAR) AS DOUBLE))
+                * SQRT(CAST(CAST(nb.n2 AS VARCHAR) AS DOUBLE))), 6)
          AS cosine
 FROM num
 JOIN norm2 na ON na.doc_id = doc_a

@@ -61,7 +61,7 @@ pn AS (
 ),
 an AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         CAST(SUM(nrm) AS DOUBLE) / COUNT(*) AS anorm
+         CAST(CAST(SUM(nrm) AS VARCHAR) AS DOUBLE) / COUNT(*) AS anorm
   FROM pn
 )
 SELECT n_vecs, ROUND(mnorm, 6) AS mean_vec_norm,

@@ -794,19 +794,21 @@ wg AS (
 folded AS (
   SELECT MAX(n) AS n_customers,
          SUM(CAST(ROUND((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
-               * (CAST(sw AS DOUBLE) / ng), 9) AS DECIMAL(38,12))) AS tw,
+               * (CAST(CAST(sw AS VARCHAR) AS DOUBLE) / ng), 9) AS DECIMAL(38,12))) AS tw,
          SUM(CAST(ROUND((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
                * ln((CAST(sg AS DOUBLE) / ng) / (CAST(s AS DOUBLE) / n)), 9)
               AS DECIMAL(38,12))) AS tb,
          SUM(st_g) AS st
   FROM wg
 )
+-- st/tb/tw -> double via VARCHAR (scale-12 sums, 2^53-significand
+-- hazard: nation_gravity_model class, r5)
 SELECT n_customers,
-       ROUND(CAST(st AS DOUBLE) / n_customers, 6) AS theil_total,
-       ROUND(CAST(tb AS DOUBLE), 6) AS theil_between,
-       ROUND(CAST(tw AS DOUBLE), 6) AS theil_within,
-       ROUND(CAST(st AS DOUBLE) / n_customers - CAST(tb AS DOUBLE)
-             - CAST(tw AS DOUBLE), 6) + 0.0 AS residual
+       ROUND(CAST(CAST(st AS VARCHAR) AS DOUBLE) / n_customers, 6) AS theil_total,
+       ROUND(CAST(CAST(tb AS VARCHAR) AS DOUBLE), 6) AS theil_between,
+       ROUND(CAST(CAST(tw AS VARCHAR) AS DOUBLE), 6) AS theil_within,
+       ROUND(CAST(CAST(st AS VARCHAR) AS DOUBLE) / n_customers - CAST(CAST(tb AS VARCHAR) AS DOUBLE)
+             - CAST(CAST(tw AS VARCHAR) AS DOUBLE), 6) + 0.0 AS residual
 FROM folded
 """,
 )
@@ -1236,8 +1238,8 @@ terms AS (
 agg AS (SELECT t, SUM(v) AS s, COUNT(*) AS k FROM terms GROUP BY t)
 SELECT CAST(k AS BIGINT) AS k,
        CAST(t AS DECIMAL(15,2)) AS threshold,
-       ROUND(CAST(s AS DOUBLE) / k, 6) AS hill_h,
-       ROUND(1.0 / NULLIF(CAST(s AS DOUBLE) / k, 0.0), 6) AS tail_alpha
+       ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE) / k, 6) AS hill_h,
+       ROUND(1.0 / NULLIF(CAST(CAST(s AS VARCHAR) AS DOUBLE) / k, 0.0), 6) AS tail_alpha
 FROM agg
 """,
 )
@@ -2250,13 +2252,16 @@ s AS (
          MAX(CASE WHEN k = 1 THEN r END) AS r1_share
   FROM pooled GROUP BY n_cohorts_used
 )
+-- sky/sy -> double via VARCHAR: scale-12 sums whose significand can
+-- exceed 2^53; DuckDB's direct decimal cast can be 1 ulp off Spark's
+-- correctly-rounded BigDecimal cast (nation_gravity_model class, r5)
 SELECT n_cohorts_used, m AS n_points, r1_share,
-       ROUND((m * CAST(sky AS DOUBLE) - sk * CAST(sy AS DOUBLE))
+       ROUND((m * CAST(CAST(sky AS VARCHAR) AS DOUBLE) - sk * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
              / NULLIF(CAST(m * skk - sk * sk AS DOUBLE), 0.0), 6) AS decay_slope,
-       ROUND(CASE WHEN ROUND((m * CAST(sky AS DOUBLE) - sk * CAST(sy AS DOUBLE))
+       ROUND(CASE WHEN ROUND((m * CAST(CAST(sky AS VARCHAR) AS DOUBLE) - sk * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
                        / NULLIF(CAST(m * skk - sk * sk AS DOUBLE), 0.0), 6) < 0
                   THEN -ln(2.0)
-                       / ROUND((m * CAST(sky AS DOUBLE) - sk * CAST(sy AS DOUBLE))
+                       / ROUND((m * CAST(CAST(sky AS VARCHAR) AS DOUBLE) - sk * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
                        / NULLIF(CAST(m * skk - sk * sk AS DOUBLE), 0.0), 6)
              END, 6) AS half_life_weeks
 FROM s

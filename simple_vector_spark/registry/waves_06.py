@@ -2045,11 +2045,18 @@ tot AS (
 ),
 voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM firsts),
 raw AS (
+  -- decimal -> double through VARCHAR: the product sums are
+  -- DECIMAL(38,18) with significands beyond 2^53 and DuckDB's direct
+  -- cast can be 1 ulp off Spark's correctly-rounded BigDecimal cast
+  -- (the nation_gravity_model failure class, round 5); strtod on the
+  -- exact digit string is correctly rounded in both engines
   SELECT n_docs, total_tokens, vocab_size,
          CAST(n AS DOUBLE) AS nd,
-         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
-         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
-         CAST(syy AS DOUBLE) AS syyd
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+         CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
   FROM tot CROSS JOIN voc CROSS JOIN s
 ),
 fit AS (

@@ -1311,14 +1311,22 @@ s AS (
   FROM pts GROUP BY 1
 ),
 fit AS (
+  -- decimal -> double through VARCHAR: scale-18 product sums exceed
+  -- 2^53 significands and DuckDB's direct cast can be 1 ulp off
+  -- Spark's correctly-rounded BigDecimal cast (the
+  -- nation_gravity_model failure class, round 5)
   SELECT n_users, m,
-         CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
-         CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
-         CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
-           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
-         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+         CAST(m AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+           - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+             * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS num,
+         CAST(m AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+           - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+             * CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS denx,
+         CAST(m AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+           - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+             * CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS deny,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+         CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd
   FROM s
 ),
 kk AS (

@@ -1074,9 +1074,15 @@ WITH poisoned AS (
   FROM events
 ),
 gated AS (
+  -- json_extract must only ever SEE valid JSON: DuckDB's vectorized
+  -- AND does not guarantee short-circuit, so `json_valid(x) AND
+  -- json_extract(x, ...)` can still evaluate the extract on a
+  -- malformed chunk and abort the query (it did at sf0.1, round 5).
+  -- Gating the DATA (NULL for invalid rows) is evaluation-order-safe.
   SELECT event_type,
-         CASE WHEN json_valid(props)
-                   AND json_extract(props, '$.k') IS NOT NULL
+         CASE WHEN json_extract(
+                CASE WHEN json_valid(props) THEN props END, '$.k'
+              ) IS NOT NULL
               THEN 1 ELSE 0 END AS ok
   FROM poisoned
 )
@@ -1203,12 +1209,21 @@ s AS (
   FROM pts
 ),
 d AS (
+  -- decimal -> double through VARCHAR: the sums are DECIMAL(38,18)
+  -- whose significands exceed 2^53, and DuckDB's direct decimal cast
+  -- is off by 1 ulp for some of them where Spark's BigDecimal cast is
+  -- correctly rounded (caught at sf0.1, round 5); strtod on the exact
+  -- digit string is correctly rounded in both engines
   SELECT n, CAST(n AS DOUBLE) AS nn,
-         CAST(sq AS DOUBLE) AS sqv, CAST(sd AS DOUBLE) AS sdv,
-         CAST(sp AS DOUBLE) AS spv, CAST(sqq AS DOUBLE) AS sqqv,
-         CAST(sdd AS DOUBLE) AS sddv, CAST(sqd AS DOUBLE) AS sqdv,
-         CAST(sqp AS DOUBLE) AS sqpv, CAST(sdp AS DOUBLE) AS sdpv,
-         CAST(spp AS DOUBLE) AS sppv
+         CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sqv,
+         CAST(CAST(sd AS VARCHAR) AS DOUBLE) AS sdv,
+         CAST(CAST(sp AS VARCHAR) AS DOUBLE) AS spv,
+         CAST(CAST(sqq AS VARCHAR) AS DOUBLE) AS sqqv,
+         CAST(CAST(sdd AS VARCHAR) AS DOUBLE) AS sddv,
+         CAST(CAST(sqd AS VARCHAR) AS DOUBLE) AS sqdv,
+         CAST(CAST(sqp AS VARCHAR) AS DOUBLE) AS sqpv,
+         CAST(CAST(sdp AS VARCHAR) AS DOUBLE) AS sdpv,
+         CAST(CAST(spp AS VARCHAR) AS DOUBLE) AS sppv
   FROM s
 ),
 dets AS (

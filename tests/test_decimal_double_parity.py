@@ -1,0 +1,70 @@
+"""Guards for the round-5 decimal->double parity class.
+
+Two cross-engine hazards were caught by the full-scale (sf0.1) oracle
+sweep and fixed; these tests pin the recipes so they cannot silently
+regress:
+
+1. A Spark DECIMAL product whose ideal type exceeds precision 38 is
+   silently SCALE-TRIMMED (allowPrecisionLoss), while DuckDB computes
+   the same product in f64 — two different quantizations of x*x.
+   dim_variance_profile therefore squares decimal(12,6) (ideal square
+   type (25,12): representable, exact).
+
+2. DuckDB's direct DECIMAL -> DOUBLE cast is not correctly rounded
+   once the significand exceeds 2^53 (observed 1-ulp error), while
+   Spark's BigDecimal cast is correctly rounded.  Oracles route such
+   casts through VARCHAR (strtod is correctly rounded in both).
+"""
+
+from __future__ import annotations
+
+import struct
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+
+def test_dim_variance_square_is_exact_decimal(spark):
+    """The (12,6) square must keep its full ideal type (25,12) — if an
+    edit widens the input back to (21,6) the square's ideal (43,12)
+    overflows precision 38 and Spark trims the scale, quantizing x*x
+    differently from the DuckDB oracle."""
+    x = F.lit("0.123456").cast("decimal(12,6)")
+    t = spark.range(1).select((x * x).alias("sq")).schema["sq"].dataType
+    assert t.simpleString() == "decimal(25,12)", t.simpleString()
+    # and the value itself is the exact 12-dp square
+    row = spark.range(1).select((x * x).alias("sq")).collect()[0]
+    assert row.sq == Decimal("0.015241383936")
+
+
+def test_wide_decimal_square_is_trimmed_by_spark(spark):
+    """Documents WHY (12,6) matters: the (21,6) square loses scale.
+    If Spark ever stops trimming (different overflow rules), this
+    fails and the (12,6) defensive cast can be revisited."""
+    x = F.lit("0.123456").cast("decimal(21,6)")
+    t = spark.range(1).select((x * x).alias("sq")).schema["sq"].dataType
+    assert t.simpleString() != "decimal(43,12)"  # ideal type impossible
+    assert int(t.simpleString().split(",")[1].rstrip(")")) < 12  # scale lost
+
+
+def test_duckdb_varchar_routed_cast_is_correctly_rounded():
+    """The oracle recipe: CAST(CAST(x AS VARCHAR) AS DOUBLE) must equal
+    the correctly rounded double (what Spark's BigDecimal cast and
+    Python's Decimal->float produce) even when the decimal's
+    significand exceeds 2^53.  The raw direct cast was observed 1 ulp
+    off for the first value (nation_gravity_model, sf0.1)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for v in (
+        "262470.838665363236257497",
+        "222456.006000491298285871",
+        "262349.465385570689557296",
+        "-12545.942387712000000001",
+    ):
+        routed = con.sql(
+            f"SELECT CAST(CAST(CAST('{v}' AS DECIMAL(38,18)) AS VARCHAR)"
+            " AS DOUBLE)"
+        ).fetchone()[0]
+        want = float(Decimal(v))
+        assert struct.pack("<d", routed) == struct.pack("<d", want), v
