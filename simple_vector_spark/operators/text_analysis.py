@@ -854,11 +854,16 @@ def bigram_nucleus_audit(
     sampling-temperature design statistic (tiny nucleus = spiky
     distribution).
 
-    Determinism: probabilities are exact-int ratios; the cumulative
-    sum runs in a fixed (prob desc, token asc) order so both engines
-    fold identical f64 sequences.  Plan: one bigram-count shuffle;
-    context selection is a k-row rank-limit; the per-context windows
-    are |next-types| sized."""
+    Determinism: probabilities are ROUND-9 DECIMAL before the
+    cumulative sum, so the running mass is an EXACT decimal fold —
+    association-order-free.  A raw f64 cumsum is NOT engine-portable
+    even in a fixed (prob desc, token asc) order: DuckDB's windowed
+    SUM accumulates through a segment tree (pairwise association)
+    while Spark folds sequentially, and the ulp disagreement flipped
+    the `cum - pp < p` gate on data whose mass lands exactly on p
+    (degenerate-fixture parity sweep, round 5).  Plan: one
+    bigram-count shuffle; context selection is a k-row rank-limit;
+    the per-context windows are |next-types| sized."""
     from ..sources.loaders import fan_out
 
     toks = tokens(F.col(text_col))
@@ -887,7 +892,9 @@ def bigram_nucleus_audit(
         "ctx",
         "nxt",
         "tot",
-        (F.col("c").cast("double") / F.col("tot").cast("double")).alias("pp"),
+        F.round(F.col("c").cast("double") / F.col("tot").cast("double"), 9)
+        .cast("decimal(18,9)")
+        .alias("pp"),
     )
     w = Window.partitionBy("ctx").orderBy(F.col("pp").desc(), F.col("nxt").asc())
     cum = scoped.withColumn(
@@ -902,7 +909,10 @@ def bigram_nucleus_audit(
             .cast("long")
             .alias("nucleus_size"),
             F.round(
-                F.max(F.when(F.col("cum") - F.col("pp") < p, F.col("cum"))), 6
+                F.max(
+                    F.when(F.col("cum") - F.col("pp") < p, F.col("cum"))
+                ).cast("double"),
+                6,
             ).alias("nucleus_mass"),
         )
     )

@@ -155,6 +155,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # it is already driver-green from r04, so it is not re-fronted)
     "embedding_dim_variance", "nation_gravity_model",
     "vocab_heaps_law", "events_weibull_retention",
+    # degenerate-fixture parity sweep fixes (round 5): quantized
+    # decimal nucleus cumsum (Spark+oracle), fitted-vs-configured
+    # centroid count (oracle; ann_ivf_cell_stats already fronted below)
+    "bigram_nucleus_audit",
     # ANN / embedding audits (reference index-build/search surface,
     # src/faiss_index.cc:32-58, src/hnswlib_index.cc:27-53)
     "ann_binary_hamming", "ann_hamming_recall_curve", "ann_rp_multiprobe",

@@ -1386,12 +1386,13 @@ per AS (
   SELECT CAST(cell AS INT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
   FROM assign GROUP BY cell
 ),
-t AS (SELECT SUM(n_vecs) AS total FROM per)
+t AS (SELECT SUM(n_vecs) AS total FROM per),
+k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_cells FROM cents)
 SELECT cell, n_vecs,
        ROUND(n_vecs / CAST(total AS DOUBLE), 6) AS share,
-       ROUND(n_vecs * {len(A.CENTROID_IDS)} / CAST(total AS DOUBLE), 6)
+       ROUND(n_vecs * n_cells / CAST(total AS DOUBLE), 6)
          AS skew_vs_uniform
-FROM per, t
+FROM per, t, k
 """,
 )
 def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,7 +94,12 @@ bi AS (
 ctx_tot AS (SELECT ctx, SUM(c) AS tot FROM bi GROUP BY ctx),
 top_ctx AS (SELECT ctx, tot FROM ctx_tot ORDER BY tot DESC, ctx LIMIT {T.NUCLEUS_CONTEXTS}),
 scoped AS (
-  SELECT b.ctx, b.nxt, t.tot, b.c * 1.0 / t.tot AS pp
+  -- ROUND-9 DECIMAL probabilities so the windowed cumsum is an EXACT
+  -- decimal fold: DuckDB's segment-tree window SUM and Spark's
+  -- sequential fold disagree by ulps on raw f64, which flips the
+  -- cum - pp < p gate when the mass lands exactly on p
+  SELECT b.ctx, b.nxt, t.tot,
+         CAST(ROUND(b.c * 1.0 / t.tot, 9) AS DECIMAL(18,9)) AS pp
   FROM bi b JOIN top_ctx t USING (ctx)
 ),
 cum AS (
@@ -107,7 +112,8 @@ SELECT ctx,
        CAST(COUNT(*) AS BIGINT) AS n_next_types,
        CAST(SUM(CASE WHEN cum - pp < {T.NUCLEUS_P} THEN 1 ELSE 0 END) AS BIGINT)
          AS nucleus_size,
-       ROUND(MAX(CASE WHEN cum - pp < {T.NUCLEUS_P} THEN cum END), 6)
+       ROUND(CAST(MAX(CASE WHEN cum - pp < {T.NUCLEUS_P} THEN cum END)
+                  AS DOUBLE), 6) + 0.0
          AS nucleus_mass
 FROM cum GROUP BY ctx
 """,

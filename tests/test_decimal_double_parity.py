@@ -14,6 +14,25 @@ regress:
    once the significand exceeds 2^53 (observed 1-ulp error), while
    Spark's BigDecimal cast is correctly rounded.  Oracles route such
    casts through VARCHAR (strtod is correctly rounded in both).
+
+A third class was found by the degenerate-fixture parity sweep and
+fixed at the operator level (bigram_nucleus_audit): DuckDB's windowed
+SUM accumulates through a segment tree (pairwise association) while
+Spark folds sequentially, so a raw f64 running sum is NOT portable
+even in a fixed ORDER BY — running masses are ROUND-9 DECIMAL so the
+cumsum is exact in both engines.
+
+Known IRREDUCIBLE residual (documented, not fixed): both engines'
+transcendental functions (log2/ln/exp) are <=1 ulp accurate but not
+correctly rounded, so they can differ by 1 ulp from each other.  The
+repo quantizes every transcendental term to 9 dp before folding,
+which confines the exposure to terms within ~1 ulp of a 5e-10
+rounding boundary — and a result flip additionally needs the SUM to
+sit on the output's 5e-7 boundary.  Natural data makes this a
+~measure-zero double coincidence (all 514 queries hash-match at all
+three scale factors); ENGINEERED dyadic distributions can still hit
+it (multimodal_entropy_sniff on the degenerate mini-fixture, round
+5).
 """
 
 from __future__ import annotations
