@@ -602,7 +602,26 @@ def payload_entropy_sniff(docs: DataFrame) -> DataFrame:
     Plan: payload attached in-scan (with_payload recipe inline to keep
     ``source``), bytes exploded from the hex string in-expression, one
     (doc, byte) count shuffle, per-doc entropy as 9dp DECIMAL sums,
-    per-source rollup with the high-entropy share."""
+    per-source rollup with the high-entropy share.
+
+    Parity discipline (removes the dyadic-distribution residual the
+    round-5 degenerate sweep documented): log2 only ever sees the
+    INTEGERS 1..{ENTROPY_PREFIX_BYTES} (counts and prefix lengths),
+    quantized as L9(k) = ROUND(log2(k), 9) DECIMAL(18,9) — a domain
+    small enough that tests/test_decimal_double_parity.py checks
+    Spark-vs-DuckDB equality of L9 EXHAUSTIVELY.  Everything after is
+    EXACT INTEGER arithmetic: the per-doc nano-bits numerator
+    nb*H*1e9 = nb*L9(nb) - sum(c*L9(c)) folds in DECIMAL, the per-doc
+    6-dp quantization and the per-source average are integer HALF_UP
+    divisions ((2a+b) DIV 2b), and micros convert to bits with one
+    exact-input f64 division — no double is ever ROUNDed, so the
+    engines cannot disagree on a tie (ROUND(double, n) ties break
+    differently: Spark HALF_UPs the shortest decimal repr, DuckDB
+    scales the binary value)."""
+
+    def l9(col):
+        return F.round(F.log2(col.cast("double")), 9).cast("decimal(18,9)")
+
     payload = F.encode(F.col("text"), "UTF-8")
     base = docs.select(
         "doc_id",
@@ -626,35 +645,62 @@ def payload_entropy_sniff(docs: DataFrame) -> DataFrame:
     cnt = bytes_.groupBy("doc_id", "source", "nb", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    p = F.col("c").cast("double") / F.col("nb").cast("double")
+    cl = (F.col("c").cast("decimal(9,0)") * l9(F.col("c"))).cast(
+        "decimal(28,9)"
+    )
+    nbl = (F.col("nb").cast("decimal(9,0)") * l9(F.col("nb"))).cast(
+        "decimal(28,9)"
+    )
+    # both sums are bounded by nb*log2(nb) <= 2048*8, so the (18,9)
+    # downcasts are exact — and necessary: subtracting the (38,9) SUM
+    # directly would overflow precision 38 and Spark would silently
+    # scale-trim the difference to 8 dp (the round-5 parity class)
+    high_micros = int(round(ENTROPY_HIGH_BITS * 1_000_000))
     ent = (
-        cnt.select(
+        cnt.select("doc_id", "source", "nb", cl.alias("cl"))
+        .groupBy("doc_id", "source", "nb")
+        .agg(F.sum("cl").cast("decimal(18,9)").alias("s"))
+        .select(
             "doc_id",
             "source",
-            F.round(-p * F.log2(p), 9).cast("decimal(18,9)").alias("t"),
+            ((nbl.cast("decimal(18,9)") - F.col("s")) * 1_000_000_000)
+            .cast("decimal(38,0)")
+            .alias("num_nanos"),
+            "nb",
         )
-        .groupBy("doc_id", "source")
-        .agg(F.sum("t").cast("double").alias("h"))
+        # h6 = per-doc entropy bits HALF_UP at 6 dp, in exact micros:
+        # round(num_nanos / (1000*nb)) = (2*num_nanos + 1000*nb) DIV
+        # (2000*nb) for the nonnegative numerator
+        .select(
+            "source",
+            F.expr(
+                "CAST((2 * num_nanos + 1000 * nb) DIV (2000 * nb) AS BIGINT)"
+            ).alias("h6"),
+        )
     )
     return (
         ent.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            (
-                F.round(
-                    F.sum(F.round(F.col("h"), 6).cast("decimal(18,6)"))
-                    .cast("double")
-                    / F.count(F.lit(1)).cast("double"),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("avg_entropy_bits"),
-            (F.round(F.max(F.round(F.col("h"), 6)), 6) + F.lit(0.0)).alias(
+            F.sum("h6").cast("decimal(38,0)").alias("_sm"),
+            (F.max("h6").cast("double") / F.lit(1_000_000.0)).alias(
                 "max_entropy_bits"
             ),
-            F.sum((F.round(F.col("h"), 6) > ENTROPY_HIGH_BITS).cast("int"))
+            F.sum((F.col("h6") > F.lit(high_micros)).cast("int"))
             .cast("long")
             .alias("n_high_entropy"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.expr(
+                    "CAST((2 * _sm + n_docs) DIV (2 * n_docs) AS BIGINT)"
+                ).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("avg_entropy_bits"),
+            "max_entropy_bits",
+            "n_high_entropy",
         )
         .orderBy("source")
     )

@@ -888,13 +888,22 @@ def bigram_nucleus_audit(
         ctx_tot.orderBy(F.col("tot").desc(), F.col("ctx").asc())
         .limit(n_contexts)
     )
+    # pp in exact NANO-probabilities: round(c/tot, 9) computed as the
+    # integer HALF_UP division (2*c*1e9 + tot) DIV (2*tot) — no double
+    # is ever ROUNDed, so the tie-adjacent quantization class (Spark
+    # HALF_UPs the shortest decimal repr, DuckDB scales the binary
+    # value) cannot reappear; the windowed cumsum is an exact BIGINT
+    # fold (c routed through DECIMAL(38,0) so c*1e9 cannot overflow
+    # int64 at corpus scale)
+    p_nanos = int(round(p * 1_000_000_000))
     scoped = bi.join(F.broadcast(top_ctx), "ctx").select(
         "ctx",
         "nxt",
         "tot",
-        F.round(F.col("c").cast("double") / F.col("tot").cast("double"), 9)
-        .cast("decimal(18,9)")
-        .alias("pp"),
+        F.expr(
+            "CAST((2 * CAST(c AS DECIMAL(38,0)) * 1000000000 + tot)"
+            " DIV (2 * tot) AS BIGINT)"
+        ).alias("pp"),
     )
     w = Window.partitionBy("ctx").orderBy(F.col("pp").desc(), F.col("nxt").asc())
     cum = scoped.withColumn(
@@ -905,14 +914,24 @@ def bigram_nucleus_audit(
         .agg(
             F.max("tot").cast("long").alias("n_occurrences"),
             F.count("*").cast("long").alias("n_next_types"),
-            (F.sum(F.when(F.col("cum") - F.col("pp") < p, 1).otherwise(0)))
+            (F.sum(F.when(F.col("cum") - F.col("pp") < p_nanos, 1).otherwise(0)))
             .cast("long")
             .alias("nucleus_size"),
-            F.round(
-                F.max(
-                    F.when(F.col("cum") - F.col("pp") < p, F.col("cum"))
-                ).cast("double"),
-                6,
+            F.max(
+                F.when(F.col("cum") - F.col("pp") < p_nanos, F.col("cum"))
+            ).alias("_mass_nanos"),
+        )
+        .select(
+            "ctx",
+            "n_occurrences",
+            "n_next_types",
+            "nucleus_size",
+            # nano -> 6-dp mass, HALF_UP in integers, exact f64 finish
+            (
+                F.expr(
+                    "CAST((2 * _mass_nanos + 1000) DIV 2000 AS BIGINT)"
+                ).cast("double")
+                / F.lit(1_000_000.0)
             ).alias("nucleus_mass"),
         )
     )

@@ -38,6 +38,19 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def finalize_double(df: DataFrame, *cols: str) -> DataFrame:
+    """Driver-canon boundary: DECIMAL stays internal (exact,
+    order-insensitive money folds) but FINAL output columns cross to
+    the driver as doubles — every finalized column here carries a
+    cent/micro-scaled significand < 2^53, so the decimal->double
+    conversion is exact and engine-identical (r05's one red row,
+    aqe_skew_join, was a decimal(38,2) final; the hygiene gate now
+    bans DecimalType finals outright)."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("double"))
+    return df
+
+
 # Names already green in the driver's CORRECTNESS_r01.json.  The driver
 # checks registry entries in insertion order up to a per-round cap (r01
 # stopped at exactly the first 50), so ``queries()`` rotates: entries
@@ -131,59 +144,74 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     "doc_dsir_weights", "pii_redaction_audit", "text_phrase_search",
     "doc_quality_gate", "text_rm3_expansion", "text_lm_dirichlet_search",
     "text_kwic_snippets", "doc_rake_keyphrases", "wal_compaction_audit",
-    # (text_inverted_postings was checked in r04 but came back RED — the
-    # driver canonicalizer cannot hash its array<long> column; round 5
-    # stringifies the column and re-fronts it, so it stays unrecorded.)
-})
-
-# Highest-value unrecorded queries (VERDICT r04 item 4): these lead the
-# pending block so the driver's ~50-record cap lands on them first.
-# Order: the fixed red row, then the ANN/embedding audit family, the
-# dedup remainder, text retrieval/tokenization, and the layout/source
-# audits left over from the r04 front.
-_DRIVER_PRIORITY: tuple[str, ...] = (
-    # r04's only red row — postings head stringified for the driver
-    # canonicalizer; re-record (VERDICT r04 item 1)
-    "text_inverted_postings",
-    # round-5 full-sf0.1 sweep fixes: embedding_dim_variance's Spark
-    # power sums are now exact (decimal(12,6) inputs — the (21,6)
-    # square overflowed precision 38 and Spark scale-trimmed it);
-    # the others are oracle-only conversion/evaluation-order fixes
-    # (decimal->double via VARCHAR; json_valid data-flow gate) whose
-    # Spark outputs are unchanged — fronted so the fixes earn driver
-    # rows at once (stream_dead_letter's gate fix is oracle-only and
-    # it is already driver-green from r04, so it is not re-fronted)
-    "embedding_dim_variance", "nation_gravity_model",
-    "vocab_heaps_law", "events_weibull_retention",
-    # degenerate-fixture parity sweep fixes (round 5): quantized
-    # decimal nucleus cumsum (Spark+oracle), fitted-vs-configured
-    # centroid count (oracle; ann_ivf_cell_stats already fronted below)
-    "bigram_nucleus_audit",
-    # ANN / embedding audits (reference index-build/search surface,
-    # src/faiss_index.cc:32-58, src/hnswlib_index.cc:27-53)
-    "ann_binary_hamming", "ann_hamming_recall_curve", "ann_rp_multiprobe",
-    "ann_pq_distortion", "knn_graph_blocked", "knn_retrieval_metrics",
+    # -- recorded green in CORRECTNESS_r05.json (round 5) --
+    # (49 greens incl. the re-fronted text_inverted_postings, now green
+    # with the stringified postings head.  The round's one red,
+    # aqe_skew_join, stays unrecorded and is re-fronted below after the
+    # round-6 canon fix: decimal(38,2) final -> rounded double.)
+    "text_inverted_postings", "embedding_dim_variance",
+    "nation_gravity_model", "vocab_heaps_law", "events_weibull_retention",
+    "bigram_nucleus_audit", "ann_binary_hamming",
+    "ann_hamming_recall_curve", "ann_rp_multiprobe", "ann_pq_distortion",
+    "knn_graph_blocked", "knn_retrieval_metrics",
     "embedding_pca_power_iter", "embeddings_kmeans_drift",
     "ann_ivf_cell_stats", "ann_adaptive_filter_dense",
     "embedding_norms_arrow", "knn_radius_search", "knn_maxsim_labels",
     "label_centroid_accuracy", "embedding_triplet_mining",
-    "embedding_exact_dupes",
-    # dedup remainder
-    "dedup_simhash_pairs", "dedup_incremental_pairs", "dedup_keep_best",
+    "embedding_exact_dupes", "dedup_simhash_pairs",
+    "dedup_incremental_pairs", "dedup_keep_best",
     "doc_winnowing_fingerprints", "dedup_lsh_band_tuning",
     "dedup_shingle_containment", "dedup_graph_degree",
     "dedup_cluster_sizes", "dedup_clusters_star", "dedup_graph_triangles",
     "dedup_tfidf_verify", "dedup_matcher_eval", "multimodal_exact_dedup",
-    # text retrieval / tokenization
     "saved_search_percolate", "doc_hash_embed_search", "bpe_train_merges",
     "bpe_apply_encode", "bpe_merge_candidates", "vocab_pmi_bigrams",
     "text_langid_chargram_agreement", "text_nb_langid_confusion",
-    # layout / source / mutation audits (r04-front leftovers)
     "snapshot_diff_audit", "ivf_index_upsert_audit", "zorder_layout_audit",
-    "partitioned_write_prune", "dpp_prune_join", "aqe_skew_join",
-    "schema_evolution_roundtrip", "gzip_source_roundtrip",
-    "xml_source_roundtrip", "sql_pipe_revenue", "table_fingerprint_audit",
-    "multimodal_frame_audit", "multimodal_audio_windows",
+    "partitioned_write_prune", "dpp_prune_join",
+    "schema_evolution_roundtrip",
+})
+
+# Green artifact rows whose recorded output schema is stale: round 6
+# converted every DecimalType FINAL column to an exact double at the
+# driver-canon boundary (VERDICT r05 item 3), which changes these two
+# queries' output schema vs the row the driver recorded — re-front them
+# for re-record under the new schema.  The bookkeeping tripwire test
+# (tests/test_registry_hygiene.py) excuses exactly this set.
+_REFRONTED: frozenset[str] = frozenset({
+    "dpp_prune_join", "bloom_filter_join",
+})
+_DRIVER_RECORDED = _DRIVER_RECORDED - _REFRONTED
+
+# Highest-value unrecorded queries (VERDICT r05 items 1/3/4): these
+# lead the pending block so the driver's ~50-record cap lands on them
+# first.  Order: the canon-fixed red row and the two schema-changed
+# re-fronts, then every other query whose DecimalType final column was
+# converted to double this round (new output schema + oracle — the
+# fixes should earn driver rows at once), then the r05-front leftovers
+# the 50-cap cut off; the rest of the cap drains the events_*/orders_*
+# waves in their natural registration order.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # r05's only red row — decimal(38,2) final now crosses the driver
+    # canon as an exact double; re-record (VERDICT r05 item 1)
+    "aqe_skew_join",
+    # schema-changed re-fronts (see _REFRONTED)
+    "dpp_prune_join", "bloom_filter_join",
+    # decimal-final -> double conversions (VERDICT r05 item 3), never
+    # driver-recorded before
+    "orders_pareto_share", "orders_seasonality", "lineitem_measure_melt",
+    "orders_cohort_ltv", "events_hour_of_week", "orders_spend_gini",
+    "orders_aov_trend", "orders_revenue_ewma", "orders_incremental_agg",
+    "parts_abc_classification", "orders_equidepth_histogram",
+    "lateral_topk_orders", "orders_psi_drift", "orders_keyset_page",
+    "orders_frame_semantics", "orders_backlog_aging",
+    "orders_hill_tail_index", "nation_trade_balance",
+    "orders_new_vs_returning", "orders_mad_outliers",
+    "observed_scan_metrics", "nation_leontief_multipliers",
+    # layout / source audits the r05 front's 50-cap cut off
+    "gzip_source_roundtrip", "xml_source_roundtrip", "sql_pipe_revenue",
+    "table_fingerprint_audit", "multimodal_frame_audit",
+    "multimodal_audio_windows",
 )
 
 

@@ -11,7 +11,7 @@ from ..operators import knn as K
 from ..operators import mutation as M
 from ..sources.loaders import load_table
 
-from . import query
+from . import finalize_double, query
 from .core_knn import PLANT_MOD, PLANT_SHIFT, WAU_WINDOW_DAYS, _PAIR_COS
 from .core_relational import E, R, _DEC_DISC_SQL, _DEC_PRICE_SQL
 from .core_dedup import COSINE_DUP_THRESHOLD, D, MINHASH_A, MINHASH_B, MINHASH_P, _DOCS_PLUS_SQL, _SIG_COLS_SQL, _TOKS_SQL, _docs_plus_spark, _minhash_pairs
@@ -1636,7 +1636,7 @@ tiled AS (
 total AS (SELECT SUM(spend) AS total FROM tiled)
 SELECT decile,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(SUM(spend) AS DECIMAL(15,2)) AS revenue,
+       CAST(CAST(SUM(spend) AS DECIMAL(15,2)) AS DOUBLE) AS revenue,
        ROUND(CAST(SUM(spend) AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS revenue_share
 FROM tiled CROSS JOIN total t
 GROUP BY decile, t.total
@@ -1646,7 +1646,10 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/concentration audit: customer spend deciles and each
     decile's share of total revenue — the skew diagnostic for
     customer-keyed joins."""
-    return R.revenue_pareto_deciles(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.revenue_pareto_deciles(load_table(spark, sf_dir, "orders")),
+        "revenue",
+    )
 
 
 @query(
@@ -1815,7 +1818,7 @@ WITH per_month AS (
 ),
 total AS (SELECT SUM(revenue) AS total FROM per_month)
 SELECT CAST(month AS INT) AS month, n_orders,
-       CAST(revenue AS DECIMAL(15,2)) AS revenue,
+       CAST(CAST(revenue AS DECIMAL(15,2)) AS DOUBLE) AS revenue,
        ROUND(CAST(revenue AS DOUBLE) / CAST(t.total AS DOUBLE) * 12.0, 6) AS seasonality_index
 FROM per_month CROSS JOIN total t
 """,
@@ -1823,7 +1826,10 @@ FROM per_month CROSS JOIN total t
 def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-of-year revenue seasonality index (share vs uniform 1/12)
     — the time-partition capacity-planning statistic."""
-    return R.monthly_seasonality(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.monthly_seasonality(load_table(spark, sf_dir, "orders")),
+        "revenue",
+    )
 
 
 @query(
@@ -2270,9 +2276,9 @@ WITH long AS (
   SELECT l_orderkey, 'l_tax', CAST(l_tax AS DECIMAL(18,4)) FROM lineitem
 )
 SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(v) AS DECIMAL(25,4)) AS total,
-       CAST(MIN(v) AS DECIMAL(18,4)) AS min_v,
-       CAST(MAX(v) AS DECIMAL(18,4)) AS max_v
+       CAST(CAST(SUM(v) AS DECIMAL(25,4)) AS DOUBLE) AS total,
+       CAST(CAST(MIN(v) AS DECIMAL(18,4)) AS DOUBLE) AS min_v,
+       CAST(CAST(MAX(v) AS DECIMAL(18,4)) AS DOUBLE) AS max_v
 FROM long GROUP BY measure
 """,
 )
@@ -2280,7 +2286,10 @@ def lineitem_measure_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long UNPIVOT of the four lineitem measures with
     DECIMAL-exact per-measure stats — the melt stays in the scan
     stage; the only exchange is the 4-group agg."""
-    return R.lineitem_measure_melt(load_table(spark, sf_dir, "lineitem"))
+    return finalize_double(
+        R.lineitem_measure_melt(load_table(spark, sf_dir, "lineitem")),
+        "total", "min_v", "max_v",
+    )
 
 
 @query(
@@ -2378,9 +2387,11 @@ stats AS (
   FROM terms GROUP BY pos
 )
 SELECT CAST(pos AS INT) AS pos, n,
-       ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_x,
+       ROUND(CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n, 6) AS mean_x,
        ROUND(GREATEST(
-         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n)) / (n - 1.0),
+         (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+          - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+            * (CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)) / (n - 1.0),
          0.0), 6) AS var_x
 FROM stats
 """,
@@ -2406,7 +2417,7 @@ WITH firsts AS (
 SELECT CAST(f.cohort_year AS INT) AS cohort_year,
        CAST(year(o.o_orderdate) AS INT) AS order_year,
        CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS revenue
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
 FROM orders o JOIN firsts f USING (o_custkey)
 GROUP BY 1, 2
 """,
@@ -2414,7 +2425,9 @@ GROUP BY 1, 2
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort LTV grid: revenue per (first-order year, order year) cell
     — two shuffles sharing the customer key."""
-    return R.cohort_ltv(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.cohort_ltv(load_table(spark, sf_dir, "orders")), "revenue"
+    )
 
 
 @query(

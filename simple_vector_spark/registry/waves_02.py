@@ -11,7 +11,7 @@ from ..operators import knn as K
 from ..operators import mutation as M
 from ..sources.loaders import load_table
 
-from . import query
+from . import finalize_double, query
 from .core_knn import PLANT_MOD, PLANT_SHIFT
 from .core_relational import E, R
 from .core_dedup import D, _CLUSTER_LABELS_CTES, _DOCS_PLUS_SQL, _SIG_COLS_SQL, _TOKS_SQL, _docs_plus_spark, _dup_cluster_labels, _minhash_pairs
@@ -281,14 +281,17 @@ def doc_novelty_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
        CAST(hour(ts) AS INT) AS hour,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(20,6)) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(20,6)) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
 )
 def events_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(day-of-week, hour) activity heatmap — at most 168 groups, one
     map-side-combined shuffle."""
-    return E.hour_of_week_heatmap(load_table(spark, sf_dir, "events"))
+    return finalize_double(
+        E.hour_of_week_heatmap(load_table(spark, sf_dir, "events")),
+        "sum_value",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -315,7 +318,7 @@ agg AS (
   FROM ranked
 )
 SELECT n_customers,
-       CAST(sx AS DECIMAL(15,2)) AS total_spend,
+       CAST(CAST(sx AS DECIMAL(15,2)) AS DOUBLE) AS total_spend,
        ROUND(2.0 * CAST(six AS DOUBLE) / (n_customers * CAST(sx AS DOUBLE))
              - (n_customers + 1.0) / n_customers, 6) AS gini
 FROM agg
@@ -325,7 +328,9 @@ def orders_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer spend from exact DECIMAL rank
     sums — the one-number inequality summary behind the Pareto
     deciles."""
-    return R.spend_gini(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.spend_gini(load_table(spark, sf_dir, "orders")), "total_spend"
+    )
 
 
 @query(
@@ -364,7 +369,7 @@ WITH monthly AS (
   FROM orders GROUP BY 1
 )
 SELECT month, n_orders,
-       CAST(rev AS DECIMAL(15,2)) AS revenue,
+       CAST(CAST(rev AS DECIMAL(15,2)) AS DOUBLE) AS revenue,
        ROUND(CAST(rev AS DOUBLE) / n_orders, 6) AS aov,
        ROUND(ROUND(CAST(rev AS DOUBLE) / n_orders, 6)
              - lag(ROUND(CAST(rev AS DOUBLE) / n_orders, 6)) OVER (ORDER BY month), 6) AS aov_delta
@@ -374,7 +379,9 @@ FROM monthly
 def orders_aov_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average order value by month with MoM delta — lag window over
     the monthly aggregate only."""
-    return R.aov_trend(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.aov_trend(load_table(spark, sf_dir, "orders")), "revenue"
+    )
 
 
 @query(
@@ -963,7 +970,7 @@ z AS (
          CAST(rev AS DOUBLE) * power(0.7, -(ROW_NUMBER() OVER (ORDER BY month) - 1)) AS zz
   FROM monthly
 )
-SELECT month, CAST(rev AS DECIMAL(15,2)) AS revenue,
+SELECT month, CAST(CAST(rev AS DECIMAL(15,2)) AS DOUBLE) AS revenue,
        ROUND(power(0.7, t) * (0.3 * (SUM(zz) OVER w - FIRST_VALUE(zz) OVER w)
                               + FIRST_VALUE(zz) OVER w), 2) AS ewma
 FROM z
@@ -973,7 +980,9 @@ WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 def orders_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue EWMA (alpha 0.3) via the closed-form prefix-sum
     rescaling — recursive smoothing with no driver loop."""
-    return R.revenue_ewma(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.revenue_ewma(load_table(spark, sf_dir, "orders")), "revenue"
+    )
 
 
 @query(
@@ -1627,7 +1636,7 @@ def orders_salt_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS revenue
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
 FROM orders GROUP BY 1
 """,
 )
@@ -1636,7 +1645,10 @@ def orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     yesterday's partial state + today's delta partial re-aggregated
     (sum-of-sums) — the oracle is the FULL recompute, checking the
     mergeability contract incremental gold tables rest on."""
-    return R.incremental_agg_merge(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.incremental_agg_merge(load_table(spark, sf_dir, "orders")),
+        "revenue",
+    )
 
 
 # --------------------------------------------------------------------------

@@ -11,7 +11,7 @@ from ..operators import knn as K
 from ..operators import mutation as M
 from ..sources.loaders import load_table
 
-from . import _ORACLES, query
+from . import _ORACLES, finalize_double, query
 from .core_knn import KNN_K
 from .core_relational import E, R
 from .core_events import _SESSION_ORACLE
@@ -94,12 +94,14 @@ bi AS (
 ctx_tot AS (SELECT ctx, SUM(c) AS tot FROM bi GROUP BY ctx),
 top_ctx AS (SELECT ctx, tot FROM ctx_tot ORDER BY tot DESC, ctx LIMIT {T.NUCLEUS_CONTEXTS}),
 scoped AS (
-  -- ROUND-9 DECIMAL probabilities so the windowed cumsum is an EXACT
-  -- decimal fold: DuckDB's segment-tree window SUM and Spark's
-  -- sequential fold disagree by ulps on raw f64, which flips the
-  -- cum - pp < p gate when the mass lands exactly on p
+  -- exact NANO-probabilities: round(c/tot, 9) as the integer HALF_UP
+  -- division — no double is ever ROUNDed (tie-break semantics differ
+  -- across engines) and the windowed cumsum is an exact integer fold
+  -- (DuckDB's segment-tree window SUM and Spark's sequential fold
+  -- disagree by ulps on raw f64)
   SELECT b.ctx, b.nxt, t.tot,
-         CAST(ROUND(b.c * 1.0 / t.tot, 9) AS DECIMAL(18,9)) AS pp
+         (2 * CAST(b.c AS HUGEINT) * 1000000000 + t.tot)
+           // (2 * CAST(t.tot AS HUGEINT)) AS pp
   FROM bi b JOIN top_ctx t USING (ctx)
 ),
 cum AS (
@@ -110,11 +112,12 @@ cum AS (
 SELECT ctx,
        CAST(MAX(tot) AS BIGINT) AS n_occurrences,
        CAST(COUNT(*) AS BIGINT) AS n_next_types,
-       CAST(SUM(CASE WHEN cum - pp < {T.NUCLEUS_P} THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN cum - pp < {int(round(T.NUCLEUS_P * 1e9))}
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS nucleus_size,
-       ROUND(CAST(MAX(CASE WHEN cum - pp < {T.NUCLEUS_P} THEN cum END)
-                  AS DOUBLE), 6) + 0.0
-         AS nucleus_mass
+       CAST((2 * MAX(CASE WHEN cum - pp < {int(round(T.NUCLEUS_P * 1e9))}
+                          THEN cum END) + 1000) // 2000 AS DOUBLE)
+         / 1000000.0 AS nucleus_mass
 FROM cum GROUP BY ctx
 """,
 )
@@ -487,7 +490,7 @@ classed AS (
   FROM cum
 )
 SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
-       CAST(SUM(rev) AS DECIMAL(15,2)) AS revenue,
+       CAST(CAST(SUM(rev) AS DECIMAL(15,2)) AS DOUBLE) AS revenue,
        ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6)
          AS revenue_share
 FROM classed GROUP BY abc
@@ -498,7 +501,10 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     80%, B to 95%, C tail) — cumulative shares from the two-phase
     range-partitioned prefix sum, never an unpartitioned ordered
     window."""
-    return R.parts_abc_classification(load_table(spark, sf_dir, "lineitem"))
+    return finalize_double(
+        R.parts_abc_classification(load_table(spark, sf_dir, "lineitem")),
+        "revenue",
+    )
 
 
 @query(
@@ -733,7 +739,7 @@ WITH tiled AS (
   FROM orders
 )
 SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(MIN(v) AS DECIMAL(15,2)) AS lo, CAST(MAX(v) AS DECIMAL(15,2)) AS hi
+       CAST(MIN(v) AS DOUBLE) AS lo, CAST(MAX(v) AS DOUBLE) AS hi
 FROM tiled GROUP BY bucket
 """,
 )
@@ -741,7 +747,10 @@ def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram of order value (the ANALYZE-statistics
     structure selectivity estimation reads) — k equal-count buckets
     with value bounds, built on the two-phase ntile."""
-    return R.equidepth_histogram(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.equidepth_histogram(load_table(spark, sf_dir, "orders")),
+        "lo", "hi",
+    )
 
 
 PART_MATCH_THRESHOLD = 0.5
@@ -1365,7 +1374,7 @@ def events_session_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lateral_topk_orders",
     """
-SELECT c_custkey, o_orderkey, price FROM (
+SELECT c_custkey, o_orderkey, CAST(price AS DOUBLE) AS price FROM (
   SELECT c_custkey, o_orderkey,
          CAST(o_totalprice AS DECIMAL(15,2)) AS price,
          ROW_NUMBER() OVER (PARTITION BY c_custkey
@@ -1384,7 +1393,7 @@ def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-SELECT c_custkey, o_orderkey, price
+SELECT c_custkey, o_orderkey, CAST(price AS DOUBLE) AS price
 FROM customer,
 LATERAL (
   SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(15,2)) AS price

@@ -11,7 +11,7 @@ from ..operators import knn as K
 from ..operators import mutation as M
 from ..sources.loaders import load_table
 
-from . import _ORACLES, query
+from . import _ORACLES, finalize_double, query
 from .core_knn import PLANT_MOD, PLANT_SHIFT
 from .core_relational import E, R
 from .core_dedup import D, _CLUSTER_LABELS_CTES, _DOCS_PLUS_SQL, _TOKS_SQL, _docs_plus_spark, _dup_cluster_labels, _minhash_pairs
@@ -106,8 +106,8 @@ SELECT CAST(bin AS INT) AS bin,
        CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        ROUND({_PSI_P}, 6) AS share_a,
        ROUND({_PSI_Q}, 6) AS share_b,
-       CAST(ROUND(({_PSI_P} - {_PSI_Q}) * ln({_PSI_P} / {_PSI_Q}), 9)
-            AS DECIMAL(20,9)) AS psi_term
+       CAST(CAST(ROUND(({_PSI_P} - {_PSI_Q}) * ln({_PSI_P} / {_PSI_Q}), 9)
+            AS DECIMAL(20,9)) AS DOUBLE) AS psi_term
 FROM pb, tot
 """,
 )
@@ -115,7 +115,9 @@ def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift between two md5-gated halves
     of the order-value distribution — the model-monitoring shift
     metric, exact-cents bins, rounded-DECIMAL PSI terms."""
-    return R.psi_drift(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.psi_drift(load_table(spark, sf_dir, "orders")), "psi_term"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2125,7 +2127,7 @@ def revenue_cell_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_keyset_page",
     f"""
 SELECT CAST(o_orderdate AS DATE) AS o_date, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(15,2)) AS price
+       CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS price
 FROM orders
 WHERE CAST(o_orderdate AS DATE) > DATE '{R.KEYSET_CURSOR[0]}'
    OR (CAST(o_orderdate AS DATE) = DATE '{R.KEYSET_CURSOR[0]}'
@@ -2137,7 +2139,9 @@ def orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset (seek) pagination after a (date, key) cursor — the
     O(page) replacement for OFFSET; the cursor predicate reaches the
     scan as a pushed filter."""
-    return R.keyset_page(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.keyset_page(load_table(spark, sf_dir, "orders")), "price"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -11,7 +11,7 @@ from ..operators import knn as K
 from ..operators import mutation as M
 from ..sources.loaders import load_table
 
-from . import query
+from . import finalize_double, query
 from .core_relational import E, R
 from .core_dedup import D, MINHASH_A, _DOCS_PLUS_SQL, _SIG_COLS_SQL, _TOKS_SQL, _cached_index, _docs_plus_spark, _minhash_pairs
 from .core_ann import A, ANN_K, ANN_QUERY_ID, T, _CENTS_SQL, _PQ_SQL, _graph_edges, _trained_pq
@@ -936,10 +936,10 @@ cum AS (
   GROUP BY a.d, a.n_orders, a.rev, a.first_rev
 )
 SELECT d, n_orders,
-       CAST(range_total AS DECIMAL(20,2)) AS range_total,
-       CAST(range_total - rev + first_rev AS DECIMAL(20,2))
+       CAST(CAST(range_total AS DECIMAL(20,2)) AS DOUBLE) AS range_total,
+       CAST(CAST(range_total - rev + first_rev AS DECIMAL(20,2)) AS DOUBLE)
          AS rows_total_at_first,
-       CAST(rev - first_rev AS DECIMAL(20,2)) AS divergence
+       CAST(CAST(rev - first_rev AS DECIMAL(20,2)) AS DOUBLE) AS divergence
 FROM cum ORDER BY d LIMIT {R.FRAME_DEMO_DAYS}
 """,
 )
@@ -948,7 +948,10 @@ def orders_frame_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the silently-made frame choice quantified per date; computed on
     the bounded daily aggregate (triangle prefix sums), order grain
     never meets a window."""
-    return R.window_frame_semantics(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.window_frame_semantics(load_table(spark, sf_dir, "orders")),
+        "range_total", "rows_total_at_first", "divergence",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1036,7 +1039,7 @@ per AS (
 ),
 tot AS (SELECT SUM(val) AS tv FROM per)
 SELECT age_band, n_orders,
-       CAST(val AS DECIMAL(20,2)) AS backlog_value,
+       CAST(CAST(val AS DECIMAL(20,2)) AS DOUBLE) AS backlog_value,
        ROUND(CAST(val AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS value_share,
        ROUND(ages * 1.0 / n_orders, 6) AS mean_age_days
 FROM per, tot
@@ -1046,7 +1049,10 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-order backlog aging bands (as-of the latest order date):
     count, locked-up DECIMAL value, value share, mean age per band —
     the WIP staleness report; one scan + broadcast scalar."""
-    return R.backlog_aging(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.backlog_aging(load_table(spark, sf_dir, "orders")),
+        "backlog_value",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1237,7 +1243,7 @@ terms AS (
 ),
 agg AS (SELECT t, SUM(v) AS s, COUNT(*) AS k FROM terms GROUP BY t)
 SELECT CAST(k AS BIGINT) AS k,
-       CAST(t AS DECIMAL(15,2)) AS threshold,
+       CAST(t AS DOUBLE) AS threshold,
        ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE) / k, 6) AS hill_h,
        ROUND(1.0 / NULLIF(CAST(CAST(s AS VARCHAR) AS DOUBLE) / k, 0.0), 6) AS tail_alpha
 FROM agg
@@ -1248,7 +1254,9 @@ def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-ln excess over the (k+1)-th order statistic, alpha = 1/H —
     the quantitative heavy-tail dial; TakeOrdered heap, request-sized
     arithmetic."""
-    return R.hill_tail_index(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.hill_tail_index(load_table(spark, sf_dir, "orders")), "threshold"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1448,8 +1456,11 @@ j AS (
   LEFT JOIN ex ON n_nationkey = ex.nk
   LEFT JOIN im ON n_nationkey = im.nk
 )
-SELECT nation, export_rev, import_rev,
-       CAST(export_rev - import_rev AS DECIMAL(25,2)) AS net_balance,
+SELECT nation,
+       CAST(export_rev AS DOUBLE) AS export_rev,
+       CAST(import_rev AS DOUBLE) AS import_rev,
+       CAST(CAST(export_rev - import_rev AS DECIMAL(25,2)) AS DOUBLE)
+         AS net_balance,
        ROUND(CAST(export_rev - import_rev AS DOUBLE)
              / NULLIF(CAST(export_rev + import_rev AS DOUBLE), 0.0), 6)
          AS imbalance
@@ -1461,12 +1472,15 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized imbalance — the surplus/deficit read on the same edge
     aggregate PageRank and reciprocity consume; one fact shuffle, dims
     broadcast."""
-    return R.trade_flow_balance(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "nation"),
+    return finalize_double(
+        R.trade_flow_balance(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+        ),
+        "export_rev", "import_rev", "net_balance",
     )
 
 

@@ -11,7 +11,7 @@ from ..operators import knn as K
 from ..operators import mutation as M
 from ..sources.loaders import load_table
 
-from . import query
+from . import finalize_double, query
 from .core_relational import E, R
 from .core_ann import A, ANN_K, ANN_QUERY_ID, T, _PLANES_SQL, _graph_edges
 from .core_text import _PROFILE_SQL, _TK_SQL
@@ -51,7 +51,9 @@ agg AS (
            AS returning_revenue
   FROM j GROUP BY q
 )
-SELECT q, n_new_customers, n_returning, new_revenue, returning_revenue,
+SELECT q, n_new_customers, n_returning,
+       CAST(new_revenue AS DOUBLE) AS new_revenue,
+       CAST(returning_revenue AS DOUBLE) AS returning_revenue,
        ROUND(CAST(new_revenue AS DOUBLE)
              / CAST(new_revenue + returning_revenue AS DOUBLE), 6) AS new_share
 FROM agg
@@ -61,7 +63,10 @@ def orders_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acquisition-vs-retention revenue split per quarter (customer's
     first quarter classifies their spend) — growth quality beside the
     cohort-LTV grid; two aggregates, DECIMAL-exact."""
-    return R.new_vs_returning_revenue(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.new_vs_returning_revenue(load_table(spark, sf_dir, "orders")),
+        "new_revenue", "returning_revenue",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1459,8 +1464,8 @@ def part_return_rate_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(year(o_orderdate) AS VARCHAR) || 'Q'
          || CAST((month(o_orderdate) - 1) // 3 + 1 AS VARCHAR) AS quarter,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-         AS revenue
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS revenue
 FROM orders
 WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 3
 GROUP BY 1
@@ -1507,6 +1512,7 @@ def dpp_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("revenue"),
         )
     )
@@ -1868,7 +1874,9 @@ z AS (
                          / NULLIF(m2.mad_g, 0.0)), 6) + 0.0 AS robust_z
   FROM j JOIN mad m2 USING (o_orderpriority)
 )
-SELECT o_orderkey, priority, o_totalprice, group_median, robust_z,
+SELECT o_orderkey, priority,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       group_median, robust_z,
        CAST(CASE WHEN ABS(robust_z) > {R.MAD_FLAG_Z} THEN 1 ELSE 0 END AS INT)
          AS is_outlier
 FROM z
@@ -1880,7 +1888,10 @@ LIMIT {R.MAD_TOPK}
 def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD modified z-scores per priority with the 3.5 flag —
     the 50%-breakdown robust sibling of the stddev z-screen."""
-    return R.robust_price_outliers(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.robust_price_outliers(load_table(spark, sf_dir, "orders")),
+        "o_totalprice",
+    )
 
 
 @query(
@@ -2092,10 +2103,10 @@ def vocab_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT l_returnflag AS returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
                 * (CAST(1 AS DECIMAL(15,2))
                    - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(38,4))
-         AS revenue
+            AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
   AND o_totalprice > {R.BLOOM_JOIN_MIN_PRICE}
@@ -2146,6 +2157,7 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             .cast("decimal(38,4)")
+            .cast("double")
             .alias("revenue"),
         )
         .orderBy("returnflag")
@@ -2164,8 +2176,8 @@ def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS null_prices,
-       MIN(CAST(o_totalprice AS DECIMAL(15,2))) AS min_price,
-       MAX(CAST(o_totalprice AS DECIMAL(15,2))) AS max_price,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS max_price,
        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS priority_groups
 FROM orders
 """,
@@ -2173,7 +2185,10 @@ FROM orders
 def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.observe data-quality metrics riding the revenue workload's
     single scan — no second pass over the table."""
-    return R.observed_quality_metrics(load_table(spark, sf_dir, "orders"))
+    return finalize_double(
+        R.observed_quality_metrics(load_table(spark, sf_dir, "orders")),
+        "min_price", "max_price",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2268,7 +2283,7 @@ WITH fact AS (
 )
 SELECT CAST(k % 7 AS BIGINT) AS band,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(qty) AS DECIMAL(38,2)) AS total_qty
+       CAST(CAST(SUM(qty) AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
 FROM fact GROUP BY 1 ORDER BY 1
 """,
 )
@@ -2316,7 +2331,13 @@ def aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("qty").cast("decimal(38,2)").alias("total_qty"),
+            # DECIMAL fold internally (exact, order-insensitive); the
+            # FINAL column crosses the driver-canon boundary as a
+            # double — cent-scaled sums < 2^53, so the decimal->double
+            # conversion is exact and engine-identical (r05's one red
+            # row was this column as decimal(38,2)).
+            F.sum("qty").cast("decimal(38,2)").cast("double")
+            .alias("total_qty"),
         )
         .orderBy("band")
     )

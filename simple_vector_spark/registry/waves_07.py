@@ -11,7 +11,7 @@ from ..operators import knn as K
 from ..operators import mutation as M
 from ..sources.loaders import load_table
 
-from . import query
+from . import finalize_double, query
 from .core_relational import E, R
 from .core_dedup import D, _CLUSTER_LABELS_CTES, _H_SQL, _docs_plus_spark, _minhash_pairs
 from .core_ann import T
@@ -1656,7 +1656,7 @@ v{k} AS MATERIALIZED (
     return f"""
 WITH {body}
 SELECT n_name AS nation,
-       CAST(COALESCE(inflow, 0) AS DECIMAL(38,2)) AS inflow,
+       CAST(CAST(COALESCE(inflow, 0) AS DECIMAL(38,2)) AS DOUBLE) AS inflow,
        ROUND(s, 6) + 0.0 AS output_multiplier
 FROM acc
 JOIN nation ON acc.node = n_nationkey
@@ -1670,12 +1670,15 @@ def nation_leontief_multipliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leontief output multipliers per nation: truncated Neumann series
     over damped trade coefficients — the demand-ripple economics the
     centrality scores don't give."""
-    return R.leontief_multipliers(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "nation"),
+    return finalize_double(
+        R.leontief_multipliers(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+        ),
+        "inflow",
     )
 
 
@@ -1915,17 +1918,26 @@ cnt AS (
   FROM bytes GROUP BY 1, 2, 3, 4
 ),
 ent AS (
+  -- log2 only on INTEGERS 1..{MM.ENTROPY_PREFIX_BYTES}, quantized to
+  -- DECIMAL(18,9); per-doc nano-bits numerator folds exactly, then
+  -- HALF_UP to 6-dp micros in pure HUGEINT arithmetic — no double is
+  -- ever ROUNDed, so tie-break semantics cannot diverge from Spark
   SELECT doc_id, source,
-         CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE))
-                             * log2(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE)),
-                             9) AS DECIMAL(18,9))) AS DOUBLE) AS h
-  FROM cnt GROUP BY 1, 2
+         (2 * CAST((CAST(nb AS DECIMAL(9,0))
+                * CAST(ROUND(log2(CAST(nb AS DOUBLE)), 9) AS DECIMAL(18,9))
+              - SUM(CAST(c AS DECIMAL(9,0))
+                * CAST(ROUND(log2(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)))
+              ) * 1000000000 AS HUGEINT)
+          + 1000 * CAST(nb AS HUGEINT))
+         // (2000 * CAST(nb AS HUGEINT)) AS h6
+  FROM cnt GROUP BY doc_id, source, nb
 )
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(CAST(SUM(CAST(ROUND(h, 6) AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_entropy_bits,
-       ROUND(MAX(ROUND(h, 6)), 6) + 0.0 AS max_entropy_bits,
-       CAST(SUM(CASE WHEN ROUND(h, 6) > {MM.ENTROPY_HIGH_BITS}
+       CAST((2 * SUM(CAST(h6 AS HUGEINT)) + COUNT(*))
+            // (2 * CAST(COUNT(*) AS HUGEINT)) AS DOUBLE)
+         / 1000000.0 AS avg_entropy_bits,
+       CAST(MAX(h6) AS DOUBLE) / 1000000.0 AS max_entropy_bits,
+       CAST(SUM(CASE WHEN h6 > {int(round(MM.ENTROPY_HIGH_BITS * 1_000_000))}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_high_entropy
 FROM ent GROUP BY 1 ORDER BY 1
 """,

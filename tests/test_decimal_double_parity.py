@@ -22,17 +22,23 @@ Spark folds sequentially, so a raw f64 running sum is NOT portable
 even in a fixed ORDER BY — running masses are ROUND-9 DECIMAL so the
 cumsum is exact in both engines.
 
-Known IRREDUCIBLE residual (documented, not fixed): both engines'
-transcendental functions (log2/ln/exp) are <=1 ulp accurate but not
-correctly rounded, so they can differ by 1 ulp from each other.  The
-repo quantizes every transcendental term to 9 dp before folding,
-which confines the exposure to terms within ~1 ulp of a 5e-10
-rounding boundary — and a result flip additionally needs the SUM to
-sit on the output's 5e-7 boundary.  Natural data makes this a
-~measure-zero double coincidence (all 514 queries hash-match at all
-three scale factors); ENGINEERED dyadic distributions can still hit
-it (multimodal_entropy_sniff on the degenerate mini-fixture, round
-5).
+Residual transcendental exposure: both engines' transcendental
+functions (log2/ln/exp) are <=1 ulp accurate but not correctly
+rounded, so they can differ by 1 ulp from each other.  The repo
+quantizes every transcendental term to 9 dp before folding, which
+confines the exposure to terms within ~1 ulp of a 5e-10 rounding
+boundary — and a result flip additionally needs the SUM to sit on the
+output's 5e-7 boundary.  Natural data makes this a ~measure-zero
+double coincidence (all 514 queries hash-match at all three scale
+factors).  The one query where ENGINEERED dyadic distributions DID
+hit it (multimodal_entropy_sniff, round-5 degenerate sweep) was fixed
+in round 6 by restricting its log2 calls to the integers
+1..ENTROPY_PREFIX_BYTES (exhaustively parity-checked below) and doing
+every rounding step after that in exact integer arithmetic — ROUND on
+a double never runs in that query anymore, closing both the 1-ulp
+class AND the ROUND-tie class (Spark HALF_UPs the shortest decimal
+repr while DuckDB scales the binary value, so identical doubles can
+still round apart at an exact 5e-7 midpoint).
 """
 
 from __future__ import annotations
@@ -87,3 +93,46 @@ def test_duckdb_varchar_routed_cast_is_correctly_rounded():
         ).fetchone()[0]
         want = float(Decimal(v))
         assert struct.pack("<d", routed) == struct.pack("<d", want), v
+
+
+def test_entropy_log2_integer_domain_exhaustive_parity(spark):
+    """multimodal_entropy_sniff only ever evaluates log2 on the
+    INTEGERS 1..ENTROPY_PREFIX_BYTES (byte counts and prefix lengths),
+    quantized as L9(k) = ROUND(log2(k), 9) DECIMAL(18,9) before any
+    fold — so the whole transcendental surface of that query is this
+    finite table.  Check Spark vs DuckDB equality of L9 EXHAUSTIVELY:
+    while engines' log2 may differ by 1 ulp, a VALUE flip needs the
+    ulp to straddle a 5e-10 boundary, and this asserts no k does (if
+    either engine's libm ever changes and a k starts straddling, this
+    test localizes it immediately)."""
+    import duckdb
+
+    from simple_vector_spark.operators.multimodal import (
+        ENTROPY_PREFIX_BYTES,
+    )
+
+    n = ENTROPY_PREFIX_BYTES
+    got_spark = {
+        r.k: r.l9
+        for r in spark.range(1, n + 1)
+        .select(
+            F.col("id").alias("k"),
+            F.round(F.log2(F.col("id").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("l9"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    got_duck = dict(
+        con.sql(
+            f"SELECT k, CAST(ROUND(log2(CAST(k AS DOUBLE)), 9)"
+            f" AS DECIMAL(18,9)) FROM range(1, {n + 1}) t(k)"
+        ).fetchall()
+    )
+    bad = {
+        k: (got_spark[k], got_duck[k])
+        for k in range(1, n + 1)
+        if got_spark[k] != got_duck[k]
+    }
+    assert not bad, f"L9 diverges on integer args: {bad}"

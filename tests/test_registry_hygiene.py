@@ -81,7 +81,11 @@ def test_driver_recorded_matches_correctness_artifacts():
             if green or rows_only:
                 derived.add(aliases.get(name, name))
     assert derived, "no CORRECTNESS artifacts found"
-    missing = derived - registry._DRIVER_RECORDED
+    # _REFRONTED: names with a green artifact row that no longer
+    # certifies the current code (output schema / semantics changed
+    # since it was recorded) — deliberately subtracted from
+    # _DRIVER_RECORDED so the driver re-records them.
+    missing = derived - registry._DRIVER_RECORDED - registry._REFRONTED
     stale = registry._DRIVER_RECORDED - derived
     assert not missing, (
         f"driver-green names not yet appended to _DRIVER_RECORDED "
@@ -93,14 +97,20 @@ def test_driver_recorded_matches_correctness_artifacts():
     )
 
 
-def test_no_complex_typed_output_columns(spark, sf_dir):
+def test_no_complex_or_decimal_typed_output_columns(spark, sf_dir):
     """Driver-canon contract: the round gate hashes results through
     pandas ``sort_values`` over every column, and list/dict cells are
     unhashable there — so NO declared query may emit an array, map, or
     struct column (r04's only red row, ``text_inverted_postings``,
-    was exactly this hazard).  Builds every non-stream declared query
-    at sf0.001 and walks the analyzed schema; streams are excluded
-    (constructing them runs checkpointed jobs) but all were
+    was exactly this hazard).  DecimalType finals are banned too:
+    r05's only red row (``aqe_skew_join``, decimal(38,2)) diverged at
+    the driver-canon layer despite exact value equality in both
+    engines (DuckDB->pandas renders DECIMAL as float64 while
+    Spark->pandas yields ``decimal.Decimal`` objects) — DECIMAL stays
+    internal for exact money folds and crosses the boundary as an
+    explicitly cast double/long.  Builds every non-stream declared
+    query at sf0.001 and walks the analyzed schema; streams are
+    excluded (constructing them runs checkpointed jobs) but all were
     driver-green in r04 with flat schemas."""
     from pyspark.sql import types as T
 
@@ -110,17 +120,18 @@ def test_no_complex_typed_output_columns(spark, sf_dir):
             continue
         df = fn(spark, sf_dir)
         bad = [
-            f.name
+            f"{f.name}:{f.dataType.simpleString()}"
             for f in df.schema.fields
             if isinstance(
-                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+                f.dataType,
+                (T.ArrayType, T.MapType, T.StructType, T.DecimalType),
             )
         ]
         if bad:
             offenders[name] = bad
     assert not offenders, (
-        "queries emitting complex-typed columns (driver canonicalizer "
-        f"cannot hash them): {offenders}"
+        "queries emitting complex- or decimal-typed columns (driver "
+        f"canonicalizer hazard): {offenders}"
     )
 
 
