@@ -3202,53 +3202,54 @@ def abc_xyz_matrix(lineitem: DataFrame) -> DataFrame:
     definition).  The 9-cell matrix purchasing uses to pick stocking
     policies.
 
-    Exact DECIMAL sums throughout; the only f64 is the final CV."""
+    Exact DECIMAL sums throughout; the only f64 is the final CV.
+
+    One fact scan: revenue and the monthly-quantity power sums both
+    derive from a single (part, month)-grain aggregate (the DECIMAL
+    revenue sum-of-sums equals the direct sum exactly), and both
+    classifications read the same per-part row — no second scan, no
+    abc-xyz join."""
     from .ranking import ranked_prefix_sum
 
-    rev = lineitem.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(15,2)")).alias("rev")
+    monthly = lineitem.groupBy(
+        "l_partkey", F.date_format("l_shipdate", "yyyy-MM").alias("m")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(15,2)")).alias("rev_m"),
+        F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("q"),
+    )
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.sum("rev_m").alias("rev"),
+        F.count("*").cast("long").alias("nm"),
+        F.sum("q").alias("s1"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,4)")).alias("s2"),
     )
     cum = ranked_prefix_sum(
-        rev,
+        per_part,
         [F.col("rev").desc(), F.col("l_partkey").asc()],
         "rev",
         cum_name="cum",
         total_name="total",
     )
     share = F.col("cum").cast("double") / F.col("total").cast("double")
-    abc = cum.select(
-        "l_partkey",
-        F.when(share <= ABC_THRESHOLDS[0], "A")
-        .when(share <= ABC_THRESHOLDS[1], "B")
-        .otherwise("C")
-        .alias("abc"),
-    )
-    monthly = lineitem.groupBy(
-        "l_partkey", F.date_format("l_shipdate", "yyyy-MM").alias("m")
-    ).agg(F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("q"))
-    mom = monthly.groupBy("l_partkey").agg(
-        F.count("*").cast("long").alias("nm"),
-        F.sum("q").alias("s1"),
-        F.sum((F.col("q") * F.col("q")).cast("decimal(38,4)")).alias("s2"),
-    )
     n = F.col("nm").cast("double")
     mean = F.col("s1").cast("double") / n
     var = (F.col("s2").cast("double") - F.col("s1").cast("double") * mean) / (
         n - F.lit(1.0)
     )
     cv = F.sqrt(F.greatest(var, F.lit(0.0))) / mean
-    xyz = mom.select(
-        "l_partkey",
+    classed = cum.select(
+        F.when(share <= ABC_THRESHOLDS[0], "A")
+        .when(share <= ABC_THRESHOLDS[1], "B")
+        .otherwise("C")
+        .alias("abc"),
         F.when(F.col("nm") == 1, "Z")
         .when(cv <= XYZ_THRESHOLDS[0], "X")
         .when(cv <= XYZ_THRESHOLDS[1], "Y")
         .otherwise("Z")
         .alias("xyz"),
     )
-    return (
-        abc.join(xyz, "l_partkey")
-        .groupBy("abc", "xyz")
-        .agg(F.count("*").cast("long").alias("n_parts"))
+    return classed.groupBy("abc", "xyz").agg(
+        F.count("*").cast("long").alias("n_parts")
     )
 
 

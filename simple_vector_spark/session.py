@@ -17,8 +17,9 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "simple-vector-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
@@ -28,16 +29,20 @@ def get_spark(app_name: str = "simple-vector-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        # local[N] is ONE JVM: shuffle/broadcast/cached-block bytes never
-        # cross a network, so LZ4 framing is pure CPU overhead here
-        # (measured 5-8% total, up to 1.8x on shuffle-heavy queries at
-        # sf0.1).  On a real cluster these stay at their defaults (ON) —
-        # there the shuffle is network/disk-bound and compression wins.
-        .config("spark.shuffle.compress", "false")
-        .config("spark.shuffle.spill.compress", "false")
-        .config("spark.rdd.compress", "false")
-        .config("spark.broadcast.compress", "false")
     )
+    # local[N] is ONE JVM: shuffle/broadcast/cached-block bytes never
+    # cross a network, so LZ4 framing is pure CPU overhead here
+    # (measured 5-8% total, up to 1.8x on shuffle-heavy queries at
+    # sf0.1).  Gated on the master actually being local so a future
+    # cluster master keeps the defaults (ON) — there the shuffle is
+    # network/disk-bound and compression wins.
+    if master.startswith("local"):
+        builder = (
+            builder.config("spark.shuffle.compress", "false")
+            .config("spark.shuffle.spill.compress", "false")
+            .config("spark.rdd.compress", "false")
+            .config("spark.broadcast.compress", "false")
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
