@@ -1368,39 +1368,33 @@ _SLA_COLS_SQL = ",\n       ".join(
 @query(
     "parts_abc_xyz_matrix",
     f"""
-WITH per AS (
-  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS rev
-  FROM lineitem GROUP BY l_partkey
+WITH monthly AS (
+  -- exact integer CENTS, month as a truncated date — mirrors the
+  -- operator's single-scan (part, month) aggregate bit for bit
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+           AS rev_m,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(20,2)) * 100 AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, SUM(rev_m) AS rev, CAST(COUNT(*) AS BIGINT) AS nm,
+         SUM(q) AS s1, SUM(q * q) AS s2
+  FROM monthly GROUP BY l_partkey
 ),
 cum AS (
-  SELECT l_partkey, rev,
+  SELECT l_partkey, rev, nm, s1, s2,
          SUM(rev) OVER (ORDER BY rev DESC, l_partkey
                         ROWS UNBOUNDED PRECEDING) AS cum,
          SUM(rev) OVER () AS total
-  FROM per
+  FROM per_part
 ),
-abc AS (
-  SELECT l_partkey,
-         CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+classed AS (
+  SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
                    <= {R.ABC_THRESHOLDS[0]} THEN 'A'
               WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
                    <= {R.ABC_THRESHOLDS[1]} THEN 'B'
-              ELSE 'C' END AS abc
-  FROM cum
-),
-monthly AS (
-  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS m,
-         SUM(CAST(l_quantity AS DECIMAL(20,2))) AS q
-  FROM lineitem GROUP BY 1, 2
-),
-mom AS (
-  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS nm,
-         SUM(q) AS s1,
-         SUM(CAST(q * q AS DECIMAL(38,4))) AS s2
-  FROM monthly GROUP BY l_partkey
-),
-xyz AS (
-  SELECT l_partkey,
+              ELSE 'C' END AS abc,
          CASE WHEN nm = 1 THEN 'Z'
               WHEN SQRT(GREATEST((CAST(s2 AS DOUBLE)
                        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / nm))
@@ -1413,10 +1407,10 @@ xyz AS (
                    / (CAST(s1 AS DOUBLE) / nm) <= {R.XYZ_THRESHOLDS[1]}
                 THEN 'Y'
               ELSE 'Z' END AS xyz
-  FROM mom
+  FROM cum
 )
 SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
-FROM abc JOIN xyz USING (l_partkey)
+FROM classed
 GROUP BY abc, xyz
 """,
 )
