@@ -9,6 +9,12 @@ in float64 (both engines cast FLOAT[] -> DOUBLE[]), ROUNDed to 6
 decimals, and ranked on the rounded value with an id tiebreak; money
 aggregates use DECIMAL arithmetic (exact, order-insensitive); COUNTs
 cast to BIGINT; window ranks cast to INT.
+
+Output-type rule (round 6): FINAL columns never cross the driver-canon
+boundary as DecimalType — DECIMAL folds stay internal and the final
+column is an explicitly cast double (exact: cent/micro-scaled
+significands < 2^53) or long.  Enforced over all 514 declared queries
+by tests/test_registry_hygiene.py alongside the array/map/struct ban.
 """
 
 from __future__ import annotations
