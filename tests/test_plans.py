@@ -601,3 +601,18 @@ def test_orderby_only_windows_allowlisted():
         "bounded cardinality and add to the allowlist"
     )
     assert not stale, f"stale allowlist entries: {sorted(stale)}"
+
+
+def test_abc_xyz_matrix_single_fact_scan(spark, sf_dir):
+    """Round 6: both the ABC revenue ranking and the XYZ monthly-CV
+    stats must derive from ONE (part, month)-grain aggregate — one
+    lineitem FileScan in the whole plan (the checkpointed per-part
+    table shows up as ExistingRDD), no second scan, no abc-xyz
+    SortMergeJoin, and the month key native (no per-row date_format
+    in the scan stage)."""
+    plan = plan_of(spark, sf_dir, "parts_abc_xyz_matrix")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) <= 1, f"expected <=1 fact scan, got {len(scans)}"
+    assert "ExistingRDD" in plan  # checkpointed part-grain aggregate
+    assert "SortMergeJoin" not in plan
+    assert "date_format" not in plan
