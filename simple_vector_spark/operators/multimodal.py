@@ -651,7 +651,7 @@ def payload_entropy_sniff(docs: DataFrame) -> DataFrame:
     nbl = (F.col("nb").cast("decimal(9,0)") * l9(F.col("nb"))).cast(
         "decimal(28,9)"
     )
-    # both sums are bounded by nb*log2(nb) <= 2048*8, so the (18,9)
+    # both sums are bounded by nb*log2(nb) <= 256*8 = 2048, so the (18,9)
     # downcasts are exact — and necessary: subtracting the (38,9) SUM
     # directly would overflow precision 38 and Spark would silently
     # scale-trim the difference to 8 dp (the round-5 parity class)

@@ -3210,11 +3210,17 @@ def abc_xyz_matrix(lineitem: DataFrame) -> DataFrame:
     sum-of-sums equals the direct sum), and both classifications read
     the same per-part row — no second scan, no abc-xyz join.  The
     month key stays a native truncated DATE (a per-row date_format
-    string was ~40% of the scan stage), money/quantity fold as LONG
-    cents (~1.6x faster than DECIMAL sums on the 6M-row stage and
-    bit-identical share/cv doubles against the cents-folding oracle),
-    and the squared quantity routes through DECIMAL(18,0) so the
-    square cannot wrap int64 at 100-TB part volumes."""
+    string was ~40% of the scan stage); money/quantity fold as LONG
+    cents on the per-group stages (~1.6x faster than DECIMAL sums on
+    the 6M-row stage, and every per-(part,month) / per-part group is
+    bounded far below 2^63 cents at any SF because lines-per-part is
+    ~constant in TPC-H).  The two sums that DO grow with corpus size
+    route through DECIMAL: the squared quantity (DECIMAL(18,0), so the
+    square cannot wrap int64) and the cross-part cumulative/total
+    revenue (rev recast to DECIMAL(18,0) before the prefix sum, so
+    cum/total promote to DECIMAL(28,0) instead of wrapping a LONG at
+    ~9e18 total cents — DuckDB's SUM(BIGINT) promotes to HUGEINT, so
+    a Spark LONG wrap would be an asymmetric silent divergence)."""
     from .ranking import ranked_prefix_sum
 
     cents = lambda c: (c.cast("decimal(15,2)") * 100).cast("long")  # noqa: E731
@@ -3236,7 +3242,7 @@ def abc_xyz_matrix(lineitem: DataFrame) -> DataFrame:
         F.sum(qd * qd).alias("s2"),
     ).localCheckpoint()
     cum = ranked_prefix_sum(
-        per_part,
+        per_part.withColumn("rev", F.col("rev").cast("decimal(18,0)")),
         [F.col("rev").desc(), F.col("l_partkey").asc()],
         "rev",
         cum_name="cum",

@@ -51,9 +51,39 @@ def finalize_double(df: DataFrame, *cols: str) -> DataFrame:
     cent/micro-scaled significand < 2^53, so the decimal->double
     conversion is exact and engine-identical (r05's one red row,
     aqe_skew_join, was a decimal(38,2) final; the hygiene gate now
-    bans DecimalType finals outright)."""
+    bans DecimalType finals outright).
+
+    The < 2^53 precondition is ENFORCED, not assumed (ADVICE r06):
+    decimal-typed columns get a raise_error guard on the unscaled
+    significand before the cast, so a corpus large enough to break
+    exactness (and reopen DuckDB's 1-ulp decimal->double rounding on
+    the oracle side) fails loudly instead of silently diverging.  The
+    guard runs on FINAL (post-aggregation) rows only — negligible."""
+    from decimal import Decimal as _D
+
+    from pyspark.sql.types import DecimalType as _Dec
+
+    schema = {f.name: f.dataType for f in df.schema.fields}
     for c in cols:
-        df = df.withColumn(c, F.col(c).cast("double"))
+        dt = schema.get(c)
+        if isinstance(dt, _Dec):
+            bound = F.lit(_D(2**53).scaleb(-dt.scale))
+            guarded = F.when(
+                F.abs(F.col(c)) >= bound,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"finalize_double({c}): unscaled significand "
+                            f">= 2^53 — decimal->double no longer exact; "
+                            f"value="
+                        ),
+                        F.col(c).cast("string"),
+                    )
+                ).cast("double"),
+            ).otherwise(F.col(c).cast("double"))
+            df = df.withColumn(c, guarded)
+        else:
+            df = df.withColumn(c, F.col(c).cast("double"))
     return df
 
 
@@ -176,48 +206,57 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     "snapshot_diff_audit", "ivf_index_upsert_audit", "zorder_layout_audit",
     "partitioned_write_prune", "dpp_prune_join",
     "schema_evolution_roundtrip",
-})
-
-# Green artifact rows whose recorded output schema is stale: round 6
-# converted every DecimalType FINAL column to an exact double at the
-# driver-canon boundary (VERDICT r05 item 3), which changes these two
-# queries' output schema vs the row the driver recorded — re-front them
-# for re-record under the new schema.  The bookkeeping tripwire test
-# (tests/test_registry_hygiene.py) excuses exactly this set.
-_REFRONTED: frozenset[str] = frozenset({
-    "dpp_prune_join", "bloom_filter_join",
-})
-_DRIVER_RECORDED = _DRIVER_RECORDED - _REFRONTED
-
-# Highest-value unrecorded queries (VERDICT r05 items 1/3/4): these
-# lead the pending block so the driver's ~50-record cap lands on them
-# first.  Order: the canon-fixed red row and the two schema-changed
-# re-fronts, then every other query whose DecimalType final column was
-# converted to double this round (new output schema + oracle — the
-# fixes should earn driver rows at once), then the r05-front leftovers
-# the 50-cap cut off; the rest of the cap drains the events_*/orders_*
-# waves in their natural registration order.
-_DRIVER_PRIORITY: tuple[str, ...] = (
-    # r05's only red row — decimal(38,2) final now crosses the driver
-    # canon as an exact double; re-record (VERDICT r05 item 1)
-    "aqe_skew_join",
-    # schema-changed re-fronts (see _REFRONTED)
-    "dpp_prune_join", "bloom_filter_join",
-    # decimal-final -> double conversions (VERDICT r05 item 3), never
-    # driver-recorded before
-    "orders_pareto_share", "orders_seasonality", "lineitem_measure_melt",
-    "orders_cohort_ltv", "events_hour_of_week", "orders_spend_gini",
-    "orders_aov_trend", "orders_revenue_ewma", "orders_incremental_agg",
-    "parts_abc_classification", "orders_equidepth_histogram",
-    "lateral_topk_orders", "orders_psi_drift", "orders_keyset_page",
-    "orders_frame_semantics", "orders_backlog_aging",
+    # -- recorded green in CORRECTNESS_r06.json (round 6): 50/50 green —
+    # the canon-fixed aqe_skew_join, the two schema-changed re-fronts
+    # (dpp_prune_join / bloom_filter_join, counted once via their
+    # original entries above), and 47 never-recorded names --
+    "aqe_skew_join", "orders_pareto_share", "orders_seasonality",
+    "lineitem_measure_melt", "orders_cohort_ltv", "events_hour_of_week",
+    "orders_spend_gini", "orders_aov_trend", "orders_revenue_ewma",
+    "orders_incremental_agg", "parts_abc_classification",
+    "orders_equidepth_histogram", "lateral_topk_orders", "orders_psi_drift",
+    "orders_keyset_page", "orders_frame_semantics", "orders_backlog_aging",
     "orders_hill_tail_index", "nation_trade_balance",
     "orders_new_vs_returning", "orders_mad_outliers",
     "observed_scan_metrics", "nation_leontief_multipliers",
-    # layout / source audits the r05 front's 50-cap cut off
     "gzip_source_roundtrip", "xml_source_roundtrip", "sql_pipe_revenue",
     "table_fingerprint_audit", "multimodal_frame_audit",
-    "multimodal_audio_windows",
+    "multimodal_audio_windows", "text_source_logparse",
+    "events_funnel_steps", "events_cohort_retention",
+    "customers_retained_yoy", "customers_churned_yoy",
+    "order_value_distribution", "doc_unigram_logprob",
+    "events_anomaly_zscore", "vocab_zipf_slope", "events_rolling_wau",
+    "source_tfidf_terms", "join_size_estimate", "embedding_norm_outliers",
+    "events_markov_transitions", "orders_rfm_segments",
+    "dedup_rate_by_source", "events_session_conversion",
+    "doc_char_entropy", "orders_first_repeat_interval",
+})
+
+# Green artifact rows that no longer certify the current code (output
+# schema / semantics changed since the row was recorded) — subtracted
+# from _DRIVER_RECORDED so the driver re-records them.  Round 6's two
+# schema-changed re-fronts (dpp_prune_join, bloom_filter_join) were
+# re-recorded green in CORRECTNESS_r06 and retired.  Round 7 re-fronts
+# bigram_nucleus_audit (ADVICE r06, medium): its r05 green row predates
+# the round-6 quantization change — pp moved from ROUND(c/tot, 9) on a
+# double to exact integer HALF_UP nanos, which can shift
+# nucleus_size/nucleus_mass when the f64 quotient straddles a 5e-10
+# boundary; the recorded row no longer certifies the current semantics.
+_REFRONTED: frozenset[str] = frozenset({
+    "bigram_nucleus_audit",
+})
+_DRIVER_RECORDED = _DRIVER_RECORDED - _REFRONTED
+
+# Highest-value unrecorded queries (round 7): every r06 priority name
+# landed green (CORRECTNESS_r06 50/50), so the only front item is the
+# semantics-changed re-front; the rest of the ~50-record cap drains the
+# largest never-recorded families (events_*/orders_*/lineitem_* stats
+# waves, then text_*/vocab_*/doc_* retrieval — VERDICT r06 item 3) in
+# their natural registration order.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # ADVICE r06 (medium): r05 row predates the round-6 exact-integer
+    # HALF_UP quantization — re-record under the new semantics
+    "bigram_nucleus_audit",
 )
 
 

@@ -136,3 +136,29 @@ def test_entropy_log2_integer_domain_exhaustive_parity(spark):
         if got_spark[k] != got_duck[k]
     }
     assert not bad, f"L9 diverges on integer args: {bad}"
+
+
+def test_finalize_double_guards_unscaled_significand(spark):
+    """finalize_double's exactness precondition (unscaled < 2^53) is
+    ENFORCED (ADVICE r06): a decimal final whose significand exceeds
+    2^53 raises instead of silently crossing the canon boundary with
+    a possibly-unrepresentable value (and reopening DuckDB's 1-ulp
+    direct decimal->double cast on the oracle side).  In-bound values
+    cast exactly; NULLs pass through."""
+    import pytest
+
+    from simple_vector_spark.registry import finalize_double
+
+    # 2^53 = 9007199254740992; at scale 2 the bound is 2^53/100.
+    ok = spark.sql(
+        "SELECT CAST('90071992547409.91' AS DECIMAL(38,2)) AS v"
+        " UNION ALL SELECT CAST(NULL AS DECIMAL(38,2))"
+    )
+    got = {r.v for r in finalize_double(ok, "v").collect()}
+    assert got == {90071992547409.91, None}
+    bad = spark.sql("SELECT CAST('90071992547409.92' AS DECIMAL(38,2)) AS v")
+    with pytest.raises(Exception, match="finalize_double"):
+        finalize_double(bad, "v").collect()
+    # non-decimal columns keep the plain cast path
+    plain = spark.range(1).select(F.lit(7).alias("v"))
+    assert finalize_double(plain, "v").collect()[0].v == 7.0
