@@ -16,11 +16,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from __spark_entry__ import queries
+    from simple_vector_spark.registry import _QUERIES
     from simple_vector_spark.session import get_spark
 
     spark = get_spark("bench")
-    qs = queries()
+    # Time in FIXED REGISTRATION order, not the driver-rotation order
+    # (__spark_entry__.queries() reorders every round as recorded names
+    # move to the back).  Round-6 attribution (AUDITS_r07) showed
+    # per-query wall time in a 514-query session depends on position
+    # and neighborhood — the same query at the same HEAD moved 2-4x
+    # between the r5 and r6 rotation orders with zero code change.
+    # Pinning the timing order makes round-over-round per-query deltas
+    # measure CODE, not rotation.
+    qs = dict(_QUERIES)
 
     # Warm the JVM, parquet reader, and the hot codegen paths (array
     # distance exprs, window rank, hash agg) with representative queries
