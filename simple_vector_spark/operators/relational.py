@@ -3217,8 +3217,10 @@ def abc_xyz_matrix(lineitem: DataFrame) -> DataFrame:
     ~constant in TPC-H).  The two sums that DO grow with corpus size
     route through DECIMAL: the squared quantity (DECIMAL(18,0), so the
     square cannot wrap int64) and the cross-part cumulative/total
-    revenue (rev recast to DECIMAL(18,0) before the prefix sum, so
-    cum/total promote to DECIMAL(28,0) instead of wrapping a LONG at
+    revenue (rev recast to DECIMAL(19,0) — wide enough to represent
+    every int64 exactly, so the cast itself can never null out a
+    >=1e18-cent part in non-ANSI mode — before the prefix sum, so
+    cum/total promote to DECIMAL(29,0) instead of wrapping a LONG at
     ~9e18 total cents — DuckDB's SUM(BIGINT) promotes to HUGEINT, so
     a Spark LONG wrap would be an asymmetric silent divergence)."""
     from .ranking import ranked_prefix_sum
@@ -3242,7 +3244,7 @@ def abc_xyz_matrix(lineitem: DataFrame) -> DataFrame:
         F.sum(qd * qd).alias("s2"),
     ).localCheckpoint()
     cum = ranked_prefix_sum(
-        per_part.withColumn("rev", F.col("rev").cast("decimal(18,0)")),
+        per_part.withColumn("rev", F.col("rev").cast("decimal(19,0)")),
         [F.col("rev").desc(), F.col("l_partkey").asc()],
         "rev",
         cum_name="cum",

@@ -230,34 +230,48 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     "events_markov_transitions", "orders_rfm_segments",
     "dedup_rate_by_source", "events_session_conversion",
     "doc_char_entropy", "orders_first_repeat_interval",
+    # -- recorded green in CORRECTNESS_r07.json (round 7): 50/50 green —
+    # the re-fronted bigram_nucleus_audit (re-recorded under the
+    # exact-integer HALF_UP nanos semantics, counted once via its
+    # original r05 entry above) and 49 never-recorded names --
+    "orders_priority_mix_drift", "part_supplier_redundancy",
+    "source_token_budget", "doc_novelty_share", "events_user_type_entropy",
+    "embeddings_label_balance", "events_user_state_scd2",
+    "events_watermark_audit", "doc_bigram_logprob",
+    "lineitem_brand_affinity", "events_dau_mau", "events_markov_stationary",
+    "embedding_dim_clip_bounds", "doc_prefix_boilerplate",
+    "source_mixture_temperature", "doc_perplexity_buckets",
+    "curriculum_quality_deciles", "orders_salt_advisor",
+    "events_daily_autocorr", "nation_trade_pagerank", "events_pattern_match",
+    "column_encoding_advisor", "orders_revenue_forecast",
+    "vocab_coverage_curve", "events_changepoint", "events_pit_user_state",
+    "events_time_to_convert", "lineitem_discount_elasticity",
+    "orders_dow_anova", "events_touch_attribution", "null_aware_anti_join",
+    "events_props_key_stats", "events_max_concurrent", "order_ship_latency",
+    "orders_seasonal_decompose", "customer_segment_migration",
+    "part_name_matching", "events_session_paths", "events_variant_extract",
+    "events_collated_filter", "fk_orphan_audit", "pii_luhn_audit",
+    "events_preference_pairs", "embedding_grid_neighbors",
+    "events_session_window_tvf", "orders_ddsketch_quantiles",
+    "fd_discovery_audit", "ivm_join_delta", "nation_trade_bfs",
 })
 
 # Green artifact rows that no longer certify the current code (output
 # schema / semantics changed since the row was recorded) — subtracted
-# from _DRIVER_RECORDED so the driver re-records them.  Round 6's two
-# schema-changed re-fronts (dpp_prune_join, bloom_filter_join) were
-# re-recorded green in CORRECTNESS_r06 and retired.  Round 7 re-fronts
-# bigram_nucleus_audit (ADVICE r06, medium): its r05 green row predates
-# the round-6 quantization change — pp moved from ROUND(c/tot, 9) on a
-# double to exact integer HALF_UP nanos, which can shift
-# nucleus_size/nucleus_mass when the f64 quotient straddles a 5e-10
-# boundary; the recorded row no longer certifies the current semantics.
-_REFRONTED: frozenset[str] = frozenset({
-    "bigram_nucleus_audit",
-})
+# from _DRIVER_RECORDED so the driver re-records them.  Round 7's one
+# re-front (bigram_nucleus_audit, ADVICE r06) was re-recorded green in
+# CORRECTNESS_r07 under the exact-integer HALF_UP nanos semantics and is
+# retired; round 8 changes no recorded query's semantics.
+_REFRONTED: frozenset[str] = frozenset()
 _DRIVER_RECORDED = _DRIVER_RECORDED - _REFRONTED
 
-# Highest-value unrecorded queries (round 7): every r06 priority name
-# landed green (CORRECTNESS_r06 50/50), so the only front item is the
-# semantics-changed re-front; the rest of the ~50-record cap drains the
-# largest never-recorded families (events_*/orders_*/lineitem_* stats
-# waves, then text_*/vocab_*/doc_* retrieval — VERDICT r06 item 3) in
+# Highest-value unrecorded queries (round 8): every r07 priority name
+# landed green (CORRECTNESS_r07 50/50) and no semantics changed, so
+# nothing is fronted; the ~50-record cap keeps draining the largest
+# never-recorded families (remaining events_*/orders_*/lineitem_* stats
+# waves, then text_*/vocab_*/doc_* retrieval — VERDICT r07 item 2) in
 # their natural registration order.
-_DRIVER_PRIORITY: tuple[str, ...] = (
-    # ADVICE r06 (medium): r05 row predates the round-6 exact-integer
-    # HALF_UP quantization — re-record under the new semantics
-    "bigram_nucleus_audit",
-)
+_DRIVER_PRIORITY: tuple[str, ...] = ()
 
 
 def _driver_order(names) -> list[str]:

@@ -162,3 +162,47 @@ def test_finalize_double_guards_unscaled_significand(spark):
     # non-decimal columns keep the plain cast path
     plain = spark.range(1).select(F.lit(7).alias("v"))
     assert finalize_double(plain, "v").collect()[0].v == 7.0
+
+
+def test_long_to_decimal19_cast_covers_every_int64(spark):
+    """abc_xyz_matrix routes per-part LONG cents through DECIMAL before
+    the corpus-growing prefix sum.  The cast width must be >= 19 digits:
+    decimal(18,0) tops out at 1e18-1, so a per-part sum in
+    [1e18, 2^63) would cast to NULL in non-ANSI mode and silently drop
+    that part from cum/total (ADVICE r07) — the very silent-divergence
+    class the finalize_double guard exists to close.  decimal(19,0)
+    represents every int64 exactly and still promotes SUM to
+    decimal(29,0), keeping the LONG-wrap fix."""
+    import inspect
+
+    from simple_vector_spark.operators import relational
+
+    src = inspect.getsource(relational.abc_xyz_matrix)
+    assert 'cast("decimal(19,0)")' in src, (
+        "abc_xyz_matrix's rev prefix-sum cast must stay decimal(19,0)"
+    )
+    assert '("rev", F.col("rev").cast("decimal(18,0)")' not in src
+    # behavioral proof of the class: an 18,0 cast of an int64 endpoint
+    # is a failure either way (NULL when ANSI is off — the silent-drop
+    # hazard; an ArithmeticException when ANSI is on), while 19,0 is
+    # exact for both endpoints under both modes
+    edges = spark.sql(
+        "SELECT CAST(9223372036854775807 AS LONG) AS v"
+        " UNION ALL SELECT CAST(-9223372036854775808 AS LONG)"
+    )
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        narrow = [r.d for r in edges.select(
+            F.col("v").cast("decimal(18,0)").alias("d")).collect()]
+        assert narrow == [None, None]
+        wide = {r.d for r in edges.select(
+            F.col("v").cast("decimal(19,0)").alias("d")).collect()}
+        assert wide == {Decimal(9223372036854775807),
+                        Decimal(-9223372036854775808)}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_before)
+    wide_ansi = {r.d for r in edges.select(
+        F.col("v").cast("decimal(19,0)").alias("d")).collect()}
+    assert wide_ansi == {Decimal(9223372036854775807),
+                         Decimal(-9223372036854775808)}

@@ -50,12 +50,37 @@ def jvm_stats(spark):
     while vals.hasNext():
         t = vals.next()
         storage_used += t._1() - t._2()
+    # Non-heap pools: the round-7 replay ruled out GC-time and heap
+    # size, leaving "session-state churn".  The two JVM-level suspects
+    # that are heap-invariant are the JIT CODE CACHE (default reserve
+    # 240 MB; when the CodeHeaps fill, the sweeper flushes warm
+    # compiled methods and hot paths re-run in the interpreter until
+    # re-JITed) and METASPACE (every WholeStageCodegen query loads new
+    # generated classes; class unloading only happens on full GC).
+    # Sample both so a reproduced band can be attributed directly.
+    code_used = code_max = meta_used = 0
+    pit = mf.getMemoryPoolMXBeans().iterator()
+    while pit.hasNext():
+        p = pit.next()
+        nm = p.getName()
+        u = p.getUsage()
+        if "CodeHeap" in nm or nm == "Code Cache":
+            code_used += u.getUsed()
+            code_max += u.getMax()
+        elif nm == "Metaspace":
+            meta_used = u.getUsed()
+    cl = mf.getClassLoadingMXBean()
     return {
         "gc_ms": gc_ms,
         "gc_n": gc_n,
         "heap_used_mb": heap.getUsed() // 1048576,
         "heap_committed_mb": heap.getCommitted() // 1048576,
         "storage_used_mb": storage_used // 1048576,
+        "codecache_used_mb": code_used // 1048576,
+        "codecache_max_mb": code_max // 1048576,
+        "metaspace_used_mb": meta_used // 1048576,
+        "classes_loaded": cl.getLoadedClassCount(),
+        "classes_unloaded": cl.getUnloadedClassCount(),
     }
 
 
@@ -71,6 +96,12 @@ def main() -> None:
                     "(prefix-conditioning only)")
     ap.add_argument("--skip", default="",
                     help="comma-separated names to drop from the slice")
+    ap.add_argument("--hygiene-every", type=int, default=0,
+                    help="every N positions: clearCache + drop temp "
+                    "views + JVM System.gc (VERDICT r07 item 4 arm)")
+    ap.add_argument("--recycle-at", type=int, default=None,
+                    help="stop the session and start a fresh warmed "
+                    "JVM at this position (VERDICT r07 item 4 arm)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -82,23 +113,47 @@ def main() -> None:
     skip = {s for s in args.skip.split(",") if s}
     names = [n for n in order[args.start:args.end] if n not in skip]
 
-    spark = get_spark("bench")
-    # bench.py warm-up conventions
-    spark.read.parquet(args.sf.rstrip("/") + "/region.parquet").count()
-    warm_dir = "/root/testdata/sf0.001"
-    for wq in ("knn_exact_topk", "knn_batch_join", "tpch_q1_pricing",
-               "knn_shard_topk", "vocab_top100", "dedup_simhash_pairs",
-               "embedding_knn_loo_accuracy", "knn_graph_navigable",
-               "dedup_weighted_minhash", "part_covisit_recs"):
-        if wq in _QUERIES:
-            _QUERIES[wq](spark, warm_dir).count()
-    for wq in ("ann_ivf", "ann_pq_adc", "knn_graph_navigable"):
-        if wq in _QUERIES:
-            _QUERIES[wq](spark, args.sf).count()
+    def warmed_session():
+        spark = get_spark("bench")
+        # bench.py warm-up conventions
+        spark.read.parquet(args.sf.rstrip("/") + "/region.parquet").count()
+        warm_dir = "/root/testdata/sf0.001"
+        for wq in ("knn_exact_topk", "knn_batch_join", "tpch_q1_pricing",
+                   "knn_shard_topk", "vocab_top100", "dedup_simhash_pairs",
+                   "embedding_knn_loo_accuracy", "knn_graph_navigable",
+                   "dedup_weighted_minhash", "part_covisit_recs"):
+            if wq in _QUERIES:
+                _QUERIES[wq](spark, warm_dir).count()
+        for wq in ("ann_ivf", "ann_pq_adc", "knn_graph_navigable"):
+            if wq in _QUERIES:
+                _QUERIES[wq](spark, args.sf).count()
+        return spark
 
+    def hygiene(spark):
+        spark.catalog.clearCache()
+        for tbl in spark.catalog.listTables():
+            if tbl.isTemporary:
+                spark.catalog.dropTempView(tbl.name)
+        spark.sparkContext._jvm.System.gc()
+
+    spark = warmed_session()
     mstart = args.measure_start
     rows = []
     for pos, name in enumerate(names, start=args.start):
+        if args.recycle_at is not None and pos == args.recycle_at:
+            t0 = time.perf_counter()
+            spark.stop()
+            spark = warmed_session()
+            print(json.dumps({"pos": pos, "event": "recycle",
+                              "sec": round(time.perf_counter() - t0, 1)}),
+                  flush=True)
+        if args.hygiene_every and pos > args.start and \
+                (pos - args.start) % args.hygiene_every == 0:
+            t0 = time.perf_counter()
+            hygiene(spark)
+            print(json.dumps({"pos": pos, "event": "hygiene",
+                              "sec": round(time.perf_counter() - t0, 1)}),
+                  flush=True)
         timed = mstart is None or pos >= mstart
         runs = []
         for _ in range(2 if timed else 1):
@@ -117,7 +172,10 @@ def main() -> None:
         with open(args.out, "w") as fh:
             json.dump({"root": args.root, "sf": args.sf,
                        "start": args.start, "end": args.end,
-                       "skip": sorted(skip), "rows": rows}, fh, indent=1)
+                       "skip": sorted(skip),
+                       "hygiene_every": args.hygiene_every,
+                       "recycle_at": args.recycle_at,
+                       "rows": rows}, fh, indent=1)
     spark.stop()
 
 
