@@ -2133,6 +2133,43 @@ GRAPH_INS_MOD = 97  # inserts: id % 97 == 0 copied to id + 1e6
 GRAPH_INS_SHIFT = 1_000_000
 
 
+def graph_cell_assignments(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    assign: int = GRAPH_ASSIGN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``assign`` cell assignment as a PURE EXPRESSION (the
+    ivf_cell idiom extended to top-N): distances to every centroid in
+    one projection, array_sort over (dist, cid) structs, slice + explode
+    the first ``assign`` — identical (id, cell) rows to the former
+    crossJoin + row_number window (same squared_l2 fold order, same
+    ROUND(6), same ties-to-smaller-cid ordering) with ZERO shuffle
+    (guide §2.4: the window's hash(id) exchange carried |corpus| x
+    |centroids| rows).  This is the audited "stored assignment table"
+    builder; core_ann session-caches its base-corpus result the same
+    way the edge table is cached."""
+    from ..functions.vector import as_double_array, squared_l2
+
+    ids = F.lit([int(cid) for cid, _ in cents])
+    mat = F.lit([[float(x) for x in cv] for _, cv in cents]).cast(
+        "array<array<double>>"
+    )
+    vec = as_double_array(F.col(vec_col))
+    entries = F.transform(
+        mat,
+        lambda cv, i: F.struct(
+            F.round(squared_l2(vec, cv), 6).alias("_cd"),
+            F.element_at(ids, i + 1).alias("cid"),
+        ),
+    )
+    top = F.slice(F.array_sort(entries), 1, assign)
+    return df.select(
+        F.col(id_col), F.explode(top).alias("_e")
+    ).select(F.col(id_col), F.col("_e.cid").alias("cell"))
+
+
 def graph_index_upsert_audit(
     emb: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -2144,6 +2181,7 @@ def graph_index_upsert_audit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     edges_before: DataFrame | None = None,
+    base_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MAINTENANCE audit for the navigable graph — the
     graph twin of ivf_index_upsert_audit and the Spark answer to
@@ -2193,38 +2231,23 @@ def graph_index_upsert_audit(
     # assign_cells(base) below stands in for reading the stored
     # assignment table of the built index — a real system reads state,
     # it does not rescore (same caveat ivf_index_upsert_audit states).
-    cdf = F.broadcast(
-        spark.createDataFrame(
-            [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
-            "cid int, cv array<double>",
-        )
-    )
-    from ..functions.vector import as_double_array, squared_l2
+    from ..functions.vector import as_double_array
 
     def assign_cells(df: DataFrame) -> DataFrame:
-        scored = df.crossJoin(cdf).select(
-            F.col(id_col),
-            F.col("cid"),
-            F.round(
-                squared_l2(as_double_array(F.col(vec_col)), F.col("cv")), 6
-            ).alias("_cd"),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_cd").asc(), F.col("cid").asc()
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= assign)
-            .select(F.col(id_col), F.col("cid").alias("cell"))
+        return graph_cell_assignments(
+            df, cents, assign=assign, id_col=id_col, vec_col=vec_col
         )
 
     batch_cells = assign_cells(batch).localCheckpoint()
     affected = batch_cells.select("cell").distinct()
     # members of affected cells, after-image vectors (old members of
-    # those cells keep their assignment; batch rows use batch_cells)
-    old_cells = assign_cells(base).join(
-        batch.select(id_col), id_col, "left_anti"
-    )
+    # those cells keep their assignment; batch rows use batch_cells).
+    # ``base_cells`` is the built index's stored assignment table
+    # (session-cached in core_ann, like the edge table) — when absent,
+    # fall back to recomputing it, which yields identical rows.
+    old_cells = (
+        base_cells if base_cells is not None else assign_cells(base)
+    ).join(batch.select(id_col), id_col, "left_anti")
     members = (
         old_cells.unionByName(batch_cells)
         .join(F.broadcast(affected), "cell", "left_semi")

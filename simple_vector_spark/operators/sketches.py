@@ -51,24 +51,21 @@ def cms_heavy_hitters(docs: DataFrame, topn: int = 20, text_col: str = "text") -
         .agg(F.count("*").alias("true_cnt"))
         .withColumn("h", md5_int(F.col("t")))
     )
-    # sketch[j][b] = sum of counts of all tokens hashing to bucket b in row j
-    rows = []
-    for j in range(CMS_D):
-        rows.append(
-            cnt.select(F.lit(j).alias("j"), _cms_bucket(j, F.col("h")).alias("b"), "true_cnt")
-        )
+    # sketch[j][b] = sum of counts of all tokens hashing to bucket b in
+    # row j.  The D rows come from ONE posexplode of the in-expression
+    # bucket array rather than a D-way union of the count aggregate —
+    # the union re-ran the final token-count merge (and re-read its
+    # shuffle) once per hash row (guide §2.4: same data, one exchange).
+    bucket_arr = F.array(*[_cms_bucket(j, F.col("h")) for j in range(CMS_D)])
     sketch = (
-        rows[0].unionByName(rows[1]).unionByName(rows[2]).unionByName(rows[3])
+        cnt.select(F.posexplode(bucket_arr).alias("j", "b"), "true_cnt")
         .groupBy("j", "b")
         .agg(F.sum("true_cnt").alias("bucket_cnt"))
     )
     top = cnt.orderBy(F.col("true_cnt").desc(), F.col("t").asc()).limit(topn)
-    probes = []
-    for j in range(CMS_D):
-        probes.append(
-            top.select("t", "true_cnt", F.lit(j).alias("j"), _cms_bucket(j, F.col("h")).alias("b"))
-        )
-    probe = probes[0].unionByName(probes[1]).unionByName(probes[2]).unionByName(probes[3])
+    probe = top.select(
+        "t", "true_cnt", F.posexplode(bucket_arr).alias("j", "b")
+    )
     return (
         probe.join(F.broadcast(sketch), ["j", "b"])
         .groupBy("t", "true_cnt")

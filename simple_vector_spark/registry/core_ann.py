@@ -77,6 +77,20 @@ def _graph_edges(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_cells(spark, sf_dir: str) -> DataFrame:
+    """Session-cached top-GRAPH_ASSIGN cell-assignment table of the
+    navigable graph's base corpus — the index's STORED assignment state
+    (the upsert audit's documented contract: a deployed index reads its
+    assignment table, it does not rescore the corpus).  Cached per
+    (session, fixture) exactly like the edge table; recomputing it
+    yields identical rows (pure-expression argmin, deterministic)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _cached_index(
+        spark, sf_dir, "graph_cells",
+        lambda: A.graph_cell_assignments(emb, A.fit_vectors(emb, A.CENTROID_IDS)),
+    )
+
+
 def _graph_ball(spark, sf_dir: str) -> DataFrame:
     """Session-cached GRAPH_HOPS-hop BFS ball of the navigable graph's
     seed set — query-independent (seeds and hop count are index

@@ -14,7 +14,10 @@ from ..sources.loaders import load_table
 from . import _ORACLES, query
 from .core_relational import E, R
 from .core_dedup import _H_SQL
-from .core_ann import A, ANN_K, ANN_QUERY_ID, T, _CENTS_SQL, _graph_ball, _graph_edges
+from .core_ann import (
+    A, ANN_K, ANN_QUERY_ID, T, _CENTS_SQL, _graph_ball, _graph_cells,
+    _graph_edges,
+)
 from .core_text import _TK_SQL
 from .waves_05 import _NAV_EDGES_SQL, _graph_walk_sql
 from .waves_07 import _nsf2_sql
@@ -2384,6 +2387,7 @@ def graph_index_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.graph_index_upsert_audit(
         emb, A.fit_vectors(emb, A.CENTROID_IDS),
         edges_before=_graph_edges(spark, sf_dir),
+        base_cells=_graph_cells(spark, sf_dir),
     )
 
 
