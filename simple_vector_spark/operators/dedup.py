@@ -388,52 +388,66 @@ def lsh_band_tuning(
     count; the three single-row results union into the report."""
     sigs = minhash_signatures(docs, text_col, id_col).localCheckpoint()
     spark = docs.sparkSession
-    reports = []
-    for rows_per_band in (1, 2, 4):
-        n_bands = len(MINHASH_A) // rows_per_band
-        bands = sigs.select(
-            F.col(id_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.col(f"mh{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            ).alias("bucket"),
-                        )
-                        for b in range(n_bands)
-                    ]
+    # ONE (layout, band, bucket)-keyed self-join for all three layouts
+    # (r08: was one join + distinct + agg per layout — 3x the shuffles
+    # for the same pair volume; guide §2.4).  The layout tag rides the
+    # band key, so per-layout candidate sets stay disjoint in one join.
+    layouts = [(len(MINHASH_A) // rpb, rpb) for rpb in (1, 2, 4)]
+    entries = []
+    for n_bands, rows_per_band in layouts:
+        for b in range(n_bands):
+            entries.append(
+                F.struct(
+                    F.lit(f"{n_bands}x{rows_per_band}").alias("layout"),
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("bucket"),
                 )
-            ).alias("bb"),
-        ).select(id_col, "bb.band", "bb.bucket")
-        a, b = bands.alias("a"), bands.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
-            .select(F.col(f"a.{id_col}").alias("da"), F.col(f"b.{id_col}").alias("db"))
-            .distinct()
+    bands = sigs.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("bb")
+    ).select(id_col, "bb.layout", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.layout") == F.col("b.layout"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        reports.append(
-            pairs.agg(F.count("*").cast("bigint").alias("n_candidate_pairs")).select(
-                F.lit(f"{n_bands}x{rows_per_band}").alias("layout"),
-                F.lit(n_bands).cast("int").alias("n_bands"),
-                F.lit(rows_per_band).cast("int").alias("rows_per_band"),
-                "n_candidate_pairs",
-            )
+        .select(
+            F.col("a.layout").alias("layout"),
+            F.col(f"a.{id_col}").alias("da"),
+            F.col(f"b.{id_col}").alias("db"),
         )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+        .distinct()
+        .groupBy("layout")
+        .agg(F.count("*").cast("bigint").alias("n_candidate_pairs"))
+    )
+    # literal layout frame keeps a zero-candidate layout in the report
+    # (a bare GROUP BY would drop it; the old per-layout agg emitted 0)
+    base = None
+    for n_bands, rows_per_band in layouts:
+        row = spark.range(1).select(
+            F.lit(f"{n_bands}x{rows_per_band}").alias("layout"),
+            F.lit(n_bands).cast("int").alias("n_bands"),
+            F.lit(rows_per_band).cast("int").alias("rows_per_band"),
+        )
+        base = row if base is None else base.unionByName(row)
+    return base.join(F.broadcast(counts), "layout", "left").select(
+        "layout",
+        "n_bands",
+        "rows_per_band",
+        F.coalesce(F.col("n_candidate_pairs"), F.lit(0).cast("bigint")).alias(
+            "n_candidate_pairs"
+        ),
+    )
 
 
 def dup_rate_by_source(

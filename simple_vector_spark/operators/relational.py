@@ -4698,6 +4698,11 @@ def item_covisit_recs(
     wc = Window.partitionBy("o_custkey").orderBy(
         _covisit_hash_rank().asc(), F.col("l_partkey").asc()
     )
+    # localCheckpoint deliberately kept (r08 A/B): dropping it to let
+    # the window's hash(o_custkey) partitioning flow into the pair
+    # self-join re-ran the join+distinct+window subtree per consumer
+    # and benched 35% SLOWER at sf0.1 (2.6 -> 3.5 s) — recompute
+    # dominates the extra exchanges here.
     capped = (
         rel.withColumn("_r", F.row_number().over(wc))
         .filter(F.col("_r") <= basket_cap)
@@ -4710,9 +4715,7 @@ def item_covisit_recs(
         .agg(F.count(F.lit(1)).alias("n_cust"))
         .localCheckpoint()
     )
-    sym = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "co")
-    )
+    sym = _symmetrize_pairs(pairs)
     # support is part-dimension-sized: broadcast both sides so the pair
     # aggregate is never re-shuffled (it dwarfs the support table).
     scored = (
@@ -4755,6 +4758,28 @@ def item_covisit_recs(
     )
 
 
+def _symmetrize_pairs(pairs: DataFrame) -> DataFrame:
+    """Both directions of an (a < b, co) pair-count table in ONE pass:
+    explode each row into its (a,b) and (b,a) structs instead of a
+    self-union — the union's second branch re-ran the pair join +
+    aggregate (two extra exchanges in the initial plan; guide §2.4),
+    where the explode doubles rows inside the same stage."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("a"), F.col("b").alias("b"),
+                    F.col("co").alias("co"),
+                ),
+                F.struct(
+                    F.col("b").alias("a"), F.col("a").alias("b"),
+                    F.col("co").alias("co"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.a", "_p.b", "_p.co")
+
+
 def _pair_counts(rel: DataFrame, min_co: int) -> DataFrame:
     """(a < b, co) pair counts from a basket-capped distinct
     (o_custkey, l_partkey) relation via a customer-keyed
@@ -4788,9 +4813,7 @@ def _covisit_scored_pairs(rel: DataFrame, min_co: int) -> DataFrame:
     support = rel.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).alias("n_cust")
     ).localCheckpoint()
-    sym = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "co")
-    )
+    sym = _symmetrize_pairs(pairs)
     return (
         sym.join(
             F.broadcast(
@@ -4850,6 +4873,10 @@ def covisit_holdout_eval(
             "#", F.col("o_custkey").cast("string"), F.col("l_partkey").cast("string")
         )
     )
+    # localCheckpoint deliberately kept (r08 A/B, same verdict as
+    # item_covisit_recs): lineage-preserved partitioning benched 4.0 ->
+    # 6.0 s — the 5-consumer recompute of join+distinct+window costs
+    # far more than the re-shuffles the checkpoint forces.
     marked = rel.select(
         "o_custkey",
         "l_partkey",

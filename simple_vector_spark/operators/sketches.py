@@ -588,30 +588,47 @@ def cms_width_curve(
             (F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % MINHASH_P
         ) % w
 
-    out = None
-    for w in CMS_WIDTHS:
-        probe = top
-        for j in range(CMS_D):
-            totals = (
-                counts.groupBy(bucket(j, w).alias(f"_b{j}"))
-                .agg(F.sum("cnt").alias(f"_tot{j}"))
+    # ONE (width, j, bucket) sketch aggregate + ONE probe join for all
+    # widths x hash rows (r08: was one groupBy + broadcast join per
+    # (width, j) — 16 aggregates of the same checkpointed count table;
+    # guide §2.4).  Every (token, width, j) probe row matches exactly
+    # one sketch bucket (the token's own count is in it), so MIN over j
+    # equals the old LEAST of the four joined totals.
+    wj_entries = F.array(
+        *[
+            F.struct(
+                F.lit(w).alias("width"),
+                F.lit(j).alias("j"),
+                bucket(j, w).alias("b"),
             )
-            probe = probe.withColumn(f"_b{j}", bucket(j, w)).join(
-                F.broadcast(totals), f"_b{j}"
-            )
-        est = F.least(*[F.col(f"_tot{j}") for j in range(CMS_D)])
-        row = probe.select(
-            F.lit(w).alias("width"),
-            (est - F.col("cnt")).alias("_over"),
-        ).groupBy("width").agg(
+            for w in CMS_WIDTHS
+            for j in range(CMS_D)
+        ]
+    )
+    sketch = (
+        counts.select(F.explode(wj_entries).alias("e"), "cnt")
+        .groupBy("e.width", "e.j", "e.b")
+        .agg(F.sum("cnt").alias("tot"))
+    )
+    probe = top.select("token", "cnt", F.explode(wj_entries).alias("e")).select(
+        "token", "cnt", "e.width", "e.j", "e.b"
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["width", "j", "b"])
+        .groupBy("width", "token", "cnt")
+        .agg(F.min("tot").alias("_est"))
+    )
+    return (
+        est.select("width", (F.col("_est") - F.col("cnt")).alias("_over"))
+        .groupBy("width")
+        .agg(
             F.round(F.avg("_over"), 6).alias("mean_overcount"),
             F.max("_over").cast("long").alias("max_overcount"),
             F.round(
                 F.avg(F.when(F.col("_over") == 0, 1.0).otherwise(0.0)), 6
             ).alias("exact_share"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 MG_K = 120  # Misra-Gries counter budget: guarantees items with f > n/k
