@@ -995,7 +995,11 @@ def ivf_recall_curve(
     )
     from .knn import knn_topk
 
-    exact_ids = knn_topk(corpus, query, k, "sqL2").select(id_col)
+    # k-row exact answer pinned once (r08): un-checkpointed it re-ran
+    # the exact corpus top-k inside every curve point's join
+    exact_ids = (
+        knn_topk(corpus, query, k, "sqL2").select(id_col).localCheckpoint()
+    )
     out = None
     for np_ in nprobes:
         topk = (
@@ -1004,7 +1008,7 @@ def ivf_recall_curve(
             .limit(k)
         )
         row = (
-            topk.join(exact_ids, id_col)
+            topk.join(F.broadcast(exact_ids), id_col)
             .agg(F.count("*").cast("bigint").alias("n_hit"))
             .select(
                 F.lit(np_).cast("int").alias("nprobe"),
@@ -1370,7 +1374,11 @@ def matryoshka_recall(
     only the shortlist."""
     from .knn import knn_topk
 
-    exact = knn_topk(emb, query, k, "sqL2", id_col=id_col, vec_col=vec_col)
+    # k-row exact answer pinned once (r08): both recall rows join it,
+    # and un-checkpointed each re-ran the exact corpus top-k
+    exact = knn_topk(
+        emb, query, k, "sqL2", id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
     pre_emb = emb.select(
         F.col(id_col), "label", F.slice(F.col(vec_col), 1, prefix_dims).alias(vec_col)
     )

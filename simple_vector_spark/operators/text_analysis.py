@@ -3216,6 +3216,9 @@ def nb_langid_confusion(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "lang", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    # counts deliberately NOT checkpointed (r08 A/B): its three
+    # consumers already share the aggregate's exchange via runtime
+    # stage reuse, and the eager pin benched ~8% slower at sf0.1
     counts = train.groupBy(
         F.col("lang").alias("plang"), "g"
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
