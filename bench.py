@@ -126,6 +126,23 @@ def main() -> None:
                      "runs_per_query": RUNS_PER_QUERY, "queries": timings},
                     fh, indent=1, sort_keys=True,
                 )
+        # Session hygiene every 50 queries (round-8, VERDICT r07 item
+        # 4, measured with tools/replay_bench_slice.py --hygiene-every
+        # 50): clear the catalog cache, drop the temp views queries
+        # leave behind, and force a JVM GC so broadcast/RDD cleanup
+        # backlogs drain BETWEEN timed queries instead of inside them.
+        # Paired same-order replay of positions 300-420 at this HEAD:
+        # hygiene/control per-query ratio mean 0.795 (AUDITS_r08) at a
+        # cost of ~0.8 s per hygiene stop.  Queries re-register their
+        # own views/caches, so this changes no results — it removes
+        # in-session drag from the measurement, the same class of fix
+        # as round 7's fixed timing order.
+        if (qi + 1) % 50 == 0:
+            spark.catalog.clearCache()
+            for tbl in spark.catalog.listTables():
+                if tbl.isTemporary:
+                    spark.catalog.dropTempView(tbl.name)
+            spark.sparkContext._jvm.System.gc()
 
     # Outlier re-measure pass (round-8): transient machine contention
     # inflates a contiguous run of queries — the round-7 driver session

@@ -8600,31 +8600,33 @@ def part_lifecycle_stages(lineitem: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     horizon = F.broadcast(pm.agg(F.max("m").alias("maxm")))
-    per = pm.groupBy("part_id").agg(
-        F.min("m").alias("first_m"),
-        F.max("m").alias("last_m"),
-        F.sum("q").alias("tq"),
+    # ONE part_id shuffle (r08, guide §2.4): span endpoints come from a
+    # window over the part-month table, and the conditional half-sums
+    # fold into the same part_id aggregate right after it (the groupBy
+    # reuses the window's hash(part_id) partitioning — no second
+    # exchange, no per/halves join).  Was: two part_id aggregates plus
+    # a part_id join, and a total-quantity column nothing consumed.
+    wpart = Window.partitionBy("part_id")
+    pm2 = pm.select(
+        "part_id",
+        "m",
+        "q",
+        F.min("m").over(wpart).alias("first_m"),
+        F.max("m").over(wpart).alias("last_m"),
     )
     mid = F.timestamp_seconds(
         (
             F.unix_timestamp("first_m") + F.unix_timestamp("last_m")
         ) / 2
     )
-    halves = (
-        pm.join(per.select("part_id", "first_m", "last_m"), "part_id")
-        .select(
-            "part_id",
-            "q",
-            (F.col("m") > mid).cast("int").alias("is_h2"),
-        )
-        .groupBy("part_id")
-        .agg(
-            F.sum(F.when(F.col("is_h2") == 0, F.col("q"))).alias("q1"),
-            F.sum(F.when(F.col("is_h2") == 1, F.col("q"))).alias("q2"),
-        )
+    is_h2 = (F.col("m") > mid).cast("int")
+    combined = pm2.groupBy("part_id").agg(
+        F.min("first_m").alias("first_m"),
+        F.sum(F.when(is_h2 == 0, F.col("q"))).alias("q1"),
+        F.sum(F.when(is_h2 == 1, F.col("q"))).alias("q2"),
     )
     tagged = (
-        per.join(halves, "part_id")
+        combined
         .crossJoin(horizon)
         .select(
             "part_id",
