@@ -81,26 +81,35 @@ def main() -> None:
     # is the plan's cost.
     RUNS_PER_QUERY = 2
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), f"bench_results_sf{sf}.json"
-    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # Per-cpus artifact name (VERDICT r08 item 3): a driver run at two
+    # core counts previously clobbered one artifact file, losing the
+    # first run's retry detail.  The canonical merged artifact
+    # (bench_results_sf{sf}.json) is still produced by
+    # tools/merge_bench_sessions.py from stashed session passes.
+    out_path = os.path.join(repo_dir, f"bench_results_sf{sf}_c{cpus}.json")
     # Previous round's committed per-query map, read BEFORE the loop
     # (the partial flushes below overwrite the file mid-run).  Used only
     # to pick which queries the end-of-session re-measure pass retries —
-    # recorded values are always measurements from THIS session.
+    # recorded values are always measurements from THIS session.  Prefer
+    # the same-cpus artifact; fall back to the canonical merged one.
     ref: dict[str, float] = {}
-    try:
-        with open(out_path) as fh:
-            prev = json.load(fh)
+    for ref_path in (out_path, os.path.join(repo_dir, f"bench_results_sf{sf}.json")):
+        try:
+            with open(ref_path) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            continue
         if isinstance(prev.get("queries"), dict) and not prev.get("partial"):
             ref = {
                 k: v for k, v in prev["queries"].items()
                 if isinstance(v, (int, float)) and v > 0
             }
-    except (OSError, ValueError):
-        pass
+            break
     timings: dict[str, float] = {}
-    for qi, (name, fn) in enumerate(qs.items()):
+    items = list(qs.items())
+    for qi, (name, fn) in enumerate(items):
         best, n = None, 0
         for _ in range(RUNS_PER_QUERY):
             t0 = time.perf_counter()
@@ -143,6 +152,12 @@ def main() -> None:
                 if tbl.isTemporary:
                     spark.catalog.dropTempView(tbl.name)
             spark.sparkContext._jvm.System.gc()
+            # One untimed warm touch of the NEXT query (ADVICE r08):
+            # its first timed run would otherwise pay temp-view
+            # re-registration / cache rebuild after the hygiene stop,
+            # leaving it one clean draw instead of RUNS_PER_QUERY.
+            if qi + 1 < len(items):
+                items[qi + 1][1](spark, sf_dir).count()
 
     # Outlier re-measure pass (round-8): transient machine contention
     # inflates a contiguous run of queries — the round-7 driver session
@@ -187,6 +202,12 @@ def main() -> None:
     # stdout tail — a full 500+-query dict gets truncated and parses as
     # null, BENCH_r01/r02).  "queries" here = the 10 slowest; the
     # complete per-query map is in the on-disk artifact below.
+    # retry_saved_sec (VERDICT r08 item 3): how much the asymmetric
+    # end-of-session re-measure pass moved the total, visible to the
+    # driver from the stdout payload alone.
+    retry_saved = round(
+        sum(r["first_pass"] - r["final"] for r in retried.values()), 4
+    )
     payload = {
         "metric": "declared_queries_total_wall",
         "value": total,
@@ -196,8 +217,16 @@ def main() -> None:
         "median_sec": median,
         "runs_per_query": RUNS_PER_QUERY,
         "n_retried": len(retried),
+        "retry_saved_sec": retry_saved,
+        # cpus + defaultParallelism in the payload (VERDICT r08 item 2):
+        # proof that $SPARK_GRAFT_CPUS reaches the session.  At sf0.1
+        # per-query times are overhead-bound (median ~0.5 s: plan
+        # analysis, stage launch, 2-run materialization), so totals
+        # barely scale with cores — see SCALING.md "Core-count scaling".
+        "cpus": int(cpus),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         "timing": "best_of_n",
-        "full_results": f"bench_results_sf{sf}.json",
+        "full_results": f"bench_results_sf{sf}_c{cpus}.json",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -211,7 +240,6 @@ def main() -> None:
                 **payload,
                 "queries": timings,  # complete per-query map on disk
                 "retried": retried,  # outlier re-measure pass detail
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
                 "sf_dir": sf_dir,
                 "spark_version": spark.version,
                 "wall_clock_unix": round(time.time(), 1),

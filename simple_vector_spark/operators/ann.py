@@ -2253,6 +2253,28 @@ def graph_index_upsert_audit(
     # ``base_cells`` is the built index's stored assignment table
     # (session-cached in core_ann, like the edge table) — when absent,
     # fall back to recomputing it, which yields identical rows.
+    # CONTRACT (ADVICE r08): a supplied ``base_cells`` must be the
+    # (id_col, cell) table produced by graph_cell_assignments over THIS
+    # corpus with THESE cents/assign — a table built with a different
+    # centroid set or assign depth would silently corrupt the audit.
+    # Guard the cheap-to-check half in-plan: every stored cell id must
+    # be in the centroid domain (raise_error never fires on valid
+    # state, so the audited result is unchanged).
+    if base_cells is not None:
+        assert set(base_cells.columns) == {id_col, "cell"}, (
+            f"base_cells must be ({id_col}, cell), got {base_cells.columns}"
+        )
+        cent_dom = [int(cid) for cid, _ in cents]
+        base_cells = base_cells.select(
+            id_col,
+            F.when(F.col("cell").isin(cent_dom), F.col("cell"))
+            .otherwise(
+                F.raise_error(F.concat(
+                    F.lit("base_cells cell outside centroid domain: "),
+                    F.col("cell").cast("string"),
+                ))
+            ).alias("cell"),
+        )
     old_cells = (
         base_cells if base_cells is not None else assign_cells(base)
     ).join(batch.select(id_col), id_col, "left_anti")

@@ -254,6 +254,26 @@ _DRIVER_RECORDED: frozenset[str] = frozenset({
     "events_preference_pairs", "embedding_grid_neighbors",
     "events_session_window_tvf", "orders_ddsketch_quantiles",
     "fd_discovery_audit", "ivm_join_delta", "nation_trade_bfs",
+    # -- recorded green in CORRECTNESS_r08.json (round 8) --
+    "cube_grouping_id", "customer_chi2_independence", "customer_k_anonymity",
+    "customers_top_movers", "dedup_storage_savings", "doc_id_gap_audit",
+    "doc_js_divergence", "dup_graph_kcore", "embedding_isotropy_audit",
+    "events_bounce_rate", "events_burst_clustering", "events_day_overlap",
+    "events_disorder_audit", "events_dispersion_index",
+    "events_feature_hash_cross", "events_kaplan_meier", "events_mde_power",
+    "events_pattern_negation", "events_srm_check", "json_malformed_audit",
+    "lineitem_cohens_d", "lineitem_higher_moments", "lineitem_ks_test",
+    "lineitem_mann_whitney", "lineitem_promo_did",
+    "lineitem_range_constraints", "lineitem_return_rate_wilson",
+    "lineitem_simpson_audit", "orders_accepted_values",
+    "orders_benford_audit", "orders_calibration_bins", "orders_cusum_detect",
+    "orders_double_charge", "orders_forecast_backtest", "orders_littles_law",
+    "orders_month_end_effect", "orders_price_endings",
+    "orders_rank_semantics", "orders_sla_attainment", "part_name_levenshtein",
+    "part_price_iqr_outliers", "parts_abc_xyz_matrix", "parts_eoq_top",
+    "replica_bucket_diff", "revenue_share_hierarchy", "sql_param_filter",
+    "sql_udf_price_band", "supplier_hhi_concentration", "vocab_hapax_ratio",
+    "vocab_term_burstiness",
 })
 
 # Green artifact rows that no longer certify the current code (output

@@ -44,11 +44,13 @@ def main() -> None:
               "orders", "lineitem", "events", "documents", "embeddings"):
         if os.path.exists(os.path.join(args.sf_dir, f"{t}.parquet")):
             load_table(spark, args.sf_dir, t).count()
-    # offline index builds (same set bench.py pre-builds)
+    # offline index builds (same set bench.py pre-builds).  Built
+    # UNCONDITIONALLY (ADVICE r08): name-prefix gating missed
+    # index-dependent queries with other names (e.g.
+    # stream_live_index_knn), which then paid the shared build inside
+    # their A/B timing — unlike bench.py, which always pre-builds.
     for wq in ("ann_ivf", "ann_pq_adc", "knn_graph_navigable"):
-        if wq in qs and any(n.startswith(("ann_", "knn_", "graph_", "embedding_",
-                                          "dedup_embedding", "hybrid_"))
-                            for n in args.names):
+        if wq in qs:
             qs[wq](spark, args.sf_dir).count()
 
     timings = {}
