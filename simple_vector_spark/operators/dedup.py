@@ -1336,6 +1336,15 @@ def weighted_minhash_pairs(docs: DataFrame, topk: int = WMH_TOPK) -> DataFrame:
         # and exact branches — checkpoint so the band self-join runs once
         .localCheckpoint()
     )
+    # Round-9 negative result (measured, reverted): folding the sizes
+    # aggregate into sigs (sz = COUNT(*) of expanded copies) and fusing
+    # est+sizes into one pair pass with a single LEFT join to inter cut
+    # the plan from 5 Exchanges / 2 SMJ to 2 / 1 — but measured 2.46 ->
+    # 2.69 s mean over 4 interleaved A/B sessions at sf0.1 (slower in
+    # all 4 cycles).  The removed ops all ran on checkpoint-sized or
+    # pair-sized data off the critical path (tf/sigs/cand checkpoint
+    # builds + the token-keyed inter join dominate), so the extra AQE
+    # stages of the fused form cost more than the dropped work saved.
     est = (
         cand.join(sigs.select(
             F.col("doc_id").alias("doc_a"),

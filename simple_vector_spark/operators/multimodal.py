@@ -600,9 +600,10 @@ def payload_entropy_sniff(docs: DataFrame) -> DataFrame:
     window.
 
     Plan: payload attached in-scan (with_payload recipe inline to keep
-    ``source``), bytes exploded from the hex string in-expression, one
-    (doc, byte) count shuffle, per-doc entropy as 9dp DECIMAL sums,
-    per-source rollup with the high-entropy share.
+    ``source``), per-doc byte counts and the 9dp DECIMAL entropy fold
+    computed as pure array expressions on the row (sort + run-length
+    encode — no explode, no (doc, byte) shuffle), per-source rollup
+    with the high-entropy share as the only Exchange.
 
     Parity discipline (removes the dyadic-distribution residual the
     round-5 degenerate sweep documented): log2 only ever sees the
@@ -622,48 +623,83 @@ def payload_entropy_sniff(docs: DataFrame) -> DataFrame:
     def l9(col):
         return F.round(F.log2(col.cast("double")), 9).cast("decimal(18,9)")
 
+    # Round 9 (guide §2.1): the per-doc byte histogram is LOCAL to the
+    # row — the 256-byte prefix lives in one string — so the former
+    # explode + (doc,byte) count shuffle + per-doc re-aggregate
+    # (2 corpus-sized Exchanges) collapses into pure array expressions:
+    # sort the byte array, run-length-encode it (boundary positions ->
+    # adjacent differences), and fold sum(c*L9(c)) per row.  The counts
+    # are the same multiset, the decimal fold is the same exact-integer
+    # arithmetic (every partial fits decimal(18,9): bounded by
+    # nb*log2(nb) <= 2048), so h6 is bit-identical; the only shuffle
+    # left is the tiny per-source rollup.  Each stage is a separate
+    # projection so the multiply-referenced arrays stay attributes
+    # (CollapseProject keeps non-cheap exprs with >1 use staged).
     payload = F.encode(F.col("text"), "UTF-8")
     base = docs.select(
-        "doc_id",
         "source",
         F.substring(F.hex(payload), 1, 2 * ENTROPY_PREFIX_BYTES).alias("hx"),
     )
     n = (F.length("hx") / 2).cast("int")
-    bytes_ = base.filter(n > 0).select(
-        "doc_id",
+    sorted_bytes = base.filter(n > 0).select(
         "source",
         n.alias("nb"),
-        F.explode(
+        F.array_sort(
             F.transform(
                 F.sequence(F.lit(1), n),
                 lambda i: F.substr(
                     F.col("hx"), (i - F.lit(1)) * F.lit(2) + F.lit(1), F.lit(2)
                 ),
             )
-        ).alias("b"),
+        ).alias("s"),
     )
-    cnt = bytes_.groupBy("doc_id", "source", "nb", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # run boundaries: 1-based positions p where s[p] ends a run (last
+    # position, or next element differs).  F.get is 0-based and yields
+    # NULL out of bounds (no ANSI error): at p == nb the OR's first arm
+    # is already TRUE.
+    bounded = sorted_bytes.select(
+        "source",
+        "nb",
+        F.filter(
+            F.sequence(F.lit(1), F.col("nb")),
+            lambda p: (p == F.col("nb"))
+            | (F.get(F.col("s"), p - 1) != F.get(F.col("s"), p)),
+        ).alias("bnd"),
     )
-    cl = (F.col("c").cast("decimal(9,0)") * l9(F.col("c"))).cast(
-        "decimal(28,9)"
+    # run lengths = adjacent boundary differences (first run: bnd[0]-0)
+    counts = bounded.select(
+        "source",
+        "nb",
+        F.zip_with(
+            F.col("bnd"),
+            F.concat(
+                F.array(F.lit(0)),
+                F.slice(F.col("bnd"), 1, F.size(F.col("bnd")) - 1),
+            ),
+            lambda a, b: a - b,
+        ).alias("cnts"),
     )
     nbl = (F.col("nb").cast("decimal(9,0)") * l9(F.col("nb"))).cast(
         "decimal(28,9)"
     )
     # both sums are bounded by nb*log2(nb) <= 256*8 = 2048, so the (18,9)
-    # downcasts are exact — and necessary: subtracting the (38,9) SUM
+    # downcasts are exact — and necessary: subtracting a wider sum
     # directly would overflow precision 38 and Spark would silently
-    # scale-trim the difference to 8 dp (the round-5 parity class)
+    # scale-trim the difference to 8 dp (the round-5 parity class).
+    # The fold keeps every partial at decimal(18,9): each step adds a
+    # (28,9) product and casts back, exact for values bounded by 2048.
+    sum_cl = F.aggregate(
+        F.col("cnts"),
+        F.lit(0).cast("decimal(18,9)"),
+        lambda acc, c: (
+            acc + (c.cast("decimal(9,0)") * l9(c)).cast("decimal(28,9)")
+        ).cast("decimal(18,9)"),
+    )
     high_micros = int(round(ENTROPY_HIGH_BITS * 1_000_000))
     ent = (
-        cnt.select("doc_id", "source", "nb", cl.alias("cl"))
-        .groupBy("doc_id", "source", "nb")
-        .agg(F.sum("cl").cast("decimal(18,9)").alias("s"))
-        .select(
-            "doc_id",
+        counts.select(
             "source",
-            ((nbl.cast("decimal(18,9)") - F.col("s")) * 1_000_000_000)
+            ((nbl.cast("decimal(18,9)") - sum_cl) * 1_000_000_000)
             .cast("decimal(38,0)")
             .alias("num_nanos"),
             "nb",

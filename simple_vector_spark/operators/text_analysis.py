@@ -2063,8 +2063,13 @@ def chargram_langid_agreement(docs: DataFrame, top: int = CHARGRAM_TOP) -> DataF
     where they DISAGREE are the review queue.
 
     Plan: trigram explode is linear in chars; profiles are a
-    |langs| x top broadcast; classification is one join + argmax
-    window keyed per doc; the matrix is a tiny aggregate."""
+    |langs| x top broadcast; classification is one join + per-doc
+    argmax AGGREGATE (round 9, guide §2: min over (-hits, plang)
+    structs replaces the row_number window — same hits-desc,
+    plang-asc tie order, no per-doc sort); the word classifier is a
+    pure per-row expression, so it rides the JOIN SPINE directly —
+    one doc_id join instead of the former docs->best and cg->word
+    pair; the matrix is a tiny aggregate."""
     doc_grams = _char_trigram_rows(docs, ["doc_id", "lang"]).localCheckpoint()
     lang_counts = doc_grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
     wp = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("g").asc())
@@ -2079,24 +2084,21 @@ def chargram_langid_agreement(docs: DataFrame, top: int = CHARGRAM_TOP) -> DataF
         .groupBy("doc_id", "plang")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    wd = Window.partitionBy("doc_id").orderBy(
-        F.col("hits").desc(), F.col("plang").asc()
-    )
-    best = (
-        scores.withColumn("_r", F.row_number().over(wd))
-        .filter(F.col("_r") == 1)
-        .select("doc_id", F.col("plang").alias("chargram_pred"))
-    )
-    cg = docs.select("doc_id").join(best, "doc_id", "left").select(
-        "doc_id", F.coalesce(F.col("chargram_pred"), F.lit("unk")).alias("cg")
+    # argmax(hits desc, plang asc) == min over (-hits, plang) structs:
+    # exact-integer, deterministic — row-for-row the window's r=1 pick
+    best = scores.groupBy("doc_id").agg(
+        F.min(
+            F.struct((-F.col("hits")).alias("_nh"), F.col("plang").alias("_p"))
+        )["_p"].alias("cg")
     )
     word = langid_predict(docs).select(
         "doc_id", F.col("predicted").alias("wd")
     )
     return (
-        cg.join(word, "doc_id")
+        word.join(best, "doc_id", "left")
         .groupBy(
-            F.col("cg").alias("chargram_pred"), F.col("wd").alias("word_pred")
+            F.coalesce(F.col("cg"), F.lit("unk")).alias("chargram_pred"),
+            F.col("wd").alias("word_pred"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .withColumn("agree", F.col("chargram_pred") == F.col("word_pred"))
