@@ -2253,7 +2253,7 @@ FROM latest WHERE op != 'delete' GROUP BY label
 )
 def stream_wal_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O16 as a LIVE stream: the WAL directory is tailed through the
-    custom source's SimpleDataSourceStreamReader — run 1 drains the
+    custom source's partitioned DataSourceStreamReader — run 1 drains the
     initial segments into a checkpointed append sink; a NEW segment
     (late upserts for doc ids < 10, higher log_ids) lands between
     runs; run 2 resumes from the SAME checkpoint and consumes ONLY

@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 WAL_SCHEMA = "log_id bigint, version bigint, op string, doc string"
@@ -80,7 +80,7 @@ class WalDataSource(DataSource):
     def reader(self, schema) -> "WalReader":
         return WalReader(self.options)
 
-    def simpleStreamReader(self, schema) -> "WalStreamReader":
+    def streamReader(self, schema) -> "WalStreamReader":
         return WalStreamReader(self.options)
 
 
@@ -106,24 +106,28 @@ class WalReader(DataSourceReader):
                 yield (int(log_id), int(version), op, doc)
 
 
-class WalStreamReader(SimpleDataSourceStreamReader):
+class WalStreamReader(DataSourceStreamReader):
     """Streaming tail of a WAL directory: the offset is the count of
-    consumed segment files; each read() returns every record of every
-    NEW segment since the last committed offset.  With a checkpointed
-    query this is exactly the reference's 'replay logs after
-    lastSnapshotID' recovery contract (src/persistence.cc:84-135) —
-    re-runs consume only the delta, never re-reading applied
-    segments.
+    consumed segment files; each microbatch covers every NEW segment
+    since the last committed offset, one InputPartition per segment —
+    the records are parsed in EXECUTOR tasks (round 9, guide §4/§5:
+    the former SimpleDataSourceStreamReader funneled every record
+    through the driver's Python process, a serial choke point that a
+    100 TB tail cannot afford; the partitioned reader keeps recovery
+    O(log/partitions) like the batch path).  With a checkpointed query
+    this is exactly the reference's 'replay logs after lastSnapshotID'
+    recovery contract (src/persistence.cc:84-135) — re-runs consume
+    only the delta, never re-reading applied segments.
 
     OFFSET CONTRACT: segments are append-only-BY-NAME and never
     rewritten or deleted in place — every new segment must sort
     lexicographically AFTER all consumed ones (true for the
     ``segment-<pid:05d>.wal`` writer layout and any monotonic naming
     scheme).  The committed offset records the high-water segment name
-    alongside the count, and read() raises loudly if the directory
-    violates the contract (a segment inserted below the high-water
-    mark, or a consumed segment renamed/removed) instead of silently
-    skipping or re-reading data."""
+    alongside the count, and microbatch planning raises loudly if the
+    directory violates the contract (a segment inserted below the
+    high-water mark, or a consumed segment renamed/removed) instead of
+    silently skipping or re-reading data."""
 
     def __init__(self, options):
         self.path = options["path"]
@@ -131,24 +135,16 @@ class WalStreamReader(SimpleDataSourceStreamReader):
     def _files(self):
         return sorted(f for f in os.listdir(self.path) if f.endswith(".wal"))
 
-    @staticmethod
-    def _parse(path: str):
-        with open(path, "rb") as fh:
-            while True:
-                hdr = fh.read(8)
-                if len(hdr) < 8:
-                    break
-                (n,) = _LEN.unpack(hdr)
-                payload = fh.read(n).decode("utf-8")
-                log_id, version, op, doc = payload.rstrip("\n").split("|", 3)
-                yield (int(log_id), int(version), op, doc)
-
     def initialOffset(self):
         return {"seg": 0, "last": ""}
 
-    def read(self, start):
+    def latestOffset(self):
         files = self._files()
-        s = int(start["seg"])
+        return {"seg": len(files), "last": files[-1] if files else ""}
+
+    def partitions(self, start, end):
+        files = self._files()
+        s, e = int(start["seg"]), int(end["seg"])
         last = start.get("last")
         # contract check: the s-th consumed file must still be the
         # high-water name — otherwise a segment appeared out of
@@ -165,15 +161,20 @@ class WalStreamReader(SimpleDataSourceStreamReader):
                     "(new names sort after all consumed ones) and never "
                     "rewritten or deleted."
                 )
-        rows = []
-        for f in files[s:]:
-            rows.extend(self._parse(os.path.join(self.path, f)))
-        new_last = files[-1] if files else (last or "")
-        return (rows, {"seg": len(files), "last": new_last})
+        return [
+            InputPartition(os.path.join(self.path, f)) for f in files[s:e]
+        ]
 
-    def readBetweenOffsets(self, start, end):
-        files = self._files()
-        rows = []
-        for f in files[int(start["seg"]) : int(end["seg"])]:
-            rows.extend(self._parse(os.path.join(self.path, f)))
-        return rows
+    def read(self, partition):
+        with open(partition.value, "rb") as fh:
+            while True:
+                hdr = fh.read(8)
+                if len(hdr) < 8:
+                    break
+                (n,) = _LEN.unpack(hdr)
+                payload = fh.read(n).decode("utf-8")
+                log_id, version, op, doc = payload.rstrip("\n").split("|", 3)
+                yield (int(log_id), int(version), op, doc)
+
+    def commit(self, end):
+        pass
