@@ -4686,13 +4686,23 @@ def item_covisit_recs(
     faster than in-expression array explosion — nested HOF transforms
     are interpreted); item supports and pair counts are two
     aggregates; the per-part top-k is a rank-limit window on the pair
-    aggregate.  Exact integers into one rounded cosine."""
+    aggregate.  Exact integers into one rounded cosine.
+
+    Round 9 (guide §2.4): the joined purchase rows are repartitioned by
+    o_custkey ONCE and that single exchange serves both the distinct
+    (a hash-partitioning on a subset of the dedup keys satisfies its
+    required distribution) and the basket-cap window — the former plan
+    shuffled on (custkey, partkey) for the distinct and AGAIN on
+    custkey for the window, with the distinct's partial dedup barely
+    reducing rows (a (cust, part) pair repeats only when the same
+    customer reorders the same part)."""
     rel = (
         lineitem.join(
             orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select("o_custkey", "l_partkey")
+        .repartition(F.col("o_custkey"))
         .distinct()
     )
     wc = Window.partitionBy("o_custkey").orderBy(
@@ -4859,12 +4869,15 @@ def covisit_holdout_eval(
     a rank-limit window."""
     from ..functions.text import md5_int
 
+    # single hash(o_custkey) exchange feeding distinct + both windows
+    # (round 9, same rationale as item_covisit_recs)
     rel = (
         lineitem.join(
             orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select("o_custkey", "l_partkey")
+        .repartition(F.col("o_custkey"))
         .distinct()
     )
     wh = Window.partitionBy("o_custkey")
@@ -8741,9 +8754,26 @@ def price_stickiness(lineitem: DataFrame) -> DataFrame:
     and repricing-cost questions.
 
     Scale: one (part, month) aggregate; adjacent months pair by a
-    part-partitioned lag window (never global); flags fold exactly."""
+    part-partitioned lag window (never global); flags fold exactly.
+
+    Round 9 (guide §2.2/§2.4): the pruned scan is repartitioned by
+    l_partkey ONCE, and that single hash(part_id) exchange serves both
+    the (part_id, month) aggregate (a hash-partitioning on a SUBSET of
+    the group keys satisfies the aggregate's required distribution)
+    and the lag window — the former plan shuffled the nearly-unreduced
+    partial aggregate twice (at sf0.1: 503k pm rows out of 600k
+    lineitem rows, i.e. partial aggregation collapses almost nothing
+    because TPC-H spreads a part's ~30 lineitems across ~84 months at
+    EVERY scale factor, so (part, month) groups hold ~1.2 rows
+    regardless of SF).  One raw-row shuffle < two pm-row shuffles at
+    any scale with this shape.  Measured 1.73 -> 0.57 s (fresh-plan
+    best-of-4, interleaved) at sf0.1; Exchange 2 -> 1."""
     pm = (
-        lineitem.groupBy(
+        lineitem.select(
+            "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+        )
+        .repartition(F.col("l_partkey"))
+        .groupBy(
             F.col("l_partkey").alias("part_id"),
             F.date_trunc("month", "l_shipdate").alias("m"),
         )
