@@ -553,9 +553,14 @@ def novelty_share(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     document teach the model anything new", and the incremental form
     of dedup (novelty ~ 0 means the doc is stitched from seen text).
 
-    Plan: distinct (doc, shingle) explode, one shingle-keyed shuffle
-    for the min-doc owner, rejoin on shingle, per-doc fold.  Exact
-    integer counts; one f64 division."""
+    Plan (round 9, guide §2.2): the former shape re-joined the FULL
+    (doc, shingle) relation back onto the owner table on the shingle
+    key just to test first_doc == doc_id — a corpus-sized exchange +
+    sort-merge join.  But n_novel per doc is derivable from the OWNER
+    table alone (group the min-doc owners by doc), and n_shingles is a
+    doc-keyed count of the exploded relation — so the join collapses
+    to two small aggregates over one checkpointed explode plus a
+    doc-dimension join.  Exact integer counts; one f64 division."""
     from ..functions.text import word_shingles
     from ..sources.loaders import fan_out
 
@@ -564,22 +569,23 @@ def novelty_share(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.explode(
             F.array_distinct(word_shingles(tokens(F.col(text_col))))
         ).alias("s"),
-    )
+    ).localCheckpoint()
     owner = sh.groupBy("s").agg(F.min(id_col).alias("first_doc"))
-    return (
-        sh.join(owner, "s")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("bigint").alias("n_shingles"),
-            F.sum((F.col("first_doc") == F.col(id_col)).cast("long"))
-            .cast("bigint")
-            .alias("n_novel"),
-            F.round(
-                F.sum((F.col("first_doc") == F.col(id_col)).cast("long"))
-                / F.count("*").cast("double"),
-                6,
-            ).alias("novelty"),
-        )
+    novel = owner.groupBy(F.col("first_doc").alias(id_col)).agg(
+        F.count("*").cast("bigint").alias("_nn")
+    )
+    per_doc = sh.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    return per_doc.join(novel, id_col, "left").select(
+        F.col(id_col),
+        "n_shingles",
+        F.coalesce(F.col("_nn"), F.lit(0)).cast("bigint").alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("_nn"), F.lit(0))
+            / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("novelty"),
     )
 
 
